@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every operator registry; each key is one line of
+  * the SURVEY §2 inventory. `oracleSql` carries the DuckDB-equivalent
+  * SQL for the hash-compare correctness gate; non-SQL-expressible
+  * operators (sketches, MinHash, PromQL) intentionally have no oracle
+  * and get the weaker rows-only check.
+  */
 object SparkEntry {
+
+  private val registries: Seq[(Map[String, QueryDsl.Q], Map[String, String])] = Seq(
+    (Relational.queries, Relational.oracles)
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("agg_groupby")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registries.iterator.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registries.iterator.map(_._2).reduce(_ ++ _)
 }

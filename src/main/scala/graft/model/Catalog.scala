@@ -1,0 +1,95 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table registry + read-view builder.
+  *
+  * A graft table is an append-only Parquet directory; upsert / merge
+  * semantics are applied as a *view* at read time (SURVEY.md §1.1):
+  *
+  *  - last_row:      `row_number() over (partition by pk order by seq desc) = 1`
+  *  - last_non_null: per-field `first(value, ignoreNulls)` over the same key
+  *  - append:        raw read
+  *  - ttl:           `time_index >= now() - ttl` filter injected at scan
+  *
+  * At 100 TB the dedup window shuffles on (tags, ts) once; downstream
+  * per-series operators (RANGE, PromQL) reuse that clustering. A
+  * compaction job can materialize the deduped snapshot so steady-state
+  * reads skip the window entirely (SURVEY §7.3(c)).
+  */
+final class Catalog(spark: SparkSession) {
+  private val specs = scala.collection.concurrent.TrieMap.empty[String, TableSpec]
+
+  def register(spec: TableSpec): Unit = specs.put(spec.name, spec)
+  def spec(name: String): TableSpec = specs(name)
+  def tables: Seq[String] = specs.keys.toSeq.sorted
+
+  /** Raw append-stream read (no merge semantics). */
+  def raw(name: String): DataFrame = spark.read.parquet(spec(name).path)
+
+  /** The merged read view: what SQL queries against this table see. */
+  def read(name: String): DataFrame = Catalog.readView(raw(name), spec(name))
+
+  /** Register the read view as a temp view so spark.sql can use it. */
+  def createView(name: String): Unit = read(name).createOrReplaceTempView(name)
+}
+
+object Catalog {
+  private val SeqCol = "__graft_seq"
+
+  def readView(df: DataFrame, spec: TableSpec): DataFrame = {
+    val ttlFiltered = spec.ttlMillis match {
+      case Some(ttl) =>
+        df.filter(col(spec.timeIndex) >=
+          (current_timestamp() - expr(s"INTERVAL $ttl MILLISECOND")))
+      case None => df
+    }
+    spec.mergeMode match {
+      case MergeMode.Append      => ttlFiltered
+      case MergeMode.LastRow     => dedupLastRow(ttlFiltered, spec)
+      case MergeMode.LastNonNull => dedupLastNonNull(ttlFiltered, spec)
+    }
+  }
+
+  /** Materialize the write-order column ONCE so every window in the
+    * dedup pipeline sees identical ordering (monotonically_increasing_id
+    * is deterministic per evaluation but not across re-evaluations after
+    * a shuffle). */
+  private def withSeq(df: DataFrame, spec: TableSpec): DataFrame =
+    spec.seqColumn.filter(df.columns.contains) match {
+      case Some(c) => df.withColumn(SeqCol, col(c).cast("long"))
+      case None    => df.withColumn(SeqCol, monotonically_increasing_id())
+    }
+
+  /** Default upsert: duplicate (pk, ts) keys keep the last-written row
+    * (mito2 MergeMode::LastRow). */
+  def dedupLastRow(df: DataFrame, spec: TableSpec): DataFrame =
+    dropSeq(keepNewest(withSeq(df, spec), spec))
+
+  /** merge_mode=last_non_null: for each field independently, the last
+    * non-null write wins (mito2/src/read/dedup.rs:301-425). */
+  def dedupLastNonNull(df: DataFrame, spec: TableSpec): DataFrame = {
+    val seqd = withSeq(df, spec)
+    val pk = spec.primaryKey.toSet
+    val fields = seqd.columns
+      .filterNot(c => pk.contains(c) || c == SeqCol || spec.seqColumn.contains(c))
+    // Ordered newest-first; frame [current, +inf) reaches back to older
+    // writes, so first(ignoreNulls) == newest non-null value <= this row.
+    val w = Window.partitionBy(spec.primaryKey.map(col): _*)
+      .orderBy(col(SeqCol).desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val merged = fields.foldLeft(seqd) { (d, f) =>
+      d.withColumn(f, first(col(f), ignoreNulls = true).over(w))
+    }
+    dropSeq(keepNewest(merged, spec))
+  }
+
+  private def keepNewest(df: DataFrame, spec: TableSpec): DataFrame = {
+    val w = Window.partitionBy(spec.primaryKey.map(col): _*).orderBy(col(SeqCol).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def dropSeq(df: DataFrame): DataFrame = df.drop(SeqCol)
+}
