@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private val registries: Seq[(Map[String, QueryDsl.Q], Map[String, String])] = Seq(
-    (Relational.queries, Relational.oracles)
+    (Relational.queries, Relational.oracles),
+    (RangeQueries.queries, RangeQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.RangeSelect
+import graft.operators.RangeSelect.{Fill, RangeAgg}
+import QueryDsl._
+
+/** RANGE query surface (SURVEY.md §2.5) exercised on the events table.
+  * events.ts arrives as BIGINT nanoseconds (nanosAsLong); RangeSelect
+  * operates on epoch-ms longs. LINEAR fill has no SQL oracle (it is
+  * golden-tested in RangeSelectSpec against the reference fixtures).
+  */
+object RangeQueries {
+
+  private val H = 3600000L   // 1h in ms
+  private val HM = 1800000L  // 30m
+
+  private def events(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    T(s, d, "events").withColumn("ts_ms", expr("ts div 1000000"))
+
+  val queries: Map[String, Q] = Map(
+    "range_tumbling" -> ((s, d) => {
+      RangeSelect(events(s, d), "ts_ms", Seq("event_type"), H, H, Seq(
+        RangeAgg("n", ctx => count(ctx.value("value"))),
+        RangeAgg("max_v", ctx => max(ctx.value("value"))),
+        RangeAgg("sum_v", ctx => dsum(ctx.value("value")))))
+        .orderBy(col("ts_ms"), col("event_type"))
+    }),
+
+    "range_sliding" -> ((s, d) => {
+      RangeSelect(events(s, d), "ts_ms", Seq("event_type"), H, 2 * H, Seq(
+        RangeAgg("n", ctx => count(ctx.value("value"))),
+        RangeAgg("sum_v", ctx => dsum(ctx.value("value")))))
+        .orderBy(col("ts_ms"), col("event_type"))
+    }),
+
+    "range_fill_prev" -> ((s, d) => {
+      // sparse series: only 'error' events, per user bucket of 25 -> gaps
+      val df = events(s, d).filter(col("event_type") === "error")
+        .withColumn("grp", col("user_id") % 4)
+      RangeSelect(df, "ts_ms", Seq("grp"), HM, HM, Seq(
+        RangeAgg("min_v", ctx => min(ctx.value("value")), Fill.Prev)))
+        .orderBy(col("ts_ms"), col("grp"))
+    }),
+
+    "range_fill_const" -> ((s, d) => {
+      val df = events(s, d).filter(col("event_type") === "signup")
+        .withColumn("grp", col("user_id") % 4)
+      RangeSelect(df, "ts_ms", Seq("grp"), HM, HM, Seq(
+        RangeAgg("max_v", ctx => max(ctx.value("value")), Fill.Const(-1.0)),
+        RangeAgg("n_raw", ctx => count(ctx.value("value")))))
+        .orderBy(col("ts_ms"), col("grp"))
+    }),
+
+    "range_fill_linear" -> ((s, d) => {
+      val df = events(s, d).filter(col("event_type") === "purchase")
+        .withColumn("grp", col("user_id") % 4)
+      RangeSelect(df, "ts_ms", Seq("grp"), HM, HM, Seq(
+        RangeAgg("v", ctx => round(min(ctx.value("value")), 3), Fill.Linear)))
+        .orderBy(col("ts_ms"), col("grp"))
+    }),
+
+    "range_align_to" -> ((s, d) => {
+      // grid origin shifted by 17 minutes (ALIGN '1h' TO '...')
+      RangeSelect(events(s, d), "ts_ms", Seq("event_type"), H, H, Seq(
+        RangeAgg("n", ctx => count(ctx.value("value")))), alignToMs = 1020000L)
+        .orderBy(col("ts_ms"), col("event_type"))
+    }),
+
+    "range_by_derived" -> ((s, d) => {
+      // BY clause over a derived key (reference range/by.sql)
+      val df = events(s, d).withColumn("ubucket", col("user_id") % 10)
+      RangeSelect(df, "ts_ms", Seq("ubucket"), H, H, Seq(
+        RangeAgg("n", ctx => count(ctx.value("value"))),
+        RangeAgg("min_v", ctx => min(ctx.value("value")))))
+        .orderBy(col("ts_ms"), col("ubucket"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "range_tumbling" ->
+      """SELECT event_type, COUNT(value) AS n, MAX(value) AS max_v,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
+           ((epoch_ns(ts)//1000000) // 3600000) * 3600000 AS ts_ms
+         FROM events GROUP BY ts_ms, event_type ORDER BY ts_ms, event_type""",
+
+    "range_sliding" ->
+      """SELECT event_type,
+           COUNT(value) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
+           (((epoch_ns(ts)//1000000) // 3600000) - g.i) * 3600000 AS ts_ms
+         FROM events CROSS JOIN (SELECT unnest(generate_series(0,1)) AS i) g
+         GROUP BY ts_ms, event_type ORDER BY ts_ms, event_type""",
+
+    "range_fill_prev" ->
+      """WITH agg AS (
+           SELECT user_id % 4 AS grp,
+                  ((epoch_ns(ts)//1000000) // 1800000) * 1800000 AS ts_ms,
+                  MIN(value) AS min_v
+           FROM events WHERE event_type = 'error' GROUP BY grp, ts_ms),
+         grid AS (
+           SELECT grp, unnest(generate_series(min(ts_ms), max(ts_ms), 1800000)) AS ts_ms
+           FROM agg GROUP BY grp)
+         SELECT g.grp, g.ts_ms,
+           last_value(a.min_v IGNORE NULLS) OVER (
+             PARTITION BY g.grp ORDER BY g.ts_ms
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_v
+         FROM grid g LEFT JOIN agg a ON g.grp = a.grp AND g.ts_ms = a.ts_ms
+         ORDER BY g.ts_ms, g.grp""",
+
+    "range_fill_const" ->
+      """WITH agg AS (
+           SELECT user_id % 4 AS grp,
+                  ((epoch_ns(ts)//1000000) // 1800000) * 1800000 AS ts_ms,
+                  MAX(value) AS max_v, COUNT(value) AS n_raw
+           FROM events WHERE event_type = 'signup' GROUP BY grp, ts_ms),
+         grid AS (
+           SELECT grp, unnest(generate_series(min(ts_ms), max(ts_ms), 1800000)) AS ts_ms
+           FROM agg GROUP BY grp)
+         SELECT g.grp, g.ts_ms, COALESCE(a.max_v, -1.0) AS max_v, a.n_raw
+         FROM grid g LEFT JOIN agg a ON g.grp = a.grp AND g.ts_ms = a.ts_ms
+         ORDER BY g.ts_ms, g.grp""",
+
+    "range_align_to" ->
+      """SELECT event_type, COUNT(value) AS n,
+           (((epoch_ns(ts)//1000000) - 1020000) // 3600000) * 3600000 + 1020000 AS ts_ms
+         FROM events GROUP BY ts_ms, event_type ORDER BY ts_ms, event_type""",
+
+    "range_by_derived" ->
+      """SELECT user_id % 10 AS ubucket, COUNT(value) AS n, MIN(value) AS min_v,
+           ((epoch_ns(ts)//1000000) // 3600000) * 3600000 AS ts_ms
+         FROM events GROUP BY ts_ms, ubucket ORDER BY ts_ms, ubucket"""
+  )
+}
