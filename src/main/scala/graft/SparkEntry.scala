@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val registries: Seq[(Map[String, QueryDsl.Q], Map[String, String])] = Seq(
     (Relational.queries, Relational.oracles),
-    (RangeQueries.queries, RangeQueries.oracles)
+    (RangeQueries.queries, RangeQueries.oracles),
+    (FunctionQueries.queries, FunctionQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import QueryDsl._
+
+/** Oracle-checked queries exercising the §2.8 function registry on the
+  * driver testdata. Double-valued vector math is rounded to 6 dp on both
+  * sides (sequential double accumulation differs across engines at
+  * ~1e-14; rounding makes the hash stable).
+  */
+object FunctionQueries {
+
+  val queries: Map[String, Q] = Map(
+    "fn_vector" -> ((s, d) => {
+      val e1 = T(s, d, "embeddings").select(col("vec_id"), col("embedding").as("a"))
+      val e2 = T(s, d, "embeddings")
+        .select((col("vec_id") - 1).as("vec_id"), col("embedding").as("b"))
+      e1.join(e2, "vec_id")
+        .select(col("vec_id"),
+          VectorFunctions.vecDim(col("a")).cast("long").as("dim"),
+          round(VectorFunctions.vecDotProduct(col("a"), col("b")), 6).as("dot"),
+          round(VectorFunctions.vecCosDistance(col("a"), col("b")), 6).as("cos_dist"),
+          round(VectorFunctions.vecL2sqDistance(col("a"), col("b")), 6).as("l2sq"),
+          round(VectorFunctions.vecNorm(col("a")), 6).as("norm_a"),
+          round(VectorFunctions.vecElemSum(col("a")), 6).as("sum_a"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "fn_ipv4" -> ((s, d) => {
+      val df = T(s, d, "events")
+        .withColumn("ip", concat_ws(".",
+          col("user_id") % 200 + 1, col("user_id") * 7 % 256,
+          col("user_id") * 13 % 256, col("event_id") % 256))
+        .dropDuplicates("ip")
+      df.select(col("ip"),
+        IpFunctions.ipv4StringToNum(col("ip")).as("ip_num"),
+        IpFunctions.ipv4NumToString(IpFunctions.ipv4StringToNum(col("ip"))).as("ip_rt"),
+        IpFunctions.ipv4InRange(col("ip"), lit("100.0.0.0/6")).as("in_range"),
+        IpFunctions.ipv4ToCidr(col("ip"), lit(8)).as("cidr8"))
+        .orderBy(col("ip"))
+    }),
+
+    "fn_json_types" -> ((s, d) => {
+      T(s, d, "events").select(col("event_id"),
+        JsonFunctions.jsonGetInt(col("props"), "$.k").as("k_int"),
+        JsonFunctions.jsonIsInt(col("props"), "$.k").as("k_is_int"),
+        JsonFunctions.jsonPathExists(col("props"), "$.k").as("has_k"),
+        JsonFunctions.jsonPathExists(col("props"), "$.zz").as("has_zz"))
+        .orderBy(col("event_id"))
+    }),
+
+    "fn_text_match" -> ((s, d) => {
+      T(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextMatch.matchesTerm(col("text"), lit("spark")).as("has_spark"),
+          TextMatch.matches(col("text"), "spark merge").as("spark_or_merge"),
+          TextMatch.matches(col("text"), "+spark -merge").as("spark_not_merge"))
+        .groupBy(col("lang"))
+        .agg(count(when(col("has_spark"), 1)).as("n_spark"),
+             count(when(col("spark_or_merge"), 1)).as("n_or"),
+             count(when(col("spark_not_merge"), 1)).as("n_must"))
+        .orderBy(col("lang"))
+    }),
+
+    "fn_geo" -> ((s, d) => {
+      // derive deterministic coordinates from keys (no geo column in testdata)
+      val df = T(s, d, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 180 - 90 + lit(0.5)).cast("double").as("lat"),
+        (col("c_custkey") % 360 - 180 + lit(0.25)).cast("double").as("lng"))
+      df.select(col("c_custkey"),
+        GeoFunctions.stDistance(col("lat"), col("lng"), lit(0.0), lit(0.0)).as("eucl"),
+        GeoFunctions.wktPointFromLatLng(col("lat"), col("lng")).as("wkt"),
+        GeoFunctions.geohash(col("lat"), col("lng"), lit(8)).as("gh"))
+        .drop("gh") // geohash is spec-tested; DuckDB has no equivalent
+        .orderBy(col("c_custkey"))
+    }),
+
+    "fn_math_clamp" -> ((s, d) => {
+      T(s, d, "events").select(col("event_id"),
+        MathFunctions.clamp(col("value"), lit(50.0), lit(150.0)).as("clamped"),
+        MathFunctions.clampMin(col("value"), lit(100.0)).as("clo"),
+        MathFunctions.clampMax(col("value"), lit(100.0)).as("chi"),
+        MathFunctions.iff(col("value") > 100, lit("hi"), lit("lo")).as("band"),
+        MathFunctions.mod(col("event_id"), lit(7L)).as("m7"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_vector" ->
+      """SELECT e1.vec_id,
+           CAST(len(e1.embedding) AS BIGINT) AS dim,
+           round(list_dot_product(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 6) AS dot,
+           round(1.0 - list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])), 6) AS cos_dist,
+           round(list_distance(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) ** 2, 6) AS l2sq,
+           round(sqrt(list_dot_product(CAST(e1.embedding AS DOUBLE[]), CAST(e1.embedding AS DOUBLE[]))), 6) AS norm_a,
+           round(list_sum(CAST(e1.embedding AS DOUBLE[])), 6) AS sum_a
+         FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
+         ORDER BY e1.vec_id""",
+
+    "fn_ipv4" ->
+      """WITH ips AS (
+           SELECT DISTINCT ip FROM (
+             SELECT CAST(user_id % 200 + 1 AS VARCHAR) || '.' ||
+                    CAST(user_id * 7 % 256 AS VARCHAR) || '.' ||
+                    CAST(user_id * 13 % 256 AS VARCHAR) || '.' ||
+                    CAST(event_id % 256 AS VARCHAR) AS ip
+             FROM events) t),
+         parsed AS (
+           SELECT ip,
+             CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
+             CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 +
+             CAST(string_split(ip, '.')[3] AS BIGINT) * 256 +
+             CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_num
+           FROM ips)
+         SELECT ip, ip_num,
+           CAST(ip_num // 16777216 % 256 AS VARCHAR) || '.' ||
+           CAST(ip_num // 65536 % 256 AS VARCHAR) || '.' ||
+           CAST(ip_num // 256 % 256 AS VARCHAR) || '.' ||
+           CAST(ip_num % 256 AS VARCHAR) AS ip_rt,
+           (ip_num // 67108864) = (1677721600 // 67108864) AS in_range,
+           CAST(ip_num // 16777216 AS VARCHAR) || '.0.0.0/8' AS cidr8
+         FROM parsed ORDER BY ip""",
+
+    "fn_json_types" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           json_type(props, '$.k') IN ('BIGINT','UBIGINT') AS k_is_int,
+           json_extract(props, '$.k') IS NOT NULL AS has_k,
+           json_extract(props, '$.zz') IS NOT NULL AS has_zz
+         FROM events ORDER BY event_id""",
+
+    "fn_text_match" ->
+      """SELECT lang,
+           COUNT(CASE WHEN regexp_matches(text, '(^|[^a-zA-Z0-9])spark([^a-zA-Z0-9]|$)') THEN 1 END) AS n_spark,
+           COUNT(CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')
+                        OR regexp_matches(lower(text), '(^|[^a-z0-9])merge([^a-z0-9]|$)') THEN 1 END) AS n_or,
+           COUNT(CASE WHEN regexp_matches(lower(text), '(^|[^a-z0-9])spark([^a-z0-9]|$)')
+                        AND NOT regexp_matches(lower(text), '(^|[^a-z0-9])merge([^a-z0-9]|$)') THEN 1 END) AS n_must
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "fn_geo" ->
+      """SELECT c_custkey,
+           sqrt((0.0 - (c_custkey % 180 - 90 + 0.5)) * (0.0 - (c_custkey % 180 - 90 + 0.5))
+              + (0.0 - (c_custkey % 360 - 180 + 0.25)) * (0.0 - (c_custkey % 360 - 180 + 0.25))) AS eucl,
+           'POINT(' || CAST(CAST(c_custkey % 360 - 180 + 0.25 AS DOUBLE) AS VARCHAR) || ' ' ||
+                       CAST(CAST(c_custkey % 180 - 90 + 0.5 AS DOUBLE) AS VARCHAR) || ')' AS wkt
+         FROM customer ORDER BY c_custkey""",
+
+    "fn_math_clamp" ->
+      """SELECT event_id,
+           least(greatest(value, 50.0), 150.0) AS clamped,
+           greatest(value, 100.0) AS clo,
+           least(value, 100.0) AS chi,
+           CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS band,
+           event_id % 7 AS m7
+         FROM events ORDER BY event_id"""
+  )
+}
