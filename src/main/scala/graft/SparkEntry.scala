@@ -16,7 +16,8 @@ object SparkEntry {
   private val registries: Seq[(Map[String, QueryDsl.Q], Map[String, String])] = Seq(
     (Relational.queries, Relational.oracles),
     (RangeQueries.queries, RangeQueries.oracles),
-    (FunctionQueries.queries, FunctionQueries.oracles)
+    (FunctionQueries.queries, FunctionQueries.oracles),
+    (SketchQueries.queries, SketchQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.aggregates._
+import QueryDsl._
+
+/** Sketch/custom aggregate surface (SURVEY.md §2.4). hll/uddsketch have
+  * no DuckDB equivalent -> rows-only checks plus a sanity column the
+  * spec suite pins; count_hash and geo_path proxies are oracle-checked.
+  */
+object SketchQueries {
+
+  val queries: Map[String, Q] = Map(
+    // hll build -> merge -> count roundtrip, vs exact distinct
+    "sketch_hll" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val perType = ev.groupBy(col("event_type"), col("user_id") % 8)
+        .agg(Hll.hllAgg(col("user_id")).as("state"))
+      perType.groupBy(col("event_type"))
+        .agg(Hll.hllCount(Hll.hllMergeAgg(col("state"))).as("approx_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    "sketch_uddsketch" -> ((s, d) => {
+      T(s, d, "events").groupBy(col("event_type"))
+        .agg(UddSketch.uddsketchState(128, 0.01, col("value")).as("state"))
+        .select(col("event_type"),
+          round(UddSketch.uddsketchCalc(0.5, col("state")), 4).as("p50"),
+          round(UddSketch.uddsketchCalc(0.9, col("state")), 4).as("p90"),
+          round(UddSketch.uddsketchCalc(0.99, col("state")), 4).as("p99"))
+        .orderBy(col("event_type"))
+    }),
+
+    "agg_count_hash" -> ((s, d) => {
+      T(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(VectorAggs.countHash(col("l_partkey"), col("l_suppkey")).as("n_hash"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_vec_sum" -> ((s, d) => {
+      T(s, d, "embeddings").groupBy(col("label"))
+        .agg(VectorAggs.vecSumAgg(col("embedding")).as("vsum"),
+             VectorAggs.vecAvgAgg(col("embedding")).as("vavg"))
+        .select(col("label").cast("long").as("label"),
+          round(graft.functions.VectorFunctions.vecElemSum(col("vsum")), 4).as("sum_of_sums"),
+          round(graft.functions.VectorFunctions.vecElemSum(col("vavg")), 4).as("sum_of_avgs"))
+        .orderBy(col("label"))
+    }),
+
+    "agg_geo_path" -> ((s, d) => {
+      // geo_path ordering proxy with hash-stable string output
+      val ev = T(s, d, "events").filter(col("user_id") <= 30)
+      ev.groupBy(col("user_id"))
+        .agg(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id")))),
+            p => p.getField("event_id"))).as("path"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_count_hash" ->
+      """SELECT l_returnflag, COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_hash
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_geo_path" ->
+      """SELECT user_id, string_agg(event_id, ',' ORDER BY ts, event_id) AS path
+         FROM events WHERE user_id <= 30
+         GROUP BY user_id ORDER BY user_id"""
+  )
+}
