@@ -17,7 +17,8 @@ object SparkEntry {
     (Relational.queries, Relational.oracles),
     (RangeQueries.queries, RangeQueries.oracles),
     (FunctionQueries.queries, FunctionQueries.oracles),
-    (SketchQueries.queries, SketchQueries.oracles)
+    (SketchQueries.queries, SketchQueries.oracles),
+    (PromQLQueries.queries, PromQLQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

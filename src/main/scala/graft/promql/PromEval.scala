@@ -1,0 +1,150 @@
+package graft.promql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import PromParser._
+import PromQL._
+
+/** AST evaluator: PromParser.Expr -> InstantVector (the PromPlanner
+  * equivalent, reference query/src/promql/planner.rs). `TQL EVAL
+  * (start, end, step) q` == `new PromEval(...).evalQuery(q)`.
+  */
+final class PromEval(
+    spark: SparkSession,
+    catalog: Map[String, Metric],
+    params: EvalParams) {
+
+  private val RangeFns = Set("rate", "increase", "delta", "irate", "idelta",
+    "changes", "resets", "deriv", "predict_linear", "quantile_over_time",
+    "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
+    "count_over_time", "last_over_time", "stddev_over_time",
+    "stdvar_over_time", "present_over_time", "absent_over_time")
+
+  private val TimeFns = Set("time", "minute", "hour", "month", "year",
+    "day_of_month", "day_of_week", "day_of_year", "days_in_month")
+
+  def evalQuery(q: String): DataFrame = eval(parse(q)) match {
+    case Right(iv) => iv.output
+    case Left(s) => scalarLiteral(spark, params, s).output
+  }
+
+  def evalVector(q: String): InstantVector = eval(parse(q)) match {
+    case Right(iv) => iv
+    case Left(s) => scalarLiteral(spark, params, s)
+  }
+
+  private def metricOf(sel: Selector): Metric = {
+    val m = catalog.getOrElse(sel.name,
+      throw new IllegalArgumentException(s"unknown metric: ${sel.name}"))
+    val filtered = sel.matchers.foldLeft(m.df) { (df, mt) =>
+      mt.op match {
+        case "=" => df.filter(col(mt.label) === mt.value)
+        case "!=" => df.filter(col(mt.label) =!= mt.value)
+        case "=~" => df.filter(col(mt.label).rlike(s"^(?:${mt.value})$$"))
+        case "!~" => df.filter(!col(mt.label).rlike(s"^(?:${mt.value})$$"))
+      }
+    }
+    m.copy(df = filtered)
+  }
+
+  /** Left = scalar, Right = vector. */
+  def eval(e: Expr): Either[Double, InstantVector] = e match {
+    case NumberLit(v) => Left(v)
+    case Unary(x) => eval(x) match {
+      case Left(v) => Left(-v)
+      case Right(iv) =>
+        Right(InstantVector(iv.df.withColumn("__val", -col("__val")), iv.labels))
+    }
+    case sel: Selector =>
+      require(sel.rangeMs.isEmpty, "range selector needs a range function")
+      Right(instant(metricOf(sel), params, sel.offsetMs))
+
+    case Agg(op, by, without, param, body) =>
+      val iv = evalToVector(body)
+      val p = param.map { case NumberLit(v) => v; case other =>
+        throw new IllegalArgumentException(s"aggregation param must be a literal: $other") }
+      Right(PromQL.aggregate(iv, op, by, without, p))
+
+    case Call(fn, args) if RangeFns.contains(fn) =>
+      val (param, selArg) = args match {
+        case Seq(NumberLit(p), s: Selector) => (Some(p), s)
+        case Seq(s: Selector, NumberLit(p)) => (Some(p), s)
+        case Seq(s: Selector) => (None, s)
+        case other => throw new IllegalArgumentException(s"$fn args: $other")
+      }
+      val range = selArg.rangeMs.getOrElse(
+        throw new IllegalArgumentException(s"$fn needs a range selector"))
+      if (fn == "absent_over_time") {
+        val present = rangeFn("present_over_time", metricOf(selArg), params, range, selArg.offsetMs)
+        Right(absent(present, params, spark))
+      } else
+        Right(rangeFn(fn, metricOf(selArg), params, range, selArg.offsetMs, param))
+
+    case Call("absent", Seq(sel: Selector)) =>
+      Right(absent(instant(metricOf(sel), params, sel.offsetMs), params, spark))
+
+    case Call("scalar", Seq(arg)) => Right(scalarFn(evalToVector(arg)))
+
+    case Call("vector", Seq(NumberLit(v))) => Right(scalarLiteral(spark, params, v))
+
+    case Call("histogram_quantile", Seq(NumberLit(q), arg)) =>
+      Right(histogramQuantile(evalToVector(arg), q))
+
+    case Call("label_replace", Seq(arg, StringLit(dst), StringLit(rep), StringLit(src), StringLit(re))) =>
+      Right(labelReplace(evalToVector(arg), dst, rep, src, re))
+
+    case Call("label_join", arg +: StringLit(dst) +: StringLit(sep) +: srcs) =>
+      Right(labelJoin(evalToVector(arg), dst, sep,
+        srcs.map { case StringLit(s) => s; case o => o.toString }))
+
+    case Call(fn, args) if TimeFns.contains(fn) =>
+      val base = args.headOption.map(evalToVector)
+        .getOrElse(scalarLiteral(spark, params, 0.0))
+      Right(timeFn(base, fn))
+
+    case Call("sort", Seq(arg)) => Right(evalToVector(arg))      // presentation order
+    case Call("sort_desc", Seq(arg)) => Right(evalToVector(arg))
+    case Call("pi", Seq()) => Left(math.Pi)
+
+    case Call(fn, args) =>
+      val (vecArg, scalarArgs) = args.partition(a => !a.isInstanceOf[NumberLit])
+      require(vecArg.size == 1, s"$fn expects one vector arg")
+      val iv = evalToVector(vecArg.head)
+      Right(mathFn(iv, fn, scalarArgs.map { case NumberLit(v) => v; case _ => 0.0 }))
+
+    case Binary(op, lhs, rhs, boolMod) =>
+      (eval(lhs), eval(rhs)) match {
+        case (Left(a), Left(b)) => Left(scalarScalar(op, a, b, boolMod))
+        case (Right(iv), Left(s)) => Right(vectorScalar(iv, op, s, scalarLeft = false, boolMod))
+        case (Left(s), Right(iv)) => Right(vectorScalar(iv, op, s, scalarLeft = true, boolMod))
+        case (Right(l), Right(r)) => Right(vectorVector(l, r, op, boolMod = boolMod))
+      }
+
+    case StringLit(s) => throw new IllegalArgumentException(s"unexpected string: $s")
+  }
+
+  private def evalToVector(e: Expr): InstantVector = eval(e) match {
+    case Right(iv) => iv
+    case Left(s) => scalarLiteral(spark, params, s)
+  }
+
+  private def scalarScalar(op: String, a: Double, b: Double, boolMod: Boolean): Double =
+    op match {
+      case "+" => a + b
+      case "-" => a - b
+      case "*" => a * b
+      case "/" => a / b
+      case "%" => a % b
+      case "^" => math.pow(a, b)
+      case _ =>
+        val r = op match {
+          case "==" => a == b
+          case "!=" => a != b
+          case ">" => a > b
+          case "<" => a < b
+          case ">=" => a >= b
+          case "<=" => a <= b
+        }
+        if (r) 1.0 else 0.0
+    }
+}

@@ -1,0 +1,199 @@
+package graft.promql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** PromQL range-vector functions (SURVEY.md §2.6) — reference
+  * src/promql/src/functions/ (rate/increase/delta with Prometheus'
+  * extrapolation, idelta/irate, changes, resets, deriv, predict_linear,
+  * *_over_time). Each is a UDF over the collected window
+  * `Array[(tsMs, value)]` produced by [[PromQL.rangeVector]], matching
+  * the reference's RangeManipulate + per-window evaluation split.
+  * The algorithms are the public Prometheus semantics.
+  */
+object PromFunctions {
+
+  type Sample = (Long, Double)
+
+  /** Prometheus extrapolatedRate (public algorithm from the Prometheus
+    * docs/source semantics): used by rate (counter, per-second),
+    * increase (counter, absolute) and delta (gauge, absolute). */
+  def extrapolatedRate(
+      samples: Seq[Sample], rangeStartMs: Long, rangeEndMs: Long,
+      isCounter: Boolean, isRate: Boolean): Option[Double] = {
+    if (samples == null || samples.size < 2) return None
+    val first = samples.head
+    val last = samples.last
+    var resultValue = last._2 - first._2
+    if (isCounter) {
+      var prev = first._2
+      var i = 1
+      while (i < samples.size) {
+        val v = samples(i)._2
+        if (v < prev) resultValue += prev
+        prev = v
+        i += 1
+      }
+    }
+    val rangeSeconds = (rangeEndMs - rangeStartMs) / 1000.0
+    var durationToStart = (first._1 - rangeStartMs) / 1000.0
+    val durationToEnd = (rangeEndMs - last._1) / 1000.0
+    val sampledInterval = (last._1 - first._1) / 1000.0
+    val averageDurationBetweenSamples = sampledInterval / (samples.size - 1)
+
+    if (isCounter && resultValue > 0 && first._2 >= 0) {
+      val durationToZero = sampledInterval * (first._2 / resultValue)
+      if (durationToZero < durationToStart) durationToStart = durationToZero
+    }
+    val extrapolationThreshold = averageDurationBetweenSamples * 1.1
+    var extrapolateToInterval = sampledInterval
+    extrapolateToInterval +=
+      (if (durationToStart < extrapolationThreshold) durationToStart
+       else averageDurationBetweenSamples / 2)
+    extrapolateToInterval +=
+      (if (durationToEnd < extrapolationThreshold) durationToEnd
+       else averageDurationBetweenSamples / 2)
+    var factor = extrapolateToInterval / sampledInterval
+    if (isRate) factor /= rangeSeconds
+    Some(resultValue * factor)
+  }
+
+  private def mk(f: (Seq[Sample], Long, Long) => Option[Double]): UserDefinedFunction =
+    udf((samples: Seq[(Long, Double)], startMs: Long, endMs: Long) =>
+      f(samples, startMs, endMs).map(java.lang.Double.valueOf).orNull)
+
+  lazy val rateUdf: UserDefinedFunction =
+    mk((s, a, b) => extrapolatedRate(s, a, b, isCounter = true, isRate = true))
+  lazy val increaseUdf: UserDefinedFunction =
+    mk((s, a, b) => extrapolatedRate(s, a, b, isCounter = true, isRate = false))
+  lazy val deltaUdf: UserDefinedFunction =
+    mk((s, a, b) => extrapolatedRate(s, a, b, isCounter = false, isRate = false))
+
+  /** irate/idelta: instantaneous rate from the last two samples. */
+  def instantDiff(samples: Seq[Sample], isCounter: Boolean, perSecond: Boolean): Option[Double] = {
+    if (samples == null || samples.size < 2) return None
+    val a = samples(samples.size - 2)
+    val b = samples.last
+    var dv = b._2 - a._2
+    if (isCounter && b._2 < a._2) dv = b._2 // reset: counter restarted
+    val dt = (b._1 - a._1) / 1000.0
+    if (dt <= 0) None else Some(if (perSecond) dv / dt else dv)
+  }
+
+  lazy val irateUdf: UserDefinedFunction = udf((s: Seq[(Long, Double)]) =>
+    instantDiff(s, isCounter = true, perSecond = true).map(java.lang.Double.valueOf).orNull)
+  lazy val idextaUdf: UserDefinedFunction = udf((s: Seq[(Long, Double)]) =>
+    instantDiff(s, isCounter = false, perSecond = false).map(java.lang.Double.valueOf).orNull)
+
+  lazy val changesUdf: UserDefinedFunction = udf((s: Seq[(Long, Double)]) =>
+    if (s == null || s.isEmpty) null
+    else java.lang.Double.valueOf(
+      s.sliding(2).count(p => p.size == 2 && p(1)._2 != p(0)._2 &&
+        !(p(1)._2.isNaN && p(0)._2.isNaN)).toDouble))
+
+  lazy val resetsUdf: UserDefinedFunction = udf((s: Seq[(Long, Double)]) =>
+    if (s == null || s.isEmpty) null
+    else java.lang.Double.valueOf(
+      s.sliding(2).count(p => p.size == 2 && p(1)._2 < p(0)._2).toDouble))
+
+  /** Least-squares slope/intercept vs the range end (Prometheus deriv /
+    * predict_linear). Intercept is at the evaluation timestamp. */
+  def linearRegression(samples: Seq[Sample], interceptTimeMs: Long): Option[(Double, Double)] = {
+    if (samples == null || samples.size < 2) return None
+    var n, sumX, sumY, sumXY, sumX2 = 0.0
+    samples.foreach { case (ts, v) =>
+      val x = (ts - interceptTimeMs) / 1000.0
+      n += 1; sumX += x; sumY += v; sumXY += x * v; sumX2 += x * x
+    }
+    val covXY = sumXY - sumX * sumY / n
+    val varX = sumX2 - sumX * sumX / n
+    if (varX == 0) return None
+    val slope = covXY / varX
+    val intercept = sumY / n - slope * sumX / n
+    Some((slope, intercept))
+  }
+
+  lazy val derivUdf: UserDefinedFunction = udf((s: Seq[(Long, Double)], endMs: Long) =>
+    linearRegression(s, endMs).map(r => java.lang.Double.valueOf(r._1)).orNull)
+
+  lazy val predictLinearUdf: UserDefinedFunction =
+    udf((s: Seq[(Long, Double)], endMs: Long, aheadSeconds: Double) =>
+      linearRegression(s, endMs)
+        .map { case (m, b) => java.lang.Double.valueOf(b + m * aheadSeconds) }.orNull)
+
+  // ---- *_over_time ----------------------------------------------------
+  private def overTime(f: Seq[Double] => Double): UserDefinedFunction =
+    udf((s: Seq[(Long, Double)]) =>
+      if (s == null || s.isEmpty) null else java.lang.Double.valueOf(f(s.map(_._2))))
+
+  lazy val avgOverTime: UserDefinedFunction = overTime(v => v.sum / v.size)
+  lazy val minOverTime: UserDefinedFunction = overTime(_.min)
+  lazy val maxOverTime: UserDefinedFunction = overTime(_.max)
+  lazy val sumOverTime: UserDefinedFunction = overTime(_.sum)
+  lazy val countOverTime: UserDefinedFunction = overTime(_.size.toDouble)
+  lazy val lastOverTime: UserDefinedFunction = overTime(_.last)
+  lazy val stddevOverTime: UserDefinedFunction = overTime { v =>
+    val m = v.sum / v.size; math.sqrt(v.map(x => (x - m) * (x - m)).sum / v.size)
+  }
+  lazy val stdvarOverTime: UserDefinedFunction = overTime { v =>
+    val m = v.sum / v.size; v.map(x => (x - m) * (x - m)).sum / v.size
+  }
+  lazy val presentOverTime: UserDefinedFunction = overTime(_ => 1.0)
+
+  /** Prometheus quantile: linear interpolation over the sorted values. */
+  def promQuantile(q: Double, values: Seq[Double]): Double = {
+    if (values.isEmpty) return Double.NaN
+    if (q < 0) return Double.NegativeInfinity
+    if (q > 1) return Double.PositiveInfinity
+    val sorted = values.sorted
+    val rank = q * (sorted.size - 1)
+    val lower = sorted(math.floor(rank).toInt)
+    val upper = sorted(math.ceil(rank).toInt)
+    lower + (upper - lower) * (rank - math.floor(rank))
+  }
+
+  lazy val quantileOverTime: UserDefinedFunction =
+    udf((q: Double, s: Seq[(Long, Double)]) =>
+      if (s == null || s.isEmpty) null
+      else java.lang.Double.valueOf(promQuantile(q, s.map(_._2))))
+
+  /** histogram_quantile bucket interpolation (public Prometheus
+    * algorithm) over (le, count) pairs of one (labels, ts) group —
+    * used by the HistogramFold equivalent. */
+  def histogramQuantile(q: Double, buckets: Seq[(Double, Double)]): Double = {
+    if (buckets == null || buckets.size < 2) return Double.NaN
+    val sorted = buckets.sortBy(_._1)
+    if (!sorted.last._1.isPosInfinity) return Double.NaN
+    val total = sorted.last._2
+    if (total == 0) return Double.NaN
+    val target = q * total
+    var i = 0
+    while (i < sorted.size && sorted(i)._2 < target) i += 1
+    if (i == 0) {
+      val (le, c) = sorted(0)
+      if (le <= 0) return le
+      return le * target / c
+    }
+    if (i >= sorted.size - 1 && sorted(i)._1.isPosInfinity) return sorted(sorted.size - 2)._1
+    val (le, c) = sorted(i)
+    val (prevLe, prevC) = sorted(i - 1)
+    prevLe + (le - prevLe) * (target - prevC) / (c - prevC)
+  }
+
+  lazy val histogramQuantileUdf: UserDefinedFunction =
+    udf((q: Double, b: Seq[(Double, Double)]) => histogramQuantile(q, b))
+
+  def overTimeUdf(name: String): UserDefinedFunction = name match {
+    case "avg_over_time" => avgOverTime
+    case "min_over_time" => minOverTime
+    case "max_over_time" => maxOverTime
+    case "sum_over_time" => sumOverTime
+    case "count_over_time" => countOverTime
+    case "last_over_time" => lastOverTime
+    case "stddev_over_time" => stddevOverTime
+    case "stdvar_over_time" => stdvarOverTime
+    case "present_over_time" => presentOverTime
+    case other => throw new IllegalArgumentException(s"unknown over-time fn: $other")
+  }
+}

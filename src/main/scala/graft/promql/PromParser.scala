@@ -1,0 +1,178 @@
+package graft.promql
+
+/** Hand-written PromQL parser (subset) — the reference uses the public
+  * promql-parser grammar (query/src/parser.rs `parse_promql`). Covers:
+  * selectors with label matchers (= != =~ !~), range [d] and offset d,
+  * functions, aggregations with by/without and parameters (topk, k;
+  * quantile, q), full binary-operator precedence with `bool`, scalars,
+  * parentheses, unary minus.
+  */
+object PromParser {
+
+  sealed trait Expr
+  final case class NumberLit(v: Double) extends Expr
+  final case class Matcher(label: String, op: String, value: String)
+  final case class Selector(name: String, matchers: Seq[Matcher],
+      rangeMs: Option[Long], offsetMs: Long) extends Expr
+  final case class Call(fn: String, args: Seq[Expr]) extends Expr
+  final case class StringLit(s: String) extends Expr
+  final case class Agg(op: String, by: Seq[String], without: Boolean,
+      param: Option[Expr], expr: Expr) extends Expr
+  final case class Binary(op: String, lhs: Expr, rhs: Expr, boolMod: Boolean) extends Expr
+  final case class Unary(expr: Expr) extends Expr
+
+  val AggOps = Set("sum", "min", "max", "avg", "count", "group", "stddev",
+    "stdvar", "topk", "bottomk", "quantile", "count_values")
+
+  def parseDuration(s: String): Long = {
+    val re = "([0-9]+)(ms|s|m|h|d|w|y)".r
+    re.findAllMatchIn(s).map { m =>
+      val n = m.group(1).toLong
+      n * (m.group(2) match {
+        case "ms" => 1L
+        case "s" => 1000L
+        case "m" => 60000L
+        case "h" => 3600000L
+        case "d" => 86400000L
+        case "w" => 7L * 86400000L
+        case "y" => 365L * 86400000L
+      })
+    }.sum
+  }
+
+  // ---- lexer -----------------------------------------------------------
+  private val TokenRe =
+    ("""\s*(=~|!~|!=|==|>=|<=|[(){}\[\],+\-*/%^><=]|"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*'|""" +
+      """[0-9]+(?:\.[0-9]+)?(?:ms|s|m|h|d|w|y)[0-9a-z]*|[0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?|""" +
+      """[A-Za-z_:][A-Za-z0-9_:]*)""").r
+
+  def tokenize(s: String): List[String] =
+    TokenRe.findAllMatchIn(s).map(_.group(1)).toList
+
+  def parse(input: String): Expr = {
+    val p = new P(tokenize(input))
+    val e = p.expr()
+    require(p.done, s"trailing tokens: ${p.rest}")
+    e
+  }
+
+  private final class P(var toks: List[String]) {
+    def done: Boolean = toks.isEmpty
+    def rest: String = toks.mkString(" ")
+    private def peek: Option[String] = toks.headOption
+    private def next(): String = { val h = toks.head; toks = toks.tail; h }
+    private def expect(t: String): Unit = {
+      require(peek.contains(t), s"expected '$t' at: $rest"); next()
+    }
+    private def isDuration(t: String) = t.matches("[0-9]+(ms|s|m|h|d|w|y).*")
+
+    def expr(): Expr = orExpr()
+
+    private def binChain(sub: () => Expr, ops: Set[String]): Expr = {
+      var l = sub()
+      while (peek.exists(t => ops.contains(t.toLowerCase))) {
+        val op = next().toLowerCase
+        val boolMod = peek.contains("bool") && { next(); true }
+        val r = sub()
+        l = Binary(op, l, r, boolMod)
+      }
+      l
+    }
+
+    private def orExpr(): Expr = binChain(() => andExpr(), Set("or"))
+    private def andExpr(): Expr = binChain(() => cmpExpr(), Set("and", "unless"))
+    private def cmpExpr(): Expr =
+      binChain(() => addExpr(), Set("==", "!=", ">", "<", ">=", "<="))
+    private def addExpr(): Expr = binChain(() => mulExpr(), Set("+", "-"))
+    private def mulExpr(): Expr = binChain(() => powExpr(), Set("*", "/", "%"))
+    private def powExpr(): Expr = {
+      val l = unary()
+      if (peek.contains("^")) { next(); Binary("^", l, powExpr(), boolMod = false) }
+      else l
+    }
+
+    private def unary(): Expr = peek match {
+      case Some("-") => next(); Unary(unary())
+      case Some("+") => next(); unary()
+      case _ => primary()
+    }
+
+    private def primary(): Expr = {
+      val t = peek.getOrElse(throw new IllegalArgumentException("unexpected end"))
+      if (t == "(") { next(); val e = expr(); expect(")"); e }
+      else if (t.matches("[0-9].*") && !isDuration(t)) { next(); NumberLit(t.toDouble) }
+      else if (t.startsWith("\"") || t.startsWith("'")) {
+        next(); StringLit(t.substring(1, t.length - 1))
+      }
+      else if (AggOps.contains(t.toLowerCase)) aggExpr()
+      else identExpr()
+    }
+
+    private def grouping(): (Seq[String], Boolean) = peek match {
+      case Some(k) if k.equalsIgnoreCase("by") || k.equalsIgnoreCase("without") =>
+        val without = next().equalsIgnoreCase("without")
+        expect("(")
+        val ls = scala.collection.mutable.ListBuffer.empty[String]
+        while (!peek.contains(")")) { ls += next(); if (peek.contains(",")) next() }
+        expect(")")
+        (ls.toSeq, without)
+      case _ => (Nil, false)
+    }
+
+    private def aggExpr(): Expr = {
+      val op = next().toLowerCase
+      var (by, without) = grouping()
+      expect("(")
+      val args = scala.collection.mutable.ListBuffer.empty[Expr]
+      args += expr()
+      while (peek.contains(",")) { next(); args += expr() }
+      expect(")")
+      if (by.isEmpty && !without) {
+        val g = grouping(); by = g._1; without = g._2
+      }
+      val (param, body) =
+        if (args.size == 2) (Some(args.head), args(1)) else (None, args.head)
+      Agg(op, by, without, param, body)
+    }
+
+    private def identExpr(): Expr = {
+      val name = next()
+      if (peek.contains("(")) { // function call
+        next()
+        val args = scala.collection.mutable.ListBuffer.empty[Expr]
+        if (!peek.contains(")")) {
+          args += expr()
+          while (peek.contains(",")) { next(); args += expr() }
+        }
+        expect(")")
+        Call(name.toLowerCase, args.toSeq)
+      } else { // selector
+        var matchers = Seq.empty[Matcher]
+        if (peek.contains("{")) {
+          next()
+          val ms = scala.collection.mutable.ListBuffer.empty[Matcher]
+          while (!peek.contains("}")) {
+            val label = next()
+            val op = next()
+            val raw = next()
+            ms += Matcher(label, op, raw.substring(1, raw.length - 1))
+            if (peek.contains(",")) next()
+          }
+          expect("}")
+          matchers = ms.toSeq
+        }
+        var range: Option[Long] = None
+        if (peek.contains("[")) {
+          next(); range = Some(parseDuration(next())); expect("]")
+        }
+        var offset = 0L
+        if (peek.exists(_.equalsIgnoreCase("offset"))) {
+          next(); offset = parseDuration(next())
+        }
+        val nameMatcher = matchers.find(m => m.label == "__name__")
+        val metricName = nameMatcher.map(_.value).getOrElse(name)
+        Selector(metricName, matchers.filterNot(_.label == "__name__"), range, offset)
+      }
+    }
+  }
+}

@@ -1,0 +1,340 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PromQL engine (SURVEY.md §2.6/§3.2) — the Spark re-expression of the
+  * reference's PromPlanner (query/src/promql/planner.rs) and its
+  * extension nodes:
+  *
+  *  - SeriesNormalize  -> offset shift + NaN staleness filter
+  *  - InstantManipulate -> grid explode + max_by(value, ts) per step
+  *    (latest sample within lookback at each step)
+  *  - RangeManipulate  -> grid explode + sort_array(collect_list)
+  *  - SeriesDivide     -> implicit in groupBy(labels)
+  *  - EmptyMetric      -> sequence() grid for literal expressions
+  *  - UnionDistinctOn  -> `or` via left ∪ (right anti left)
+  *  - HistogramFold    -> le-bucket collect + interpolation UDF
+  *
+  * Scale: the grid explode fans each sample out to ≤ lookback/step (or
+  * range/step) grid cells, then partial aggregation combines map-side;
+  * the shuffle carries #series × #steps rows. Vector-vector binary ops
+  * are equi-joins on (ts, labels) — Catalyst picks hash joins, and AQE
+  * handles skew.
+  */
+object PromQL {
+
+  /** A metric table: label columns + epoch-ms long time column + double
+    * value column. */
+  final case class Metric(df: DataFrame, tsMs: String, value: String, labels: Seq[String])
+
+  final case class EvalParams(
+      startMs: Long, endMs: Long, stepMs: Long, lookbackMs: Long = 300000L) {
+    require(stepMs > 0)
+  }
+
+  /** Instant vector: DataFrame with `__ts` (long ms), `__val` (double),
+    * plus the label columns. */
+  final case class InstantVector(df: DataFrame, labels: Seq[String]) {
+    def output: DataFrame =
+      df.select((col("__ts") +: labels.sorted.map(col)) :+ col("__val"): _*)
+  }
+
+  private def gridExplode(
+      df: DataFrame, tsCol: Column, p: EvalParams, windowMs: Long): DataFrame = {
+    // slot indices k with t = start + k*step, ts <= t < ts + window
+    val kLo = ceil((tsCol - p.startMs).cast("double") / p.stepMs).cast("long")
+    val kHi = floor((tsCol + windowMs - 1 - p.startMs).cast("double") / p.stepMs).cast("long")
+    val nSteps = (p.endMs - p.startMs) / p.stepMs
+    df.withColumn("__k", explode(sequence(greatest(kLo, lit(0L)),
+        least(kHi, lit(nSteps)))))
+      .filter(col("__k") >= 0 && col("__k") <= nSteps)
+      .withColumn("__ts", col("__k") * p.stepMs + p.startMs)
+      .filter(col("__ts") >= tsCol && col("__ts") < tsCol + windowMs)
+      .drop("__k")
+  }
+
+  /** Selector -> instant vector (SeriesNormalize + InstantManipulate). */
+  def instant(m: Metric, p: EvalParams, offsetMs: Long = 0L): InstantVector = {
+    val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
+    val base = m.df
+      .filter(!isnan(col(m.value)))
+      .select((m.labels.map(col) :+ ts) :+ col(m.value).as("__v"): _*)
+    val exploded = gridExplode(base, col("__sample_ts"), p, p.lookbackMs + 1)
+    val grouped = exploded
+      .groupBy((m.labels.map(col) :+ col("__ts")): _*)
+      .agg(max_by(col("__v"), col("__sample_ts")).as("__val"))
+    InstantVector(grouped, m.labels)
+  }
+
+  /** Selector[range] -> per-step collected windows (RangeManipulate):
+    * columns __ts, labels..., __samples array<struct<ts,v>> sorted. */
+  def rangeVector(m: Metric, p: EvalParams, rangeMs: Long, offsetMs: Long = 0L): DataFrame = {
+    val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
+    val base = m.df
+      .filter(!isnan(col(m.value)))
+      .select((m.labels.map(col) :+ ts) :+ col(m.value).as("__v"): _*)
+    val exploded = gridExplode(base, col("__sample_ts"), p, rangeMs)
+    exploded
+      .groupBy((m.labels.map(col) :+ col("__ts")): _*)
+      .agg(sort_array(collect_list(struct(col("__sample_ts").as("_1"),
+        col("__v").as("_2")))).as("__samples"))
+  }
+
+  /** Apply a range-vector function over the collected windows. */
+  def rangeFn(name: String, m: Metric, p: EvalParams, rangeMs: Long,
+      offsetMs: Long = 0L, param: Option[Double] = None): InstantVector = {
+    val rv = rangeVector(m, p, rangeMs, offsetMs)
+    val winStart = col("__ts") - rangeMs
+    val winEnd = col("__ts")
+    val v = name match {
+      case "rate" => PromFunctions.rateUdf(col("__samples"), winStart, winEnd)
+      case "increase" => PromFunctions.increaseUdf(col("__samples"), winStart, winEnd)
+      case "delta" => PromFunctions.deltaUdf(col("__samples"), winStart, winEnd)
+      case "irate" => PromFunctions.irateUdf(col("__samples"))
+      case "idelta" => PromFunctions.idextaUdf(col("__samples"))
+      case "changes" => PromFunctions.changesUdf(col("__samples"))
+      case "resets" => PromFunctions.resetsUdf(col("__samples"))
+      case "deriv" => PromFunctions.derivUdf(col("__samples"), winEnd)
+      case "predict_linear" =>
+        PromFunctions.predictLinearUdf(col("__samples"), winEnd, lit(param.get))
+      case "quantile_over_time" =>
+        PromFunctions.quantileOverTime(lit(param.get), col("__samples"))
+      case other => PromFunctions.overTimeUdf(other)(col("__samples"))
+    }
+    InstantVector(
+      rv.withColumn("__val", v).filter(col("__val").isNotNull).drop("__samples"),
+      m.labels)
+  }
+
+  /** absent(): 1 at grid steps where the selector returns nothing. */
+  def absent(iv: InstantVector, p: EvalParams, spark: SparkSession): InstantVector = {
+    val grid = gridDf(spark, p)
+    val present = iv.df.select(col("__ts")).distinct()
+    InstantVector(
+      grid.join(present, Seq("__ts"), "left_anti").withColumn("__val", lit(1.0)),
+      Nil)
+  }
+
+  /** EmptyMetric: literal expressions evaluated on the step grid. */
+  def gridDf(spark: SparkSession, p: EvalParams): DataFrame =
+    spark.range(0, (p.endMs - p.startMs) / p.stepMs + 1)
+      .select((col("id") * p.stepMs + p.startMs).as("__ts"))
+
+  def scalarLiteral(spark: SparkSession, p: EvalParams, v: Double): InstantVector =
+    InstantVector(gridDf(spark, p).withColumn("__val", lit(v)), Nil)
+
+  // ---- aggregation operators -----------------------------------------
+
+  def aggregate(iv: InstantVector, op: String, by: Seq[String],
+      without: Boolean = false, param: Option[Double] = None): InstantVector = {
+    val keep =
+      if (without) iv.labels.filterNot(by.contains)
+      else iv.labels.filter(by.contains)
+    val keys = (keep.map(col) :+ col("__ts"))
+    val x = col("__val")
+    op match {
+      case "topk" | "bottomk" =>
+        val k = param.get.toInt
+        val ord = if (op == "topk") x.desc else x.asc
+        // label tiebreak keeps the selection deterministic across runs
+        val w = Window.partitionBy(keys: _*)
+          .orderBy(ord +: iv.labels.sorted.map(col(_).asc): _*)
+        val ranked = iv.df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= k).drop("__rn")
+        InstantVector(ranked, iv.labels) // keeps original series labels
+      case "count_values" =>
+        throw new UnsupportedOperationException("count_values: use countValues()")
+      case _ =>
+        val agg = op match {
+          case "sum" => sum(x)
+          case "min" => min(x)
+          case "max" => max(x)
+          case "avg" => avg(x)
+          case "count" => count(x).cast("double")
+          case "group" => lit(1.0)
+          case "stddev" => stddev_pop(x)
+          case "stdvar" => var_pop(x)
+          case "quantile" =>
+            PromFunctions.quantileOverTime(lit(param.get),
+              sort_array(collect_list(struct(lit(0L).as("_1"), x.as("_2")))))
+          case other => throw new IllegalArgumentException(s"unknown aggr: $other")
+        }
+        InstantVector(iv.df.groupBy(keys: _*).agg(agg.as("__val")), keep)
+    }
+  }
+
+  // ---- binary operators ------------------------------------------------
+
+  private def arith(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    case "/" => l / r
+    case "%" => l % r
+    case "^" => pow(l, r)
+    case _ => throw new IllegalArgumentException(op)
+  }
+
+  private def cmp(op: String, l: Column, r: Column): Column = op match {
+    case "==" => l === r
+    case "!=" => l =!= r
+    case ">" => l > r
+    case "<" => l < r
+    case ">=" => l >= r
+    case "<=" => l <= r
+    case _ => throw new IllegalArgumentException(op)
+  }
+
+  val ArithOps = Set("+", "-", "*", "/", "%", "^")
+  val CmpOps = Set("==", "!=", ">", "<", ">=", "<=")
+
+  def vectorScalar(iv: InstantVector, op: String, scalar: Double,
+      scalarLeft: Boolean = false, boolMod: Boolean = false): InstantVector = {
+    val x = col("__val")
+    val s = lit(scalar)
+    val (l, r) = if (scalarLeft) (s, x) else (x, s)
+    if (ArithOps(op))
+      InstantVector(iv.df.withColumn("__val", arith(op, l, r)), iv.labels)
+    else if (boolMod)
+      InstantVector(iv.df.withColumn("__val",
+        when(cmp(op, l, r), 1.0).otherwise(0.0)), iv.labels)
+    else
+      InstantVector(iv.df.filter(cmp(op, l, r)), iv.labels)
+  }
+
+  /** Vector-vector binary op: equi-join on (__ts, matching labels) —
+    * PromQL one-to-one vector matching (planner.rs ~5000-5400). */
+  def vectorVector(lhs: InstantVector, rhs: InstantVector, op: String,
+      on: Option[Seq[String]] = None, ignoring: Seq[String] = Nil,
+      boolMod: Boolean = false): InstantVector = {
+    val matchLabels = on.getOrElse(
+      lhs.labels.intersect(rhs.labels).filterNot(ignoring.contains))
+    val keys = "__ts" +: matchLabels
+    op match {
+      case "and" =>
+        InstantVector(lhs.df.join(rhs.df.select(keys.map(col): _*).distinct(),
+          keys, "left_semi"), lhs.labels)
+      case "unless" =>
+        InstantVector(lhs.df.join(rhs.df.select(keys.map(col): _*).distinct(),
+          keys, "left_anti"), lhs.labels)
+      case "or" =>
+        // UnionDistinctOn: keep left row on (ts, labels) collision
+        val rightOnly = rhs.df.join(lhs.df.select(keys.map(col): _*).distinct(),
+          keys, "left_anti")
+        val shared = (lhs.labels.toSet intersect rhs.labels.toSet).toSeq
+        val cols = ("__ts" +: shared :+ "__val").map(col)
+        InstantVector(lhs.df.select(cols: _*).union(rightOnly.select(cols: _*)), shared)
+      case _ =>
+        val l = lhs.df.select((keys :+ "__val").map(col): _*)
+          .withColumnRenamed("__val", "__lv")
+        val extraLabels = lhs.labels.filterNot(matchLabels.contains)
+        val lFull = lhs.df.select((keys ++ extraLabels :+ "__val").map(col): _*)
+          .withColumnRenamed("__val", "__lv")
+        val r = rhs.df.select((keys :+ "__val").map(col): _*)
+          .withColumnRenamed("__val", "__rv")
+        val joined = lFull.join(r, keys)
+        val outLabels = matchLabels ++ extraLabels
+        if (ArithOps(op))
+          InstantVector(joined.withColumn("__val", arith(op, col("__lv"), col("__rv")))
+            .drop("__lv", "__rv"), outLabels)
+        else if (boolMod)
+          InstantVector(joined.withColumn("__val",
+            when(cmp(op, col("__lv"), col("__rv")), 1.0).otherwise(0.0))
+            .drop("__lv", "__rv"), outLabels)
+        else
+          InstantVector(joined.filter(cmp(op, col("__lv"), col("__rv")))
+            .withColumn("__val", col("__lv")).drop("__lv", "__rv"), outLabels)
+    }
+  }
+
+  // ---- instant-vector scalar functions ---------------------------------
+
+  def mathFn(iv: InstantVector, name: String, args: Seq[Double] = Nil): InstantVector = {
+    val x = col("__val")
+    val v = name match {
+      case "abs" => abs(x)
+      case "ceil" => ceil(x).cast("double")
+      case "floor" => floor(x).cast("double")
+      case "exp" => exp(x)
+      case "ln" => log(x)
+      case "log2" => log2(x)
+      case "log10" => log10(x)
+      case "sqrt" => sqrt(x)
+      case "sgn" => signum(x)
+      case "round" =>
+        val nearest = args.headOption.getOrElse(1.0)
+        round(x / nearest) * nearest
+      case "clamp" => least(greatest(x, lit(args(0))), lit(args(1)))
+      case "clamp_min" => greatest(x, lit(args(0)))
+      case "clamp_max" => least(x, lit(args(0)))
+      case "rad" => radians(x)
+      case "deg" => degrees(x)
+      case "sin" => sin(x)
+      case "cos" => cos(x)
+      case "tan" => tan(x)
+      case "asin" => asin(x)
+      case "acos" => acos(x)
+      case "atan" => atan(x)
+      case other => throw new IllegalArgumentException(s"unknown fn: $other")
+    }
+    InstantVector(iv.df.withColumn("__val", v), iv.labels)
+  }
+
+  /** time()/minute()/hour()/... evaluated on the grid timestamp. */
+  def timeFn(iv: InstantVector, name: String): InstantVector = {
+    val t = to_utc_timestamp(timestamp_millis(col("__ts")), "UTC")
+    val v = name match {
+      case "time" => (col("__ts") / 1000.0)
+      case "minute" => minute(t).cast("double")
+      case "hour" => hour(t).cast("double")
+      case "month" => month(t).cast("double")
+      case "year" => year(t).cast("double")
+      case "day_of_month" => dayofmonth(t).cast("double")
+      case "day_of_week" => (dayofweek(t) - 1).cast("double") // prom: 0=Sunday
+      case "day_of_year" => dayofyear(t).cast("double")
+      case "days_in_month" => dayofmonth(last_day(t)).cast("double")
+      case other => throw new IllegalArgumentException(s"unknown time fn: $other")
+    }
+    InstantVector(iv.df.withColumn("__val", v), iv.labels)
+  }
+
+  /** label_replace / label_join (planner.rs:3159,3183). */
+  def labelReplace(iv: InstantVector, dst: String, replacement: String,
+      src: String, regex: String): InstantVector = {
+    val full = regexp_extract(col(src), s"^(?:$regex)$$", 0)
+    val replaced = regexp_replace(col(src), s"^(?:$regex)$$", replacement)
+    val v = when(full =!= "" || lit(regex).isNull, replaced)
+      .otherwise(if (iv.labels.contains(dst)) col(dst) else lit(""))
+    val df = iv.df.withColumn(dst, v)
+    InstantVector(df, (iv.labels :+ dst).distinct)
+  }
+
+  def labelJoin(iv: InstantVector, dst: String, sep: String, srcs: Seq[String]): InstantVector =
+    InstantVector(iv.df.withColumn(dst, concat_ws(sep, srcs.map(col): _*)),
+      (iv.labels :+ dst).distinct)
+
+  /** scalar(): value when exactly one series, else NaN (ScalarCalculate). */
+  def scalarFn(iv: InstantVector): InstantVector = {
+    val perTs = iv.df.groupBy(col("__ts"))
+      .agg(count(lit(1)).as("__n"), first(col("__val")).as("__v"))
+    InstantVector(perTs.withColumn("__val",
+      when(col("__n") === 1, col("__v")).otherwise(lit(Double.NaN)))
+      .drop("__n", "__v"), Nil)
+  }
+
+  /** histogram_quantile over classic le-bucket series (HistogramFold). */
+  def histogramQuantile(iv: InstantVector, q: Double): InstantVector = {
+    require(iv.labels.contains("le"), "histogram_quantile needs an 'le' label")
+    val rest = iv.labels.filterNot(_ == "le")
+    val grouped = iv.df
+      .withColumn("__le", when(col("le") === "+Inf", lit(Double.PositiveInfinity))
+        .otherwise(col("le").cast("double")))
+      .groupBy((rest.map(col) :+ col("__ts")): _*)
+      .agg(collect_list(struct(col("__le").as("_1"), col("__val").as("_2"))).as("__b"))
+    InstantVector(grouped
+      .withColumn("__val", PromFunctions.histogramQuantileUdf(lit(q), col("__b")))
+      .drop("__b"), rest)
+  }
+}

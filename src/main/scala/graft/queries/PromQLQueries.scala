@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.promql._
+import graft.promql.PromQL.{EvalParams, Metric}
+import QueryDsl._
+
+/** TQL/PromQL surface (SURVEY.md §2.6) on the events table, treated as
+  * a metric `events_value{event_type=...}`. The instant-vector and
+  * aggregation paths have full DuckDB oracles (grid join + arg_max);
+  * rate/extrapolation is pinned by PromQLSpec goldens instead (the
+  * extrapolation algebra is not reasonably expressible in SQL).
+  */
+object PromQLQueries {
+
+  // events start 2024-01-01T00:00:00Z; evaluate 6h at 5m steps
+  private val Start = 1704067200000L
+  private val End = Start + 6 * 3600000L
+  private val Step = 300000L
+
+  private def metric(s: org.apache.spark.sql.SparkSession, d: String): Metric = {
+    val df = T(s, d, "events")
+      .select(col("event_type"), expr("ts div 1000000").as("ts_ms"), col("value"))
+    Metric(df, "ts_ms", "value", Seq("event_type"))
+  }
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String, q: String) =
+    new PromEval(s, Map("events_value" -> metric(s, d)), EvalParams(Start, End, Step))
+      .evalQuery(q)
+
+  val queries: Map[String, Q] = Map(
+    "promql_instant" -> ((s, d) => {
+      ev(s, d, "events_value")
+        .select(col("__ts").as("ts_g"), col("event_type"), col("__val").as("val"))
+        .orderBy(col("ts_g"), col("event_type"))
+    }),
+
+    "promql_agg_sum" -> ((s, d) => {
+      ev(s, d, "sum(events_value)")
+        .select(col("__ts").as("ts_g"),
+          round(col("__val"), 4).as("val"))
+        .orderBy(col("ts_g"))
+    }),
+
+    "promql_topk" -> ((s, d) => {
+      ev(s, d, "topk(2, events_value)")
+        .select(col("__ts").as("ts_g"), col("event_type"), col("__val").as("val"))
+        .orderBy(col("ts_g"), col("event_type"))
+    }),
+
+    "promql_binary" -> ((s, d) => {
+      ev(s, d, """events_value{event_type="error"} > 100""")
+        .select(col("__ts").as("ts_g"), col("event_type"), col("__val").as("val"))
+        .orderBy(col("ts_g"))
+    }),
+
+    // rate + aggregation: rows-only (extrapolation pinned by PromQLSpec)
+    "promql_sum_rate" -> ((s, d) => {
+      ev(s, d, "sum by (event_type) (rate(events_value[15m]))")
+        .select(col("__ts").as("ts_g"), col("event_type"),
+          round(col("__val"), 6).as("val"))
+        .orderBy(col("ts_g"), col("event_type"))
+    })
+  )
+
+  private val instantCte =
+    s"""WITH grid AS (SELECT unnest(generate_series($Start, $End, $Step)) AS ts_g),
+        iv AS (
+          SELECT g.ts_g, e.event_type,
+                 arg_max(e.value, epoch_ns(e.ts) // 1000000) AS val
+          FROM grid g JOIN events e
+            ON (epoch_ns(e.ts) // 1000000) <= g.ts_g
+           AND (epoch_ns(e.ts) // 1000000) >= g.ts_g - 300000
+          GROUP BY g.ts_g, e.event_type)"""
+
+  val oracles: Map[String, String] = Map(
+    "promql_instant" ->
+      s"""$instantCte SELECT ts_g, event_type, val FROM iv
+          ORDER BY ts_g, event_type""",
+
+    "promql_agg_sum" ->
+      s"""$instantCte SELECT ts_g, round(SUM(val), 4) AS val FROM iv
+          GROUP BY ts_g ORDER BY ts_g""",
+
+    "promql_topk" ->
+      s"""$instantCte
+          SELECT ts_g, event_type, val FROM (
+            SELECT *, row_number() OVER (PARTITION BY ts_g
+              ORDER BY val DESC, event_type) AS rn FROM iv) t
+          WHERE rn <= 2 ORDER BY ts_g, event_type""",
+
+    "promql_binary" ->
+      s"""$instantCte SELECT ts_g, event_type, val FROM iv
+          WHERE event_type = 'error' AND val > 100 ORDER BY ts_g"""
+  )
+}

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import graft.promql._
+import graft.promql.PromQL.{EvalParams, Metric}
+
+import scala.jdk.CollectionConverters._
+
+class PromQLSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def mkDf(rows: Seq[(Double, Long, String)]): DataFrame =
+    spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava,
+      StructType.fromDDL("i DOUBLE, j BIGINT, k STRING"))
+
+  /** tql/basic.sql fixture: two points at 1ms ('a','b'), one at 2ms ('a'). */
+  private def basicCatalog: Map[String, Metric] = Map(
+    "test" -> Metric(mkDf(Seq((1.0, 1L, "a"), (1.0, 1L, "b"), (2.0, 2L, "a"))),
+      "j", "i", Seq("k")))
+
+  private def eval(q: String, startS: Long = 0, endS: Long = 10, stepS: Long = 5,
+      catalog: Map[String, Metric] = basicCatalog): Seq[(Long, String, Double)] = {
+    val p = EvalParams(startS * 1000, endS * 1000, stepS * 1000)
+    val out = new PromEval(spark, catalog, p).evalQuery(q)
+    out.collect().toSeq.map { r =>
+      val ts = r.getLong(r.fieldIndex("__ts"))
+      val k = if (r.schema.fieldNames.contains("k")) r.getString(r.fieldIndex("k")) else ""
+      (ts, k, r.getDouble(r.fieldIndex("__val")))
+    }.sortBy(x => (x._2, x._1))
+  }
+
+  test("instant selector — tql/basic.result golden") {
+    // expected: (5s,a,2),(10s,a,2),(5s,b,1),(10s,b,1); nothing at 0s
+    assert(eval("test") == Seq(
+      (5000L, "a", 2.0), (10000L, "a", 2.0), (5000L, "b", 1.0), (10000L, "b", 1.0)))
+  }
+
+  test("label matcher filters series") {
+    assert(eval("""test{k="a"}""") == Seq((5000L, "a", 2.0), (10000L, "a", 2.0)))
+    assert(eval("""test{k=~"a|zzz"}""") == Seq((5000L, "a", 2.0), (10000L, "a", 2.0)))
+    assert(eval("""test{k!="a"}""") == Seq((5000L, "b", 1.0), (10000L, "b", 1.0)))
+  }
+
+  test("count by (k) — tql/basic.result golden") {
+    assert(eval("count by (k) (test)") == Seq(
+      (5000L, "a", 1.0), (10000L, "a", 1.0), (5000L, "b", 1.0), (10000L, "b", 1.0)))
+  }
+
+  test("sum without labels collapses series") {
+    val got = eval("sum(test)").map { case (ts, _, v) => (ts, v) }
+    assert(got == Seq((5000L, 3.0), (10000L, 3.0)))
+  }
+
+  test("vector-scalar arithmetic and comparison filter") {
+    assert(eval("test * 10") == Seq(
+      (5000L, "a", 20.0), (10000L, "a", 20.0), (5000L, "b", 10.0), (10000L, "b", 10.0)))
+    assert(eval("test > 1.5") == Seq((5000L, "a", 2.0), (10000L, "a", 2.0)))
+    assert(eval("test > bool 1.5") == Seq(
+      (5000L, "a", 1.0), (10000L, "a", 1.0), (5000L, "b", 0.0), (10000L, "b", 0.0)))
+  }
+
+  test("vector-vector arithmetic joins on (ts, labels)") {
+    assert(eval("test + test") == Seq(
+      (5000L, "a", 4.0), (10000L, "a", 4.0), (5000L, "b", 2.0), (10000L, "b", 2.0)))
+  }
+
+  test("and / unless / or set ops") {
+    assert(eval("""test and test{k="a"}""") == Seq((5000L, "a", 2.0), (10000L, "a", 2.0)))
+    assert(eval("""test unless test{k="a"}""") == Seq((5000L, "b", 1.0), (10000L, "b", 1.0)))
+    assert(eval("""test{k="a"} or test""") == Seq(
+      (5000L, "a", 2.0), (10000L, "a", 2.0), (5000L, "b", 1.0), (10000L, "b", 1.0)))
+  }
+
+  test("rate — Prometheus extrapolation semantics") {
+    // counter: 0@0s, 10@10s, 20@20s ... 60@60s; rate over [60s] at t=60s
+    val rows = (0 to 6).map(i => (i * 10.0, i * 10000L, "x"))
+    val cat = Map("c" -> Metric(mkDf(rows), "j", "i", Seq("k")))
+    val got = eval("rate(c[60s])", startS = 60, endS = 60, stepS = 60, catalog = cat)
+    assert(got.size == 1)
+    // samples cover the full window -> rate = 60/60 = 1.0 exactly
+    assert(math.abs(got.head._3 - 1.0) < 1e-9, got.toString)
+  }
+
+  test("rate handles counter resets") {
+    val rows = Seq((0.0, 0L, "x"), (10.0, 10000L, "x"), (2.0, 20000L, "x"), (12.0, 30000L, "x"))
+    val cat = Map("c" -> Metric(mkDf(rows), "j", "i", Seq("k")))
+    val got = eval("increase(c[30s])", startS = 30, endS = 30, stepS = 30, catalog = cat)
+    // window (0s,30s] excludes the 0s sample: samples 10,2,12 ->
+    // raw = 12-10 + 10 (reset) = 12; extrapolated by 30/20 -> 18
+    assert(math.abs(got.head._3 - 18.0) < 1e-9, got.toString)
+  }
+
+  test("irate / idelta use the last two samples") {
+    val rows = Seq((0.0, 0L, "x"), (10.0, 10000L, "x"), (40.0, 20000L, "x"))
+    val cat = Map("c" -> Metric(mkDf(rows), "j", "i", Seq("k")))
+    assert(eval("irate(c[30s])", 30, 30, 30, cat).head._3 == 3.0)
+    assert(eval("idelta(c[30s])", 30, 30, 30, cat).head._3 == 30.0)
+  }
+
+  test("changes / resets / deriv / predict_linear") {
+    val rows = Seq((0.0, 0L, "x"), (5.0, 10000L, "x"), (3.0, 20000L, "x"), (3.0, 30000L, "x"))
+    val cat = Map("c" -> Metric(mkDf(rows), "j", "i", Seq("k")))
+    // window (0s,30s] sees 5,3,3 -> one change
+    assert(eval("changes(c[30s])", 30, 30, 30, cat).head._3 == 1.0)
+    assert(eval("resets(c[30s])", 30, 30, 30, cat).head._3 == 1.0)
+    val lin = Seq((0.0, 0L, "x"), (10.0, 10000L, "x"), (20.0, 20000L, "x"))
+    val catLin = Map("c" -> Metric(mkDf(lin), "j", "i", Seq("k")))
+    assert(math.abs(eval("deriv(c[30s])", 30, 30, 30, catLin).head._3 - 1.0) < 1e-9)
+    val pred = eval("predict_linear(c[30s], 10)", 30, 30, 30, catLin).head._3
+    // at t=30s the fitted value is 30; +10s ahead -> 40
+    assert(math.abs(pred - 40.0) < 1e-9, pred.toString)
+  }
+
+  test("*_over_time family") {
+    val rows = Seq((1.0, 1000L, "x"), (5.0, 2000L, "x"), (3.0, 3000L, "x"))
+    val cat = Map("m" -> Metric(mkDf(rows), "j", "i", Seq("k")))
+    def one(q: String): Double = eval(q, 3, 3, 3, cat).head._3
+    assert(one("avg_over_time(m[3s])") == 3.0)
+    assert(one("min_over_time(m[3s])") == 1.0)
+    assert(one("max_over_time(m[3s])") == 5.0)
+    assert(one("sum_over_time(m[3s])") == 9.0)
+    assert(one("count_over_time(m[3s])") == 3.0)
+    assert(one("last_over_time(m[3s])") == 3.0)
+    assert(math.abs(one("quantile_over_time(0.5, m[3s])") - 3.0) < 1e-9)
+  }
+
+  test("topk / quantile aggregations") {
+    val got = eval("topk(1, test)")
+    assert(got == Seq((5000L, "a", 2.0), (10000L, "a", 2.0)))
+    val q = eval("quantile(0.5, test)").map { case (ts, _, v) => (ts, v) }
+    assert(q == Seq((5000L, 1.5), (10000L, 1.5)))
+  }
+
+  test("absent / scalar / vector") {
+    val got = eval("""absent(test{k="zzz"})""").map { case (ts, _, v) => (ts, v) }
+    assert(got == Seq((0L, 1.0), (5000L, 1.0), (10000L, 1.0)))
+    val sc = eval("""scalar(test{k="a"})""").map { case (ts, _, v) => (ts, v) }
+    assert(sc.filter(_._1 >= 5000) == Seq((5000L, 2.0), (10000L, 2.0)))
+    assert(eval("vector(42)").map(_._3) == Seq(42.0, 42.0, 42.0))
+  }
+
+  test("offset shifts the evaluation window") {
+    val rows = Seq((1.0, 0L, "x"), (9.0, 6000L, "x"))
+    val cat = Map("m" -> Metric(mkDf(rows), "j", "i", Seq("k")))
+    // at t=5s without offset: latest sample is 1.0 (6s > 5s)
+    assert(eval("m", 5, 5, 5, cat).head._3 == 1.0)
+    // offset 2s: evaluates at 3s -> sample@0 still; at 8s sees 9.0 shifted to 8s
+    assert(eval("m offset 2s", 8, 8, 8, cat).head._3 == 9.0)
+  }
+
+  test("histogram_quantile over le buckets") {
+    val rows = Seq(
+      (1.0, 1000L, "0.1"), (2.0, 1000L, "0.5"), (4.0, 1000L, "1"), (4.0, 1000L, "+Inf"))
+    val df = mkDf(rows).withColumnRenamed("k", "le")
+    val cat = Map("h" -> Metric(df, "j", "i", Seq("le")))
+    val got = eval("histogram_quantile(0.5, h)", 5, 5, 5, cat)
+    // target=2 falls exactly at cumulative 2 in bucket (0.1, 0.5]
+    assert(math.abs(got.head._3 - 0.5) < 1e-9, got.toString)
+  }
+
+  test("math functions and unary minus") {
+    assert(eval("-test")(0)._3 == -2.0)
+    assert(eval("abs(-1 * test)")(0)._3 == 2.0)
+    assert(eval("sqrt(test * test)")(0)._3 == 2.0)
+    assert(eval("clamp(test, 1.5, 1.8)")(0)._3 == 1.8)
+  }
+
+  test("scalar-scalar precedence") {
+    val p = EvalParams(0, 0, 1000)
+    val ev = new PromEval(spark, basicCatalog, p)
+    assert(ev.eval(PromParser.parse("1 + 2 * 3 ^ 2")) == Left(19.0))
+    assert(ev.eval(PromParser.parse("(1 + 2) * 3")) == Left(9.0))
+  }
+}
