@@ -18,7 +18,8 @@ object SparkEntry {
     (RangeQueries.queries, RangeQueries.oracles),
     (FunctionQueries.queries, FunctionQueries.oracles),
     (SketchQueries.queries, SketchQueries.oracles),
-    (PromQLQueries.queries, PromQLQueries.oracles)
+    (PromQLQueries.queries, PromQLQueries.oracles),
+    (LlmQueries.queries, LlmQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

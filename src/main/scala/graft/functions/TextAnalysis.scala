@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID (n-gram /
+  * stopword heuristic), quality scoring, token counting, and document
+  * fingerprinting (rolling hash). All but langId/fingerprint are pure
+  * Column expressions.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, 0)
+      .otherwise(size(split(trim(c), "\\s+"))).cast("long")
+
+  /** BPE-ish subword count: word chars split into runs of <=4 plus
+    * punctuation/digit singletons — a deterministic proxy for tokenizer
+    * budget estimation (a real BPE table plugs into the same shape). */
+  def subwordCount(c: Column): Column =
+    aggregate(
+      transform(split(trim(c), "\\s+"), w => ceil(length(w).cast("double") / 4.0)),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+
+  /** Punctuation ratio over non-space characters. */
+  def punctRatio(c: Column): Column = {
+    val noSpace = regexp_replace(c, "\\s", "")
+    val noPunct = regexp_replace(noSpace, "[\\p{Punct}]", "")
+    when(length(noSpace) === 0, 0.0)
+      .otherwise((length(noSpace) - length(noPunct)).cast("double") / length(noSpace))
+  }
+
+  private val Stopwords = Seq("the", "a", "an", "of", "to", "in", "and",
+    "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
+
+  /** Fraction of tokens that are common English stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(Stopwords.map(lit): _*))).cast("double") / size(toks))
+  }
+
+  def meanWordLength(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length sweet spot, low
+    * punctuation noise, natural stopword density. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 4.0)
+    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    round((lenScore * 0.4 + punctScore * 0.4 + stopScore * 0.2), 6)
+  }
+
+  // ---- language identification ----------------------------------------
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "is", "of", "to", "that", "with", "for"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "es", "una", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "que", "une", "dans"),
+    "it" -> Seq("il", "di", "che", "la", "per", "una", "sono", "con"),
+    "pt" -> Seq("o", "de", "que", "e", "do", "da", "em", "um", "para"))
+
+  /** Stopword-voting language ID with CJK charset shortcut. Returns a
+    * language code or 'und'. */
+  val langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null || text.isEmpty) "und"
+      else {
+        val han = text.codePoints().filter(cp =>
+          java.lang.Character.UnicodeScript.of(cp) == java.lang.Character.UnicodeScript.HAN).count()
+        val kana = text.codePoints().filter { cp =>
+          val s = java.lang.Character.UnicodeScript.of(cp)
+          s == java.lang.Character.UnicodeScript.HIRAGANA ||
+            s == java.lang.Character.UnicodeScript.KATAKANA
+        }.count()
+        val hangul = text.codePoints().filter(cp =>
+          java.lang.Character.UnicodeScript.of(cp) == java.lang.Character.UnicodeScript.HANGUL).count()
+        val cyr = text.codePoints().filter(cp =>
+          java.lang.Character.UnicodeScript.of(cp) == java.lang.Character.UnicodeScript.CYRILLIC).count()
+        if (kana > 0) "ja"
+        else if (hangul > 0) "ko"
+        else if (han > 0) "zh"
+        else if (cyr > text.length / 4) "ru"
+        else {
+          val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+          if (toks.isEmpty) "und"
+          else {
+            val votes = LangMarkers.view.mapValues(m =>
+              toks.count(m.contains)).toMap
+            val (lang, n) = votes.maxBy { case (l, n) => (n, l) }
+            if (n == 0) "und" else lang
+          }
+        }
+      }
+    }
+
+  def langId(c: Column): Column = langIdUdf(c)
+
+  /** Rolling polynomial hash fingerprint (winnowing-style min of k-gram
+    * hashes) — stable under whitespace normalization. */
+  val fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) 0L
+      else {
+        val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+        if (s.length < 8) s.hashCode.toLong
+        else {
+          val k = 8
+          val base = 1000003L
+          var pow = 1L
+          (1 until k).foreach(_ => pow *= base)
+          var h = 0L
+          var minH = Long.MaxValue
+          var i = 0
+          while (i < s.length) {
+            h = h * base + s.charAt(i)
+            if (i >= k) h -= pow * base * s.charAt(i - k)
+            if (i >= k - 1) {
+              val mixed = h * -7046029254386353131L // Murmur3 fmix-style
+              if (mixed < minH) minH = mixed
+            }
+            i += 1
+          }
+          minH
+        }
+      }
+    }
+
+  def fingerprint(c: Column): Column = fingerprintUdf(c)
+}

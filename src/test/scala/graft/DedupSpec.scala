@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextAnalysis
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup
+    (4L, "completely different content about spark sql engines and distributed query planning"),
+    (5L, "THE QUICK  brown fox jumps over the lazy dog near the river bank today") // case/space dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup normalizes case + whitespace") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .select($"doc_id", $"is_dup").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false, 5L -> true))
+  }
+
+  test("minhash pairs find near + exact dups, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash dedup marks duplicates") {
+    val out = Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.5)
+      .select($"doc_id", $"is_dup").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L) == false)
+    assert(out(2L) == true)
+    assert(out(5L) == true)
+    assert(out(4L) == false)
+  }
+
+  test("simhash: identical texts have distance 0, near-dups small") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs(1L -> 2L) == 0)
+    assert(pairs(1L -> 5L) == 0) // normalized
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard exact similarity") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(1L -> 2L) == 1.0)
+    assert(pairs(1L -> 5L) == 1.0)
+    val near = pairs.get(1L -> 3L)
+    assert(near.exists(j => j > 0.5 && j < 1.0), pairs.toString)
+  }
+
+  test("embedding cosine pairs: scaled copies collide, orthogonal don't") {
+    val e = Seq(
+      (1L, Array.fill(64)(1.0f).toSeq),
+      (2L, Array.fill(64)(2.0f).toSeq),            // same direction as 1
+      (3L, (0 until 64).map(i => if (i % 2 == 0) 1.0f else -1.0f))) // orthogonal-ish
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(e, "embedding", "vec_id", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute-force top-k: self is rank 1 with sim 1") {
+    val e = (0L until 20L).map(i =>
+      (i, (0 until 64).map(j => math.sin(i * 64 + j).toFloat))).toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" === 7).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val out = Similarity.bruteForceTopKBatch(e, "embedding", "vec_id", q, "q_vec", "q_id", 3)
+      .orderBy($"rank").collect()
+    assert(out(0).getLong(1) == 7L)
+    assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("lsh top-k contains the exact top-1") {
+    val e = (0L until 50L).map(i =>
+      (i, (0 until 64).map(j => math.sin(i * 7.0 + j).toFloat))).toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" === 3).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val out = Similarity.lshTopK(e, "embedding", "vec_id", q, "q_vec", "q_id",
+      k = 5, maxFlips = 8)
+      .orderBy($"rank").collect()
+    assert(out.nonEmpty && out(0).getLong(1) == 3L)
+  }
+
+  test("text analysis: token counts, ratios, langid, fingerprint") {
+    val row = Seq(("the cat is on the mat, it is happy!!"))
+      .toDF("t")
+      .select(
+        TextAnalysis.tokenCount($"t"),
+        TextAnalysis.punctRatio($"t"),
+        TextAnalysis.stopwordRatio($"t"),
+        TextAnalysis.langId($"t"),
+        TextAnalysis.fingerprint($"t")).head()
+    assert(row.getLong(0) == 9L)
+    assert(row.getDouble(1) > 0.0 && row.getDouble(1) < 0.2)
+    assert(row.getDouble(2) > 0.4) // the/is/on/the/it/is
+    assert(row.getString(3) == "en")
+    // fingerprint stable under whitespace changes
+    val fp2 = Seq(("the cat  is on   the mat, it is happy!!")).toDF("t")
+      .select(TextAnalysis.fingerprint($"t")).head().getLong(0)
+    assert(row.getLong(4) == fp2)
+  }
+
+  test("langid recognizes scripts and romance languages") {
+    val cases = Seq(
+      "der hund ist nicht mit der katze" -> "de",
+      "el perro es una mascota que vive por la casa" -> "es",
+      "le chien est dans les maisons" -> "fr",
+      "这是一个中文句子" -> "zh")
+    cases.foreach { case (t, want) =>
+      val got = Seq((t)).toDF("t").select(TextAnalysis.langId($"t")).head().getString(0)
+      assert(got == want, s"langId('$t')")
+    }
+  }
+
+  test("multimodal plumbing: features + frame sampling shapes") {
+    import graft.multimodal.Multimodal
+    val ev = spark.range(0, 30).select($"id".as("event_id"))
+    val assets = Multimodal.syntheticAssets(spark, ev)
+    val feats = Multimodal.extractFeatures(assets)
+    assert(feats.select($"features").head().getSeq[Float](0).size == 16)
+    val frames = Multimodal.frameSample(feats, 5000L)
+    assert(frames.filter($"modality" =!= "video").count() == 0)
+    assert(frames.count() > 0)
+    val repart = Multimodal.repartitionBySize(assets, 4)
+    assert(repart.rdd.getNumPartitions == 4)
+  }
+}
