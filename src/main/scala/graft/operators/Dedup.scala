@@ -36,22 +36,83 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Word shingles of size n as a deduplicated array column. */
+  /** Distinct word shingles of size n, one normalize+split+slide pass
+    * per document.
+    *
+    * Deliberately a UDF, not higher-order Column functions: HOF lambdas
+    * are interpreted and re-evaluate their argument subtree per element
+    * (and CollapseProject re-inlines any pre-split words column), so a
+    * Column formulation re-runs the normalization regex O(words) times
+    * per document — ~20× slower end-to-end on a text corpus. */
   def shingles(c: Column, n: Int): Column = {
-    val words = split(normText(c), " ")
-    array_distinct(filter(
-      transform(words, (_, i) =>
-        when(i + n <= size(words), concat_ws(" ", slice(words, i + lit(1), lit(n))))),
-      x => x.isNotNull))
+    val f = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else {
+        val words = text.trim.toLowerCase.split("\\s+")
+        if (words.length < n) Array.empty[String]
+        else {
+          val out = new scala.collection.mutable.LinkedHashSet[String]
+          var i = 0
+          while (i + n <= words.length) {
+            out += words.slice(i, i + n).mkString(" ")
+            i += 1
+          }
+          out.toArray
+        }
+      }
+    }
+    f(c)
   }
 
-  /** doc -> (id, minhash[k]) signature frame. */
+  /** Typed aggregator folding one 64-bit shingle hash into k minhash
+    * slots via linear permutations `a_i*h + b_i` (odd multiplier — a
+    * bijection mod 2^64, wrapping JVM arithmetic). One xxhash64 per
+    * shingle + k mul-adds replaces k full string hashes per shingle;
+    * `merge` is elementwise min, so Spark runs it partial/final. */
+  private final class MinHashAgg(as: Array[Long], bs: Array[Long])
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
+    import org.apache.spark.sql.Encoder
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    def zero: Array[Long] = Array.fill(as.length)(Long.MaxValue)
+    def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var i = 0
+      while (i < as.length) {
+        val v = as(i) * h + bs(i)
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** doc -> (id, mh: array<long>[k]) signature frame.
+    *
+    * The input is repartitioned by id before the shingle explode: text
+    * corpora often arrive in few fat files, and the per-doc shingle +
+    * hash work is the CPU hot spot — spreading it across the cluster
+    * BEFORE the explode matters more than avoiding the one narrow
+    * shuffle. It also pre-aligns the groupBy key, so the aggregation
+    * itself adds no second shuffle. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val ex = df.select(col(idCol).as("__id"),
-        explode(shingles(col(textCol), shingleSize)).as("__sh"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("__sh"))).as(s"mh$i"))
-    ex.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
+    val rnd = new scala.util.Random(0x9E3779B97F4A7C15L)
+    val as = Array.fill(k)(rnd.nextLong() | 1L)
+    val bs = Array.fill(k)(rnd.nextLong())
+    val mh = udaf(new MinHashAgg(as, bs),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    val ex = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .repartition(col("__id"))
+      .select(col("__id"), explode(shingles(col("__text"), shingleSize)).as("__sh"))
+      .withColumn("__h", xxhash64(col("__sh")))
+    ex.groupBy(col("__id")).agg(mh(col("__h")).as("__mh"))
   }
 
   /** Candidate near-dup pairs via LSH banding + minhash-estimated
@@ -64,7 +125,7 @@ object Dedup {
     val sig = minhashSignatures(df, textCol, idCol, k, shingleSize).cache()
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*).as("h"))
+        xxhash64(lit(b), slice(col("__mh"), b * r + 1, r)).as("h"))
     }
     val buckets = sig.select(col("__id"), explode(array(bandCols: _*)).as("__b"))
       .select(col("__id"), col("__b.band"), col("__b.h"))
@@ -75,10 +136,8 @@ object Dedup {
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-    val sa = sig.select(col("__id").as("id_a"),
-      array((0 until k).map(i => col(s"mh$i")): _*).as("__sa"))
-    val sb = sig.select(col("__id").as("id_b"),
-      array((0 until k).map(i => col(s"mh$i")): _*).as("__sb"))
+    val sa = sig.select(col("__id").as("id_a"), col("__mh").as("__sa"))
+    val sb = sig.select(col("__id").as("id_b"), col("__mh").as("__sb"))
     cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("__sa"), col("__sb"),
@@ -99,8 +158,9 @@ object Dedup {
 
   /** 64-bit SimHash signature: sign of the token-hash bit histogram. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val ex = df.select(col(idCol).as("__id"),
-      explode(split(normText(col(textCol)), " ")).as("__tok"))
+    val ex = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .repartition(col("__id"))
+      .select(col("__id"), explode(split(normText(col("__text")), " ")).as("__tok"))
       .withColumn("__h", xxhash64(col("__tok")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
@@ -135,48 +195,87 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
-  /** Exact n-gram Jaccard similarity pairs ≥ threshold. The join key is
-    * the shared ngram; |A∩B| falls out of a count per pair. */
+  /** Exact n-gram Jaccard similarity pairs ≥ threshold, via AllPairs
+    * prefix filtering (Bayardo et al., WWW'07): order each doc's grams
+    * rarest-first (global document frequency) and keep only the first
+    * |A| - ⌈t·|A|⌉ + 1 as the join key — any pair with J ≥ t must share
+    * a prefix gram. Joining on the rare prefix grams instead of all
+    * grams removes the quadratic blowup on common n-grams; the survivor
+    * pairs are verified exactly with array_intersect. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.6, n: Int = 3): DataFrame = {
-    val grams = df.select(col(idCol).as("__id"),
-      explode(shingles(col(textCol), n)).as("__g"))
-    val sizes = grams.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
-    val a = grams.as("a"); val b = grams.as("b")
-    val inter = a.join(b, col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .agg(count(lit(1)).as("__inter"))
-    inter
-      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sa"), "id_a")
-      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__sb"), "id_b")
+    val docs = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .repartition(col("__id"))
+      .select(col("__id"), shingles(col("__text"), n).as("__g"))
+      .filter(size(col("__g")) > 0)
+    val grams = docs.select(col("__id"), size(col("__g")).as("__sz"),
+      explode(col("__g")).as("__gram"))
+    val freq = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__gram"))
+    val prefix = grams.join(freq, "__gram")
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select(col("__id"), col("__gram"), col("__rank"), col("__sz"))
+    // candidate join with the PPJoin length + positional prunes:
+    //   length: J >= t forces min(|A|,|B|)/max(|A|,|B|) >= t
+    //   position: overlap <= 1 + min(|A|-rankA, |B|-rankB) must reach
+    //             ceil(t/(1+t) * (|A|+|B|))
+    val reqOverlap = lit(threshold / (1 + threshold)) *
+      (col("a.__sz") + col("b.__sz"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.__gram") === col("b.__gram") && col("a.__id") < col("b.__id") &&
+          col("b.__sz") >= lit(threshold) * col("a.__sz") &&
+          col("a.__sz") >= lit(threshold) * col("b.__sz") &&
+          (lit(1) + least(col("a.__sz") - col("a.__rank"),
+            col("b.__sz") - col("b.__rank"))) >= reqOverlap)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val da = docs.select(col("__id").as("id_a"), col("__g").as("__ga"))
+    val db = docs.select(col("__id").as("id_b"), col("__g").as("__gb"))
+    cand.join(da, "id_a").join(db, "id_b")
+      .withColumn("__inter", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .withColumn("jaccard",
-        col("__inter").cast("double") / (col("__sa") + col("__sb") - col("__inter")))
+        col("__inter").cast("double") /
+          (size(col("__ga")) + size(col("__gb")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Embedding near-dup pairs: random-hyperplane LSH prefilter + exact
-    * cosine verify. Hyperplanes are seeded-deterministic. */
+    * cosine verify. Hyperplanes are seeded-deterministic.
+    *
+    * 60 sign bits banded into 4 × 15-bit chunks: 32k buckets per band
+    * keeps bucket populations ~n/32k, so the candidate join stays near
+    * the true-near-dup output size instead of degrading toward n²/buckets
+    * (which a 4-bit band does on a clustered corpus). Pairs are
+    * deduplicated across bands BEFORE the cosine verify, and the
+    * vectors are joined back only for surviving candidates. */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.95, planes: Int = 16, dim: Int = 64,
+      threshold: Double = 0.95, planes: Int = 60, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    require(planes % 4 == 0)
+    val bandBits = planes / 4
     val sigCol = Similarity.hyperplaneSignature(col(vecCol), planes, dim, seed)
     val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"), sigCol.as("__sig"))
-    // band the signature into 4 chunks: cos >= 0.95 flips few bits
     val chunks = (0 until 4).map(i =>
       struct(lit(i).as("band"),
-        shiftright(col("__sig"), i * (planes / 4))
-          .bitwiseAND(lit((1L << (planes / 4)) - 1)).as("h")))
-    val buckets = sig.select(col("__id"), col("__v"), explode(array(chunks: _*)).as("__b"))
-      .select(col("__id"), col("__v"), col("__b.band"), col("__b.h"))
+        shiftright(col("__sig"), i * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("h")))
+    val buckets = sig.select(col("__id"), explode(array(chunks: _*)).as("__b"))
+      .select(col("__id"), col("__b.band"), col("__b.h"))
     val a = buckets.as("a"); val b = buckets.as("b")
-    val cosSim = lit(1.0) - graft.functions.VectorFunctions
-      .vecCosDistance(col("a.__v"), col("b.__v"))
-    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+    val cand = a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
         col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        cosSim.as("cos_sim"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
+    val va = sig.select(col("__id").as("id_a"), col("__v").as("__va"))
+    val vb = sig.select(col("__id").as("id_b"), col("__v").as("__vb"))
+    val cosSim = lit(1.0) - graft.functions.VectorFunctions
+      .vecCosDistance(col("__va"), col("__vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos_sim", cosSim)
       .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 }

