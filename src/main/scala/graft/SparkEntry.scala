@@ -19,7 +19,8 @@ object SparkEntry {
     (FunctionQueries.queries, FunctionQueries.oracles),
     (SketchQueries.queries, SketchQueries.oracles),
     (PromQLQueries.queries, PromQLQueries.oracles),
-    (LlmQueries.queries, LlmQueries.oracles)
+    (LlmQueries.queries, LlmQueries.oracles),
+    (FlowQueries.queries, FlowQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,61 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Flow
+import graft.streaming.Flow.FlowDef
+import QueryDsl._
+
+/** Continuous-query (flow) coverage — SURVEY.md §2.10. The batch
+  * equivalent of a tumbling flow runs through the real refresh + upsert
+  * path: a first refresh writes stale partial aggregates, a second full
+  * refresh must overwrite every dirty window, and the final sink
+  * contents are hash-compared against the plain GROUP BY oracle.
+  * Streaming-mode semantics (watermark expiry, late-data overwrite) are
+  * pinned by FlowSpec with a MemoryStream source.
+  */
+object FlowQueries {
+
+  val queries: Map[String, Q] = Map(
+    "flow_tumble" -> ((s, d) => {
+      val sink = Files.createTempDirectory("graft_flow").toString + "/sink"
+      // events.ts is BIGINT nanoseconds (nanosAsLong)
+      val ev = T(s, d, "events").withColumn("t", timestamp_micros(expr("ts div 1000")))
+      val flow = FlowDef(
+        name = "flow_tumble", sink = sink,
+        keys = Seq("event_type", "window_start"),
+        transform = df =>
+          df.groupBy(Flow.tumble(col("t"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+            .select(col("event_type"),
+              unix_millis(col("w.start")).as("window_start"),
+              col("n"), col("total")))
+      Flow.refreshOnce(ev.filter(col("user_id") < 500), flow) // stale first pass
+      Flow.refreshOnce(ev, flow) // full refresh must overwrite every window
+      s.read.parquet(sink).orderBy(col("event_type"), col("window_start"))
+    }),
+
+    "flow_tumble_origin" -> ((s, d) => {
+      // shifted grid: tumble(ts, 1h, origin 30m)
+      val ev = T(s, d, "events").withColumn("t", timestamp_micros(expr("ts div 1000")))
+      ev.groupBy(Flow.tumble(col("t"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), unix_millis(col("w.start")).as("window_start"), col("n"))
+        .orderBy(col("event_type"), col("window_start"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "flow_tumble" ->
+      """SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600000 AS window_start,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "flow_tumble_origin" ->
+      """SELECT event_type,
+           ((epoch_ns(ts) - 1800000000000) // 3600000000000) * 3600000 + 1800000 AS window_start,
+           COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
+}

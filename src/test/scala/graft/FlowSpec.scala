@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Flow
+import graft.streaming.Flow.FlowDef
+
+class FlowSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def tumbleSum(df: DataFrame): DataFrame =
+    df.groupBy(Flow.tumble(col("t"), "10 seconds").as("w"), col("host"))
+      .agg(sum(col("v")).as("total"))
+      .select(col("host"), unix_millis(col("w.start")).as("window_start"),
+        col("total"))
+
+  test("streaming flow: tumble + upsert sink, late data overwrites its window") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val src = input.toDF().toDF("ts_ms", "host", "v")
+      .withColumn("t", timestamp_millis(col("ts_ms")))
+    val sink = tmpDir("flow_sink")
+
+    val flow = FlowDef(
+      name = "f1", sink = sink, keys = Seq("host", "window_start"),
+      transform = tumbleSum,
+      eventTime = Some("t"), expireAfter = Some("30 seconds"))
+
+    val q = Flow.start(src, flow, tmpDir("flow_cp"))
+    try {
+      input.addData((1000L, "a", 1.0), (2000L, "a", 2.0), (11000L, "b", 5.0))
+      q.processAllAvailable()
+      val r1 = spark.read.parquet(sink).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(r1(("a", 0L)) == 3.0)
+      assert(r1(("b", 10000L)) == 5.0)
+
+      // late row for window [0,10s) of host a — within the 30s watermark
+      input.addData((3000L, "a", 10.0), (21000L, "a", 1.0))
+      q.processAllAvailable()
+      val r2 = spark.read.parquet(sink).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(r2(("a", 0L)) == 13.0, "late row must update its window")
+      assert(r2(("a", 20000L)) == 1.0)
+      assert(r2(("b", 10000L)) == 5.0)
+    } finally q.stop()
+  }
+
+  test("batching engine: refreshOnce recomputes only dirty windows, upsert is idempotent") {
+    val sink = tmpDir("flow_batch_sink")
+    val flow = FlowDef(
+      name = "f2", sink = sink, keys = Seq("host", "window_start"),
+      transform = tumbleSum)
+    def src(rows: (Long, String, Double)*): DataFrame =
+      rows.toDF("ts_ms", "host", "v").withColumn("t", timestamp_millis(col("ts_ms")))
+
+    Flow.refreshOnce(src((1000L, "a", 1.0), (2000L, "a", 2.0)), flow)
+    // new + revised data: dirty filter limits recompute to ts >= 0 of window
+    Flow.refreshOnce(
+      src((1000L, "a", 1.0), (2000L, "a", 2.0), (3000L, "a", 4.0), (12000L, "b", 7.0)),
+      flow, dirtyFilter = Some(col("ts_ms") >= 0L))
+    val out = spark.read.parquet(sink).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == Map(("a", 0L) -> 7.0, ("b", 10000L) -> 7.0))
+  }
+
+  test("partitioned sink: upsert rewrites only touched partitions") {
+    val sink = tmpDir("flow_part_sink")
+    val keys = Seq("host", "window_start")
+    def frame(rows: (String, Long, Double, String)*): DataFrame =
+      rows.toDF("host", "window_start", "total", "day")
+    Flow.upsert(frame(("a", 0L, 1.0, "d1"), ("b", 0L, 2.0, "d2")), sink, keys, Seq("day"))
+    Flow.upsert(frame(("a", 0L, 9.0, "d1"), ("c", 5L, 3.0, "d1")), sink, keys, Seq("day"))
+    val out = spark.read.parquet(sink)
+      .select("host", "window_start", "total", "day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    assert(out == Set(("a", 0L, 9.0, "d1"), ("c", 5L, 3.0, "d1"), ("b", 0L, 2.0, "d2")))
+  }
+
+  test("tumble with origin shifts the grid") {
+    val df = Seq((7000L, 1.0)).toDF("ts_ms", "v")
+      .withColumn("t", timestamp_millis(col("ts_ms")))
+    val s0 = df.select(unix_millis(Flow.tumbleStart(col("t"), "10 seconds")).as("s0"))
+      .head().getLong(0)
+    val s5 = df.select(unix_millis(
+        Flow.tumble(col("t"), "10 seconds", "5 seconds").getField("start")).as("s5"))
+      .head().getLong(0)
+    assert(s0 == 0L)
+    assert(s5 == 5000L)
+  }
+}
