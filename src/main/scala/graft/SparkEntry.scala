@@ -20,7 +20,8 @@ object SparkEntry {
     (SketchQueries.queries, SketchQueries.oracles),
     (PromQLQueries.queries, PromQLQueries.oracles),
     (LlmQueries.queries, LlmQueries.oracles),
-    (FlowQueries.queries, FlowQueries.oracles)
+    (FlowQueries.queries, FlowQueries.oracles),
+    (PipelineQueries.queries, PipelineQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

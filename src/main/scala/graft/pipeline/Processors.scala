@@ -1,0 +1,328 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ingest-time ETL processors — the reference's log pipeline
+  * (pipeline/src/etl/processor (18 files), SURVEY.md §2.1). A pipeline is an
+  * ordered list of processors applied to a DataFrame of raw log rows;
+  * each processor is a narrow, codegen-friendly column transform (UDFs
+  * only where a stateful scan is genuinely needed: dissect, csv,
+  * urlencoding). Runs identically over a batch frame or a streaming
+  * micro-batch — the reference applies the same chain on its write
+  * path (servers/src/http/event.rs → pipeline ETL → insert).
+  *
+  * Not ported: `vrl` (embeds the VRL scripting language — out of
+  * scope) and `cmcd` beyond plain key-value splitting.
+  */
+object Processors {
+
+  sealed trait Processor { def apply(df: DataFrame): DataFrame }
+
+  /** Chain of processors; `run` folds them in order. */
+  final case class Pipeline(processors: Seq[Processor]) {
+    def run(df: DataFrame): DataFrame = processors.foldLeft(df)((d, p) => p(d))
+  }
+
+  // ---- dissect (dissect.rs) -------------------------------------------
+
+  private sealed trait DisTok
+  private final case class Lit(s: String) extends DisTok
+  private final case class Fld(name: String, append: Boolean, skip: Boolean,
+      pad: Boolean) extends DisTok
+
+  private def compileDissect(pattern: String): Vector[DisTok] = {
+    val rx = "%\\{([^}]*)\\}".r
+    val out = Vector.newBuilder[DisTok]
+    var last = 0
+    for (m <- rx.findAllMatchIn(pattern)) {
+      if (m.start > last) out += Lit(pattern.substring(last, m.start))
+      var spec = m.group(1)
+      val pad = spec.endsWith("->")
+      if (pad) spec = spec.dropRight(2)
+      val append = spec.startsWith("+")
+      val skip = spec.isEmpty || spec.startsWith("?")
+      val name = spec.stripPrefix("+").stripPrefix("?")
+      out += Fld(name, append, skip, pad)
+      last = m.end
+    }
+    if (last < pattern.length) out += Lit(pattern.substring(last))
+    out.result()
+  }
+
+  /** `dissect`: positional pattern like `%{ip} - [%{ts}] "%{msg}"`.
+    * Supported modifiers: `%{+name}` append (joined with
+    * `appendSeparator`), `%{?skip}` / `%{}` ignore, `%{name->}` skip
+    * repeated trailing separators. Extracted names become columns;
+    * a non-matching row yields nulls. */
+  final case class Dissect(field: String, pattern: String,
+      appendSeparator: String = " ") extends Processor {
+    private val toks = compileDissect(pattern)
+    private val names: Seq[String] =
+      toks.collect { case f: Fld if !f.skip => f.name }.distinct
+
+    def apply(df: DataFrame): DataFrame = {
+      val toksL = toks; val sep = appendSeparator
+      val parse = udf { (s: String) =>
+        if (s == null) null
+        else {
+          val vals = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          var pos = 0
+          var ok = true
+          var i = 0
+          while (i < toksL.length && ok) {
+            toksL(i) match {
+              case Lit(l) =>
+                if (s.startsWith(l, pos)) {
+                  pos += l.length
+                  // previous field had ->: absorb repeats of this literal
+                  if (i > 0) toksL(i - 1) match {
+                    case Fld(_, _, _, true) =>
+                      while (s.startsWith(l, pos)) pos += l.length
+                    case _ =>
+                  }
+                } else ok = false
+              case Fld(name, append, skip, _) =>
+                val end = toksL.lift(i + 1) match {
+                  case Some(Lit(l)) =>
+                    val idx = s.indexOf(l, pos)
+                    if (idx < 0) { ok = false; pos } else idx
+                  case _ => s.length
+                }
+                if (ok && !skip) {
+                  val v = s.substring(pos, end)
+                  if (append && vals.contains(name))
+                    vals(name) = vals(name) + sep + v
+                  else vals(name) = v
+                }
+                pos = end
+            }
+            i += 1
+          }
+          if (ok) vals.toMap else null
+        }
+      }
+      val tmp = df.withColumn("__dissect", parse(col(field)))
+      names.foldLeft(tmp)((d, n) =>
+        d.withColumn(n, col("__dissect").getItem(n))).drop("__dissect")
+    }
+  }
+
+  // ---- date / epoch (date.rs, epoch.rs) -------------------------------
+
+  /** `date`: try each format in order, first parse wins. */
+  final case class DateParse(field: String, formats: Seq[String],
+      timezone: String = "UTC", target: Option[String] = None) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val parsed = coalesce(formats.map(f =>
+        to_utc_timestamp(try_to_timestamp(col(field), lit(f)), timezone)): _*)
+      df.withColumn(target.getOrElse(field), parsed)
+    }
+  }
+
+  /** `epoch`: integer/string epoch at s/ms/us/ns resolution → timestamp. */
+  final case class Epoch(field: String, resolution: String = "ms",
+      target: Option[String] = None) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val v = col(field).cast("long")
+      val us = resolution.toLowerCase match {
+        case "s" | "sec" | "second"       => v * 1000000L
+        case "ms" | "milli" | "millisecond" => v * 1000L
+        case "us" | "micro" | "microsecond" => v
+        case "ns" | "nano" | "nanosecond"   => expr(s"`$field` div 1000")
+        case other => throw new IllegalArgumentException(s"epoch resolution: $other")
+      }
+      df.withColumn(target.getOrElse(field), timestamp_micros(us))
+    }
+  }
+
+  // ---- string shapers (gsub.rs, join.rs, letter.rs, decolorize.rs) ----
+
+  final case class Gsub(field: String, pattern: String, replacement: String)
+      extends Processor {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(field, regexp_replace(col(field), pattern, replacement))
+  }
+
+  /** `join`: array column → separator-joined string. */
+  final case class JoinArr(field: String, separator: String) extends Processor {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(field, array_join(col(field), separator))
+  }
+
+  /** `letter`: lower / upper / capital. */
+  final case class Letter(field: String, method: String) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val c = method.toLowerCase match {
+        case "lower"   => lower(col(field))
+        case "upper"   => upper(col(field))
+        case "capital" => initcap(col(field))
+        case other => throw new IllegalArgumentException(s"letter method: $other")
+      }
+      df.withColumn(field, c)
+    }
+  }
+
+  /** `decolorize`: strip ANSI color codes (decolorize.rs:38). */
+  final case class Decolorize(field: String) extends Processor {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(field, regexp_replace(col(field), "\\[[0-9;]*m", ""))
+  }
+
+  // ---- regex / digest (regex.rs, digest.rs) ---------------------------
+
+  /** `regex`: named capture groups become `field_group` columns. */
+  final case class RegexExtract(field: String, pattern: String) extends Processor {
+    private val groupNames: Seq[String] =
+      "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r.findAllMatchIn(pattern).map(_.group(1)).toSeq
+
+    def apply(df: DataFrame): DataFrame = {
+      val p = pattern
+      val names = groupNames
+      val ext = udf { (s: String) =>
+        if (s == null) null
+        else {
+          val m = java.util.regex.Pattern.compile(p).matcher(s)
+          if (m.find()) names.map(n => n -> Option(m.group(n)).orNull).toMap
+          else null
+        }
+      }
+      val tmp = df.withColumn("__re", ext(col(field)))
+      names.foldLeft(tmp)((d, n) =>
+        d.withColumn(s"${field}_$n", col("__re").getItem(n))).drop("__re")
+    }
+  }
+
+  /** `digest`: strip volatile fragments (numbers/quoted/bracketed/uuid/
+    * ip presets — digest.rs:79-86) leaving the log template; the
+    * template hash groups similar messages. */
+  final case class Digest(field: String, presets: Seq[String]) extends Processor {
+    private val regexes: Seq[String] = presets.map {
+      case "numbers"   => "\\d+"
+      case "quoted"    => "[\"'“”‘’][^\"'“”‘’]*[\"'“”‘’]"
+      case "bracketed" => "[(\\{\\[<][^(){}\\[\\]<>]*[)\\}\\]>]"
+      case "uuid"      => "\\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\b"
+      case "ip"        => "((\\d{1,3}\\.){3}\\d{1,3}(:\\d+)?|(\\[[0-9a-fA-F:]+\\])(:\\d+)?)"
+      case other => throw new IllegalArgumentException(s"digest preset: $other")
+    }
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(s"${field}_digest",
+        regexes.foldLeft(col(field))((c, r) => regexp_replace(c, r, "")))
+  }
+
+  // ---- structured extraction (csv.rs, json_parse.rs, json_path.rs) ----
+
+  /** `csv`: one delimited line → target columns (quote-aware scan). */
+  final case class CsvParse(field: String, targets: Seq[String],
+      separator: String = ",", quote: String = "\"") extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val sep = separator.head; val q = quote.head; val n = targets.length
+      val parse = udf { (s: String) =>
+        if (s == null) null
+        else {
+          val out = Array.fill[String](n)(null)
+          val cur = new StringBuilder
+          var field = 0; var i = 0; var inQ = false
+          while (i < s.length && field < n) {
+            val ch = s.charAt(i)
+            if (inQ) {
+              if (ch == q && i + 1 < s.length && s.charAt(i + 1) == q) { cur += q; i += 1 }
+              else if (ch == q) inQ = false
+              else cur += ch
+            } else if (ch == q) inQ = true
+            else if (ch == sep) { out(field) = cur.result(); cur.clear(); field += 1 }
+            else cur += ch
+            i += 1
+          }
+          if (field < n) out(field) = cur.result()
+          out.toSeq
+        }
+      }
+      val tmp = df.withColumn("__csv", parse(col(field)))
+      targets.zipWithIndex.foldLeft(tmp) { case (d, (t, i)) =>
+        d.withColumn(t, col("__csv").getItem(i))
+      }.drop("__csv")
+    }
+  }
+
+  /** `json_path` / `simple_extract`: JSONPath get into a new column. */
+  final case class JsonPath(field: String, path: String, target: String)
+      extends Processor {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(target, get_json_object(col(field),
+        if (path.startsWith("$")) path else s"$$.$path"))
+  }
+
+  /** `json_parse`: JSON text → map<string,string> column. */
+  final case class JsonParse(field: String, target: Option[String] = None)
+      extends Processor {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(target.getOrElse(field), from_json(col(field),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+  }
+
+  /** `cmcd`: CMCD header `k=v,k2,k3="x"` → `field_k` columns. */
+  final case class Cmcd(field: String, keys: Seq[String]) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val ks = keys
+      val parse = udf { (s: String) =>
+        if (s == null) null
+        else s.split(",").iterator.map { part =>
+          val eq = part.indexOf('=')
+          if (eq < 0) part.trim -> "true"
+          else part.substring(0, eq).trim -> part.substring(eq + 1).stripPrefix("\"").stripSuffix("\"")
+        }.toMap
+      }
+      val tmp = df.withColumn("__cmcd", parse(col(field)))
+      ks.foldLeft(tmp)((d, k) =>
+        d.withColumn(s"${field}_$k", col("__cmcd").getItem(k))).drop("__cmcd")
+    }
+  }
+
+  // ---- urlencoding (urlencoding.rs) -----------------------------------
+
+  final case class UrlEncoding(field: String, method: String = "decode")
+      extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val c = method.toLowerCase match {
+        case "decode" => url_decode(col(field))
+        case "encode" => url_encode(col(field))
+        case other => throw new IllegalArgumentException(s"urlencoding: $other")
+      }
+      df.withColumn(field, c)
+    }
+  }
+
+  // ---- select / filter (select.rs, filter.rs) -------------------------
+
+  /** `select`: keep (include) or drop (exclude) columns. */
+  final case class Select(columns: Seq[String], mode: String = "include")
+      extends Processor {
+    def apply(df: DataFrame): DataFrame = mode.toLowerCase match {
+      case "include" => df.select(columns.map(col): _*)
+      case "exclude" => df.drop(columns: _*)
+      case other => throw new IllegalArgumentException(s"select mode: $other")
+    }
+  }
+
+  /** `filter`: drop rows whose field matches (or doesn't). */
+  final case class Filter(field: String, targets: Seq[String],
+      matchOp: String = "in", caseInsensitive: Boolean = true) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val c = if (caseInsensitive) lower(col(field)) else col(field)
+      val ts = if (caseInsensitive) targets.map(_.toLowerCase) else targets
+      val hit = matchOp.toLowerCase match {
+        case "in"       => c.isin(ts: _*)
+        case "not_in"   => !c.isin(ts: _*)
+        case "contains" => ts.map(t => c.contains(t)).reduce(_ || _)
+        case "prefix"   => ts.map(t => c.startsWith(t)).reduce(_ || _)
+        case "regex"    => ts.map(t => c.rlike(t)).reduce(_ || _)
+        case other => throw new IllegalArgumentException(s"filter mode: $other")
+      }
+      // reference filter.rs DROPS matching rows
+      df.filter(!coalesce(hit, lit(false)))
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.pipeline.Processors._
+import QueryDsl._
+
+/** Log-pipeline ETL coverage (SURVEY.md §2.1, reference
+  * pipeline/src/etl). Raw log lines are synthesized from the events
+  * table, pushed through a processor chain, and the re-extracted fields
+  * are hash-compared against DuckDB recomputing them from the original
+  * columns — a full parse round-trip proof. */
+object PipelineQueries {
+
+  val queries: Map[String, Q] = Map(
+    // dissect + epoch + letter round-trip
+    "pipeline_etl" -> ((s, d) => {
+      val raw = T(s, d, "events").select(concat(
+        col("user_id"), lit(" - ["), expr("ts div 1000000"), lit("] \""),
+        upper(col("event_type")), lit(" /api/"), col("event_type"), lit("\" "),
+        col("value").cast(DecimalType(18, 4))).as("line"))
+      val pipe = Pipeline(Seq(
+        Dissect("line", "%{user} - [%{ts}] \"%{method} %{path}\" %{val}"),
+        Epoch("ts", "ms"),
+        Letter("method", "lower")))
+      pipe.run(raw)
+        .select(col("user").cast("long").as("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("method"), col("path"),
+          col("val").cast("double").as("value"))
+        .orderBy(col("user_id"), col("ts_ms"), col("value"))
+    }),
+
+    // digest preset templating over synthesized lines
+    "pipeline_digest" -> ((s, d) => {
+      val raw = T(s, d, "events").select(concat(
+        lit("user "), col("user_id"), lit(" did \""), col("event_type"),
+        lit("\" at "), expr("ts div 1000000")).as("line"))
+      Digest("line", Seq("quoted", "numbers"))(raw)
+        .groupBy(col("line_digest")).agg(count(lit(1)).as("n"))
+        .orderBy(col("line_digest"))
+    }),
+
+    // json_path extraction from the props column
+    "pipeline_json" -> ((s, d) => {
+      val pipe = Pipeline(Seq(
+        JsonPath("props", "k", "k"),
+        Filter("event_type", Seq("purchase"))))
+      pipe.run(T(s, d, "events"))
+        .select(col("event_id"), col("event_type"), col("k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_etl" ->
+      """SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+           lower(event_type) AS method, '/api/' || event_type AS path,
+           CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+         FROM events ORDER BY user_id, ts_ms, value""",
+
+    "pipeline_digest" ->
+      """SELECT 'user  did  at ' AS line_digest, COUNT(*) AS n FROM events""",
+
+    "pipeline_json" ->
+      """SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events WHERE lower(event_type) <> 'purchase' ORDER BY event_id"""
+  )
+}
