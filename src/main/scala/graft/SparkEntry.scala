@@ -21,7 +21,8 @@ object SparkEntry {
     (PromQLQueries.queries, PromQLQueries.oracles),
     (LlmQueries.queries, LlmQueries.oracles),
     (FlowQueries.queries, FlowQueries.oracles),
-    (PipelineQueries.queries, PipelineQueries.oracles)
+    (PipelineQueries.queries, PipelineQueries.oracles),
+    (LogQueryQueries.queries, LogQueryQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
