@@ -22,7 +22,8 @@ object SparkEntry {
     (LlmQueries.queries, LlmQueries.oracles),
     (FlowQueries.queries, FlowQueries.oracles),
     (PipelineQueries.queries, PipelineQueries.oracles),
-    (LogQueryQueries.queries, LogQueryQueries.oracles)
+    (LogQueryQueries.queries, LogQueryQueries.oracles),
+    (SourceQueries.queries, SourceQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
