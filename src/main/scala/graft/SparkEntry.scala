@@ -23,7 +23,8 @@ object SparkEntry {
     (FlowQueries.queries, FlowQueries.oracles),
     (PipelineQueries.queries, PipelineQueries.oracles),
     (LogQueryQueries.queries, LogQueryQueries.oracles),
-    (SourceQueries.queries, SourceQueries.oracles)
+    (SourceQueries.queries, SourceQueries.oracles),
+    (MergeQueries.queries, MergeQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{Catalog, MergeMode, TableSpec}
+
+class ModelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def spec(mode: MergeMode, ttl: Option[Long] = None) = TableSpec(
+    name = "t", path = "", timeIndex = "ts", tags = Seq("host"),
+    mergeMode = mode, ttlMillis = ttl, seqColumn = Some("seq"))
+
+  private def raw = Seq(
+    ("a", 100L, Some(1.0), Some("x"), 0L),
+    ("a", 100L, Some(2.0), None, 1L),      // newer write, f2 null
+    ("a", 200L, Some(5.0), Some("y"), 0L),
+    ("b", 100L, None, Some("z"), 0L)
+  ).toDF("host", "ts", "f1", "f2", "seq")
+
+  test("last_row: newest write wins wholesale") {
+    val out = Catalog.readView(raw, spec(MergeMode.LastRow))
+      .orderBy($"host", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+    assert(out.toSeq == Seq(
+      ("a", 100L, Some(2.0), None), // f2 lost: row replacement
+      ("a", 200L, Some(5.0), Some("y")),
+      ("b", 100L, None, Some("z"))))
+  }
+
+  test("last_non_null: per-field newest non-null wins") {
+    val out = Catalog.readView(raw, spec(MergeMode.LastNonNull))
+      .orderBy($"host", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+    assert(out.toSeq == Seq(
+      ("a", 100L, Some(2.0), Some("x")), // f1 from seq1, f2 kept from seq0
+      ("a", 200L, Some(5.0), Some("y")),
+      ("b", 100L, None, Some("z"))))
+  }
+
+  test("append mode: raw read, no dedup") {
+    assert(Catalog.readView(raw, spec(MergeMode.Append)).count() == 4)
+  }
+
+  test("ttl filters rows older than now - ttl") {
+    val now = System.currentTimeMillis()
+    val df = Seq(("a", now - 1000L, 1.0, "x", 0L), ("a", now - 999999L, 2.0, "y", 0L))
+      .toDF("host", "ts", "f1", "f2", "seq")
+      .withColumn("ts", timestamp_millis($"ts"))
+    val out = Catalog.readView(df, spec(MergeMode.Append, ttl = Some(60000L)))
+    assert(out.count() == 1)
+  }
+}
