@@ -24,7 +24,8 @@ object SparkEntry {
     (PipelineQueries.queries, PipelineQueries.oracles),
     (LogQueryQueries.queries, LogQueryQueries.oracles),
     (SourceQueries.queries, SourceQueries.oracles),
-    (MergeQueries.queries, MergeQueries.oracles)
+    (MergeQueries.queries, MergeQueries.oracles),
+    (SqlQueries.queries, SqlQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

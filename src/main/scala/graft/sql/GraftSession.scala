@@ -1,0 +1,389 @@
+package graft.sql
+
+import java.util.Locale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.{Catalog, MergeMode, SemanticType, TableSpec}
+import graft.promql.{PromEval, PromParser}
+import graft.promql.PromQL.{EvalParams, Metric}
+import graft.streaming.Flow
+import graft.streaming.Flow.FlowDef
+
+/** SQL entry point — the Spark re-expression of the reference's
+  * statement dispatch (operator/src/statement.rs:228 `execute_sql`,
+  * SURVEY.md §3.1). GreptimeDB-specific statements are interpreted
+  * here; everything else (the entire relational surface — joins,
+  * windows, setops, CTEs, subqueries, TABLESAMPLE) passes through to
+  * Catalyst via `spark.sql` over the catalog's registered read views.
+  *
+  * Handled statements:
+  *  - `CREATE TABLE name (..., ts TIMESTAMP TIME INDEX, tag STRING
+  *    PRIMARY KEY, ...) [PRIMARY KEY(...)] [WITH (k=v)]` — DDL with
+  *    semantic roles (sql/src/statements/create.rs); options
+  *    merge_mode / append_mode / ttl / path
+  *  - `DROP TABLE`, `SHOW TABLES`, `DESC|DESCRIBE TABLE`
+  *  - `INSERT INTO name VALUES ... | SELECT ...` → Parquet append +
+  *    view refresh (read-time merge semantics stay intact)
+  *  - `CREATE FLOW name SINK TO sink [EXPIRE AFTER 'd'] AS SELECT`
+  *    (§2.10) + `ADMIN flush_flow(name)` to trigger a refresh
+  *  - `TQL EVAL (start, end, step) <promql>` (§2.6, statements/tql.rs)
+  *  - `col @@ 'term'` sugar → `matches_term(col, term)`
+  *    (query/src/optimizer/transcribe_atat.rs)
+  *  - `ADMIN fn(...)` no-op status stubs (common/function admin fns)
+  */
+final class GraftSession(val spark: SparkSession,
+    warehouse: String = java.nio.file.Files.createTempDirectory("graft_wh").toString) {
+
+  val catalog = new Catalog(spark)
+  graft.functions.Registry.registerAll(spark)
+
+  private val flows = scala.collection.concurrent.TrieMap.empty[String, (FlowDef, String)]
+  // per-statement write order; strictly monotone within the session
+  private val seqCounter =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() * 1000L)
+
+  // ---- public API -----------------------------------------------------
+
+  def sql(statement: String): DataFrame = {
+    val stmt = statement.trim.stripSuffix(";").trim
+    val up = stmt.toUpperCase(Locale.ROOT)
+    if (up.startsWith("CREATE TABLE")) createTable(stmt)
+    else if (up.startsWith("DROP TABLE")) dropTable(stmt)
+    else if (up.startsWith("SHOW TABLES")) showTables()
+    else if (up.startsWith("DESCRIBE TABLE") || up.startsWith("DESC TABLE"))
+      describeTable(stmt.split("\\s+").last)
+    else if (up.startsWith("INSERT INTO")) insert(stmt)
+    else if (up.startsWith("CREATE FLOW")) createFlow(stmt)
+    else if (up.startsWith("TQL EVAL")) tqlEval(stmt)
+    else if (up.startsWith("ADMIN")) admin(stmt)
+    else spark.sql(rewriteAtAt(stmt))
+  }
+
+  /** Register an existing Parquet table (e.g. external testdata). */
+  def register(spec: TableSpec): Unit = {
+    catalog.register(spec)
+    catalog.createView(spec.name)
+  }
+
+  def refreshFlow(name: String): Unit = {
+    val (flowDef, query) = flows.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown flow: $name"))
+    Flow.refreshOnce(spark.sql(query), flowDef.copy(transform = identity))
+  }
+
+  // ---- @@ sugar (transcribe_atat.rs) ----------------------------------
+
+  private[graft] def rewriteAtAt(s: String): String =
+    s.replaceAll(
+      "([A-Za-z_][A-Za-z0-9_.]*)\\s*@@\\s*('(?:[^'\\\\]|\\\\.)*')",
+      "matches_term($1, $2)")
+
+  // ---- CREATE TABLE ---------------------------------------------------
+
+  /** Internal ingestion-sequence column: stamped on INSERT, used by the
+    * read view to order duplicate (pk, ts) writes, hidden from SQL. */
+  private val SeqCol = "__seq"
+
+  private val CreateTableHeadRx =
+    "(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
+
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  private def sparkType(t: String): DataType = {
+    val u = t.trim.toUpperCase(Locale.ROOT)
+    val base = u.takeWhile(_ != '(')
+    base match {
+      case "STRING" | "TEXT" | "VARCHAR" | "CHAR" => StringType
+      case "BOOLEAN" | "BOOL" => BooleanType
+      case "INT8" | "TINYINT" => ByteType
+      case "INT16" | "SMALLINT" => ShortType
+      case "INT32" | "INT" | "INTEGER" => IntegerType
+      case "INT64" | "BIGINT" => LongType
+      case "UINT8" | "UINT16" => IntegerType
+      case "UINT32" => LongType
+      // UInt64 → Decimal(20,0) per SURVEY §1.2 (full range, no overflow)
+      case "UINT64" => DecimalType(20, 0)
+      case "FLOAT32" | "FLOAT" | "REAL" => FloatType
+      case "FLOAT64" | "DOUBLE" => DoubleType
+      case "DECIMAL" | "NUMERIC" =>
+        val args = u.dropWhile(_ != '(').stripPrefix("(").stripSuffix(")")
+        if (args.isEmpty) DecimalType(38, 10)
+        else {
+          val parts = args.split(",").map(_.trim.toInt)
+          DecimalType(parts(0), if (parts.length > 1) parts(1) else 0)
+        }
+      case "TIMESTAMP" | "DATETIME" => TimestampType // precision folded to µs
+      case "DATE" => DateType
+      case "TIME" | "DURATION" => LongType
+      case "INTERVAL" => DayTimeIntervalType()
+      case "BINARY" | "BLOB" | "VARBINARY" => BinaryType
+      case "JSON" => StringType
+      case "VECTOR" => ArrayType(FloatType, containsNull = false)
+      case other => throw new IllegalArgumentException(s"unknown type: $other")
+    }
+  }
+
+  private def createTable(stmt: String): DataFrame = {
+    val head = CreateTableHeadRx.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse: $stmt"))
+    val name = head.group(1)
+    // balanced-paren scan: regex greediness would swallow the WITH clause
+    val open = head.end - 1
+    var depth = 0; var i = open; var close = -1
+    while (i < stmt.length && close < 0) {
+      stmt.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(close > 0, s"unbalanced parens: $stmt")
+    val colsPart = stmt.substring(open + 1, close)
+    val withPart = {
+      val tail = stmt.substring(close + 1)
+      val rx = "(?is).*WITH\\s*\\((.*)\\).*".r
+      tail match { case rx(w) => w; case _ => null }
+    }
+
+    {
+      var timeIndex: Option[String] = None
+      var tags = Vector.empty[String]
+      val fields = Vector.newBuilder[StructField]
+
+      splitTop(colsPart).foreach { item =>
+        val u = item.toUpperCase(Locale.ROOT)
+        if (u.startsWith("PRIMARY KEY")) {
+          tags ++= item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))
+            .split(",").map(_.trim).filter(_.nonEmpty)
+        } else if (u.startsWith("TIME INDEX")) {
+          timeIndex = Some(item.substring(item.indexOf('(') + 1, item.lastIndexOf(')')).trim)
+        } else {
+          val toks = item.split("\\s+", 2)
+          val colName = toks(0)
+          var rest = toks(1)
+          val restUp = rest.toUpperCase(Locale.ROOT)
+          if (restUp.contains("TIME INDEX")) timeIndex = Some(colName)
+          if (restUp.contains("PRIMARY KEY")) tags :+= colName
+          val typeTok = rest.split("\\s+")(0)
+          val nullable = !restUp.contains("NOT NULL")
+          fields += StructField(colName, sparkType(typeTok), nullable)
+        }
+      }
+
+      val opts: Map[String, String] = Option(withPart).map { w =>
+        splitTop(w).flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) =>
+              Some(k.trim.stripPrefix("'").stripSuffix("'").toLowerCase(Locale.ROOT) ->
+                v.trim.stripPrefix("'").stripSuffix("'"))
+            case _ => None
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
+
+      val ti = timeIndex.getOrElse(
+        throw new IllegalArgumentException(s"table $name: TIME INDEX is mandatory"))
+      // tags are dropped from primary key if they equal the time index
+      val mergeMode =
+        if (opts.get("append_mode").exists(_.toLowerCase == "true")) MergeMode.Append
+        else opts.get("merge_mode").map(MergeMode.parse).getOrElse(MergeMode.LastRow)
+      val ttl = opts.get("ttl").map(parseTtlMs)
+      val path = opts.getOrElse("path", s"$warehouse/$name")
+
+      val schema = StructType(fields.result() :+ StructField(SeqCol, LongType))
+      val spec = TableSpec(name, path, ti, tags.distinct, mergeMode, ttl,
+        seqColumn = Some(opts.getOrElse("seq_column", SeqCol)))
+      catalog.register(spec)
+      // materialize an empty table so the view exists immediately
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spec.annotate(schema)).write.mode("ignore").parquet(path)
+      refreshView(name)
+      status(s"table $name created")
+    }
+  }
+
+  /** Read view with the internal sequence column hidden. */
+  private def refreshView(name: String): Unit =
+    catalog.read(name).drop(SeqCol).createOrReplaceTempView(name)
+
+  private def parseTtlMs(s: String): Long = {
+    val m = "(?i)^(\\d+)\\s*(ms|s|m|h|d)$".r
+    s.trim match {
+      case m(n, u) => n.toLong * (u.toLowerCase match {
+        case "ms" => 1L; case "s" => 1000L; case "m" => 60000L
+        case "h" => 3600000L; case "d" => 86400000L
+      })
+      case other => throw new IllegalArgumentException(s"bad ttl: $other")
+    }
+  }
+
+  private def dropTable(stmt: String): DataFrame = {
+    val name = stmt.split("\\s+").last
+    spark.catalog.dropTempView(name)
+    status(s"table $name dropped")
+  }
+
+  private def showTables(): DataFrame = {
+    import spark.implicits._
+    catalog.tables.toDF("table_name")
+  }
+
+  private def describeTable(name: String): DataFrame = {
+    import spark.implicits._
+    val spec = catalog.spec(name)
+    val schema = spark.read.parquet(spec.path).schema
+    schema.filterNot(_.name == SeqCol).map { f =>
+      val role =
+        if (f.name == spec.timeIndex) "TIMESTAMP"
+        else if (spec.tags.contains(f.name)) "TAG"
+        else "FIELD"
+      (f.name, f.dataType.simpleString, f.nullable, role)
+    }.toDF("column", "type", "nullable", "semantic_type")
+  }
+
+  // ---- INSERT ---------------------------------------------------------
+
+  private val InsertRx =
+    "(?is)INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(\\([^)]*\\))?\\s*(VALUES.*|SELECT.*)".r
+
+  private def insert(stmt: String): DataFrame = stmt match {
+    case InsertRx(name, colsOpt, body) =>
+      val spec = catalog.spec(name)
+      val target = spark.read.parquet(spec.path).schema
+      var df = spark.sql(rewriteAtAt(body))
+      val cols = Option(colsOpt)
+        .map(_.stripPrefix("(").stripSuffix(")").split(",").map(_.trim).toSeq)
+        .getOrElse(target.map(_.name).toSeq.filterNot(_ == SeqCol))
+      df = df.toDF(cols: _*)
+      // align to full target schema: missing columns become nulls, the
+      // sequence column is stamped per statement (write order for the
+      // last_row / last_non_null merge views)
+      val seq = seqCounter.incrementAndGet()
+      val aligned = target.map { f =>
+        if (f.name == SeqCol && !cols.contains(SeqCol))
+          lit(seq).cast(f.dataType).as(f.name)
+        else if (cols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      val n = df.count()
+      df.select(aligned: _*).write.mode("append").parquet(spec.path)
+      refreshView(name)
+      status(s"inserted $n rows into $name")
+    case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
+  }
+
+  // ---- CREATE FLOW (§2.10) --------------------------------------------
+
+  private val CreateFlowRx =
+    "(?is)CREATE\\s+FLOW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+SINK\\s+TO\\s+([A-Za-z0-9_/.:-]+)\\s*(?:EXPIRE\\s+AFTER\\s+'([^']+)'\\s*)?(?:WITH\\s*\\((.*?)\\)\\s*)?AS\\s+(SELECT.*)".r
+
+  private def createFlow(stmt: String): DataFrame = stmt match {
+    case CreateFlowRx(name, sink, expire, withPart, query) =>
+      val opts: Map[String, String] = Option(withPart).map { w =>
+        splitTop(w).flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k.trim.toLowerCase(Locale.ROOT) ->
+            v.trim.stripPrefix("'").stripSuffix("'"))
+          case _ => None
+        }).toMap
+      }.getOrElse(Map.empty)
+      val keys = opts.get("keys").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(inferGroupByKeys(query))
+      require(keys.nonEmpty,
+        s"flow $name: no upsert keys — plain identifiers in GROUP BY or WITH (keys='...')")
+      val sinkPath =
+        if (sink.contains("/")) sink
+        else s"$warehouse/$sink"
+      val flowDef = FlowDef(name, sinkPath, keys, identity,
+        expireAfter = Option(expire))
+      flows.put(name, (flowDef, query))
+      refreshFlow(name)
+      status(s"flow $name created")
+    case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
+  }
+
+  /** Plain column identifiers in the final GROUP BY clause. */
+  private[graft] def inferGroupByKeys(query: String): Seq[String] = {
+    val gb = "(?is).*GROUP\\s+BY\\s+(.*?)(?:HAVING|ORDER\\s+BY|LIMIT|$).*".r
+    query match {
+      case gb(cols) =>
+        splitTop(cols).filter(c => c.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      case _ => Nil
+    }
+  }
+
+  // ---- TQL EVAL (§2.6) ------------------------------------------------
+
+  private val TqlRx =
+    "(?is)TQL\\s+EVAL\\s*\\(\\s*([^,]+?)\\s*,\\s*([^,]+?)\\s*,\\s*'?([^,')]+?)'?\\s*\\)\\s*(.*)".r
+
+  private def tqlEval(stmt: String): DataFrame = stmt match {
+    case TqlRx(startS, endS, stepS, promql) =>
+      val startMs = tqlTimeMs(startS.trim)
+      val endMs = tqlTimeMs(endS.trim)
+      val stepMs = PromParser.parseDuration(stepS.trim)
+      val metrics = catalog.tables.map(t => t -> metricOf(t)).toMap
+      new PromEval(spark, metrics, EvalParams(startMs, endMs, stepMs))
+        .evalQuery(promql.trim)
+    case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
+  }
+
+  private def tqlTimeMs(s: String): Long = {
+    val t = s.stripPrefix("'").stripSuffix("'")
+    if (t.matches("\\d+")) t.toLong * 1000L // epoch seconds, like the reference
+    else java.time.Instant.parse(
+      if (t.endsWith("Z")) t else t.replace(" ", "T") + "Z").toEpochMilli
+  }
+
+  /** Table → PromQL metric: tags are labels, first double/float field is
+    * the value, time index normalized to epoch-ms. */
+  private def metricOf(name: String): Metric = {
+    val spec = catalog.spec(name)
+    val df = catalog.read(name)
+    val tsType = df.schema(spec.timeIndex).dataType
+    val tsMsCol = tsType match {
+      case LongType => col(spec.timeIndex) // assume epoch-ms longs
+      case _ => unix_millis(col(spec.timeIndex).cast("timestamp"))
+    }
+    val valueCol = df.schema.fields
+      .find(f => !spec.tags.contains(f.name) && f.name != spec.timeIndex &&
+        (f.dataType == DoubleType || f.dataType == FloatType ||
+          f.dataType == LongType || f.dataType == IntegerType))
+      .map(_.name)
+      .getOrElse(throw new IllegalArgumentException(s"$name: no value field"))
+    Metric(
+      df.withColumn("__ms", tsMsCol).withColumn("__value", col(valueCol).cast("double")),
+      "__ms", "__value", spec.tags)
+  }
+
+  // ---- ADMIN stubs ----------------------------------------------------
+
+  private def admin(stmt: String): DataFrame = {
+    val fn = stmt.stripPrefix("ADMIN").stripPrefix("admin").trim
+    if (fn.toLowerCase(Locale.ROOT).startsWith("flush_flow")) {
+      val name = fn.substring(fn.indexOf('(') + 1, fn.lastIndexOf(')'))
+        .trim.stripPrefix("'").stripSuffix("'")
+      refreshFlow(name)
+      status(s"flow $name flushed")
+    } else status(s"admin $fn: ok (no-op)")
+  }
+
+  private def status(msg: String): DataFrame = {
+    import spark.implicits._
+    Seq(msg).toDF("status")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.GraftSession
+
+class GraftSessionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val g = new GraftSession(spark)
+
+  test("create table / insert / select with merge semantics") {
+    g.sql("""CREATE TABLE host_cpu (
+        ts TIMESTAMP(3) TIME INDEX,
+        host STRING PRIMARY KEY,
+        val DOUBLE
+      )""")
+    g.sql("INSERT INTO host_cpu VALUES (TIMESTAMP'2024-01-01 00:00:00', 'h1', 1.0)")
+    g.sql("INSERT INTO host_cpu VALUES (TIMESTAMP'2024-01-01 00:00:00', 'h1', 9.0)")
+    g.sql("INSERT INTO host_cpu VALUES (TIMESTAMP'2024-01-01 00:00:10', 'h2', 2.0)")
+    // default merge = last_row upsert on (host, ts)
+    val rows = g.sql("SELECT host, val FROM host_cpu ORDER BY host").collect()
+    assert(rows.length == 2)
+    assert(rows.map(r => r.getString(0) -> r.getDouble(1)).toSet ==
+      Set("h1" -> 9.0, "h2" -> 2.0))
+  }
+
+  test("show tables / describe table semantic roles") {
+    assert(g.sql("SHOW TABLES").collect().map(_.getString(0)).contains("host_cpu"))
+    val d = g.sql("DESC TABLE host_cpu").collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(d("ts") == "TIMESTAMP" && d("host") == "TAG" && d("val") == "FIELD")
+  }
+
+  test("append_mode table keeps duplicates") {
+    g.sql("""CREATE TABLE logs (ts TIMESTAMP TIME INDEX, msg STRING)
+             WITH (append_mode = 'true')""")
+    g.sql("INSERT INTO logs VALUES (TIMESTAMP'2024-01-01 00:00:00', 'dup')")
+    g.sql("INSERT INTO logs VALUES (TIMESTAMP'2024-01-01 00:00:00', 'dup')")
+    assert(g.sql("SELECT * FROM logs").count() == 2)
+  }
+
+  test("@@ operator rewrites to matches_term") {
+    assert(g.rewriteAtAt("SELECT * FROM logs WHERE msg @@ 'dup'") ==
+      "SELECT * FROM logs WHERE matches_term(msg, 'dup')")
+    val n = g.sql("SELECT * FROM logs WHERE msg @@ 'dup'").count()
+    assert(n == 2)
+  }
+
+  test("create flow + admin flush_flow refresh the sink") {
+    g.sql("""CREATE TABLE cpu (ts TIMESTAMP TIME INDEX, host STRING PRIMARY KEY, v DOUBLE)""")
+    g.sql("INSERT INTO cpu VALUES (TIMESTAMP'2024-01-01 00:00:01', 'h1', 1.0)")
+    g.sql("""CREATE FLOW cpu_sum SINK TO cpu_sum_sink EXPIRE AFTER '1h'
+             AS SELECT host, count(*) AS n, sum(v) AS total FROM cpu GROUP BY host""")
+    assert(g.spark.read.parquet(flowSink).count() == 1)
+    g.sql("INSERT INTO cpu VALUES (TIMESTAMP'2024-01-01 00:00:02', 'h1', 4.0)")
+    g.sql("ADMIN flush_flow('cpu_sum')")
+    val rows = g.spark.read.parquet(flowSink).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Double]("total") == 5.0)
+  }
+
+  private def flowSink: String = {
+    // the session places un-pathed sinks under its warehouse dir
+    val f = classOf[GraftSession].getDeclaredField("warehouse")
+    f.setAccessible(true)
+    f.get(g).asInstanceOf[String] + "/cpu_sum_sink"
+  }
+
+  test("TQL EVAL over a registered metric table") {
+    g.sql("""CREATE TABLE metric1 (ts TIMESTAMP TIME INDEX, host STRING PRIMARY KEY, v DOUBLE)""")
+    g.sql("INSERT INTO metric1 VALUES (TIMESTAMP'1970-01-01 00:00:05', 'a', 3.0)")
+    g.sql("INSERT INTO metric1 VALUES (TIMESTAMP'1970-01-01 00:00:15', 'a', 7.0)")
+    val out = g.sql("TQL EVAL (0, 20, '5s') metric1").collect()
+    // instant vector: lookback picks the latest sample at each step
+    assert(out.nonEmpty)
+    val atT20 = out.filter(_.getLong(0) == 20000L)
+    assert(atT20.length == 1 && atT20(0).getDouble(2) == 7.0)
+  }
+
+  test("admin no-op stub returns a status row") {
+    val r = g.sql("ADMIN compact_table('cpu')").collect()
+    assert(r(0).getString(0).contains("no-op"))
+  }
+}
