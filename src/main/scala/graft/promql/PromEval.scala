@@ -59,11 +59,28 @@ final class PromEval(
       require(sel.rangeMs.isEmpty, "range selector needs a range function")
       Right(instant(metricOf(sel), params, sel.offsetMs))
 
+    case Agg("count_values", by, without, Some(StringLit(dst)), body) =>
+      Right(PromQL.countValues(evalToVector(body), dst, by, without))
+
     case Agg(op, by, without, param, body) =>
       val iv = evalToVector(body)
       val p = param.map { case NumberLit(v) => v; case other =>
         throw new IllegalArgumentException(s"aggregation param must be a literal: $other") }
       Right(PromQL.aggregate(iv, op, by, without, p))
+
+    case Call(fn @ ("holt_winters" | "double_exponential_smoothing"), args) =>
+      val (sel, sf, tf) = args match {
+        case Seq(s: Selector, NumberLit(a), NumberLit(b)) => (s, a, b)
+        case other => throw new IllegalArgumentException(s"$fn args: $other")
+      }
+      val range = sel.rangeMs.getOrElse(
+        throw new IllegalArgumentException(s"$fn needs a range selector"))
+      val rv = PromQL.rangeVector(metricOf(sel), params, range, sel.offsetMs)
+      Right(InstantVector(
+        rv.withColumn("__val",
+            PromFunctions.holtWintersUdf(col("__samples"), lit(sf), lit(tf)))
+          .filter(col("__val").isNotNull).drop("__samples"),
+        metricOf(sel).labels))
 
     case Call(fn, args) if RangeFns.contains(fn) =>
       val (param, selArg) = args match {
@@ -102,8 +119,8 @@ final class PromEval(
         .getOrElse(scalarLiteral(spark, params, 0.0))
       Right(timeFn(base, fn))
 
-    case Call("sort", Seq(arg)) => Right(evalToVector(arg))      // presentation order
-    case Call("sort_desc", Seq(arg)) => Right(evalToVector(arg))
+    case Call("sort" | "sort_desc" | "sort_by_label" | "sort_by_label_desc", arg +: _) =>
+      Right(evalToVector(arg)) // presentation order only
     case Call("pi", Seq()) => Left(math.Pi)
 
     case Call(fn, args) =>
@@ -112,12 +129,18 @@ final class PromEval(
       val iv = evalToVector(vecArg.head)
       Right(mathFn(iv, fn, scalarArgs.map { case NumberLit(v) => v; case _ => 0.0 }))
 
-    case Binary(op, lhs, rhs, boolMod) =>
+    case Binary(op, lhs, rhs, boolMod, matching) =>
       (eval(lhs), eval(rhs)) match {
         case (Left(a), Left(b)) => Left(scalarScalar(op, a, b, boolMod))
         case (Right(iv), Left(s)) => Right(vectorScalar(iv, op, s, scalarLeft = false, boolMod))
         case (Left(s), Right(iv)) => Right(vectorScalar(iv, op, s, scalarLeft = true, boolMod))
-        case (Right(l), Right(r)) => Right(vectorVector(l, r, op, boolMod = boolMod))
+        case (Right(l), Right(r)) =>
+          val (on, ignoring) = matching match {
+            case Some(PromParser.Matching(true, ls))  => (Some(ls), Nil)
+            case Some(PromParser.Matching(false, ls)) => (None, ls)
+            case None => (None, Nil)
+          }
+          Right(vectorVector(l, r, op, on, ignoring, boolMod))
       }
 
     case StringLit(s) => throw new IllegalArgumentException(s"unexpected string: $s")

@@ -141,6 +141,29 @@ object PromFunctions {
   }
   lazy val presentOverTime: UserDefinedFunction = overTime(_ => 1.0)
 
+  /** Prometheus double exponential smoothing (holt_winters /
+    * double_exponential_smoothing): level smoothed by sf, trend by tf;
+    * returns the final smoothed value. Public Prometheus algorithm. */
+  def doubleExponentialSmoothing(samples: Seq[Sample], sf: Double, tf: Double): Option[Double] = {
+    if (samples == null || samples.size < 2) return None
+    if (sf <= 0 || sf >= 1 || tf <= 0 || tf >= 1) return None
+    var s = samples(0)._2
+    var b = samples(1)._2 - samples(0)._2
+    var i = 1
+    while (i < samples.size) {
+      val x = samples(i)._2
+      val sPrev = s
+      s = sf * x + (1 - sf) * (sPrev + b)
+      b = tf * (s - sPrev) + (1 - tf) * b
+      i += 1
+    }
+    Some(s)
+  }
+
+  lazy val holtWintersUdf: UserDefinedFunction =
+    udf((s: Seq[(Long, Double)], sf: Double, tf: Double) =>
+      doubleExponentialSmoothing(s, sf, tf).map(java.lang.Double.valueOf).orNull)
+
   /** Prometheus quantile: linear interpolation over the sorted values. */
   def promQuantile(q: Double, values: Seq[Double]): Double = {
     if (values.isEmpty) return Double.NaN

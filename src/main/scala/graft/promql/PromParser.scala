@@ -18,7 +18,10 @@ object PromParser {
   final case class StringLit(s: String) extends Expr
   final case class Agg(op: String, by: Seq[String], without: Boolean,
       param: Option[Expr], expr: Expr) extends Expr
-  final case class Binary(op: String, lhs: Expr, rhs: Expr, boolMod: Boolean) extends Expr
+  /** Vector matching modifier: `on(l1,...)` or `ignoring(l1,...)`. */
+  final case class Matching(on: Boolean, labels: Seq[String])
+  final case class Binary(op: String, lhs: Expr, rhs: Expr, boolMod: Boolean,
+      matching: Option[Matching] = None) extends Expr
   final case class Unary(expr: Expr) extends Expr
 
   val AggOps = Set("sum", "min", "max", "avg", "count", "group", "stddev",
@@ -73,8 +76,23 @@ object PromParser {
       while (peek.exists(t => ops.contains(t.toLowerCase))) {
         val op = next().toLowerCase
         val boolMod = peek.contains("bool") && { next(); true }
+        val matching = peek.map(_.toLowerCase) match {
+          case Some(k @ ("on" | "ignoring")) =>
+            next(); expect("(")
+            val ls = scala.collection.mutable.ListBuffer.empty[String]
+            while (!peek.contains(")")) { ls += next(); if (peek.contains(",")) next() }
+            expect(")")
+            Some(Matching(on = k == "on", ls.toSeq))
+          case _ => None
+        }
+        peek.map(_.toLowerCase) match {
+          case Some(g @ ("group_left" | "group_right")) =>
+            throw new UnsupportedOperationException(
+              s"$g (many-to-one vector matching) is not supported")
+          case _ =>
+        }
         val r = sub()
-        l = Binary(op, l, r, boolMod)
+        l = Binary(op, l, r, boolMod, matching)
       }
       l
     }

@@ -146,6 +146,8 @@ object PromQL {
         InstantVector(ranked, iv.labels) // keeps original series labels
       case "count_values" =>
         throw new UnsupportedOperationException("count_values: use countValues()")
+      case "sort" | "sort_desc" | "sort_by_label" | "sort_by_label_desc" =>
+        InstantVector(iv.df, iv.labels) // ordering is presentational
       case _ =>
         val agg = op match {
           case "sum" => sum(x)
@@ -163,6 +165,26 @@ object PromQL {
         }
         InstantVector(iv.df.groupBy(keys: _*).agg(agg.as("__val")), keep)
     }
+  }
+
+  /** PromQL `count_values("dst", v)`: per (kept labels, ts, value)
+    * count, the sample value becoming the `dst` label. */
+  def countValues(iv: InstantVector, dst: String, by: Seq[String],
+      without: Boolean = false): InstantVector = {
+    val keep =
+      if (without) iv.labels.filterNot(by.contains)
+      else if (by.nonEmpty) iv.labels.filter(by.contains)
+      else Nil
+    // Prometheus formats integral values without a decimal point
+    val fmt = udf { (v: Double) =>
+      if (v == math.floor(v) && !v.isInfinite && math.abs(v) < 1e15) v.toLong.toString
+      else v.toString
+    }
+    val df = iv.df.withColumn(dst, fmt(col("__val")))
+    val keys = (keep :+ dst).map(col) :+ col("__ts")
+    InstantVector(
+      df.groupBy(keys: _*).agg(count(lit(1)).cast("double").as("__val")),
+      keep :+ dst)
   }
 
   // ---- binary operators ------------------------------------------------

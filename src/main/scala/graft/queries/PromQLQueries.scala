@@ -60,6 +60,27 @@ object PromQLQueries {
         .select(col("__ts").as("ts_g"), col("event_type"),
           round(col("__val"), 6).as("val"))
         .orderBy(col("ts_g"), col("event_type"))
+    }),
+
+    "promql_count_values" -> ((s, d) => {
+      // bucket values to 100s so identical-sample groups actually occur
+      ev(s, d, """count_values("bucket", floor(events_value / 100))""")
+        .select(col("__ts").as("ts_g"), col("bucket"), col("__val").as("n"))
+        .orderBy(col("ts_g"), col("bucket"))
+    }),
+
+    // rows-only: smoothing algebra pinned by PromQLSpec
+    "promql_holt_winters" -> ((s, d) => {
+      ev(s, d, "holt_winters(events_value[30m], 0.5, 0.3)")
+        .select(col("__ts").as("ts_g"), col("event_type"),
+          round(col("__val"), 6).as("val"))
+        .orderBy(col("ts_g"), col("event_type"))
+    }),
+
+    "promql_or_unless" -> ((s, d) => {
+      ev(s, d, """events_value{event_type="error"} or events_value{event_type="click"}""")
+        .select(col("__ts").as("ts_g"), col("event_type"), col("__val").as("val"))
+        .orderBy(col("ts_g"), col("event_type"))
     })
   )
 
@@ -91,6 +112,16 @@ object PromQLQueries {
 
     "promql_binary" ->
       s"""$instantCte SELECT ts_g, event_type, val FROM iv
-          WHERE event_type = 'error' AND val > 100 ORDER BY ts_g"""
+          WHERE event_type = 'error' AND val > 100 ORDER BY ts_g""",
+
+    "promql_count_values" ->
+      s"""$instantCte
+          SELECT ts_g, CAST(CAST(floor(val / 100) AS BIGINT) AS VARCHAR) AS bucket,
+                 CAST(COUNT(*) AS DOUBLE) AS n
+          FROM iv GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "promql_or_unless" ->
+      s"""$instantCte SELECT ts_g, event_type, val FROM iv
+          WHERE event_type IN ('error', 'click') ORDER BY ts_g, event_type"""
   )
 }

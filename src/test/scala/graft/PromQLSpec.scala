@@ -167,6 +167,48 @@ class PromQLSpec extends AnyFunSuite {
     assert(math.abs(got.head._3 - 0.5) < 1e-9, got.toString)
   }
 
+  test("holt_winters double exponential smoothing") {
+    val rows = Seq((1.0, 1000L, "x"), (2.0, 2000L, "x"), (3.0, 3000L, "x"), (4.0, 4000L, "x"))
+    val cat = Map("m" -> Metric(mkDf(rows), "j", "i", Seq("k")))
+    val got = eval("holt_winters(m[4s], 0.5, 0.5)", 4, 4, 4, cat).head._3
+    // perfect linear trend: smoothing tracks it exactly -> last value 4
+    assert(math.abs(got - 4.0) < 1e-9, got.toString)
+    val alias = eval("double_exponential_smoothing(m[4s], 0.5, 0.5)", 4, 4, 4, cat).head._3
+    assert(alias == got)
+  }
+
+  test("count_values groups identical sample values") {
+    val rows = Seq((1.0, 1000L, "a"), (1.0, 1000L, "b"), (2.0, 1000L, "c"))
+    val cat = Map("m" -> Metric(mkDf(rows), "j", "i", Seq("k")))
+    val p = EvalParams(1000, 1000, 1000)
+    val out = new PromEval(spark, cat, p).evalQuery("""count_values("v", m)""")
+      .collect().map(r => r.getString(r.fieldIndex("v")) ->
+        r.getDouble(r.fieldIndex("__val"))).toMap
+    assert(out == Map("1" -> 2.0, "2" -> 1.0))
+  }
+
+  test("vector matching with on/ignoring") {
+    // l has labels (k); r has labels (k): on(k) joins; ignoring(k) joins on ts only
+    val l = Map("l" -> Metric(mkDf(Seq((10.0, 1000L, "a"))), "j", "i", Seq("k")))
+    val r = Map("r" -> Metric(mkDf(Seq((4.0, 1000L, "a"))), "j", "i", Seq("k")))
+    val cat = l ++ r
+    val got = eval("l + on(k) r", 1, 1, 1, cat)
+    assert(got == Seq((1000L, "a", 14.0)))
+    val got2 = new PromEval(spark, cat, EvalParams(1000, 1000, 1000))
+      .evalQuery("l + ignoring(k) r").collect()
+    assert(got2.length == 1 && got2(0).getDouble(got2(0).fieldIndex("__val")) == 14.0)
+  }
+
+  test("group_left raises a clear unsupported error") {
+    intercept[UnsupportedOperationException] {
+      PromParser.parse("a + on(k) group_left b")
+    }
+  }
+
+  test("sort functions are presentation no-ops") {
+    assert(eval("sort(test)").toSet == eval("test").toSet)
+  }
+
   test("math functions and unary minus") {
     assert(eval("-test")(0)._3 == -2.0)
     assert(eval("abs(-1 * test)")(0)._3 == 2.0)
