@@ -25,7 +25,8 @@ object SparkEntry {
     (LogQueryQueries.queries, LogQueryQueries.oracles),
     (SourceQueries.queries, SourceQueries.oracles),
     (MergeQueries.queries, MergeQueries.oracles),
-    (SqlQueries.queries, SqlQueries.oracles)
+    (SqlQueries.queries, SqlQueries.oracles),
+    (IngestQueries.queries, IngestQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
