@@ -84,6 +84,28 @@ object FunctionQueries {
         MathFunctions.iff(col("value") > 100, lit("hi"), lit("lo")).as("band"),
         MathFunctions.mod(col("event_id"), lit(7L)).as("m7"))
         .orderBy(col("event_id"))
+    }),
+
+    "fn_anomaly_zscore" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      T(s, d, "events")
+        .withColumn("score", AnomalyFunctions.anomalyScoreZscore(col("value"), w))
+        .filter(col("score") > 2.0)
+        .select(col("event_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("event_id"))
+    }),
+
+    // mad/iqr: percentile_approx tie-breaking differs from exact SQL
+    // quantiles -> rows-only; the algebra is pinned by FunctionsSpec
+    "fn_anomaly_mad_iqr" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      val scored = AnomalyFunctions.withAnomalyScoreMad(
+        T(s, d, "events"), "value", Seq("event_type"), "mad_score")
+        .withColumn("iqr_score", AnomalyFunctions.anomalyScoreIqr(col("value"), w))
+      scored.filter(col("mad_score") > 3.0 || col("iqr_score") > 0.0)
+        .select(col("event_id"), round(col("mad_score"), 4).as("mad_score"),
+          round(col("iqr_score"), 4).as("iqr_score"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -155,6 +177,17 @@ object FunctionQueries {
            least(value, 100.0) AS chi,
            CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS band,
            event_id % 7 AS m7
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+
+    "fn_anomaly_zscore" ->
+      """WITH s AS (
+           SELECT event_id, value,
+             avg(value) OVER (PARTITION BY event_type) AS m,
+             stddev_samp(value) OVER (PARTITION BY event_type) AS sd,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_id, round(abs(value - m) / sd, 4) AS score
+         FROM s WHERE n >= 2 AND sd > 0 AND abs(value - m) / sd > 2
+         ORDER BY event_id"""
   )
 }
