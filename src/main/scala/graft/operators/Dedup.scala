@@ -156,20 +156,42 @@ object Dedup {
       .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
   }
 
+  /** Folds token hashes into the 64 SimHash bit counters (+1 when the
+    * bit is set, -1 otherwise); finish takes the sign. One tight loop
+    * per row instead of 64 conditional-sum aggregate columns. */
+  private final class SimHashAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
+    import org.apache.spark.sql.Encoder
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) { b(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      b
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Int]): Long = {
+      var s = 0L; var i = 0
+      while (i < 64) { if (r(i) > 0) s |= 1L << i; i += 1 }
+      s
+    }
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Long] = ExpressionEncoder[Long]()
+  }
+
   /** 64-bit SimHash signature: sign of the token-hash bit histogram. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val ex = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val sh = udaf(new SimHashAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    df.select(col(idCol).as("__id"), col(textCol).as("__text"))
       .repartition(col("__id"))
       .select(col("__id"), explode(split(normText(col("__text")), " ")).as("__tok"))
       .withColumn("__h", xxhash64(col("__tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agg = ex.groupBy(col("__id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col("__id"), sig.as("simhash"))
+      .groupBy(col("__id")).agg(sh(col("__h")).as("simhash"))
   }
 
   /** Near-dup pairs with Hamming(simhash) <= maxDistance, banded into
