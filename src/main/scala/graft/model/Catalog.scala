@@ -26,8 +26,11 @@ final class Catalog(spark: SparkSession) {
   def spec(name: String): TableSpec = specs(name)
   def tables: Seq[String] = specs.keys.toSeq.sorted
 
-  /** Raw append-stream read (no merge semantics). */
-  def raw(name: String): DataFrame = spark.read.parquet(spec(name).path)
+  /** Raw append-stream read (no merge semantics). mergeSchema unions
+    * file footers so ALTER TABLE ADD COLUMN is a metadata-only change
+    * (older files surface the new column as null). */
+  def raw(name: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(spec(name).path)
 
   /** The merged read view: what SQL queries against this table see. */
   def read(name: String): DataFrame = Catalog.readView(raw(name), spec(name))

@@ -51,6 +51,13 @@ final class GraftSession(val spark: SparkSession,
     val up = stmt.toUpperCase(Locale.ROOT)
     if (up.startsWith("CREATE TABLE")) createTable(stmt)
     else if (up.startsWith("DROP TABLE")) dropTable(stmt)
+    else if (up.startsWith("CREATE VIEW") || up.startsWith("CREATE OR REPLACE VIEW"))
+      createView(stmt)
+    else if (up.startsWith("DROP VIEW")) {
+      spark.catalog.dropTempView(stmt.split("\\s+").last)
+      status("view dropped")
+    }
+    else if (up.startsWith("ALTER TABLE")) alterTable(stmt)
     else if (up.startsWith("SHOW TABLES")) showTables()
     else if (up.startsWith("DESCRIBE TABLE") || up.startsWith("DESC TABLE"))
       describeTable(stmt.split("\\s+").last)
@@ -217,9 +224,12 @@ final class GraftSession(val spark: SparkSession,
     }
   }
 
-  /** Read view with the internal sequence column hidden. */
+  /** Read view with the internal sequence column and any ALTER-dropped
+    * columns hidden. */
   private def refreshView(name: String): Unit =
-    catalog.read(name).drop(SeqCol).createOrReplaceTempView(name)
+    catalog.read(name)
+      .drop(SeqCol +: droppedCols.getOrElse(name, Set.empty).toSeq: _*)
+      .createOrReplaceTempView(name)
 
   private def parseTtlMs(s: String): Long = {
     val m = "(?i)^(\\d+)\\s*(ms|s|m|h|d)$".r
@@ -230,6 +240,49 @@ final class GraftSession(val spark: SparkSession,
       })
       case other => throw new IllegalArgumentException(s"bad ttl: $other")
     }
+  }
+
+  // ---- views + ALTER TABLE (sql/src/statements/{create,alter}.rs) ----
+
+  private val CreateViewRx =
+    "(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.*)".r
+
+  private def createView(stmt: String): DataFrame = stmt match {
+    case CreateViewRx(name, query) =>
+      spark.sql(rewriteAtAt(query)).createOrReplaceTempView(name)
+      status(s"view $name created")
+    case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
+  }
+
+  /** Dropped columns are session metadata (files keep the bytes); adds
+    * materialize a zero-row file carrying the widened schema so the
+    * mergeSchema read picks it up without rewriting data. */
+  private val droppedCols =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
+  private val AlterRx =
+    "(?is)ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(ADD|DROP)\\s+COLUMN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(\\S+)?.*".r
+
+  private def alterTable(stmt: String): DataFrame = stmt match {
+    case AlterRx(name, action, colName, typeOpt) =>
+      val spec = catalog.spec(name)
+      action.toUpperCase(Locale.ROOT) match {
+        case "ADD" =>
+          val t = sparkType(Option(typeOpt).getOrElse(
+            throw new IllegalArgumentException("ADD COLUMN needs a type")))
+          val widened = StructType(
+            spark.read.option("mergeSchema", "true").parquet(spec.path)
+              .schema :+ StructField(colName, t))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+            .write.mode("append").parquet(spec.path)
+          droppedCols.put(name, droppedCols.getOrElse(name, Set.empty) - colName)
+        case "DROP" =>
+          droppedCols.put(name, droppedCols.getOrElse(name, Set.empty) + colName)
+      }
+      refreshView(name)
+      status(s"table $name altered")
+    case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
   }
 
   private def dropTable(stmt: String): DataFrame = {
@@ -246,7 +299,8 @@ final class GraftSession(val spark: SparkSession,
   private def describeTable(name: String): DataFrame = {
     import spark.implicits._
     val spec = catalog.spec(name)
-    val schema = spark.read.parquet(spec.path).schema
+    val schema = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+      .filterNot(f => droppedCols.getOrElse(name, Set.empty).contains(f.name))
     schema.filterNot(_.name == SeqCol).map { f =>
       val role =
         if (f.name == spec.timeIndex) "TIMESTAMP"
@@ -264,7 +318,7 @@ final class GraftSession(val spark: SparkSession,
   private def insert(stmt: String): DataFrame = stmt match {
     case InsertRx(name, colsOpt, body) =>
       val spec = catalog.spec(name)
-      val target = spark.read.parquet(spec.path).schema
+      val target = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
       var df = spark.sql(rewriteAtAt(body))
       val cols = Option(colsOpt)
         .map(_.stripPrefix("(").stripSuffix(")").split(",").map(_.trim).toSeq)

@@ -84,6 +84,26 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(atT20.length == 1 && atT20(0).getDouble(2) == 7.0)
   }
 
+  test("create view / drop view") {
+    g.sql("CREATE VIEW big_logs AS SELECT msg FROM logs WHERE msg @@ 'dup'")
+    assert(g.sql("SELECT count(*) AS n FROM big_logs").head().getLong(0) == 2L)
+    g.sql("DROP VIEW big_logs")
+  }
+
+  test("alter table add/drop column without rewriting data") {
+    g.sql("""CREATE TABLE alt (ts TIMESTAMP TIME INDEX, host STRING PRIMARY KEY, v DOUBLE)""")
+    g.sql("INSERT INTO alt VALUES (TIMESTAMP'2024-01-01 00:00:00', 'h1', 1.0)")
+    g.sql("ALTER TABLE alt ADD COLUMN note STRING")
+    // old rows surface the new column as null
+    assert(g.sql("SELECT note FROM alt").head().isNullAt(0))
+    g.sql("INSERT INTO alt (ts, host, v, note) VALUES (TIMESTAMP'2024-01-01 00:00:01', 'h2', 2.0, 'x')")
+    assert(g.sql("SELECT note FROM alt WHERE host = 'h2'").head().getString(0) == "x")
+    g.sql("ALTER TABLE alt DROP COLUMN v")
+    assert(!g.sql("SELECT * FROM alt").columns.contains("v"))
+    val d = g.sql("DESC TABLE alt").collect().map(_.getString(0)).toSet
+    assert(d == Set("ts", "host", "note"))
+  }
+
   test("admin no-op stub returns a status row") {
     val r = g.sql("ADMIN compact_table('cpu')").collect()
     assert(r(0).getString(0).contains("no-op"))
