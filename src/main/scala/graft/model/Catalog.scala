@@ -37,10 +37,29 @@ final class Catalog(spark: SparkSession) {
 
   /** Register the read view as a temp view so spark.sql can use it. */
   def createView(name: String): Unit = read(name).createOrReplaceTempView(name)
+
+  /** Per-series scan (reference mito2 series_scan.rs): co-locate each
+    * series on one partition, time-ordered within it — the input shape
+    * the RANGE / PromQL / lastpoint operators want. One shuffle on the
+    * tags; the sort is partition-local, never global. */
+  def seriesScan(name: String): DataFrame = {
+    val s = spec(name)
+    Catalog.partSort(read(name), s.tags, s.timeIndex)
+  }
 }
 
 object Catalog {
   private val SeqCol = "__graft_seq"
+
+  /** PartSortExec equivalent (reference query/src/part_sort.rs): sort
+    * inside existing partitions without a global shuffle-sort. With
+    * `keys` empty the frame keeps its current partitioning; otherwise
+    * hash-partition by the keys first (series co-location). */
+  def partSort(df: DataFrame, keys: Seq[String], orderBy: String): DataFrame = {
+    val partitioned =
+      if (keys.isEmpty) df else df.repartition(keys.map(col): _*)
+    partitioned.sortWithinPartitions((keys :+ orderBy).map(col): _*)
+  }
 
   def readView(df: DataFrame, spec: TableSpec): DataFrame = {
     val ttlFiltered = spec.ttlMillis match {

@@ -50,6 +50,26 @@ class ModelSpec extends AnyFunSuite {
     assert(Catalog.readView(raw, spec(MergeMode.Append)).count() == 4)
   }
 
+  test("seriesScan co-locates each series time-ordered, no global sort") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("series").toString + "/t"
+    Seq(("a", 300L, 1.0), ("b", 100L, 2.0), ("a", 100L, 3.0), ("b", 200L, 4.0))
+      .toDF("host", "ts", "v").write.parquet(dir)
+    val cat = new Catalog(spark)
+    cat.register(TableSpec("t", dir, timeIndex = "ts", tags = Seq("host")))
+    val scanned = cat.seriesScan("t")
+    // partition-local order: within each partition rows are (host, ts) sorted
+    val perPartition = scanned.rdd.mapPartitions { it =>
+      val rows = it.map(r => (r.getAs[String]("host"), r.getAs[Long]("ts"))).toSeq
+      Iterator.single(rows == rows.sorted)
+    }.collect()
+    assert(perPartition.forall(identity))
+    assert(scanned.count() == 4)
+    // physical Sort prints `Sort [...], <global>, 0` — must be local
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(!plan.contains("], true, 0"), plan)
+  }
+
   test("ttl filters rows older than now - ttl") {
     val now = System.currentTimeMillis()
     val df = Seq(("a", now - 1000L, 1.0, "x", 0L), ("a", now - 999999L, 2.0, "y", 0L))
