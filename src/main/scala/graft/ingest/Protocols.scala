@@ -135,13 +135,18 @@ object Protocols {
     * then one projection — no per-row schema negotiation. */
   def pivotMeasurement(samples: DataFrame, measurement: String): DataFrame = {
     val m = samples.filter(col("measurement") === measurement)
-    def keysOf(mapCol: String): Seq[String] =
-      m.select(explode(map_keys(col(mapCol))).as("k"))
-        .distinct().collect().map(_.getString(0)).toSeq.sorted
-    val tagCols = keysOf("tags").map(k => col("tags").getItem(k).as(k))
-    val numCols = keysOf("fields_num").map(k => col("fields_num").getItem(k).as(k))
-    val strCols = keysOf("fields_str").map(k => col("fields_str").getItem(k).as(k))
-    val boolCols = keysOf("fields_bool").map(k => col("fields_bool").getItem(k).as(k))
-    m.select((tagCols ++ numCols ++ strCols ++ boolCols :+ col("ts_ns").as("ts")): _*)
+    // one aggregation job discovers all four key sets (a per-map
+    // distinct would rescan — and reparse — the input four times)
+    def keySet(mapCol: String) =
+      array_sort(array_distinct(flatten(collect_list(map_keys(col(mapCol))))))
+    val ks = m.select(keySet("tags"), keySet("fields_num"),
+      keySet("fields_str"), keySet("fields_bool")).head()
+    def names(i: Int): Seq[String] = ks.getSeq[String](i)
+    val cols =
+      names(0).map(k => col("tags").getItem(k).as(k)) ++
+      names(1).map(k => col("fields_num").getItem(k).as(k)) ++
+      names(2).map(k => col("fields_str").getItem(k).as(k)) ++
+      names(3).map(k => col("fields_bool").getItem(k).as(k))
+    m.select(cols :+ col("ts_ns").as("ts"): _*)
   }
 }
