@@ -27,6 +27,11 @@ object ProfileDedup {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
     val n = time("minhash pairs total")(pairs.count())
     println(s"[profile] minhash pair count = $n")
+    val sh = Dedup.simhash(docs, "text", "doc_id")
+    time("simhash signatures")(sh.count())
+    val shp = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
+    println(s"[profile] simhash pair count = " + time("simhash pairs total")(shp.count()))
+
     val ng = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.4, n = 3)
     val n2 = time("ngram jaccard total")(ng.count())
     println(s"[profile] ngram pair count = $n2")
