@@ -43,11 +43,18 @@ object PromQL {
 
   private def gridExplode(
       df: DataFrame, tsCol: Column, p: EvalParams, windowMs: Long): DataFrame = {
+    // Parallelize narrow few-partition sources (a single parquet file =
+    // one task) before the fan-out; the explode multiplies work, so the
+    // cheap round-robin shuffle of the projected input pays for itself.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (df.rdd.getNumPartitions < math.max(2, par / 2)) df.repartition(par)
+      else df
     // slot indices k with t = start + k*step, ts <= t < ts + window
     val kLo = ceil((tsCol - p.startMs).cast("double") / p.stepMs).cast("long")
     val kHi = floor((tsCol + windowMs - 1 - p.startMs).cast("double") / p.stepMs).cast("long")
     val nSteps = (p.endMs - p.startMs) / p.stepMs
-    df.withColumn("__k", explode(sequence(greatest(kLo, lit(0L)),
+    spread.withColumn("__k", explode(sequence(greatest(kLo, lit(0L)),
         least(kHi, lit(nSteps)))))
       .filter(col("__k") >= 0 && col("__k") <= nSteps)
       .withColumn("__ts", col("__k") * p.stepMs + p.startMs)
