@@ -167,6 +167,16 @@ class PromQLSpec extends AnyFunSuite {
     assert(math.abs(got.head._3 - 0.5) < 1e-9, got.toString)
   }
 
+  test("absent_over_time emits 1 only at empty-window steps") {
+    val rows = Seq((1.0, 1000L, "x"))
+    val cat = Map("m" -> Metric(mkDf(rows), "j", "i", Seq("k")))
+    // steps 0,5,10s with a 5s range: the 1s sample covers only step 5s
+    // ((t-range, t] windows); absent at 0 and 10
+    val got = eval("absent_over_time(m[5s])", 0, 10, 5, cat)
+      .map { case (ts, _, v) => (ts, v) }
+    assert(got == Seq((0L, 1.0), (10000L, 1.0)))
+  }
+
   test("holt_winters double exponential smoothing") {
     val rows = Seq((1.0, 1000L, "x"), (2.0, 2000L, "x"), (3.0, 3000L, "x"), (4.0, 4000L, "x"))
     val cat = Map("m" -> Metric(mkDf(rows), "j", "i", Seq("k")))
