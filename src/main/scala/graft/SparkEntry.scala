@@ -15,6 +15,7 @@ object SparkEntry {
 
   private val registries: Seq[(Map[String, QueryDsl.Q], Map[String, String])] = Seq(
     (Relational.queries, Relational.oracles),
+    (RelationalExtra.queries, RelationalExtra.oracles),
     (RangeQueries.queries, RangeQueries.oracles),
     (FunctionQueries.queries, FunctionQueries.oracles),
     (SketchQueries.queries, SketchQueries.oracles),

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.StringFunctions
+import QueryDsl._
+
+/** Second relational coverage wave — the SURVEY §2.4/§2.8 rows the
+  * reference corpus leaves "supported-but-unpinned": GROUPING SETS /
+  * CUBE / ROLLUP, correlation/covariance, bool/bit aggregates,
+  * arg_min/arg_max, MySQL-compat string functions, date arithmetic.
+  * Group-subtotal nulls are coalesced to a sentinel on BOTH sides so
+  * the row-sorted hash compare is stable. */
+object RelationalExtra {
+
+  private val All = "(all)"
+
+  val queries: Map[String, Q] = Map(
+    "agg_rollup" -> ((s, d) => {
+      T(s, d, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderpriority"), lit(All)).as("pri"),
+          coalesce(col("o_orderstatus"), lit(All)).as("status"),
+          col("n"), col("sum_price"))
+        .orderBy(col("pri"), col("status"))
+    }),
+
+    "agg_cube" -> ((s, d) => {
+      T(s, d, "customer")
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+        .select(coalesce(col("c_mktsegment"), lit(All)).as("seg"),
+          coalesce(col("c_nationkey").cast("long"), lit(-1L)).as("nation"),
+          col("n"), col("sum_bal"))
+        .orderBy(col("seg"), col("nation"))
+    }),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      T(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT coalesce(o_orderpriority, '(all)') AS pri,
+               coalesce(o_orderstatus, '(all)') AS status,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY pri, status""")
+    }),
+
+    "agg_corr_covar" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covs_qd"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covp_qd"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_bool_bit" -> ((s, d) => {
+      T(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_big"),
+          bool_or(col("o_orderstatus") === "F").as("any_ship"),
+          bit_and(col("o_custkey")).as("band"),
+          bit_or(col("o_custkey")).as("bor"),
+          bit_xor(col("o_custkey")).as("bxor"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "agg_arg_minmax" -> ((s, d) => {
+      T(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(min_by(col("o_orderkey"),
+            format_string("%020.4f|%020d", col("o_totalprice"), col("o_orderkey")))
+            .as("cheapest_key"),
+          max_by(col("o_orderkey"),
+            format_string("%020.4f|%020d", col("o_totalprice"), col("o_orderkey")))
+            .as("dearest_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "fn_string_mysql" -> ((s, d) => {
+      T(s, d, "nation").select(col("n_nationkey").cast("long").as("k"),
+        StringFunctions.elt((col("n_nationkey") % 3) + 1,
+          lit("alpha"), lit("beta"), lit("gamma")).as("elt_v"),
+        StringFunctions.insert(col("n_name"), lit(2), lit(3), lit("XY")).as("ins_v"),
+        StringFunctions.locateF(lit("A"), col("n_name")).cast("long").as("loc_a"),
+        concat(StringFunctions.space(col("n_nationkey") % 3), col("n_name")).as("padded"))
+        .orderBy(col("k"))
+    }),
+
+    "fn_date_arith" -> ((s, d) => {
+      T(s, d, "orders").select(col("o_orderkey"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(date_sub(col("o_orderdate").cast("date"), 7), "yyyy-MM-dd").as("minus7"),
+        (unix_millis(col("o_orderdate").cast("timestamp")) / 1000).cast("long").as("unixtime"),
+        datediff(lit("1998-12-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_end"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_rollup" ->
+      """SELECT coalesce(o_orderpriority, '(all)') AS pri,
+           coalesce(o_orderstatus, '(all)') AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+         ORDER BY pri, status""",
+
+    "agg_cube" ->
+      """SELECT coalesce(c_mktsegment, '(all)') AS seg,
+           coalesce(CAST(c_nationkey AS BIGINT), -1) AS nation, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+         ORDER BY seg, nation""",
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, '(all)') AS pri,
+           coalesce(o_orderstatus, '(all)') AS status, COUNT(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+         ORDER BY pri, status""",
+
+    "agg_corr_covar" ->
+      """SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_discount), 6) AS covs_qd,
+           round(covar_pop(l_quantity, l_discount), 6) AS covp_qd
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "agg_bool_bit" ->
+      """SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_big,
+           bool_or(o_orderstatus = 'F') AS any_ship,
+           bit_and(o_custkey) AS band, bit_or(o_custkey) AS bor,
+           bit_xor(o_custkey) AS bxor
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "agg_arg_minmax" ->
+      """SELECT o_orderpriority,
+           arg_min(o_orderkey, printf('%020.4f|%020d', o_totalprice, o_orderkey)) AS cheapest_key,
+           arg_max(o_orderkey, printf('%020.4f|%020d', o_totalprice, o_orderkey)) AS dearest_key
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "fn_string_mysql" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+           (['alpha', 'beta', 'gamma'])[CAST(n_nationkey % 3 + 1 AS INT)] AS elt_v,
+           substr(n_name, 1, 1) || 'XY' || substr(n_name, 5) AS ins_v,
+           CAST(strpos(n_name, 'A') AS BIGINT) AS loc_a,
+           repeat(' ', CAST(n_nationkey % 3 AS INT)) || n_name AS padded
+         FROM nation ORDER BY k""",
+
+    "fn_date_arith" ->
+      """SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           strftime(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY, '%Y-%m-%d') AS minus7,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unixtime,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS BIGINT) AS days_to_end
+         FROM orders ORDER BY o_orderkey"""
+  )
+}
