@@ -150,6 +150,13 @@ object LogQuery {
   /** Pagination (log_query.rs:468). */
   final case class Limit(skip: Option[Int] = None, fetch: Option[Int] = None)
 
+  /** Adjacent-line context around filter matches (log_query.rs:457):
+    * by line count or by seconds, before/after separately. */
+  sealed trait Context
+  case object NoContext extends Context
+  final case class Lines(before: Int, after: Int) extends Context
+  final case class Seconds(before: Int, after: Int) extends Context
+
   /** The full request: table resolved by the caller to a DataFrame,
     * `timeColumn` is the table's time index in epoch-ms longs or
     * timestamps. */
@@ -158,7 +165,8 @@ object LogQuery {
       filters: Option[Filter] = None,
       exprs: Seq[LogExpr] = Nil,
       columns: Seq[String] = Nil,
-      limit: Limit = Limit())
+      limit: Limit = Limit(),
+      context: Context = NoContext)
 
   // ---- planner (query/src/log_query/planner.rs equivalent) ------------
 
@@ -198,18 +206,40 @@ object LogQuery {
   def plan(table: DataFrame, timeColumn: String, q: Query,
       nowMs: Long = System.currentTimeMillis()): DataFrame = {
     var df = table
+    val tcMs =
+      if (table.schema(timeColumn).dataType ==
+        org.apache.spark.sql.types.LongType) col(timeColumn)
+      else unix_millis(col(timeColumn).cast("timestamp"))
 
     q.timeFilter.foreach { tf =>
       val (s, e) = tf.canonicalize(nowMs)
-      val tc = col(timeColumn)
-      val tcMs =
-        if (df.schema(timeColumn).dataType ==
-          org.apache.spark.sql.types.LongType) tc
-        else unix_millis(tc.cast("timestamp"))
       df = df.filter(tcMs >= s && tcMs < e)
     }
 
-    q.filters.foreach(f => df = df.filter(filterCond(f)))
+    q.filters.foreach { f =>
+      val cond = filterCond(f)
+      q.context match {
+        case NoContext => df = df.filter(cond)
+        case Seconds(b, a) =>
+          // rows within the time neighbourhood of any match; matches are
+          // few, so they broadcast and the semi-join dedups for free
+          val times = df.filter(cond).select(tcMs.as("__mt")).distinct()
+          df = df.join(broadcast(times),
+            tcMs >= col("__mt") - b * 1000L && tcMs <= col("__mt") + a * 1000L,
+            "left_semi")
+        case Lines(b, a) =>
+          // line context needs a total order over the stream — the
+          // global window is the price of the semantics; Seconds is the
+          // scale-friendly variant
+          val w = org.apache.spark.sql.expressions.Window.orderBy(tcMs)
+          val withRn = df.withColumn("__rn", row_number().over(w))
+          val matches = withRn.filter(cond).select(col("__rn").as("__mrn"))
+          df = withRn.join(broadcast(matches),
+            col("__rn") >= col("__mrn") - b && col("__rn") <= col("__mrn") + a,
+            "left_semi")
+            .drop("__rn")
+      }
+    }
 
     q.exprs.foreach {
       case FilterExpr(f) => df = df.filter(filterCond(f))

@@ -88,6 +88,30 @@ object RelationalExtra {
         .orderBy(col("k"))
     }),
 
+    "cte_recursive" -> ((s, d) => {
+      T(s, d, "nation").createOrReplaceTempView("nation_rec")
+      s.sql("""
+        WITH RECURSIVE r(n) AS (
+          SELECT 0
+          UNION ALL
+          SELECT n + 1 FROM r WHERE n < 10
+        )
+        SELECT r.n, count(nt.n_nationkey) AS n_nations
+        FROM r LEFT JOIN nation_rec nt ON nt.n_regionkey = r.n % 5
+        GROUP BY r.n ORDER BY r.n""")
+    }),
+
+    "window_range_frame" -> ((s, d) => {
+      // RANGE frame over a value column: peers within ±100.0 of each
+      // order's total price count toward the frame
+      T(s, d, "orders").createOrReplaceTempView("orders_rf")
+      s.sql("""
+        SELECT o_orderkey,
+               count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS peers
+        FROM orders_rf ORDER BY o_orderkey""")
+    }),
+
     "fn_date_arith" -> ((s, d) => {
       T(s, d, "orders").select(col("o_orderkey"),
         date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
@@ -149,6 +173,20 @@ object RelationalExtra {
            CAST(strpos(n_name, 'A') AS BIGINT) AS loc_a,
            repeat(' ', CAST(n_nationkey % 3 AS INT)) || n_name AS padded
          FROM nation ORDER BY k""",
+
+    "cte_recursive" ->
+      """WITH RECURSIVE r(n) AS (
+           SELECT 0 UNION ALL SELECT n + 1 FROM r WHERE n < 10
+         )
+         SELECT r.n, count(nt.n_nationkey) AS n_nations
+         FROM r LEFT JOIN nation nt ON nt.n_regionkey = r.n % 5
+         GROUP BY r.n ORDER BY r.n""",
+
+    "window_range_frame" ->
+      """SELECT o_orderkey,
+           count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS peers
+         FROM orders ORDER BY o_orderkey""",
 
     "fn_date_arith" ->
       """SELECT o_orderkey,

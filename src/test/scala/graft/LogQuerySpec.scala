@@ -59,6 +59,21 @@ class LogQuerySpec extends AnyFunSuite {
     assert(out == Map("web-1" -> 1L, "web-2" -> 1L, "db-1" -> 1L))
   }
 
+  test("context: adjacent lines and seconds around matches") {
+    val byLines = Query(
+      filters = Some(Cond("message", Seq(Prefix("INFO")))),
+      context = Lines(1, 1), columns = Seq("ts"))
+    // INFO row is ts=3000 (3rd by time); ±1 line -> 2000, 3000, 90000000
+    assert(plan(logs, "ts", byLines).collect().map(_.getLong(0)).toSet ==
+      Set(2000L, 3000L, 90000000L))
+    val bySeconds = Query(
+      filters = Some(Cond("message", Seq(Prefix("INFO")))),
+      context = Seconds(2, 1), columns = Seq("ts"))
+    // match at 3s; [1s, 4s] -> 1000, 2000, 3000
+    assert(plan(logs, "ts", bySeconds).collect().map(_.getLong(0)).toSet ==
+      Set(1000L, 2000L, 3000L))
+  }
+
   test("scalar funcs, binary ops, positional idents, offset") {
     val q = Query(
       exprs = Seq(
