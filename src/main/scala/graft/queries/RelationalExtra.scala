@@ -88,6 +88,40 @@ object RelationalExtra {
         .orderBy(col("k"))
     }),
 
+    "fn_vector_full" -> ((s, d) => {
+      import graft.functions.VectorFunctions._
+      // double-cast before elementwise math so both engines do the same
+      // IEEE754 arithmetic (float ops would diverge past round(5))
+      val e1 = T(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("a"))
+      val e2 = T(s, d, "embeddings")
+        .select((col("vec_id") - 1).as("vec_id"),
+          col("embedding").cast("array<double>").as("b"))
+      e1.join(e2, "vec_id")
+        .select(col("vec_id"),
+          round(vecElemSum(vecAdd(col("a"), col("b"))), 5).as("add_sum"),
+          round(vecElemSum(vecSub(col("a"), col("b"))), 5).as("sub_sum"),
+          round(vecElemSum(vecMul(col("a"), col("b"))), 5).as("mul_sum"),
+          round(vecElemSum(vecScalarAdd(lit(2.0f), col("a"))), 5).as("sadd_sum"),
+          round(vecElemSum(vecScalarMul(lit(3.0f), col("a"))), 5).as("smul_sum"),
+          round(vecKthElem(col("a"), 5), 5).as("kth5"),
+          round(vecElemSum(vecSubvector(col("a"), lit(8), lit(16))), 5).as("subv_sum"),
+          round(vecElemAvg(col("a")), 5).as("elem_avg"),
+          size(parseVec(vecToString(col("a")))).cast("long").as("roundtrip_dim"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "fn_json_extra" -> ((s, d) => {
+      import graft.functions.JsonFunctions._
+      T(s, d, "events").select(col("event_id"),
+        concat_ws(",", jsonObjectKeys(col("props"))).as("keys"),
+        jsonToString(col("props")).as("round"),
+        jsonGetFloat(col("props"), "$.k").as("k_float"),
+        jsonIsObject(col("props")).as("is_obj"),
+        jsonIsArray(col("props")).as("is_arr"))
+        .orderBy(col("event_id"))
+    }),
+
     "cte_recursive" -> ((s, d) => {
       T(s, d, "nation").createOrReplaceTempView("nation_rec")
       s.sql("""
@@ -173,6 +207,33 @@ object RelationalExtra {
            CAST(strpos(n_name, 'A') AS BIGINT) AS loc_a,
            repeat(' ', CAST(n_nationkey % 3 AS INT)) || n_name AS padded
          FROM nation ORDER BY k""",
+
+    "fn_vector_full" ->
+      """WITH j AS (
+           SELECT e1.vec_id, CAST(e1.embedding AS DOUBLE[]) AS a,
+                  CAST(e2.embedding AS DOUBLE[]) AS b
+           FROM embeddings e1
+           JOIN (SELECT vec_id - 1 AS vec_id, embedding FROM embeddings) e2
+             USING (vec_id))
+         SELECT vec_id,
+           round(list_sum(list_transform(list_zip(a, b), x -> x[1] + x[2])), 5) AS add_sum,
+           round(list_sum(list_transform(list_zip(a, b), x -> x[1] - x[2])), 5) AS sub_sum,
+           round(list_sum(list_transform(list_zip(a, b), x -> x[1] * x[2])), 5) AS mul_sum,
+           round(list_sum(list_transform(a, x -> x + 2.0)), 5) AS sadd_sum,
+           round(list_sum(list_transform(a, x -> x * 3.0)), 5) AS smul_sum,
+           round(a[6], 5) AS kth5,
+           round(list_sum(a[9:16]), 5) AS subv_sum,
+           round(list_sum(a) / len(a), 5) AS elem_avg,
+           CAST(len(a) AS BIGINT) AS roundtrip_dim
+         FROM j ORDER BY vec_id""",
+
+    "fn_json_extra" ->
+      """SELECT event_id, array_to_string(json_keys(props), ',') AS keys,
+           to_json(json(props))::VARCHAR AS round,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_float,
+           json_type(json(props)) = 'OBJECT' AS is_obj,
+           json_type(json(props)) = 'ARRAY' AS is_arr
+         FROM events ORDER BY event_id""",
 
     "cte_recursive" ->
       """WITH RECURSIVE r(n) AS (
