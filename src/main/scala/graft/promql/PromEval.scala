@@ -135,12 +135,15 @@ final class PromEval(
         case (Right(iv), Left(s)) => Right(vectorScalar(iv, op, s, scalarLeft = false, boolMod))
         case (Left(s), Right(iv)) => Right(vectorScalar(iv, op, s, scalarLeft = true, boolMod))
         case (Right(l), Right(r)) =>
-          val (on, ignoring) = matching match {
-            case Some(PromParser.Matching(true, ls))  => (Some(ls), Nil)
-            case Some(PromParser.Matching(false, ls)) => (None, ls)
+          val m = matching
+          val (on, ignoring) = m match {
+            case Some(PromParser.Matching(true, ls, _, _, _))  => (Some(ls), Nil)
+            case Some(PromParser.Matching(false, ls, _, _, _)) => (None, ls)
             case None => (None, Nil)
           }
-          Right(vectorVector(l, r, op, on, ignoring, boolMod))
+          Right(vectorVector(l, r, op, on, ignoring, boolMod,
+            groupLeft = m.exists(_.groupLeft), groupRight = m.exists(_.groupRight),
+            extraLabels = m.map(_.extraLabels).getOrElse(Nil)))
       }
 
     case StringLit(s) => throw new IllegalArgumentException(s"unexpected string: $s")

@@ -18,8 +18,12 @@ object PromParser {
   final case class StringLit(s: String) extends Expr
   final case class Agg(op: String, by: Seq[String], without: Boolean,
       param: Option[Expr], expr: Expr) extends Expr
-  /** Vector matching modifier: `on(l1,...)` or `ignoring(l1,...)`. */
-  final case class Matching(on: Boolean, labels: Seq[String])
+  /** Vector matching modifier: `on(l1,...)` or `ignoring(l1,...)`,
+    * optionally with `group_left(extra...)` / `group_right(extra...)`
+    * many-to-one grouping. */
+  final case class Matching(on: Boolean, labels: Seq[String],
+      groupLeft: Boolean = false, groupRight: Boolean = false,
+      extraLabels: Seq[String] = Nil)
   final case class Binary(op: String, lhs: Expr, rhs: Expr, boolMod: Boolean,
       matching: Option[Matching] = None) extends Expr
   final case class Unary(expr: Expr) extends Expr
@@ -76,19 +80,27 @@ object PromParser {
       while (peek.exists(t => ops.contains(t.toLowerCase))) {
         val op = next().toLowerCase
         val boolMod = peek.contains("bool") && { next(); true }
-        val matching = peek.map(_.toLowerCase) match {
+        def labelList(): Seq[String] = {
+          expect("(")
+          val ls = scala.collection.mutable.ListBuffer.empty[String]
+          while (!peek.contains(")")) { ls += next(); if (peek.contains(",")) next() }
+          expect(")")
+          ls.toSeq
+        }
+        var matching = peek.map(_.toLowerCase) match {
           case Some(k @ ("on" | "ignoring")) =>
-            next(); expect("(")
-            val ls = scala.collection.mutable.ListBuffer.empty[String]
-            while (!peek.contains(")")) { ls += next(); if (peek.contains(",")) next() }
-            expect(")")
-            Some(Matching(on = k == "on", ls.toSeq))
+            next()
+            Some(Matching(on = k == "on", labelList()))
           case _ => None
         }
         peek.map(_.toLowerCase) match {
           case Some(g @ ("group_left" | "group_right")) =>
-            throw new UnsupportedOperationException(
-              s"$g (many-to-one vector matching) is not supported")
+            next()
+            val extras = if (peek.contains("(")) labelList() else Nil
+            val base = matching.getOrElse(
+              throw new IllegalArgumentException(s"$g requires on()/ignoring()"))
+            matching = Some(base.copy(groupLeft = g == "group_left",
+              groupRight = g == "group_right", extraLabels = extras))
           case _ =>
         }
         val r = sub()

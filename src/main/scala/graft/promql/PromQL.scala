@@ -234,10 +234,15 @@ object PromQL {
   }
 
   /** Vector-vector binary op: equi-join on (__ts, matching labels) —
-    * PromQL one-to-one vector matching (planner.rs ~5000-5400). */
+    * PromQL one-to-one vector matching (planner.rs ~5000-5400), plus
+    * many-to-one via group_left/group_right: the "many" side keeps all
+    * its labels (and may copy `extraLabels` off the "one" side); the
+    * join itself is the same equi-join, just without collapsing the
+    * many side's extra labels. */
   def vectorVector(lhs: InstantVector, rhs: InstantVector, op: String,
       on: Option[Seq[String]] = None, ignoring: Seq[String] = Nil,
-      boolMod: Boolean = false): InstantVector = {
+      boolMod: Boolean = false, groupLeft: Boolean = false,
+      groupRight: Boolean = false, extraLabels: Seq[String] = Nil): InstantVector = {
     val matchLabels = on.getOrElse(
       lhs.labels.intersect(rhs.labels).filterNot(ignoring.contains))
     val keys = "__ts" +: matchLabels
@@ -256,25 +261,31 @@ object PromQL {
         val cols = ("__ts" +: shared :+ "__val").map(col)
         InstantVector(lhs.df.select(cols: _*).union(rightOnly.select(cols: _*)), shared)
       case _ =>
-        val l = lhs.df.select((keys :+ "__val").map(col): _*)
-          .withColumnRenamed("__val", "__lv")
-        val extraLabels = lhs.labels.filterNot(matchLabels.contains)
-        val lFull = lhs.df.select((keys ++ extraLabels :+ "__val").map(col): _*)
-          .withColumnRenamed("__val", "__lv")
-        val r = rhs.df.select((keys :+ "__val").map(col): _*)
-          .withColumnRenamed("__val", "__rv")
-        val joined = lFull.join(r, keys)
-        val outLabels = matchLabels ++ extraLabels
+        // the "many" side keeps its full label set; default one-to-one
+        // treats the left as many with no copied labels (same join)
+        val (manyIv, oneIv, manyIsLeft) =
+          if (groupRight) (rhs, lhs, false) else (lhs, rhs, true)
+        val manyExtra = manyIv.labels.filterNot(matchLabels.contains)
+        val many = manyIv.df
+          .select((keys ++ manyExtra :+ "__val").map(col): _*)
+          .withColumnRenamed("__val", "__mv")
+        val one = oneIv.df
+          .select((keys ++ extraLabels :+ "__val").map(col): _*)
+          .withColumnRenamed("__val", "__ov")
+        val joined = many.join(one, keys)
+        val (lv, rv) =
+          if (manyIsLeft) (col("__mv"), col("__ov")) else (col("__ov"), col("__mv"))
+        val outLabels = matchLabels ++ manyExtra ++ extraLabels
         if (ArithOps(op))
-          InstantVector(joined.withColumn("__val", arith(op, col("__lv"), col("__rv")))
-            .drop("__lv", "__rv"), outLabels)
+          InstantVector(joined.withColumn("__val", arith(op, lv, rv))
+            .drop("__mv", "__ov"), outLabels)
         else if (boolMod)
           InstantVector(joined.withColumn("__val",
-            when(cmp(op, col("__lv"), col("__rv")), 1.0).otherwise(0.0))
-            .drop("__lv", "__rv"), outLabels)
+            when(cmp(op, lv, rv), 1.0).otherwise(0.0))
+            .drop("__mv", "__ov"), outLabels)
         else
-          InstantVector(joined.filter(cmp(op, col("__lv"), col("__rv")))
-            .withColumn("__val", col("__lv")).drop("__lv", "__rv"), outLabels)
+          InstantVector(joined.filter(cmp(op, lv, rv))
+            .withColumn("__val", lv).drop("__mv", "__ov"), outLabels)
     }
   }
 

@@ -209,10 +209,49 @@ class PromQLSpec extends AnyFunSuite {
     assert(got2.length == 1 && got2(0).getDouble(got2(0).fieldIndex("__val")) == 14.0)
   }
 
-  test("group_left raises a clear unsupported error") {
-    intercept[UnsupportedOperationException] {
-      PromParser.parse("a + on(k) group_left b")
-    }
+  test("group_left: many-to-one keeps the many side's labels") {
+    // many side: two series per k (labels k, j-as-"mode" via second col?)
+    // use mkDf's single label k; emulate many side with two ts... instead
+    // build frames with an extra label via a second metric
+    val many = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(10.0, 1000L, "a", "m1"),
+        org.apache.spark.sql.Row(20.0, 1000L, "a", "m2")),
+      StructType.fromDDL("i DOUBLE, j BIGINT, k STRING, inst STRING"))
+    val one = mkDf(Seq((4.0, 1000L, "a")))
+    val cat = Map(
+      "many" -> Metric(many, "j", "i", Seq("k", "inst")),
+      "one" -> Metric(one, "j", "i", Seq("k")))
+    val p = EvalParams(1000, 1000, 1000)
+    val out = new PromEval(spark, cat, p)
+      .evalQuery("many + on(k) group_left one")
+      .collect().map(r => (r.getString(r.fieldIndex("inst")),
+        r.getDouble(r.fieldIndex("__val")))).toSet
+    assert(out == Set("m1" -> 14.0, "m2" -> 24.0))
+    // group_right mirrors: one-side on the left
+    val out2 = new PromEval(spark, cat, p)
+      .evalQuery("one + on(k) group_right many")
+      .collect().map(r => (r.getString(r.fieldIndex("inst")),
+        r.getDouble(r.fieldIndex("__val")))).toSet
+    assert(out2 == Set("m1" -> 14.0, "m2" -> 24.0))
+  }
+
+  test("group_left copies requested labels off the one side") {
+    val many = mkDf(Seq((10.0, 1000L, "a"), (20.0, 1000L, "b")))
+    val one = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1.0, 1000L, "a", "east"),
+        org.apache.spark.sql.Row(2.0, 1000L, "b", "west")),
+      StructType.fromDDL("i DOUBLE, j BIGINT, k STRING, region STRING"))
+    val cat = Map(
+      "m" -> Metric(many, "j", "i", Seq("k")),
+      "o" -> Metric(one, "j", "i", Seq("k", "region")))
+    val out = new PromEval(spark, cat, EvalParams(1000, 1000, 1000))
+      .evalQuery("m * on(k) group_left(region) o")
+      .collect().map(r => (r.getString(r.fieldIndex("k")),
+        r.getString(r.fieldIndex("region")),
+        r.getDouble(r.fieldIndex("__val")))).toSet
+    assert(out == Set(("a", "east", 10.0), ("b", "west", 40.0)))
   }
 
   test("sort functions are presentation no-ops") {
