@@ -83,19 +83,37 @@ final class PromEval(
         metricOf(sel).labels))
 
     case Call(fn, args) if RangeFns.contains(fn) =>
-      val (param, selArg) = args match {
-        case Seq(NumberLit(p), s: Selector) => (Some(p), s)
-        case Seq(s: Selector, NumberLit(p)) => (Some(p), s)
-        case Seq(s: Selector) => (None, s)
+      val (param, target) = args match {
+        case Seq(NumberLit(p), t) => (Some(p), t)
+        case Seq(t, NumberLit(p)) => (Some(p), t)
+        case Seq(t) => (None, t)
         case other => throw new IllegalArgumentException(s"$fn args: $other")
       }
-      val range = selArg.rangeMs.getOrElse(
-        throw new IllegalArgumentException(s"$fn needs a range selector"))
+      val (metric, range, offset) = target match {
+        case s: Selector =>
+          (metricOf(s), s.rangeMs.getOrElse(
+            throw new IllegalArgumentException(s"$fn needs a range selector")),
+            s.offsetMs)
+        case sq: Subquery =>
+          // inner expr evaluated on a step-aligned grid wide enough to
+          // cover the folding range, then folded like any range vector
+          val step = sq.stepMs.getOrElse(params.stepMs)
+          val innerStart = Math.floorDiv(params.startMs - sq.rangeMs, step) * step
+          val innerParams = EvalParams(innerStart, params.endMs, step, params.lookbackMs)
+          val innerEval = new PromEval(spark, catalog, innerParams)
+          val iv = innerEval.eval(sq.expr) match {
+            case Right(v) => v
+            case Left(s) => scalarLiteral(spark, innerParams, s)
+          }
+          (Metric(iv.df, "__ts", "__val", iv.labels), sq.rangeMs, sq.offsetMs)
+        case other =>
+          throw new IllegalArgumentException(s"$fn needs a range selector or subquery: $other")
+      }
       if (fn == "absent_over_time") {
-        val present = rangeFn("present_over_time", metricOf(selArg), params, range, selArg.offsetMs)
+        val present = rangeFn("present_over_time", metric, params, range, offset)
         Right(absent(present, params, spark))
       } else
-        Right(rangeFn(fn, metricOf(selArg), params, range, selArg.offsetMs, param))
+        Right(rangeFn(fn, metric, params, range, offset, param))
 
     case Call("absent", Seq(sel: Selector)) =>
       Right(absent(instant(metricOf(sel), params, sel.offsetMs), params, spark))

@@ -18,6 +18,10 @@ object PromParser {
   final case class StringLit(s: String) extends Expr
   final case class Agg(op: String, by: Seq[String], without: Boolean,
       param: Option[Expr], expr: Expr) extends Expr
+  /** `expr[range:step]` — inner expr evaluated at `step` resolution,
+    * then folded as a range vector. step=None uses the outer step. */
+  final case class Subquery(expr: Expr, rangeMs: Long, stepMs: Option[Long],
+      offsetMs: Long = 0L) extends Expr
   /** Vector matching modifier: `on(l1,...)` or `ignoring(l1,...)`,
     * optionally with `group_left(extra...)` / `group_right(extra...)`
     * many-to-one grouping. */
@@ -129,13 +133,49 @@ object PromParser {
 
     private def primary(): Expr = {
       val t = peek.getOrElse(throw new IllegalArgumentException("unexpected end"))
-      if (t == "(") { next(); val e = expr(); expect(")"); e }
-      else if (t.matches("[0-9].*") && !isDuration(t)) { next(); NumberLit(t.toDouble) }
-      else if (t.startsWith("\"") || t.startsWith("'")) {
-        next(); StringLit(t.substring(1, t.length - 1))
+      val base =
+        if (t == "(") { next(); val e = expr(); expect(")"); e }
+        else if (t.matches("[0-9].*") && !isDuration(t)) { next(); NumberLit(t.toDouble) }
+        else if (t.startsWith("\"") || t.startsWith("'")) {
+          next(); StringLit(t.substring(1, t.length - 1))
+        }
+        else if (AggOps.contains(t.toLowerCase)) aggExpr()
+        else identExpr()
+      postfix(base)
+    }
+
+    /** `[range]` / `[range:step]` and `offset d` apply to the finished
+      * primary: plain ranges attach to selectors, colon forms become
+      * subqueries over any expression. */
+    private def postfix(e0: Expr): Expr = {
+      var e = e0
+      if (peek.contains("[")) {
+        next()
+        val range = parseDuration(next())
+        var sawColon = false
+        val step = peek match {
+          case Some(s) if s.startsWith(":") && s.length > 1 =>
+            next(); sawColon = true; Some(parseDuration(s.drop(1)))
+          case Some(":") => next(); sawColon = true; None
+          case _ => None
+        }
+        val isSub = sawColon || !e.isInstanceOf[Selector]
+        expect("]")
+        e = e match {
+          case s: Selector if !isSub => s.copy(rangeMs = Some(range))
+          case other => Subquery(other, range, step)
+        }
       }
-      else if (AggOps.contains(t.toLowerCase)) aggExpr()
-      else identExpr()
+      if (peek.exists(_.equalsIgnoreCase("offset"))) {
+        next()
+        val off = parseDuration(next())
+        e = e match {
+          case s: Selector => s.copy(offsetMs = off)
+          case sq: Subquery => sq.copy(offsetMs = off)
+          case other => other
+        }
+      }
+      e
     }
 
     private def grouping(): (Seq[String], Boolean) = peek match {
@@ -191,17 +231,10 @@ object PromParser {
           expect("}")
           matchers = ms.toSeq
         }
-        var range: Option[Long] = None
-        if (peek.contains("[")) {
-          next(); range = Some(parseDuration(next())); expect("]")
-        }
-        var offset = 0L
-        if (peek.exists(_.equalsIgnoreCase("offset"))) {
-          next(); offset = parseDuration(next())
-        }
+        // range/offset attach in postfix() so subqueries share the path
         val nameMatcher = matchers.find(m => m.label == "__name__")
         val metricName = nameMatcher.map(_.value).getOrElse(name)
-        Selector(metricName, matchers.filterNot(_.label == "__name__"), range, offset)
+        Selector(metricName, matchers.filterNot(_.label == "__name__"), None, 0L)
       }
     }
   }

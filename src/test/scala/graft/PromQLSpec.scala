@@ -254,6 +254,18 @@ class PromQLSpec extends AnyFunSuite {
     assert(out == Set(("a", "east", 10.0), ("b", "west", 40.0)))
   }
 
+  test("subqueries: expr[range:step] folds an inner evaluation") {
+    val rows = Seq((1.0, 1000L, "x"), (5.0, 2000L, "x"))
+    val cat = Map("m" -> Metric(mkDf(rows), "j", "i", Seq("k")))
+    // inner grid 0..3s at 1s: values 1,5,5 inside the (0,3] window
+    assert(eval("max_over_time(m[3s:1s])", 3, 3, 3, cat).head._3 == 5.0)
+    assert(eval("min_over_time(m[3s:1s])", 3, 3, 3, cat).head._3 == 1.0)
+    // subquery over a computed expression, not just a selector
+    assert(eval("max_over_time((m * 2)[3s:1s])", 3, 3, 3, cat).head._3 == 10.0)
+    // plain range selectors still parse through the same postfix path
+    assert(eval("count_over_time(m[3s])", 3, 3, 3, cat).head._3 == 2.0)
+  }
+
   test("sort functions are presentation no-ops") {
     assert(eval("sort(test)").toSet == eval("test").toSet)
   }
