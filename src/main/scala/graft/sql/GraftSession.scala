@@ -65,6 +65,11 @@ final class GraftSession(val spark: SparkSession,
     else if (up.startsWith("CREATE FLOW")) createFlow(stmt)
     else if (up.startsWith("TQL EVAL")) tqlEval(stmt)
     else if (up.startsWith("ADMIN")) admin(stmt)
+    else if (up.startsWith("SELECT") && RangeSql.looksLikeRange(stmt))
+      RangeSql.execute(spark, rewriteAtAt(stmt), name => {
+        val spec = catalog.spec(name)
+        (spark.table(name), spec.timeIndex, spec.tags)
+      })
     else spark.sql(rewriteAtAt(stmt))
   }
 

@@ -104,6 +104,50 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(d == Set("ts", "host", "note"))
   }
 
+  test("RANGE SQL: the reference's calculate.sql shape") {
+    g.sql("""CREATE TABLE rhost (ts TIMESTAMP(3) TIME INDEX, host STRING PRIMARY KEY, val BIGINT)""")
+    g.sql("""INSERT INTO rhost VALUES
+      (TIMESTAMP'1970-01-01 00:00:00', 'host1', 0),
+      (TIMESTAMP'1970-01-01 00:00:05', 'host1', null),
+      (TIMESTAMP'1970-01-01 00:00:10', 'host1', 1),
+      (TIMESTAMP'1970-01-01 00:00:15', 'host1', null),
+      (TIMESTAMP'1970-01-01 00:00:20', 'host1', 2),
+      (TIMESTAMP'1970-01-01 00:00:00', 'host2', 3),
+      (TIMESTAMP'1970-01-01 00:00:05', 'host2', null),
+      (TIMESTAMP'1970-01-01 00:00:10', 'host2', 4),
+      (TIMESTAMP'1970-01-01 00:00:15', 'host2', null),
+      (TIMESTAMP'1970-01-01 00:00:20', 'host2', 5)""")
+    // reference range/calculate.sql: 2 * min(val) RANGE '5s' ALIGN '5s';
+    // without FILL only populated slots appear; null vals stay null
+    val got = g.sql(
+      "SELECT unix_millis(ts) AS t, host, 2 * min(val) RANGE '5s' AS v FROM rhost ALIGN '5s' ORDER BY host, t")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, "host1", 0L), (5000L, "host1", null), (10000L, "host1", 2L),
+      (15000L, "host1", null), (20000L, "host1", 4L),
+      (0L, "host2", 6L), (5000L, "host2", null), (10000L, "host2", 8L),
+      (15000L, "host2", null), (20000L, "host2", 10L)))
+  }
+
+  test("RANGE SQL: FILL variants and scalar nesting") {
+    val prev = g.sql(
+      "SELECT unix_millis(ts) AS t, host, min(val) RANGE '5s' FILL PREV AS v FROM rhost ALIGN '5s' ORDER BY host, t")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(prev.filter(_._2 == "host1").map(_._3).toSeq == Seq(0L, 0L, 1L, 1L, 2L))
+    val const = g.sql(
+      "SELECT unix_millis(ts) AS t, host, min(val) RANGE '5s' FILL 6 AS v FROM rhost ALIGN '5s' ORDER BY host, t")
+      .collect().map(r => r.getDouble(2))
+    assert(const.contains(6.0))
+    // scalar nesting outside the annotation + WHERE + query-level FILL
+    val nested = g.sql(
+      """SELECT unix_millis(ts) AS t, host, floor(min(val) RANGE '5s') + 1 AS v
+         FROM rhost WHERE host = 'host2' ALIGN '5s' FILL PREV ORDER BY t""")
+      .collect().map(r => r.getLong(2))
+    assert(nested.toSeq == Seq(4L, 4L, 5L, 5L, 6L))
+  }
+
   test("admin no-op stub returns a status row") {
     val r = g.sql("ADMIN compact_table('cpu')").collect()
     assert(r(0).getString(0).contains("no-op"))
