@@ -57,7 +57,17 @@ final class PromEval(
     }
     case sel: Selector =>
       require(sel.rangeMs.isEmpty, "range selector needs a range function")
-      Right(instant(metricOf(sel), params, sel.offsetMs))
+      sel.atMs match {
+        case None => Right(instant(metricOf(sel), params, sel.offsetMs))
+        case Some(at) =>
+          // @ pins sample selection to one instant; the value repeats at
+          // every output step (Prometheus @ modifier)
+          val t = atTimeMs(at)
+          val pinned = instant(metricOf(sel), EvalParams(t, t, params.stepMs,
+            params.lookbackMs), sel.offsetMs)
+          Right(InstantVector(
+            pinned.df.drop("__ts").crossJoin(gridDf(spark, params)), pinned.labels))
+      }
 
     case Agg("count_values", by, without, Some(StringLit(dst)), body) =>
       Right(PromQL.countValues(evalToVector(body), dst, by, without))
@@ -89,6 +99,16 @@ final class PromEval(
         case Seq(t) => (None, t)
         case other => throw new IllegalArgumentException(s"$fn args: $other")
       }
+      // a pinned (@) range target evaluates its window once at the fixed
+      // instant, replicated across the grid after the fold
+      val atPin: Option[Long] = target match {
+        case s: Selector => s.atMs.map(atTimeMs)
+        case _ => None
+      }
+      val evalParams = atPin match {
+        case Some(t) => EvalParams(t, t, params.stepMs, params.lookbackMs)
+        case None => params
+      }
       val (metric, range, offset) = target match {
         case s: Selector =>
           (metricOf(s), s.rangeMs.getOrElse(
@@ -110,10 +130,16 @@ final class PromEval(
           throw new IllegalArgumentException(s"$fn needs a range selector or subquery: $other")
       }
       if (fn == "absent_over_time") {
-        val present = rangeFn("present_over_time", metric, params, range, offset)
+        val present = rangeFn("present_over_time", metric, evalParams, range, offset)
         Right(absent(present, params, spark))
-      } else
-        Right(rangeFn(fn, metric, params, range, offset, param))
+      } else {
+        val iv = rangeFn(fn, metric, evalParams, range, offset, param)
+        Right(atPin match {
+          case Some(_) => InstantVector(
+            iv.df.drop("__ts").crossJoin(gridDf(spark, params)), iv.labels)
+          case None => iv
+        })
+      }
 
     case Call("absent", Seq(sel: Selector)) =>
       Right(absent(instant(metricOf(sel), params, sel.offsetMs), params, spark))
@@ -165,6 +191,12 @@ final class PromEval(
       }
 
     case StringLit(s) => throw new IllegalArgumentException(s"unexpected string: $s")
+  }
+
+  private def atTimeMs(a: PromParser.AtTime): Long = a match {
+    case PromParser.AtLiteral(ms) => ms
+    case PromParser.AtStart => params.startMs
+    case PromParser.AtEnd => params.endMs
   }
 
   private def evalToVector(e: Expr): InstantVector = eval(e) match {

@@ -13,7 +13,13 @@ object PromParser {
   final case class NumberLit(v: Double) extends Expr
   final case class Matcher(label: String, op: String, value: String)
   final case class Selector(name: String, matchers: Seq[Matcher],
-      rangeMs: Option[Long], offsetMs: Long) extends Expr
+      rangeMs: Option[Long], offsetMs: Long,
+      atMs: Option[AtTime] = None) extends Expr
+  /** `@` modifier: fixed epoch-ms, or the query's start()/end(). */
+  sealed trait AtTime
+  final case class AtLiteral(ms: Long) extends AtTime
+  case object AtStart extends AtTime
+  case object AtEnd extends AtTime
   final case class Call(fn: String, args: Seq[Expr]) extends Expr
   final case class StringLit(s: String) extends Expr
   final case class Agg(op: String, by: Seq[String], without: Boolean,
@@ -53,7 +59,7 @@ object PromParser {
 
   // ---- lexer -----------------------------------------------------------
   private val TokenRe =
-    ("""\s*(=~|!~|!=|==|>=|<=|[(){}\[\],+\-*/%^><=]|"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*'|""" +
+    ("""\s*(=~|!~|!=|==|>=|<=|[(){}\[\],+\-*/%^><=@]|"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*'|""" +
       """[0-9]+(?:\.[0-9]+)?(?:ms|s|m|h|d|w|y)[0-9a-z]*|[0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?|""" +
       """[A-Za-z_:][A-Za-z0-9_:]*)""").r
 
@@ -166,14 +172,31 @@ object PromParser {
           case other => Subquery(other, range, step)
         }
       }
-      if (peek.exists(_.equalsIgnoreCase("offset"))) {
-        next()
-        val off = parseDuration(next())
-        e = e match {
-          case s: Selector => s.copy(offsetMs = off)
-          case sq: Subquery => sq.copy(offsetMs = off)
-          case other => other
-        }
+      // offset and @ may appear in either order
+      var more = true
+      while (more) {
+        if (peek.exists(_.equalsIgnoreCase("offset"))) {
+          next()
+          val off = parseDuration(next())
+          e = e match {
+            case s: Selector => s.copy(offsetMs = off)
+            case sq: Subquery => sq.copy(offsetMs = off)
+            case other => other
+          }
+        } else if (peek.contains("@")) {
+          next()
+          val at = peek match {
+            case Some("start") => next(); expect("("); expect(")"); AtStart
+            case Some("end") => next(); expect("("); expect(")"); AtEnd
+            case Some(n) => next(); AtLiteral((n.toDouble * 1000).toLong)
+            case None => throw new IllegalArgumentException("@ needs a time")
+          }
+          e = e match {
+            case s: Selector => s.copy(atMs = Some(at))
+            case other =>
+              throw new IllegalArgumentException("@ applies to selectors")
+          }
+        } else more = false
       }
       e
     }

@@ -266,6 +266,20 @@ class PromQLSpec extends AnyFunSuite {
     assert(eval("count_over_time(m[3s])", 3, 3, 3, cat).head._3 == 2.0)
   }
 
+  test("@ modifier pins evaluation time across the grid") {
+    val rows = Seq((1.0, 1000L, "x"), (5.0, 6000L, "x"))
+    val cat = Map("m" -> Metric(mkDf(rows), "j", "i", Seq("k")))
+    // @ 1 (epoch seconds): the 1s sample's value shows at every step
+    val got = eval("m @ 1", 0, 10, 5, cat).map { case (ts, _, v) => (ts, v) }
+    assert(got == Seq((0L, 1.0), (5000L, 1.0), (10000L, 1.0)))
+    // @ end(): latest sample everywhere
+    val end = eval("m @ end()", 0, 10, 5, cat).map(_._3).distinct
+    assert(end == Seq(5.0))
+    // range fn with @: the window is folded once at the pinned instant
+    val c = eval("count_over_time(m[10s] @ 10)", 0, 10, 5, cat).map(_._3).distinct
+    assert(c == Seq(2.0))
+  }
+
   test("sort functions are presentation no-ops") {
     assert(eval("sort(test)").toSet == eval("test").toSet)
   }
