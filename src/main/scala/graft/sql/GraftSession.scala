@@ -64,7 +64,19 @@ final class GraftSession(val spark: SparkSession,
     else if (up.startsWith("INSERT INTO")) insert(stmt)
     else if (up.startsWith("CREATE FLOW")) createFlow(stmt)
     else if (up.startsWith("TQL EVAL")) tqlEval(stmt)
+    else if (up.startsWith("TQL EXPLAIN") || up.startsWith("TQL ANALYZE")) {
+      import spark.implicits._
+      val plan = tqlEval("TQL EVAL" + stmt.substring("TQL EXPLAIN".length))
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      plan.split("\n").toSeq.toDF("plan")
+    }
     else if (up.startsWith("ADMIN")) admin(stmt)
+    else if (up.contains("INFORMATION_SCHEMA.")) {
+      refreshInfoSchema()
+      spark.sql(rewriteAtAt(stmt)
+        .replaceAll("(?i)information_schema\\.tables", "__info_tables")
+        .replaceAll("(?i)information_schema\\.columns", "__info_columns"))
+    }
     else if (up.startsWith("SELECT") && RangeSql.looksLikeRange(stmt))
       RangeSql.execute(spark, rewriteAtAt(stmt), name => {
         val spec = catalog.spec(name)
@@ -296,6 +308,23 @@ final class GraftSession(val spark: SparkSession,
     status(s"table $name dropped")
   }
 
+  /** information_schema.tables / .columns (reference information_schema
+    * provider) materialized as temp views on demand. */
+  private def refreshInfoSchema(): Unit = {
+    import spark.implicits._
+    catalog.tables.map { t =>
+      val spec = catalog.spec(t)
+      (t, "BASE TABLE", spec.mergeMode.toString.toLowerCase(Locale.ROOT),
+        spec.timeIndex, spec.tags.mkString(","))
+    }.toDF("table_name", "table_type", "merge_mode", "time_index", "primary_keys")
+      .createOrReplaceTempView("__info_tables")
+    catalog.tables.flatMap { t =>
+      describeTable(t).collect().map(r =>
+        (t, r.getString(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+    }.toDF("table_name", "column_name", "data_type", "is_nullable", "semantic_type")
+      .createOrReplaceTempView("__info_columns")
+  }
+
   private def showTables(): DataFrame = {
     import spark.implicits._
     catalog.tables.toDF("table_name")
@@ -318,7 +347,7 @@ final class GraftSession(val spark: SparkSession,
   // ---- INSERT ---------------------------------------------------------
 
   private val InsertRx =
-    "(?is)INSERT\\s+INTO\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(\\([^)]*\\))?\\s*(VALUES.*|SELECT.*)".r
+    "(?is)INSERT\\s+INTO\\s+(?:TABLE\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*(\\([^)]*\\))?\\s*(VALUES.*|SELECT.*)".r
 
   private def insert(stmt: String): DataFrame = stmt match {
     case InsertRx(name, colsOpt, body) =>

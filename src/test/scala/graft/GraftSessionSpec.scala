@@ -148,6 +148,29 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(nested.toSeq == Seq(4L, 4L, 5L, 5L, 6L))
   }
 
+  test("information_schema tables and columns") {
+    val tables = g.sql(
+      "SELECT table_name, time_index FROM information_schema.tables ORDER BY table_name")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tables.contains("host_cpu") && tables("host_cpu") == "ts")
+    val cols = g.sql(
+      """SELECT column_name, semantic_type FROM information_schema.columns
+         WHERE table_name = 'host_cpu' ORDER BY column_name""")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cols == Map("ts" -> "TIMESTAMP", "host" -> "TAG", "val" -> "FIELD"))
+  }
+
+  test("TQL EXPLAIN returns a physical plan") {
+    val plan = g.sql("TQL EXPLAIN (0, 20, '5s') metric1")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Physical Plan"))
+  }
+
+  test("INSERT INTO TABLE syntax (reference dialect)") {
+    g.sql("INSERT INTO TABLE logs VALUES (TIMESTAMP'2024-01-01 00:00:01', 'via-table-kw')")
+    assert(g.sql("SELECT * FROM logs WHERE msg = 'via-table-kw'").count() == 1)
+  }
+
   test("admin no-op stub returns a status row") {
     val r = g.sql("ADMIN compact_table('cpu')").collect()
     assert(r(0).getString(0).contains("no-op"))
