@@ -23,6 +23,7 @@ final class Catalog(spark: SparkSession) {
   private val specs = scala.collection.concurrent.TrieMap.empty[String, TableSpec]
 
   def register(spec: TableSpec): Unit = specs.put(spec.name, spec)
+  def deregister(name: String): Option[TableSpec] = specs.remove(name)
   def spec(name: String): TableSpec = specs(name)
   def tables: Seq[String] = specs.keys.toSeq.sorted
 

@@ -205,6 +205,14 @@ final class GraftSession(val spark: SparkSession,
           if (restUp.contains("PRIMARY KEY")) tags :+= colName
           val typeTok = rest.split("\\s+")(0)
           val nullable = !restUp.contains("NOT NULL")
+          val precRx = "(?i)TIMESTAMP\\((\\d)\\)".r
+          precRx.findFirstMatchIn(typeTok).foreach { pm =>
+            val us = pm.group(1).toInt match {
+              case 0 => 1000000L; case 3 => 1000L; case 6 => 1L; case _ => -1L
+            }
+            if (timeIndex.contains(colName) || restUp.contains("TIME INDEX"))
+              tsLiteralUs.put(name, us)
+          }
           fields += StructField(colName, sparkType(typeTok), nullable)
         }
       }
@@ -277,6 +285,10 @@ final class GraftSession(val spark: SparkSession,
   private val droppedCols =
     scala.collection.concurrent.TrieMap.empty[String, Set[String]]
 
+  /** table -> µs-per-unit for numeric literals into its TIME INDEX
+    * (TIMESTAMP(0)=s, (3)=ms, (6)=µs, (9)=ns — reference precision). */
+  private val tsLiteralUs = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private val AlterRx =
     "(?is)ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(ADD|DROP)\\s+COLUMN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(\\S+)?.*".r
 
@@ -305,6 +317,15 @@ final class GraftSession(val spark: SparkSession,
   private def dropTable(stmt: String): DataFrame = {
     val name = stmt.split("\\s+").last
     spark.catalog.dropTempView(name)
+    // a subsequent CREATE TABLE of the same name must start empty
+    catalog.deregister(name).foreach { spec =>
+      if (spec.path.startsWith(warehouse)) {
+        val p = new org.apache.hadoop.fs.Path(spec.path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
+    droppedCols.remove(name)
     status(s"table $name dropped")
   }
 
@@ -361,12 +382,39 @@ final class GraftSession(val spark: SparkSession,
       // align to full target schema: missing columns become nulls, the
       // sequence column is stamped per statement (write order for the
       // last_row / last_non_null merge views)
+      // duplicate keys WITHIN one statement: the later row wins (write
+      // order), mirroring the reference's ingest; dedup here because the
+      // statement-level seq can't order rows inside the statement
+      if (spec.mergeMode == MergeMode.LastRow) {
+        val pkCols = spec.primaryKey.filter(cols.contains)
+        if (pkCols.nonEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(pkCols.map(col): _*).orderBy(col("__ord").desc)
+          df = df.withColumn("__ord", monotonically_increasing_id())
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__ord", "__rn")
+        }
+      }
       val seq = seqCounter.incrementAndGet()
+      val numericTypes: Set[DataType] =
+        Set(ByteType, ShortType, IntegerType, LongType)
       val aligned = target.map { f =>
         if (f.name == SeqCol && !cols.contains(SeqCol))
           lit(seq).cast(f.dataType).as(f.name)
-        else if (cols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        else if (cols.contains(f.name)) {
+          val srcType = df.schema(f.name).dataType
+          val isTs = f.dataType == TimestampType || f.dataType == TimestampNTZType
+          // integer into TIME INDEX = epoch milliseconds (the reference's
+          // TIMESTAMP(3) literal convention), not Spark's epoch seconds
+          if (isTs && numericTypes.contains(srcType)) {
+            val us = tsLiteralUs.getOrElse(name, 1000L)
+            val micros =
+              if (us > 0) col(f.name).cast(LongType) * lit(us)
+              else expr(s"CAST(`${f.name}` AS BIGINT) div 1000")
+            timestamp_micros(micros).cast(f.dataType).as(f.name)
+          }
+          else col(f.name).cast(f.dataType).as(f.name)
+        } else lit(null).cast(f.dataType).as(f.name)
       }
       val n = df.count()
       df.select(aligned: _*).write.mode("append").parquet(spec.path)

@@ -40,7 +40,22 @@ object RangeSql {
     case "NULL" => Fill.Null
     case "PREV" => Fill.Prev
     case "LINEAR" => Fill.Linear
+    // integral consts stay integral so the filled column keeps its type
+    case n if n.matches("-?\\d+") => Fill.Const(n.toLong)
     case n => Fill.Const(BigDecimal(n).toDouble)
+  }
+
+  private def splitTopComma(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]; var depth = 0; val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    val last = cur.result().trim
+    if (last.nonEmpty) out += last
+    out.result()
   }
 
   /** Walk left from the RANGE keyword to the start of the annotated
@@ -81,7 +96,7 @@ object RangeSql {
         "(?:\\s+TO\\s+('[^']*'|\\S+))?" +
         "(?:\\s+BY\\s+\\(([^)]*)\\))?" +
         "(?:\\s+FILL\\s+(\\w+))?" +
-        "(\\s+ORDER\\s+BY\\s+.*|\\s+LIMIT\\s+.*)?$").r
+        "(\\s*ORDER\\s+BY\\s+.*|\\s*LIMIT\\s+.*)?$").r
 
     val m = tailRx.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse RANGE query: $stmt"))
@@ -104,7 +119,11 @@ object RangeSql {
       val g = mm.get
       val start = operandStart(outer, g.start)
       val alias = s"__r$idx"
-      annots += Annotated(outer.substring(start, g.start).trim,
+      val text = outer.substring(start, g.start).trim
+      // `distinct *` would silently count internal grid columns
+      require(!text.toLowerCase(Locale.ROOT).contains("distinct *"),
+        s"RANGE does not support DISTINCT *: $text")
+      annots += Annotated(text,
         PromParser.parseDuration(g.group(1)),
         Option(g.group(2)).map(parseFill), alias)
       outer = outer.substring(0, start) + alias + outer.substring(g.end)
@@ -122,8 +141,21 @@ object RangeSql {
     else df0
     whereOpt.foreach(w => base = base.filter(expr(w)))
 
-    val by = byOpt.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(tags)
+    // BY items may be expressions (`BY (length(host))`, `BY (2)`); each
+    // non-identifier item becomes a computed key column, and the outer
+    // select text references it by the generated name
+    val byItems = byOpt.map(splitTopComma).getOrElse(tags)
+    val by = byItems.zipWithIndex.map { case (item, i) =>
+      if (item.matches("[A-Za-z_][A-Za-z0-9_]*")) item
+      else {
+        val alias = s"__by$i"
+        base = base.withColumn(alias, expr(item))
+        outer = outer.replaceAll(
+          "(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(item) + "(?![A-Za-z0-9_])",
+          alias)
+        alias
+      }
+    }
     val alignTo = toOpt.map { t =>
       val v = t.stripPrefix("'").stripSuffix("'")
       if (v.matches("-?\\d+")) v.toLong

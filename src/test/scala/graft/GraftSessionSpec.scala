@@ -136,10 +136,11 @@ class GraftSessionSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) null else r.getLong(2)))
     assert(prev.filter(_._2 == "host1").map(_._3).toSeq == Seq(0L, 0L, 1L, 1L, 2L))
+    // integral FILL consts keep the column type (reference Int64 semantics)
     val const = g.sql(
       "SELECT unix_millis(ts) AS t, host, min(val) RANGE '5s' FILL 6 AS v FROM rhost ALIGN '5s' ORDER BY host, t")
-      .collect().map(r => r.getDouble(2))
-    assert(const.contains(6.0))
+      .collect().map(r => r.getLong(2))
+    assert(const.contains(6L))
     // scalar nesting outside the annotation + WHERE + query-level FILL
     val nested = g.sql(
       """SELECT unix_millis(ts) AS t, host, floor(min(val) RANGE '5s') + 1 AS v
