@@ -18,39 +18,45 @@ import scala.reflect.runtime.universe.TypeTag
 object VectorAggs {
 
   private type Vec = Seq[Float]
-  private case class Buf(var acc: Array[Double], var n: Long)
 
   private def enc[T: TypeTag]: Encoder[T] = ExpressionEncoder[T]()
+
+  // Buffer is a plain tuple (acc, n): a private case class here would
+  // break codegen'd SafeProjection (private ctor unreachable from the
+  // generated class) and silently drop to interpreted projection.
+  private type Buf = (Array[Double], Long)
 
   private def elementwise(op: (Double, Double) => Double,
       avg: Boolean): Aggregator[Vec, Buf, Vec] =
     new Aggregator[Vec, Buf, Vec] {
-      def zero: Buf = Buf(Array.empty, 0L)
+      def zero: Buf = (Array.empty, 0L)
       def reduce(b: Buf, a: Vec): Buf = {
         if (a == null) b
-        else if (b.acc.isEmpty) Buf(a.iterator.map(_.toDouble).toArray, 1L)
+        else if (b._1.isEmpty) (a.iterator.map(_.toDouble).toArray, 1L)
         else {
+          val acc = b._1
           var i = 0
-          while (i < b.acc.length && i < a.length) {
-            b.acc(i) = op(b.acc(i), a(i)); i += 1
+          while (i < acc.length && i < a.length) {
+            acc(i) = op(acc(i), a(i)); i += 1
           }
-          b.n += 1; b
+          (acc, b._2 + 1)
         }
       }
       def merge(x: Buf, y: Buf): Buf =
-        if (x.acc.isEmpty) y
-        else if (y.acc.isEmpty) x
+        if (x._1.isEmpty) y
+        else if (y._1.isEmpty) x
         else {
+          val acc = x._1
           var i = 0
-          while (i < x.acc.length && i < y.acc.length) {
-            x.acc(i) = op(x.acc(i), y.acc(i)); i += 1
+          while (i < acc.length && i < y._1.length) {
+            acc(i) = op(acc(i), y._1(i)); i += 1
           }
-          x.n += y.n; x
+          (acc, x._2 + y._2)
         }
       def finish(r: Buf): Vec =
-        if (r.acc.isEmpty) null
-        else if (avg) r.acc.map(v => (v / r.n).toFloat).toSeq
-        else r.acc.map(_.toFloat).toSeq
+        if (r._1.isEmpty) null
+        else if (avg) r._1.map(v => (v / r._2).toFloat).toSeq
+        else r._1.map(_.toFloat).toSeq
       def bufferEncoder: Encoder[Buf] = enc[Buf]
       def outputEncoder: Encoder[Vec] = enc[Vec]
     }
