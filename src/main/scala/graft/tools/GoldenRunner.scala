@@ -1,0 +1,168 @@
+package graft.tools
+
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.SparkSession
+
+import scala.util.{Failure, Success, Try}
+
+import graft.sql.GraftSession
+
+/** Golden-corpus runner: executes the reference's own sqlness test files
+  * (reference `tests/README.md:1-15` — `.sql` input + `.result` expected
+  * output) through GraftSession and compares result CELLS against the
+  * `.result` goldens. Headers are the reference's internal naming —
+  * values are the contract. Statements in unsupported dialect (`::`
+  * casts, DataFusion-only functions, `arrow_typeof`, ...) count as
+  * skipped; any executed comparison must match exactly.
+  *
+  * Shared by GoldenCorpusSpec (pinned assertions) and GoldenSweep (the
+  * discovery tool that reports per-file pass/skip counts).
+  */
+object GoldenRunner {
+
+  sealed trait Expected
+  case object NonQuery extends Expected
+  case object ErrorExpected extends Expected
+  final case class Table(rows: Seq[Seq[String]]) extends Expected
+
+  final case class Entry(sql: String, expected: Expected)
+
+  final case class Outcome(compared: Int, skipped: Int, problems: Seq[String])
+
+  def parseResult(path: String): Seq[Entry] = {
+    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    val entries = Vector.newBuilder[Entry]
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i).trim
+      if (line.isEmpty || line.startsWith("--")) { i += 1 }
+      else {
+        val stmt = new StringBuilder
+        var done = false
+        while (i < lines.length && !done) {
+          val l = lines(i).trim
+          if (!l.startsWith("--")) {
+            stmt.append(' ').append(lines(i))
+            if (l.endsWith(";")) done = true
+          }
+          i += 1
+        }
+        while (i < lines.length && lines(i).trim.isEmpty) i += 1
+        val expected: Expected =
+          if (i >= lines.length) NonQuery
+          else if (lines(i).startsWith("Affected Rows:")) { i += 1; NonQuery }
+          else if (lines(i).startsWith("Error:")) {
+            while (i < lines.length && lines(i).trim.nonEmpty) i += 1
+            ErrorExpected
+          } else if (lines(i).startsWith("+")) {
+            val rows = Vector.newBuilder[Seq[String]]
+            var header = true
+            while (i < lines.length && lines(i).trim.nonEmpty) {
+              val l = lines(i)
+              if (l.startsWith("|")) {
+                if (header) header = false
+                else rows += l.split("\\|", -1).drop(1).dropRight(1).map(_.trim).toSeq
+              }
+              i += 1
+            }
+            Table(rows.result())
+          } else NonQuery
+        entries += Entry(stmt.result().trim.stripSuffix(";"), expected)
+      }
+    }
+    entries.result()
+  }
+
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+  private val TsFmtMs = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
+
+  def cell(v: Any): String = v match {
+    case null => ""
+    case t: java.sql.Timestamp =>
+      val ldt = t.toLocalDateTime
+      if (ldt.getNano == 0) ldt.format(TsFmt) else ldt.format(TsFmtMs)
+    case t: java.time.LocalDateTime =>
+      if (t.getNano == 0) t.format(TsFmt) else t.format(TsFmtMs)
+    case d: java.sql.Date => d.toString
+    case d: java.time.LocalDate => d.toString
+    case d: java.lang.Double => d.toString
+    case f: java.lang.Float => f.toString
+    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case true => "true"
+    case false => "false"
+    case other => other.toString
+  }
+
+  /** Numeric cells compare by value: Spark types some results integer
+    * where DataFusion uses float ("0" vs "0.0"). */
+  def canon(x: String): String =
+    try BigDecimal(x).bigDecimal.stripTrailingZeros.toPlainString
+    catch { case _: NumberFormatException => x }
+
+  def run(spark: SparkSession, resultFile: String): Outcome = {
+    val g = new GraftSession(spark)
+    var compared = 0
+    var skipped = 0
+    val problems = Seq.newBuilder[String]
+    parseResult(resultFile).foreach { e =>
+      Try(g.sql(e.sql)) match {
+        case Failure(ex) =>
+          e.expected match {
+            case _: Table => skipped += 1
+            case ErrorExpected => // reference also errors — fine
+            case NonQuery =>
+              problems += s"setup failed: ${e.sql.take(80)} -> ${String.valueOf(ex.getMessage).take(120)}"
+          }
+        case Success(df) =>
+          e.expected match {
+            case Table(want) =>
+              val ordered = e.sql.toUpperCase.contains("ORDER BY")
+              Try(df.collect().map(_.toSeq.map(v => canon(cell(v)))).toSeq) match {
+                case Failure(_) => skipped += 1
+                case Success(got) =>
+                  val wantC = want.map(_.map(canon))
+                  val (a, b) =
+                    if (ordered) (got, wantC)
+                    else (got.map(_.mkString("")).sorted,
+                      wantC.map(_.mkString("")).sorted)
+                  if (a == b) compared += 1
+                  else problems += s"MISMATCH: ${e.sql.take(100)}\n  got:  ${a.take(4)}\n  want: ${b.take(4)}"
+              }
+            case _ => // DDL/DML success
+          }
+      }
+    }
+    Outcome(compared, skipped, problems.result())
+  }
+}
+
+/** Sweep the whole sqlness corpus and report per-file outcomes — dev
+  * tool for deciding which files to pin in GoldenCorpusSpec. */
+object GoldenSweep {
+  def main(args: Array[String]): Unit = {
+    val root = if (args.nonEmpty) args(0)
+      else "/root/reference/tests/cases/standalone/common"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).sortBy(_.getName)
+    for (d <- dirs; f <- d.listFiles().filter(_.getName.endsWith(".result")).sortBy(_.getName)) {
+      val rel = s"${d.getName}/${f.getName.stripSuffix(".result")}"
+      val out = Try(GoldenRunner.run(spark, f.getPath)) match {
+        case Success(o) => o
+        case Failure(ex) => GoldenRunner.Outcome(0, 0, Seq(s"RUNNER CRASH: ${ex.getMessage}"))
+      }
+      val flag = if (out.problems.isEmpty) "OK  " else "FAIL"
+      println(f"[$flag] $rel%-40s compared=${out.compared}%-4d skipped=${out.skipped}%-4d problems=${out.problems.size}")
+      sys.env.get("GOLDEN_VERBOSE").foreach { _ =>
+        out.problems.take(3).foreach(p => println("    " + p.replace("\n", "\n    ")))
+      }
+    }
+    spark.stop()
+  }
+}
