@@ -38,6 +38,11 @@ final class GraftSession(val spark: SparkSession,
 
   val catalog = new Catalog(spark)
   graft.functions.Registry.registerAll(spark)
+  // `numbers` test table (table/src/table/numbers.rs:39-62): one UInt32
+  // column `number`, default 100 rows; LIMIT n drives the generator
+  // (numbers.rs:119 `request.limit.unwrap_or(100)`) — see dialect().
+  spark.range(0, 100).selectExpr("CAST(id AS INT) AS number")
+    .createOrReplaceTempView("numbers")
 
   private val flows = scala.collection.concurrent.TrieMap.empty[String, (FlowDef, String)]
   // per-statement write order; strictly monotone within the session
@@ -73,7 +78,7 @@ final class GraftSession(val spark: SparkSession,
     else if (up.startsWith("ADMIN")) admin(stmt)
     else if (up.contains("INFORMATION_SCHEMA.")) {
       refreshInfoSchema()
-      spark.sql(rewriteAtAt(stmt)
+      spark.sql(dialect(stmt)
         .replaceAll("(?i)information_schema\\.tables", "__info_tables")
         .replaceAll("(?i)information_schema\\.columns", "__info_columns"))
     }
@@ -82,7 +87,7 @@ final class GraftSession(val spark: SparkSession,
         val spec = catalog.spec(name)
         (spark.table(name), spec.timeIndex, spec.tags)
       })
-    else spark.sql(rewriteAtAt(stmt))
+    else spark.sql(dialect(stmt))
   }
 
   /** Register an existing Parquet table (e.g. external testdata). */
@@ -104,6 +109,44 @@ final class GraftSession(val spark: SparkSession,
       "([A-Za-z_][A-Za-z0-9_.]*)\\s*@@\\s*('(?:[^'\\\\]|\\\\.)*')",
       "matches_term($1, $2)")
 
+  // ---- dialect shims (DataFusion/Postgres syntax the corpus uses) -----
+
+  private val CastRx =
+    ("(?i)('[^']*'|[A-Za-z_][A-Za-z0-9_.]*\\([^()]*\\)|[A-Za-z_][A-Za-z0-9_.]*|[0-9][0-9.]*)" +
+      "\\s*::\\s*([A-Za-z_][A-Za-z0-9_]*(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)").r
+
+  private def castType(t: String): String = {
+    val u = t.trim.toUpperCase(Locale.ROOT)
+    u.takeWhile(_ != '(') match {
+      case "VARCHAR" | "TEXT" | "CHAR" => "STRING"
+      case "INT4" => "INT"
+      case "INT8" | "INT64" => "BIGINT"
+      case "INT2" | "INT16" => "SMALLINT"
+      case "INT32" => "INT"
+      case "FLOAT8" | "FLOAT64" => "DOUBLE"
+      case "FLOAT4" | "FLOAT32" | "REAL" => "FLOAT"
+      case "BOOL" => "BOOLEAN"
+      case "UINT8" | "UINT16" => "INT"
+      case "UINT32" | "UINT64" => "BIGINT"
+      case _ => u
+    }
+  }
+
+  /** Rewrites for passthrough SQL: `@@` sugar, `expr::type` casts, and
+    * the `numbers` generator where LIMIT sets the row count. */
+  private[graft] def dialect(s: String): String = {
+    var r = rewriteAtAt(s)
+    var prev: String = null
+    while (prev != r) {
+      prev = r
+      r = CastRx.replaceAllIn(r, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          s"CAST(${m.group(1)} AS ${castType(m.group(2))})"))
+    }
+    r.replaceAll("(?i)FROM\\s+numbers\\s+LIMIT\\s+(\\d+)",
+      "FROM (SELECT CAST(id AS INT) AS number FROM range(0, $1))")
+  }
+
   // ---- CREATE TABLE ---------------------------------------------------
 
   /** Internal ingestion-sequence column: stamped on INSERT, used by the
@@ -111,7 +154,95 @@ final class GraftSession(val spark: SparkSession,
   private val SeqCol = "__seq"
 
   private val CreateTableHeadRx =
-    "(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
+    "(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
+
+  /** Declared column metadata, in declared order — drives DESC TABLE,
+    * INSERT defaults and FIRST/AFTER column placement. */
+  private case class ColMeta(name: String, gtype: String, nullable: Boolean,
+      default: Option[String])
+  private val colMeta =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[ColMeta]]
+  /** ADD COLUMN ... DEFAULT backfills: (column, default expr, seq at
+    * ALTER time) — rows written before the ALTER read the default. */
+  private val backfills =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[(String, String, Long)]]
+  /** MODIFY COLUMN type changes, applied as casts in the read view. */
+  private val colCasts =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, DataType]]
+
+  /** Reference type-name canonicalization (datatypes/src/data_type.rs
+    * `ConcreteDataType` display names) from the declared SQL token. */
+  private def greptimeTypeName(tok: String): String = {
+    val u = tok.trim.toUpperCase(Locale.ROOT)
+    val base = u.takeWhile(_ != '(')
+    val args = if (u.contains('(')) u.dropWhile(_ != '(').stripPrefix("(").stripSuffix(")").trim else ""
+    base match {
+      case "TINYINT" | "INT8" => "Int8"
+      case "SMALLINT" | "INT16" => "Int16"
+      case "INT" | "INTEGER" | "INT32" => "Int32"
+      case "BIGINT" | "INT64" => "Int64"
+      case "UINT8" => "UInt8"
+      case "UINT16" => "UInt16"
+      case "UINT32" => "UInt32"
+      case "UINT64" => "UInt64"
+      case "FLOAT" | "FLOAT32" | "REAL" => "Float32"
+      case "DOUBLE" | "FLOAT64" => "Float64"
+      case "STRING" | "TEXT" | "VARCHAR" | "CHAR" => "String"
+      case "BOOLEAN" | "BOOL" => "Boolean"
+      case "BINARY" | "BLOB" | "VARBINARY" => "Binary"
+      case "DATE" => "Date"
+      case "DATETIME" => "TimestampMicrosecond"
+      case "TIMESTAMP" => args match {
+        case "0" => "TimestampSecond"
+        case "6" => "TimestampMicrosecond"
+        case "9" => "TimestampNanosecond"
+        case _ => "TimestampMillisecond"
+      }
+      case "TIMESTAMPSECOND" => "TimestampSecond"
+      case "TIMESTAMPMILLISECOND" => "TimestampMillisecond"
+      case "TIMESTAMPMICROSECOND" => "TimestampMicrosecond"
+      case "TIMESTAMPNANOSECOND" => "TimestampNanosecond"
+      case "DECIMAL" | "NUMERIC" =>
+        if (args.isEmpty) "Decimal(38, 10)"
+        else {
+          val p = args.split(",").map(_.trim)
+          s"Decimal(${p(0)}, ${if (p.length > 1) p(1) else "0"})"
+        }
+      case "JSON" => "Json"
+      case "VECTOR" => s"Vector($args)"
+      case "INTERVAL" => "IntervalMonthDayNano"
+      case other => other.toLowerCase(Locale.ROOT).capitalize
+    }
+  }
+
+  private def unquote(ident: String): String =
+    ident.trim.stripPrefix("`").stripSuffix("`")
+      .stripPrefix("\"").stripSuffix("\"")
+
+  /** One column definition: name TYPE [NULL|NOT NULL] [DEFAULT expr]
+    * [TIME INDEX] [PRIMARY KEY] [inverted/fulltext/skipping index
+    * specs — performance hints, accepted and ignored] [COMMENT '...'].
+    * (sql/src/statements/create.rs column grammar.) */
+  private case class ColDef(name: String, typeTok: String, nullable: Boolean,
+      default: Option[String], isTimeIndex: Boolean, isPrimaryKey: Boolean)
+
+  private val DefaultRx =
+    "(?is)\\bDEFAULT\\s+('[^']*'|[A-Za-z_][A-Za-z0-9_]*\\s*\\([^)]*\\)|-?[A-Za-z0-9_.+-]+)".r
+
+  private def parseColumnDef(item0: String): ColDef = {
+    val item = item0.trim
+    val nameTok = item.takeWhile(!_.isWhitespace)
+    val rest = item.drop(nameTok.length).trim
+    val restUp = rest.toUpperCase(Locale.ROOT)
+    val typeTok = rest.takeWhile(!_.isWhitespace)
+    ColDef(
+      unquote(nameTok),
+      typeTok,
+      nullable = !restUp.contains("NOT NULL"),
+      default = DefaultRx.findFirstMatchIn(rest).map(_.group(1)),
+      isTimeIndex = restUp.contains("TIME INDEX"),
+      isPrimaryKey = restUp.contains("PRIMARY KEY"))
+  }
 
   private def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -150,7 +281,9 @@ final class GraftSession(val spark: SparkSession,
           val parts = args.split(",").map(_.trim.toInt)
           DecimalType(parts(0), if (parts.length > 1) parts(1) else 0)
         }
-      case "TIMESTAMP" | "DATETIME" => TimestampType // precision folded to µs
+      case "TIMESTAMP" | "DATETIME" | "TIMESTAMPSECOND" | "TIMESTAMPMILLISECOND" |
+        "TIMESTAMPMICROSECOND" | "TIMESTAMPNANOSECOND" =>
+        TimestampType // precision folded to µs
       case "DATE" => DateType
       case "TIME" | "DURATION" => LongType
       case "INTERVAL" => DayTimeIntervalType()
@@ -164,7 +297,12 @@ final class GraftSession(val spark: SparkSession,
   private def createTable(stmt: String): DataFrame = {
     val head = CreateTableHeadRx.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse: $stmt"))
-    val name = head.group(1)
+    val name = unquote(head.group(1))
+    if (catalog.tables.contains(name)) {
+      if ("(?is)CREATE\\s+TABLE\\s+IF\\s+NOT\\s+EXISTS.*".r.matches(stmt))
+        return status(s"table $name exists")
+      throw new IllegalArgumentException(s"table $name already exists")
+    }
     // balanced-paren scan: regex greediness would swallow the WITH clause
     val open = head.end - 1
     var depth = 0; var i = open; var close = -1
@@ -189,33 +327,32 @@ final class GraftSession(val spark: SparkSession,
       var tags = Vector.empty[String]
       val fields = Vector.newBuilder[StructField]
 
+      val metas = Vector.newBuilder[ColMeta]
       splitTop(colsPart).foreach { item =>
         val u = item.toUpperCase(Locale.ROOT)
         if (u.startsWith("PRIMARY KEY")) {
           tags ++= item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))
-            .split(",").map(_.trim).filter(_.nonEmpty)
+            .split(",").map(c => unquote(c)).filter(_.nonEmpty)
         } else if (u.startsWith("TIME INDEX")) {
-          timeIndex = Some(item.substring(item.indexOf('(') + 1, item.lastIndexOf(')')).trim)
+          timeIndex = Some(unquote(
+            item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))))
         } else {
-          val toks = item.split("\\s+", 2)
-          val colName = toks(0)
-          var rest = toks(1)
-          val restUp = rest.toUpperCase(Locale.ROOT)
-          if (restUp.contains("TIME INDEX")) timeIndex = Some(colName)
-          if (restUp.contains("PRIMARY KEY")) tags :+= colName
-          val typeTok = rest.split("\\s+")(0)
-          val nullable = !restUp.contains("NOT NULL")
-          val precRx = "(?i)TIMESTAMP\\((\\d)\\)".r
-          precRx.findFirstMatchIn(typeTok).foreach { pm =>
-            val us = pm.group(1).toInt match {
-              case 0 => 1000000L; case 3 => 1000L; case 6 => 1L; case _ => -1L
-            }
-            if (timeIndex.contains(colName) || restUp.contains("TIME INDEX"))
-              tsLiteralUs.put(name, us)
-          }
-          fields += StructField(colName, sparkType(typeTok), nullable)
+          val cd = parseColumnDef(item)
+          if (cd.isTimeIndex) timeIndex = Some(cd.name)
+          if (cd.isPrimaryKey) tags :+= cd.name
+          val gtype = greptimeTypeName(cd.typeTok)
+          if (cd.isTimeIndex || timeIndex.contains(cd.name))
+            tsLiteralUs.put(name, gtype match {
+              case "TimestampSecond" => 1000000L
+              case "TimestampMicrosecond" => 1L
+              case "TimestampNanosecond" => -1L
+              case _ => 1000L
+            })
+          metas += ColMeta(cd.name, gtype, cd.nullable, cd.default)
+          fields += StructField(cd.name, sparkType(cd.typeTok), cd.nullable)
         }
       }
+      colMeta.put(name, metas.result())
 
       val opts: Map[String, String] = Option(withPart).map { w =>
         splitTop(w).flatMap { kv =>
@@ -274,7 +411,7 @@ final class GraftSession(val spark: SparkSession,
 
   private def createView(stmt: String): DataFrame = stmt match {
     case CreateViewRx(name, query) =>
-      spark.sql(rewriteAtAt(query)).createOrReplaceTempView(name)
+      spark.sql(dialect(query)).createOrReplaceTempView(name)
       status(s"view $name created")
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
   }
@@ -374,7 +511,7 @@ final class GraftSession(val spark: SparkSession,
     case InsertRx(name, colsOpt, body) =>
       val spec = catalog.spec(name)
       val target = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
-      var df = spark.sql(rewriteAtAt(body))
+      var df = spark.sql(dialect(body))
       val cols = Option(colsOpt)
         .map(_.stripPrefix("(").stripSuffix(")").split(",").map(_.trim).toSeq)
         .getOrElse(target.map(_.name).toSeq.filterNot(_ == SeqCol))

@@ -30,8 +30,23 @@ object GoldenRunner {
 
   final case class Outcome(compared: Int, skipped: Int, problems: Seq[String])
 
+  /** Strip a trailing `-- comment` from a statement line, respecting
+    * single-quoted strings (the corpus has inline comments after VALUES
+    * tuples, e.g. `(7, 1000),   -- 111`). */
+  private def stripInlineComment(l: String): String = {
+    var quotes = 0
+    var i = 0
+    while (i < l.length - 1) {
+      if (l.charAt(i) == '\'') quotes += 1
+      else if (l.charAt(i) == '-' && l.charAt(i + 1) == '-' && quotes % 2 == 0)
+        return l.substring(0, i)
+      i += 1
+    }
+    l
+  }
+
   def parseResult(path: String): Seq[Entry] = {
-    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    val lines = scala.io.Source.fromFile(path).getLines().map(stripInlineComment).toVector
     val entries = Vector.newBuilder[Entry]
     var i = 0
     while (i < lines.length) {
@@ -89,16 +104,22 @@ object GoldenRunner {
     case d: java.lang.Double => d.toString
     case f: java.lang.Float => f.toString
     case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case s: scala.collection.Seq[_] => s.map(cell).mkString("[", ", ", "]")
+    case a: Array[_] => a.map(cell).mkString("[", ", ", "]")
     case true => "true"
     case false => "false"
     case other => other.toString
   }
 
   /** Numeric cells compare by value: Spark types some results integer
-    * where DataFusion uses float ("0" vs "0.0"). */
+    * where DataFusion uses float ("0" vs "0.0"); last-ulp float noise
+    * (corr, regr_*) is canonized away at 12 significant digits. */
   def canon(x: String): String =
-    try BigDecimal(x).bigDecimal.stripTrailingZeros.toPlainString
-    catch { case _: NumberFormatException => x }
+    try {
+      val bd = BigDecimal(x)
+      bd.round(new java.math.MathContext(12))
+        .bigDecimal.stripTrailingZeros.toPlainString
+    } catch { case _: NumberFormatException => x }
 
   def run(spark: SparkSession, resultFile: String): Outcome = {
     val g = new GraftSession(spark)
@@ -122,10 +143,14 @@ object GoldenRunner {
                 case Failure(_) => skipped += 1
                 case Success(got) =>
                   val wantC = want.map(_.map(canon))
+                  // rows compare pipe-joined: a result cell that itself
+                  // contains '|' (string_agg) parses as extra cells from
+                  // the golden table — joining makes that benign
+                  val gotJ = got.map(_.mkString("|"))
+                  val wantJ = wantC.map(_.mkString("|"))
                   val (a, b) =
-                    if (ordered) (got, wantC)
-                    else (got.map(_.mkString("")).sorted,
-                      wantC.map(_.mkString("")).sorted)
+                    if (ordered) (gotJ, wantJ)
+                    else (gotJ.sorted, wantJ.sorted)
                   if (a == b) compared += 1
                   else problems += s"MISMATCH: ${e.sql.take(100)}\n  got:  ${a.take(4)}\n  want: ${b.take(4)}"
               }
