@@ -12,10 +12,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // watchdog: a query stalling >30s gets one full thread dump to
+    // stderr — diagnoses sporadic long-run slowdowns without a profiler
+    val stallAt = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+    val curName = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val watchdog = new Thread(() => {
+      while (true) {
+        Thread.sleep(5000)
+        if (System.nanoTime() > stallAt.get()) {
+          stallAt.set(Long.MaxValue) // once per query
+          Console.err.println(s"[bench-stall] ${curName.get()} >30s; thread dump:")
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+            if (st.nonEmpty && !t.getName.contains("watchdog")) {
+              Console.err.println(s"  --- ${t.getName} (${t.getState})")
+              st.take(12).foreach(f => Console.err.println(s"    at $f"))
+            }
+          }
+        }
+      }
+    }, "bench-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      curName.set(name)
+      stallAt.set(t0 + 30L * 1000 * 1000 * 1000)
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      stallAt.set(Long.MaxValue)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // caches inside operators (LSH signatures etc.) are per-query;
+      // freeing them keeps the long sequential run GC-stable
+      spark.catalog.clearCache()
+      Console.err.println(f"[bench] $name%-28s $dt%8.2f s")
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -209,12 +209,14 @@ object Dedup {
       .select(col("__id"), col("simhash"), col("__b.band"), col("__b.h"))
     val a = buckets.as("a"); val b = buckets.as("b")
     val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    // hamming filter INSIDE the join condition: candidates from hot
+    // 16-bit buckets are rejected during the hash-join probe instead of
+    // being materialized, shuffled, and distinct'ed first
     a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-        col("a.__id") < col("b.__id"))
+        col("a.__id") < col("b.__id") && ham <= maxDistance)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         ham.as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxDistance)
   }
 
   /** Exact n-gram Jaccard similarity pairs ≥ threshold, via AllPairs

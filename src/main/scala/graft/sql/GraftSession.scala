@@ -64,8 +64,8 @@ final class GraftSession(val spark: SparkSession,
     }
     else if (up.startsWith("ALTER TABLE")) alterTable(stmt)
     else if (up.startsWith("SHOW TABLES")) showTables()
-    else if (up.startsWith("DESCRIBE TABLE") || up.startsWith("DESC TABLE"))
-      describeTable(stmt.split("\\s+").last)
+    else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC "))
+      describeTable(unquote(stmt.split("\\s+").last))
     else if (up.startsWith("INSERT INTO")) insert(stmt)
     else if (up.startsWith("CREATE FLOW")) createFlow(stmt)
     else if (up.startsWith("TQL EVAL")) tqlEval(stmt)
@@ -387,11 +387,29 @@ final class GraftSession(val spark: SparkSession,
   }
 
   /** Read view with the internal sequence column and any ALTER-dropped
-    * columns hidden. */
-  private def refreshView(name: String): Unit =
-    catalog.read(name)
-      .drop(SeqCol +: droppedCols.getOrElse(name, Set.empty).toSeq: _*)
-      .createOrReplaceTempView(name)
+    * columns hidden; ADD COLUMN DEFAULT backfills and MODIFY COLUMN
+    * casts applied; columns in declared (FIRST/AFTER-adjusted) order. */
+  private def refreshView(name: String): Unit = {
+    var df = catalog.read(name)
+    // rows predating an ALTER ... DEFAULT read the default
+    backfills.getOrElse(name, Vector.empty).foreach { case (c, d, seqAt) =>
+      if (df.columns.contains(c))
+        df = df.withColumn(c,
+          when(col(c).isNull && col(SeqCol) < seqAt, expr(dialect(d)))
+            .otherwise(col(c)))
+    }
+    colCasts.getOrElse(name, Map.empty).foreach { case (c, t) =>
+      if (df.columns.contains(c)) df = df.withColumn(c, col(c).cast(t))
+    }
+    df = df.drop(SeqCol +: droppedCols.getOrElse(name, Set.empty).toSeq: _*)
+    // declared order drives SELECT * and DESC
+    colMeta.get(name).foreach { metas =>
+      val declared = metas.map(_.name).filter(df.columns.contains)
+      val extra = df.columns.filterNot(declared.contains)
+      if (declared.nonEmpty) df = df.select((declared ++ extra).map(col): _*)
+    }
+    df.createOrReplaceTempView(name)
+  }
 
   private def parseTtlMs(s: String): Long = {
     val m = "(?i)^(\\d+)\\s*(ms|s|m|h|d)$".r
@@ -426,29 +444,149 @@ final class GraftSession(val spark: SparkSession,
     * (TIMESTAMP(0)=s, (3)=ms, (6)=µs, (9)=ns — reference precision). */
   private val tsLiteralUs = scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  private val AlterRx =
-    "(?is)ALTER\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(ADD|DROP)\\s+COLUMN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(\\S+)?.*".r
+  private val AlterHeadRx =
+    "(?is)ALTER\\s+TABLE\\s+(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s+(.*)".r
 
+  /** ALTER TABLE (sql/src/statements/alter.rs `AlterTableOperation`):
+    * ADD COLUMN [IF NOT EXISTS] (multi, comma-chained) with DEFAULT /
+    * PRIMARY KEY / FIRST / AFTER placement, DROP COLUMN, MODIFY COLUMN
+    * type change, RENAME, SET/UNSET table options. Index DDL (SET
+    * INVERTED/FULLTEXT/SKIPPING INDEX) is a performance hint — accepted
+    * as a no-op. */
   private def alterTable(stmt: String): DataFrame = stmt match {
-    case AlterRx(name, action, colName, typeOpt) =>
+    case AlterHeadRx(rawName, tail0) =>
+      val name = unquote(rawName)
       val spec = catalog.spec(name)
-      action.toUpperCase(Locale.ROOT) match {
-        case "ADD" =>
-          val t = sparkType(Option(typeOpt).getOrElse(
-            throw new IllegalArgumentException("ADD COLUMN needs a type")))
-          val widened = StructType(
-            spark.read.option("mergeSchema", "true").parquet(spec.path)
-              .schema :+ StructField(colName, t))
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
-            .write.mode("append").parquet(spec.path)
-          droppedCols.put(name, droppedCols.getOrElse(name, Set.empty) - colName)
-        case "DROP" =>
-          droppedCols.put(name, droppedCols.getOrElse(name, Set.empty) + colName)
-      }
+      val tail = tail0.trim
+      val up = tail.toUpperCase(Locale.ROOT)
+      if (up.startsWith("ADD COLUMN")) {
+        // comma-chained clauses: ADD COLUMN a ..., ADD COLUMN b ...
+        splitTop(tail).foreach { clause =>
+          val body = clause.trim.replaceAll("(?is)^ADD\\s+COLUMN\\s+", "")
+          alterAddColumn(name, body)
+        }
+      } else if (up.startsWith("DROP COLUMN")) {
+        val colName = unquote(tail.split("\\s+").last)
+        droppedCols.put(name, droppedCols.getOrElse(name, Set.empty) + colName)
+        colMeta.get(name).foreach(m =>
+          colMeta.put(name, m.filterNot(_.name == colName)))
+      } else if (up.startsWith("MODIFY COLUMN") || up.startsWith("CHANGE COLUMN")) {
+        val body = tail.replaceAll("(?is)^(MODIFY|CHANGE)\\s+COLUMN\\s+", "").trim
+        val bodyUp = body.toUpperCase(Locale.ROOT)
+        if (bodyUp.contains("INDEX") || bodyUp.contains("SET DEFAULT") ||
+          bodyUp.contains("DROP DEFAULT")) {
+          val colName = unquote(body.takeWhile(!_.isWhitespace))
+          if (bodyUp.contains("SET DEFAULT")) {
+            val d = body.replaceAll("(?is).*SET\\s+DEFAULT\\s+", "").trim
+            colMeta.get(name).foreach(m => colMeta.put(name,
+              m.map(c => if (c.name == colName) c.copy(default = Some(d)) else c)))
+          } else if (bodyUp.contains("DROP DEFAULT")) {
+            colMeta.get(name).foreach(m => colMeta.put(name,
+              m.map(c => if (c.name == colName) c.copy(default = None) else c)))
+          } // index hints: no-op
+        } else {
+          // MODIFY COLUMN <name> <type>: cast in the read view
+          val colName = unquote(body.takeWhile(!_.isWhitespace))
+          val typeTok = body.drop(colName.length).trim.takeWhile(!_.isWhitespace)
+          val t = sparkType(typeTok)
+          colCasts.put(name, colCasts.getOrElse(name, Map.empty) + (colName -> t))
+          colMeta.get(name).foreach(m => colMeta.put(name, m.map(c =>
+            if (c.name == colName) c.copy(gtype = greptimeTypeName(typeTok)) else c)))
+        }
+      } else if (up.startsWith("RENAME")) {
+        val newName = unquote(tail.substring("RENAME".length).trim)
+        if (catalog.tables.contains(newName))
+          throw new IllegalArgumentException(s"table $newName already exists")
+        catalog.deregister(name)
+        catalog.register(spec.copy(name = newName))
+        colMeta.remove(name).foreach(colMeta.put(newName, _))
+        droppedCols.remove(name).foreach(droppedCols.put(newName, _))
+        backfills.remove(name).foreach(backfills.put(newName, _))
+        colCasts.remove(name).foreach(colCasts.put(newName, _))
+        tsLiteralUs.remove(name).foreach(tsLiteralUs.put(newName, _))
+        spark.catalog.dropTempView(name)
+        refreshView(newName)
+        return status(s"table $name renamed to $newName")
+      } else if (up.startsWith("SET")) {
+        // table options; ttl / append_mode / merge_mode affect queries,
+        // storage tuning options are accepted as no-ops
+        val kv = "(?is)SET\\s+'([^']*)'\\s*=\\s*(?:'([^']*)'|NULL)".r
+        kv.findFirstMatchIn(tail).foreach { m =>
+          val v = Option(m.group(2)).filter(_.nonEmpty)
+          m.group(1).toLowerCase(Locale.ROOT) match {
+            case "ttl" => catalog.register(spec.copy(ttlMillis = v.map(parseTtlMs)))
+            case "append_mode" =>
+              val mm = if (v.contains("true")) MergeMode.Append else MergeMode.LastRow
+              catalog.register(spec.copy(mergeMode = mm))
+            case "merge_mode" =>
+              v.foreach(x => catalog.register(spec.copy(mergeMode = MergeMode.parse(x))))
+            case _ => ()
+          }
+        }
+      } else if (up.startsWith("UNSET")) {
+        if (up.contains("'TTL'")) catalog.register(spec.copy(ttlMillis = None))
+      } else throw new IllegalArgumentException(s"cannot parse: $stmt")
       refreshView(name)
       status(s"table $name altered")
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
+  }
+
+  private def alterAddColumn(name: String, body0: String): Unit = {
+    val spec = catalog.spec(name)
+    val ifNotExists = "(?is)^IF\\s+NOT\\s+EXISTS\\s+".r.findFirstIn(body0).isDefined
+    var body = body0.replaceAll("(?is)^IF\\s+NOT\\s+EXISTS\\s+", "").trim
+    // placement: FIRST | AFTER <col> (alter.rs AddColumnLocation)
+    val afterRx = "(?is)\\s+AFTER\\s+([A-Za-z_\"`][A-Za-z0-9_\"`]*)\\s*$".r
+    val after = afterRx.findFirstMatchIn(body).map(m => unquote(m.group(1)))
+    body = afterRx.replaceAllIn(body, "")
+    val first = "(?is)\\s+FIRST\\s*$".r.findFirstIn(body).isDefined
+    body = body.replaceAll("(?is)\\s+FIRST\\s*$", "")
+    val cd = parseColumnDef(body)
+    // reject trailing junk (reference: `ADD COLUMN x int xxx` errors and
+    // the table stays unchanged — add_incorrect_col.result)
+    val leftovers = body.split("\\s+").drop(2).mkString(" ")
+      .toUpperCase(Locale.ROOT)
+      .replaceAll("DEFAULT\\s+('[^']*'|[A-Za-z_][A-Za-z0-9_]*\\s*\\([^)]*\\)|-?[A-Za-z0-9_.+-]+)", "")
+      .replaceAll("NOT\\s+NULL|NULL|TIME\\s+INDEX|PRIMARY\\s+KEY", "")
+      .replaceAll("(FULLTEXT|INVERTED|SKIPPING)?\\s*INDEX(\\s*WITH\\s*\\([^)]*\\))?", "")
+      .trim
+    if (leftovers.nonEmpty)
+      throw new IllegalArgumentException(s"cannot parse column def: $body")
+    val metas = colMeta.getOrElse(name, Vector.empty)
+    if (metas.exists(_.name == cd.name) &&
+      !droppedCols.getOrElse(name, Set.empty).contains(cd.name)) {
+      if (ifNotExists) return
+      throw new IllegalArgumentException(s"column ${cd.name} already exists")
+    }
+    val t = sparkType(cd.typeTok)
+    val existing = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+    if (!existing.fieldNames.contains(cd.name)) {
+      val widened = StructType(existing :+ StructField(cd.name, t, cd.nullable))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+        .write.mode("append").parquet(spec.path)
+    }
+    droppedCols.put(name, droppedCols.getOrElse(name, Set.empty) - cd.name)
+    val meta = ColMeta(cd.name, greptimeTypeName(cd.typeTok), cd.nullable, cd.default)
+    val withoutOld = metas.filterNot(_.name == cd.name)
+    val placed =
+      if (first) meta +: withoutOld
+      else after match {
+        case Some(a) =>
+          val i = withoutOld.indexWhere(_.name == a)
+          if (i < 0) withoutOld :+ meta
+          else (withoutOld.take(i + 1) :+ meta) ++ withoutOld.drop(i + 1)
+        case None => withoutOld :+ meta
+      }
+    colMeta.put(name, placed)
+    if (cd.isPrimaryKey)
+      catalog.register(spec.copy(tags = spec.tags :+ cd.name))
+    // rows written before this ALTER read the column default (reference
+    // add_col_default.result): gate on the ingest sequence
+    cd.default.foreach { d =>
+      backfills.put(name, backfills.getOrElse(name, Vector.empty) :+
+        ((cd.name, d, seqCounter.incrementAndGet())))
+    }
   }
 
   private def dropTable(stmt: String): DataFrame = {
@@ -478,28 +616,65 @@ final class GraftSession(val spark: SparkSession,
       .createOrReplaceTempView("__info_tables")
     catalog.tables.flatMap { t =>
       describeTable(t).collect().map(r =>
-        (t, r.getString(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+        (t, r.getString(0), r.getString(1), r.getString(3) == "YES", r.getString(5)))
     }.toDF("table_name", "column_name", "data_type", "is_nullable", "semantic_type")
       .createOrReplaceTempView("__info_columns")
   }
 
   private def showTables(): DataFrame = {
     import spark.implicits._
-    catalog.tables.toDF("table_name")
+    // `numbers` is a built-in table (table/src/table/numbers.rs)
+    (catalog.tables :+ "numbers").sorted.toDF("Tables")
   }
 
+  /** Spark type → reference `ConcreteDataType` display name, for tables
+    * registered without DDL (external parquet). */
+  private def greptimeNameOf(t: DataType): String = t match {
+    case ByteType => "Int8"
+    case ShortType => "Int16"
+    case IntegerType => "Int32"
+    case LongType => "Int64"
+    case FloatType => "Float32"
+    case DoubleType => "Float64"
+    case StringType => "String"
+    case BooleanType => "Boolean"
+    case BinaryType => "Binary"
+    case DateType => "Date"
+    case TimestampType | TimestampNTZType => "TimestampMillisecond"
+    case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+    case other => other.simpleString.capitalize
+  }
+
+  /** DESC TABLE in the reference's six-column shape
+    * (sql/src/statements.rs `prepare_describe_arrow`):
+    * Column | Type | Key | Null | Default | Semantic Type. */
   private def describeTable(name: String): DataFrame = {
     import spark.implicits._
     val spec = catalog.spec(name)
-    val schema = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
-      .filterNot(f => droppedCols.getOrElse(name, Set.empty).contains(f.name))
-    schema.filterNot(_.name == SeqCol).map { f =>
-      val role =
-        if (f.name == spec.timeIndex) "TIMESTAMP"
-        else if (spec.tags.contains(f.name)) "TAG"
+    val dropped = droppedCols.getOrElse(name, Set.empty)
+    val rows: Seq[(String, String, Boolean)] = colMeta.get(name) match {
+      case Some(metas) =>
+        metas.filterNot(m => dropped.contains(m.name))
+          .map(m => (m.name, m.gtype,
+            m.nullable && m.name != spec.timeIndex))
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+          .filterNot(f => dropped.contains(f.name) || f.name == SeqCol)
+          .map(f => (f.name, greptimeNameOf(f.dataType),
+            f.nullable && f.name != spec.timeIndex))
+    }
+    val defaults = colMeta.getOrElse(name, Vector.empty)
+      .map(m => m.name -> m.default).toMap
+    rows.map { case (n, t, nullable) =>
+      val semantic =
+        if (n == spec.timeIndex) "TIMESTAMP"
+        else if (spec.tags.contains(n)) "TAG"
         else "FIELD"
-      (f.name, f.dataType.simpleString, f.nullable, role)
-    }.toDF("column", "type", "nullable", "semantic_type")
+      val key = if (semantic == "TIMESTAMP" || semantic == "TAG") "PRI" else ""
+      val default = defaults.getOrElse(n, None)
+        .map(_.stripPrefix("'").stripSuffix("'")).getOrElse("")
+      (n, t, key, if (nullable) "YES" else "NO", default, semantic)
+    }.toDF("Column", "Type", "Key", "Null", "Default", "Semantic Type")
   }
 
   // ---- INSERT ---------------------------------------------------------
@@ -507,14 +682,35 @@ final class GraftSession(val spark: SparkSession,
   private val InsertRx =
     "(?is)INSERT\\s+INTO\\s+(?:TABLE\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*(\\([^)]*\\))?\\s*(VALUES.*|SELECT.*)".r
 
+  /** `INSERT ... VALUES (DEFAULT, ...)`: the DEFAULT keyword resolves
+    * to the column's declared default, else NULL
+    * (insert/insert_default.result). */
+  private def substituteDefaults(table: String, body: String,
+      cols: Seq[String]): String = {
+    if (!body.trim.toUpperCase(Locale.ROOT).startsWith("VALUES") ||
+      !"(?i)\\bDEFAULT\\b".r.findFirstIn(body).isDefined) return body
+    val defaults = colMeta.getOrElse(table, Vector.empty)
+      .map(m => m.name -> m.default).toMap
+    val tuples = splitTop(body.trim.substring("VALUES".length)).map { t0 =>
+      val t = t0.trim
+      if (!t.startsWith("(")) t
+      else splitTop(t.stripPrefix("(").stripSuffix(")")).zipWithIndex.map {
+        case (f, i) if f.trim.equalsIgnoreCase("default") =>
+          cols.lift(i).flatMap(defaults.getOrElse(_, None)).getOrElse("NULL")
+        case (f, _) => f
+      }.mkString("(", ", ", ")")
+    }
+    "VALUES " + tuples.mkString(", ")
+  }
+
   private def insert(stmt: String): DataFrame = stmt match {
     case InsertRx(name, colsOpt, body) =>
       val spec = catalog.spec(name)
       val target = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
-      var df = spark.sql(dialect(body))
       val cols = Option(colsOpt)
-        .map(_.stripPrefix("(").stripSuffix(")").split(",").map(_.trim).toSeq)
+        .map(_.stripPrefix("(").stripSuffix(")").split(",").map(c => unquote(c)).toSeq)
         .getOrElse(target.map(_.name).toSeq.filterNot(_ == SeqCol))
+      var df = spark.sql(dialect(substituteDefaults(name, body, cols)))
       df = df.toDF(cols: _*)
       // align to full target schema: missing columns become nulls, the
       // sequence column is stamped per statement (write order for the
@@ -551,7 +747,14 @@ final class GraftSession(val spark: SparkSession,
             timestamp_micros(micros).cast(f.dataType).as(f.name)
           }
           else col(f.name).cast(f.dataType).as(f.name)
-        } else lit(null).cast(f.dataType).as(f.name)
+        } else {
+          // unspecified column: declared DEFAULT, else null
+          // (datatypes/src/schema/constraint.rs)
+          val d = colMeta.getOrElse(name, Vector.empty)
+            .find(_.name == f.name).flatMap(_.default)
+          d.map(x => expr(dialect(x)).cast(f.dataType).as(f.name))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
+        }
       }
       val n = df.count()
       df.select(aligned: _*).write.mode("append").parquet(spec.path)
@@ -610,9 +813,75 @@ final class GraftSession(val spark: SparkSession,
       val endMs = tqlTimeMs(endS.trim)
       val stepMs = PromParser.parseDuration(stepS.trim)
       val metrics = catalog.tables.map(t => t -> metricOf(t)).toMap
-      new PromEval(spark, metrics, EvalParams(startMs, endMs, stepMs))
+      val df = new PromEval(spark, metrics, EvalParams(startMs, endMs, stepMs))
         .evalQuery(promql.trim)
+      tqlReshape(promql.trim, df)
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
+  }
+
+  /** Reorder/retype TQL output to the reference planner's column shape
+    * (pinned by the tql/promql sqlness corpus): ts is rendered as a
+    * timestamp, and column order depends on the top-level expression —
+    * bare selector → [value, (labels∪ts) by name]; aggregation →
+    * [value, by-labels, ts]; range-fn / scalar / default →
+    * [ts, value, labels]. */
+  private def tqlReshape(promql: String, df: DataFrame): DataFrame = {
+    import PromParser._
+    val labels = df.columns.filterNot(Set("__ts", "__val")).toSeq
+    if (!df.columns.contains("__ts") || !df.columns.contains("__val")) return df
+    val ts = timestamp_millis(col("__ts")).as("ts")
+    val v = col("__val")
+    def shapeOf(e: Expr): String = e match {
+      case Selector(_, _, None, _, _) => "selector"
+      case Selector(_, _, Some(_), _, _) => "range"
+      case Agg(_, _, _, _, _) => "agg"
+      case Call("scalar", _) => "scalar"
+      case Call(_, _) => "range"
+      case Binary(_, lhs, rhs, _, _) =>
+        (lhs, rhs) match {
+          case (_: NumberLit | _: StringLit, r) => shapeOf(r)
+          case (l, _) => shapeOf(l)
+        }
+      case Unary(inner) => shapeOf(inner)
+      case Subquery(inner, _, _, _) => shapeOf(inner)
+      case _ => "range"
+    }
+    val shape = try shapeOf(parseTop(promql)) catch { case _: Throwable => "range" }
+    val cols: Seq[org.apache.spark.sql.Column] = shape match {
+      case "selector" =>
+        // value first, then labels and the time index ordered by their
+        // original names (ts keeps the table's time-index name slot)
+        val others = (labels :+ "__zz_ts").sortBy {
+          case "__zz_ts" => tqlTsName; case l => l
+        }
+        v +: others.map { case "__zz_ts" => ts; case l => col(l) }
+      case "agg" => (v +: labels.map(col)) :+ ts
+      case "scalar" => Seq(ts, v)
+      case _ => (ts +: Seq(v)) ++ labels.map(col)
+    }
+    df.select(cols: _*)
+  }
+
+  /** Time-index name of the single referenced table, for selector-shape
+    * column ordering; falls back to "ts". */
+  private var tqlTsName: String = "ts"
+
+  private def parseTop(q: String): PromParser.Expr = {
+    val e = PromParser.parse(q)
+    // remember the time-index name of the first selector's table
+    def firstSel(x: PromParser.Expr): Option[String] = x match {
+      case PromParser.Selector(n, _, _, _, _) => Some(n)
+      case PromParser.Binary(_, l, r, _, _) => firstSel(l).orElse(firstSel(r))
+      case PromParser.Call(_, as) => as.flatMap(firstSel(_).toSeq).headOption
+      case PromParser.Agg(_, _, _, _, b) => firstSel(b)
+      case PromParser.Subquery(i, _, _, _) => firstSel(i)
+      case PromParser.Unary(i) => firstSel(i)
+      case _ => None
+    }
+    firstSel(e).foreach { t =>
+      if (catalog.tables.contains(t)) tqlTsName = catalog.spec(t).timeIndex
+    }
+    e
   }
 
   private def tqlTimeMs(s: String): Long = {
@@ -645,14 +914,20 @@ final class GraftSession(val spark: SparkSession,
 
   // ---- ADMIN stubs ----------------------------------------------------
 
+  /** ADMIN fn(...) — result is a single cell under a column named by
+    * the statement itself (sqlness golden shape): FLUSH_FLOW returns
+    * ` FLOW_FLUSHED  `, storage admin fns return `0`. */
   private def admin(stmt: String): DataFrame = {
+    import spark.implicits._
     val fn = stmt.stripPrefix("ADMIN").stripPrefix("admin").trim
-    if (fn.toLowerCase(Locale.ROOT).startsWith("flush_flow")) {
-      val name = fn.substring(fn.indexOf('(') + 1, fn.lastIndexOf(')'))
-        .trim.stripPrefix("'").stripSuffix("'")
-      refreshFlow(name)
-      status(s"flow $name flushed")
-    } else status(s"admin $fn: ok (no-op)")
+    val cell =
+      if (fn.toLowerCase(Locale.ROOT).startsWith("flush_flow")) {
+        val name = fn.substring(fn.indexOf('(') + 1, fn.lastIndexOf(')'))
+          .trim.stripPrefix("'").stripSuffix("'")
+        refreshFlow(name)
+        " FLOW_FLUSHED  "
+      } else "0"
+    Seq(cell).toDF(stmt)
   }
 
   private def status(msg: String): DataFrame = {

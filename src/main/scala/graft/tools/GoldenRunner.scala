@@ -46,6 +46,11 @@ object GoldenRunner {
   }
 
   def parseResult(path: String): Seq[Entry] = {
+    // corpus files contain emoji / raw bytes (alter_database.result);
+    // never crash the runner on malformed UTF-8
+    implicit val codec: scala.io.Codec = scala.io.Codec.UTF8
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
     val lines = scala.io.Source.fromFile(path).getLines().map(stripInlineComment).toVector
     val entries = Vector.newBuilder[Entry]
     var i = 0

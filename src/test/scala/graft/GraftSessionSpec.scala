@@ -33,8 +33,9 @@ class GraftSessionSpec extends AnyFunSuite {
 
   test("show tables / describe table semantic roles") {
     assert(g.sql("SHOW TABLES").collect().map(_.getString(0)).contains("host_cpu"))
+    // reference six-column shape: Column|Type|Key|Null|Default|Semantic Type
     val d = g.sql("DESC TABLE host_cpu").collect()
-      .map(r => r.getString(0) -> r.getString(3)).toMap
+      .map(r => r.getString(0) -> r.getString(5)).toMap
     assert(d("ts") == "TIMESTAMP" && d("host") == "TAG" && d("val") == "FIELD")
   }
 
@@ -78,10 +79,11 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("INSERT INTO metric1 VALUES (TIMESTAMP'1970-01-01 00:00:05', 'a', 3.0)")
     g.sql("INSERT INTO metric1 VALUES (TIMESTAMP'1970-01-01 00:00:15', 'a', 7.0)")
     val out = g.sql("TQL EVAL (0, 20, '5s') metric1").collect()
-    // instant vector: lookback picks the latest sample at each step
+    // instant vector: lookback picks the latest sample at each step;
+    // selector shape = [value, labels∪ts by name] with ts as timestamp
     assert(out.nonEmpty)
-    val atT20 = out.filter(_.getLong(0) == 20000L)
-    assert(atT20.length == 1 && atT20(0).getDouble(2) == 7.0)
+    val atT20 = out.filter(_.getTimestamp(2).getTime == 20000L)
+    assert(atT20.length == 1 && atT20(0).getDouble(0) == 7.0)
   }
 
   test("create view / drop view") {
@@ -172,8 +174,8 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(g.sql("SELECT * FROM logs WHERE msg = 'via-table-kw'").count() == 1)
   }
 
-  test("admin no-op stub returns a status row") {
+  test("admin stub returns the sqlness golden single-cell shape") {
     val r = g.sql("ADMIN compact_table('cpu')").collect()
-    assert(r(0).getString(0).contains("no-op"))
+    assert(r(0).getString(0) == "0")
   }
 }
