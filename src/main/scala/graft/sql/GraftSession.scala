@@ -67,7 +67,16 @@ final class GraftSession(val spark: SparkSession,
     else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC "))
       describeTable(unquote(stmt.split("\\s+").last))
     else if (up.startsWith("INSERT INTO")) insert(stmt)
+    else if (up.startsWith("DELETE FROM")) delete(stmt)
     else if (up.startsWith("CREATE FLOW")) createFlow(stmt)
+    else if (up.startsWith("DROP FLOW")) {
+      flows.remove(unquote(stmt.split("\\s+").last))
+      status("flow dropped")
+    }
+    else if (up.startsWith("SHOW FLOWS")) {
+      import spark.implicits._
+      flows.keys.toSeq.sorted.toDF("Flows")
+    }
     else if (up.startsWith("TQL EVAL")) tqlEval(stmt)
     else if (up.startsWith("TQL EXPLAIN") || up.startsWith("TQL ANALYZE")) {
       import spark.implicits._
@@ -99,7 +108,7 @@ final class GraftSession(val spark: SparkSession,
   def refreshFlow(name: String): Unit = {
     val (flowDef, query) = flows.getOrElse(name,
       throw new IllegalArgumentException(s"unknown flow: $name"))
-    Flow.refreshOnce(spark.sql(query), flowDef.copy(transform = identity))
+    Flow.refreshOnce(spark.sql(dialect(query)), flowDef.copy(transform = identity))
   }
 
   // ---- @@ sugar (transcribe_atat.rs) ----------------------------------
@@ -128,21 +137,102 @@ final class GraftSession(val spark: SparkSession,
       case "BOOL" => "BOOLEAN"
       case "UINT8" | "UINT16" => "INT"
       case "UINT32" | "UINT64" => "BIGINT"
+      case "TIMESTAMPSECOND" | "TIMESTAMPMILLISECOND" | "TIMESTAMPMICROSECOND" |
+        "TIMESTAMPNANOSECOND" | "DATETIME" => "TIMESTAMP"
+      case "INTERVAL" => "INTERVAL DAY TO SECOND"
       case _ => u
     }
   }
 
-  /** Rewrites for passthrough SQL: `@@` sugar, `expr::type` casts, and
-    * the `numbers` generator where LIMIT sets the row count. */
+  /** `"ident"` → `` `ident` `` outside single-quoted strings; `""`
+    * inside an identifier unescapes to one `"`. */
+  private def backtickIdents(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => // copy single-quoted string verbatim ('' escape)
+          val j = { var k = i + 1
+            while (k < s.length && (s.charAt(k) != '\'' ||
+              (k + 1 < s.length && s.charAt(k + 1) == '\'' && { k += 1; true }))) k += 1
+            k }
+          out.append(s.substring(i, math.min(j + 1, s.length))); i = j + 1
+        case '"' =>
+          val id = new StringBuilder
+          var k = i + 1
+          var closed = false
+          while (k < s.length && !closed) {
+            if (s.charAt(k) == '"') {
+              if (k + 1 < s.length && s.charAt(k + 1) == '"') { id.append('"'); k += 2 }
+              else { closed = true; k += 1 }
+            } else { id.append(s.charAt(k)); k += 1 }
+          }
+          out.append('`').append(id).append('`'); i = k
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  private val DateBinRx =
+    ("(?i)DATE_BIN\\(\\s*(?:'([^']+)'\\s*::\\s*INTERVAL|INTERVAL\\s+'([^']+)')\\s*,\\s*" +
+      "([A-Za-z_][A-Za-z0-9_.]*)\\s*(?:,\\s*'([^']+)'[^)]*)?\\)").r
+
+  private def intervalMs(text: String): Long = {
+    val compact = "(?i)^(\\d+)\\s*(ms|s|m|h|d)$".r
+    val verbose = "(?i)^(\\d+)\\s+(millisecond|second|minute|hour|day)s?$".r
+    text.trim match {
+      case compact(n, u) => n.toLong * (u.toLowerCase(Locale.ROOT) match {
+        case "ms" => 1L; case "s" => 1000L; case "m" => 60000L
+        case "h" => 3600000L; case "d" => 86400000L })
+      case verbose(n, u) => n.toLong * (u.toLowerCase(Locale.ROOT) match {
+        case "millisecond" => 1L; case "second" => 1000L; case "minute" => 60000L
+        case "hour" => 3600000L; case "day" => 86400000L })
+      case other => throw new IllegalArgumentException(s"bad interval: $other")
+    }
+  }
+
+  /** Rewrites for passthrough SQL: `@@` sugar, `expr::type` casts,
+    * DataFusion `date_bin`, null-keeping `array_agg`, and the `numbers`
+    * generator where LIMIT sets the row count. */
   private[graft] def dialect(s: String): String = {
     var r = rewriteAtAt(s)
+    // ANSI double-quoted identifiers → backticks ("hOsT" = ..., ORDER BY
+    // "id"; "" escapes a quote). Aware of single-quoted strings, and
+    // VALUES tuples keep double quotes: the corpus' MySQL-ish inserts
+    // use them as string literals there ((1, "a")).
+    val valuesAt = "(?i)\\bVALUES\\b".r.findFirstMatchIn(r).map(_.start)
+      .getOrElse(r.length)
+    r = backtickIdents(r.substring(0, valuesAt)) + r.substring(valuesAt)
+    // date_bin(interval, ts[, origin]) → epoch-ms floor arithmetic
+    // (constant interval/origin resolved at rewrite time)
+    r = DateBinRx.replaceAllIn(r, m => {
+      val ms = intervalMs(Option(m.group(1)).getOrElse(m.group(2)))
+      val ts = m.group(3)
+      val origin = Option(m.group(4)).map { o =>
+        java.time.Instant.parse(
+          (if (o.endsWith("Z")) o else o.replace(" ", "T") + "Z")).toEpochMilli
+      }.getOrElse(0L)
+      scala.util.matching.Regex.quoteReplacement(
+        s"TIMESTAMP_MILLIS($origin + CAST(FLOOR((UNIX_MILLIS(CAST($ts AS TIMESTAMP)) - $origin) / $ms) * $ms AS BIGINT))")
+    })
     var prev: String = null
     while (prev != r) {
       prev = r
-      r = CastRx.replaceAllIn(r, m =>
+      r = CastRx.replaceAllIn(r, m => {
+        val t = castType(m.group(2))
+        val operand = m.group(1)
         scala.util.matching.Regex.quoteReplacement(
-          s"CAST(${m.group(1)} AS ${castType(m.group(2))})"))
+          // integer literal → timestamp is epoch MILLIS in the reference
+          if (t == "TIMESTAMP" && operand.matches("\\d+"))
+            s"TIMESTAMP_MILLIS($operand)"
+          else s"CAST($operand AS $t)")
+      })
     }
+    // array_agg keeps nulls and returns NULL on empty input (DataFusion);
+    // the struct wrapper defeats collect_list's null-dropping
+    r = r.replaceAll("(?i)\\bARRAY_AGG\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*\\)",
+      "nullif(transform(collect_list(struct($1 AS __v)), s -> s.__v), array())")
     r.replaceAll("(?i)FROM\\s+numbers\\s+LIMIT\\s+(\\d+)",
       "FROM (SELECT CAST(id AS INT) AS number FROM range(0, $1))")
   }
@@ -763,10 +853,44 @@ final class GraftSession(val spark: SparkSession,
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
   }
 
+  // ---- DELETE ---------------------------------------------------------
+
+  private val DeleteRx =
+    "(?is)DELETE\\s+FROM\\s+(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)(?:\\s+WHERE\\s+(.*))?".r
+
+  /** DELETE FROM t [WHERE cond] — rewrite the table's Parquet as the
+    * raw rows (all merge versions, with `__seq` kept) minus the matches
+    * (operator/src/delete.rs). */
+  private def delete(stmt: String): DataFrame = stmt match {
+    case DeleteRx(rawName, condOpt) =>
+      val name = unquote(rawName)
+      val spec = catalog.spec(name)
+      val raw = spark.read.option("mergeSchema", "true").parquet(spec.path)
+      val cond = Option(condOpt).map(c => expr(dialect(c))).getOrElse(lit(true))
+      val kept = raw.filter(!coalesce(cond, lit(false)))
+      val n = raw.count() - kept.count()
+      val tmp = spec.path + "__del_tmp"
+      kept.write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(spec.path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(spec.path), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(spec.path))
+      refreshView(name)
+      status(s"deleted $n rows from $name")
+    case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
+  }
+
   // ---- CREATE FLOW (§2.10) --------------------------------------------
 
   private val CreateFlowRx =
-    "(?is)CREATE\\s+FLOW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+SINK\\s+TO\\s+([A-Za-z0-9_/.:-]+)\\s*(?:EXPIRE\\s+AFTER\\s+'([^']+)'\\s*)?(?:WITH\\s*\\((.*?)\\)\\s*)?AS\\s+(SELECT.*)".r
+    ("(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?FLOW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+" +
+      "SINK\\s+TO\\s+([A-Za-z0-9_/.:-]+)\\s*" +
+      "(?:EVAL\\s+INTERVAL\\s+'[^']*'\\s*)?" +       // batching refresh period
+      "(?:EXPIRE\\s+AFTER\\s+'?([^'\\s]+)'?\\s*)?" + // state retention
+      "(?:EVAL\\s+INTERVAL\\s+'[^']*'\\s*)?" +
+      "(?:COMMENT\\s+'[^']*'\\s*)?" +
+      "(?:WITH\\s*\\((.*?)\\)\\s*)?AS\\s+(SELECT.*)").r
 
   private def createFlow(stmt: String): DataFrame = stmt match {
     case CreateFlowRx(name, sink, expire, withPart, query) =>

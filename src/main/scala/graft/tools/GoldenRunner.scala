@@ -126,12 +126,42 @@ object GoldenRunner {
         .bigDecimal.stripTrailingZeros.toPlainString
     } catch { case _: NumberFormatException => x }
 
+  /** In-process stall reporter: if a statement runs >90s, dump all
+    * thread stacks once (works even when jstack attach is starved). */
+  private val stallDeadline = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+  private val stallStmt = new java.util.concurrent.atomic.AtomicReference[String]("")
+  private lazy val stallWatcher: Thread = {
+    val t = new Thread(() => {
+      while (true) {
+        Thread.sleep(5000)
+        if (System.nanoTime() > stallDeadline.get()) {
+          stallDeadline.set(Long.MaxValue)
+          System.err.println(s"[golden-stall] ${stallStmt.get().take(200)}")
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (th, st) =>
+            if (st.nonEmpty && th.getState == Thread.State.RUNNABLE) {
+              System.err.println(s"  --- ${th.getName}")
+              st.take(14).foreach(f => System.err.println(s"    at $f"))
+            }
+          }
+          System.err.flush()
+        }
+      }
+    }, "golden-stall-watcher")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
   def run(spark: SparkSession, resultFile: String): Outcome = {
     val g = new GraftSession(spark)
+    stallWatcher // ensure started
     var compared = 0
     var skipped = 0
     val problems = Seq.newBuilder[String]
     parseResult(resultFile).foreach { e =>
+      stallStmt.set(e.sql)
+      stallDeadline.set(System.nanoTime() + 90L * 1000 * 1000 * 1000)
       Try(g.sql(e.sql)) match {
         case Failure(ex) =>
           e.expected match {
@@ -163,6 +193,7 @@ object GoldenRunner {
           }
       }
     }
+    stallDeadline.set(Long.MaxValue)
     Outcome(compared, skipped, problems.result())
   }
 }
