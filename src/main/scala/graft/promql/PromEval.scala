@@ -142,7 +142,8 @@ final class PromEval(
       }
 
     case Call("absent", Seq(sel: Selector)) =>
-      Right(absent(instant(metricOf(sel), params, sel.offsetMs), params, spark))
+      val lits = sel.matchers.filter(_.op == "=").map(m => m.label -> m.value)
+      Right(absent(instant(metricOf(sel), params, sel.offsetMs), params, spark, lits))
 
     case Call("scalar", Seq(arg)) => Right(scalarFn(evalToVector(arg)))
 

@@ -54,9 +54,14 @@ object PromQL {
     val kLo = ceil((tsCol - p.startMs).cast("double") / p.stepMs).cast("long")
     val kHi = floor((tsCol + windowMs - 1 - p.startMs).cast("double") / p.stepMs).cast("long")
     val nSteps = (p.endMs - p.startMs) / p.stepMs
-    spread.withColumn("__k", explode(sequence(greatest(kLo, lit(0L)),
-        least(kHi, lit(nSteps)))))
-      .filter(col("__k") >= 0 && col("__k") <= nSteps)
+    val lo = greatest(kLo, lit(0L))
+    val hi = least(kHi, lit(nSteps))
+    // rows whose window misses the grid entirely have lo > hi — guard
+    // them out, or sequence() runs DESCENDING and explodes a row into
+    // |lo-hi| elements (billions for far-out-of-range timestamps)
+    spread.withColumn("__k",
+        explode(when(lo <= hi, sequence(lo, hi))
+          .otherwise(array().cast("array<long>"))))
       .withColumn("__ts", col("__k") * p.stepMs + p.startMs)
       .filter(col("__ts") >= tsCol && col("__ts") < tsCol + windowMs)
       .drop("__k")
@@ -115,13 +120,17 @@ object PromQL {
       m.labels)
   }
 
-  /** absent(): 1 at grid steps where the selector returns nothing. */
-  def absent(iv: InstantVector, p: EvalParams, spark: SparkSession): InstantVector = {
+  /** absent(): 1 at grid steps where the selector returns nothing; the
+    * output series carries labels from the selector's `=` matchers
+    * (promql/src/extension_plan/absent.rs semantics). */
+  def absent(iv: InstantVector, p: EvalParams, spark: SparkSession,
+      literalLabels: Seq[(String, String)] = Nil): InstantVector = {
     val grid = gridDf(spark, p)
     val present = iv.df.select(col("__ts")).distinct()
-    InstantVector(
-      grid.join(present, Seq("__ts"), "left_anti").withColumn("__val", lit(1.0)),
-      Nil)
+    var out = grid.join(present, Seq("__ts"), "left_anti")
+      .withColumn("__val", lit(1.0))
+    literalLabels.foreach { case (k, v) => out = out.withColumn(k, lit(v)) }
+    InstantVector(out, literalLabels.map(_._1))
   }
 
   /** EmptyMetric: literal expressions evaluated on the step grid. */

@@ -64,6 +64,8 @@ final class GraftSession(val spark: SparkSession,
     }
     else if (up.startsWith("ALTER TABLE")) alterTable(stmt)
     else if (up.startsWith("SHOW TABLES")) showTables()
+    else if (up.startsWith("SHOW CREATE TABLE"))
+      showCreateTable(unquote(stmt.split("\\s+")(3)))
     else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC "))
       describeTable(unquote(stmt.split("\\s+").last))
     else if (up.startsWith("INSERT INTO")) insert(stmt)
@@ -444,7 +446,7 @@ final class GraftSession(val spark: SparkSession,
       }
       colMeta.put(name, metas.result())
 
-      val opts: Map[String, String] = Option(withPart).map { w =>
+      val optSeq: Seq[(String, String)] = Option(withPart).map { w =>
         splitTop(w).flatMap { kv =>
           kv.split("=", 2) match {
             case Array(k, v) =>
@@ -452,8 +454,10 @@ final class GraftSession(val spark: SparkSession,
                 v.trim.stripPrefix("'").stripSuffix("'"))
             case _ => None
           }
-        }.toMap
-      }.getOrElse(Map.empty)
+        }
+      }.getOrElse(Nil)
+      tableOpts.put(name, optSeq)
+      val opts: Map[String, String] = optSeq.toMap
 
       val ti = timeIndex.getOrElse(
         throw new IllegalArgumentException(s"table $name: TIME INDEX is mandatory"))
@@ -578,6 +582,8 @@ final class GraftSession(val spark: SparkSession,
           // MODIFY COLUMN <name> <type>: cast in the read view
           val colName = unquote(body.takeWhile(!_.isWhitespace))
           val typeTok = body.drop(colName.length).trim.takeWhile(!_.isWhitespace)
+          if (typeTok.toUpperCase(Locale.ROOT).startsWith("INTERVAL"))
+            throw new IllegalArgumentException("interval columns are not supported")
           val t = sparkType(typeTok)
           colCasts.put(name, colCasts.getOrElse(name, Map.empty) + (colName -> t))
           colMeta.get(name).foreach(m => colMeta.put(name, m.map(c =>
@@ -632,6 +638,9 @@ final class GraftSession(val spark: SparkSession,
     val first = "(?is)\\s+FIRST\\s*$".r.findFirstIn(body).isDefined
     body = body.replaceAll("(?is)\\s+FIRST\\s*$", "")
     val cd = parseColumnDef(body)
+    // interval columns are rejected (reference issue #5422)
+    if (cd.typeTok.toUpperCase(Locale.ROOT).startsWith("INTERVAL"))
+      throw new IllegalArgumentException("interval columns are not supported")
     // reject trailing junk (reference: `ADD COLUMN x int xxx` errors and
     // the table stays unchanged — add_incorrect_col.result)
     val leftovers = body.split("\\s+").drop(2).mkString(" ")
@@ -709,6 +718,74 @@ final class GraftSession(val spark: SparkSession,
         (t, r.getString(0), r.getString(1), r.getString(3) == "YES", r.getString(5)))
     }.toDF("table_name", "column_name", "data_type", "is_nullable", "semantic_type")
       .createOrReplaceTempView("__info_columns")
+  }
+
+  /** ConcreteDataType display name → SHOW CREATE TABLE SQL type token
+    * (sql/src/statements/show.rs DDL rendering). */
+  private def showCreateType(g: String): String = g match {
+    case "Int8" => "TINYINT"
+    case "Int16" => "SMALLINT"
+    case "Int32" => "INT"
+    case "Int64" => "BIGINT"
+    case "UInt8" => "TINYINT UNSIGNED"
+    case "UInt16" => "SMALLINT UNSIGNED"
+    case "UInt32" => "INT UNSIGNED"
+    case "UInt64" => "BIGINT UNSIGNED"
+    case "Float32" => "FLOAT"
+    case "Float64" => "DOUBLE"
+    case "String" => "STRING"
+    case "Boolean" => "BOOLEAN"
+    case "Binary" => "BINARY"
+    case "Date" => "DATE"
+    case "TimestampSecond" => "TIMESTAMP(0)"
+    case "TimestampMillisecond" => "TIMESTAMP(3)"
+    case "TimestampMicrosecond" => "TIMESTAMP(6)"
+    case "TimestampNanosecond" => "TIMESTAMP(9)"
+    case "Json" => "JSON"
+    case other if other.startsWith("Decimal") => other.toUpperCase(Locale.ROOT)
+    case other if other.startsWith("Vector") => other.toUpperCase(Locale.ROOT)
+    case other => other.toUpperCase(Locale.ROOT)
+  }
+
+  /** humantime-style duration rendering used by SHOW CREATE ('7d' →
+    * '7days'). */
+  private def humanDuration(s: String): String =
+    "(?i)(\\d+)\\s*(ms|s|m|h|d)".r.replaceAllIn(s, m =>
+      m.group(1) + (m.group(2).toLowerCase(Locale.ROOT) match {
+        case "ms" => "ms"; case "s" => "s"; case "m" => "m"
+        case "h" => "h"; case "d" => "days"
+      }))
+
+  /** Original WITH options per table, for SHOW CREATE TABLE. */
+  private val tableOpts =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
+  private def showCreateTable(name: String): DataFrame = {
+    import spark.implicits._
+    val spec = catalog.spec(name)
+    val metas = colMeta.getOrElse(name, Vector.empty)
+      .filterNot(m => droppedCols.getOrElse(name, Set.empty).contains(m.name))
+    val colLines = metas.map { m =>
+      val base = s"""  "${m.name}" ${showCreateType(m.gtype)}"""
+      val nul = if (m.nullable && m.name != spec.timeIndex) " NULL" else " NOT NULL"
+      val dft = m.default.map(d => s" DEFAULT $d").getOrElse("")
+      base + nul + dft
+    }
+    val keyLines = Vector(s"""  TIME INDEX ("${spec.timeIndex}")""") ++
+      (if (spec.tags.nonEmpty)
+        Vector(spec.tags.map(t => s""""$t"""").mkString("  PRIMARY KEY (", ", ", ")"))
+      else Vector.empty)
+    val inner = colLines ++ keyLines
+    val body = inner.dropRight(1).map(_ + ",") :+ inner.last
+    val opts = tableOpts.getOrElse(name, Nil)
+      .map { case (k, v) =>
+        s"  $k = '${if (k == "ttl") humanDuration(v) else v}'" }
+    val lines = (s"""CREATE TABLE IF NOT EXISTS "$name" (""" +: body :+ ")") ++
+      Vector("ENGINE=mito") ++
+      (if (opts.nonEmpty) ("WITH(" +: opts.zipWithIndex.map { case (o, i) =>
+        if (i < opts.size - 1) o + "," else o } :+ ")") else Vector.empty)
+    lines.zipWithIndex.map { case (l, i) => (if (i == 0) name else "", l) }
+      .toDF("Table", "Create Table")
   }
 
   private def showTables(): DataFrame = {
@@ -799,7 +876,14 @@ final class GraftSession(val spark: SparkSession,
       val target = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
       val cols = Option(colsOpt)
         .map(_.stripPrefix("(").stripSuffix(")").split(",").map(c => unquote(c)).toSeq)
-        .getOrElse(target.map(_.name).toSeq.filterNot(_ == SeqCol))
+        .getOrElse {
+          // positional VALUES follow the declared (FIRST/AFTER-adjusted)
+          // column order, not the physical parquet order
+          val dropped = droppedCols.getOrElse(name, Set.empty)
+          colMeta.get(name).map(_.map(_.name).filterNot(dropped.contains))
+            .filter(_.nonEmpty)
+            .getOrElse(target.map(_.name).toSeq.filterNot(_ == SeqCol))
+        }
       var df = spark.sql(dialect(substituteDefaults(name, body, cols)))
       df = df.toDF(cols: _*)
       // align to full target schema: missing columns become nulls, the
@@ -955,57 +1039,78 @@ final class GraftSession(val spark: SparkSession,
     if (!df.columns.contains("__ts") || !df.columns.contains("__val")) return df
     val ts = timestamp_millis(col("__ts")).as("ts")
     val v = col("__val")
+    val setOps = Set("and", "or", "unless")
+    def isLit(e: Expr): Boolean = e match {
+      case _: NumberLit | _: StringLit => true
+      case Call("scalar", _) => true
+      case _ => false
+    }
+    // shape mirrors the reference planner's projection for each plan
+    // form (pinned by tql/ + promql/ sqlness goldens)
     def shapeOf(e: Expr): String = e match {
       case Selector(_, _, None, _, _) => "selector"
       case Selector(_, _, Some(_), _, _) => "range"
       case Agg(_, _, _, _, _) => "agg"
       case Call("scalar", _) => "scalar"
+      case Call(fn, _) if fn == "label_join" || fn == "label_replace" => "label"
       case Call(_, _) => "range"
-      case Binary(_, lhs, rhs, _, _) =>
-        (lhs, rhs) match {
-          case (_: NumberLit | _: StringLit, r) => shapeOf(r)
-          case (l, _) => shapeOf(l)
-        }
+      case Binary(op, lhs, rhs, _, _) =>
+        if (setOps.contains(op.toLowerCase(Locale.ROOT))) shapeOf(lhs)
+        else if (isLit(lhs)) shapeOf(rhs)
+        else if (isLit(rhs)) shapeOf(lhs)
+        else "vecbinary"
       case Unary(inner) => shapeOf(inner)
       case Subquery(inner, _, _, _) => shapeOf(inner)
       case _ => "range"
     }
-    val shape = try shapeOf(parseTop(promql)) catch { case _: Throwable => "range" }
+    def firstSel(x: Expr): Option[String] = x match {
+      case Selector(n, _, _, _, _) => Some(n)
+      case Binary(_, l, rr, _, _) => firstSel(l).orElse(firstSel(rr))
+      case Call(_, as) => as.flatMap(firstSel(_).toSeq).headOption
+      case Agg(_, _, _, _, b) => firstSel(b)
+      case Subquery(inner, _, _, _) => firstSel(inner)
+      case Unary(inner) => firstSel(inner)
+      case _ => None
+    }
+    val ast = try Some(PromParser.parse(promql)) catch { case _: Throwable => None }
+    val shape = ast.map(shapeOf).getOrElse("range")
+    val table = ast.flatMap(firstSel).filter(catalog.tables.contains)
     val cols: Seq[org.apache.spark.sql.Column] = shape match {
       case "selector" =>
-        // value first, then labels and the time index ordered by their
-        // original names (ts keeps the table's time-index name slot)
-        val others = (labels :+ "__zz_ts").sortBy {
-          case "__zz_ts" => tqlTsName; case l => l
+        table match {
+          case Some(t) =>
+            val spec = catalog.spec(t)
+            val declared = colMeta.get(t).map(_.map(_.name))
+              .getOrElse(spark.table(t).columns.toVector)
+              .filterNot(droppedCols.getOrElse(t, Set.empty))
+            def toCol(c: String): Option[org.apache.spark.sql.Column] =
+              if (c == spec.timeIndex) Some(ts)
+              else if (labels.contains(c)) Some(col(c))
+              else if (!spec.tags.contains(c)) Some(v) // the value field
+              else None
+            // non-ms time index is cast by the planner, which moves the
+            // ts column to the end: [fields, tags, ts]
+            if (tsLiteralUs.get(t).exists(_ != 1000L))
+              (declared.filterNot(c => c == spec.timeIndex || spec.tags.contains(c))
+                .flatMap(toCol) ++
+                declared.filter(spec.tags.contains).flatMap(toCol)) :+ ts
+            else declared.flatMap(toCol)
+          case None => (v +: labels.sorted.map(col)) :+ ts
         }
-        v +: others.map { case "__zz_ts" => ts; case l => col(l) }
       case "agg" => (v +: labels.map(col)) :+ ts
       case "scalar" => Seq(ts, v)
+      case "vecbinary" => labels.sorted.map(col) ++ Seq(ts, v)
+      case "label" =>
+        // new/destination label first, then the original labels
+        val dst = ast.flatMap {
+          case Call(_, args) => args.collectFirst { case StringLit(s) => s }
+          case _ => None
+        }
+        val rest = labels.filterNot(dst.contains).sorted
+        Seq(ts, v) ++ (dst.filter(labels.contains).toSeq ++ rest).map(col)
       case _ => (ts +: Seq(v)) ++ labels.map(col)
     }
     df.select(cols: _*)
-  }
-
-  /** Time-index name of the single referenced table, for selector-shape
-    * column ordering; falls back to "ts". */
-  private var tqlTsName: String = "ts"
-
-  private def parseTop(q: String): PromParser.Expr = {
-    val e = PromParser.parse(q)
-    // remember the time-index name of the first selector's table
-    def firstSel(x: PromParser.Expr): Option[String] = x match {
-      case PromParser.Selector(n, _, _, _, _) => Some(n)
-      case PromParser.Binary(_, l, r, _, _) => firstSel(l).orElse(firstSel(r))
-      case PromParser.Call(_, as) => as.flatMap(firstSel(_).toSeq).headOption
-      case PromParser.Agg(_, _, _, _, b) => firstSel(b)
-      case PromParser.Subquery(i, _, _, _) => firstSel(i)
-      case PromParser.Unary(i) => firstSel(i)
-      case _ => None
-    }
-    firstSel(e).foreach { t =>
-      if (catalog.tables.contains(t)) tqlTsName = catalog.spec(t).timeIndex
-    }
-    e
   }
 
   private def tqlTimeMs(s: String): Long = {

@@ -159,9 +159,11 @@ object GoldenRunner {
     var compared = 0
     var skipped = 0
     val problems = Seq.newBuilder[String]
+    val trace = sys.env.contains("GOLDEN_TRACE")
     parseResult(resultFile).foreach { e =>
       stallStmt.set(e.sql)
       stallDeadline.set(System.nanoTime() + 90L * 1000 * 1000 * 1000)
+      if (trace) { System.err.println(s"[golden-exec] ${e.sql.take(150)}"); System.err.flush() }
       Try(g.sql(e.sql)) match {
         case Failure(ex) =>
           e.expected match {
@@ -211,7 +213,10 @@ object GoldenSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).sortBy(_.getName)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .filter(d => only.forall(_.contains(d.getName))).sortBy(_.getName)
     for (d <- dirs; f <- d.listFiles().filter(_.getName.endsWith(".result")).sortBy(_.getName)) {
       val rel = s"${d.getName}/${f.getName.stripSuffix(".result")}"
       val out = Try(GoldenRunner.run(spark, f.getPath)) match {

@@ -80,10 +80,10 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("INSERT INTO metric1 VALUES (TIMESTAMP'1970-01-01 00:00:15', 'a', 7.0)")
     val out = g.sql("TQL EVAL (0, 20, '5s') metric1").collect()
     // instant vector: lookback picks the latest sample at each step;
-    // selector shape = [value, labels∪ts by name] with ts as timestamp
+    // selector shape follows the declared column order (ts, host, v)
     assert(out.nonEmpty)
-    val atT20 = out.filter(_.getTimestamp(2).getTime == 20000L)
-    assert(atT20.length == 1 && atT20(0).getDouble(0) == 7.0)
+    val atT20 = out.filter(_.getTimestamp(0).getTime == 20000L)
+    assert(atT20.length == 1 && atT20(0).getDouble(2) == 7.0)
   }
 
   test("create view / drop view") {
