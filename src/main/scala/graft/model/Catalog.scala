@@ -64,6 +64,7 @@ object Catalog {
 
   def readView(df: DataFrame, spec: TableSpec): DataFrame = {
     val ttlFiltered = spec.ttlMillis match {
+      case Some(0L) => df.filter(lit(false)) // ttl='instant': nothing persists
       case Some(ttl) =>
         df.filter(col(spec.timeIndex) >=
           (current_timestamp() - expr(s"INTERVAL $ttl MILLISECOND")))

@@ -145,7 +145,8 @@ final class PromEval(
       val lits = sel.matchers.filter(_.op == "=").map(m => m.label -> m.value)
       Right(absent(instant(metricOf(sel), params, sel.offsetMs), params, spark, lits))
 
-    case Call("scalar", Seq(arg)) => Right(scalarFn(evalToVector(arg)))
+    case Call("scalar", Seq(arg)) =>
+      Right(scalarFn(evalToVector(arg), params, spark))
 
     case Call("vector", Seq(NumberLit(v))) => Right(scalarLiteral(spark, params, v))
 
@@ -175,10 +176,23 @@ final class PromEval(
       Right(mathFn(iv, fn, scalarArgs.map { case NumberLit(v) => v; case _ => 0.0 }))
 
     case Binary(op, lhs, rhs, boolMod, matching) =>
+      // scalar-valued sub-expressions (scalar(), time(), and arithmetic
+      // over them) match per-timestamp, not per-series
+      def scalarish(e: Expr): Boolean = e match {
+        case Call("scalar", _) => true
+        case Call(fn, Seq()) if TimeFns.contains(fn) => true
+        case Binary(_, a, b, _, _) => scalarish(a) && scalarish(b)
+        case Unary(inner) => scalarish(inner)
+        case _ => false
+      }
       (eval(lhs), eval(rhs)) match {
         case (Left(a), Left(b)) => Left(scalarScalar(op, a, b, boolMod))
         case (Right(iv), Left(s)) => Right(vectorScalar(iv, op, s, scalarLeft = false, boolMod))
         case (Left(s), Right(iv)) => Right(vectorScalar(iv, op, s, scalarLeft = true, boolMod))
+        case (Right(l), Right(r)) if scalarish(lhs) && !scalarish(rhs) =>
+          Right(vectorScalarSeries(r, l, op, scalarLeft = true, boolMod))
+        case (Right(l), Right(r)) if scalarish(rhs) && !scalarish(lhs) =>
+          Right(vectorScalarSeries(l, r, op, scalarLeft = false, boolMod))
         case (Right(l), Right(r)) =>
           val m = matching
           val (on, ignoring) = m match {

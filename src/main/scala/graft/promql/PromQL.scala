@@ -242,6 +242,23 @@ object PromQL {
       InstantVector(iv.df.filter(cmp(op, l, r)), iv.labels)
   }
 
+  /** Vector ⊗ per-step scalar series (result of scalar()/time()):
+    * join on __ts only; the vector side keeps its labels — one-to-one
+    * matching would wrongly demand equal label sets. */
+  def vectorScalarSeries(iv: InstantVector, scalarIv: InstantVector, op: String,
+      scalarLeft: Boolean = false, boolMod: Boolean = false): InstantVector = {
+    val s = scalarIv.df.select(col("__ts"), col("__val").as("__sv"))
+    val joined = iv.df.join(s, Seq("__ts"))
+    val x = col("__val")
+    val (l, r) = if (scalarLeft) (col("__sv"), x) else (x, col("__sv"))
+    val out =
+      if (ArithOps(op)) joined.withColumn("__val", arith(op, l, r))
+      else if (boolMod) joined.withColumn("__val",
+        when(cmp(op, l, r), 1.0).otherwise(0.0))
+      else joined.filter(cmp(op, l, r))
+    InstantVector(out.drop("__sv"), iv.labels)
+  }
+
   /** Vector-vector binary op: equi-join on (__ts, matching labels) —
     * PromQL one-to-one vector matching (planner.rs ~5000-5400), plus
     * many-to-one via group_left/group_right: the "many" side keeps all
@@ -365,10 +382,14 @@ object PromQL {
       (iv.labels :+ dst).distinct)
 
   /** scalar(): value when exactly one series, else NaN (ScalarCalculate). */
-  def scalarFn(iv: InstantVector): InstantVector = {
+  /** scalar(): value when the instant vector has exactly one element at
+    * the step, else NaN — emitted for EVERY grid step
+    * (extension_plan/scalar_calculate.rs). */
+  def scalarFn(iv: InstantVector, p: EvalParams, spark: SparkSession): InstantVector = {
     val perTs = iv.df.groupBy(col("__ts"))
       .agg(count(lit(1)).as("__n"), first(col("__val")).as("__v"))
-    InstantVector(perTs.withColumn("__val",
+    val full = gridDf(spark, p).join(perTs, Seq("__ts"), "left")
+    InstantVector(full.withColumn("__val",
       when(col("__n") === 1, col("__v")).otherwise(lit(Double.NaN)))
       .drop("__n", "__v"), Nil)
   }

@@ -44,6 +44,22 @@ final class GraftSession(val spark: SparkSession,
   spark.range(0, 100).selectExpr("CAST(id AS INT) AS number")
     .createOrReplaceTempView("numbers")
 
+  // ---- databases (catalog/src/schema; USE swaps the visible tables) --
+  /** Per-database saved table state: specs + session metadata, swapped
+    * wholesale on USE. */
+  private case class DbState(
+      specs: Map[String, TableSpec],
+      meta: Map[String, Vector[ColMeta]],
+      dropped: Map[String, Set[String]],
+      bfills: Map[String, Vector[(String, String, Long)]],
+      casts: Map[String, Map[String, DataType]],
+      tsUs: Map[String, Long],
+      opts: Map[String, Seq[(String, String)]])
+  private val dbOpts =
+    scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]("public" -> Nil)
+  private val dbSaved = scala.collection.concurrent.TrieMap.empty[String, DbState]
+  private var currentDb: String = "public"
+
   private val flows = scala.collection.concurrent.TrieMap.empty[String, (FlowDef, String)]
   // per-statement write order; strictly monotone within the session
   private val seqCounter =
@@ -66,6 +82,48 @@ final class GraftSession(val spark: SparkSession,
     else if (up.startsWith("SHOW TABLES")) showTables()
     else if (up.startsWith("SHOW CREATE TABLE"))
       showCreateTable(unquote(stmt.split("\\s+")(3)))
+    else if (up.startsWith("SHOW CREATE DATABASE")) {
+      import spark.implicits._
+      val db = unquote(stmt.split("\\s+")(3))
+      if (!dbOpts.contains(db))
+        throw new IllegalArgumentException(s"database $db not found")
+      val opts = dbOpts(db).map { case (k, v) =>
+        s"  $k = '${if (k == "ttl") humanDuration(v) else v}'" }
+      val lines = s"CREATE DATABASE IF NOT EXISTS $db" +:
+        (if (opts.nonEmpty) ("WITH(" +: opts.zipWithIndex.map { case (o, i) =>
+          if (i < opts.size - 1) o + "," else o } :+ ")") else Vector.empty)
+      lines.zipWithIndex.map { case (l, i) => (if (i == 0) db else "", l) }
+        .toDF("Database", "Create Database")
+    }
+    else if (up.startsWith("CREATE DATABASE")) createDatabase(stmt)
+    else if (up.startsWith("DROP DATABASE")) dropDatabase(stmt)
+    else if (up.startsWith("USE ")) useDatabase(unquote(stmt.split("\\s+").last))
+    else if (up.startsWith("SHOW DATABASES") || up.startsWith("SHOW SCHEMAS")) {
+      import spark.implicits._
+      (dbOpts.keys.toSeq :+ "information_schema").distinct.sorted.toDF("Database")
+    }
+    else if (up.startsWith("ALTER DATABASE")) {
+      // SET/UNSET database options; only ttl affects query results
+      val kv = "(?is)SET\\s+'?([A-Za-z_][A-Za-z0-9_.]*)'?\\s*=\\s*'([^']*)'".r
+      val nm = stmt.split("\\s+")(2)
+      val db = unquote(nm)
+      if (!dbOpts.contains(db))
+        throw new IllegalArgumentException(s"database $db not found")
+      kv.findFirstMatchIn(stmt).foreach { m =>
+        val (k, v) = (m.group(1).toLowerCase(Locale.ROOT), m.group(2))
+        // database-level ttl cannot be 'instant' (ttl/show_ttl.result)
+        if (k == "ttl" && v == "instant")
+          throw new IllegalArgumentException("database ttl cannot be instant")
+        if (k == "ttl" && v.nonEmpty && v != "forever") parseTtlMs(v)
+        dbOpts.put(db, dbOpts(db).filterNot(_._1 == k) :+ (k -> v))
+      }
+      if (up.contains("UNSET")) {
+        val k = "'([^']*)'".r.findFirstMatchIn(
+          stmt.substring(stmt.toUpperCase(Locale.ROOT).indexOf("UNSET")))
+        k.foreach(m => dbOpts.put(db, dbOpts(db).filterNot(_._1 == m.group(1))))
+      }
+      status(s"database $db altered")
+    }
     else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC "))
       describeTable(unquote(stmt.split("\\s+").last))
     else if (up.startsWith("INSERT INTO")) insert(stmt)
@@ -246,7 +304,7 @@ final class GraftSession(val spark: SparkSession,
   private val SeqCol = "__seq"
 
   private val CreateTableHeadRx =
-    "(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
+    "(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
 
   /** Declared column metadata, in declared order — drives DESC TABLE,
     * INSERT defaults and FIRST/AFTER column placement. */
@@ -465,8 +523,16 @@ final class GraftSession(val spark: SparkSession,
       val mergeMode =
         if (opts.get("append_mode").exists(_.toLowerCase == "true")) MergeMode.Append
         else opts.get("merge_mode").map(MergeMode.parse).getOrElse(MergeMode.LastRow)
-      val ttl = opts.get("ttl").map(parseTtlMs)
-      val path = opts.getOrElse("path", s"$warehouse/$name")
+      // table ttl, else inherited from the database (table/src/requests.rs
+      // database-level TTL); 'instant' drops every historical row
+      val ttlOpt = opts.get("ttl")
+        .orElse(dbOpts.getOrElse(currentDb, Nil).toMap.get("ttl"))
+      val ttl = ttlOpt.flatMap {
+        case "instant" => Some(0L)
+        case "forever" | "" => None
+        case v => Some(parseTtlMs(v))
+      }
+      val path = opts.getOrElse("path", s"$warehouse/${currentDb}__$name")
 
       val schema = StructType(fields.result() :+ StructField(SeqCol, LongType))
       val spec = TableSpec(name, path, ti, tags.distinct, mergeMode, ttl,
@@ -505,15 +571,24 @@ final class GraftSession(val spark: SparkSession,
     df.createOrReplaceTempView(name)
   }
 
+  /** TTL durations accept compact ('90s') and humantime verbose
+    * ('1 second', '6 hours') forms, possibly multi-part ('1h 30m'). */
   private def parseTtlMs(s: String): Long = {
-    val m = "(?i)^(\\d+)\\s*(ms|s|m|h|d)$".r
-    s.trim match {
-      case m(n, u) => n.toLong * (u.toLowerCase match {
-        case "ms" => 1L; case "s" => 1000L; case "m" => 60000L
-        case "h" => 3600000L; case "d" => 86400000L
+    val part = "(?i)(\\d+)\\s*(milliseconds?|ms|seconds?|minutes?|hours?|days?|[smhd])".r
+    val parts = part.findAllMatchIn(s.trim).toSeq
+    if (parts.isEmpty || parts.map(_.matched.replaceAll("\\s+", "").length).sum !=
+      s.replaceAll("\\s+", "").length)
+      throw new IllegalArgumentException(s"bad ttl: $s")
+    parts.map { m =>
+      val unit = m.group(2).toLowerCase(Locale.ROOT)
+      m.group(1).toLong * (unit.head match {
+        case 'm' if unit.startsWith("ms") || unit.startsWith("milli") => 1L
+        case 'm' => 60000L
+        case 's' => 1000L
+        case 'h' => 3600000L
+        case 'd' => 86400000L
       })
-      case other => throw new IllegalArgumentException(s"bad ttl: $other")
-    }
+    }.sum
   }
 
   // ---- views + ALTER TABLE (sql/src/statements/{create,alter}.rs) ----
@@ -609,8 +684,15 @@ final class GraftSession(val spark: SparkSession,
         val kv = "(?is)SET\\s+'([^']*)'\\s*=\\s*(?:'([^']*)'|NULL)".r
         kv.findFirstMatchIn(tail).foreach { m =>
           val v = Option(m.group(2)).filter(_.nonEmpty)
-          m.group(1).toLowerCase(Locale.ROOT) match {
-            case "ttl" => catalog.register(spec.copy(ttlMillis = v.map(parseTtlMs)))
+          val key = m.group(1).toLowerCase(Locale.ROOT)
+          key match {
+            case "ttl" =>
+              val ms = v.flatMap {
+                case "instant" => Some(0L)
+                case "forever" => None
+                case x => Some(parseTtlMs(x))
+              }
+              catalog.register(spec.copy(ttlMillis = ms))
             case "append_mode" =>
               val mm = if (v.contains("true")) MergeMode.Append else MergeMode.LastRow
               catalog.register(spec.copy(mergeMode = mm))
@@ -618,9 +700,15 @@ final class GraftSession(val spark: SparkSession,
               v.foreach(x => catalog.register(spec.copy(mergeMode = MergeMode.parse(x))))
             case _ => ()
           }
+          tableOpts.put(name, tableOpts.getOrElse(name, Nil)
+            .filterNot(_._1 == key) ++ v.map(key -> _))
         }
       } else if (up.startsWith("UNSET")) {
-        if (up.contains("'TTL'")) catalog.register(spec.copy(ttlMillis = None))
+        "'([^']*)'".r.findFirstMatchIn(tail).foreach { m =>
+          val key = m.group(1).toLowerCase(Locale.ROOT)
+          if (key == "ttl") catalog.register(spec.copy(ttlMillis = None))
+          tableOpts.put(name, tableOpts.getOrElse(name, Nil).filterNot(_._1 == key))
+        }
       } else throw new IllegalArgumentException(s"cannot parse: $stmt")
       refreshView(name)
       status(s"table $name altered")
@@ -748,13 +836,25 @@ final class GraftSession(val spark: SparkSession,
   }
 
   /** humantime-style duration rendering used by SHOW CREATE ('7d' →
-    * '7days'). */
+    * '7days', '1 second' → '1s'). */
   private def humanDuration(s: String): String =
-    "(?i)(\\d+)\\s*(ms|s|m|h|d)".r.replaceAllIn(s, m =>
-      m.group(1) + (m.group(2).toLowerCase(Locale.ROOT) match {
-        case "ms" => "ms"; case "s" => "s"; case "m" => "m"
-        case "h" => "h"; case "d" => "days"
-      }))
+    if (s.isEmpty || s == "forever") "forever"
+    else if (s == "instant") "instant"
+    else try {
+      var ms = intervalMs(s)
+      val parts = Seq.newBuilder[String]
+      val d = ms / 86400000L; ms %= 86400000L
+      val h = ms / 3600000L; ms %= 3600000L
+      val m = ms / 60000L; ms %= 60000L
+      val sec = ms / 1000L; ms %= 1000L
+      if (d > 0) parts += s"${d}day" + (if (d > 1) "s" else "")
+      if (h > 0) parts += s"${h}h"
+      if (m > 0) parts += s"${m}m"
+      if (sec > 0) parts += s"${sec}s"
+      if (ms > 0) parts += s"${ms}ms"
+      val r = parts.result()
+      if (r.isEmpty) "0s" else r.mkString(" ")
+    } catch { case _: Exception => s }
 
   /** Original WITH options per table, for SHOW CREATE TABLE. */
   private val tableOpts =
@@ -777,13 +877,22 @@ final class GraftSession(val spark: SparkSession,
       else Vector.empty)
     val inner = colLines ++ keyLines
     val body = inner.dropRight(1).map(_ + ",") :+ inner.last
-    val opts = tableOpts.getOrElse(name, Nil)
+    val own = tableOpts.getOrElse(name, Nil)
+    // a db-level ttl shows as an (inherited) table option
+    val effective =
+      if (own.exists(_._1 == "ttl")) own
+      else dbOpts.getOrElse(currentDb, Nil).find(_._1 == "ttl")
+        .map(own :+ _).getOrElse(own)
+    val opts = effective
       .map { case (k, v) =>
-        s"  $k = '${if (k == "ttl") humanDuration(v) else v}'" }
+        val key = if (k.matches("[A-Za-z_][A-Za-z0-9_]*")) k else s"'$k'"
+        s"  $key = '${if (k == "ttl") humanDuration(v) else v}'" }
+    // golden shape: ")", blank (partition slot), ENGINE=mito, then the
+    // WITH block or a trailing blank
     val lines = (s"""CREATE TABLE IF NOT EXISTS "$name" (""" +: body :+ ")") ++
-      Vector("ENGINE=mito") ++
+      Vector("", "ENGINE=mito") ++
       (if (opts.nonEmpty) ("WITH(" +: opts.zipWithIndex.map { case (o, i) =>
-        if (i < opts.size - 1) o + "," else o } :+ ")") else Vector.empty)
+        if (i < opts.size - 1) o + "," else o } :+ ")") else Vector(""))
     lines.zipWithIndex.map { case (l, i) => (if (i == 0) name else "", l) }
       .toDF("Table", "Create Table")
   }
@@ -792,6 +901,88 @@ final class GraftSession(val spark: SparkSession,
     import spark.implicits._
     // `numbers` is a built-in table (table/src/table/numbers.rs)
     (catalog.tables :+ "numbers").sorted.toDF("Tables")
+  }
+
+  // ---- databases ------------------------------------------------------
+
+  private val CreateDbRx =
+    "(?is)CREATE\\s+DATABASE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_\"`][A-Za-z0-9_\"`]*)\\s*(?:WITH\\s*\\((.*)\\))?".r
+
+  private def createDatabase(stmt: String): DataFrame = stmt match {
+    case CreateDbRx(rawName, withPart) =>
+      val name = unquote(rawName)
+      if (dbOpts.contains(name) || dbSaved.contains(name)) {
+        if ("(?is).*IF\\s+NOT\\s+EXISTS.*".r.matches(stmt.take(40)))
+          return status(s"database $name exists")
+        throw new IllegalArgumentException(s"database $name already exists")
+      }
+      val opts = Option(withPart).map(w => splitTop(w).flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k.trim.stripPrefix("'").stripSuffix("'")
+          .toLowerCase(Locale.ROOT) -> v.trim.stripPrefix("'").stripSuffix("'"))
+        case _ => None
+      })).getOrElse(Nil)
+      // validate a ttl option eagerly (alter_database negative tests)
+      opts.find(_._1 == "ttl").map(_._2).filter(_.nonEmpty)
+        .filterNot(v => v == "instant" || v == "forever").foreach(parseTtlMs)
+      dbOpts.put(name, opts)
+      dbSaved.put(name, DbState(Map.empty, Map.empty, Map.empty, Map.empty,
+        Map.empty, Map.empty, Map.empty))
+      status(s"database $name created")
+    case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
+  }
+
+  private def saveCurrentDb(): Unit = {
+    dbSaved.put(currentDb, DbState(
+      catalog.tables.map(t => t -> catalog.spec(t)).toMap,
+      colMeta.toMap, droppedCols.toMap, backfills.toMap, colCasts.toMap,
+      tsLiteralUs.toMap, tableOpts.toMap))
+  }
+
+  private def useDatabase(name: String): DataFrame = {
+    if (name != currentDb) {
+      val target = dbSaved.getOrElse(name,
+        if (name == "public") DbState(Map.empty, Map.empty, Map.empty,
+          Map.empty, Map.empty, Map.empty, Map.empty)
+        else throw new IllegalArgumentException(s"database $name not found"))
+      if (!dbOpts.contains(name) && name != "public")
+        throw new IllegalArgumentException(s"database $name not found")
+      saveCurrentDb()
+      catalog.tables.foreach { t =>
+        spark.catalog.dropTempView(t)
+        catalog.deregister(t)
+      }
+      colMeta.clear(); droppedCols.clear(); backfills.clear()
+      colCasts.clear(); tsLiteralUs.clear(); tableOpts.clear()
+      target.specs.values.foreach(catalog.register)
+      colMeta ++= target.meta; droppedCols ++= target.dropped
+      backfills ++= target.bfills; colCasts ++= target.casts
+      tsLiteralUs ++= target.tsUs; tableOpts ++= target.opts
+      target.specs.keys.foreach(refreshView)
+      currentDb = name
+    }
+    status(s"using $name")
+  }
+
+  private def dropDatabase(stmt: String): DataFrame = {
+    val name = unquote(stmt.split("\\s+").last)
+    if (name == currentDb) {
+      catalog.tables.foreach { t =>
+        spark.catalog.dropTempView(t); catalog.deregister(t)
+      }
+      colMeta.clear(); droppedCols.clear(); backfills.clear()
+      colCasts.clear(); tsLiteralUs.clear(); tableOpts.clear()
+      currentDb = "public"
+      dbSaved.get("public").foreach { s =>
+        s.specs.values.foreach(catalog.register)
+        colMeta ++= s.meta; droppedCols ++= s.dropped
+        backfills ++= s.bfills; colCasts ++= s.casts
+        tsLiteralUs ++= s.tsUs; tableOpts ++= s.opts
+        s.specs.keys.foreach(refreshView)
+      }
+    }
+    dbSaved.remove(name)
+    dbOpts.remove(name)
+    status(s"database $name dropped")
   }
 
   /** Spark type → reference `ConcreteDataType` display name, for tables
@@ -873,6 +1064,8 @@ final class GraftSession(val spark: SparkSession,
   private def insert(stmt: String): DataFrame = stmt match {
     case InsertRx(name, colsOpt, body) =>
       val spec = catalog.spec(name)
+      // ttl='instant': rows are accepted but never persisted
+      if (spec.ttlMillis.contains(0L)) return status(s"inserted 0 rows into $name")
       val target = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
       val cols = Option(colsOpt)
         .map(_.stripPrefix("(").stripSuffix(")").split(",").map(c => unquote(c)).toSeq)
@@ -902,6 +1095,19 @@ final class GraftSession(val spark: SparkSession,
             .filter(col("__rn") === 1).drop("__ord", "__rn")
         }
       }
+      // a VALUES cell that cannot cast to the column type drops the row
+      // silently while the insert still reports success (pinned by
+      // alter_table.result's `"word"` into DOUBLE)
+      val badCast = target.filter(f => cols.contains(f.name)).flatMap { f =>
+        val srcType = df.schema(f.name).dataType
+        if (srcType == StringType && f.dataType != StringType &&
+          f.dataType != BinaryType && f.dataType != TimestampType &&
+          f.dataType != TimestampNTZType && f.dataType != DateType)
+          Some(col(f.name).isNotNull &&
+            expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").isNull)
+        else None
+      }
+      if (badCast.nonEmpty) df = df.filter(!badCast.reduce(_ || _))
       val seq = seqCounter.incrementAndGet()
       val numericTypes: Set[DataType] =
         Set(ByteType, ShortType, IntegerType, LongType)
@@ -950,7 +1156,17 @@ final class GraftSession(val spark: SparkSession,
       val name = unquote(rawName)
       val spec = catalog.spec(name)
       val raw = spark.read.option("mergeSchema", "true").parquet(spec.path)
-      val cond = Option(condOpt).map(c => expr(dialect(c))).getOrElse(lit(true))
+      // integer literals compared against the time index are epoch
+      // units of the column's precision (TypeConversionRule)
+      val condSql = Option(condOpt).map { c0 =>
+        val us = tsLiteralUs.getOrElse(name, 1000L)
+        val ti = java.util.regex.Pattern.quote(spec.timeIndex)
+        c0.replaceAll(
+          s"(?i)\\b($ti)\\s*(=|!=|<>|<=|>=|<|>)\\s*(\\d+)\\b",
+          if (us > 0) s"$$1 $$2 TIMESTAMP_MICROS(CAST($$3 AS BIGINT) * $us)"
+          else s"$$1 $$2 TIMESTAMP_MICROS(CAST($$3 AS BIGINT) div 1000)")
+      }
+      val cond = condSql.map(c => expr(dialect(c))).getOrElse(lit(true))
       val kept = raw.filter(!coalesce(cond, lit(false)))
       val n = raw.count() - kept.count()
       val tmp = spec.path + "__del_tmp"
@@ -1054,11 +1270,23 @@ final class GraftSession(val spark: SparkSession,
       case Call("scalar", _) => "scalar"
       case Call(fn, _) if fn == "label_join" || fn == "label_replace" => "label"
       case Call(_, _) => "range"
-      case Binary(op, lhs, rhs, _, _) =>
+      case Binary(op, lhs, rhs, boolMod, _) =>
+        val comparison = Set("==", "!=", ">", "<", ">=", "<=").contains(op)
         if (setOps.contains(op.toLowerCase(Locale.ROOT))) shapeOf(lhs)
-        else if (isLit(lhs)) shapeOf(rhs)
-        else if (isLit(rhs)) shapeOf(lhs)
-        else "vecbinary"
+        else if (isLit(lhs) && isLit(rhs)) "scalar"
+        else if (comparison && !boolMod)
+          // filter comparison keeps the child plan's projection
+          shapeOf(if (isLit(lhs)) rhs else lhs)
+        else if (isLit(lhs) || isLit(rhs)) {
+          // arithmetic/bool with a literal: NumberLit keeps the child
+          // shape; scalar()/time() re-projects to [labels, ts, value]
+          val lit = if (isLit(lhs)) lhs else rhs
+          lit match {
+            case _: NumberLit | _: StringLit =>
+              shapeOf(if (isLit(lhs)) rhs else lhs)
+            case _ => "vecbinary"
+          }
+        } else "vecbinary"
       case Unary(inner) => shapeOf(inner)
       case Subquery(inner, _, _, _) => shapeOf(inner)
       case _ => "range"

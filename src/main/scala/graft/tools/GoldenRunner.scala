@@ -182,8 +182,10 @@ object GoldenRunner {
                   val wantC = want.map(_.map(canon))
                   // rows compare pipe-joined: a result cell that itself
                   // contains '|' (string_agg) parses as extra cells from
-                  // the golden table — joining makes that benign
-                  val gotJ = got.map(_.mkString("|"))
+                  // the golden table — joining makes that benign. Cells
+                  // compare trimmed: the golden table parser trims, so
+                  // our side must too (SHOW CREATE indentation).
+                  val gotJ = got.map(_.map(_.trim).mkString("|"))
                   val wantJ = wantC.map(_.mkString("|"))
                   val (a, b) =
                     if (ordered) (gotJ, wantJ)
