@@ -27,7 +27,8 @@ object SparkEntry {
     (SourceQueries.queries, SourceQueries.oracles),
     (MergeQueries.queries, MergeQueries.oracles),
     (SqlQueries.queries, SqlQueries.oracles),
-    (IngestQueries.queries, IngestQueries.oracles)
+    (IngestQueries.queries, IngestQueries.oracles),
+    (TsbsQueries.queries, TsbsQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -33,7 +33,7 @@ object IngestQueries {
     "ingest_influx_lp" ->
       """SELECT event_type AS type, COUNT(*) AS n,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
-           SUM(user_id) AS sum_user, MAX(epoch_ns(ts) // 1000000) AS max_ts_ms
+           CAST(SUM(user_id) AS BIGINT) AS sum_user, MAX(epoch_ns(ts) // 1000000) AS max_ts_ms
          FROM events GROUP BY 1 ORDER BY 1"""
   )
 }
