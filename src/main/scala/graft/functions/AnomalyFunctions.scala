@@ -39,7 +39,7 @@ object AnomalyFunctions {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(partitionBy.map(col): _*)
     val x = col(valueCol).cast("double")
     val staged = df.withColumn("__med", percentileOver(x, w))
-    val mad = lit(1.4826) * percentile_approx(abs(x - col("__med")), lit(0.5), lit(10000)).over(w)
+    val mad = lit(1.4826) * percentile(abs(x - col("__med")), lit(0.5)).over(w)
     staged
       .withColumn("__mad", mad)
       .withColumn(outCol,
@@ -61,8 +61,10 @@ object AnomalyFunctions {
       .otherwise((x - hi) / iqr)
   }
 
+  /** Exact linear-interpolation percentile (matches DuckDB
+    * quantile_cont, so MAD/IQR scores are oracle-checkable). */
   private def expr_percentile(x: Column, p: Double, w: WindowSpec): Column =
-    percentile_approx(x, lit(p), lit(10000)).over(w)
+    percentile(x, lit(p)).over(w)
 
   private def percentileOver(x: Column, w: WindowSpec): Column =
     expr_percentile(x, 0.5, w)

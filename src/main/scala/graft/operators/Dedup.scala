@@ -275,6 +275,23 @@ object Dedup {
     * (which a 4-bit band does on a clustered corpus). Pairs are
     * deduplicated across bands BEFORE the cosine verify, and the
     * vectors are joined back only for surviving candidates. */
+  /** Exact brute-force cosine pairs — the O(n²) baseline the LSH path
+    * ([[embeddingCosinePairs]]) approximates. Correct at any threshold
+    * (LSH recall collapses below ~0.8 similarity); quadratic in rows,
+    * so at scale partition one side and broadcast the other in blocks. */
+  def embeddingCosinePairsExact(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val a = v.select(col("__id").as("id_a"), col("__v").as("__va"))
+    val b = v.select(col("__id").as("id_b"), col("__v").as("__vb"))
+    val cosSim = lit(1.0) - graft.functions.VectorFunctions
+      .vecCosDistance(col("__va"), col("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosSim)
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, planes: Int = 60, dim: Int = 64,
       seed: Long = 42L): DataFrame = {

@@ -95,8 +95,6 @@ object FunctionQueries {
         .orderBy(col("event_id"))
     }),
 
-    // mad/iqr: percentile_approx tie-breaking differs from exact SQL
-    // quantiles -> rows-only; the algebra is pinned by FunctionsSpec
     "fn_anomaly_mad_iqr" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
       val scored = AnomalyFunctions.withAnomalyScoreMad(
@@ -188,6 +186,41 @@ object FunctionQueries {
            FROM events)
          SELECT event_id, round(abs(value - m) / sd, 4) AS score
          FROM s WHERE n >= 2 AND sd > 0 AND abs(value - m) / sd > 2
+         ORDER BY event_id""",
+
+    // exact-quantile MAD + IQR fence scores (anomaly/{mad,iqr}.rs):
+    //   mad = |x-med| / (1.4826 * median(|xi-med|)); iqr = distance
+    //   beyond the 1.5*IQR fences scaled by IQR, 0 inside
+    "fn_anomaly_mad_iqr" ->
+      """WITH g AS (
+           SELECT event_type,
+             quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+           FROM events GROUP BY 1),
+         m AS (
+           SELECT e.event_type,
+             1.4826 * quantile_cont(abs(e.value - g.med), 0.5) AS madn
+           FROM events e JOIN g USING (event_type) GROUP BY 1),
+         s AS (
+           SELECT e.event_id, e.value, g.med, g.q1, g.q3, m.madn,
+             g.q3 - g.q1 AS iqr,
+             g.q1 - 1.5 * (g.q3 - g.q1) AS lo,
+             g.q3 + 1.5 * (g.q3 - g.q1) AS hi
+           FROM events e JOIN g USING (event_type) JOIN m USING (event_type)),
+         sc AS (
+           SELECT event_id,
+             CASE WHEN madn = 0
+                  THEN CASE WHEN value = med THEN 0 ELSE 1e308*10 END
+                  ELSE abs(value - med) / madn END AS mad_score,
+             CASE WHEN value >= lo AND value <= hi THEN 0
+                  WHEN iqr = 0 THEN 1e308*10
+                  WHEN value < lo THEN (lo - value) / iqr
+                  ELSE (value - hi) / iqr END AS iqr_score
+           FROM s)
+         SELECT event_id, round(mad_score, 4) AS mad_score,
+                round(iqr_score, 4) AS iqr_score
+         FROM sc WHERE mad_score > 3.0 OR iqr_score > 0.0
          ORDER BY event_id"""
   )
 }

@@ -38,9 +38,11 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // exact brute-force pairs at 0.45 (the synthetic embeddings have no
+    // >0.8 near-dups; LSH at high threshold stays covered by similarity_lsh)
     "dedup_embedding" -> ((s, d) => {
-      Dedup.embeddingCosinePairs(T(s, d, "embeddings"), "embedding", "vec_id",
-        threshold = 0.8)
+      Dedup.embeddingCosinePairsExact(T(s, d, "embeddings"), "embedding", "vec_id",
+        threshold = 0.45)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -109,6 +111,40 @@ object LlmQueries {
            FROM documents)
          SELECT rn > 1 AS is_dup, COUNT(*) AS n FROM ranked
          GROUP BY is_dup ORDER BY is_dup""",
+
+    // exact word-3-gram Jaccard >= 0.4 (the PPJoin prunes in
+    // Dedup.ngramJaccardPairs are lossless, so ground truth must match)
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+           FROM documents),
+         wi AS (
+           SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+           FROM w WHERE len(ws) >= 3),
+         g AS (
+           SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+           FROM wi),
+         sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(c / CAST(sa.n + sb.n - c AS DOUBLE), 4) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         WHERE c / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.4
+         ORDER BY id_a, id_b""",
+
+    // exact cosine pairs, mirrored by list_cosine_similarity in double
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+         ORDER BY id_a, id_b""",
 
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5)

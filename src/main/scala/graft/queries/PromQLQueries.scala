@@ -54,7 +54,6 @@ object PromQLQueries {
         .orderBy(col("ts_g"))
     }),
 
-    // rate + aggregation: rows-only (extrapolation pinned by PromQLSpec)
     "promql_sum_rate" -> ((s, d) => {
       ev(s, d, "sum by (event_type) (rate(events_value[15m]))")
         .select(col("__ts").as("ts_g"), col("event_type"),
@@ -122,6 +121,55 @@ object PromQLQueries {
 
     "promql_or_unless" ->
       s"""$instantCte SELECT ts_g, event_type, val FROM iv
-          WHERE event_type IN ('error', 'click') ORDER BY ts_g, event_type"""
+          WHERE event_type IN ('error', 'click') ORDER BY ts_g, event_type""",
+
+    // Prometheus extrapolatedRate (PromFunctions.extrapolatedRate) spelled
+    // out in SQL: window (t-15m, t], samples ordered (ts, value), counter
+    // resets add the pre-reset value, extrapolation clamped at the
+    // average sample gap and at the zero crossing
+    "promql_sum_rate" ->
+      s"""WITH grid AS (SELECT unnest(generate_series($Start, $End, $Step)) AS ts_g),
+          rv AS (
+            SELECT g.ts_g, e.event_type,
+                   epoch_ns(e.ts) // 1000000 AS ts_ms, e.value
+            FROM grid g JOIN events e
+              ON (epoch_ns(e.ts) // 1000000) <= g.ts_g
+             AND (epoch_ns(e.ts) // 1000000) > g.ts_g - 900000),
+          ordd AS (
+            SELECT *,
+              first_value(value) OVER w AS v_first,
+              last_value(value) OVER (PARTITION BY ts_g, event_type
+                ORDER BY ts_ms, value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v_last,
+              lag(value) OVER w AS pv
+            FROM rv
+            WINDOW w AS (PARTITION BY ts_g, event_type ORDER BY ts_ms, value)),
+          st AS (
+            SELECT ts_g, event_type, COUNT(*) AS n,
+              MIN(v_first) AS v_first, MIN(v_last) AS v_last,
+              MIN(ts_ms) AS t_first, MAX(ts_ms) AS t_last,
+              SUM(CASE WHEN pv IS NOT NULL AND value < pv THEN pv ELSE 0 END) AS resets
+            FROM ordd GROUP BY 1, 2),
+          c1 AS (
+            SELECT ts_g, event_type, n,
+              v_last - v_first + resets AS rv0, v_first,
+              (t_first - (ts_g - 900000)) / 1000.0 AS d_start0,
+              (ts_g - t_last) / 1000.0 AS d_end,
+              (t_last - t_first) / 1000.0 AS si,
+              (t_last - t_first) / 1000.0 / (n - 1) AS adbs
+            FROM st WHERE n >= 2),
+          c2 AS (
+            SELECT *,
+              CASE WHEN rv0 > 0 AND v_first >= 0
+                        AND si * (v_first / rv0) < d_start0
+                   THEN si * (v_first / rv0) ELSE d_start0 END AS d_start,
+              adbs * 1.1 AS thr
+            FROM c1)
+          SELECT ts_g, event_type,
+            round(rv0 * (((si
+              + CASE WHEN d_start < thr THEN d_start ELSE adbs / 2 END
+              + CASE WHEN d_end  < thr THEN d_end  ELSE adbs / 2 END) / si) / 900.0),
+              6) AS val
+          FROM c2 ORDER BY ts_g, event_type"""
   )
 }

@@ -122,6 +122,61 @@ object RangeQueries {
          FROM grid g LEFT JOIN agg a ON g.grp = a.grp AND g.ts_ms = a.ts_ms
          ORDER BY g.ts_ms, g.grp""",
 
+    // FILL LINEAR (plan.rs:141-187): interpolate interior gaps, extrapolate
+    // head/tail from the nearest two points, null when < 2 points
+    "range_fill_linear" ->
+      """WITH agg AS (
+           SELECT user_id % 4 AS grp,
+                  ((epoch_ns(ts)//1000000) // 1800000) * 1800000 AS ts_ms,
+                  round(MIN(value), 3) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY grp, ts_ms),
+         grid AS (
+           SELECT grp, unnest(generate_series(min(ts_ms), max(ts_ms), 1800000)) AS ts_ms
+           FROM agg GROUP BY grp),
+         j AS (
+           SELECT g.grp, g.ts_ms, a.v
+           FROM grid g LEFT JOIN agg a ON g.grp = a.grp AND g.ts_ms = a.ts_ms),
+         wnd AS (
+           SELECT *,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY grp ORDER BY ts_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN ts_ms END IGNORE NULLS)
+               OVER (PARTITION BY grp ORDER BY ts_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY grp ORDER BY ts_ms
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN ts_ms END IGNORE NULLS)
+               OVER (PARTITION BY grp ORDER BY ts_ms
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
+             COUNT(v) OVER (PARTITION BY grp) AS nn
+           FROM j),
+         pts AS (
+           SELECT grp,
+             MAX(CASE WHEN rn = 1 THEN ts_ms END) AS f1t,
+             MAX(CASE WHEN rn = 1 THEN v END) AS f1v,
+             MAX(CASE WHEN rn = 2 THEN ts_ms END) AS f2t,
+             MAX(CASE WHEN rn = 2 THEN v END) AS f2v,
+             MAX(CASE WHEN rd = 1 THEN ts_ms END) AS l1t,
+             MAX(CASE WHEN rd = 1 THEN v END) AS l1v,
+             MAX(CASE WHEN rd = 2 THEN ts_ms END) AS l2t,
+             MAX(CASE WHEN rd = 2 THEN v END) AS l2v
+           FROM (SELECT grp, ts_ms, v,
+                   row_number() OVER (PARTITION BY grp ORDER BY ts_ms) AS rn,
+                   row_number() OVER (PARTITION BY grp ORDER BY ts_ms DESC) AS rd
+                 FROM j WHERE v IS NOT NULL) nn_only
+           GROUP BY grp)
+         SELECT w.ts_ms, w.grp,
+           CASE WHEN w.v IS NOT NULL THEN CAST(w.v AS DOUBLE)
+                WHEN w.nn < 2 THEN NULL
+                WHEN w.pt IS NOT NULL AND w.nt IS NOT NULL
+                  THEN w.pv + (w.nv - w.pv) * (w.ts_ms - w.pt) / CAST(w.nt - w.pt AS DOUBLE)
+                WHEN w.pt IS NULL
+                  THEN p.f1v + (p.f2v - p.f1v) * (w.ts_ms - p.f1t) / CAST(p.f2t - p.f1t AS DOUBLE)
+                ELSE p.l2v + (p.l1v - p.l2v) * (w.ts_ms - p.l2t) / CAST(p.l1t - p.l2t AS DOUBLE)
+           END AS v
+         FROM wnd w JOIN pts p USING (grp)
+         ORDER BY w.ts_ms, w.grp""",
+
     "range_align_to" ->
       """SELECT event_type, COUNT(value) AS n,
            (((epoch_ns(ts)//1000000) - 1020000) // 3600000) * 3600000 + 1020000 AS ts_ms

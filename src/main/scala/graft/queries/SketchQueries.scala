@@ -67,6 +67,24 @@ object SketchQueries {
     "agg_geo_path" ->
       """SELECT user_id, string_agg(event_id, ',' ORDER BY ts, event_id) AS path
          FROM events WHERE user_id <= 30
-         GROUP BY user_id ORDER BY user_id"""
+         GROUP BY user_id ORDER BY user_id""",
+
+    // vec_sum/vec_avg accumulate per-element in double and emit float32;
+    // the oracle mirrors that exactly (double sum -> FLOAT cast -> double
+    // elem-sum) so the hash compare is deterministic
+    "agg_vec_sum" ->
+      """WITH ex AS (
+           SELECT label, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding) AS x
+           FROM embeddings),
+         el AS (
+           SELECT label, i,
+             CAST(SUM(CAST(x AS DOUBLE)) AS FLOAT) AS s_el,
+             CAST(SUM(CAST(x AS DOUBLE)) / COUNT(*) AS FLOAT) AS a_el
+           FROM ex GROUP BY 1, 2)
+         SELECT CAST(label AS BIGINT) AS label,
+           round(SUM(CAST(s_el AS DOUBLE)), 4) AS sum_of_sums,
+           round(SUM(CAST(a_el AS DOUBLE)), 4) AS sum_of_avgs
+         FROM el GROUP BY 1 ORDER BY 1"""
   )
 }
