@@ -89,8 +89,10 @@ object LlmQueries {
     }),
 
     "multimodal_pipeline" -> ((s, d) => {
-      // schema/batching plumbing smoke: decode-stub features + frame sampling
-      val assets = Multimodal.syntheticAssets(s, T(s, d, "events").limit(3000))
+      // schema/batching plumbing smoke: decode-stub features + frame
+      // sampling (id filter, not limit: limit order is not deterministic)
+      val assets = Multimodal.syntheticAssets(s,
+        T(s, d, "events").filter(col("event_id") < 3000))
       val feats = Multimodal.extractFeatures(Multimodal.resize(assets, 256, 256))
       val frames = Multimodal.frameSample(feats, 5000L)
       frames.groupBy(col("modality"))
@@ -172,6 +174,28 @@ object LlmQueries {
              / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE), 6) AS stopword_ratio,
            round(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
                w -> length(w))) / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6) AS mean_word_len
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // the decode stub is deterministic arithmetic over sha256(event_id),
+    // so the whole pipeline (modality routing, resize clamp, 5s frame
+    // sampling, feature fold) has exact ground truth. FLOAT casts mirror
+    // the float32 steps in Multimodal.fakeDecode.
+    "multimodal_pipeline" ->
+      """WITH a AS (
+           SELECT event_id,
+             sha256(CAST(event_id AS VARCHAR)) AS h,
+             (event_id % 30000 + 1000) // 5000 + 1 AS n_fr,
+             LEAST(CAST(event_id % 640 + 32 AS INT), 256) AS w
+           FROM events WHERE event_id < 3000 AND event_id % 3 = 2),
+         f AS (
+           SELECT event_id, SUM(CAST(
+               CAST(CAST('0x' || substr(h, 2*i + 1, 2) AS INT) AS FLOAT)
+                 / CAST(255.0 AS FLOAT)
+               + CAST(i % 7 AS FLOAT) * CAST(0.01 AS FLOAT) AS DOUBLE)) AS es
+           FROM a CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) t
+           GROUP BY 1)
+         SELECT 'video' AS modality, CAST(SUM(n_fr) AS BIGINT) AS n_frames,
+           round(SUM(n_fr * es), 4) AS feat_sum, CAST(MAX(w) AS BIGINT) AS max_w
+         FROM a JOIN f USING (event_id)"""
   )
 }

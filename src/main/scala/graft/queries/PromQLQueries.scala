@@ -68,7 +68,6 @@ object PromQLQueries {
         .orderBy(col("ts_g"), col("bucket"))
     }),
 
-    // rows-only: smoothing algebra pinned by PromQLSpec
     "promql_holt_winters" -> ((s, d) => {
       ev(s, d, "holt_winters(events_value[30m], 0.5, 0.3)")
         .select(col("__ts").as("ts_g"), col("event_type"),
@@ -170,6 +169,47 @@ object PromQLQueries {
               + CASE WHEN d_start < thr THEN d_start ELSE adbs / 2 END
               + CASE WHEN d_end  < thr THEN d_end  ELSE adbs / 2 END) / si) / 900.0),
               6) AS val
-          FROM c2 ORDER BY ts_g, event_type"""
+          FROM c2 ORDER BY ts_g, event_type""",
+
+    // double_exponential_smoothing (PromFunctions.doubleExponentialSmoothing)
+    // as a recursive CTE over the per-window sample index. (1 - 0.3) is
+    // spelled as arithmetic, not 0.7: the engine computes 1-tf at runtime
+    // and 1-0.3 != 0.7 in binary doubles.
+    "promql_holt_winters" ->
+      s"""WITH RECURSIVE grid AS (
+            SELECT unnest(generate_series($Start, $End, $Step)) AS ts_g),
+          rv AS (
+            SELECT g.ts_g, e.event_type,
+                   epoch_ns(e.ts) // 1000000 AS ts_ms, e.value
+            FROM grid g JOIN events e
+              ON (epoch_ns(e.ts) // 1000000) <= g.ts_g
+             AND (epoch_ns(e.ts) // 1000000) > g.ts_g - 1800000),
+          smp AS (
+            SELECT ts_g, event_type, value,
+              row_number() OVER (PARTITION BY ts_g, event_type
+                ORDER BY ts_ms, value) AS i,
+              COUNT(*) OVER (PARTITION BY ts_g, event_type) AS n
+            FROM rv),
+          base AS (
+            SELECT ts_g, event_type, n,
+              MAX(CASE WHEN i = 1 THEN value END) AS x1,
+              MAX(CASE WHEN i = 2 THEN value END) AS x2
+            FROM smp WHERE n >= 2 GROUP BY 1, 2, 3),
+          rec AS (
+            SELECT ts_g, event_type, n, 2 AS j,
+              0.5 * x2 + (1 - 0.5) * (x1 + (x2 - x1)) AS s,
+              0.3 * ((0.5 * x2 + (1 - 0.5) * (x1 + (x2 - x1))) - x1)
+                + (1 - 0.3) * (x2 - x1) AS b
+            FROM base
+            UNION ALL
+            SELECT r.ts_g, r.event_type, r.n, r.j + 1,
+              0.5 * p.value + (1 - 0.5) * (r.s + r.b),
+              0.3 * ((0.5 * p.value + (1 - 0.5) * (r.s + r.b)) - r.s)
+                + (1 - 0.3) * r.b
+            FROM rec r JOIN smp p ON p.ts_g = r.ts_g
+              AND p.event_type = r.event_type AND p.i = r.j + 1
+            WHERE r.j < r.n)
+          SELECT ts_g, event_type, round(s, 6) AS val
+          FROM rec WHERE j = n ORDER BY ts_g, event_type"""
   )
 }
