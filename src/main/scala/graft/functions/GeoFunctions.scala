@@ -78,11 +78,21 @@ object GeoFunctions {
   /** Haversine great-circle distance in meters (st_distance_sphere_m),
     * pure Column math (codegen'd). */
   def stDistanceSphereM(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column = {
-    val r = lit(6371000.0)
+    val r = lit(6371008.8) // geo crate MEAN_EARTH_RADIUS (pins the golden)
     val p1 = radians(lat1); val p2 = radians(lat2)
     val dp = radians(lat2 - lat1); val dl = radians(lng2 - lng1)
     val a = sin(dp / 2) * sin(dp / 2) + cos(p1) * cos(p2) * sin(dl / 2) * sin(dl / 2)
     lit(2.0) * r * asin(sqrt(a))
+  }
+
+  /** Scalar haversine (same MEAN_EARTH_RADIUS as the Column version). */
+  def haversineM(lat1: Double, lng1: Double, lat2: Double, lng2: Double): Double = {
+    val r = 6371008.8
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val dp = math.toRadians(lat2 - lat1); val dl = math.toRadians(lng2 - lng1)
+    val a = math.sin(dp / 2) * math.sin(dp / 2) +
+      math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
+    2.0 * r * math.asin(math.sqrt(a))
   }
 
   /** Euclidean degree distance between two points (st_distance on points). */
