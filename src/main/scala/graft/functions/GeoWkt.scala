@@ -34,13 +34,12 @@ object GeoWkt {
     tag match {
       case "POINT" => GPoint(parsePoint(stripParens(body)))
       case "LINESTRING" => GLine(parseRing(stripParens(body)))
-      case "POLYGON" => GPolygon(splitGroups(stripParens(body)).map(parseRing))
+      case "POLYGON" => GPolygon(splitGroups(stripParens(body)))
       case "MULTIPOINT" =>
+        // both `(1 2, 3 4)` and `((1 2), (3 4))` forms are valid WKT
         val inner = stripParens(body)
-        val parts =
-          if (inner.contains("(")) splitGroups(inner).map(g => g.mkString(" "))
-          else splitTop(inner, ',').toIndexedSeq
-        GMulti(parts.map(p => GPoint(parsePoint(p.replaceAll("[()]", "")))).toIndexedSeq)
+        GMulti(splitTop(inner, ',').map(p =>
+          GPoint(parsePoint(p.replaceAll("[()]", " ")))).toIndexedSeq)
       case "MULTILINESTRING" =>
         GMulti(splitGroups(stripParens(body)).map(r => GLine(r)).toIndexedSeq)
       case "MULTIPOLYGON" =>
@@ -85,11 +84,18 @@ object GeoWkt {
 
   // ---- area -----------------------------------------------------------
 
+  /** Shoelace relative to the first vertex (the geo crate's
+    * `twice_signed_ring_area` shifts by the first point for float
+    * accuracy — matching it bit-for-bit on the reference goldens). */
   private def ringSignedArea(r: IndexedSeq[Pt]): Double = {
+    if (r.length < 3) return 0.0
+    val p0 = r.head
     var a = 0.0
     var i = 0
     while (i < r.length - 1) {
-      a += r(i).x * r(i + 1).y - r(i + 1).x * r(i).y
+      val ax = r(i).x - p0.x; val ay = r(i).y - p0.y
+      val bx = r(i + 1).x - p0.x; val by = r(i + 1).y - p0.y
+      a += ax * by - bx * ay
       i += 1
     }
     a / 2.0
