@@ -101,35 +101,16 @@ object TextAnalysis {
 
   def langId(c: Column): Column = langIdUdf(c)
 
-  /** Rolling polynomial hash fingerprint (winnowing-style min of k-gram
-    * hashes) — stable under whitespace normalization. */
-  val fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String) =>
-      if (text == null) 0L
-      else {
-        val s = text.toLowerCase.replaceAll("\\s+", " ").trim
-        if (s.length < 8) s.hashCode.toLong
-        else {
-          val k = 8
-          val base = 1000003L
-          var pow = 1L
-          (1 until k).foreach(_ => pow *= base)
-          var h = 0L
-          var minH = Long.MaxValue
-          var i = 0
-          while (i < s.length) {
-            h = h * base + s.charAt(i)
-            if (i >= k) h -= pow * base * s.charAt(i - k)
-            if (i >= k - 1) {
-              val mixed = h * -7046029254386353131L // Murmur3 fmix-style
-              if (mixed < minH) minH = mixed
-            }
-            i += 1
-          }
-          minH
-        }
-      }
-    }
-
-  def fingerprint(c: Column): Column = fingerprintUdf(c)
+  /** Winnowing-style fingerprint: min over word-3-gram 60-bit hashes
+    * (md5-prefix, see [[graft.operators.Dedup.hash60]]) — stable under
+    * whitespace/case normalization, and exactly replicable by a SQL
+    * oracle. Texts shorter than 3 words hash the whole normalized text. */
+  def fingerprint(c: Column): Column = {
+    val grams = graft.operators.Dedup.shingles(c, 3)
+    val norm = regexp_replace(lower(trim(c)), "\\s+", " ")
+    coalesce(
+      array_min(transform(grams, g =>
+        conv(substring(md5(g), 1, 15), 16, 10).cast("long"))),
+      conv(substring(md5(norm), 1, 15), 16, 10).cast("long"))
+  }
 }

@@ -28,6 +28,42 @@ object Dedup {
   private def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Mersenne prime 2^61-1: the signature-hash modulus. Chosen so the
+    * whole minhash pipeline is exact integer math that an external SQL
+    * oracle (DuckDB HUGEINT) can replicate bit-for-bit. */
+  val P61: Long = (1L << 61) - 1
+
+  /** 60-bit hash from the md5 hex prefix — deterministic and
+    * replicable in any engine with md5 + hex parsing (DuckDB:
+    * `('0x'||substr(md5(x),1,15))::BIGINT`). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded linear-permutation constants for minhash: k pairs (a,b),
+    * a in [1,P61), b in [0,P61). Exposed so the verify oracle can embed
+    * the same constants in SQL. */
+  def minhashPerms(k: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(0x9E3779B97F4A7C15L)
+    def next(bound: Long): Long = {
+      var v = rnd.nextLong() & Long.MaxValue
+      v % bound
+    }
+    val as = Array.fill(k)(1L + next(P61 - 1))
+    val bs = Array.fill(k)(next(P61))
+    (as, bs)
+  }
+
+  /** (a*b) mod 2^61-1 without overflow: 128-bit product via
+    * multiplyHigh, then 2^61 ≡ 1 (mod P61) digit folding. Exact for
+    * a, b in [0, P61). */
+  def mulmodP61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b) // product < 2^122 -> hi < 2^58
+    val lo = a * b
+    var r = (hi << 3) + (lo & P61) + (lo >>> 61)
+    r = (r & P61) + (r >>> 61)
+    if (r >= P61) r - P61 else r
+  }
+
   /** Exact dedup: keep the smallest `idCol` per normalized-text group. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(md5(normText(col(textCol)))).orderBy(col(idCol))
@@ -64,10 +100,9 @@ object Dedup {
     f(c)
   }
 
-  /** Typed aggregator folding one 64-bit shingle hash into k minhash
-    * slots via linear permutations `a_i*h + b_i` (odd multiplier — a
-    * bijection mod 2^64, wrapping JVM arithmetic). One xxhash64 per
-    * shingle + k mul-adds replaces k full string hashes per shingle;
+  /** Typed aggregator folding one 60-bit shingle hash into k minhash
+    * slots via linear permutations `(a_i*h + b_i) mod 2^61-1`. One md5
+    * per shingle + k mulmods replaces k full string hashes per shingle;
     * `merge` is elementwise min, so Spark runs it partial/final. */
   private final class MinHashAgg(as: Array[Long], bs: Array[Long])
       extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
@@ -77,7 +112,8 @@ object Dedup {
     def reduce(buf: Array[Long], h: Long): Array[Long] = {
       var i = 0
       while (i < as.length) {
-        val v = as(i) * h + bs(i)
+        var v = mulmodP61(as(i), h) + bs(i)
+        if (v >= P61) v -= P61
         if (v < buf(i)) buf(i) = v
         i += 1
       }
@@ -103,15 +139,13 @@ object Dedup {
     * itself adds no second shuffle. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val rnd = new scala.util.Random(0x9E3779B97F4A7C15L)
-    val as = Array.fill(k)(rnd.nextLong() | 1L)
-    val bs = Array.fill(k)(rnd.nextLong())
+    val (as, bs) = minhashPerms(k)
     val mh = udaf(new MinHashAgg(as, bs),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
     val ex = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
       .repartition(col("__id"))
       .select(col("__id"), explode(shingles(col("__text"), shingleSize)).as("__sh"))
-      .withColumn("__h", xxhash64(col("__sh")))
+      .withColumn("__h", hash60(col("__sh")))
     ex.groupBy(col("__id")).agg(mh(col("__h")).as("__mh"))
   }
 
@@ -123,9 +157,10 @@ object Dedup {
     require(k % bands == 0)
     val r = k / bands
     val sig = minhashSignatures(df, textCol, idCol, k, shingleSize).cache()
+    // band key = the raw r-slot slice (not a hash of it): exact array
+    // equality is what the SQL oracle joins on too
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(lit(b), slice(col("__mh"), b * r + 1, r)).as("h"))
+      struct(lit(b).as("band"), slice(col("__mh"), b * r + 1, r).as("h"))
     }
     val buckets = sig.select(col("__id"), explode(array(bandCols: _*)).as("__b"))
       .select(col("__id"), col("__b.band"), col("__b.h"))
@@ -156,46 +191,49 @@ object Dedup {
       .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
   }
 
-  /** Folds token hashes into the 64 SimHash bit counters (+1 when the
+  /** SimHash bit width: 60 (the md5-prefix hash supplies 60 bits). */
+  val SimHashBits = 60
+
+  /** Folds token hashes into the 60 SimHash bit counters (+1 when the
     * bit is set, -1 otherwise); finish takes the sign. One tight loop
-    * per row instead of 64 conditional-sum aggregate columns. */
+    * per row instead of 60 conditional-sum aggregate columns. */
   private final class SimHashAgg
       extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Long] {
     import org.apache.spark.sql.Encoder
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    def zero: Array[Int] = new Array[Int](64)
+    def zero: Array[Int] = new Array[Int](SimHashBits)
     def reduce(b: Array[Int], h: Long): Array[Int] = {
       var i = 0
-      while (i < 64) { b(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      while (i < SimHashBits) { b(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
       b
     }
     def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
       var i = 0
-      while (i < 64) { a(i) += b(i); i += 1 }
+      while (i < SimHashBits) { a(i) += b(i); i += 1 }
       a
     }
     def finish(r: Array[Int]): Long = {
       var s = 0L; var i = 0
-      while (i < 64) { if (r(i) > 0) s |= 1L << i; i += 1 }
+      while (i < SimHashBits) { if (r(i) > 0) s |= 1L << i; i += 1 }
       s
     }
     def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
     def outputEncoder: Encoder[Long] = ExpressionEncoder[Long]()
   }
 
-  /** 64-bit SimHash signature: sign of the token-hash bit histogram. */
+  /** 60-bit SimHash signature: sign of the token-hash bit histogram. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val sh = udaf(new SimHashAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
     df.select(col(idCol).as("__id"), col(textCol).as("__text"))
       .repartition(col("__id"))
       .select(col("__id"), explode(split(normText(col("__text")), " ")).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
+      .withColumn("__h", hash60(col("__tok")))
       .groupBy(col("__id")).agg(sh(col("__h")).as("simhash"))
   }
 
   /** Near-dup pairs with Hamming(simhash) <= maxDistance, banded into
-    * four 16-bit chunks for the candidate join (pigeonhole: d<=3 means
+    * four 15-bit chunks for the candidate join (pigeonhole: d<=3 means
     * at least one chunk is identical). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxDistance: Int = 3): DataFrame = {
@@ -203,7 +241,7 @@ object Dedup {
     val sig = simhash(df, textCol, idCol).cache()
     val chunks = (0 until 4).map(i =>
       struct(lit(i).as("band"),
-        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("h")))
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL)).as("h")))
     val buckets = sig.select(col("__id"), col("simhash"),
       explode(array(chunks: _*)).as("__b"))
       .select(col("__id"), col("simhash"), col("__b.band"), col("__b.h"))

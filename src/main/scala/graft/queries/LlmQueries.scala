@@ -19,9 +19,12 @@ object LlmQueries {
         .orderBy(col("is_dup"))
     }),
 
+    // match_slots = est_jaccard * 64: exact integer agreement count, so
+    // the cross-engine compare has no float-rounding ties
     "dedup_minhash" -> ((s, d) => {
       Dedup.minhashPairs(T(s, d, "documents"), "text", "doc_id", threshold = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .select(col("id_a"), col("id_b"),
+          (col("est_jaccard") * 64).cast("long").as("match_slots"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -59,14 +62,23 @@ object LlmQueries {
     }),
 
     "similarity_lsh" -> ((s, d) => {
-      // approximate path: rows-only (recall depends on LSH buckets)
+      // ANN check in the regime LSH is built for: probes are
+      // deterministically perturbed copies (float32 arithmetic, so the
+      // oracle replicates it exactly) of 5 corpus vectors with
+      // cos ~0.999 to their originals; banded-signature multiprobe must
+      // retrieve the original as top-1. (The synthetic embeddings have
+      // no other high-sim structure — recall of ~0.3-cosine "neighbors"
+      // is not an LSH property and is covered exactly by
+      // similarity_topk's brute force instead.)
       val emb = T(s, d, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"),
+          transform(col("embedding"), (x, j) =>
+            x * (lit(1.0f) + ((j % 7) - 3).cast("float") * lit(0.01f))).as("q_vec"))
       Similarity.lshTopK(emb, "embedding", "vec_id",
-        queries, "q_vec", "q_id", k = 10, maxFlips = 8)
+        probes, "q_vec", "q_id", k = 1, maxFlips = 8)
         .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
-        .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+        .orderBy(col("q_id"))
     }),
 
     "text_stats" -> ((s, d) => {
@@ -104,7 +116,149 @@ object LlmQueries {
     })
   )
 
+  /** The minhash permutation constants, embedded verbatim into the
+    * DuckDB oracle so both engines run the identical integer pipeline. */
+  private val minhashPermRows: String = {
+    val (as, bs) = Dedup.minhashPerms(64)
+    (0 until 64).map(i => s"(${i},${as(i)}::HUGEINT,${bs(i)}::HUGEINT)").mkString(",")
+  }
+
   val oracles: Map[String, String] = Map(
+    // full cross-engine replication of the MinHash+LSH pipeline: same
+    // 60-bit md5-prefix shingle hash, same (a*h+b) mod 2^61-1
+    // permutations (constants above), same 16x4 banding and >=32/64
+    // agreement threshold
+    "dedup_minhash" ->
+      s"""WITH p(i, a, b) AS (VALUES $minhashPermRows),
+         d AS (SELECT doc_id AS id,
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS w
+               FROM documents),
+         g AS (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i
+               FROM d WHERE len(w) >= 3),
+         gr AS (SELECT id,
+                  ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT AS h
+                FROM g),
+         sig AS (SELECT gr.id, p.i,
+                   CAST(min((p.a * gr.h + p.b) % 2305843009213693951) AS BIGINT) AS v
+                 FROM gr CROSS JOIN p GROUP BY gr.id, p.i),
+         bands AS (SELECT id, i // 4 AS band, list(v ORDER BY i) AS key
+                   FROM sig GROUP BY id, i // 4),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         est AS (SELECT c.id_a, c.id_b,
+                   CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS BIGINT) AS m
+                 FROM cand c
+                 JOIN sig sa ON sa.id = c.id_a
+                 JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+                 GROUP BY c.id_a, c.id_b)
+         SELECT id_a, id_b, m AS match_slots FROM est
+         WHERE m >= 32 ORDER BY id_a, id_b""",
+
+    // full cross-engine replication of 60-bit SimHash: same token hash,
+    // same sign-of-bit-histogram signature, 4x15-bit banding, Hamming<=3
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id AS id,
+             unnest(regexp_split_to_array(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+           FROM documents),
+         h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t),
+         bits AS (SELECT id, b.i,
+                    sum(CASE WHEN (h.h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+                  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) b
+                  GROUP BY id, b.i),
+         sig AS (SELECT id,
+                   CAST(sum(CASE WHEN cnt > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sh
+                 FROM bits GROUP BY id),
+         bk AS (SELECT id, sh, bb.b AS band, (sh >> (15 * bb.b)) & 32767 AS key
+                FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bb),
+         pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     bit_count(xor(a.sh, b.sh)) AS hamming
+                   FROM bk a JOIN bk b
+                     ON a.band = b.band AND a.key = b.key AND a.id < b.id
+                   WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+         SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+         FROM pairs ORDER BY id_a, id_b""",
+
+    // the perturbed probe's true nearest neighbor is its original
+    // vector: the oracle replicates the float32 perturbation and emits
+    // the (probe, original) pairs LSH must return as top-1
+    "similarity_lsh" ->
+      """WITH q AS (
+           SELECT vec_id AS q_id,
+             list_transform(embedding, (x, i) ->
+               CAST(x * (CAST(1.0 AS FLOAT) +
+                 CAST((i - 1) % 7 - 3 AS FLOAT) * CAST(0.01 AS FLOAT)) AS FLOAT)) AS q_vec
+           FROM embeddings WHERE vec_id < 5)
+         SELECT q.q_id, e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.q_vec AS DOUBLE[])), 6) AS cos_sim
+         FROM q JOIN embeddings e ON e.vec_id = q.q_id
+         ORDER BY q.q_id""",
+
+    // langid/quality/fingerprint heuristics replicated in SQL: script
+    // shortcuts via RE2 \p classes, stopword voting with (votes, lang)
+    // max tie-break, quality-score arithmetic, min-gram-hash fingerprint
+    "text_quality_langid" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             CASE
+               WHEN text IS NULL OR text = '' THEN 'und'
+               WHEN regexp_matches(text, '[\p{Hiragana}\p{Katakana}]') THEN 'ja'
+               WHEN regexp_matches(text, '[\p{Hangul}]') THEN 'ko'
+               WHEN regexp_matches(text, '[\p{Han}]') THEN 'zh'
+               WHEN length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) > length(text) // 4 THEN 'ru'
+               ELSE NULL END AS shortcut
+           FROM documents),
+         toks AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS tk
+           FROM base WHERE shortcut IS NULL),
+         m(lang, markers) AS (VALUES
+           ('en', ['the','and','is','of','to','that','with','for']),
+           ('es', ['el','la','los','las','de','que','es','una','por']),
+           ('de', ['der','die','das','und','ist','nicht','mit','ein']),
+           ('fr', ['le','la','les','des','est','que','une','dans']),
+           ('it', ['il','di','che','la','per','una','sono','con']),
+           ('pt', ['o','de','que','e','do','da','em','um','para'])),
+         v AS (SELECT doc_id, m.lang,
+                 len(list_filter(tk, x -> list_contains(m.markers, x))) AS n
+               FROM toks CROSS JOIN m),
+         voted AS (SELECT doc_id, CASE WHEN n = 0 THEN 'und' ELSE lang END AS lang_voted
+                   FROM v QUALIFY row_number() OVER (PARTITION BY doc_id
+                     ORDER BY n DESC, lang DESC) = 1),
+         lang AS (SELECT b.doc_id, coalesce(b.shortcut, voted.lang_voted, 'und') AS lang_pred
+                  FROM base b LEFT JOIN voted ON b.doc_id = voted.doc_id),
+         qual AS (SELECT doc_id,
+             round(
+               LEAST(length(text) / 500.0, 1.0) * 0.4 +
+               GREATEST(0.0, 1.0 -
+                 (CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
+                   ELSE (length(regexp_replace(text, '\s', '', 'g'))
+                       - length(regexp_replace(regexp_replace(text, '\s', '', 'g'), '[[:punct:]]', '', 'g')))
+                      / CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) END) * 4.0) * 0.4 +
+               LEAST((len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                   t -> list_contains(['the','a','an','of','to','in','and','is','it','that','for','on','with','as','was','at','by'], t)))
+                 / CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)) * 5.0, 1.0) * 0.2,
+               6) AS quality
+           FROM documents),
+         d2 AS (SELECT doc_id,
+                  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+                  list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+                FROM documents),
+         gr2 AS (SELECT doc_id,
+                   min(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT) AS mn
+                 FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                       FROM d2 WHERE len(w) >= 3) g
+                 GROUP BY doc_id),
+         fp AS (SELECT d2.doc_id,
+                  coalesce(gr2.mn, ('0x' || substr(md5(d2.norm), 1, 15))::BIGINT) AS fp
+                FROM d2 LEFT JOIN gr2 USING (doc_id))
+         SELECT lang.doc_id, lang.lang_pred, qual.quality, fp.fp
+         FROM lang JOIN qual ON lang.doc_id = qual.doc_id
+                   JOIN fp ON lang.doc_id = fp.doc_id
+         ORDER BY lang.doc_id""",
+
     "dedup_exact" ->
       """WITH ranked AS (
            SELECT row_number() OVER (

@@ -11,23 +11,44 @@ import QueryDsl._
 object SketchQueries {
 
   val queries: Map[String, Q] = Map(
-    // hll build -> merge -> count roundtrip, vs exact distinct
+    // hll build -> merge -> count roundtrip, checked against the exact
+    // distinct count (metamorphic oracle: precision-14 HLL has 0.81%
+    // standard error, so a 5% envelope is a real regression tripwire
+    // while staying data-independent). The exact count is recomputed by
+    // the DuckDB oracle; the envelope flag must come back TRUE.
     "sketch_hll" -> ((s, d) => {
       val ev = T(s, d, "events")
       val perType = ev.groupBy(col("event_type"), col("user_id") % 8)
         .agg(Hll.hllAgg(col("user_id")).as("state"))
-      perType.groupBy(col("event_type"))
+      val est = perType.groupBy(col("event_type"))
         .agg(Hll.hllCount(Hll.hllMergeAgg(col("state"))).as("approx_users"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx_users") - col("n_users")) <=
+            col("n_users") * 0.05).as("within_5pct"))
         .orderBy(col("event_type"))
     }),
 
+    // uddsketch quantiles checked against exact rank-based quantiles
+    // (percentile_disc — the sketch's own ceil(q*n) inverse-CDF
+    // semantics, so the envelope measures only bucket error): α=0.01
+    // with collapse headroom -> 10% relative-error envelope
     "sketch_uddsketch" -> ((s, d) => {
-      T(s, d, "events").groupBy(col("event_type"))
-        .agg(UddSketch.uddsketchState(128, 0.01, col("value")).as("state"))
-        .select(col("event_type"),
-          round(UddSketch.uddsketchCalc(0.5, col("state")), 4).as("p50"),
-          round(UddSketch.uddsketchCalc(0.9, col("state")), 4).as("p90"),
-          round(UddSketch.uddsketchCalc(0.99, col("state")), 4).as("p99"))
+      val sk = T(s, d, "events").groupBy(col("event_type"))
+        .agg(UddSketch.uddsketchState(128, 0.01, col("value")).as("state"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("e50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("e90"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("e99"))
+      def ok(q: Double, exact: String) =
+        (abs(UddSketch.uddsketchCalc(q, col("state")) - col(exact)) <=
+          abs(col(exact)) * 0.1 + 1e-6)
+      sk.select(col("event_type"),
+          round(col("e50"), 4).as("p50_exact"),
+          ok(0.5, "e50").as("p50_ok"),
+          ok(0.9, "e90").as("p90_ok"),
+          ok(0.99, "e99").as("p99_ok"))
         .orderBy(col("event_type"))
     }),
 
@@ -60,6 +81,20 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // metamorphic oracles: the exact side is recomputed in DuckDB and
+    // the sketch-error envelope flags are pinned TRUE — any estimate
+    // drifting out of tolerance hash-mismatches
+    "sketch_hll" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                true AS within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "sketch_uddsketch" ->
+      """SELECT event_type,
+                round(quantile_disc(value, 0.5), 4) AS p50_exact,
+                true AS p50_ok, true AS p90_ok, true AS p99_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "agg_count_hash" ->
       """SELECT l_returnflag, COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_hash
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

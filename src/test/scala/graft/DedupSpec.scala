@@ -126,6 +126,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("mulmodP61 matches BigInt modular arithmetic") {
+    val P = Dedup.P61
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 10000) {
+      val a = (rnd.nextLong() & Long.MaxValue) % P
+      val b = (rnd.nextLong() & Long.MaxValue) % P
+      val want = ((BigInt(a) * BigInt(b)) mod BigInt(P)).toLong
+      assert(Dedup.mulmodP61(a, b) == want, s"$a * $b mod P")
+    }
+    // boundary values
+    for (a <- Seq(0L, 1L, P - 1, P / 2); b <- Seq(0L, 1L, P - 1, P / 2))
+      assert(Dedup.mulmodP61(a, b) == ((BigInt(a) * BigInt(b)) mod BigInt(P)).toLong)
+  }
+
   test("multimodal plumbing: features + frame sampling shapes") {
     import graft.multimodal.Multimodal
     val ev = spark.range(0, 30).select($"id".as("event_id"))
