@@ -32,6 +32,20 @@ object ProfileDedup {
     val shp = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
     println(s"[profile] simhash pair count = " + time("simhash pairs total")(shp.count()))
 
+    // simhash stage isolation
+    {
+      import org.apache.spark.sql.functions._
+      val toks = docs.select(col("doc_id").as("__id"), col("text").as("__text"))
+        .repartition(col("__id"))
+        .select(col("__id"), explode(split(regexp_replace(lower(trim(col("__text"))), "\\s+", " "), " ")).as("__tok"))
+      time("sim: explode tokens")(println("[profile] tokens = " + toks.count()))
+      time("sim: + xxhash64")(toks.select((xxhash64(col("__tok")) % 1000).as("h")).agg(sum("h")).collect())
+      time("sim: + hash60")(toks.select((Dedup.hash60(col("__tok")) % 1000).as("h")).agg(sum("h")).collect())
+      time("sim: + hash60 groupBy sum")(toks.select(col("__id"), (Dedup.hash60(col("__tok")) % 1000).as("h")).groupBy("__id").agg(sum("h")).count())
+      time("sim: full simhash again")(Dedup.simhash(docs, "text", "doc_id").count())
+      time("sim: full simhash 3rd")(Dedup.simhash(docs, "text", "doc_id").count())
+    }
+
     val ng = Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.4, n = 3)
     val n2 = time("ngram jaccard total")(ng.count())
     println(s"[profile] ngram pair count = $n2")
