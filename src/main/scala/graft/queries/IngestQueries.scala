@@ -1,13 +1,15 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ingest.Protocols
+import graft.ingest.{OtlpMetrics, Protocols, PromRemoteWrite}
 import QueryDsl._
 
 /** Protocol-ingest coverage (SURVEY.md §2.1): events rows are encoded
-  * as InfluxDB line protocol, decoded back through the real parser,
-  * pivoted to the wide table model, and hash-compared against DuckDB
-  * computing the same aggregate from the original columns. */
+  * into each real wire format (InfluxDB line protocol, snappy+protobuf
+  * Prometheus remote-write, protobuf OTLP metrics), decoded back through
+  * the real parser, and hash-compared against DuckDB computing the same
+  * aggregate from the original columns — a full codec round-trip per
+  * protocol. */
 object IngestQueries {
 
   val queries: Map[String, Q] = Map(
@@ -26,6 +28,98 @@ object IngestQueries {
           sum(col("user").cast("long")).as("sum_user"),
           max(expr("ts div 1000000")).as("max_ts_ms"))
         .orderBy(col("type"))
+    }),
+
+    // events rows → snappy-compressed protobuf WriteRequest payloads (one
+    // per ~500-row executor-side batch) → the real remote-write parser →
+    // same aggregate as DuckDB on the raw columns.
+    "ingest_prom_remote_write" -> ((s, d) => {
+      import s.implicits._
+      val src = T(s, d, "events").select(
+        col("event_type").as("etype"),
+        expr("ts div 1000000").as("ts_ms"),
+        col("value").cast("decimal(18,4)").cast("double").as("v"),
+        col("user_id").cast("long").as("uid"))
+      val payloads = src.as[(String, Long, Double, Long)].mapPartitions { it =>
+        it.grouped(500).map { chunk =>
+          PromRemoteWrite.compress(PromRemoteWrite.encodeWriteRequest(
+            chunk.map { case (t, ms, v, u) =>
+              PromRemoteWrite.Series(
+                Map(PromRemoteWrite.NameLabel -> "events_value", "type" -> t, "user" -> u.toString),
+                Seq(ms -> v))
+            }))
+        }
+      }.toDF("body")
+      PromRemoteWrite.fromPayloads(payloads, "body")
+        .where(col("metric") === "events_value")
+        .groupBy(element_at(col("labels"), "type").as("type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_v"),
+          sum(element_at(col("labels"), "user").cast("long")).as("sum_user"),
+          max(col("ts_ms")).as("max_ts_ms"))
+        .orderBy(col("type"))
+    }),
+
+    // events rows → protobuf OTLP gauge data points → the real OTLP
+    // parser → reference row mapping (attrs=tags, ns→ms) → aggregate.
+    "ingest_otlp_metrics" -> ((s, d) => {
+      import s.implicits._
+      val src = T(s, d, "events").select(
+        col("event_type").as("etype"), col("ts").as("ts_ns"),
+        col("value").cast("decimal(18,4)").cast("double").as("v"),
+        col("user_id").cast("long").as("uid"))
+      val payloads = src.as[(String, Long, Double, Long)].mapPartitions { it =>
+        it.grouped(500).map { chunk =>
+          OtlpMetrics.encodeRequest(Seq(OtlpMetrics.Metric("events_value", "gauge",
+            points = chunk.map { case (t, ns, v, u) =>
+              OtlpMetrics.DataPoint(Map("type" -> t, "user" -> u.toString), ns, v)
+            })))
+        }
+      }.toDF("body")
+      OtlpMetrics.fromPayloads(payloads, "body")
+        .where(col("metric") === "events_value")
+        .groupBy(element_at(col("labels"), "type").as("type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_v"),
+          sum(element_at(col("labels"), "user").cast("long")).as("sum_user"),
+          max(col("ts_ms")).as("max_ts_ms"))
+        .orderBy(col("type"))
+    }),
+
+    // events rows → per-(batch, type) OTLP histograms (bounds 10/100/1000)
+    // → parser → the reference's %metric%_bucket/_sum/_count tables with
+    // cumulative `le` counts (servers/src/otlp/metrics.rs:600-717); bucket
+    // counts and sums re-aggregate across batches to DuckDB's totals.
+    "ingest_otlp_histogram" -> ((s, d) => {
+      import s.implicits._
+      val bounds = Seq(10.0, 100.0, 1000.0)
+      val src = T(s, d, "events").select(
+        col("event_type").as("etype"), col("ts").as("ts_ns"),
+        col("value").cast("decimal(18,4)").cast("double").as("v"))
+      val payloads = src.as[(String, Long, Double)].mapPartitions { it =>
+        it.grouped(500).map { chunk =>
+          val hists = chunk.groupBy(_._1).toSeq.map { case (t, rows) =>
+            val counts = Array.fill(bounds.length + 1)(0L)
+            var sum = BigDecimal(0)
+            var maxTs = 0L
+            rows.foreach { case (_, ns, v) =>
+              val i = bounds.indexWhere(v <= _) match { case -1 => bounds.length; case i => i }
+              counts(i) += 1
+              sum += BigDecimal(v)
+              if (ns > maxTs) maxTs = ns
+            }
+            OtlpMetrics.HistPoint(Map("type" -> t), maxTs, rows.length.toLong,
+              Some(sum.toDouble), counts.toSeq, bounds)
+          }
+          OtlpMetrics.encodeRequest(Seq(OtlpMetrics.Metric("events_hist", "histogram", hist = hists)))
+        }
+      }.toDF("body")
+      OtlpMetrics.fromPayloads(payloads, "body")
+        .groupBy(col("metric"),
+          element_at(col("labels"), "type").as("type"),
+          coalesce(element_at(col("labels"), "le"), lit("")).as("le"))
+        .agg(dsum(col("value")).as("val"))
+        .orderBy(col("metric"), col("type"), col("le"))
     })
   )
 
@@ -34,6 +128,37 @@ object IngestQueries {
       """SELECT event_type AS type, COUNT(*) AS n,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
            CAST(SUM(user_id) AS BIGINT) AS sum_user, MAX(epoch_ns(ts) // 1000000) AS max_ts_ms
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "ingest_prom_remote_write" ->
+      """SELECT event_type AS type, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user, MAX(epoch_ns(ts) // 1000000) AS max_ts_ms
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "ingest_otlp_metrics" ->
+      """SELECT event_type AS type, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user, MAX(epoch_ns(ts) // 1000000) AS max_ts_ms
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "ingest_otlp_histogram" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v FROM events)
+         SELECT metric, type, le, val FROM (
+           SELECT 'events_hist_bucket' AS metric, event_type AS type, '10' AS le,
+                  CAST(COUNT(*) FILTER (WHERE v <= 10) AS DOUBLE) AS val FROM e GROUP BY event_type
+           UNION ALL
+           SELECT 'events_hist_bucket', event_type, '100',
+                  CAST(COUNT(*) FILTER (WHERE v <= 100) AS DOUBLE) FROM e GROUP BY event_type
+           UNION ALL
+           SELECT 'events_hist_bucket', event_type, '1000',
+                  CAST(COUNT(*) FILTER (WHERE v <= 1000) AS DOUBLE) FROM e GROUP BY event_type
+           UNION ALL
+           SELECT 'events_hist_bucket', event_type, 'inf',
+                  CAST(COUNT(*) AS DOUBLE) FROM e GROUP BY event_type
+           UNION ALL
+           SELECT 'events_hist_count', event_type, '',
+                  CAST(COUNT(*) AS DOUBLE) FROM e GROUP BY event_type
+           UNION ALL
+           SELECT 'events_hist_sum', event_type, '',
+                  CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE) FROM e GROUP BY event_type
+         ) ORDER BY metric, type, le"""
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ingest.Protocols
+import graft.ingest.{OtlpMetrics, Protocols, PromRemoteWrite, ProtoWire}
 
 class ProtocolsSpec extends AnyFunSuite {
 
@@ -58,5 +58,68 @@ class ProtocolsSpec extends AnyFunSuite {
     val rows = wide.collect()
     assert(rows(0).getString(0) == "a" && rows(0).getDouble(2) == 1.0)
     assert(rows(1).getString(0) == "b" && rows(1).isNullAt(1)) // missing field -> null
+  }
+
+  test("protobuf wire codec round-trips varint/fixed64/strings/packed") {
+    val w = new ProtoWire.Writer
+    w.int(1, 300L).int(2, Long.MaxValue).double(3, -2.5)
+      .string(4, "héllo").packedFixed64(5, Seq(1L, 2L, 3L)).packedDouble(6, Seq(0.5, 10.0))
+    val r = new ProtoWire.Reader(w.result())
+    assert(r.readTag() == ((1, 0)) && r.readVarint() == 300L)
+    assert(r.readTag() == ((2, 0)) && r.readVarint() == Long.MaxValue)
+    assert(r.readTag() == ((3, 1)) && r.readDouble() == -2.5)
+    assert(r.readTag() == ((4, 2)) && r.readString() == "héllo")
+    assert(r.readTag() == ((5, 2)) && r.packedFixed64() == Seq(1L, 2L, 3L))
+    assert(r.readTag() == ((6, 2)) && r.packedDouble() == Seq(0.5, 10.0))
+    assert(!r.hasNext)
+  }
+
+  test("prometheus remote-write: snappy WriteRequest round-trip") {
+    val in = Seq(
+      PromRemoteWrite.Series(
+        Map("__name__" -> "cpu_usage", "host" -> "web01", "region" -> "eu"),
+        Seq(1000L -> 0.5, 2000L -> 0.75)),
+      PromRemoteWrite.Series(Map("__name__" -> "mem_used", "host" -> "db"), Seq(1500L -> 42.0)))
+    val body = PromRemoteWrite.compress(PromRemoteWrite.encodeWriteRequest(in))
+    val out = PromRemoteWrite.parseWriteRequest(body)
+    assert(out == in)
+
+    val df = spark.createDataset(Seq(body)).toDF("body")
+    val rows = PromRemoteWrite.fromPayloads(df, "body").orderBy($"metric", $"ts_ms").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(0) == "cpu_usage")
+    assert(rows(0).getMap[String, String](1) == Map("host" -> "web01", "region" -> "eu"))
+    assert(rows(0).getLong(2) == 1000L && rows(0).getDouble(3) == 0.5)
+    assert(rows(2).getString(0) == "mem_used" && rows(2).getDouble(3) == 42.0)
+  }
+
+  test("otlp metrics: gauge/sum data points round-trip, ns->ms") {
+    val pts = Seq(
+      OtlpMetrics.DataPoint(Map("host" -> "a"), 1465839830100400200L, 1.5),
+      OtlpMetrics.DataPoint(Map("host" -> "b"), 2000000000L, -3.0))
+    val body = OtlpMetrics.encodeRequest(Seq(
+      OtlpMetrics.Metric("cpu", "gauge", points = pts),
+      OtlpMetrics.Metric("reqs", "sum", points = Seq(OtlpMetrics.DataPoint(Map.empty, 3000000L, 7.0)))))
+    val rows = OtlpMetrics.toRows(OtlpMetrics.parseRequest(body))
+    assert(rows == Seq(
+      OtlpMetrics.SampleRow("cpu", Map("host" -> "a"), 1465839830100L, 1.5),
+      OtlpMetrics.SampleRow("cpu", Map("host" -> "b"), 2000L, -3.0),
+      OtlpMetrics.SampleRow("reqs", Map.empty, 3L, 7.0)))
+  }
+
+  test("otlp histogram: cumulative le buckets + _sum/_count tables (metrics.rs:600-717)") {
+    val h = OtlpMetrics.HistPoint(Map("svc" -> "api"), 5000000L, count = 6L, sum = Some(21.5),
+      bucketCounts = Seq(1L, 2L, 3L), bounds = Seq(0.5, 2.5))
+    val body = OtlpMetrics.encodeRequest(Seq(OtlpMetrics.Metric("lat", "histogram", hist = Seq(h))))
+    val rows = OtlpMetrics.toRows(OtlpMetrics.parseRequest(body))
+    assert(rows == Seq(
+      OtlpMetrics.SampleRow("lat_bucket", Map("svc" -> "api", "le" -> "0.5"), 5L, 1.0),
+      OtlpMetrics.SampleRow("lat_bucket", Map("svc" -> "api", "le" -> "2.5"), 5L, 3.0),
+      OtlpMetrics.SampleRow("lat_bucket", Map("svc" -> "api", "le" -> "inf"), 5L, 6.0),
+      OtlpMetrics.SampleRow("lat_sum", Map("svc" -> "api"), 5L, 21.5),
+      OtlpMetrics.SampleRow("lat_count", Map("svc" -> "api"), 5L, 6.0)))
+    // integral bound prints like Rust Display ("2" not "2.0")
+    assert(OtlpMetrics.f64Tag(2.0) == "2" && OtlpMetrics.f64Tag(0.5) == "0.5"
+      && OtlpMetrics.f64Tag(Double.PositiveInfinity) == "inf")
   }
 }
