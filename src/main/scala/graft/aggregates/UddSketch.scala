@@ -74,7 +74,9 @@ object UddSketch {
     def quantile(q: Double): Double = {
       val n = total
       if (n == 0) return Double.NaN
-      val target = math.max(1L, math.ceil(q * n).toLong)
+      // reference rank convention (uddsketch crate): 1-based
+      // floor(q*n)+1, capped at n — q=0.5 over 10 values picks the 6th
+      val target = math.min(n, math.floor(q * n).toLong + 1)
       var seen = 0L
       // negatives ascending = most-negative first (largest |bucket| first)
       for ((k, c) <- neg.toSeq.sortBy(-_._1)) {
@@ -124,7 +126,17 @@ object UddSketch {
     new Aggregator[String, State, String] {
       def zero: State = empty(maxBuckets, alpha)
       def reduce(b: State, a: String): State =
-        if (a == null) b else b.mergeWith(deserialize(a))
+        if (a == null) b
+        else {
+          val st = deserialize(a)
+          // reference rejects merging under mismatched sketch parameters
+          // (aggrs/approximate/uddsketch.rs — planning error)
+          if (st.maxBuckets != maxBuckets || st.alpha != alpha)
+            throw new IllegalArgumentException(
+              s"Merging UDDSketch with different parameters: arguments=($maxBuckets, $alpha) " +
+                s"vs actual input=(${st.maxBuckets}, ${st.alpha})")
+          b.mergeWith(st)
+        }
       def merge(a: State, b: State): State = a.mergeWith(b)
       def finish(r: State): String = serialize(r)
       def bufferEncoder: Encoder[State] = Encoders.kryo[State]

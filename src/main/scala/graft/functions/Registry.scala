@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions.udf
 object Registry {
 
   def registerAll(spark: SparkSession): Unit = {
+    // sketch aggregates (reference aggrs/approximate/{hll,uddsketch}.rs);
+    // uddsketch_state/_merge are registered per-parameter-pair by
+    // GraftSession.rewriteUddsketch (Spark UDAFs are monomorphic)
+    import org.apache.spark.sql.{functions => F, Encoders}
+    spark.udf.register("hll", F.udaf(graft.aggregates.Hll.hll, Encoders.STRING))
+    spark.udf.register("hll_merge", F.udaf(graft.aggregates.Hll.hllMerge, Encoders.BINARY))
+    spark.udf.register("hll_count",
+      udf((s: Array[Byte]) => graft.aggregates.Hll.count(s)))
+    spark.udf.register("uddsketch_calc",
+      udf((q: Double, s: String) => graft.aggregates.UddSketch.calc(q, s)))
+
     // fulltext
     spark.udf.register("matches_term",
       (text: String, term: String) => TextMatch.termMatches(text, term, caseSensitive = true))

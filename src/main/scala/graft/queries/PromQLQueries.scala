@@ -79,8 +79,76 @@ object PromQLQueries {
       ev(s, d, """events_value{event_type="error"} or events_value{event_type="click"}""")
         .select(col("__ts").as("ts_g"), col("event_type"), col("__val").as("val"))
         .orderBy(col("ts_g"), col("event_type"))
+    }),
+
+    "promql_changes_resets" -> ((s, d) => {
+      val ch = ev(s, d, "changes(events_value[15m])")
+        .select(col("__ts").as("ts_g"), col("event_type"), col("__val").as("changes"))
+      val rs = ev(s, d, "resets(events_value[15m])")
+        .select(col("__ts").as("ts_g"), col("event_type"), col("__val").as("resets"))
+      ch.join(rs, Seq("ts_g", "event_type"))
+        .orderBy(col("ts_g"), col("event_type"))
+    }),
+
+    "promql_idelta_irate" -> ((s, d) => {
+      val ir = ev(s, d, "irate(events_value[15m])")
+        .select(col("__ts").as("ts_g"), col("event_type"),
+          round(col("__val"), 6).as("irate"))
+      val id = ev(s, d, "idelta(events_value[15m])")
+        .select(col("__ts").as("ts_g"), col("event_type"),
+          round(col("__val"), 6).as("idelta"))
+      ir.join(id, Seq("ts_g", "event_type"))
+        .orderBy(col("ts_g"), col("event_type"))
+    }),
+
+    "promql_deriv_predict" -> ((s, d) => {
+      val de = ev(s, d, "deriv(events_value[30m])")
+        .select(col("__ts").as("ts_g"), col("event_type"),
+          round(col("__val"), 6).as("deriv"))
+      val pl = ev(s, d, "predict_linear(events_value[30m], 600)")
+        .select(col("__ts").as("ts_g"), col("event_type"),
+          round(col("__val"), 4).as("predict"))
+      de.join(pl, Seq("ts_g", "event_type"))
+        .orderBy(col("ts_g"), col("event_type"))
+    }),
+
+    "promql_quantile_over_time" -> ((s, d) => {
+      ev(s, d, "quantile_over_time(0.9, events_value[30m])")
+        .select(col("__ts").as("ts_g"), col("event_type"),
+          round(col("__val"), 6).as("val"))
+        .orderBy(col("ts_g"), col("event_type"))
+    }),
+
+    "promql_over_time" -> ((s, d) => {
+      val av = ev(s, d, "avg_over_time(events_value[15m])")
+        .select(col("__ts").as("ts_g"), col("event_type"),
+          round(col("__val"), 6).as("avg_v"))
+      val su = ev(s, d, "sum_over_time(events_value[15m])")
+        .select(col("__ts").as("ts_g"), col("event_type"),
+          round(col("__val"), 4).as("sum_v"))
+      val cn = ev(s, d, "count_over_time(events_value[15m])")
+        .select(col("__ts").as("ts_g"), col("event_type"), col("__val").as("cnt"))
+      av.join(su, Seq("ts_g", "event_type")).join(cn, Seq("ts_g", "event_type"))
+        .orderBy(col("ts_g"), col("event_type"))
+    }),
+
+    "promql_absent" -> ((s, d) => {
+      ev(s, d, """absent(events_value{event_type="nosuch"})""")
+        .select(col("__ts").as("ts_g"), col("__val").as("val"))
+        .orderBy(col("ts_g"))
     })
   )
+
+  /** Range-vector CTE: left-open window (ts_g - range, ts_g], samples
+    * ordered (ts_ms, value) — the engine's sort_array(struct(ts, v)). */
+  private def rangeCte(rangeMs: Long) =
+    s"""WITH grid AS (SELECT unnest(generate_series($Start, $End, $Step)) AS ts_g),
+        rv AS (
+          SELECT g.ts_g, e.event_type,
+                 epoch_ns(e.ts) // 1000000 AS ts_ms, e.value
+          FROM grid g JOIN events e
+            ON (epoch_ns(e.ts) // 1000000) <= g.ts_g
+           AND (epoch_ns(e.ts) // 1000000) > g.ts_g - $rangeMs)"""
 
   private val instantCte =
     s"""WITH grid AS (SELECT unnest(generate_series($Start, $End, $Step)) AS ts_g),
@@ -210,6 +278,84 @@ object PromQLQueries {
               AND p.event_type = r.event_type AND p.i = r.j + 1
             WHERE r.j < r.n)
           SELECT ts_g, event_type, round(s, 6) AS val
-          FROM rec WHERE j = n ORDER BY ts_g, event_type"""
+          FROM rec WHERE j = n ORDER BY ts_g, event_type""",
+
+    "promql_changes_resets" ->
+      s"""${rangeCte(900000)},
+          ordd AS (
+            SELECT *, lag(value) OVER (PARTITION BY ts_g, event_type
+              ORDER BY ts_ms, value) AS pv
+            FROM rv)
+          SELECT ts_g, event_type,
+            CAST(COUNT(CASE WHEN pv IS NOT NULL AND value <> pv THEN 1 END) AS DOUBLE) AS changes,
+            CAST(COUNT(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 END) AS DOUBLE) AS resets
+          FROM ordd GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "promql_idelta_irate" ->
+      s"""${rangeCte(900000)},
+          ordd AS (
+            SELECT *, row_number() OVER (PARTITION BY ts_g, event_type
+              ORDER BY ts_ms DESC, value DESC) AS rn
+            FROM rv),
+          t2 AS (
+            SELECT ts_g, event_type, COUNT(*) AS n,
+              MAX(CASE WHEN rn = 1 THEN value END) AS vb,
+              MAX(CASE WHEN rn = 2 THEN value END) AS va,
+              MAX(CASE WHEN rn = 1 THEN ts_ms END) AS tb,
+              MAX(CASE WHEN rn = 2 THEN ts_ms END) AS ta
+            FROM ordd WHERE rn <= 2 GROUP BY 1, 2)
+          SELECT ts_g, event_type,
+            round((CASE WHEN vb < va THEN vb ELSE vb - va END)
+              / ((tb - ta) / 1000.0), 6) AS irate,
+            round(vb - va, 6) AS idelta
+          FROM t2 WHERE n = 2 AND tb > ta ORDER BY 1, 2""",
+
+    // PromFunctions.linearRegression algebra verbatim: x is seconds
+    // relative to the evaluation timestamp (= window end = ts_g)
+    "promql_deriv_predict" ->
+      s"""${rangeCte(1800000)},
+          st AS (
+            SELECT ts_g, event_type, COUNT(*) AS n,
+              SUM((ts_ms - ts_g) / 1000.0) AS sx, SUM(value) AS sy,
+              SUM(((ts_ms - ts_g) / 1000.0) * value) AS sxy,
+              SUM(((ts_ms - ts_g) / 1000.0) * ((ts_ms - ts_g) / 1000.0)) AS sxx
+            FROM rv GROUP BY 1, 2),
+          c AS (
+            SELECT *, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope
+            FROM st WHERE n >= 2 AND sxx - sx * sx / n <> 0)
+          SELECT ts_g, event_type, round(slope, 6) AS deriv,
+            round((sy / n - slope * sx / n) + slope * 600, 4) AS predict
+          FROM c ORDER BY 1, 2""",
+
+    // PromFunctions.promQuantile: rank = q*(n-1) over values sorted asc,
+    // linear interpolation between floor/ceil ranks
+    "promql_quantile_over_time" ->
+      s"""${rangeCte(1800000)},
+          smp AS (
+            SELECT ts_g, event_type, value,
+              row_number() OVER (PARTITION BY ts_g, event_type ORDER BY value) AS r,
+              COUNT(*) OVER (PARTITION BY ts_g, event_type) AS n
+            FROM rv),
+          pq AS (
+            SELECT ts_g, event_type, n,
+              MAX(CASE WHEN r = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1 THEN value END) AS vlo,
+              MAX(CASE WHEN r = CAST(ceil(0.9 * (n - 1)) AS BIGINT) + 1 THEN value END) AS vhi
+            FROM smp GROUP BY 1, 2, 3)
+          SELECT ts_g, event_type,
+            round(vlo + (vhi - vlo) * (0.9 * (n - 1) - floor(0.9 * (n - 1))), 6) AS val
+          FROM pq ORDER BY 1, 2""",
+
+    "promql_over_time" ->
+      s"""${rangeCte(900000)}
+          SELECT ts_g, event_type,
+            round(SUM(value) / COUNT(*), 6) AS avg_v,
+            round(SUM(value), 4) AS sum_v,
+            CAST(COUNT(*) AS DOUBLE) AS cnt
+          FROM rv GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "promql_absent" ->
+      s"""SELECT ts_g, 1.0 AS val
+          FROM (SELECT unnest(generate_series($Start, $End, $Step)) AS ts_g)
+          ORDER BY ts_g"""
   )
 }

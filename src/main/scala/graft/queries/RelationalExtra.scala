@@ -15,6 +15,44 @@ object RelationalExtra {
   private val All = "(all)"
 
   val queries: Map[String, Q] = Map(
+    // array_agg (DataFusion built-in, SURVEY §2.4): order-insensitive
+    // via distinct + sort, string-joined so the hash compare is exact
+    "agg_array" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(array_join(sort_array(collect_set(col("l_linenumber"))), ",").as("line_nos"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // approx_distinct / approx_median (SURVEY §2.4): sketches differ
+    // across engines, so the pinned contract is "within tolerance of the
+    // exact answer" — the exact values hash-compare, the approximations
+    // are checked as booleans both engines must agree on (oracle: TRUE).
+    "agg_approx" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("appx_nd"),
+          countDistinct(col("l_partkey")).as("exact_nd"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("appx_med"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("appx_nd") - col("exact_nd")).cast("double") / col("exact_nd") <= 0.05)
+            .as("nd_ok"),
+          (abs(col("appx_med") - col("exact_med")) / col("exact_med") <= 0.02).as("med_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // exact multi-quantile with linear interpolation (rank = q*(n-1))
+    "agg_percentile_exact" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.25D)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9D)"), 6).as("p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "agg_rollup" -> ((s, d) => {
       T(s, d, "orders")
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
@@ -158,6 +196,23 @@ object RelationalExtra {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_array" ->
+      """SELECT l_returnflag, l_linestatus,
+           array_to_string(list_sort(list_distinct(array_agg(l_linenumber))), ',') AS line_nos,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "agg_approx" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_nd,
+           TRUE AS nd_ok, TRUE AS med_ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "agg_percentile_exact" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "agg_rollup" ->
       """SELECT coalesce(o_orderpriority, '(all)') AS pri,
            coalesce(o_orderstatus, '(all)') AS status, COUNT(*) AS n,

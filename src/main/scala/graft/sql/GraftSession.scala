@@ -156,7 +156,71 @@ final class GraftSession(val spark: SparkSession,
         val spec = catalog.spec(name)
         (spark.table(name), spec.timeIndex, spec.tags)
       })
-    else spark.sql(dialect(stmt))
+    else reorderUsingJoin(stmt, spark.sql(dialect(stmt)))
+  }
+
+  /** DataFusion's `SELECT *` output for NATURAL / USING joins keeps the
+    * join columns in the RIGHT table's declared positions (left side
+    * minus the common columns, then the right side in full — see
+    * `join/natural_join.result`). Spark hoists the coalesced keys to the
+    * front; reorder to the reference layout. Bails (returns df as-is) on
+    * anything it can't fully resolve. */
+  private def reorderUsingJoin(stmt: String, df: DataFrame): DataFrame = {
+    val up = stmt.toUpperCase(Locale.ROOT)
+    if (!up.matches("(?s)^SELECT\\s+\\*\\s+FROM\\s+.*")) return df
+    if (!(up.contains("NATURAL") || up.contains("USING"))) return df
+    if (up.matches("(?s).*\\bON\\b.*")) return df
+    try {
+      val fromTail = stmt.substring(up.indexOf("FROM") + 4)
+      val stop = "(?i)\\b(WHERE|ORDER|GROUP|LIMIT|OFFSET|HAVING)\\b".r
+        .findFirstMatchIn(fromTail).map(_.start).getOrElse(fromTail.length)
+      val fromClause = fromTail.substring(0, stop).trim
+      val ident = "(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+      val joinRx = ("(?i)\\s+(NATURAL\\s+)?(LEFT\\s+|RIGHT\\s+|FULL\\s+|INNER\\s+)?(OUTER\\s+)?JOIN\\s+" +
+        ident + "(\\s+USING\\s*\\(([^)]*)\\))?").r
+      val firstRx = ("^" + ident).r
+      val t0 = firstRx.findFirstMatchIn(fromClause).getOrElse(return df).group(1)
+      def cols(name: String): Seq[String] = spark.table(unquote(name)).columns.toSeq
+      // provenance-tagged desired layout: the reference drops a USING /
+      // NATURAL key only from the FIRST table's block; every joined-in
+      // right table keeps its full declared schema (join/using_join
+      // .result, multi-table case: user_id appears once per right table)
+      var desired: Seq[(Int, String)] = cols(t0).map((0, _))
+      var sparkLayout = cols(t0)
+      val joins = joinRx.findAllMatchIn(fromClause).toSeq
+      if (joins.isEmpty) return df
+      for ((m, ji) <- joins.zipWithIndex) {
+        val right = cols(m.group(4))
+        val usingCols = Option(m.group(6))
+          .map(_.split(",").map(c => unquote(c.trim)).toSeq)
+        val keys = usingCols.getOrElse(
+          sparkLayout.filter(c => right.exists(_.equalsIgnoreCase(c))))
+        if (keys.isEmpty) return df
+        val keySet = keys.map(_.toLowerCase(Locale.ROOT)).toSet
+        def minus(xs: Seq[String]) = xs.filterNot(c => keySet(c.toLowerCase(Locale.ROOT)))
+        desired = desired.filterNot { case (ti, c) =>
+          ti == 0 && keySet(c.toLowerCase(Locale.ROOT))
+        } ++ right.map((ji + 1, _))
+        sparkLayout = keys ++ minus(sparkLayout) ++ minus(right)
+      }
+      val n = df.columns.length
+      if (sparkLayout.length != n) return df
+      if (!sparkLayout.zip(df.columns).forall { case (a, b) => a.equalsIgnoreCase(b) }) return df
+      val tmp = (0 until n).map(i => s"__c$i")
+      val used = new Array[Boolean](n)
+      val perm = desired.map { case (_, name) =>
+        // coalesced keys exist once in Spark's output but once per right
+        // table in the reference layout — reuse the source column then
+        val idx = (0 until n).find(j => !used(j) && sparkLayout(j).equalsIgnoreCase(name))
+          .orElse((0 until n).find(j => sparkLayout(j).equalsIgnoreCase(name)))
+          .getOrElse(return df)
+        if (idx < n) used(idx) = true
+        idx
+      }
+      df.toDF(tmp: _*)
+        .select(perm.map(i => org.apache.spark.sql.functions.col(s"__c$i")): _*)
+        .toDF(perm.map(df.columns): _*)
+    } catch { case _: Throwable => df }
   }
 
   /** Register an existing Parquet table (e.g. external testdata). */
@@ -293,8 +357,189 @@ final class GraftSession(val spark: SparkSession,
     // the struct wrapper defeats collect_list's null-dropping
     r = r.replaceAll("(?i)\\bARRAY_AGG\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*\\)",
       "nullif(transform(collect_list(struct($1 AS __v)), s -> s.__v), array())")
-    r.replaceAll("(?i)FROM\\s+numbers\\s+LIMIT\\s+(\\d+)",
+    r = r.replaceAll("(?i)FROM\\s+numbers\\s+LIMIT\\s+(\\d+)",
       "FROM (SELECT CAST(id AS INT) AS number FROM range(0, $1))")
+    r = rewriteUddsketch(r)
+    r = rewriteMedian(r)
+    r = rewriteIntDiv(r)
+    defaultNullOrdering(r)
+  }
+
+  /** Schema-probe an expression against the statement's FROM clause;
+    * None when the expression or clause doesn't resolve. */
+  private def probeType(expr: String, stmt: String): Option[DataType] = {
+    val fromRx = "(?is)\\bfrom\\b(.*?)(\\bgroup\\b|\\border\\b|\\bhaving\\b|\\blimit\\b|\\boffset\\b|$)".r
+    val fromPart = fromRx.findFirstMatchIn(stmt).map(_.group(1).trim).getOrElse("")
+    if (fromPart.isEmpty) return None
+    try Some(spark.sql(s"SELECT $expr AS __probe FROM $fromPart LIMIT 0")
+      .schema.fields.head.dataType)
+    catch { case _: Throwable => None }
+  }
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
+
+  /** DataFusion/Postgres `/` on two integer operands is integer
+    * division (COUNT(x)/COUNT(y) → 2, not 2.5); Spark's `/` always
+    * yields double. Rewrite `int / int` to `div` for the operand shapes
+    * worth probing: COUNT(...) calls, plain (qualified) columns, and
+    * integer literals. */
+  private val IntDivRx = {
+    val count = "COUNT\\s*\\((?:[^()]|\\([^()]*\\))*\\)"
+    val ident = "[A-Za-z_`\"][A-Za-z0-9_.`\"]*"
+    val lit = "[0-9]+"
+    s"(?i)($count|$ident|$lit)\\s*/\\s*($count|$ident|$lit)(?![0-9.])".r
+  }
+  private def rewriteIntDiv(s: String): String = {
+    if (!s.contains("/")) return s
+    IntDivRx.replaceAllIn(s, m => {
+      def integral(op: String): Boolean = {
+        val t = op.trim
+        if (t.matches("[0-9]+")) true
+        else if (t.toUpperCase(Locale.ROOT).startsWith("COUNT")) true
+        else if (t.matches("[A-Za-z_`\"][A-Za-z0-9_.`\"]*") &&
+          !t.matches("(?i)(SELECT|FROM|WHERE|AND|OR|NOT|NULL|TRUE|FALSE|AS|ON|BY|IN)"))
+          probeType(t, s).exists(isIntegral)
+        else false
+      }
+      val (l, rr) = (m.group(1), m.group(2))
+      scala.util.matching.Regex.quoteReplacement(
+        if (integral(l) && integral(rr)) s"($l div $rr)" else m.matched)
+    })
+  }
+
+  /** uddsketch_state/_merge take the sketch parameters as leading
+    * literal args (reference `aggrs/approximate/uddsketch.rs:37-77`);
+    * Spark UDAFs are monomorphic, so each (buckets, alpha) pair gets a
+    * dedicated registration and the call is rewritten to it. */
+  private val uddRegistered = scala.collection.mutable.Set.empty[String]
+  private val UddRx =
+    "(?i)\\buddsketch_(state|merge)\\s*\\(\\s*([0-9]+)\\s*,\\s*([0-9]*\\.?[0-9]+)\\s*,".r
+  private def rewriteUddsketch(s: String): String =
+    UddRx.replaceAllIn(s, m => {
+      val kind = m.group(1).toLowerCase(Locale.ROOT)
+      val buckets = m.group(2).toInt
+      val alpha = m.group(3).toDouble
+      val name = s"__udd_${kind}_${buckets}_${m.group(3).replace('.', 'p')}"
+      if (!uddRegistered(name)) {
+        import org.apache.spark.sql.{functions => F, Encoders}
+        if (kind == "state")
+          spark.udf.register(name, F.udaf(graft.aggregates.UddSketch.stateAgg(buckets, alpha), Encoders.DOUBLE))
+        else
+          spark.udf.register(name, F.udaf(graft.aggregates.UddSketch.mergeAgg(buckets, alpha), Encoders.STRING))
+        uddRegistered += name
+      }
+      scala.util.matching.Regex.quoteReplacement(name + "(")
+    })
+
+  /** DataFusion computes integer median in the native integer type:
+    * for an even count the two middle values average with i64 division
+    * (4,5 → 4). Probe the argument's type against the FROM clause and
+    * rewrite to integer arithmetic when it is integral. */
+  private def rewriteMedian(s: String): String = {
+    if (!s.toLowerCase(Locale.ROOT).contains("median(")) return s
+    val lower = s.toLowerCase(Locale.ROOT)
+    val fromRx = "(?is)\\bfrom\\b(.*?)(\\bgroup\\b|\\border\\b|\\bhaving\\b|\\blimit\\b|\\boffset\\b|$)".r
+    val fromPart = fromRx.findFirstMatchIn(s).map(_.group(1).trim).getOrElse("")
+    if (fromPart.isEmpty) return s
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val at = lower.indexOf("median(", i)
+      if (at < 0 || (at > 0 && Character.isLetterOrDigit(lower.charAt(at - 1)))) {
+        if (at < 0) { out.append(s.substring(i)); i = s.length }
+        else { out.append(s.substring(i, at + 7)); i = at + 7 }
+      } else {
+        out.append(s.substring(i, at))
+        // balanced-paren argument
+        var j = at + 7; var depth = 1
+        while (j < s.length && depth > 0) {
+          val c = s.charAt(j)
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          if (depth > 0) j += 1
+        }
+        val arg = s.substring(at + 7, j)
+        val intType: Option[String] =
+          try {
+            spark.sql(s"SELECT $arg AS __probe FROM $fromPart LIMIT 0")
+              .schema.fields.head.dataType match {
+              case org.apache.spark.sql.types.LongType => Some("BIGINT")
+              case org.apache.spark.sql.types.IntegerType => Some("INT")
+              case org.apache.spark.sql.types.ShortType => Some("SMALLINT")
+              case org.apache.spark.sql.types.ByteType => Some("TINYINT")
+              case _ => None
+            }
+          } catch { case _: Throwable => None }
+        intType match {
+          case Some(t) => out.append(
+            s"CAST((CAST(round(percentile($arg, 0.5D) * 2, 0) AS BIGINT) div 2) AS $t)")
+          case None => out.append(s"median($arg)")
+        }
+        i = j + 1
+      }
+    }
+    out.toString
+  }
+
+  /** DataFusion/Postgres default null ordering is NULLS LAST for ASC and
+    * NULLS FIRST for DESC; Spark defaults the opposite way. Make the
+    * ordering explicit on every ORDER BY item that doesn't spell one. */
+  private[graft] def defaultNullOrdering(s: String): String = {
+    val up = s.toUpperCase(Locale.ROOT)
+    val terminators = Seq("LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE",
+      "GROUPS", "WINDOW", "UNION", "INTERSECT", "EXCEPT")
+    def keywordAt(pos: Int, kw: String): Boolean =
+      up.startsWith(kw, pos) &&
+        (pos + kw.length == up.length || !Character.isLetterOrDigit(up.charAt(pos + kw.length))) &&
+        (pos == 0 || !Character.isLetterOrDigit(up.charAt(pos - 1)))
+    val obRx = "(?i)\\bORDER\\s+BY\\b".r
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      obRx.findFirstMatchIn(s.substring(i)) match {
+        case None => out.append(s.substring(i)); i = s.length
+        case Some(m) =>
+          // skip matches inside string literals (odd quote count before)
+          val start = i + m.start
+          if (s.substring(0, start).count(_ == '\'') % 2 == 1) {
+            out.append(s.substring(i, i + m.end)); i = i + m.end
+          } else {
+            out.append(s.substring(i, i + m.end))
+            var j = i + m.end
+            val items = Vector.newBuilder[String]
+            val item = new StringBuilder
+            var depth = 0; var inQuote = false; var stop = false
+            while (j < s.length && !stop) {
+              val c = s.charAt(j)
+              if (inQuote) { item.append(c); if (c == '\'') inQuote = false; j += 1 }
+              else if (c == '\'') { item.append(c); inQuote = true; j += 1 }
+              else if (c == '(') { depth += 1; item.append(c); j += 1 }
+              else if (c == ')') {
+                if (depth == 0) stop = true else { depth -= 1; item.append(c); j += 1 }
+              }
+              else if (c == ',' && depth == 0) { items += item.result(); item.clear(); j += 1; item.append(' ') }
+              else if (c == ';' && depth == 0) stop = true
+              else if (depth == 0 && terminators.exists(keywordAt(j, _))) stop = true
+              else { item.append(c); j += 1 }
+            }
+            items += item.result()
+            val fixed = items.result().map { it =>
+              val t = it.replaceAll("\\s+$", "")
+              val pad = it.substring(t.length)
+              if (t.trim.isEmpty) it
+              else if (t.matches("(?is).*\\bNULLS\\s+(FIRST|LAST)$")) it
+              else if (t.matches("(?is).*\\bDESC$")) t + " NULLS FIRST" + pad
+              else t + " NULLS LAST" + pad
+            }
+            out.append(fixed.mkString(","))
+            i = j
+          }
+      }
+    }
+    out.toString
   }
 
   // ---- CREATE TABLE ---------------------------------------------------
@@ -1038,7 +1283,7 @@ final class GraftSession(val spark: SparkSession,
   // ---- INSERT ---------------------------------------------------------
 
   private val InsertRx =
-    "(?is)INSERT\\s+INTO\\s+(?:TABLE\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*(\\([^)]*\\))?\\s*(VALUES.*|SELECT.*)".r
+    "(?is)INSERT\\s+INTO\\s+(?:TABLE\\s+)?(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*(\\([^)]*\\))?\\s*(VALUES.*|SELECT.*)".r
 
   /** `INSERT ... VALUES (DEFAULT, ...)`: the DEFAULT keyword resolves
     * to the column's declared default, else NULL
@@ -1062,7 +1307,8 @@ final class GraftSession(val spark: SparkSession,
   }
 
   private def insert(stmt: String): DataFrame = stmt match {
-    case InsertRx(name, colsOpt, body) =>
+    case InsertRx(name0, colsOpt, body) =>
+      val name = unquote(name0)
       val spec = catalog.spec(name)
       // ttl='instant': rows are accepted but never persisted
       if (spec.ttlMillis.contains(0L)) return status(s"inserted 0 rows into $name")

