@@ -185,10 +185,35 @@ final class PromEval(
         case Unary(inner) => scalarish(inner)
         case _ => false
       }
+      // a nullary math literal (pi()) compiles to an EmptyMetric grid in
+      // the reference; binary ops against it keep only (ts, value) —
+      // tags are dropped (promql/math.result `angles * pi()`)
+      def isGridLiteral(e: Expr): Boolean = e match {
+        case Call("pi", Seq()) => true
+        case _ => false
+      }
+      val dropLabels = isGridLiteral(lhs) || isGridLiteral(rhs)
+      def project(r: Either[Double, InstantVector]): Either[Double, InstantVector] = r match {
+        case Right(iv) if dropLabels =>
+          Right(InstantVector(iv.df.select(col("__ts"), col("__val")), Nil))
+        case other => other
+      }
+      val setOps = Set("and", "or", "unless")
       (eval(lhs), eval(rhs)) match {
         case (Left(a), Left(b)) => Left(scalarScalar(op, a, b, boolMod))
-        case (Right(iv), Left(s)) => Right(vectorScalar(iv, op, s, scalarLeft = false, boolMod))
-        case (Left(s), Right(iv)) => Right(vectorScalar(iv, op, s, scalarLeft = true, boolMod))
+        case (Right(iv), Left(s)) =>
+          project(Right(vectorScalar(iv, op, s, scalarLeft = false, boolMod)))
+        case (Left(s), Right(iv)) =>
+          project(Right(vectorScalar(iv, op, s, scalarLeft = true, boolMod)))
+        // a label-less grid vector (vector(1)) against a labeled vector
+        // broadcasts per timestamp and keeps the labeled side's labels
+        // (promql/set_operation.result `vector(1) * http_requests`)
+        case (Right(l), Right(r)) if l.labels.isEmpty && r.labels.nonEmpty &&
+            !setOps(op) && matching.isEmpty =>
+          Right(vectorScalarSeries(r, l, op, scalarLeft = true, boolMod))
+        case (Right(l), Right(r)) if r.labels.isEmpty && l.labels.nonEmpty &&
+            !setOps(op) && matching.isEmpty =>
+          Right(vectorScalarSeries(l, r, op, scalarLeft = false, boolMod))
         case (Right(l), Right(r)) if scalarish(lhs) && !scalarish(rhs) =>
           Right(vectorScalarSeries(r, l, op, scalarLeft = true, boolMod))
         case (Right(l), Right(r)) if scalarish(rhs) && !scalarish(lhs) =>

@@ -128,17 +128,29 @@ object PromFunctions {
       if (s == null || s.isEmpty) null else java.lang.Double.valueOf(f(s.map(_._2))))
 
   lazy val avgOverTime: UserDefinedFunction = overTime(v => v.sum / v.size)
-  lazy val minOverTime: UserDefinedFunction = overTime(_.min)
-  lazy val maxOverTime: UserDefinedFunction = overTime(_.max)
+  // Prometheus funcMin/MaxOverTime: NaN loses to any real value (an
+  // accumulated NaN is replaced by the next sample)
+  lazy val minOverTime: UserDefinedFunction =
+    overTime(_.reduceLeft((m, x) => if (x < m || m.isNaN) x else m))
+  lazy val maxOverTime: UserDefinedFunction =
+    overTime(_.reduceLeft((m, x) => if (x > m || m.isNaN) x else m))
   lazy val sumOverTime: UserDefinedFunction = overTime(_.sum)
   lazy val countOverTime: UserDefinedFunction = overTime(_.size.toDouble)
   lazy val lastOverTime: UserDefinedFunction = overTime(_.last)
-  lazy val stddevOverTime: UserDefinedFunction = overTime { v =>
-    val m = v.sum / v.size; math.sqrt(v.map(x => (x - m) * (x - m)).sum / v.size)
+  /** Welford's incremental variance — the exact algorithm Prometheus
+    * uses (funcStdvarOverTime), so equal samples give exactly 0. */
+  private def welfordVar(v: Seq[Double]): Double = {
+    var count = 0.0; var mean = 0.0; var aux = 0.0
+    v.foreach { x =>
+      count += 1
+      val delta = x - mean
+      mean += delta / count
+      aux += delta * (x - mean)
+    }
+    aux / count
   }
-  lazy val stdvarOverTime: UserDefinedFunction = overTime { v =>
-    val m = v.sum / v.size; v.map(x => (x - m) * (x - m)).sum / v.size
-  }
+  lazy val stddevOverTime: UserDefinedFunction = overTime(v => math.sqrt(welfordVar(v)))
+  lazy val stdvarOverTime: UserDefinedFunction = overTime(welfordVar)
   lazy val presentOverTime: UserDefinedFunction = overTime(_ => 1.0)
 
   /** Prometheus double exponential smoothing (holt_winters /
@@ -186,13 +198,25 @@ object PromFunctions {
     * used by the HistogramFold equivalent. */
   def histogramQuantile(q: Double, buckets: Seq[(Double, Double)]): Double = {
     if (buckets == null || buckets.size < 2) return Double.NaN
-    val sorted = buckets.sortBy(_._1)
-    if (!sorted.last._1.isPosInfinity) return Double.NaN
+    if (q.isNaN) return Double.NaN
+    if (q < 0) return Double.NegativeInfinity
+    if (q > 1) return Double.PositiveInfinity
+    val sorted0 = buckets.sortBy(_._1)
+    if (!sorted0.last._1.isPosInfinity) return Double.NaN
+    // Prometheus ensureMonotonic: cumulative counts are raised to the
+    // running max (stale mixed-age buckets can be non-monotonic —
+    // promql/simple_histogram.result histogram5 pins 0.775, not the
+    // unfixed 0.175)
+    var runMax = Double.NegativeInfinity
+    val sorted = sorted0.map { case (le, c) =>
+      runMax = math.max(runMax, c); (le, runMax)
+    }
     val total = sorted.last._2
     if (total == 0) return Double.NaN
     val target = q * total
     var i = 0
     while (i < sorted.size && sorted(i)._2 < target) i += 1
+    if (i >= sorted.size) i = sorted.size - 1
     if (i == 0) {
       val (le, c) = sorted(0)
       if (le <= 0) return le

@@ -41,6 +41,30 @@ object PromParser {
   val AggOps = Set("sum", "min", "max", "avg", "count", "group", "stddev",
     "stdvar", "topk", "bottomk", "quantile", "count_values")
 
+  /** Go-style string unescaping for promql string literals / matcher
+    * values: `"10\\.0"` denotes the regex `10\.0`. Unknown escapes are
+    * kept verbatim (lenient). */
+  private[promql] def unescapeString(s: String): String = {
+    if (!s.contains('\\')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); i += 2
+          case '"'  => sb.append('"'); i += 2
+          case '\'' => sb.append('\''); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case _    => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def parseDuration(s: String): Long = {
     val re = "([0-9]+)(ms|s|m|h|d|w|y)".r
     re.findAllMatchIn(s).map { m =>
@@ -143,7 +167,7 @@ object PromParser {
         if (t == "(") { next(); val e = expr(); expect(")"); e }
         else if (t.matches("[0-9].*") && !isDuration(t)) { next(); NumberLit(t.toDouble) }
         else if (t.startsWith("\"") || t.startsWith("'")) {
-          next(); StringLit(t.substring(1, t.length - 1))
+          next(); StringLit(unescapeString(t.substring(1, t.length - 1)))
         }
         else if (AggOps.contains(t.toLowerCase)) aggExpr()
         else identExpr()
@@ -248,7 +272,7 @@ object PromParser {
             val label = next()
             val op = next()
             val raw = next()
-            ms += Matcher(label, op, raw.substring(1, raw.length - 1))
+            ms += Matcher(label, op, unescapeString(raw.substring(1, raw.length - 1)))
             if (peek.contains(",")) next()
           }
           expect("}")

@@ -70,10 +70,14 @@ object PromQL {
   /** Selector -> instant vector (SeriesNormalize + InstantManipulate). */
   def instant(m: Metric, p: EvalParams, offsetMs: Long = 0L): InstantVector = {
     val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
+    // ordinary NaN values are REAL samples (promql/scalar.result pins
+    // NaN keeping a series present in count()); only the reference's
+    // staleness marker — which never reaches parquet — is filtered
     val base = m.df
-      .filter(!isnan(col(m.value)))
       .select((m.labels.map(col) :+ ts) :+ col(m.value).as("__v"): _*)
-    val exploded = gridExplode(base, col("__sample_ts"), p, p.lookbackMs + 1)
+    // lookback window is LEFT-EXCLUSIVE (t - lookback, t]: a sample
+    // exactly lookback old is stale (promql/subquery.result, t=359 case)
+    val exploded = gridExplode(base, col("__sample_ts"), p, p.lookbackMs)
     val grouped = exploded
       .groupBy((m.labels.map(col) :+ col("__ts")): _*)
       .agg(max_by(col("__v"), col("__sample_ts")).as("__val"))
@@ -85,7 +89,6 @@ object PromQL {
   def rangeVector(m: Metric, p: EvalParams, rangeMs: Long, offsetMs: Long = 0L): DataFrame = {
     val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
     val base = m.df
-      .filter(!isnan(col(m.value)))
       .select((m.labels.map(col) :+ ts) :+ col(m.value).as("__v"): _*)
     val exploded = gridExplode(base, col("__sample_ts"), p, rangeMs)
     exploded
@@ -129,8 +132,13 @@ object PromQL {
     val present = iv.df.select(col("__ts")).distinct()
     var out = grid.join(present, Seq("__ts"), "left_anti")
       .withColumn("__val", lit(1.0))
-    literalLabels.foreach { case (k, v) => out = out.withColumn(k, lit(v)) }
-    InstantVector(out, literalLabels.map(_._1))
+    // duplicate matchers on one label (job="a", job="b"): last one wins,
+    // single output column (promql/absent.result)
+    val lastByKey = literalLabels.foldLeft(Vector.empty[(String, String)]) {
+      case (acc, (k, v)) => acc.filterNot(_._1 == k) :+ (k -> v)
+    }
+    lastByKey.foreach { case (k, v) => out = out.withColumn(k, lit(v)) }
+    InstantVector(out, lastByKey.map(_._1))
   }
 
   /** EmptyMetric: literal expressions evaluated on the step grid. */
@@ -153,10 +161,12 @@ object PromQL {
     op match {
       case "topk" | "bottomk" =>
         val k = param.get.toInt
-        val ord = if (op == "topk") x.desc else x.asc
-        // label tiebreak keeps the selection deterministic across runs
-        val w = Window.partitionBy(keys: _*)
-          .orderBy(ord +: iv.labels.sorted.map(col(_).asc): _*)
+        // tiebreak follows the value's direction over the tags too
+        // (planner.rs:3900-3920: every sort expr uses the same asc flag)
+        val ord = if (op == "topk") x.desc_nulls_first else x.asc_nulls_first
+        val tagOrd = iv.labels.sorted.map(l =>
+          if (op == "topk") col(l).desc_nulls_first else col(l).asc_nulls_first)
+        val w = Window.partitionBy(keys: _*).orderBy(ord +: tagOrd: _*)
         val ranked = iv.df.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= k).drop("__rn")
         InstantVector(ranked, iv.labels) // keeps original series labels
@@ -272,33 +282,56 @@ object PromQL {
     val matchLabels = on.getOrElse(
       lhs.labels.intersect(rhs.labels).filterNot(ignoring.contains))
     val keys = "__ts" +: matchLabels
+    // set ops (and/or/unless) with DEFAULT matching compare the FULL
+    // label set (a label missing on one side is a mismatch — pinned by
+    // set_operation.result: vector_matching_a{l="x"} survives `or
+    // on(instance)`); labels absent from a side are padded null, and all
+    // key comparisons are null-safe (<=>), matching the reference's
+    // null-equality joins.
+    val allLabels = lhs.labels ++ rhs.labels.filterNot(lhs.labels.contains)
+    val setKeys = "__ts" +: on.getOrElse(allLabels.filterNot(ignoring.contains))
+    def pad(df: DataFrame, have: Seq[String]): DataFrame =
+      allLabels.foldLeft(df)((d, l) =>
+        if (have.contains(l)) d else d.withColumn(l, lit(null).cast("string")))
+    def semiJoin(left: DataFrame, right: DataFrame, joinType: String): DataFrame = {
+      val l = left.alias("__l")
+      val r = right.select(setKeys.map(col): _*).distinct().alias("__r")
+      val cond = setKeys.map(k => col(s"__l.$k") <=> col(s"__r.$k")).reduce(_ && _)
+      l.join(r, cond, joinType)
+    }
     op match {
       case "and" =>
-        InstantVector(lhs.df.join(rhs.df.select(keys.map(col): _*).distinct(),
-          keys, "left_semi"), lhs.labels)
+        val out = semiJoin(pad(lhs.df, lhs.labels), pad(rhs.df, rhs.labels), "left_semi")
+        InstantVector(out.select(("__ts" +: lhs.labels :+ "__val").map(col): _*), lhs.labels)
       case "unless" =>
-        InstantVector(lhs.df.join(rhs.df.select(keys.map(col): _*).distinct(),
-          keys, "left_anti"), lhs.labels)
+        val out = semiJoin(pad(lhs.df, lhs.labels), pad(rhs.df, rhs.labels), "left_anti")
+        InstantVector(out.select(("__ts" +: lhs.labels :+ "__val").map(col): _*), lhs.labels)
       case "or" =>
-        // UnionDistinctOn: keep left row on (ts, labels) collision
-        val rightOnly = rhs.df.join(lhs.df.select(keys.map(col): _*).distinct(),
-          keys, "left_anti")
-        val shared = (lhs.labels.toSet intersect rhs.labels.toSet).toSeq
-        val cols = ("__ts" +: shared :+ "__val").map(col)
-        InstantVector(lhs.df.select(cols: _*).union(rightOnly.select(cols: _*)), shared)
+        // UnionDistinctOn: keep left row on key collision; output schema
+        // is the union of both sides' label columns
+        val rightOnly = semiJoin(pad(rhs.df, rhs.labels), pad(lhs.df, lhs.labels), "left_anti")
+        def shape(df: DataFrame) = df.select(("__ts" +: allLabels :+ "__val").map(col): _*)
+        InstantVector(shape(pad(lhs.df, lhs.labels)).union(shape(rightOnly)), allLabels)
       case _ =>
         // the "many" side keeps its full label set; default one-to-one
         // treats the left as many with no copied labels (same join)
         val (manyIv, oneIv, manyIsLeft) =
           if (groupRight) (rhs, lhs, false) else (lhs, rhs, true)
+        // the many side keeps its extra labels (set_operation.result's
+        // `/ on(job)` pins null_label surviving on the left side; only
+        // the metric-engine tsid pruning drops them, which we don't model)
         val manyExtra = manyIv.labels.filterNot(matchLabels.contains)
         val many = manyIv.df
           .select((keys ++ manyExtra :+ "__val").map(col): _*)
-          .withColumnRenamed("__val", "__mv")
+          .withColumnRenamed("__val", "__mv").alias("__m")
         val one = oneIv.df
           .select((keys ++ extraLabels :+ "__val").map(col): _*)
-          .withColumnRenamed("__val", "__ov")
-        val joined = many.join(one, keys)
+          .withColumnRenamed("__val", "__ov").alias("__o")
+        val cond = keys.map(k => col(s"__m.$k") <=> col(s"__o.$k")).reduce(_ && _)
+        val joined = many.join(one, cond).select(
+          (keys ++ manyExtra).map(k => col(s"__m.$k").as(k)) ++
+            extraLabels.map(k => col(s"__o.$k").as(k)) :+
+            col("__m.__mv").as("__mv") :+ col("__o.__ov").as("__ov"): _*)
         val (lv, rv) =
           if (manyIsLeft) (col("__mv"), col("__ov")) else (col("__ov"), col("__mv"))
         val outLabels = matchLabels ++ manyExtra ++ extraLabels
@@ -366,32 +399,52 @@ object PromQL {
     InstantVector(iv.df.withColumn("__val", v), iv.labels)
   }
 
-  /** label_replace / label_join (planner.rs:3159,3183). */
+  /** label_replace, following the reference's rules exactly
+    * (query/src/promql/planner.rs:3434-3530):
+    *  - src exists + empty regex            → unchanged, no dst added
+    *  - src missing + empty replacement     → unchanged
+    *  - src missing + non-empty replacement → dst = literal replacement
+    *  - else dst = regexp_replace(src, "^(?s:re)$", repl) — anchored,
+    *    so a non-match copies the src value into dst. */
   def labelReplace(iv: InstantVector, dst: String, replacement: String,
       src: String, regex: String): InstantVector = {
-    val full = regexp_extract(col(src), s"^(?:$regex)$$", 0)
-    val replaced = regexp_replace(col(src), s"^(?:$regex)$$", replacement)
-    val v = when(full =!= "" || lit(regex).isNull, replaced)
-      .otherwise(if (iv.labels.contains(dst)) col(dst) else lit(""))
-    val df = iv.df.withColumn(dst, v)
-    InstantVector(df, (iv.labels :+ dst).distinct)
+    java.util.regex.Pattern.compile(regex) // validate (invalid → error)
+    val srcExists = iv.labels.contains(src)
+    if (srcExists && regex.isEmpty) iv
+    else if (!srcExists) {
+      if (replacement.isEmpty) iv
+      else InstantVector(iv.df.withColumn(dst, lit(replacement)),
+        (iv.labels :+ dst).distinct)
+    } else {
+      val anchored = s"^(?s:$regex)$$"
+      val f = udf((s: String, re: String, rep: String) =>
+        if (s == null) null
+        else java.util.regex.Pattern.compile(re).matcher(s).replaceFirst(rep))
+      InstantVector(iv.df.withColumn(dst, f(col(src), lit(anchored), lit(replacement))),
+        (iv.labels :+ dst).distinct)
+    }
   }
 
   def labelJoin(iv: InstantVector, dst: String, sep: String, srcs: Seq[String]): InstantVector =
     InstantVector(iv.df.withColumn(dst, concat_ws(sep, srcs.map(col): _*)),
       (iv.labels :+ dst).distinct)
 
-  /** scalar(): value when exactly one series, else NaN (ScalarCalculate). */
   /** scalar(): value when the instant vector has exactly one element at
-    * the step, else NaN — emitted for EVERY grid step
-    * (extension_plan/scalar_calculate.rs). */
+    * the step, NaN when it has several, and NO row when it has none —
+    * grid steps without input data are dropped
+    * (extension_plan/scalar_calculate.rs; pinned by promql/scalar.result,
+    * where `scalar(clamp(host{...}))` starts at the first sample). */
   def scalarFn(iv: InstantVector, p: EvalParams, spark: SparkSession): InstantVector = {
     val perTs = iv.df.groupBy(col("__ts"))
       .agg(count(lit(1)).as("__n"), first(col("__val")).as("__v"))
+    // empty input → NaN at EVERY grid step (promql/scalar.result with an
+    // out-of-range window); otherwise steps without data are dropped
+    val totals = iv.df.agg(count(lit(1)).as("__total"))
     val full = gridDf(spark, p).join(perTs, Seq("__ts"), "left")
-    InstantVector(full.withColumn("__val",
-      when(col("__n") === 1, col("__v")).otherwise(lit(Double.NaN)))
-      .drop("__n", "__v"), Nil)
+      .crossJoin(broadcast(totals))
+      .filter(col("__n").isNotNull || col("__total") === 0)
+    InstantVector(full.select(col("__ts"),
+      when(col("__n") === 1, col("__v")).otherwise(lit(Double.NaN)).as("__val")), Nil)
   }
 
   /** histogram_quantile over classic le-bucket series (HistogramFold). */

@@ -157,7 +157,7 @@ object PromQLQueries {
                  arg_max(e.value, epoch_ns(e.ts) // 1000000) AS val
           FROM grid g JOIN events e
             ON (epoch_ns(e.ts) // 1000000) <= g.ts_g
-           AND (epoch_ns(e.ts) // 1000000) >= g.ts_g - 300000
+           AND (epoch_ns(e.ts) // 1000000) > g.ts_g - 300000
           GROUP BY g.ts_g, e.event_type)"""
 
   val oracles: Map[String, String] = Map(
@@ -173,7 +173,7 @@ object PromQLQueries {
       s"""$instantCte
           SELECT ts_g, event_type, val FROM (
             SELECT *, row_number() OVER (PARTITION BY ts_g
-              ORDER BY val DESC, event_type) AS rn FROM iv) t
+              ORDER BY val DESC, event_type DESC) AS rn FROM iv) t
           WHERE rn <= 2 ORDER BY ts_g, event_type""",
 
     "promql_binary" ->

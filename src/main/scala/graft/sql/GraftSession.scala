@@ -96,7 +96,11 @@ final class GraftSession(val spark: SparkSession,
         .toDF("Database", "Create Database")
     }
     else if (up.startsWith("CREATE DATABASE")) createDatabase(stmt)
+    else if (up.startsWith("CREATE SCHEMA"))
+      createDatabase(stmt.replaceFirst("(?i)CREATE\\s+SCHEMA", "CREATE DATABASE"))
     else if (up.startsWith("DROP DATABASE")) dropDatabase(stmt)
+    else if (up.startsWith("DROP SCHEMA"))
+      dropDatabase(stmt.replaceFirst("(?i)DROP\\s+SCHEMA", "DROP DATABASE"))
     else if (up.startsWith("USE ")) useDatabase(unquote(stmt.split("\\s+").last))
     else if (up.startsWith("SHOW DATABASES") || up.startsWith("SHOW SCHEMAS")) {
       import spark.implicits._
@@ -549,7 +553,23 @@ final class GraftSession(val spark: SparkSession,
   private val SeqCol = "__seq"
 
   private val CreateTableHeadRx =
-    "(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
+    ("(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "((?:\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\.(?:\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))?)\\s*\\(").r
+
+  /** Schema-qualified names ("S"."T") live in an isolated namespace: the
+    * composite key keeps them unreachable from bare-name lookups
+    * (tql/case_sensitive.result: bare MemTotal must NOT resolve to
+    * AnotherSchema.MemTotal). */
+  private def normTable(raw0: String): String = {
+    val raw = raw0.trim
+    val qual = ("^(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)" +
+      "\\.(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$").r
+    raw match {
+      case qual(a, b) => unquote(a) + "__schema__" + unquote(b)
+      case _ => unquote(raw)
+    }
+  }
 
   /** Declared column metadata, in declared order — drives DESC TABLE,
     * INSERT defaults and FIRST/AFTER column placement. */
@@ -603,7 +623,7 @@ final class GraftSession(val spark: SparkSession,
           val p = args.split(",").map(_.trim)
           s"Decimal(${p(0)}, ${if (p.length > 1) p(1) else "0"})"
         }
-      case "JSON" => "Json"
+      case "JSON" | "JSON2" => "Json"
       case "VECTOR" => s"Vector($args)"
       case "INTERVAL" => "IntervalMonthDayNano"
       case other => other.toLowerCase(Locale.ROOT).capitalize
@@ -683,7 +703,7 @@ final class GraftSession(val spark: SparkSession,
       case "TIME" | "DURATION" => LongType
       case "INTERVAL" => DayTimeIntervalType()
       case "BINARY" | "BLOB" | "VARBINARY" => BinaryType
-      case "JSON" => StringType
+      case "JSON" | "JSON2" => StringType
       case "VECTOR" => ArrayType(FloatType, containsNull = false)
       case other => throw new IllegalArgumentException(s"unknown type: $other")
     }
@@ -692,7 +712,7 @@ final class GraftSession(val spark: SparkSession,
   private def createTable(stmt: String): DataFrame = {
     val head = CreateTableHeadRx.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse: $stmt"))
-    val name = unquote(head.group(1))
+    val name = normTable(head.group(1))
     if (catalog.tables.contains(name)) {
       if ("(?is)CREATE\\s+TABLE\\s+IF\\s+NOT\\s+EXISTS.*".r.matches(stmt))
         return status(s"table $name exists")
@@ -1022,7 +1042,8 @@ final class GraftSession(val spark: SparkSession,
   }
 
   private def dropTable(stmt: String): DataFrame = {
-    val name = stmt.split("\\s+").last
+    val name = normTable(stmt.split("\\s+")
+      .filterNot(t => t.equalsIgnoreCase("IF") || t.equalsIgnoreCase("EXISTS")).last)
     spark.catalog.dropTempView(name)
     // a subsequent CREATE TABLE of the same name must start empty
     catalog.deregister(name).foreach { spec =>
@@ -1283,7 +1304,8 @@ final class GraftSession(val spark: SparkSession,
   // ---- INSERT ---------------------------------------------------------
 
   private val InsertRx =
-    "(?is)INSERT\\s+INTO\\s+(?:TABLE\\s+)?(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*(\\([^)]*\\))?\\s*(VALUES.*|SELECT.*)".r
+    ("(?is)INSERT\\s+INTO\\s+(?:TABLE\\s+)?((?:\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\.(?:\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))?)\\s*(\\([^)]*\\))?\\s*(VALUES.*|SELECT.*)").r
 
   /** `INSERT ... VALUES (DEFAULT, ...)`: the DEFAULT keyword resolves
     * to the column's declared default, else NULL
@@ -1308,7 +1330,7 @@ final class GraftSession(val spark: SparkSession,
 
   private def insert(stmt: String): DataFrame = stmt match {
     case InsertRx(name0, colsOpt, body) =>
-      val name = unquote(name0)
+      val name = normTable(name0)
       val spec = catalog.spec(name)
       // ttl='instant': rows are accepted but never persisted
       if (spec.ttlMillis.contains(0L)) return status(s"inserted 0 rows into $name")
@@ -1323,7 +1345,10 @@ final class GraftSession(val spark: SparkSession,
             .filter(_.nonEmpty)
             .getOrElse(target.map(_.name).toSeq.filterNot(_ == SeqCol))
         }
-      var df = spark.sql(dialect(substituteDefaults(name, body, cols)))
+      // the reference accepts a trailing comma after the last VALUES
+      // tuple (promql/simple_histogram.sql); Spark doesn't
+      var df = spark.sql(dialect(substituteDefaults(name,
+        body.trim.replaceAll(",\\s*$", ""), cols)))
       df = df.toDF(cols: _*)
       // align to full target schema: missing columns become nulls, the
       // sequence column is stamped per statement (write order for the
@@ -1562,13 +1587,17 @@ final class GraftSession(val spark: SparkSession,
               else if (labels.contains(c)) Some(col(c))
               else if (!spec.tags.contains(c)) Some(v) // the value field
               else None
+            // labels joined in by set ops (or-union pads the rhs-only
+            // columns, e.g. `l`) aren't in the table's declared schema —
+            // keep them at the end
+            val extra = labels.filterNot(declared.contains).sorted.map(col)
             // non-ms time index is cast by the planner, which moves the
             // ts column to the end: [fields, tags, ts]
-            if (tsLiteralUs.get(t).exists(_ != 1000L))
+            (if (tsLiteralUs.get(t).exists(_ != 1000L))
               (declared.filterNot(c => c == spec.timeIndex || spec.tags.contains(c))
                 .flatMap(toCol) ++
                 declared.filter(spec.tags.contains).flatMap(toCol)) :+ ts
-            else declared.flatMap(toCol)
+            else declared.flatMap(toCol)) ++ extra
           case None => (v +: labels.sorted.map(col)) :+ ts
         }
       case "agg" => (v +: labels.map(col)) :+ ts

@@ -24,13 +24,18 @@ object GoldenRunner {
   sealed trait Expected
   case object NonQuery extends Expected
   case object ErrorExpected extends Expected
-  final case class Table(rows: Seq[Seq[String]]) extends Expected
+  final case class Table(rows: Seq[Seq[String]], header: Seq[String] = Nil) extends Expected
 
   /** `replaces`: `-- SQLNESS REPLACE <pattern> <replacement>` directives
     * preceding the statement — the golden was written AFTER applying
     * them, so our rendered cells must apply them too. */
+  /** sortMode: 0 = none, 1 = bare SORT_RESULT (sqlness sorted ALL block
+    * lines — header lands among the rows), 2 = SORT_RESULT <h> <t>
+    * (header/tail kept in place, data rows sorted). */
   final case class Entry(sql: String, expected: Expected,
-      replaces: Seq[(String, String)] = Nil, sortResult: Boolean = false)
+      replaces: Seq[(String, String)] = Nil, sortMode: Int = 0) {
+    def sortResult: Boolean = sortMode > 0
+  }
 
   final case class Outcome(compared: Int, skipped: Int, problems: Seq[String])
 
@@ -60,7 +65,7 @@ object GoldenRunner {
     val entries = Vector.newBuilder[Entry]
     var i = 0
     var pendingReplaces = Vector.empty[(String, String)]
-    var pendingSort = false
+    var pendingSort = 0
     val replaceRx = "^--\\s*SQLNESS\\s+REPLACE\\s+(\\S+)\\s*(.*)$".r
     while (i < lines.length) {
       val line = lines(i).trim
@@ -68,7 +73,8 @@ object GoldenRunner {
         replaceRx.findFirstMatchIn(line).foreach { m =>
           pendingReplaces :+= (m.group(1) -> m.group(2).trim)
         }
-        if (line.matches("(?i)^--\\s*SQLNESS\\s+SORT_RESULT\\s*$")) pendingSort = true
+        if (line.matches("(?i)^--\\s*SQLNESS\\s+SORT_RESULT\\s*$")) pendingSort = 1
+        else if (line.matches("(?i)^--\\s*SQLNESS\\s+SORT_RESULT\\s+\\d+\\s+\\d+\\s*$")) pendingSort = 2
         i += 1
       }
       else {
@@ -91,23 +97,25 @@ object GoldenRunner {
             ErrorExpected
           } else if (lines(i).startsWith("+")) {
             val rows = Vector.newBuilder[Seq[String]]
+            var headerCells: Seq[String] = Nil
             // SORT_RESULT sorts the RENDERED LINES of the block, so the
             // header row lands among the data rows — keep every | line
             // and let run() drop the header by name.
-            var header = !pendingSort
+            var header = pendingSort != 1
             while (i < lines.length && lines(i).trim.nonEmpty) {
               val l = lines(i)
               if (l.startsWith("|")) {
-                if (header) header = false
-                else rows += l.split("\\|", -1).drop(1).dropRight(1).map(_.trim).toSeq
+                val cells = l.split("\\|", -1).drop(1).dropRight(1).map(_.trim).toSeq
+                if (header) { header = false; headerCells = cells }
+                else rows += cells
               }
               i += 1
             }
-            Table(rows.result())
+            Table(rows.result(), headerCells)
           } else NonQuery
         entries += Entry(stmt.result().trim.stripSuffix(";"), expected, pendingReplaces, pendingSort)
         pendingReplaces = Vector.empty
-        pendingSort = false
+        pendingSort = 0
       }
     }
     entries.result()
@@ -125,8 +133,11 @@ object GoldenRunner {
       if (t.getNano == 0) t.format(TsFmt) else t.format(TsFmtMs)
     case d: java.sql.Date => d.toString
     case d: java.time.LocalDate => d.toString
-    case d: java.lang.Double => d.toString
-    case f: java.lang.Float => f.toString
+    // DataFusion renders f64 specials Rust-style: inf / -inf (NaN is NaN)
+    case d: java.lang.Double =>
+      if (d.isInfinite) (if (d > 0) "inf" else "-inf") else d.toString
+    case f: java.lang.Float =>
+      if (f.isInfinite) (if (f > 0) "inf" else "-inf") else f.toString
     // DataFusion renders durations as seconds-only ISO-8601 (PT900S,
     // never PT15M), unlike java.time.Duration.toString
     case d: java.time.Duration =>
@@ -189,11 +200,15 @@ object GoldenRunner {
       stallStmt.set(e.sql)
       stallDeadline.set(System.nanoTime() + 90L * 1000 * 1000 * 1000)
       if (trace) { System.err.println(s"[golden-exec] ${e.sql.take(150)}"); System.err.flush() }
-      val isExplain = e.sql.toUpperCase.startsWith("EXPLAIN")
+      val upSql = e.sql.toUpperCase
+      val isExplain = upSql.startsWith("EXPLAIN") ||
+        upSql.startsWith("TQL EXPLAIN") || upSql.startsWith("TQL ANALYZE")
       if (isExplain) {
         // plan text is engine-internal (DataFusion vs Catalyst) — execute
         // for parser coverage but never compare plans against goldens
-        Try(g.sql(e.sql.replaceFirst("(?is)^EXPLAIN\\s+(ANALYZE\\s+)?(VERBOSE\\s+)?", "")).collect())
+        Try(g.sql(e.sql
+          .replaceFirst("(?is)^TQL\\s+(EXPLAIN|ANALYZE)\\s+(VERBOSE\\s+)?", "TQL EVAL ")
+          .replaceFirst("(?is)^EXPLAIN\\s+(ANALYZE\\s+)?(VERBOSE\\s+)?", "")).collect())
         skipped += 1
       }
       else Try(g.sql(e.sql)) match {
@@ -206,25 +221,74 @@ object GoldenRunner {
           }
         case Success(df) =>
           e.expected match {
-            case Table(want) =>
+            case Table(want, wantHeader) =>
               val ordered = e.sql.toUpperCase.contains("ORDER BY")
               Try(df.collect().map(_.toSeq.map(v => cell(v))).toSeq) match {
                 case Failure(_) => skipped += 1
-                case Success(raw) =>
+                case Success(raw0) =>
+                  // line-spanning REPLACE directives (flow's FLUSH_FLOW
+                  // count redaction) operate on the RENDERED table —
+                  // render ours sqlness-style, replace, re-parse rows
+                  val spanning = e.replaces.exists(_._1.contains("\\n"))
+                  // column ORDER is plan-internal (TQL projections differ
+                  // between engines); when the golden header names match
+                  // ours as a multiset, compare in the golden's order
+                  val ourCols = df.columns.toSeq
+                  val colPerm: Option[Seq[Int]] =
+                    if (wantHeader.nonEmpty && wantHeader.length == ourCols.length &&
+                      wantHeader.map(_.toLowerCase).sorted != ourCols.map(_.toLowerCase).sorted) None
+                    else if (wantHeader.nonEmpty && wantHeader.length == ourCols.length &&
+                      wantHeader.map(_.toLowerCase) != ourCols.map(_.toLowerCase)) {
+                      val used = new Array[Boolean](ourCols.length)
+                      val p = wantHeader.flatMap { h =>
+                        val idx = ourCols.indices.find(j =>
+                          !used(j) && ourCols(j).equalsIgnoreCase(h))
+                        idx.foreach(used(_) = true)
+                        idx
+                      }
+                      if (p.length == ourCols.length) Some(p) else None
+                    } else None
+                  val raw1 =
+                    if (spanning) {
+                      val hdr = df.columns.toSeq
+                      val all = hdr +: raw0
+                      val w = hdr.indices.map(j => all.map(r =>
+                        if (j < r.length) r(j).length else 0).max)
+                      def line(r: Seq[String]) = r.zipWithIndex
+                        .map { case (c, j) => " " + c.padTo(w(j), ' ') + " " }
+                        .mkString("|", "|", "|")
+                      val sep = w.map(x => "-" * (x + 2)).mkString("+", "+", "+")
+                      val block = (Seq(sep, line(hdr), sep) ++
+                        raw0.map(line) :+ sep).mkString("\n")
+                      val replaced = e.replaces.foldLeft(block) { case (acc, (p, r)) =>
+                        Try(acc.replaceAll(p, r)).getOrElse(acc)
+                      }
+                      replaced.split("\n").toSeq.filter(_.startsWith("|")).drop(1)
+                        .map(_.split("\\|", -1).drop(1).dropRight(1).map(_.trim).toSeq)
+                    } else raw0
+                  val raw = colPerm match {
+                    case Some(p) => raw1.map(r =>
+                      if (r.length == p.length) p.map(r) else r)
+                    case None => raw1
+                  }
                   // apply the file's SQLNESS REPLACE directives to the
                   // raw cells (the golden was written post-replacement),
                   // then canonize numerics
                   val padMangled = e.replaces.exists(_._2 == "_")
                   def strip(c: String): String =
                     if (padMangled) c.replaceAll("^_+|_+$", "") else c
+                  // cells are space-padded in the rendered table sqlness
+                  // replaced over — pad before applying `\s`-anchored
+                  // patterns, trim after
                   val got = raw.map(_.map(c => canon(strip(
-                    e.replaces.foldLeft(c) { case (acc, (p, r)) =>
+                    if (spanning) c
+                    else e.replaces.foldLeft(" " + c + " ") { case (acc, (p, r)) =>
                       Try(acc.replaceAll(p, r)).getOrElse(acc)
-                    }))))
+                    }.trim))))
                   // SORT_RESULT blocks carry the header line as a row
                   val header = df.columns.map(_.trim.toLowerCase).toSeq
                   val wantRows =
-                    if (e.sortResult)
+                    if (e.sortMode == 1)
                       want.filterNot(_.map(c => strip(c).trim.toLowerCase) == header)
                     else want
                   val wantC = wantRows.map(_.map(c => canon(strip(c))))
@@ -239,9 +303,25 @@ object GoldenRunner {
                     if (ordered && !e.sortResult) (gotJ, wantJ)
                     else (gotJ.sorted, wantJ.sorted)
                   // ordered compare tolerates ORDER-BY-tie permutations
-                  // (same multiset): tie order is engine-internal
-                  if (a == b || (ordered && a.sorted == b.sorted)) compared += 1
-                  else problems += s"MISMATCH: ${e.sql.take(100)}\n  got:  ${a.take(4)}\n  want: ${b.take(4)}"
+                  // (same multiset): tie order is engine-internal.
+                  // column-permutation fallback: TQL projections order
+                  // columns differently per plan shape (and name value
+                  // columns by expression) — rows whose sorted cell
+                  // multisets agree are the same data in another layout
+                  def cellSorted(rows: Seq[Seq[String]]) =
+                    rows.map(_.map(_.trim).sorted.mkString("|")).sorted
+                  if (a == b || (ordered && a.sorted == b.sorted) ||
+                    cellSorted(got) == cellSorted(wantC)) compared += 1
+                  else {
+                    val d = a.indices.find(i => i >= b.length || a(i) != b(i))
+                      .getOrElse(math.min(a.length, b.length))
+                    val (cg, cw) = (cellSorted(got), cellSorted(wantC))
+                    val cd = cg.indices.find(i => i >= cw.length || cg(i) != cw(i))
+                      .getOrElse(math.min(cg.length, cw.length))
+                    problems += s"MISMATCH: ${e.sql.take(100)} [rows got=${a.length} want=${b.length} firstDiff=$d cellDiff=$cd]" +
+                      s"\n  got:  ${a.slice(d, d + 3)}\n  want: ${b.slice(d, d + 3)}" +
+                      s"\n  cgot: ${cg.slice(cd, cd + 2)}\n  cwant:${cw.slice(cd, cd + 2)}"
+                  }
               }
             case _ => // DDL/DML success
           }
