@@ -113,8 +113,10 @@ object TextMatch {
 
   private def eval(n: Node, text: String): Boolean = n match {
     case Term(s, _, _) => termMatches(text, s, caseSensitive = false)
-    case And(l, r) => evalPositive(l, text) && evalPositive(r, text)
-    case Or(l, r) => evalPositive(l, text) || evalPositive(r, text)
+    // negation survives explicit AND/OR: `-over AND -lazy` is
+    // NOT(over) AND NOT(lazy) (select/matches.result)
+    case And(l, r) => evalSigned(l, text) && evalSigned(r, text)
+    case Or(l, r) => evalSigned(l, text) || evalSigned(r, text)
     case Group(children, _, _) =>
       val musts = children.filter(isMust)
       val nots = children.filter(isMustNot)
@@ -135,6 +137,10 @@ object TextMatch {
     case g: Group => g.mustNot
     case _ => false
   }
+  /** Like evalPositive but a must-not node contributes its NEGATION. */
+  private def evalSigned(n: Node, text: String): Boolean =
+    if (isMustNot(n)) !evalPositive(n, text) else evalPositive(n, text)
+
   private def evalPositive(n: Node, text: String): Boolean = eval(n match {
     case t: Term if t.mustNot || t.must => t.copy(must = false, mustNot = false)
     case g: Group if g.mustNot || g.must => g.copy(must = false, mustNot = false)

@@ -81,14 +81,15 @@ final class GraftSession(val spark: SparkSession,
     else if (up.startsWith("ALTER TABLE")) alterTable(stmt)
     else if (up.startsWith("SHOW TABLES")) showTables()
     else if (up.startsWith("SHOW CREATE TABLE"))
-      showCreateTable(unquote(stmt.split("\\s+")(3)))
+      showCreateTable(normTable(stmt.split("\\s+")(3)))
     else if (up.startsWith("SHOW CREATE DATABASE")) {
       import spark.implicits._
       val db = unquote(stmt.split("\\s+")(3))
       if (!dbOpts.contains(db))
         throw new IllegalArgumentException(s"database $db not found")
-      val opts = dbOpts(db).map { case (k, v) =>
-        s"  $k = '${if (k == "ttl") humanDuration(v) else v}'" }
+      val opts = dbOpts(db).sortBy(_._1).map { case (k, v) =>
+        val key = if (k.matches("[A-Za-z_][A-Za-z0-9_]*")) k else s"'$k'"
+        s"  $key = '${if (k == "ttl") humanDuration(v) else v}'" }
       val lines = s"CREATE DATABASE IF NOT EXISTS $db" +:
         (if (opts.nonEmpty) ("WITH(" +: opts.zipWithIndex.map { case (o, i) =>
           if (i < opts.size - 1) o + "," else o } :+ ")") else Vector.empty)
@@ -104,7 +105,8 @@ final class GraftSession(val spark: SparkSession,
     else if (up.startsWith("USE ")) useDatabase(unquote(stmt.split("\\s+").last))
     else if (up.startsWith("SHOW DATABASES") || up.startsWith("SHOW SCHEMAS")) {
       import spark.implicits._
-      (dbOpts.keys.toSeq :+ "information_schema").distinct.sorted.toDF("Database")
+      (dbOpts.keys.toSeq ++ Seq("information_schema", "greptime_private"))
+        .distinct.sorted.toDF("Database")
     }
     else if (up.startsWith("ALTER DATABASE")) {
       // SET/UNSET database options; only ttl affects query results
@@ -129,8 +131,12 @@ final class GraftSession(val spark: SparkSession,
       status(s"database $db altered")
     }
     else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC "))
-      describeTable(unquote(stmt.split("\\s+").last))
+      describeTable(normTable(stmt.split("\\s+").last))
     else if (up.startsWith("INSERT INTO")) insert(stmt)
+    // MySQL-style REPLACE INTO: same write path; duplicate keys resolve
+    // through the last_row merge view
+    else if (up.startsWith("REPLACE INTO"))
+      insert("INSERT" + stmt.substring("REPLACE".length))
     else if (up.startsWith("DELETE FROM")) delete(stmt)
     else if (up.startsWith("CREATE FLOW")) createFlow(stmt)
     else if (up.startsWith("DROP FLOW")) {
@@ -352,7 +358,7 @@ final class GraftSession(val spark: SparkSession,
         val operand = m.group(1)
         scala.util.matching.Regex.quoteReplacement(
           // integer literal → timestamp is epoch MILLIS in the reference
-          if (t == "TIMESTAMP" && operand.matches("\\d+"))
+          if (t == "TIMESTAMP" && operand.matches("-?\\d+"))
             s"TIMESTAMP_MILLIS($operand)"
           else s"CAST($operand AS $t)")
       })
@@ -566,15 +572,49 @@ final class GraftSession(val spark: SparkSession,
     val qual = ("^(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)" +
       "\\.(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)$").r
     raw match {
-      case qual(a, b) => unquote(a) + "__schema__" + unquote(b)
-      case _ => unquote(raw)
+      case qual(a, b) => normIdent(a) + "__schema__" + normIdent(b)
+      case _ => normIdent(raw)
     }
   }
 
   /** Declared column metadata, in declared order — drives DESC TABLE,
     * INSERT defaults and FIRST/AFTER column placement. */
   private case class ColMeta(name: String, gtype: String, nullable: Boolean,
-      default: Option[String])
+      default: Option[String],
+      sqlType: Option[String] = None,    // declared token when it differs
+                                         // from the canonical rendering
+                                         // (VARBINARY vs BINARY)
+      indexDecl: Option[String] = None)  // FULLTEXT/SKIPPING/INVERTED
+                                         // INDEX clause for SHOW CREATE
+
+  /** Column index modifier → SHOW CREATE rendering with the reference's
+    * default parameters merged in (create/create_with_{fulltext,
+    * skipping_index}.result). */
+  private def indexDeclOf(item: String): Option[String] = {
+    val u = item.toUpperCase(Locale.ROOT)
+    def opts(defaults: Seq[(String, String)]): Seq[(String, String)] = {
+      val w = "(?is)INDEX\\s+WITH\\s*\\(([^)]*)\\)".r.findFirstMatchIn(item)
+        .map(_.group(1)).getOrElse("")
+      val declared = splitTop(w).flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(k.trim.stripPrefix("'").stripSuffix("'")
+          .toLowerCase(Locale.ROOT) -> v.trim.stripPrefix("'").stripSuffix("'"))
+        case _ => None
+      })
+      (defaults.filterNot(d => declared.exists(_._1 == d._1)) ++ declared).sortBy(_._1)
+    }
+    def render(kind: String, defaults: Seq[(String, String)]): String =
+      s"$kind INDEX WITH(" +
+        opts(defaults).map { case (k, v) => s"$k = '$v'" }.mkString(", ") + ")"
+    if (u.contains("FULLTEXT INDEX"))
+      Some(render("FULLTEXT", Seq("analyzer" -> "English", "backend" -> "bloom",
+        "case_sensitive" -> "false", "false_positive_rate" -> "0.01",
+        "granularity" -> "10240")))
+    else if (u.contains("SKIPPING INDEX"))
+      Some(render("SKIPPING", Seq("false_positive_rate" -> "0.01",
+        "granularity" -> "10240", "type" -> "BLOOM")))
+    else if (u.contains("INVERTED INDEX")) Some("INVERTED INDEX")
+    else None
+  }
   private val colMeta =
     scala.collection.concurrent.TrieMap.empty[String, Vector[ColMeta]]
   /** ADD COLUMN ... DEFAULT backfills: (column, default expr, seq at
@@ -592,16 +632,18 @@ final class GraftSession(val spark: SparkSession,
     val base = u.takeWhile(_ != '(')
     val args = if (u.contains('(')) u.dropWhile(_ != '(').stripPrefix("(").stripSuffix(")").trim else ""
     base match {
-      case "TINYINT" | "INT8" => "Int8"
-      case "SMALLINT" | "INT16" => "Int16"
-      case "INT" | "INTEGER" | "INT32" => "Int32"
-      case "BIGINT" | "INT64" => "Int64"
+      // int2/int4/int8 are Postgres BYTE-width aliases
+      // (create/create_type_alias.result: int8 -> BIGINT)
+      case "TINYINT" => "Int8"
+      case "SMALLINT" | "INT16" | "INT2" => "Int16"
+      case "INT" | "INTEGER" | "INT32" | "INT4" => "Int32"
+      case "BIGINT" | "INT64" | "INT8" => "Int64"
       case "UINT8" => "UInt8"
       case "UINT16" => "UInt16"
       case "UINT32" => "UInt32"
       case "UINT64" => "UInt64"
-      case "FLOAT" | "FLOAT32" | "REAL" => "Float32"
-      case "DOUBLE" | "FLOAT64" => "Float64"
+      case "FLOAT" | "FLOAT32" | "REAL" | "FLOAT4" => "Float32"
+      case "DOUBLE" | "FLOAT64" | "FLOAT8" => "Float64"
       case "STRING" | "TEXT" | "VARCHAR" | "CHAR" => "String"
       case "BOOLEAN" | "BOOL" => "Boolean"
       case "BINARY" | "BLOB" | "VARBINARY" => "Binary"
@@ -613,10 +655,10 @@ final class GraftSession(val spark: SparkSession,
         case "9" => "TimestampNanosecond"
         case _ => "TimestampMillisecond"
       }
-      case "TIMESTAMPSECOND" => "TimestampSecond"
-      case "TIMESTAMPMILLISECOND" => "TimestampMillisecond"
-      case "TIMESTAMPMICROSECOND" => "TimestampMicrosecond"
-      case "TIMESTAMPNANOSECOND" => "TimestampNanosecond"
+      case "TIMESTAMPSECOND" | "TIMESTAMP_S" => "TimestampSecond"
+      case "TIMESTAMPMILLISECOND" | "TIMESTAMP_MS" => "TimestampMillisecond"
+      case "TIMESTAMPMICROSECOND" | "TIMESTAMP_US" => "TimestampMicrosecond"
+      case "TIMESTAMPNANOSECOND" | "TIMESTAMP_NS" => "TimestampNanosecond"
       case "DECIMAL" | "NUMERIC" =>
         if (args.isEmpty) "Decimal(38, 10)"
         else {
@@ -633,6 +675,15 @@ final class GraftSession(val spark: SparkSession,
   private def unquote(ident: String): String =
     ident.trim.stripPrefix("`").stripSuffix("`")
       .stripPrefix("\"").stripSuffix("\"")
+
+  /** DataFusion identifier normalization: UNQUOTED identifiers fold to
+    * lowercase, quoted ones keep their case (create/upper_case_table_name
+    * pins `AbCdEfGe` resolving as `abcdefge`). */
+  private def normIdent(ident: String): String = {
+    val t = ident.trim
+    if (t.startsWith("\"") || t.startsWith("`")) unquote(t)
+    else t.toLowerCase(Locale.ROOT)
+  }
 
   /** One column definition: name TYPE [NULL|NOT NULL] [DEFAULT expr]
     * [TIME INDEX] [PRIMARY KEY] [inverted/fulltext/skipping index
@@ -651,7 +702,7 @@ final class GraftSession(val spark: SparkSession,
     val restUp = rest.toUpperCase(Locale.ROOT)
     val typeTok = rest.takeWhile(!_.isWhitespace)
     ColDef(
-      unquote(nameTok),
+      normIdent(nameTok),
       typeTok,
       nullable = !restUp.contains("NOT NULL"),
       default = DefaultRx.findFirstMatchIn(rest).map(_.group(1)),
@@ -661,8 +712,12 @@ final class GraftSession(val spark: SparkSession,
 
   private def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
-    var depth = 0; val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false // single-quoted SQL strings may contain , and ( )
+    val cur = new StringBuilder
     s.foreach {
+      case c if inQuote => cur += c; if (c == '\'') inQuote = false
+      case '\'' => cur += '\''; inQuote = true
       case '(' => depth += 1; cur += '('
       case ')' => depth -= 1; cur += ')'
       case ',' if depth == 0 => out += cur.result().trim; cur.clear()
@@ -679,16 +734,16 @@ final class GraftSession(val spark: SparkSession,
     base match {
       case "STRING" | "TEXT" | "VARCHAR" | "CHAR" => StringType
       case "BOOLEAN" | "BOOL" => BooleanType
-      case "INT8" | "TINYINT" => ByteType
-      case "INT16" | "SMALLINT" => ShortType
-      case "INT32" | "INT" | "INTEGER" => IntegerType
-      case "INT64" | "BIGINT" => LongType
+      case "TINYINT" => ByteType
+      case "INT16" | "SMALLINT" | "INT2" => ShortType
+      case "INT32" | "INT" | "INTEGER" | "INT4" => IntegerType
+      case "INT64" | "BIGINT" | "INT8" => LongType
       case "UINT8" | "UINT16" => IntegerType
       case "UINT32" => LongType
       // UInt64 → Decimal(20,0) per SURVEY §1.2 (full range, no overflow)
       case "UINT64" => DecimalType(20, 0)
-      case "FLOAT32" | "FLOAT" | "REAL" => FloatType
-      case "FLOAT64" | "DOUBLE" => DoubleType
+      case "FLOAT32" | "FLOAT" | "REAL" | "FLOAT4" => FloatType
+      case "FLOAT64" | "DOUBLE" | "FLOAT8" => DoubleType
       case "DECIMAL" | "NUMERIC" =>
         val args = u.dropWhile(_ != '(').stripPrefix("(").stripSuffix(")")
         if (args.isEmpty) DecimalType(38, 10)
@@ -697,7 +752,8 @@ final class GraftSession(val spark: SparkSession,
           DecimalType(parts(0), if (parts.length > 1) parts(1) else 0)
         }
       case "TIMESTAMP" | "DATETIME" | "TIMESTAMPSECOND" | "TIMESTAMPMILLISECOND" |
-        "TIMESTAMPMICROSECOND" | "TIMESTAMPNANOSECOND" =>
+        "TIMESTAMPMICROSECOND" | "TIMESTAMPNANOSECOND" |
+        "TIMESTAMP_S" | "TIMESTAMP_MS" | "TIMESTAMP_US" | "TIMESTAMP_NS" =>
         TimestampType // precision folded to µs
       case "DATE" => DateType
       case "TIME" | "DURATION" => LongType
@@ -709,7 +765,28 @@ final class GraftSession(val spark: SparkSession,
     }
   }
 
+  private val CreateLikeRx =
+    ("(?is)CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s+LIKE\\s+" +
+      "(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*").r
+
   private def createTable(stmt: String): DataFrame = {
+    // CREATE TABLE x LIKE y: clone y's declared schema (create/create.sql)
+    CreateLikeRx.findFirstMatchIn(stmt).filter(_.matched.trim == stmt.trim).foreach { m =>
+      val target = m.group(1)
+      val src = normTable(m.group(2))
+      val spec = catalog.spec(src)
+      val metas = colMeta.getOrElse(src, Vector.empty)
+      val colsSql = metas.map { cm =>
+        s""""${cm.name}" ${showCreateType(cm.gtype)}""" +
+          (if (!cm.nullable) " NOT NULL" else "") +
+          cm.default.map(" DEFAULT " + _).getOrElse("") +
+          (if (cm.name == spec.timeIndex) " TIME INDEX" else "")
+      } ++ (if (spec.tags.nonEmpty)
+        Seq(spec.tags.map(t => s""""$t"""").mkString("PRIMARY KEY (", ", ", ")"))
+      else Nil)
+      return createTable(s"CREATE TABLE $target (${colsSql.mkString(", ")})")
+    }
     val head = CreateTableHeadRx.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"cannot parse: $stmt"))
     val name = normTable(head.group(1))
@@ -739,6 +816,7 @@ final class GraftSession(val spark: SparkSession,
 
     {
       var timeIndex: Option[String] = None
+      var tiCount = 0
       var tags = Vector.empty[String]
       val fields = Vector.newBuilder[StructField]
 
@@ -747,13 +825,30 @@ final class GraftSession(val spark: SparkSession,
         val u = item.toUpperCase(Locale.ROOT)
         if (u.startsWith("PRIMARY KEY")) {
           tags ++= item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))
-            .split(",").map(c => unquote(c)).filter(_.nonEmpty)
+            .split(",").map(c => normIdent(c)).filter(_.nonEmpty)
         } else if (u.startsWith("TIME INDEX")) {
-          timeIndex = Some(unquote(
-            item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))))
+          // the reference rejects multi-column and duplicate TIME INDEX
+          // constraints (create/create.result)
+          val cols = item.substring(item.indexOf('(') + 1, item.lastIndexOf(')'))
+            .split(",").map(c => normIdent(c.trim)).filter(_.nonEmpty)
+          if (cols.length != 1) throw new IllegalArgumentException(
+            "Invalid time index: it should contain only one column in time index")
+          tiCount += 1
+          if (!timeIndex.contains(cols.head)) timeIndex = Some(cols.head)
         } else {
           val cd = parseColumnDef(item)
-          if (cd.isTimeIndex) timeIndex = Some(cd.name)
+          if (cd.isTimeIndex) {
+            val gt = greptimeTypeName(cd.typeTok)
+            if (!gt.startsWith("Timestamp")) throw new IllegalArgumentException(
+              s"Invalid column option, column name: ${cd.name}, " +
+                "error: time index column data type should be timestamp")
+            val explicitNull = u.matches("(?s).*\\bNULL\\b.*") && !u.contains("NOT NULL")
+            if (explicitNull) throw new IllegalArgumentException(
+              s"Invalid column option, column name: ${cd.name}, " +
+                "error: time index column can't be null")
+            timeIndex = Some(cd.name)
+            tiCount += 1
+          }
           if (cd.isPrimaryKey) tags :+= cd.name
           val gtype = greptimeTypeName(cd.typeTok)
           if (cd.isTimeIndex || timeIndex.contains(cd.name))
@@ -763,10 +858,16 @@ final class GraftSession(val spark: SparkSession,
               case "TimestampNanosecond" => -1L
               case _ => 1000L
             })
-          metas += ColMeta(cd.name, gtype, cd.nullable, cd.default)
+          val sqlTok =
+            if (cd.typeTok.toUpperCase(Locale.ROOT) == "VARBINARY") Some("VARBINARY")
+            else None
+          metas += ColMeta(cd.name, gtype, cd.nullable, cd.default,
+            sqlType = sqlTok, indexDecl = indexDeclOf(item))
           fields += StructField(cd.name, sparkType(cd.typeTok), cd.nullable)
         }
       }
+      if (tiCount > 1) throw new IllegalArgumentException(
+        s"Invalid time index: expected only one time index constraint but actual $tiCount")
       colMeta.put(name, metas.result())
 
       val optSeq: Seq[(String, String)] = Option(withPart).map { w =>
@@ -779,8 +880,15 @@ final class GraftSession(val spark: SparkSession,
           }
         }
       }.getOrElse(Nil)
-      tableOpts.put(name, optSeq)
-      val opts: Map[String, String] = optSeq.toMap
+      // database options inherit into the table at create time — except
+      // ttl (resolved dynamically so ALTER DATABASE SET ttl keeps
+      // affecting existing tables) and compaction.* (db-level only,
+      // create/create_database_opts.result)
+      val inheritable = dbOpts.getOrElse(currentDb, Nil)
+        .filterNot { case (k, _) => k.startsWith("compaction.") || k == "ttl" }
+        .filterNot { case (k, _) => optSeq.exists(_._1 == k) }
+      tableOpts.put(name, optSeq ++ inheritable)
+      val opts: Map[String, String] = (optSeq ++ inheritable).toMap
 
       val ti = timeIndex.getOrElse(
         throw new IllegalArgumentException(s"table $name: TIME INDEX is mandatory"))
@@ -1053,7 +1161,14 @@ final class GraftSession(val spark: SparkSession,
         if (fs.exists(p)) fs.delete(p, true)
       }
     }
+    // a re-CREATE of the same name must not see stale column metadata
+    // (alter/change_col_type: leftover MODIFY casts broke the new table)
     droppedCols.remove(name)
+    colMeta.remove(name)
+    colCasts.remove(name)
+    backfills.remove(name)
+    tsLiteralUs.remove(name)
+    tableOpts.remove(name)
     status(s"table $name dropped")
   }
 
@@ -1108,6 +1223,7 @@ final class GraftSession(val spark: SparkSession,
     else if (s == "instant") "instant"
     else try {
       var ms = intervalMs(s)
+      if (ms == 0) return "forever" // zero ttl = no expiry (ttl/show_ttl)
       val parts = Seq.newBuilder[String]
       val d = ms / 86400000L; ms %= 86400000L
       val h = ms / 3600000L; ms %= 3600000L
@@ -1132,10 +1248,16 @@ final class GraftSession(val spark: SparkSession,
     val metas = colMeta.getOrElse(name, Vector.empty)
       .filterNot(m => droppedCols.getOrElse(name, Set.empty).contains(m.name))
     val colLines = metas.map { m =>
-      val base = s"""  "${m.name}" ${showCreateType(m.gtype)}"""
+      val base = s"""  "${m.name}" ${m.sqlType.getOrElse(showCreateType(m.gtype))}"""
       val nul = if (m.nullable && m.name != spec.timeIndex) " NULL" else " NOT NULL"
-      val dft = m.default.map(d => s" DEFAULT $d").getOrElse("")
-      base + nul + dft
+      // the reference renders the default through its expression printer:
+      // CURRENT_TIMESTAMP -> current_timestamp()
+      val dft = m.default.map { d =>
+        val norm = if (d.matches("(?i)current_timestamp(\\(\\))?")) "current_timestamp()" else d
+        s" DEFAULT $norm"
+      }.getOrElse("")
+      val idx = m.indexDecl.map(" " + _).getOrElse("")
+      base + nul + dft + idx
     }
     val keyLines = Vector(s"""  TIME INDEX ("${spec.timeIndex}")""") ++
       (if (spec.tags.nonEmpty)
@@ -1144,11 +1266,11 @@ final class GraftSession(val spark: SparkSession,
     val inner = colLines ++ keyLines
     val body = inner.dropRight(1).map(_ + ",") :+ inner.last
     val own = tableOpts.getOrElse(name, Nil)
-    // a db-level ttl shows as an (inherited) table option
-    val effective =
-      if (own.exists(_._1 == "ttl")) own
+    // a db-level ttl shows as an (inherited) table option; the WITH
+    // block renders sorted by key (create/create_database_opts.result)
+    val effective = (if (own.exists(_._1 == "ttl")) own
       else dbOpts.getOrElse(currentDb, Nil).find(_._1 == "ttl")
-        .map(own :+ _).getOrElse(own)
+        .map(own :+ _).getOrElse(own)).sortBy(_._1)
     val opts = effective
       .map { case (k, v) =>
         val key = if (k.matches("[A-Za-z_][A-Za-z0-9_]*")) k else s"'$k'"
@@ -1172,11 +1294,14 @@ final class GraftSession(val spark: SparkSession,
   // ---- databases ------------------------------------------------------
 
   private val CreateDbRx =
-    "(?is)CREATE\\s+DATABASE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_\"`][A-Za-z0-9_\"`]*)\\s*(?:WITH\\s*\\((.*)\\))?".r
+    "(?is)CREATE\\s+DATABASE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?('[^']+'|[A-Za-z_\"`][A-Za-z0-9_\"`]*)\\s*(?:WITH\\s*\\((.*)\\))?".r
 
   private def createDatabase(stmt: String): DataFrame = stmt match {
     case CreateDbRx(rawName, withPart) =>
-      val name = unquote(rawName)
+      // single-quoted database names are accepted (create_database.result)
+      val name = unquote(rawName.stripPrefix("'").stripSuffix("'"))
+      if (!name.matches("[A-Za-z_][A-Za-z0-9_-]*"))
+        throw new IllegalArgumentException(s"Invalid database name: $name")
       if (dbOpts.contains(name) || dbSaved.contains(name)) {
         if ("(?is).*IF\\s+NOT\\s+EXISTS.*".r.matches(stmt.take(40)))
           return status(s"database $name exists")
@@ -1230,7 +1355,9 @@ final class GraftSession(val spark: SparkSession,
   }
 
   private def dropDatabase(stmt: String): DataFrame = {
-    val name = unquote(stmt.split("\\s+").last)
+    val name = unquote(stmt.split("\\s+")
+      .filterNot(t => t.equalsIgnoreCase("IF") || t.equalsIgnoreCase("EXISTS"))
+      .last.stripPrefix("'").stripSuffix("'"))
     if (name == currentDb) {
       catalog.tables.foreach { t =>
         spark.catalog.dropTempView(t); catalog.deregister(t)
@@ -1307,6 +1434,26 @@ final class GraftSession(val spark: SparkSession,
     ("(?is)INSERT\\s+INTO\\s+(?:TABLE\\s+)?((?:\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)" +
       "(?:\\.(?:\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))?)\\s*(\\([^)]*\\))?\\s*(VALUES.*|SELECT.*)").r
 
+  /** Drop a `,` that directly precedes `)` outside string literals. */
+  private def stripTupleTrailingCommas(s: String): String = {
+    if (!s.contains(',')) return s
+    val sb = new StringBuilder(s.length)
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { sb.append(c); if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inQ = true; i += 1 }
+      else if (c == ',') {
+        var j = i + 1
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j < s.length && s.charAt(j) == ')') i += 1 // drop the comma
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** `INSERT ... VALUES (DEFAULT, ...)`: the DEFAULT keyword resolves
     * to the column's declared default, else NULL
     * (insert/insert_default.result). */
@@ -1316,12 +1463,22 @@ final class GraftSession(val spark: SparkSession,
       !"(?i)\\bDEFAULT\\b".r.findFirstIn(body).isDefined) return body
     val defaults = colMeta.getOrElse(table, Vector.empty)
       .map(m => m.name -> m.default).toMap
+    val ti = scala.util.Try(catalog.spec(table).timeIndex).toOption
+    val metas = colMeta.getOrElse(table, Vector.empty)
     val tuples = splitTop(body.trim.substring("VALUES".length)).map { t0 =>
       val t = t0.trim
       if (!t.startsWith("(")) t
       else splitTop(t.stripPrefix("(").stripSuffix(")")).zipWithIndex.map {
         case (f, i) if f.trim.equalsIgnoreCase("default") =>
-          cols.lift(i).flatMap(defaults.getOrElse(_, None)).getOrElse("NULL")
+          val cname = cols.lift(i).getOrElse("?")
+          defaults.getOrElse(cname, None).getOrElse {
+            // DEFAULT on the time index / a NOT NULL column without a
+            // declared default is an error (insert/insert_default.result)
+            if (ti.contains(cname) || metas.exists(m => m.name == cname && !m.nullable))
+              throw new IllegalArgumentException(
+                s"No valid default value can be built automatically, column: $cname")
+            "NULL"
+          }
         case (f, _) => f
       }.mkString("(", ", ", ")")
     }
@@ -1345,10 +1502,18 @@ final class GraftSession(val spark: SparkSession,
             .filter(_.nonEmpty)
             .getOrElse(target.map(_.name).toSeq.filterNot(_ == SeqCol))
         }
-      // the reference accepts a trailing comma after the last VALUES
-      // tuple (promql/simple_histogram.sql); Spark doesn't
-      var df = spark.sql(dialect(substituteDefaults(name,
-        body.trim.replaceAll(",\\s*$", ""), cols)))
+      // the reference accepts trailing commas after the last VALUES
+      // tuple (promql/simple_histogram.sql) and INSIDE a tuple before
+      // `)` (insert/append_mode.sql); Spark doesn't
+      val cleanBody = stripTupleTrailingCommas(body.trim.replaceAll(",\\s*$", ""))
+      if (cleanBody.toUpperCase(Locale.ROOT).startsWith("VALUES"))
+        splitTop(cleanBody.substring("VALUES".length)).map(_.trim)
+          .filter(_.startsWith("(")).foreach { t =>
+            val n = splitTop(t.stripPrefix("(").stripSuffix(")")).size
+            if (n != cols.size) throw new IllegalArgumentException(
+              s"Invalid SQL, error: column count mismatch, columns: ${cols.size}, values: $n")
+          }
+      var df = spark.sql(dialect(substituteDefaults(name, cleanBody, cols)))
       df = df.toDF(cols: _*)
       // align to full target schema: missing columns become nulls, the
       // sequence column is stamped per statement (write order for the
@@ -1403,8 +1568,14 @@ final class GraftSession(val spark: SparkSession,
           // (datatypes/src/schema/constraint.rs)
           val d = colMeta.getOrElse(name, Vector.empty)
             .find(_.name == f.name).flatMap(_.default)
-          d.map(x => expr(dialect(x)).cast(f.dataType).as(f.name))
-            .getOrElse(lit(null).cast(f.dataType).as(f.name))
+          val isTs = f.dataType == TimestampType || f.dataType == TimestampNTZType
+          d.map { x =>
+            // numeric default on a timestamp column = epoch millis
+            // (insert/insert_default.result: DEFAULT -3 -> 23:59:59.997)
+            if (isTs && x.matches("-?\\d+"))
+              timestamp_micros(lit(x.toLong) * 1000L).cast(f.dataType).as(f.name)
+            else expr(dialect(x)).cast(f.dataType).as(f.name)
+          }.getOrElse(lit(null).cast(f.dataType).as(f.name))
         }
       }
       val n = df.count()

@@ -33,7 +33,8 @@ object GoldenRunner {
     * lines — header lands among the rows), 2 = SORT_RESULT <h> <t>
     * (header/tail kept in place, data rows sorted). */
   final case class Entry(sql: String, expected: Expected,
-      replaces: Seq[(String, String)] = Nil, sortMode: Int = 0) {
+      replaces: Seq[(String, String)] = Nil, sortMode: Int = 0,
+      sleepMs: Long = 0L) {
     def sortResult: Boolean = sortMode > 0
   }
 
@@ -66,6 +67,7 @@ object GoldenRunner {
     var i = 0
     var pendingReplaces = Vector.empty[(String, String)]
     var pendingSort = 0
+    var pendingSleep = 0L
     val replaceRx = "^--\\s*SQLNESS\\s+REPLACE\\s+(\\S+)\\s*(.*)$".r
     while (i < lines.length) {
       val line = lines(i).trim
@@ -75,6 +77,9 @@ object GoldenRunner {
         }
         if (line.matches("(?i)^--\\s*SQLNESS\\s+SORT_RESULT\\s*$")) pendingSort = 1
         else if (line.matches("(?i)^--\\s*SQLNESS\\s+SORT_RESULT\\s+\\d+\\s+\\d+\\s*$")) pendingSort = 2
+        "(?i)^--\\s*SQLNESS\\s+SLEEP\\s+(\\d+)(m?s)\\s*$".r.findFirstMatchIn(line).foreach { m =>
+          pendingSleep = m.group(1).toLong * (if (m.group(2) == "s") 1000 else 1)
+        }
         i += 1
       }
       else {
@@ -113,9 +118,14 @@ object GoldenRunner {
             }
             Table(rows.result(), headerCells)
           } else NonQuery
-        entries += Entry(stmt.result().trim.stripSuffix(";"), expected, pendingReplaces, pendingSort)
+        // mysql-protocol transcripts prefix statements with protocol
+        // echoes — strip them (insert/mysql_insert)
+        val sqlText = stmt.result().trim.stripSuffix(";")
+          .replaceFirst("(?i)^(affected_rows:\\s*\\d+\\s*)+", "")
+        entries += Entry(sqlText, expected, pendingReplaces, pendingSort, pendingSleep)
         pendingReplaces = Vector.empty
         pendingSort = 0
+        pendingSleep = 0L
       }
     }
     entries.result()
@@ -197,6 +207,7 @@ object GoldenRunner {
     val problems = Seq.newBuilder[String]
     val trace = sys.env.contains("GOLDEN_TRACE")
     parseResult(resultFile).foreach { e =>
+      if (e.sleepMs > 0) Thread.sleep(e.sleepMs) // SQLNESS SLEEP (ttl tests)
       stallStmt.set(e.sql)
       stallDeadline.set(System.nanoTime() + 90L * 1000 * 1000 * 1000)
       if (trace) { System.err.println(s"[golden-exec] ${e.sql.take(150)}"); System.err.flush() }
