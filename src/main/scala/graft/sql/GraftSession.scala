@@ -68,7 +68,8 @@ final class GraftSession(val spark: SparkSession,
   // ---- public API -----------------------------------------------------
 
   def sql(statement: String): DataFrame = {
-    val stmt = statement.trim.stripSuffix(";").trim
+    // strip /* block comments */ so dispatch sees the statement keyword
+    val stmt = statement.replaceAll("(?s)/\\*.*?\\*/", " ").trim.stripSuffix(";").trim
     val up = stmt.toUpperCase(Locale.ROOT)
     if (up.startsWith("CREATE TABLE")) createTable(stmt)
     else if (up.startsWith("DROP TABLE")) dropTable(stmt)
@@ -138,14 +139,37 @@ final class GraftSession(val spark: SparkSession,
     else if (up.startsWith("REPLACE INTO"))
       insert("INSERT" + stmt.substring("REPLACE".length))
     else if (up.startsWith("DELETE FROM")) delete(stmt)
-    else if (up.startsWith("CREATE FLOW")) createFlow(stmt)
+    else if (up.startsWith("CREATE FLOW") || up.startsWith("CREATE OR REPLACE FLOW"))
+      createFlow(stmt)
     else if (up.startsWith("DROP FLOW")) {
-      flows.remove(unquote(stmt.split("\\s+").last))
+      val f = unquote(stmt.split("\\s+")
+        .filterNot(t => t.equalsIgnoreCase("IF") || t.equalsIgnoreCase("EXISTS")).last)
+      flows.remove(f)
+      flowMeta.remove(f)
       status("flow dropped")
+    }
+    else if (up.startsWith("SHOW CREATE FLOW")) {
+      import spark.implicits._
+      val f = unquote(stmt.split("\\s+").last)
+      val (_, query) = flows.getOrElse(f,
+        throw new IllegalArgumentException(s"flow $f not found"))
+      val sinkT = flowMeta.get(f).map(_.sinkTable).getOrElse("?")
+      val q = query.replaceAll("\\s+", " ").trim
+        .replaceAll("(?i)\\s+as\\s+", " AS ")
+        .replaceAll("(?i)\\s+from\\s+", " FROM ")
+        .replaceAll("(?i)\\s+where\\s+", " WHERE ")
+        .replaceAll("(?i)\\s+group\\s+by\\s+", " GROUP BY ")
+        .replaceAll("(?i)\\s+having\\s+", " HAVING ")
+      val lines = Seq(s"CREATE FLOW IF NOT EXISTS $f",
+        s"SINK TO $currentDb.$sinkT", s"AS $q")
+      lines.zipWithIndex.map { case (l, i) => (if (i == 0) f else "", l) }
+        .toDF("Flow", "Create Flow")
     }
     else if (up.startsWith("SHOW FLOWS")) {
       import spark.implicits._
-      flows.keys.toSeq.sorted.toDF("Flows")
+      val like = "(?i)LIKE\\s+'([^']*)'".r.findFirstMatchIn(stmt).map(_.group(1))
+      val rx = like.map(p => ("^" + p.replace("%", ".*").replace("_", ".") + "$").r)
+      flows.keys.toSeq.filter(f => rx.forall(_.matches(f))).sorted.toDF("Flows")
     }
     else if (up.startsWith("TQL EVAL")) tqlEval(stmt)
     else if (up.startsWith("TQL EXPLAIN") || up.startsWith("TQL ANALYZE")) {
@@ -159,7 +183,8 @@ final class GraftSession(val spark: SparkSession,
       refreshInfoSchema()
       spark.sql(dialect(stmt)
         .replaceAll("(?i)information_schema\\.tables", "__info_tables")
-        .replaceAll("(?i)information_schema\\.columns", "__info_columns"))
+        .replaceAll("(?i)information_schema\\.columns", "__info_columns")
+        .replaceAll("(?i)information_schema\\.flows", "__info_flows"))
     }
     else if (up.startsWith("SELECT") && RangeSql.looksLikeRange(stmt))
       RangeSql.execute(spark, rewriteAtAt(stmt), name => {
@@ -242,7 +267,52 @@ final class GraftSession(val spark: SparkSession,
   def refreshFlow(name: String): Unit = {
     val (flowDef, query) = flows.getOrElse(name,
       throw new IllegalArgumentException(s"unknown flow: $name"))
-    Flow.refreshOnce(spark.sql(dialect(query)), flowDef.copy(transform = identity))
+    flowMeta.get(name) match {
+      case Some(meta) =>
+        val spec = catalog.spec(meta.sinkTable)
+        // evaluate over only the rows written since flow creation
+        meta.srcTable.foreach(s => refreshView(s, Some(meta.createSeq)))
+        var out =
+          try spark.sql(dialect(query)).toDF(meta.outNames: _*)
+          finally meta.srcTable.foreach(s => refreshView(s))
+        out = out.withColumn("update_at", current_timestamp())
+        if (meta.placeholder)
+          out = out.withColumn("__ts_placeholder", timestamp_millis(lit(0L)))
+        out = out.withColumn(SeqCol, lit(seqCounter.incrementAndGet()))
+        // align to the sink's physical schema (declared metadata when the
+        // sink parquet hasn't been materialized yet)
+        val sinkP = new org.apache.hadoop.fs.Path(spec.path)
+        val sinkFs = sinkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val target: StructType =
+          if (sinkFs.exists(sinkP) && sinkFs.listStatus(sinkP).nonEmpty)
+            spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+          else StructType(
+            colMeta.getOrElse(meta.sinkTable, Vector.empty).map(m =>
+              StructField(m.name, sparkType(showCreateType(m.gtype)), m.nullable))
+              :+ StructField(SeqCol, LongType))
+        val aligned = out.select(target.map(f =>
+          (if (out.columns.contains(f.name)) col(s"`${f.name}`") else lit(null))
+            .cast(f.dataType).as(f.name)): _*)
+        if (flowDef.keys.nonEmpty)
+          Flow.upsert(aligned, spec.path, flowDef.keys)
+        else {
+          // keyless flow (global aggregate): full recompute replaces the
+          // sink — staging + rename so readers never see a partial sink
+          val fs = new org.apache.hadoop.fs.Path(spec.path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val staging = new org.apache.hadoop.fs.Path(spec.path + "__staging")
+          aligned.write.mode("overwrite").parquet(staging.toString)
+          val old = new org.apache.hadoop.fs.Path(spec.path + "__old")
+          if (fs.exists(old)) fs.delete(old, true)
+          val sinkP = new org.apache.hadoop.fs.Path(spec.path)
+          if (fs.exists(sinkP)) fs.rename(sinkP, old)
+          fs.rename(staging, sinkP)
+          fs.delete(old, true)
+        }
+        refreshView(meta.sinkTable)
+      case None =>
+        Flow.refreshOnce(spark.sql(dialect(query)), flowDef.copy(transform = identity))
+    }
   }
 
   // ---- @@ sugar (transcribe_atat.rs) ----------------------------------
@@ -369,6 +439,11 @@ final class GraftSession(val spark: SparkSession,
       "nullif(transform(collect_list(struct($1 AS __v)), s -> s.__v), array())")
     r = r.replaceAll("(?i)FROM\\s+numbers\\s+LIMIT\\s+(\\d+)",
       "FROM (SELECT CAST(id AS INT) AS number FROM range(0, $1))")
+    // the reference tolerates a trailing comma in the SELECT list
+    // (flow/flow_blog.sql: `avg(...) as avg_speed, FROM ...`)
+    r = r.replaceAll("(?is),\\s*(FROM)\\b", " $1")
+    // MySQL-style single-quoted aliases: `country as 'country'`
+    r = r.replaceAll("(?i)\\bAS\\s+'([^']+)'", "AS `$1`")
     r = rewriteUddsketch(r)
     r = rewriteMedian(r)
     r = rewriteIntDiv(r)
@@ -922,8 +997,9 @@ final class GraftSession(val spark: SparkSession,
   /** Read view with the internal sequence column and any ALTER-dropped
     * columns hidden; ADD COLUMN DEFAULT backfills and MODIFY COLUMN
     * casts applied; columns in declared (FIRST/AFTER-adjusted) order. */
-  private def refreshView(name: String): Unit = {
+  private def refreshView(name: String, seqFloor: Option[Long] = None): Unit = {
     var df = catalog.read(name)
+    seqFloor.foreach(s => df = df.filter(col(SeqCol) > s))
     // rows predating an ALTER ... DEFAULT read the default
     backfills.getOrElse(name, Vector.empty).foreach { case (c, d, seqAt) =>
       if (df.columns.contains(c))
@@ -939,7 +1015,9 @@ final class GraftSession(val spark: SparkSession,
     colMeta.get(name).foreach { metas =>
       val declared = metas.map(_.name).filter(df.columns.contains)
       val extra = df.columns.filterNot(declared.contains)
-      if (declared.nonEmpty) df = df.select((declared ++ extra).map(col): _*)
+      // flow-sink columns carry dots/parens in their names — backtick
+      if (declared.nonEmpty)
+        df = df.select((declared ++ extra).map(c => col(s"`$c`")): _*)
     }
     df.createOrReplaceTempView(name)
   }
@@ -1187,6 +1265,18 @@ final class GraftSession(val spark: SparkSession,
         (t, r.getString(0), r.getString(1), r.getString(3) == "YES", r.getString(5)))
     }.toDF("table_name", "column_name", "data_type", "is_nullable", "semantic_type")
       .createOrReplaceTempView("__info_columns")
+    flows.toSeq.map { case (f, (_, q)) =>
+      val src = flowMeta.get(f).flatMap(_.srcTable).getOrElse("")
+      val sinkT = flowMeta.get(f).map(_.sinkTable).getOrElse("")
+      val qNorm = q.replaceAll("\\s+", " ").trim
+        .replaceAll("(?i)\\s+where\\s+", " WHERE ")
+        .replaceAll("(?i)\\s+from\\s+", " FROM ")
+      // the reference stores the full CREATE statement, pretty-printed
+      // over three lines (flow/show_create_flow.result)
+      val defn = s"CREATE FLOW IF NOT EXISTS $f\nSINK TO public.$sinkT\nAS $qNorm"
+      (f, "greptime", defn, s"greptime.public.$src")
+    }.toDF("flow_name", "table_catalog", "flow_definition", "source_table_names")
+      .createOrReplaceTempView("__info_flows")
   }
 
   /** ConcreteDataType display name → SHOW CREATE TABLE SQL type token
@@ -1271,9 +1361,12 @@ final class GraftSession(val spark: SparkSession,
     val effective = (if (own.exists(_._1 == "ttl")) own
       else dbOpts.getOrElse(currentDb, Nil).find(_._1 == "ttl")
         .map(own :+ _).getOrElse(own)).sortBy(_._1)
+    // the reference renders its well-known option keys bare and quotes
+    // the rest (comment, memtable.type, ...)
+    val bareKeys = Set("ttl", "append_mode", "merge_mode", "skip_wal")
     val opts = effective
       .map { case (k, v) =>
-        val key = if (k.matches("[A-Za-z_][A-Za-z0-9_]*")) k else s"'$k'"
+        val key = if (bareKeys(k)) k else s"'$k'"
         s"  $key = '${if (k == "ttl") humanDuration(v) else v}'" }
     // golden shape: ")", blank (partition slot), ENGINE=mito, then the
     // WITH block or a trailing blank
@@ -1348,7 +1441,7 @@ final class GraftSession(val spark: SparkSession,
       colMeta ++= target.meta; droppedCols ++= target.dropped
       backfills ++= target.bfills; colCasts ++= target.casts
       tsLiteralUs ++= target.tsUs; tableOpts ++= target.opts
-      target.specs.keys.foreach(refreshView)
+      target.specs.keys.foreach(t => refreshView(t))
       currentDb = name
     }
     status(s"using $name")
@@ -1370,7 +1463,7 @@ final class GraftSession(val spark: SparkSession,
         colMeta ++= s.meta; droppedCols ++= s.dropped
         backfills ++= s.bfills; colCasts ++= s.casts
         tsLiteralUs ++= s.tsUs; tableOpts ++= s.opts
-        s.specs.keys.foreach(refreshView)
+        s.specs.keys.foreach(t => refreshView(t))
       }
     }
     dbSaved.remove(name)
@@ -1581,6 +1674,16 @@ final class GraftSession(val spark: SparkSession,
       val n = df.count()
       df.select(aligned: _*).write.mode("append").parquet(spec.path)
       refreshView(name)
+      // flows process writes to their source table continuously — an
+      // insert while a flow exists reaches the sink (show_create_flow:
+      // rows written under an earlier flow incarnation stay materialized)
+      flowMeta.foreach { case (fname, m) =>
+        if (m.srcTable.contains(name))
+          try refreshFlow(fname) catch {
+            case e: Throwable =>
+              System.err.println(s"[flow-refresh] $fname: ${String.valueOf(e.getMessage).take(160)}")
+          }
+      }
       status(s"inserted $n rows into $name")
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
   }
@@ -1634,8 +1737,90 @@ final class GraftSession(val spark: SparkSession,
       "(?:COMMENT\\s+'[^']*'\\s*)?" +
       "(?:WITH\\s*\\((.*?)\\)\\s*)?AS\\s+(SELECT.*)").r
 
+  /** Per-flow sink metadata: sink table, renamed output columns, and
+    * whether the sink carries the reference's __ts_placeholder column. */
+  private case class FlowMeta(sinkTable: String, outNames: Seq[String],
+      placeholder: Boolean, srcTable: Option[String] = None,
+      createSeq: Long = 0L)
+  private val flowMeta = scala.collection.concurrent.TrieMap.empty[String, FlowMeta]
+
+  /** Top-level select-list items of the flow query. */
+  private def selectList(query: String): Seq[String] = {
+    val up = query.toUpperCase(Locale.ROOT)
+    val start = up.indexOf("SELECT") + "SELECT".length
+    // find the top-level FROM
+    var i = start; var depth = 0
+    var from = -1
+    while (i < query.length && from < 0) {
+      val c = query.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && up.startsWith("FROM", i) &&
+        (i == 0 || !Character.isLetterOrDigit(up.charAt(i - 1))) &&
+        (i + 4 >= up.length || !Character.isLetterOrDigit(up.charAt(i + 4)))) from = i
+      i += 1
+    }
+    val list = query.substring(start, if (from < 0) query.length else from)
+      .replaceFirst("(?is)^\\s*DISTINCT\\s+", "")
+    splitTop(list)
+  }
+
+  /** DataFusion-style output names for the flow's select items: aliases
+    * win; an unaliased `fn(col)` becomes `fn(table.col)` (the auto sink
+    * column "sum(numbers_input_basic.number)" in flow_basic.result). */
+  private def flowOutputNames(query: String, sparkNames: Seq[String]): Seq[String] = {
+    val table = "(?is)\\bFROM\\s+(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)".r
+      .findFirstMatchIn(query).map(m => normTable(m.group(1)))
+    val items = selectList(query)
+    if (items.length != sparkNames.length) return sparkNames
+    val aliasRx = "(?is)\\s+AS\\s+(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+    val fnRx = "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)$".r
+    items.zip(sparkNames).map { case (item0, sparkName) =>
+      val item = item0.trim
+      aliasRx.findFirstMatchIn(item) match {
+        case Some(m) => normIdent(m.group(1))
+        case None => item match {
+          case _ if item.matches("[A-Za-z_][A-Za-z0-9_]*") => normIdent(item)
+          case fnRx(fn, args) =>
+            val qual = splitTop(args).map { a =>
+              val t = a.trim
+              if (t.matches("[A-Za-z_][A-Za-z0-9_]*") && table.isDefined &&
+                !t.equalsIgnoreCase("distinct"))
+                s"${table.get}.${normIdent(t)}"
+              else t
+            }.mkString(",")
+            s"${fn.toLowerCase(Locale.ROOT)}($qual)"
+          case _ => sparkName
+        }
+      }
+    }
+  }
+
+  private def sqlTypeTok(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INT"
+    case ShortType => "SMALLINT"
+    case ByteType => "TINYINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "FLOAT"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP(3)"
+    case BinaryType => "BINARY"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case _ => "STRING"
+  }
+
   private def createFlow(stmt: String): DataFrame = stmt match {
     case CreateFlowRx(name, sink, expire, withPart, query) =>
+      val up0 = stmt.toUpperCase(Locale.ROOT)
+      val orReplace = up0.contains("OR REPLACE")
+      val ifNotExists = up0.contains("IF NOT EXISTS")
+      if (flows.contains(name)) {
+        if (ifNotExists && !orReplace) return status(s"flow $name exists")
+        if (!orReplace)
+          throw new IllegalArgumentException(s"flow $name already exists")
+      }
       val opts: Map[String, String] = Option(withPart).map { w =>
         splitTop(w).flatMap(_.split("=", 2) match {
           case Array(k, v) => Some(k.trim.toLowerCase(Locale.ROOT) ->
@@ -1643,17 +1828,101 @@ final class GraftSession(val spark: SparkSession,
           case _ => None
         }).toMap
       }.getOrElse(Map.empty)
-      val keys = opts.get("keys").map(_.split(",").map(_.trim).toSeq)
-        .getOrElse(inferGroupByKeys(query))
-      require(keys.nonEmpty,
-        s"flow $name: no upsert keys — plain identifiers in GROUP BY or WITH (keys='...')")
-      val sinkPath =
-        if (sink.contains("/")) sink
-        else s"$warehouse/$sink"
-      val flowDef = FlowDef(name, sinkPath, keys, identity,
+      val sinkName = normTable(sink)
+      // evaluate once for the output schema (also validates the query)
+      val qdf = spark.sql(dialect(query))
+      val names = flowOutputNames(query, qdf.schema.fieldNames.toSeq)
+      val isTsType = (dt: DataType) =>
+        dt == TimestampType || dt == TimestampNTZType
+      val tsOut = names.zip(qdf.schema.fields)
+        .find { case (_, f) => isTsType(f.dataType) }.map(_._1)
+      val preExisting = catalog.tables.contains(sinkName)
+      val srcTable0 = "(?is)\\bFROM\\s+(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)".r
+        .findFirstMatchIn(query).map(m => normTable(m.group(1)))
+        .filter(catalog.tables.contains)
+      if (!preExisting) {
+        // auto-create the sink the way the reference flow engine does
+        // (flow_auto_sink_table.result): outputs, update_at, and a
+        // __ts_placeholder time index when no output is a timestamp
+        val items = selectList(query)
+        val colDefs = names.zip(qdf.schema.fields).zipWithIndex.map {
+          case ((n, f), i) =>
+            // 3-arg date_bin (with a string origin) yields nanosecond
+            // precision in the reference, 2-arg stays millisecond
+            // (flow_basic's ngx_country vs flow_auto_sink_table)
+            def dateBin3Args(it: String): Boolean = {
+              val lo = it.toLowerCase(Locale.ROOT)
+              val at = lo.indexOf("date_bin")
+              if (at < 0) false
+              else {
+                val args = it.substring(it.indexOf('(', at) + 1)
+                splitTop(args.substring(0, {
+                  var d = 1; var j = 0
+                  while (j < args.length && d > 0) {
+                    if (args.charAt(j) == '(') d += 1
+                    else if (args.charAt(j) == ')') d -= 1
+                    if (d > 0) j += 1
+                  }
+                  j
+                })).size >= 3
+              }
+            }
+            val tok =
+              if (isTsType(f.dataType) && items.lift(i).exists(dateBin3Args))
+                "TIMESTAMP(9)"
+              else sqlTypeTok(f.dataType)
+            s""""$n" $tok"""
+        }
+        val ti = tsOut.getOrElse("__ts_placeholder")
+        val extras = Seq(""""update_at" TIMESTAMP(3)""") ++
+          (if (tsOut.isEmpty) Seq(""""__ts_placeholder" TIMESTAMP(3)""") else Nil)
+        // SELECT DISTINCT flows key the sink by the distinct columns
+        val isDistinct = "(?is)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(query).isDefined
+        val gbKeys =
+          if (isDistinct)
+            names.zip(qdf.schema.fields)
+              .filterNot { case (n, f) => n == ti || isTsType(f.dataType) }.map(_._1)
+          else inferGroupByKeys(query)
+            .map(normIdent).filter(k => names.contains(k) && k != ti)
+        val pk = if (gbKeys.nonEmpty)
+          Seq(gbKeys.map(k => s""""$k"""").mkString("PRIMARY KEY (", ", ", ")"))
+        else Nil
+        // streaming-mode fallback (ttl'd source) labels the sink with the
+        // flow id; batching mode uses the generic comment
+        val comment =
+          if (srcTable0.exists(s => catalog.spec(s).ttlMillis.isDefined))
+            s"Sink table for flow flow-id=${1024 + flows.size}" // 4-digit id like the reference's allocator
+          else "Auto created table by flow engine"
+        createTable((s"""CREATE TABLE IF NOT EXISTS "$sinkName" (""" +
+          (colDefs ++ extras ++ Seq(s"""TIME INDEX ("$ti")""") ++ pk).mkString(", ") +
+          s") WITH ('comment' = '$comment')"))
+      }
+      val spec = catalog.spec(sinkName)
+      // a PRE-CREATED sink maps flow outputs POSITIONALLY onto its
+      // declared columns (flow_null: `time_window` lands in `ts`)
+      val finalNames =
+        if (preExisting) {
+          val declared = colMeta.getOrElse(sinkName, Vector.empty).map(_.name)
+          if (declared.length >= names.length) declared.take(names.length).toSeq
+          else names
+        } else names
+      val rawKeys = opts.get("keys").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse((inferGroupByKeys(query).map(normIdent).filter(names.contains) ++
+          tsOut.toSeq).distinct)
+      val upsertKeys = rawKeys.flatMap { k =>
+        val i = names.indexOf(k)
+        if (i >= 0 && i < finalNames.length) Some(finalNames(i)) else None
+      }.distinct
+      val flowDef = FlowDef(name, spec.path, upsertKeys, identity,
         expireAfter = Option(expire))
       flows.put(name, (flowDef, query))
-      refreshFlow(name)
+      // the flow only sees rows written AFTER its creation (flow_flush:
+      // pre-existing rows stay invisible even after FLUSH_FLOW)
+      flowMeta.put(name,
+        FlowMeta(sinkName, finalNames, placeholder = !preExisting && tsOut.isEmpty,
+          srcTable = srcTable0, createSeq = seqCounter.get()))
+      // the reference flow engine materializes nothing at creation time —
+      // rows appear on FLUSH_FLOW / the eval interval (flow_flush.result)
       status(s"flow $name created")
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
   }

@@ -117,8 +117,8 @@ object Flow {
         val touched = batch.select(partitionCols.map(col): _*).distinct()
         val kept = existing
           .join(touched, partitionCols, "left_semi")
-          .join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        val merged = kept.unionByName(batch.select(existing.columns.map(col): _*))
+          .join(batch.select(keys.map(k => col(s"`$k`")): _*).distinct(), keys, "left_anti")
+        val merged = kept.unionByName(batch.select(existing.columns.map(c => col(s"`$c`")): _*))
         val staging = sink + "__staging"
         merged.write.mode("overwrite").parquet(staging)
         spark.read.parquet(staging).write
@@ -133,8 +133,8 @@ object Flow {
     } else {
       val existing = spark.read.parquet(sink)
       val merged = existing
-        .join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        .unionByName(batch.select(existing.columns.map(col): _*))
+        .join(batch.select(keys.map(k => col(s"`$k`")): _*).distinct(), keys, "left_anti")
+        .unionByName(batch.select(existing.columns.map(c => col(s"`$c`")): _*))
       val staging = new Path(sink + "__staging")
       merged.write.mode("overwrite").parquet(staging.toString)
       val old = new Path(sink + "__old")

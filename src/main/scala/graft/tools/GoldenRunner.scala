@@ -236,7 +236,20 @@ object GoldenRunner {
               val ordered = e.sql.toUpperCase.contains("ORDER BY")
               Try(df.collect().map(_.toSeq.map(v => cell(v))).toSeq) match {
                 case Failure(_) => skipped += 1
-                case Success(raw0) =>
+                case Success(raw00) =>
+                  // a multiline cell renders as continuation ROWS in the
+                  // reference's pretty-printer (information_schema.flows'
+                  // flow_definition) — expand the same way
+                  val raw0 = raw00.flatMap { r =>
+                    val maxLines = r.map(_.count(_ == '\n') + 1).max
+                    if (maxLines == 1) Seq(r)
+                    else (0 until maxLines).map { li =>
+                      r.map { c =>
+                        val ls = c.split("\n", -1)
+                        if (li < ls.length && (li == 0 || ls.length > 1)) ls(li) else ""
+                      }
+                    }
+                  }
                   // line-spanning REPLACE directives (flow's FLUSH_FLOW
                   // count redaction) operate on the RENDERED table —
                   // render ours sqlness-style, replace, re-parse rows

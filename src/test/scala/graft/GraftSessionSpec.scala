@@ -56,22 +56,17 @@ class GraftSessionSpec extends AnyFunSuite {
 
   test("create flow + admin flush_flow refresh the sink") {
     g.sql("""CREATE TABLE cpu (ts TIMESTAMP TIME INDEX, host STRING PRIMARY KEY, v DOUBLE)""")
-    g.sql("INSERT INTO cpu VALUES (TIMESTAMP'2024-01-01 00:00:01', 'h1', 1.0)")
     g.sql("""CREATE FLOW cpu_sum SINK TO cpu_sum_sink EXPIRE AFTER '1h'
              AS SELECT host, count(*) AS n, sum(v) AS total FROM cpu GROUP BY host""")
-    assert(g.spark.read.parquet(flowSink).count() == 1)
+    // the sink is auto-created empty; only rows written AFTER flow
+    // creation become visible, and only on flush (reference semantics)
+    assert(g.sql("SELECT * FROM cpu_sum_sink").count() == 0)
+    g.sql("INSERT INTO cpu VALUES (TIMESTAMP'2024-01-01 00:00:01', 'h1', 1.0)")
     g.sql("INSERT INTO cpu VALUES (TIMESTAMP'2024-01-01 00:00:02', 'h1', 4.0)")
     g.sql("ADMIN flush_flow('cpu_sum')")
-    val rows = g.spark.read.parquet(flowSink).collect()
+    val rows = g.sql("SELECT host, n, total FROM cpu_sum_sink").collect()
     assert(rows.length == 1)
     assert(rows(0).getAs[Double]("total") == 5.0)
-  }
-
-  private def flowSink: String = {
-    // the session places un-pathed sinks under its warehouse dir
-    val f = classOf[GraftSession].getDeclaredField("warehouse")
-    f.setAccessible(true)
-    f.get(g).asInstanceOf[String] + "/cpu_sum_sink"
   }
 
   test("TQL EVAL over a registered metric table") {
