@@ -122,6 +122,11 @@ final class GraftSession(val spark: SparkSession,
         if (k == "ttl" && v == "instant")
           throw new IllegalArgumentException("database ttl cannot be instant")
         if (k == "ttl" && v.nonEmpty && v != "forever") parseTtlMs(v)
+        // only the known database options are stored; unknown keys (e.g.
+        // 'invalid.compaction.option') error (alter/alter_database.result)
+        val known = Set("ttl", "memtable.type", "append_mode", "merge_mode", "skip_wal")
+        if (!known(k) && !k.startsWith("compaction."))
+          throw new IllegalArgumentException(s"Invalid database option key: $k")
         dbOpts.put(db, dbOpts(db).filterNot(_._1 == k) :+ (k -> v))
       }
       if (up.contains("UNSET")) {
@@ -1091,29 +1096,39 @@ final class GraftSession(val spark: SparkSession,
         colMeta.get(name).foreach(m =>
           colMeta.put(name, m.filterNot(_.name == colName)))
       } else if (up.startsWith("MODIFY COLUMN") || up.startsWith("CHANGE COLUMN")) {
-        val body = tail.replaceAll("(?is)^(MODIFY|CHANGE)\\s+COLUMN\\s+", "").trim
-        val bodyUp = body.toUpperCase(Locale.ROOT)
-        if (bodyUp.contains("INDEX") || bodyUp.contains("SET DEFAULT") ||
-          bodyUp.contains("DROP DEFAULT")) {
+        // comma-chained clauses each carry their own column + action
+        splitTop(tail).foreach { clause =>
+          val body = clause.trim.replaceAll("(?is)^(MODIFY|CHANGE)\\s+COLUMN\\s+", "").trim
+          val bodyUp = body.toUpperCase(Locale.ROOT)
           val colName = unquote(body.takeWhile(!_.isWhitespace))
-          if (bodyUp.contains("SET DEFAULT")) {
-            val d = body.replaceAll("(?is).*SET\\s+DEFAULT\\s+", "").trim
+          if (bodyUp.contains("UNSET") && bodyUp.contains("INDEX")) {
+            colMeta.get(name).foreach(m => colMeta.put(name,
+              m.map(c => if (c.name == colName) c.copy(indexDecl = None) else c)))
+          } else if (bodyUp.contains("SET") && bodyUp.contains("INDEX")) {
+            // SET FULLTEXT/SKIPPING/INVERTED INDEX [WITH(...)]
+            // (alter/change_col_fulltext_options.result)
+            colMeta.get(name).foreach(m => colMeta.put(name,
+              m.map(c => if (c.name == colName) c.copy(indexDecl = indexDeclOf(body)) else c)))
+          } else if (bodyUp.contains("SET DEFAULT")) {
+            val d = body.replaceAll("(?is).*?SET\\s+DEFAULT\\s+", "").trim
             colMeta.get(name).foreach(m => colMeta.put(name,
               m.map(c => if (c.name == colName) c.copy(default = Some(d)) else c)))
           } else if (bodyUp.contains("DROP DEFAULT")) {
             colMeta.get(name).foreach(m => colMeta.put(name,
               m.map(c => if (c.name == colName) c.copy(default = None) else c)))
-          } // index hints: no-op
-        } else {
-          // MODIFY COLUMN <name> <type>: cast in the read view
-          val colName = unquote(body.takeWhile(!_.isWhitespace))
-          val typeTok = body.drop(colName.length).trim.takeWhile(!_.isWhitespace)
-          if (typeTok.toUpperCase(Locale.ROOT).startsWith("INTERVAL"))
-            throw new IllegalArgumentException("interval columns are not supported")
-          val t = sparkType(typeTok)
-          colCasts.put(name, colCasts.getOrElse(name, Map.empty) + (colName -> t))
-          colMeta.get(name).foreach(m => colMeta.put(name, m.map(c =>
-            if (c.name == colName) c.copy(gtype = greptimeTypeName(typeTok)) else c)))
+          } else if (bodyUp.contains("INDEX")) {
+            // bare index hints: no-op
+          } else {
+            // MODIFY COLUMN <name> <type>: cast in the read view
+            val typeTok = body.drop(body.takeWhile(!_.isWhitespace).length)
+              .trim.takeWhile(!_.isWhitespace)
+            if (typeTok.toUpperCase(Locale.ROOT).startsWith("INTERVAL"))
+              throw new IllegalArgumentException("interval columns are not supported")
+            val t = sparkType(typeTok)
+            colCasts.put(name, colCasts.getOrElse(name, Map.empty) + (colName -> t))
+            colMeta.get(name).foreach(m => colMeta.put(name, m.map(c =>
+              if (c.name == colName) c.copy(gtype = greptimeTypeName(typeTok)) else c)))
+          }
         }
       } else if (up.startsWith("RENAME")) {
         val newName = unquote(tail.substring("RENAME".length).trim)
@@ -1132,8 +1147,8 @@ final class GraftSession(val spark: SparkSession,
       } else if (up.startsWith("SET")) {
         // table options; ttl / append_mode / merge_mode affect queries,
         // storage tuning options are accepted as no-ops
-        val kv = "(?is)SET\\s+'([^']*)'\\s*=\\s*(?:'([^']*)'|NULL)".r
-        kv.findFirstMatchIn(tail).foreach { m =>
+        val kv = "(?is)'([^']*)'\\s*=\\s*(?:'([^']*)'|NULL)".r
+        kv.findAllMatchIn(tail).foreach { m =>
           val v = Option(m.group(2)).filter(_.nonEmpty)
           val key = m.group(1).toLowerCase(Locale.ROOT)
           key match {
@@ -1143,12 +1158,12 @@ final class GraftSession(val spark: SparkSession,
                 case "forever" => None
                 case x => Some(parseTtlMs(x))
               }
-              catalog.register(spec.copy(ttlMillis = ms))
+              catalog.register(catalog.spec(name).copy(ttlMillis = ms))
             case "append_mode" =>
               val mm = if (v.contains("true")) MergeMode.Append else MergeMode.LastRow
-              catalog.register(spec.copy(mergeMode = mm))
+              catalog.register(catalog.spec(name).copy(mergeMode = mm))
             case "merge_mode" =>
-              v.foreach(x => catalog.register(spec.copy(mergeMode = MergeMode.parse(x))))
+              v.foreach(x => catalog.register(catalog.spec(name).copy(mergeMode = MergeMode.parse(x))))
             case _ => ()
           }
           tableOpts.put(name, tableOpts.getOrElse(name, Nil)
@@ -1177,6 +1192,13 @@ final class GraftSession(val spark: SparkSession,
     val first = "(?is)\\s+FIRST\\s*$".r.findFirstIn(body).isDefined
     body = body.replaceAll("(?is)\\s+FIRST\\s*$", "")
     val cd = parseColumnDef(body)
+    // a NOT NULL column without a default cannot be added to an existing
+    // table (alter/add_incorrect_col.result) — and must leave NO side
+    // effects behind
+    if (!cd.nullable && cd.default.isEmpty)
+      throw new IllegalArgumentException(
+        s"Invalid column option, column name: ${cd.name}, " +
+          "error: no default value can be built for NOT NULL column")
     // interval columns are rejected (reference issue #5422)
     if (cd.typeTok.toUpperCase(Locale.ROOT).startsWith("INTERVAL"))
       throw new IllegalArgumentException("interval columns are not supported")
@@ -1343,7 +1365,14 @@ final class GraftSession(val spark: SparkSession,
       // the reference renders the default through its expression printer:
       // CURRENT_TIMESTAMP -> current_timestamp()
       val dft = m.default.map { d =>
-        val norm = if (d.matches("(?i)current_timestamp(\\(\\))?")) "current_timestamp()" else d
+        val norm =
+          if (d.matches("(?i)current_timestamp(\\(\\))?")) "current_timestamp()"
+          // timestamp string defaults render with the +0000 offset
+          // (alter/alter_table_alter_column_set_default.result)
+          else if (m.gtype.startsWith("Timestamp") &&
+            d.matches("'[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][^'+]*'"))
+            d.dropRight(1) + "+0000'"
+          else d
         s" DEFAULT $norm"
       }.getOrElse("")
       val idx = m.indexDecl.map(" " + _).getOrElse("")
@@ -1362,9 +1391,15 @@ final class GraftSession(val spark: SparkSession,
       else dbOpts.getOrElse(currentDb, Nil).find(_._1 == "ttl")
         .map(own :+ _).getOrElse(own)).sortBy(_._1)
     // the reference renders its well-known option keys bare and quotes
-    // the rest (comment, memtable.type, ...)
-    val bareKeys = Set("ttl", "append_mode", "merge_mode", "skip_wal")
-    val opts = effective
+    // the rest (comment, memtable.type, ...); storage-tuning keys are
+    // hidden but still leave an (empty) WITH block behind
+    // (alter/alter_auto_flush_interval.result, alter/alter_format.result)
+    val bareKeys = Set("ttl", "append_mode", "merge_mode", "skip_wal",
+      "auto_flush_interval", "sst_format")
+    val hiddenKeys = Set.empty[String]
+    val visible = effective.filterNot(e => hiddenKeys(e._1))
+    val hasHidden = effective.exists(e => hiddenKeys(e._1))
+    val opts = visible
       .map { case (k, v) =>
         val key = if (bareKeys(k)) k else s"'$k'"
         s"  $key = '${if (k == "ttl") humanDuration(v) else v}'" }
@@ -1373,7 +1408,9 @@ final class GraftSession(val spark: SparkSession,
     val lines = (s"""CREATE TABLE IF NOT EXISTS "$name" (""" +: body :+ ")") ++
       Vector("", "ENGINE=mito") ++
       (if (opts.nonEmpty) ("WITH(" +: opts.zipWithIndex.map { case (o, i) =>
-        if (i < opts.size - 1) o + "," else o } :+ ")") else Vector(""))
+        if (i < opts.size - 1) o + "," else o } :+ ")")
+      else if (hasHidden) Vector("WITH(", ")")
+      else Vector(""))
     lines.zipWithIndex.map { case (l, i) => (if (i == 0) name else "", l) }
       .toDF("Table", "Create Table")
   }
