@@ -76,8 +76,15 @@ final class GraftSession(val spark: SparkSession,
     else if (up.startsWith("CREATE VIEW") || up.startsWith("CREATE OR REPLACE VIEW"))
       createView(stmt)
     else if (up.startsWith("DROP VIEW")) {
-      spark.catalog.dropTempView(stmt.split("\\s+").last)
+      val v = unquote(stmt.split("\\s+")
+        .filterNot(t => t.equalsIgnoreCase("IF") || t.equalsIgnoreCase("EXISTS")).last)
+      spark.catalog.dropTempView(v)
+      userViews -= v
       status("view dropped")
+    }
+    else if (up.startsWith("SHOW VIEWS")) {
+      import spark.implicits._
+      userViews.toSeq.sorted.toDF("Views")
     }
     else if (up.startsWith("ALTER TABLE")) alterTable(stmt)
     else if (up.startsWith("SHOW TABLES")) showTables()
@@ -442,8 +449,12 @@ final class GraftSession(val spark: SparkSession,
     // the struct wrapper defeats collect_list's null-dropping
     r = r.replaceAll("(?i)\\bARRAY_AGG\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*\\)",
       "nullif(transform(collect_list(struct($1 AS __v)), s -> s.__v), array())")
-    r = r.replaceAll("(?i)FROM\\s+numbers\\s+LIMIT\\s+(\\d+)",
+    r = r.replaceAll("(?i)FROM\\s+(?:public\\.)?numbers\\s+LIMIT\\s+(\\d+)",
       "FROM (SELECT CAST(id AS INT) AS number FROM range(0, $1))")
+    // current-schema qualification: `public.table` resolves to the bare
+    // temp view when public is the active database (view/create.result)
+    if (currentDb == "public")
+      r = r.replaceAll("(?i)\\bpublic\\.([A-Za-z_][A-Za-z0-9_]*)", "$1")
     // the reference tolerates a trailing comma in the SELECT list
     // (flow/flow_blog.sql: `avg(...) as avg_speed, FROM ...`)
     r = r.replaceAll("(?is),\\s*(FROM)\\b", " $1")
@@ -1050,11 +1061,23 @@ final class GraftSession(val spark: SparkSession,
   // ---- views + ALTER TABLE (sql/src/statements/{create,alter}.rs) ----
 
   private val CreateViewRx =
-    "(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.*)".r
+    ("(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.*)").r
+
+  /** CREATE VIEW-created view names (SHOW VIEWS / SHOW TABLES listing). */
+  private val userViews = scala.collection.mutable.LinkedHashSet.empty[String]
 
   private def createView(stmt: String): DataFrame = stmt match {
     case CreateViewRx(name, query) =>
+      val up = stmt.toUpperCase(Locale.ROOT)
+      if (userViews.contains(name) && up.contains("IF NOT EXISTS") &&
+        !up.contains("OR REPLACE"))
+        return status(s"view $name exists")
+      if (userViews.contains(name) && !up.contains("OR REPLACE") &&
+        !up.contains("IF NOT EXISTS"))
+        throw new IllegalArgumentException(s"view $name already exists")
       spark.sql(dialect(query)).createOrReplaceTempView(name)
+      userViews += name
       status(s"view $name created")
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
   }
@@ -1418,7 +1441,7 @@ final class GraftSession(val spark: SparkSession,
   private def showTables(): DataFrame = {
     import spark.implicits._
     // `numbers` is a built-in table (table/src/table/numbers.rs)
-    (catalog.tables :+ "numbers").sorted.toDF("Tables")
+    (catalog.tables ++ userViews :+ "numbers").sorted.toDF("Tables")
   }
 
   // ---- databases ------------------------------------------------------
