@@ -92,7 +92,7 @@ object OtlpMetrics {
   private def readAttrs(r: Reader): Map[String, String] = {
     // KeyValue { key=1, value=2 AnyValue{string=1,bool=2,int=3,double=4} }
     val kv = r.readMessage()
-    var k = ""; var v = ""
+    var k: String = null; var v = ""
     while (kv.hasNext) kv.readTag() match {
       case (1, 2) => k = kv.readString()
       case (2, 2) =>
@@ -106,7 +106,8 @@ object OtlpMetrics {
         }
       case (_, w) => kv.skip(w)
     }
-    Map(k -> v)
+    // a KeyValue with no key field is dropped, not emitted as "" -> ""
+    if (k == null) Map.empty else Map(k -> v)
   }
 
   private def readNumberPoint(r: Reader): DataPoint = {
@@ -191,8 +192,14 @@ object OtlpMetrics {
         var acc = 0L
         val bucketRows = p.bucketCounts.zipWithIndex.map { case (c, i) =>
           acc += c
-          val le = if (i < p.bounds.length) f64Tag(p.bounds(i)) else "inf"
-          SampleRow(m.name + "_bucket", p.attrs + ("le" -> le), ms, acc.toDouble)
+          // exactly one `inf` bucket at index bounds.length; malformed
+          // points with extra counts get rows with NO le tag (matching
+          // the reference), not duplicate inf rows
+          val tags =
+            if (i < p.bounds.length) p.attrs + ("le" -> f64Tag(p.bounds(i)))
+            else if (i == p.bounds.length) p.attrs + ("le" -> "inf")
+            else p.attrs
+          SampleRow(m.name + "_bucket", tags, ms, acc.toDouble)
         }
         val sumRow = p.sum.map(s => SampleRow(m.name + "_sum", p.attrs, ms, s)).toSeq
         bucketRows ++ sumRow :+ SampleRow(m.name + "_count", p.attrs, ms, p.count.toDouble)

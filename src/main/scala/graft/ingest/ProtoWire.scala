@@ -60,51 +60,69 @@ object ProtoWire {
 
     def hasNext: Boolean = pos < end
 
+    // Decodes untrusted network payloads on executors: every length and
+    // read is bounds-checked against the enclosing message's `end` so a
+    // malformed buffer fails with a clear error instead of silently
+    // reading sibling bytes or throwing ArrayIndexOutOfBounds.
+    private def fail(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"malformed protobuf payload: $what at offset $pos (limit $end)")
+    private def need(n: Int): Unit =
+      if (n < 0 || pos + n > end) fail(s"$n bytes needed")
+
     def readVarint(): Long = {
       var shift = 0; var acc = 0L
-      while (true) {
+      while (shift <= 63) {
+        if (pos >= end) fail("truncated varint")
         val b = buf(pos); pos += 1
         acc |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return acc
         shift += 7
       }
-      acc
+      fail("varint over 10 bytes")
     }
     /** returns (fieldNumber, wireType) */
     def readTag(): (Int, Int) = { val t = readVarint(); ((t >>> 3).toInt, (t & 7).toInt) }
 
     def readFixed64(): Long = {
+      need(8)
       var acc = 0L; var i = 0
       while (i < 8) { acc |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; acc
     }
     def readDouble(): Double = java.lang.Double.longBitsToDouble(readFixed64())
     def readFixed32(): Int = {
+      need(4)
       var acc = 0; var i = 0
       while (i < 4) { acc |= (buf(pos + i) & 0xff) << (8 * i); i += 1 }
       pos += 4; acc
     }
+    private def readLen(): Int = {
+      val len = readVarint()
+      if (len < 0 || len > Int.MaxValue) fail(s"bad length $len")
+      need(len.toInt); len.toInt
+    }
     /** length-delimited payload as a sub-reader (no copy). */
     def readMessage(): Reader = {
-      val len = readVarint().toInt
+      val len = readLen()
       val r = new Reader(buf, pos, pos + len)
       pos += len; r
     }
     def readBytes(): Array[Byte] = {
-      val len = readVarint().toInt
+      val len = readLen()
       val a = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len; a
     }
     def readString(): String = {
-      val len = readVarint().toInt
+      val len = readLen()
       val s = new String(buf, pos, len, "UTF-8")
       pos += len; s
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => pos += readVarint().toInt
-      case 5 => pos += 4
+      case 1 => need(8); pos += 8
+      case 2 => pos += readLen()
+      case 5 => need(4); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
     /** drain a packed fixed64 payload. */

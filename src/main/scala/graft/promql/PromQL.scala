@@ -46,10 +46,11 @@ object PromQL {
     // Parallelize narrow few-partition sources (a single parquet file =
     // one task) before the fan-out; the explode multiplies work, so the
     // cheap round-robin shuffle of the projected input pays for itself.
+    // Unconditional: probing df.rdd.getNumPartitions would materialize
+    // RDD lineage on the driver per selector, and AQE coalesces the
+    // shuffle back down when the input is already wide.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (df.rdd.getNumPartitions < math.max(2, par / 2)) df.repartition(par)
-      else df
+    val spread = df.repartition(par)
     // slot indices k with t = start + k*step, ts <= t < ts + window
     val kLo = ceil((tsCol - p.startMs).cast("double") / p.stepMs).cast("long")
     val kHi = floor((tsCol + windowMs - 1 - p.startMs).cast("double") / p.stepMs).cast("long")

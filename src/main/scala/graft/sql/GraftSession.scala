@@ -69,7 +69,7 @@ final class GraftSession(val spark: SparkSession,
 
   def sql(statement: String): DataFrame = {
     // strip /* block comments */ so dispatch sees the statement keyword
-    val stmt = statement.replaceAll("(?s)/\\*.*?\\*/", " ").trim.stripSuffix(";").trim
+    val stmt = stripBlockComments(statement).trim.stripSuffix(";").trim
     val up = stmt.toUpperCase(Locale.ROOT)
     if (up.startsWith("CREATE TABLE")) createTable(stmt)
     else if (up.startsWith("DROP TABLE")) dropTable(stmt)
@@ -454,7 +454,8 @@ final class GraftSession(val spark: SparkSession,
     // current-schema qualification: `public.table` resolves to the bare
     // temp view when public is the active database (view/create.result)
     if (currentDb == "public")
-      r = r.replaceAll("(?i)\\bpublic\\.([A-Za-z_][A-Za-z0-9_]*)", "$1")
+      r = rewriteOutsideQuotes(r)(
+        _.replaceAll("(?i)\\bpublic\\.([A-Za-z_][A-Za-z0-9_]*)", "$1"))
     // the reference tolerates a trailing comma in the SELECT list
     // (flow/flow_blog.sql: `avg(...) as avg_speed, FROM ...`)
     r = r.replaceAll("(?is),\\s*(FROM)\\b", " $1")
@@ -494,9 +495,58 @@ final class GraftSession(val spark: SparkSession,
     val lit = "[0-9]+"
     s"(?i)($count|$ident|$lit)\\s*/\\s*($count|$ident|$lit)(?![0-9.])".r
   }
+  /** Strip `/* ... */` comments with single-quote awareness: a comment
+    * marker inside a string literal is data, and an apostrophe inside a
+    * comment must not open a string. */
+  private def stripBlockComments(s: String): String = {
+    if (!s.contains("/*")) return s
+    val out = new StringBuilder(s.length)
+    var i = 0; var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { out.append(c); if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { out.append(c); inQ = true; i += 1 }
+      else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val close = s.indexOf("*/", i + 2)
+        out.append(' ')
+        i = if (close < 0) s.length else close + 2
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Apply a textual rewrite only to the spans OUTSIDE single-quoted
+    * literals ('' escapes stay intact), so dialect rewrites can never
+    * corrupt string data like '2024/01/02' or 'public.x'. */
+  private def rewriteOutsideQuotes(s: String)(rw: String => String): String = {
+    if (!s.contains('\'')) return rw(s)
+    val out = new StringBuilder(s.length)
+    var i = 0; var segStart = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        out.append(rw(s.substring(segStart, i)))
+        val qStart = i
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          val c = s.charAt(i); i += 1
+          if (c == '\'') {
+            if (i < s.length && s.charAt(i) == '\'') i += 1 // '' escape
+            else done = true
+          }
+        }
+        out.append(s.substring(qStart, i))
+        segStart = i
+      } else i += 1
+    }
+    out.append(rw(s.substring(segStart)))
+    out.toString
+  }
+
   private def rewriteIntDiv(s: String): String = {
     if (!s.contains("/")) return s
-    IntDivRx.replaceAllIn(s, m => {
+    rewriteOutsideQuotes(s)(seg => if (!seg.contains("/")) seg
+    else IntDivRx.replaceAllIn(seg, m => {
       def integral(op: String): Boolean = {
         val t = op.trim
         if (t.matches("[0-9]+")) true
@@ -509,7 +559,7 @@ final class GraftSession(val spark: SparkSession,
       val (l, rr) = (m.group(1), m.group(2))
       scala.util.matching.Regex.quoteReplacement(
         if (integral(l) && integral(rr)) s"($l div $rr)" else m.matched)
-    })
+    }))
   }
 
   /** uddsketch_state/_merge take the sketch parameters as leading

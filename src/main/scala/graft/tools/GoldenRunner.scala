@@ -334,8 +334,20 @@ object GoldenRunner {
                   // multisets agree are the same data in another layout
                   def cellSorted(rows: Seq[Seq[String]]) =
                     rows.map(_.map(_.trim).sorted.mkString("|")).sorted
+                  // ... but only where column order is genuinely
+                  // plan-dependent (TQL/EXPLAIN) or the golden header
+                  // provably names another column layout — plain SQL
+                  // keeps strict positional cells, so swapped column
+                  // values cannot pass as equal
+                  val upSql = e.sql.trim.toUpperCase
+                  val cellFallbackOk = upSql.startsWith("TQL") ||
+                    upSql.startsWith("EXPLAIN") ||
+                    (wantHeader.nonEmpty &&
+                      wantHeader.map(_.trim.toLowerCase) !=
+                        df.columns.map(_.trim.toLowerCase).toSeq)
                   if (a == b || (ordered && a.sorted == b.sorted) ||
-                    cellSorted(got) == cellSorted(wantC)) compared += 1
+                    (cellFallbackOk && cellSorted(got) == cellSorted(wantC)))
+                    compared += 1
                   else {
                     val d = a.indices.find(i => i >= b.length || a(i) != b(i))
                       .getOrElse(math.min(a.length, b.length))
