@@ -75,6 +75,14 @@ object GeoFunctions {
 
   def geohashNeighbours(h: Column): Column = neighboursUdf(h)
 
+  /** neighbours of the cell containing (lat, lng) in the reference's output
+    * order n, nw, w, sw, s, se, e, ne (geo/geohash.rs:232). */
+  def neighboursOf(lat: Double, lng: Double, precision: Int): Array[String] = {
+    val h = geohashEncode(lat, lng, precision)
+    Array((1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1))
+      .map { case (a, b) => neighbour(h, a, b) }.filter(_ != null)
+  }
+
   /** Haversine great-circle distance in meters (st_distance_sphere_m),
     * pure Column math (codegen'd). */
   def stDistanceSphereM(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column = {

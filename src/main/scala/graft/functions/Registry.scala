@@ -34,6 +34,28 @@ object Registry {
     spark.udf.register("geohash",
       (lat: Double, lng: Double, p: Int) => GeoFunctions.geohashEncode(lat, lng, p))
 
+    // geohash neighbours (reference geo/geohash.rs:232 order: n,nw,w,sw,s,se,e,ne)
+    spark.udf.register("geohash_neighbours",
+      new org.apache.spark.sql.api.java.UDF3[AnyRef, AnyRef, AnyRef, Array[String]] {
+        def call(lat: AnyRef, lng: AnyRef, p: AnyRef): Array[String] =
+          if (lat == null || lng == null || p == null) null
+          else GeoFunctions.neighboursOf(
+            lat.asInstanceOf[java.lang.Number].doubleValue,
+            lng.asInstanceOf[java.lang.Number].doubleValue,
+            p.asInstanceOf[java.lang.Number].intValue)
+      }, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    spark.udf.register("wkt_point_from_latlng",
+      new org.apache.spark.sql.api.java.UDF2[AnyRef, AnyRef, String] {
+        def call(lat: AnyRef, lng: AnyRef): String =
+          if (lat == null || lng == null) null
+          else {
+            def fmt(d: Double) = if (d == d.toLong) d.toLong.toString else d.toString
+            val la = lat.asInstanceOf[java.lang.Number].doubleValue
+            val lo = lng.asInstanceOf[java.lang.Number].doubleValue
+            s"POINT(${fmt(lo)} ${fmt(la)})"
+          }
+      }, org.apache.spark.sql.types.StringType)
+
     // WKT relations/measure (reference geo/{measure,relation}.rs) —
     // st_distance_sphere_m over WKT rejects non-points like the reference
     spark.udf.register("st_area", (wkt: String) =>
@@ -70,10 +92,12 @@ object Registry {
     def unsignedDec(id: Long): java.math.BigDecimal =
       new java.math.BigDecimal(java.lang.Long.toUnsignedString(id))
     spark.udf.register("s2_latlng_to_cell",
-      new org.apache.spark.sql.api.java.UDF2[java.lang.Double, java.lang.Double, java.math.BigDecimal] {
-        def call(lat: java.lang.Double, lng: java.lang.Double): java.math.BigDecimal =
+      new org.apache.spark.sql.api.java.UDF2[AnyRef, AnyRef, java.math.BigDecimal] {
+        def call(lat: AnyRef, lng: AnyRef): java.math.BigDecimal =
           if (lat == null || lng == null) null
-          else unsignedDec(S2.latLngToCell(lat, lng))
+          else unsignedDec(S2.latLngToCell( // decimal literals arrive as BigDecimal
+            lat.asInstanceOf[java.lang.Number].doubleValue,
+            lng.asInstanceOf[java.lang.Number].doubleValue))
       }, org.apache.spark.sql.types.DecimalType(20, 0))
     spark.udf.register("s2_cell_level",
       new org.apache.spark.sql.api.java.UDF1[AnyRef, java.lang.Integer] {
@@ -98,8 +122,169 @@ object Registry {
     spark.udf.register("ipv4_string_to_num", (s: String) =>
       s.split('.').foldLeft(0L)((acc, p) => acc * 256 + p.toLong))
 
+    registerH3(spark)
+
     // vector helpers for SQL (native Column API is the perf path)
     spark.udf.register("vec_dim", (v: Seq[Float]) => if (v == null) -1 else v.length)
+    registerVecTail(spark)
+  }
+
+  /** The 21 h3_* functions (reference common/function/src/scalars/geo/h3.rs).
+    * Cell arguments accept Int64/UInt64/hex-string like the reference's
+    * signature set; resolutions reject negatives like its UInt8 cast.
+    */
+  private def registerH3(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.api.java.{UDF1, UDF2, UDF3}
+    import org.apache.spark.sql.types._
+
+    def cellOf(o: AnyRef): Long = o match {
+      case null => throw new IllegalArgumentException("H3 error: null cell")
+      case d: java.math.BigDecimal => H3.validateCell(d.toBigInteger.longValue)
+      case s: String => H3.stringToCell(s)
+      case n: java.lang.Number => H3.validateCell(n.longValue)
+      case other => throw new IllegalArgumentException(s"H3 error: bad cell $other")
+    }
+    def intOf(o: AnyRef, what: String): Int = o match {
+      case null => throw new IllegalArgumentException(s"H3 error: null $what")
+      case d: java.math.BigDecimal => d.intValueExact
+      case n: java.lang.Number =>
+        val v = n.longValue
+        if (v < 0) throw new IllegalArgumentException(s"Cast error: Can't cast value $v to type UInt8")
+        v.toInt
+      case other => throw new IllegalArgumentException(s"H3 error: bad $what $other")
+    }
+    def doubleOf(o: AnyRef): java.lang.Double = o match {
+      case null => null
+      case d: java.math.BigDecimal => Double.box(d.doubleValue)
+      case n: java.lang.Number => Double.box(n.doubleValue)
+      case other => throw new IllegalArgumentException(s"H3 error: bad coordinate $other")
+    }
+    def cellsOf(o: AnyRef): Seq[Long] = o match {
+      case null => Seq.empty
+      case s: String => s.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map(H3.stringToCell)
+      case xs: scala.collection.Seq[_] => xs.toSeq.map(x => cellOf(x.asInstanceOf[AnyRef]))
+      case other => throw new IllegalArgumentException(s"H3 error: bad cell list $other")
+    }
+
+    spark.udf.register("h3_latlng_to_cell",
+      new UDF3[AnyRef, AnyRef, AnyRef, java.lang.Long] {
+        def call(lat0: AnyRef, lng0: AnyRef, r: AnyRef): java.lang.Long = {
+          val lat = doubleOf(lat0); val lng = doubleOf(lng0)
+          if (lat == null || lng == null || r == null) null
+          else Long.box(H3.latLngToCell(lat, lng, H3.checkResolution(intOf(r, "resolution"))))
+        }
+      }, LongType)
+    spark.udf.register("h3_latlng_to_cell_string",
+      new UDF3[AnyRef, AnyRef, AnyRef, String] {
+        def call(lat0: AnyRef, lng0: AnyRef, r: AnyRef): String = {
+          val lat = doubleOf(lat0); val lng = doubleOf(lng0)
+          if (lat == null || lng == null || r == null) null
+          else H3.cellToString(H3.latLngToCell(lat, lng, H3.checkResolution(intOf(r, "resolution"))))
+        }
+      }, StringType)
+    spark.udf.register("h3_cell_to_string",
+      new UDF1[AnyRef, String] {
+        def call(c: AnyRef): String = if (c == null) null else H3.cellToString(cellOf(c))
+      }, StringType)
+    spark.udf.register("h3_string_to_cell",
+      new UDF1[String, java.lang.Long] {
+        def call(s: String): java.lang.Long = if (s == null) null else Long.box(H3.stringToCell(s))
+      }, LongType)
+    spark.udf.register("h3_cell_center_latlng",
+      new UDF1[AnyRef, Array[Double]] {
+        def call(c: AnyRef): Array[Double] =
+          if (c == null) null else { val (lat, lng) = H3.cellToLatLng(cellOf(c)); Array(lat, lng) }
+      }, ArrayType(DoubleType))
+    spark.udf.register("h3_cell_resolution",
+      new UDF1[AnyRef, java.lang.Integer] {
+        def call(c: AnyRef): java.lang.Integer = if (c == null) null else Int.box(H3.resolution(cellOf(c)))
+      }, IntegerType)
+    spark.udf.register("h3_cell_base",
+      new UDF1[AnyRef, java.lang.Integer] {
+        def call(c: AnyRef): java.lang.Integer =
+          if (c == null) null else Int.box(H3.baseCellNumber(cellOf(c)))
+      }, IntegerType)
+    spark.udf.register("h3_cell_is_pentagon",
+      new UDF1[AnyRef, java.lang.Boolean] {
+        def call(c: AnyRef): java.lang.Boolean =
+          if (c == null) null else Boolean.box(H3.isPentagon(cellOf(c)))
+      }, BooleanType)
+    spark.udf.register("h3_cell_center_child",
+      new UDF2[AnyRef, AnyRef, java.lang.Long] {
+        def call(c: AnyRef, r: AnyRef): java.lang.Long =
+          if (c == null || r == null) null
+          else Long.box(H3.centerChild(cellOf(c), intOf(r, "resolution")))
+      }, LongType)
+    spark.udf.register("h3_cell_parent",
+      new UDF2[AnyRef, AnyRef, java.lang.Long] {
+        def call(c: AnyRef, r: AnyRef): java.lang.Long =
+          if (c == null || r == null) null
+          else Long.box(H3.parent(cellOf(c), intOf(r, "resolution")))
+      }, LongType)
+    spark.udf.register("h3_cell_to_children",
+      new UDF2[AnyRef, AnyRef, Array[Long]] {
+        def call(c: AnyRef, r: AnyRef): Array[Long] =
+          if (c == null || r == null) null
+          else H3.children(cellOf(c), intOf(r, "resolution"))
+      }, ArrayType(LongType))
+    spark.udf.register("h3_cell_to_children_size",
+      new UDF2[AnyRef, AnyRef, java.lang.Long] {
+        def call(c: AnyRef, r: AnyRef): java.lang.Long =
+          if (c == null || r == null) null
+          else Long.box(H3.childrenSize(cellOf(c), intOf(r, "resolution")))
+      }, LongType)
+    spark.udf.register("h3_cell_to_child_pos",
+      new UDF2[AnyRef, AnyRef, java.lang.Long] {
+        def call(c: AnyRef, r: AnyRef): java.lang.Long =
+          if (c == null || r == null) null
+          else Long.box(H3.cellToChildPos(cellOf(c), intOf(r, "resolution")))
+      }, LongType)
+    spark.udf.register("h3_child_pos_to_cell",
+      new UDF3[AnyRef, AnyRef, AnyRef, java.lang.Long] {
+        def call(pos: AnyRef, c: AnyRef, r: AnyRef): java.lang.Long =
+          if (pos == null || c == null || r == null) null
+          else Long.box(H3.childPosToCell(intOf(pos, "position").toLong, cellOf(c), intOf(r, "resolution")))
+      }, LongType)
+    spark.udf.register("h3_grid_disk",
+      new UDF2[AnyRef, AnyRef, Array[Long]] {
+        def call(c: AnyRef, k: AnyRef): Array[Long] =
+          if (c == null || k == null) null else H3.gridDisk(cellOf(c), intOf(k, "k"))
+      }, ArrayType(LongType))
+    spark.udf.register("h3_grid_disk_distances",
+      new UDF2[AnyRef, AnyRef, Array[Long]] {
+        def call(c: AnyRef, k: AnyRef): Array[Long] =
+          if (c == null || k == null) null else H3.gridDisk(cellOf(c), intOf(k, "k"))
+      }, ArrayType(LongType))
+    spark.udf.register("h3_grid_distance",
+      new UDF2[AnyRef, AnyRef, java.lang.Integer] {
+        def call(a: AnyRef, b: AnyRef): java.lang.Integer =
+          if (a == null || b == null) null else Int.box(H3.gridDistance(cellOf(a), cellOf(b)))
+      }, IntegerType)
+    spark.udf.register("h3_grid_path_cells",
+      new UDF2[AnyRef, AnyRef, Array[Long]] {
+        def call(a: AnyRef, b: AnyRef): Array[Long] =
+          if (a == null || b == null) null else H3.gridPathCells(cellOf(a), cellOf(b))
+      }, ArrayType(LongType))
+    spark.udf.register("h3_cells_contains",
+      new UDF2[AnyRef, AnyRef, java.lang.Boolean] {
+        def call(cells: AnyRef, c: AnyRef): java.lang.Boolean =
+          if (c == null) null else Boolean.box(H3.cellsContains(cellsOf(cells), cellOf(c)))
+      }, BooleanType)
+    spark.udf.register("h3_distance_sphere_km",
+      new UDF2[AnyRef, AnyRef, java.lang.Double] {
+        def call(a: AnyRef, b: AnyRef): java.lang.Double =
+          if (a == null || b == null) null
+          else Double.box(H3.distanceSphereKm(cellOf(a), cellOf(b)))
+      }, DoubleType)
+    spark.udf.register("h3_distance_degree",
+      new UDF2[AnyRef, AnyRef, java.lang.Double] {
+        def call(a: AnyRef, b: AnyRef): java.lang.Double =
+          if (a == null || b == null) null
+          else Double.box(H3.distanceDegree(cellOf(a), cellOf(b)))
+      }, DoubleType)
+  }
+
+  private def registerVecTail(spark: SparkSession): Unit = {
     spark.udf.register("vec_norm", (v: Seq[Float]) =>
       math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
     spark.udf.register("vec_dot_product", (a: Seq[Float], b: Seq[Float]) =>

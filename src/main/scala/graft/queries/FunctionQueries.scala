@@ -76,6 +76,52 @@ object FunctionQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    "fn_h3" -> ((s, d) => {
+      // H3 cell math over derived coordinates. DuckDB has no H3, so the
+      // oracle checks (a) identity invariants that hold for every cell —
+      // counted per-row, expected == count(*) — and (b) literal pins taken
+      // from the reference's own golden corpus (function/geo.result).
+      val cellU = udf((lat: Double, lng: Double, r: Int) => H3.latLngToCell(lat, lng, r))
+      val parentU = udf((c: Long, r: Int) => H3.parent(c, r))
+      val centerChildU = udf((c: Long, r: Int) => H3.centerChild(c, r))
+      val strRtU = udf((c: Long) => H3.stringToCell(H3.cellToString(c)) == c)
+      val centerRtU = udf((c: Long) => {
+        val (lat, lng) = H3.cellToLatLng(c)
+        H3.latLngToCell(lat, lng, H3.resolution(c)) == c
+      })
+      val posRtU = udf((c: Long, pos: Long) => {
+        val child = H3.childPosToCell(pos, c, H3.resolution(c) + 2)
+        H3.cellToChildPos(child, H3.resolution(c)) == pos &&
+          H3.parent(child, H3.resolution(c)) == c
+      })
+      val diskOkU = udf((c: Long) => {
+        val n = H3.gridDisk(c, 1).length
+        n == 7 || (n == 6 && H3.isPentagon(c))
+      })
+      val pts = T(s, d, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 160 - 80 + lit(0.37)).cast("double").as("lat"),
+        (col("c_custkey") % 346 - 173 + lit(0.11)).cast("double").as("lng"))
+      val cells = pts.select(col("c_custkey"),
+        cellU(col("lat"), col("lng"), lit(8)).as("cell8"),
+        cellU(col("lat"), col("lng"), lit(6)).as("cell6"))
+      cells.agg(
+        count(lit(1)).as("n"),
+        sum(when(parentU(centerChildU(col("cell6"), lit(9)), lit(6)) === col("cell6"), 1L).otherwise(0L)).as("parent_ok"),
+        sum(when(strRtU(col("cell8")), 1L).otherwise(0L)).as("str_ok"),
+        sum(when(centerRtU(col("cell8")), 1L).otherwise(0L)).as("rt_ok"),
+        sum(when(posRtU(col("cell6"), col("c_custkey") % 41), 1L).otherwise(0L)).as("pos_ok"),
+        sum(when(diskOkU(col("cell6")), 1L).otherwise(0L)).as("disk_ok"))
+        .withColumn("pin_cell8", lit(H3.latLngToCell(37.76938, -122.3889, 8)))
+        .withColumn("pin_parent6", lit(H3.parent(613196570438926335L, 6)))
+        .withColumn("pin_child_at", lit(H3.childPosToCell(25, 613196570438926335L, 11)))
+        .withColumn("pin_disk3_last", lit(H3.gridDisk(613196570438926335L, 3).last))
+        .withColumn("pin_path4", lit(H3.gridPathCells(604189371209351167L, 604189641255419903L)(4)))
+        .withColumn("pin_dist", lit(H3.gridDistance(604189371209351167L, 604189641255419903L).toLong))
+        .withColumn("pin_pent_size", lit(H3.childrenSize(H3.stringToCell("8009fffffffffff"), 3)))
+        .withColumn("pin_sphere_km", round(
+          lit(H3.distanceSphereKm(604189371209351167L, 604189641255419903L)), 5))
+    }),
+
     "fn_math_clamp" -> ((s, d) => {
       T(s, d, "events").select(col("event_id"),
         MathFunctions.clamp(col("value"), lit(50.0), lit(150.0)).as("clamped"),
@@ -167,6 +213,19 @@ object FunctionQueries {
            'POINT(' || CAST(CAST(c_custkey % 360 - 180 + 0.25 AS DOUBLE) AS VARCHAR) || ' ' ||
                        CAST(CAST(c_custkey % 180 - 90 + 0.5 AS DOUBLE) AS VARCHAR) || ')' AS wkt
          FROM customer ORDER BY c_custkey""",
+
+    "fn_h3" ->
+      """SELECT count(*) AS n, count(*) AS parent_ok, count(*) AS str_ok,
+           count(*) AS rt_ok, count(*) AS pos_ok, count(*) AS disk_ok,
+           CAST(613196570438926335 AS BIGINT) AS pin_cell8,
+           CAST(604189371209351167 AS BIGINT) AS pin_parent6,
+           CAST(626707369319059455 AS BIGINT) AS pin_child_at,
+           CAST(613196570216628223 AS BIGINT) AS pin_disk3_last,
+           CAST(604189638034194431 AS BIGINT) AS pin_path4,
+           CAST(9 AS BIGINT) AS pin_dist,
+           CAST(286 AS BIGINT) AS pin_pent_size,
+           CAST(55.05017 AS DOUBLE) AS pin_sphere_km
+         FROM customer""",
 
     "fn_math_clamp" ->
       """SELECT event_id,

@@ -432,6 +432,27 @@ final class GraftSession(val spark: SparkSession,
       scala.util.matching.Regex.quoteReplacement(
         s"TIMESTAMP_MILLIS($origin + CAST(FLOOR((UNIX_MILLIS(CAST($ts AS TIMESTAMP)) - $origin) / $ms) * $ms AS BIGINT))")
     })
+    // geo_path / json_encode_path are Column-level aggregates (VectorAggs);
+    // expand their SQL spellings macro-style. Reference arg order (lat,lng,ts).
+    val GeoPathArgs = "([^(),]+)\\s*,\\s*([^(),]+)\\s*,\\s*([^(),]+)"
+    def geoPathSql(lat: String, lng: String, ts: String): String =
+      s"struct(transform(array_sort(collect_list(struct(($ts) AS ts, CAST(($lat) AS DOUBLE) AS lat, CAST(($lng) AS DOUBLE) AS lng))), p -> p.lat) AS lat, " +
+        s"transform(array_sort(collect_list(struct(($ts) AS ts, CAST(($lat) AS DOUBLE) AS lat, CAST(($lng) AS DOUBLE) AS lng))), p -> p.lng) AS lng)"
+    r = s"(?i)\\bUNNEST\\(\\s*geo_path\\(\\s*$GeoPathArgs\\s*\\)\\s*\\)".r.replaceAllIn(r, m =>
+      scala.util.matching.Regex.quoteReplacement {
+        val e = geoPathSql(m.group(1), m.group(2), m.group(3))
+        s"($e).lat AS lat, ($e).lng AS lng"
+      })
+    r = s"(?i)\\bgeo_path\\(\\s*$GeoPathArgs\\s*\\)".r.replaceAllIn(r, m =>
+      scala.util.matching.Regex.quoteReplacement(geoPathSql(m.group(1), m.group(2), m.group(3))))
+    r = s"(?i)\\bjson_encode_path\\(\\s*$GeoPathArgs\\s*\\)".r.replaceAllIn(r, m =>
+      scala.util.matching.Regex.quoteReplacement {
+        val (lat, lng, ts) = (m.group(1), m.group(2), m.group(3))
+        s"concat('[', concat_ws(',', transform(array_sort(collect_list(struct(($ts) AS ts, CAST(($lat) AS DOUBLE) AS lat, CAST(($lng) AS DOUBLE) AS lng))), " +
+          s"p -> concat('[', cast(p.lng AS STRING), ',', cast(p.lat AS STRING), ']'))), ']')"
+      })
+    // remaining UNNEST over arrays → explode
+    r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bUNNEST\\s*\\(", "explode("))
     var prev: String = null
     while (prev != r) {
       prev = r
@@ -459,6 +480,11 @@ final class GraftSession(val spark: SparkSession,
     // the reference tolerates a trailing comma in the SELECT list
     // (flow/flow_blog.sql: `avg(...) as avg_speed, FROM ...`)
     r = r.replaceAll("(?is),\\s*(FROM)\\b", " $1")
+    // ...and before a closing paren (geo.sql subselects)
+    r = rewriteOutsideQuotes(r)(_.replaceAll(",\\s*\\)", ")"))
+    // DataFusion array literals `[a, b]` → array(a, b); brackets preceded by
+    // an identifier/closing token are subscripts and stay untouched
+    r = rewriteBracketArrays(r)
     // MySQL-style single-quoted aliases: `country as 'country'`
     r = r.replaceAll("(?i)\\bAS\\s+'([^']+)'", "AS `$1`")
     r = rewriteUddsketch(r)
@@ -511,6 +537,35 @@ final class GraftSession(val spark: SparkSession,
         out.append(' ')
         i = if (close < 0) s.length else close + 2
       } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** `[a, b]` array literals → `array(a, b)`, single-quote aware; a `[`
+    * directly after an identifier, `)`, `]` or backtick is a subscript and
+    * is left alone (nested literals handled via a bracket stack). */
+  private def rewriteBracketArrays(s: String): String = {
+    if (!s.contains('[')) return s
+    val out = new StringBuilder(s.length + 16)
+    val stack = scala.collection.mutable.Stack[Boolean]() // true = converted
+    var i = 0; var inQ = false
+    var lastNonSpace = ' '
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { out.append(c); if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => out.append(c); inQ = true
+        case '[' =>
+          val subscript = lastNonSpace.isLetterOrDigit || lastNonSpace == '_' ||
+            lastNonSpace == ')' || lastNonSpace == ']' || lastNonSpace == '`'
+          if (subscript) { out.append(c); stack.push(false) }
+          else { out.append("array("); stack.push(true) }
+        case ']' =>
+          if (stack.nonEmpty && stack.pop()) out.append(')') else out.append(c)
+        case _ => out.append(c)
+      }
+      if (!inQ && !c.isWhitespace) lastNonSpace = c
+      i += 1
     }
     out.toString
   }

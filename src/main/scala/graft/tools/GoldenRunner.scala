@@ -225,7 +225,10 @@ object GoldenRunner {
       else Try(g.sql(e.sql)) match {
         case Failure(ex) =>
           e.expected match {
-            case _: Table => skipped += 1
+            case _: Table =>
+              skipped += 1
+              if (trace) System.err.println(
+                s"[golden-skip] ${e.sql.take(120)} -> ${String.valueOf(ex.getMessage).take(200)}")
             case ErrorExpected => // reference also errors — fine
             case NonQuery =>
               problems += s"setup failed: ${e.sql.take(80)} -> ${String.valueOf(ex.getMessage).take(120)}"
