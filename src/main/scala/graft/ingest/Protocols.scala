@@ -55,48 +55,130 @@ object Protocols {
 
   /** Parse one line of InfluxDB line protocol:
     * `measurement[,tag=v...] field=value[,field=value...] [timestamp_ns]`.
+    * Single-pass character scan: substrings are cut directly from the line
+    * and unescaped only when an escape was actually seen, so the common
+    * no-escape case allocates nothing but the output maps (the reference's
+    * ingest path is similarly zero-copy per line, servers/src/influxdb.rs).
     * Returns null for comments/blank/garbage lines (callers drop them).
     */
-  def parseInfluxLine(line: String, defaultTsNs: Long): Option[Sample] = {
-    if (line == null) return None
-    val trimmed = line.trim
-    if (trimmed.isEmpty || trimmed.startsWith("#")) return None
-    try {
-      val parts = splitUnescaped(trimmed, ' ').filter(_.nonEmpty)
-      if (parts.size < 2) return None
-      val head = splitUnescaped(parts(0), ',')
-      val measurement = unescape(head.head)
-      val tags = head.tail.map { t =>
-        val Array(k, v) = splitUnescaped(t, '=').toArray
-        unescape(k) -> unescape(v)
-      }.toMap
-      val num = Map.newBuilder[String, Double]
-      val str = Map.newBuilder[String, String]
-      val bool = Map.newBuilder[String, Boolean]
-      splitUnescaped(parts(1), ',').foreach { f =>
-        val eq = f.indexOf('=')
-        val k = unescape(f.substring(0, eq))
-        val v = f.substring(eq + 1)
-        if (v.startsWith("\"")) str += k -> unescape(v.substring(1, v.length - 1))
-        else if (v == "t" || v == "T" || v == "true" || v == "True" || v == "TRUE")
-          bool += k -> true
-        else if (v == "f" || v == "F" || v == "false" || v == "False" || v == "FALSE")
-          bool += k -> false
-        else if (v.endsWith("i") || v.endsWith("u"))
-          num += k -> v.dropRight(1).toDouble
-        else num += k -> v.toDouble
+  def parseInfluxLineFast(line: String, defaultTsNs: Long): Sample = {
+    if (line == null) return null
+    var start = 0; var end = line.length
+    while (start < end && line.charAt(start) <= ' ') start += 1
+    while (end > start && line.charAt(end - 1) <= ' ') end -= 1
+    if (start >= end || line.charAt(start) == '#') return null
+
+    // scan to the next unescaped ',', '=' or ' '; returns end and whether
+    // an escape occurred (packed as negative when escaped)
+    def scan(from: Int): Long = {
+      var i = from; var esc = false
+      while (i < end) {
+        val c = line.charAt(i)
+        if (c == '\\' && i + 1 < end) { esc = true; i += 2 }
+        else if (c == ',' || c == '=' || c == ' ') return if (esc) -i.toLong else i.toLong
+        else i += 1
       }
-      val ts = if (parts.size >= 3) parts(2).toLong else defaultTsNs
-      Some(Sample(measurement, tags, num.result(), str.result(), bool.result(), ts))
-    } catch { case _: Exception => None }
+      if (esc) -i.toLong else i.toLong
+    }
+    def cut(a: Int, sEnd: Long): String = {
+      val b = math.abs(sEnd).toInt
+      val t = line.substring(a, b)
+      if (sEnd < 0) unescape(t) else t
+    }
+
+    var i = start
+    val mEnd = scan(i)
+    val measurement = cut(i, mEnd)
+    if (measurement.isEmpty) return null
+    i = math.abs(mEnd).toInt
+
+    var tags = Map.empty[String, String]
+    while (i < end && line.charAt(i) == ',') {
+      val kEnd = scan(i + 1)
+      val kPos = math.abs(kEnd).toInt
+      if (kPos >= end || line.charAt(kPos) != '=') return null
+      val k = cut(i + 1, kEnd)
+      val vEnd = scan(kPos + 1)
+      tags = tags.updated(k, cut(kPos + 1, vEnd))
+      i = math.abs(vEnd).toInt
+    }
+    if (i >= end || line.charAt(i) != ' ') return null
+    while (i < end && line.charAt(i) == ' ') i += 1
+    if (i >= end) return null
+
+    var num = Map.empty[String, Double]
+    var str = Map.empty[String, String]
+    var bool = Map.empty[String, Boolean]
+    var more = true
+    while (more) {
+      val kEnd = scan(i)
+      val kPos = math.abs(kEnd).toInt
+      if (kPos >= end || line.charAt(kPos) != '=') return null
+      val k = cut(i, kEnd)
+      i = kPos + 1
+      if (i < end && line.charAt(i) == '"') {
+        i += 1
+        val vStart = i
+        var esc = false
+        while (i < end && line.charAt(i) != '"') {
+          if (line.charAt(i) == '\\' && i + 1 < end) { esc = true; i += 2 } else i += 1
+        }
+        if (i >= end) return null
+        val raw = line.substring(vStart, i)
+        str = str.updated(k, if (esc) unescape(raw) else raw)
+        i += 1
+      } else {
+        val vEnd = math.abs(scan(i)).toInt
+        if (vEnd == i) return null
+        val c0 = line.charAt(i)
+        val len = vEnd - i
+        if (len == 1 && (c0 == 't' || c0 == 'T')) bool = bool.updated(k, true)
+        else if (len == 1 && (c0 == 'f' || c0 == 'F')) bool = bool.updated(k, false)
+        else if (c0 == 't' || c0 == 'T' || c0 == 'f' || c0 == 'F') {
+          val v = line.substring(i, vEnd)
+          if (v == "true" || v == "True" || v == "TRUE") bool = bool.updated(k, true)
+          else if (v == "false" || v == "False" || v == "FALSE") bool = bool.updated(k, false)
+          else return null
+        } else {
+          val last = line.charAt(vEnd - 1)
+          val numEnd = if (last == 'i' || last == 'u') vEnd - 1 else vEnd
+          try num = num.updated(k, java.lang.Double.parseDouble(line.substring(i, numEnd)))
+          catch { case _: NumberFormatException => return null }
+        }
+        i = vEnd
+      }
+      if (i < end && line.charAt(i) == ',') i += 1
+      else more = false
+    }
+    if (num.isEmpty && str.isEmpty && bool.isEmpty) return null
+
+    var ts = defaultTsNs
+    if (i < end) {
+      if (line.charAt(i) != ' ') return null
+      while (i < end && line.charAt(i) == ' ') i += 1
+      if (i < end) {
+        try ts = java.lang.Long.parseLong(line.substring(i, end))
+        catch { case _: NumberFormatException => return null }
+      }
+    }
+    Sample(measurement, tags, num, str, bool, ts)
   }
 
-  /** Lines frame (one string column) → decoded samples. Malformed lines
-    * are dropped, matching the reference's per-line error accounting. */
+  def parseInfluxLine(line: String, defaultTsNs: Long): Option[Sample] =
+    Option(parseInfluxLineFast(line, defaultTsNs))
+
+  /** Lines frame (one string column) → decoded samples via a mapPartitions
+    * single-pass scanner (no per-row UDF boxing). Malformed lines are
+    * dropped, matching the reference's per-line error accounting. */
   def fromInfluxLines(df: DataFrame, lineCol: String,
       defaultTsNs: Long = 0L): DataFrame = {
-    val parse = udf((s: String) => parseInfluxLine(s, defaultTsNs))
-    df.select(parse(col(lineCol)).as("r")).filter(col("r").isNotNull).select("r.*")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(lineCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        it.flatMap { l => Option(parseInfluxLineFast(l, defaultTsNs)) }
+      }
+      .toDF()
   }
 
   // ---- OpenTSDB `put` ------------------------------------------------
