@@ -41,12 +41,29 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // exact brute-force pairs at 0.45 (the synthetic embeddings have no
-    // >0.8 near-dups; LSH at high threshold stays covered by similarity_lsh)
+    // exact brute-force pairs at 0.45 — the small-scale BASELINE oracle for
+    // the cartesian path only; the scale path is dedup_embedding_lsh below
     "dedup_embedding" -> ((s, d) => {
       Dedup.embeddingCosinePairsExact(T(s, d, "embeddings"), "embedding", "vec_id",
         threshold = 0.45)
         .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // the 100TB-safe path: banded hyperplane LSH + exact verify. Planted
+    // near-dups (deterministic float perturbation of 8 corpus vectors,
+    // cos ~0.999996) are the complete >=0.99 pair set, so DuckDB computes
+    // the exact expected output without replicating LSH; the seeded
+    // signature makes LSH recall deterministic for this data.
+    "dedup_embedding_lsh" -> ((s, d) => {
+      val emb = T(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            x * (lit(1.0f) + ((j % 5) - 2).cast("float") * lit(0.002f))).as("embedding"))
+      Dedup.embeddingCosinePairs(emb.unionByName(planted), "embedding", "vec_id",
+        threshold = 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -290,6 +307,20 @@ object LlmQueries {
          FROM inter
          JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          WHERE c / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.4
+         ORDER BY id_a, id_b""",
+
+    // LSH entry: the planted copies are the complete >=0.99 pair set, so
+    // the oracle computes ground truth directly (no LSH replication needed)
+    "dedup_embedding_lsh" ->
+      """WITH p AS (
+           SELECT vec_id, list_transform(embedding, (x, i) ->
+               CAST(x * (CAST(1.0 AS FLOAT) +
+                 CAST((i - 1) % 5 - 2 AS FLOAT) * CAST(0.002 AS FLOAT)) AS FLOAT)) AS pvec
+           FROM embeddings WHERE vec_id < 8)
+         SELECT e.vec_id AS id_a, e.vec_id + 100000 AS id_b,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(p.pvec AS DOUBLE[])), 6) AS cos_sim
+         FROM embeddings e JOIN p USING (vec_id)
          ORDER BY id_a, id_b""",
 
     // exact cosine pairs, mirrored by list_cosine_similarity in double
