@@ -29,6 +29,59 @@ object PromQLQueries {
       .evalQuery(q)
 
   val queries: Map[String, Q] = Map(
+    // Native-histogram family (reference promql/src/functions/
+    // native_histogram.rs): per-row construction, distributed agg_sum via a
+    // typed Aggregator (real partial/final merge), then count/sum/avg/
+    // quantile/fraction extraction. Synthetic layout: schema 0, buckets at
+    // indices 0..3 (bounds 2^-1..2^3), counts derived from event_id so the
+    // DuckDB oracle can replicate the estimator arithmetic exactly.
+    "promql_native_histogram" -> ((s, d) => {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      import org.apache.spark.sql.expressions.Aggregator
+      implicit val histEnc: Encoder[NativeHistogram] = Encoders.product[NativeHistogram]
+      implicit val pairEnc: Encoder[(String, NativeHistogram)] =
+        Encoders.product[(String, NativeHistogram)]
+      implicit val outEnc: Encoder[(String, Double, Double, Double, Double,
+        Double, Double, Double, Double, Double, Double)] =
+        Encoders.product[(String, Double, Double, Double, Double, Double,
+          Double, Double, Double, Double, Double)]
+      def mkHist(id: Long, value: Double): NativeHistogram = {
+        val buckets = Array.tabulate(4)(i => ((id + i) % 7 + 1).toDouble)
+        val zero = (id % 3).toDouble
+        NativeHistogram(schema = 0, zeroThreshold = 0.001, zeroCount = zero,
+          count = zero + buckets.sum, sum = value,
+          posIndex = Array(0, 1, 2, 3), posBuckets = buckets,
+          negIndex = Array.empty, negBuckets = Array.empty,
+          customValues = Array.empty)
+      }
+      val histAgg = new Aggregator[(String, NativeHistogram), NativeHistogram, NativeHistogram] {
+        def zero: NativeHistogram = NativeHistogram.empty(0, 0.001)
+        def reduce(b: NativeHistogram, a: (String, NativeHistogram)): NativeHistogram = b.add(a._2)
+        def merge(a: NativeHistogram, b: NativeHistogram): NativeHistogram = a.add(b)
+        def finish(r: NativeHistogram): NativeHistogram = r
+        def bufferEncoder: Encoder[NativeHistogram] = histEnc
+        def outputEncoder: Encoder[NativeHistogram] = histEnc
+      }
+      val ds = T(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .as[(Long, String, Double)](Encoders.product[(Long, String, Double)])
+        .map(r => (r._2, mkHist(r._1, r._3)))(pairEnc)
+      ds.groupByKey(_._1)(Encoders.STRING)
+        .agg(histAgg.toColumn.name("h"))
+        .map { case (typ, h) =>
+          val b = h.posIndex.zip(h.posBuckets).toMap
+          (typ, h.count, h.sum, h.avg, h.zeroCount, b(0), b(1), b(2), b(3),
+            h.quantile(0.5), h.fraction(2.0, 8.0))
+        }(outEnc)
+        .toDF("event_type", "h_count", "h_sum", "h_avg", "h_zero",
+          "b0", "b1", "b2", "b3", "h_q50", "h_frac")
+        .select(col("event_type"), col("h_count"),
+          round(col("h_sum"), 4).as("h_sum"), round(col("h_avg"), 6).as("h_avg"),
+          col("h_zero"), col("b0"), col("b1"), col("b2"), col("b3"),
+          round(col("h_q50"), 9).as("h_q50"), round(col("h_frac"), 9).as("h_frac"))
+        .orderBy(col("event_type"))
+    }),
+
     "promql_instant" -> ((s, d) => {
       ev(s, d, "events_value")
         .select(col("__ts").as("ts_g"), col("event_type"), col("__val").as("val"))
@@ -161,6 +214,38 @@ object PromQLQueries {
           GROUP BY g.ts_g, e.event_type)"""
 
   val oracles: Map[String, String] = Map(
+    // replicates the native-histogram estimator arithmetic: schema-0 bounds
+    // 2^(i-1)..2^i, exponential interpolation for the quantile, boundary-
+    // exact fraction ranks (2 and 8 are bucket bounds)
+    "promql_native_histogram" ->
+      """WITH h AS (
+           SELECT event_type,
+             CAST(event_id % 3 AS DOUBLE) AS zero,
+             CAST((event_id + 0) % 7 + 1 AS DOUBLE) AS c0,
+             CAST((event_id + 1) % 7 + 1 AS DOUBLE) AS c1,
+             CAST((event_id + 2) % 7 + 1 AS DOUBLE) AS c2,
+             CAST((event_id + 3) % 7 + 1 AS DOUBLE) AS c3,
+             value AS s
+           FROM events),
+         g AS (
+           SELECT event_type, sum(zero) AS zero,
+             sum(c0) AS c0, sum(c1) AS c1, sum(c2) AS c2, sum(c3) AS c3,
+             sum(s) AS s, sum(zero + c0 + c1 + c2 + c3) AS cnt
+           FROM h GROUP BY event_type)
+         SELECT event_type,
+           cnt AS h_count,
+           round(s, 4) AS h_sum,
+           round(s / cnt, 6) AS h_avg,
+           zero AS h_zero, c0 AS b0, c1 AS b1, c2 AS b2, c3 AS b3,
+           round(CASE
+             WHEN zero >= 0.5 * cnt THEN 0.001 * (0.5 * cnt / zero)
+             WHEN zero + c0 >= 0.5 * cnt THEN power(2.0, -1 + (0.5 * cnt - zero) / c0)
+             WHEN zero + c0 + c1 >= 0.5 * cnt THEN power(2.0, 0 + (0.5 * cnt - zero - c0) / c1)
+             WHEN zero + c0 + c1 + c2 >= 0.5 * cnt THEN power(2.0, 1 + (0.5 * cnt - zero - c0 - c1) / c2)
+             ELSE power(2.0, 2 + (0.5 * cnt - zero - c0 - c1 - c2) / c3) END, 9) AS h_q50,
+           round((c2 + c3) / cnt, 9) AS h_frac
+         FROM g ORDER BY event_type""",
+
     "promql_instant" ->
       s"""$instantCte SELECT ts_g, event_type, val FROM iv
           ORDER BY ts_g, event_type""",
