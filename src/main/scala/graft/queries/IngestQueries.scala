@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ingest.{OtlpMetrics, Protocols, PromRemoteWrite}
+import graft.ingest.{LogIngest, OtlpMetrics, Protocols, PromRemoteWrite}
 import QueryDsl._
 
 /** Protocol-ingest coverage (SURVEY.md §2.1): events rows are encoded
@@ -28,6 +28,58 @@ object IngestQueries {
           sum(col("user").cast("long")).as("sum_user"),
           max(expr("ts div 1000000")).as("max_ts_ms"))
         .orderBy(col("type"))
+    }),
+
+    // events rows → Loki JSON push payloads (one per ~200-row executor-side
+    // batch, one stream per payload chunk) → the real parser → aggregate
+    // over labels / line / structured metadata vs DuckDB on the raw columns.
+    "ingest_loki" -> ((s, d) => {
+      import s.implicits._
+      val src = T(s, d, "events").select(
+        col("event_type").as("etype"), col("ts").cast("long").as("ts_ns"),
+        col("value").cast("decimal(18,4)").cast("string").as("v"),
+        col("user_id").cast("long").as("uid"))
+      val payloads = src.as[(String, Long, String, Long)].mapPartitions { it =>
+        it.grouped(200).map { chunk =>
+          chunk.groupBy(_._1).toSeq.sortBy(_._1).map { case (etype, rows) =>
+            val values = rows.map { case (_, ts, v, uid) =>
+              s"""["$ts","val=$v",{"user":"$uid"}]"""
+            }.mkString(",")
+            s"""{"stream":{"service":"$etype","env":"prod"},"values":[$values]}"""
+          }.mkString("""{"streams":[""", ",", "]}")
+        }
+      }.toDF("body")
+      LogIngest.fromLokiPush(payloads, "body")
+        .groupBy(element_at(col("labels"), "service").as("service"))
+        .agg(count(lit(1)).as("n"),
+          dsum(regexp_extract(col("line"), "val=(.*)", 1).cast("decimal(18,4)")).as("sum_v"),
+          sum(get_json_object(col("structured_metadata"), "$.user").cast("long")).as("sum_user"),
+          max(expr("ts_ns div 1000000")).as("max_ts_ms"))
+        .orderBy(col("service"))
+    }),
+
+    // documents rows → ES _bulk NDJSON payloads (create/index commands with
+    // per-language _index routing) → the real parser → per-table aggregate
+    // of the JSON docs vs DuckDB on the raw columns.
+    "ingest_es_bulk" -> ((s, d) => {
+      import s.implicits._
+      val src = T(s, d, "documents").select(
+        col("doc_id").cast("long"), col("lang"), length(col("text")).cast("long").as("len"))
+      val payloads = src.as[(Long, String, Long)].mapPartitions { it =>
+        it.grouped(250).map { chunk =>
+          chunk.map { case (id, lang, len) =>
+            val cmd = if (id % 2 == 0) "create" else "index"
+            s"""{"$cmd":{"_index":"logs_$lang"}}
+               |{"doc_id":$id,"len":$len,"message":"doc $id"}""".stripMargin
+          }.mkString("\n")
+        }
+      }.toDF("body")
+      LogIngest.fromEsBulk(payloads, "body")
+        .groupBy(col("table"))
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("doc"), "$.doc_id").cast("long")).as("sum_id"),
+          sum(get_json_object(col("doc"), "$.len").cast("long")).as("sum_len"))
+        .orderBy(col("table"))
     }),
 
     // events rows → snappy-compressed protobuf WriteRequest payloads (one
@@ -129,6 +181,16 @@ object IngestQueries {
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
            CAST(SUM(user_id) AS BIGINT) AS sum_user, MAX(epoch_ns(ts) // 1000000) AS max_ts_ms
          FROM events GROUP BY 1 ORDER BY 1""",
+    "ingest_loki" ->
+      """SELECT event_type AS service, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user, MAX(epoch_ns(ts) // 1000000) AS max_ts_ms
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "ingest_es_bulk" ->
+      """SELECT 'logs_' || lang AS "table", COUNT(*) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_len
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "ingest_prom_remote_write" ->
       """SELECT event_type AS type, COUNT(*) AS n,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
