@@ -245,12 +245,29 @@ object Processors {
     }
   }
 
-  /** `json_path` / `simple_extract`: JSONPath get into a new column. */
-  final case class JsonPath(field: String, path: String, target: String)
+  /** `json_path` (pipeline/src/etl/processor/json_path.rs): JSONPath get
+    * into a new column; `resultIndex` selects one element when the match
+    * is an array (the reference's result_index). */
+  final case class JsonPath(field: String, path: String, target: String,
+      resultIndex: Option[Int] = None) extends Processor {
+    def apply(df: DataFrame): DataFrame = {
+      val base = if (path.startsWith("$")) path else s"$$.$path"
+      val full = resultIndex.fold(base)(i => s"$base[$i]")
+      df.withColumn(target, get_json_object(col(field), full))
+    }
+  }
+
+  /** `simple_extract` (pipeline/src/etl/processor/simple_extract.rs): walk
+    * a dotted key ("a.b.c") one object level per segment; any non-object
+    * intermediate or missing key yields null. */
+  final case class SimpleExtract(field: String, key: String, target: String)
       extends Processor {
-    def apply(df: DataFrame): DataFrame =
-      df.withColumn(target, get_json_object(col(field),
-        if (path.startsWith("$")) path else s"$$.$path"))
+    def apply(df: DataFrame): DataFrame = {
+      // each segment is one tree level — escape nothing, mirror the
+      // reference's plain split('.')
+      val path = "$." + key.split('.').mkString(".")
+      df.withColumn(target, get_json_object(col(field), path))
+    }
   }
 
   /** `json_parse`: JSON text → map<string,string> column. */

@@ -41,6 +41,26 @@ object PipelineQueries {
         .orderBy(col("line_digest"))
     }),
 
+    // json_path with result_index + simple_extract dotted-key walk over a
+    // synthesized nested document (processor.rs json_path/simple_extract)
+    "pipeline_extract" -> ((s, d) => {
+      val raw = T(s, d, "events").select(col("event_id"), col("event_type"), concat(
+        lit("""{"a":{"b":"""), col("value").cast("decimal(18,4)"),
+        lit(""","arr":["""), col("user_id"), lit(","), col("event_id"),
+        lit("]}}")).as("doc"))
+      val pipe = Pipeline(Seq(
+        SimpleExtract("doc", "a.b", "b_val"),
+        JsonPath("doc", "$.a.arr", "second", resultIndex = Some(1)),
+        SimpleExtract("doc", "a.missing.deep", "gone")))
+      pipe.run(raw)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("b_val").cast("decimal(28,4)")).cast("double").as("sum_b"),
+          sum(col("second").cast("long")).as("sum_second"),
+          count(col("gone")).as("n_gone"))
+        .orderBy(col("event_type"))
+    }),
+
     // json_path extraction from the props column
     "pipeline_json" -> ((s, d) => {
       val pipe = Pipeline(Seq(
@@ -61,6 +81,13 @@ object PipelineQueries {
 
     "pipeline_digest" ->
       """SELECT 'user  did  at ' AS line_digest, COUNT(*) AS n FROM events""",
+
+    "pipeline_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_b,
+           CAST(SUM(event_id) AS BIGINT) AS sum_second,
+           CAST(0 AS BIGINT) AS n_gone
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "pipeline_json" ->
       """SELECT event_id, event_type,
