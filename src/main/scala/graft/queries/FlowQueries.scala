@@ -22,18 +22,23 @@ object FlowQueries {
       val sink = Files.createTempDirectory("graft_flow").toString + "/sink"
       // events.ts is BIGINT nanoseconds (nanosAsLong)
       val ev = T(s, d, "events").withColumn("t", timestamp_micros(expr("ts div 1000")))
+      // time-bucket partitioned sink: refreshes rewrite only dirty days
       val flow = FlowDef(
         name = "flow_tumble", sink = sink,
         keys = Seq("event_type", "window_start"),
+        partitionBy = Seq("window_day"),
         transform = df =>
           df.groupBy(Flow.tumble(col("t"), "1 hour").as("w"), col("event_type"))
             .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
             .select(col("event_type"),
               unix_millis(col("w.start")).as("window_start"),
-              col("n"), col("total")))
+              col("n"), col("total"))
+            .withColumn("window_day", expr("window_start div 86400000")))
       Flow.refreshOnce(ev.filter(col("user_id") < 500), flow) // stale first pass
       Flow.refreshOnce(ev, flow) // full refresh must overwrite every window
-      s.read.parquet(sink).orderBy(col("event_type"), col("window_start"))
+      s.read.parquet(sink)
+        .select("event_type", "window_start", "n", "total")
+        .orderBy(col("event_type"), col("window_start"))
     }),
 
     "flow_tumble_origin" -> ((s, d) => {

@@ -59,6 +59,11 @@ final class GraftSession(val spark: SparkSession,
     scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]("public" -> Nil)
   private val dbSaved = scala.collection.concurrent.TrieMap.empty[String, DbState]
   private var currentDb: String = "public"
+  /** inside `USE information_schema` (virtual database: the real catalog
+    * stays loaded; bare table names address the schema tables) */
+  private var infoDb: Boolean = false
+  private val InfoBareRx =
+    "(?i)\\b(FROM|JOIN)\\s+(TABLES|COLUMNS|FLOWS|TABLE_CONSTRAINTS)\\b".r
 
   private val flows = scala.collection.concurrent.TrieMap.empty[String, (FlowDef, String)]
   // per-statement write order; strictly monotone within the session
@@ -71,6 +76,17 @@ final class GraftSession(val spark: SparkSession,
     // strip /* block comments */ so dispatch sees the statement keyword
     val stmt = stripBlockComments(statement).trim.stripSuffix(";").trim
     val up = stmt.toUpperCase(Locale.ROOT)
+    // information_schema is read-only (system/information_schema.result)
+    if (infoDb && (up.startsWith("CREATE TABLE") || up.startsWith("DROP TABLE") ||
+        up.startsWith("ALTER TABLE") || up.startsWith("INSERT")))
+      throw new IllegalArgumentException("information_schema is read-only")
+    if (up.startsWith("SHOW WARNINGS")) {
+      import spark.implicits._
+      val out = lastWarnings.toDF("Level", "Code", "Message")
+      lastWarnings = Nil
+      return out
+    }
+    lastWarnings = Nil // warnings live for exactly one following statement
     if (up.startsWith("CREATE TABLE")) createTable(stmt)
     else if (up.startsWith("DROP TABLE")) dropTable(stmt)
     else if (up.startsWith("CREATE VIEW") || up.startsWith("CREATE OR REPLACE VIEW"))
@@ -80,7 +96,15 @@ final class GraftSession(val spark: SparkSession,
         .filterNot(t => t.equalsIgnoreCase("IF") || t.equalsIgnoreCase("EXISTS")).last)
       spark.catalog.dropTempView(v)
       userViews -= v
+      userViewDefs -= v
       status("view dropped")
+    }
+    else if (up.startsWith("SHOW CREATE VIEW")) {
+      import spark.implicits._
+      val v = unquote(stmt.split("\\s+").last)
+      val defn = userViewDefs.getOrElse(v,
+        throw new IllegalArgumentException(s"view $v not found"))._1
+      Seq((v, defn)).toDF("View", "Create View")
     }
     else if (up.startsWith("SHOW VIEWS")) {
       import spark.implicits._
@@ -110,7 +134,18 @@ final class GraftSession(val spark: SparkSession,
     else if (up.startsWith("DROP DATABASE")) dropDatabase(stmt)
     else if (up.startsWith("DROP SCHEMA"))
       dropDatabase(stmt.replaceFirst("(?i)DROP\\s+SCHEMA", "DROP DATABASE"))
-    else if (up.startsWith("USE ")) useDatabase(unquote(stmt.split("\\s+").last))
+    else if (up.startsWith("USE ")) {
+      val target = unquote(stmt.split("\\s+").last)
+      if (target.equalsIgnoreCase("information_schema")) {
+        // virtual database: keep the real catalog loaded (its views read it)
+        infoDb = true
+        status("using information_schema")
+      } else {
+        infoDb = false
+        useDatabase(target)
+      }
+    }
+    else if (up.startsWith("SET ")) setSession(stmt)
     else if (up.startsWith("SHOW DATABASES") || up.startsWith("SHOW SCHEMAS")) {
       import spark.implicits._
       (dbOpts.keys.toSeq ++ Seq("information_schema", "greptime_private"))
@@ -143,8 +178,11 @@ final class GraftSession(val spark: SparkSession,
       }
       status(s"database $db altered")
     }
-    else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC "))
-      describeTable(normTable(stmt.split("\\s+").last))
+    else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC ")) {
+      val target = normTable(stmt.split("\\s+").last)
+      if (infoDb && target.equalsIgnoreCase("table_constraints")) describeInfoConstraints()
+      else describeTable(target)
+    }
     else if (up.startsWith("INSERT INTO")) insert(stmt)
     // MySQL-style REPLACE INTO: same write path; duplicate keys resolve
     // through the last_row merge view
@@ -191,9 +229,16 @@ final class GraftSession(val spark: SparkSession,
       plan.split("\n").toSeq.toDF("plan")
     }
     else if (up.startsWith("ADMIN")) admin(stmt)
-    else if (up.contains("INFORMATION_SCHEMA.")) {
+    else if (up.contains("INFORMATION_SCHEMA.") ||
+        (infoDb && InfoBareRx.findFirstIn(stmt).isDefined)) {
       refreshInfoSchema()
-      spark.sql(dialect(stmt)
+      // inside `USE information_schema`, bare names address its tables
+      val qualified =
+        if (infoDb) InfoBareRx.replaceAllIn(stmt, m =>
+          s"${m.group(1)} information_schema.${m.group(2)}")
+        else stmt
+      spark.sql(dialect(qualified)
+        .replaceAll("(?i)information_schema\\.table_constraints", "__info_constraints")
         .replaceAll("(?i)information_schema\\.tables", "__info_tables")
         .replaceAll("(?i)information_schema\\.columns", "__info_columns")
         .replaceAll("(?i)information_schema\\.flows", "__info_flows"))
@@ -472,6 +517,17 @@ final class GraftSession(val spark: SparkSession,
       "nullif(transform(collect_list(struct($1 AS __v)), s -> s.__v), array())")
     r = r.replaceAll("(?i)FROM\\s+(?:public\\.)?numbers\\s+LIMIT\\s+(\\d+)",
       "FROM (SELECT CAST(id AS INT) AS number FROM range(0, $1))")
+    // system functions / session vars resolved at rewrite time
+    r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bdatabase\\(\\)",
+      s"'${if (infoDb) "information_schema" else currentDb}'")
+      .replaceAll("(?i)\\bcurrent_schema\\(\\)",
+        s"'${if (infoDb) "information_schema" else currentDb}'")
+      .replaceAll("(?i)\\bsession_user\\b(?!\\s*\\()", "'greptime'")
+      .replaceAll("(?i)\\bread_preference\\(\\)",
+        s"'${sessionVars("read_preference").toUpperCase(Locale.ROOT)}'"))
+    r = rewriteOutsideQuotes(r)(s =>
+      "@@(?:session\\.)?([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(s, m =>
+        sessionVars.getOrElse(m.group(1).toLowerCase(Locale.ROOT), "0")))
     // current-schema qualification: `public.table` resolves to the bare
     // temp view when public is the active database (view/create.result)
     if (currentDb == "public")
@@ -490,7 +546,35 @@ final class GraftSession(val spark: SparkSession,
     r = rewriteUddsketch(r)
     r = rewriteMedian(r)
     r = rewriteIntDiv(r)
+    r = rewriteTsLiteralCompare(r)
     defaultNullOrdering(r)
+  }
+
+  /** DataFusion compares TIMESTAMP columns against bare integer literals in
+    * the column's native unit (`WHERE ts < 43` on a ms column means 43 ms);
+    * Spark rejects the comparison. Wrap the literal when the identifier
+    * probes to a timestamp (view/view.result). */
+  private def rewriteTsLiteralCompare(s: String): String = {
+    if (!s.toUpperCase(Locale.ROOT).contains("FROM")) return s
+    val cmp = "([A-Za-z_][A-Za-z0-9_]*)\\s*(<=|>=|<>|!=|<|>|=)\\s*(\\d+)(?![0-9.'\"A-Za-z_])".r
+    if (cmp.findFirstIn(s).isEmpty) return s
+    val fromTable = "(?is)\\bFROM\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+      .findFirstMatchIn(s).map(_.group(1))
+    val usPerUnit = fromTable.flatMap(tsLiteralUs.get).getOrElse(1000L)
+    val cache = scala.collection.mutable.Map.empty[String, Boolean]
+    // probe against the bare table (the statement's own WHERE may be the
+    // unrewritten comparison that fails analysis)
+    val probeStmt = fromTable.map(t => s"SELECT 1 FROM $t").getOrElse(return s)
+    rewriteOutsideQuotes(s)(seg => cmp.replaceAllIn(seg, m => {
+      val isTs = cache.getOrElseUpdate(m.group(1), probeType(m.group(1), probeStmt) match {
+        case Some(_: org.apache.spark.sql.types.TimestampType) => true
+        case Some(org.apache.spark.sql.types.TimestampNTZType) => true
+        case _ => false
+      })
+      if (isTs)
+        s"${m.group(1)} ${m.group(2)} TIMESTAMP_MICROS(${m.group(3)} * $usPerUnit)"
+      else m.matched
+    }))
   }
 
   /** Schema-probe an expression against the statement's FROM clause;
@@ -1141,6 +1225,7 @@ final class GraftSession(val spark: SparkSession,
         df = df.select((declared ++ extra).map(c => col(s"`$c`")): _*)
     }
     df.createOrReplaceTempView(name)
+    rebuildViews()
   }
 
   /** TTL durations accept compact ('90s') and humantime verbose
@@ -1167,22 +1252,51 @@ final class GraftSession(val spark: SparkSession,
 
   private val CreateViewRx =
     ("(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
-      "([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(.*)").r
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*(\\([^)]*\\))?\\s+AS\\s+(.*)").r
 
   /** CREATE VIEW-created view names (SHOW VIEWS / SHOW TABLES listing). */
   private val userViews = scala.collection.mutable.LinkedHashSet.empty[String]
+  /** view name -> (normalized CREATE statement, dialected query) — the
+    * statement feeds SHOW CREATE VIEW; the query re-executes after every
+    * base-table refresh so views stay live (view/show_create.result). */
+  private val userViewDefs =
+    scala.collection.mutable.LinkedHashMap.empty[String, (String, String)]
+
+  /** re-derive every stored view from its SQL; a view whose base is gone
+    * drops so reads fail like the reference's invalidated views */
+  private def rebuildViews(): Unit =
+    userViewDefs.foreach { case (v, (_, query)) =>
+      try spark.sql(query).createOrReplaceTempView(v)
+      catch { case _: Exception => spark.catalog.dropTempView(v) }
+    }
 
   private def createView(stmt: String): DataFrame = stmt match {
-    case CreateViewRx(name, query) =>
+    case CreateViewRx(name, colList, query0) =>
       val up = stmt.toUpperCase(Locale.ROOT)
+      if (up.contains("OR REPLACE") && up.contains("IF NOT EXISTS"))
+        throw new IllegalArgumentException(
+          "Create Or Replace and If Not Exist cannot be used together")
       if (userViews.contains(name) && up.contains("IF NOT EXISTS") &&
         !up.contains("OR REPLACE"))
         return status(s"view $name exists")
       if (userViews.contains(name) && !up.contains("OR REPLACE") &&
         !up.contains("IF NOT EXISTS"))
         throw new IllegalArgumentException(s"view $name already exists")
-      spark.sql(dialect(query)).createOrReplaceTempView(name)
+      // optional column-alias list: CREATE VIEW v (a, b) AS ...
+      val query = Option(colList).filter(_.trim.nonEmpty) match {
+        case Some(cols) => s"SELECT * FROM ($query0) AS __view_cols$cols"
+        case None => query0
+      }
+      val dialected = dialect(query)
+      spark.sql(dialected).createOrReplaceTempView(name)
       userViews += name
+      // SHOW CREATE VIEW re-renders the parsed statement: whitespace
+      // collapses and binary operators get spaced (`n+1` -> `n + 1`)
+      userViewDefs(name) =
+        (stmt.replaceAll("\\s+", " ")
+          .replaceAll("(?<=[A-Za-z0-9_)])\\s*([+*/-])\\s*(?=[A-Za-z0-9_(])", " $1 ")
+          .trim,
+          dialected)
       status(s"view $name created")
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
   }
@@ -1247,19 +1361,43 @@ final class GraftSession(val spark: SparkSession,
           } else if (bodyUp.contains("INDEX")) {
             // bare index hints: no-op
           } else {
-            // MODIFY COLUMN <name> <type>: cast in the read view
-            val typeTok = body.drop(body.takeWhile(!_.isWhitespace).length)
+            // MODIFY COLUMN <name> <type>: cast in the read view.
+            // Rejections mirror alter/change_col_type.result: a quoted
+            // name is case-sensitive; key columns can't change type;
+            // the cast must be expressible.
+            val rawTok = body.takeWhile(!_.isWhitespace)
+            val schemaCols = spark.table(name).schema.fields
+            val exact = schemaCols.exists(_.name == colName)
+            val ci = schemaCols.find(_.name.equalsIgnoreCase(colName))
+            if ((rawTok.startsWith("\"") && !exact) || ci.isEmpty)
+              throw new IllegalArgumentException(
+                s"Column $colName not exists in table $name")
+            if (spec.tags.contains(ci.get.name))
+              throw new IllegalArgumentException(
+                s"Not allowed to change primary key index column '${ci.get.name}'")
+            if (ci.get.name == spec.timeIndex)
+              throw new IllegalArgumentException(
+                s"Not allowed to change timestamp index column '${ci.get.name}' datatype")
+            val typeTok = body.drop(rawTok.length)
               .trim.takeWhile(!_.isWhitespace)
             if (typeTok.toUpperCase(Locale.ROOT).startsWith("INTERVAL"))
               throw new IllegalArgumentException("interval columns are not supported")
             val t = sparkType(typeTok)
+            if (!org.apache.spark.sql.catalyst.expressions.Cast.canCast(ci.get.dataType, t))
+              throw new IllegalArgumentException(
+                s"column '${ci.get.name}' cannot be cast automatically to type '$typeTok'")
             colCasts.put(name, colCasts.getOrElse(name, Map.empty) + (colName -> t))
             colMeta.get(name).foreach(m => colMeta.put(name, m.map(c =>
               if (c.name == colName) c.copy(gtype = greptimeTypeName(typeTok)) else c)))
           }
         }
       } else if (up.startsWith("RENAME")) {
-        val newName = unquote(tail.substring("RENAME".length).trim)
+        val rawNew = tail.substring("RENAME".length).trim
+          .replaceFirst("(?i)^TO\\s+", "")
+        val newName = unquote(rawNew.stripPrefix("'").stripSuffix("'"))
+        // the reference validates rename targets (alter/rename_table.result)
+        if (!newName.matches("[A-Za-z_][A-Za-z0-9_]*"))
+          throw new IllegalArgumentException(s"Invalid table name: $newName")
         if (catalog.tables.contains(newName))
           throw new IllegalArgumentException(s"table $newName already exists")
         catalog.deregister(name)
@@ -1400,16 +1538,94 @@ final class GraftSession(val spark: SparkSession,
     status(s"table $name dropped")
   }
 
+  /** MySQL/Postgres-compatible session SET forms the reference accepts
+    * (system/{max_execution_time,set_unsupported,pg_catalog}.sql):
+    * `SET [SESSION|LOCAL|GLOBAL] [@@][scope.]var = v`, `SET NAMES x`,
+    * `SET search_path TO x`. Time zone variants apply to the session;
+    * everything else is accepted as a no-op like the reference. */
+  /** session variables readable via `@@name` / helper functions */
+  private val sessionVars = scala.collection.mutable.Map[String, String](
+    "max_execution_time" -> "0", "read_preference" -> "leader")
+  /** warnings from the previous statement only (SHOW WARNINGS contract) */
+  private[graft] var lastWarnings: Seq[(String, Int, String)] = Nil
+
+  private def setSession(stmt: String): DataFrame = {
+    val body = stmt.trim.replaceFirst("(?is)^SET\\s+", "")
+      .replaceFirst("(?is)^(SESSION|LOCAL|GLOBAL)\\s+", "")
+    val up = body.toUpperCase(Locale.ROOT)
+    if (up.startsWith("NAMES")) return status("names set")
+    if (up.startsWith("SEARCH_PATH")) return status("search_path set")
+    val kv = "(?is)@{0,2}([A-Za-z_][A-Za-z0-9_.]*)\\s*(?:=|\\bTO\\b)\\s*(.+)".r
+    body match {
+      case kv(rawKey, rawVal) =>
+        val key = rawKey.toLowerCase(Locale.ROOT).replaceFirst("^(session|local|global)\\.", "")
+        val v = rawVal.trim.stripPrefix("'").stripSuffix("'")
+        key match {
+          case "time_zone" | "timezone" =>
+            spark.conf.set("spark.sql.session.timeZone", v)
+          case "read_preference" =>
+            if (!Set("leader", "follower").contains(v.toLowerCase(Locale.ROOT)))
+              throw new IllegalArgumentException(
+                s"Invalid read preference expr $v in set variable statement")
+            sessionVars(key) = v
+          case "max_execution_time" => sessionVars(key) = v
+          case "autocommit" | "sql_mode" | "wait_timeout" | "net_write_timeout" |
+               "interactive_timeout" => () // accepted silently (MySQL compat)
+          case other =>
+            sessionVars(other) = v
+            lastWarnings = Seq(("Warning", 1000,
+              s"Unsupported set variable ${other.toUpperCase(Locale.ROOT)}"))
+        }
+        status(s"$key set")
+      case _ => throw new IllegalArgumentException(s"cannot parse SET: $stmt")
+    }
+  }
+
+  /** DESC of information_schema.table_constraints (its reference schema). */
+  private def describeInfoConstraints(): DataFrame = {
+    import spark.implicits._
+    Seq("constraint_catalog", "constraint_schema", "constraint_name",
+      "table_schema", "table_name", "constraint_type", "enforced")
+      .map(c => (c, "String", "", "NO", "", "FIELD"))
+      .toDF("Column", "Type", "Key", "Null", "Default", "Semantic Type")
+  }
+
   /** information_schema.tables / .columns (reference information_schema
     * provider) materialized as temp views on demand. */
   private def refreshInfoSchema(): Unit = {
     import spark.implicits._
-    catalog.tables.map { t =>
+    // all databases: live catalog rows for the current one, saved states
+    // for the rest, plus the numbers builtin under public
+    val currentRows = catalog.tables.map { t =>
       val spec = catalog.spec(t)
-      (t, "BASE TABLE", spec.mergeMode.toString.toLowerCase(Locale.ROOT),
+      ("greptime", currentDb, t, "BASE TABLE",
+        spec.mergeMode.toString.toLowerCase(Locale.ROOT),
         spec.timeIndex, spec.tags.mkString(","))
-    }.toDF("table_name", "table_type", "merge_mode", "time_index", "primary_keys")
+    }
+    val savedRows = dbSaved.toSeq.filterNot(_._1 == currentDb).flatMap { case (db, st) =>
+      st.specs.values.map(spec => ("greptime", db, spec.name, "BASE TABLE",
+        spec.mergeMode.toString.toLowerCase(Locale.ROOT),
+        spec.timeIndex, spec.tags.mkString(",")))
+    }
+    val numbersRow =
+      if ((currentRows ++ savedRows).exists(r => r._2 == "public" && r._3 == "numbers")) Nil
+      else Seq(("greptime", "public", "numbers", "LOCAL TEMPORARY", "append", "", "number"))
+    (currentRows ++ savedRows ++ numbersRow)
+      .toDF("table_catalog", "table_schema", "table_name", "table_type",
+        "merge_mode", "time_index", "primary_keys")
       .createOrReplaceTempView("__info_tables")
+    // TIME INDEX / PRIMARY constraints per table (table_constraints.result)
+    val constraintRows = (currentRows ++ savedRows ++ numbersRow).flatMap {
+      case (_, db, t, _, _, timeIndex, primaryKeys) =>
+        val pk = if (primaryKeys.nonEmpty)
+          Seq(("def", db, "PRIMARY", db, t, "PRIMARY KEY", "YES")) else Nil
+        val ti = if (timeIndex.nonEmpty)
+          Seq(("def", db, "TIME INDEX", db, t, "TIME INDEX", "YES")) else Nil
+        pk ++ ti
+    }
+    constraintRows.toDF("constraint_catalog", "constraint_schema", "constraint_name",
+      "table_schema", "table_name", "constraint_type", "enforced")
+      .createOrReplaceTempView("__info_constraints")
     catalog.tables.flatMap { t =>
       describeTable(t).collect().map(r =>
         (t, r.getString(0), r.getString(1), r.getString(3) == "YES", r.getString(5)))
@@ -2078,8 +2294,10 @@ final class GraftSession(val spark: SparkSession,
         val i = names.indexOf(k)
         if (i >= 0 && i < finalNames.length) Some(finalNames(i)) else None
       }.distinct
+      // in-session sinks are small catalog tables; the 100TB path is a
+      // FlowDef with time-bucket partitionBy (see streaming/Flow.scala)
       val flowDef = FlowDef(name, spec.path, upsertKeys, identity,
-        expireAfter = Option(expire))
+        expireAfter = Option(expire), allowUnpartitioned = true)
       flows.put(name, (flowDef, query))
       // the flow only sees rows written AFTER its creation (flow_flush:
       // pre-existing rows stay invisible even after FLUSH_FLOW)

@@ -59,12 +59,23 @@ object Flow {
       transform: DataFrame => DataFrame,
       eventTime: Option[String] = None,
       expireAfter: Option[String] = None,
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      allowUnpartitioned: Boolean = false)
+
+  /** An unpartitioned sink rewrites ENTIRELY on every refresh — fine for a
+    * small in-session table, a scale-killer for a 100 TB sink. Partitioned
+    * refreshes rewrite only the partitions the batch touches, so flows must
+    * either declare a time-bucket `partitionBy` or opt out explicitly. */
+  private def requirePartitioning(flow: FlowDef): Unit =
+    require(flow.partitionBy.nonEmpty || flow.allowUnpartitioned,
+      s"flow ${flow.name}: unpartitioned sink rewrites the whole sink per refresh; " +
+        "set partitionBy (time bucket) or allowUnpartitioned=true for small sinks")
 
   /** Start the streaming engine for a flow. `source` must be a
     * streaming DataFrame (readStream / MemoryStream). */
   def start(source: DataFrame, flow: FlowDef, checkpoint: String): StreamingQuery = {
     require(source.isStreaming, s"flow ${flow.name}: source is not a stream")
+    requirePartitioning(flow)
     val watermarked = (flow.eventTime, flow.expireAfter) match {
       case (Some(c), Some(d)) => source.withWatermark(c, d)
       case _ => source
@@ -85,6 +96,7 @@ object Flow {
     * recompute); recomputed windows replace their sink rows. */
   def refreshOnce(source: DataFrame, flow: FlowDef,
       dirtyFilter: Option[Column] = None): Unit = {
+    requirePartitioning(flow)
     val sliced = dirtyFilter.map(source.filter).getOrElse(source)
     upsert(flow.transform(sliced), flow.sink, flow.keys, flow.partitionBy)
   }

@@ -97,7 +97,10 @@ object GoldenRunner {
         val expected: Expected =
           if (i >= lines.length) NonQuery
           else if (lines(i).startsWith("Affected Rows:")) { i += 1; NonQuery }
-          else if (lines(i).startsWith("Error:")) {
+          else if (lines(i).startsWith("affected_rows:")) { i += 1; NonQuery }
+          else if (lines(i).startsWith("Error:") ||
+              lines(i).startsWith("Failed to execute query")) {
+            // the MySQL/Postgres protocol files render errors client-style
             while (i < lines.length && lines(i).trim.nonEmpty) i += 1
             ErrorExpected
           } else if (lines(i).startsWith("+")) {
@@ -318,7 +321,14 @@ object GoldenRunner {
                     if (e.sortMode == 1)
                       want.filterNot(_.map(c => strip(c).trim.toLowerCase) == header)
                     else want
-                  val wantC = wantRows.map(_.map(c => canon(strip(c))))
+                  // postgres-protocol goldens render booleans t/f
+                  val pgBools = got.flatten.toSet.subsetOf(Set("true", "false")) &&
+                    wantRows.flatten.map(strip).toSet.subsetOf(Set("t", "f"))
+                  val wantC = wantRows.map(_.map(c => canon(strip(c)) match {
+                    case "t" if pgBools => "true"
+                    case "f" if pgBools => "false"
+                    case x => x
+                  }))
                   // rows compare pipe-joined: a result cell that itself
                   // contains '|' (string_agg) parses as extra cells from
                   // the golden table — joining makes that benign. Cells

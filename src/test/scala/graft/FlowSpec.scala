@@ -38,7 +38,8 @@ class FlowSpec extends AnyFunSuite {
     val flow = FlowDef(
       name = "f1", sink = sink, keys = Seq("host", "window_start"),
       transform = tumbleSum,
-      eventTime = Some("t"), expireAfter = Some("30 seconds"))
+      eventTime = Some("t"), expireAfter = Some("30 seconds"),
+      allowUnpartitioned = true)
 
     val q = Flow.start(src, flow, tmpDir("flow_cp"))
     try {
@@ -64,7 +65,7 @@ class FlowSpec extends AnyFunSuite {
     val sink = tmpDir("flow_batch_sink")
     val flow = FlowDef(
       name = "f2", sink = sink, keys = Seq("host", "window_start"),
-      transform = tumbleSum)
+      transform = tumbleSum, allowUnpartitioned = true)
     def src(rows: (Long, String, Double)*): DataFrame =
       rows.toDF("ts_ms", "host", "v").withColumn("t", timestamp_millis(col("ts_ms")))
 
@@ -84,11 +85,28 @@ class FlowSpec extends AnyFunSuite {
     def frame(rows: (String, Long, Double, String)*): DataFrame =
       rows.toDF("host", "window_start", "total", "day")
     Flow.upsert(frame(("a", 0L, 1.0, "d1"), ("b", 0L, 2.0, "d2")), sink, keys, Seq("day"))
+    // files of the untouched d2 partition must survive the refresh
+    // physically (only dirty partitions rewrite — the 100TB contract)
+    def d2Files = Option(new java.io.File(sink, "day=d2").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val before = d2Files
+    assert(before.nonEmpty)
     Flow.upsert(frame(("a", 0L, 9.0, "d1"), ("c", 5L, 3.0, "d1")), sink, keys, Seq("day"))
+    assert(d2Files == before, "untouched partition was rewritten")
     val out = spark.read.parquet(sink)
       .select("host", "window_start", "total", "day").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
     assert(out == Set(("a", 0L, 9.0, "d1"), ("c", 5L, 3.0, "d1"), ("b", 0L, 2.0, "d2")))
+  }
+
+  test("unpartitioned flows require the explicit opt-out") {
+    val flow = FlowDef(name = "f_guard", sink = tmpDir("flow_guard"),
+      keys = Seq("host"), transform = identity)
+    val ex = intercept[IllegalArgumentException] {
+      Flow.refreshOnce(Seq((1L, "a", 1.0)).toDF("ts_ms", "host", "v"), flow)
+    }
+    assert(ex.getMessage.contains("partitionBy"))
   }
 
   test("tumble with origin shifts the grid") {
