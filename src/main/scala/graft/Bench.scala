@@ -36,7 +36,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
-    val names = headline.filter(qs.contains)
+    // dev filter: SPARK_GRAFT_BENCH_ONLY=a,b restricts the set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val names = headline.filter(qs.contains).filter(n => only.forall(_.contains(n)))
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()

@@ -20,8 +20,7 @@ object IngestQueries {
         lit(" value="), col("value").cast("decimal(18,4)"),
         lit(",user="), col("user_id"), lit("i "),
         col("ts")).as("line"))
-      val wide = Protocols.pivotMeasurement(
-        Protocols.fromInfluxLines(lines, "line"), "events")
+      val wide = Protocols.influxPivoted(lines, "line", "events")
       wide.groupBy(col("type"))
         .agg(count(lit(1)).as("n"),
           dsum(col("value")).as("sum_v"),
@@ -79,6 +78,35 @@ object IngestQueries {
         .agg(count(lit(1)).as("n"),
           sum(get_json_object(col("doc"), "$.doc_id").cast("long")).as("sum_id"),
           sum(get_json_object(col("doc"), "$.len").cast("long")).as("sum_len"))
+        .orderBy(col("table"))
+    }),
+
+    // events rows → Splunk HEC /event batches (concatenated JSON objects,
+    // ~250 per payload) → the real HEC parser → reference row mapping
+    // (index→table, fields/host/sourcetype→tags, event+rest→data) →
+    // per-table aggregate vs DuckDB on the raw columns.
+    "ingest_splunk_hec" -> ((s, d) => {
+      import s.implicits._
+      val src = T(s, d, "events").select(
+        col("event_type").as("etype"), expr("ts div 1000000").as("ts_ms"),
+        col("value").cast("decimal(18,4)").cast("string").as("v"),
+        col("user_id").cast("long").as("uid"))
+      val payloads = src.as[(String, Long, String, Long)].mapPartitions { it =>
+        it.grouped(250).map { chunk =>
+          chunk.map { case (etype, ms, v, uid) =>
+            s"""{"time":$ms,"index":"splunk_$etype","host":"h${uid % 4}",""" +
+              s""""sourcetype":"events","fields":{"type":"$etype"},""" +
+              s""""event":"val=$v","user":$uid}"""
+          }.mkString("")
+        }
+      }.toDF("body")
+      LogIngest.fromSplunkHec(payloads, "body")
+        .groupBy(col("table"))
+        .agg(count(lit(1)).as("n"),
+          dsum(regexp_extract(col("event"), "val=(.*)", 1).cast("decimal(18,4)")).as("sum_v"),
+          sum(get_json_object(col("extras"), "$.user").cast("long")).as("sum_user"),
+          countDistinct(element_at(col("tags"), "host")).as("n_hosts"),
+          max(col("ts_ms")).as("max_ts_ms"))
         .orderBy(col("table"))
     }),
 
@@ -191,6 +219,13 @@ object IngestQueries {
            CAST(SUM(doc_id) AS BIGINT) AS sum_id,
            CAST(SUM(length(text)) AS BIGINT) AS sum_len
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "ingest_splunk_hec" ->
+      """SELECT 'splunk_' || event_type AS "table", COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user,
+           CAST(COUNT(DISTINCT user_id % 4) AS BIGINT) AS n_hosts,
+           MAX(epoch_ns(ts) // 1000000) AS max_ts_ms
+         FROM events GROUP BY 1 ORDER BY 1""",
     "ingest_prom_remote_write" ->
       """SELECT event_type AS type, COUNT(*) AS n,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,

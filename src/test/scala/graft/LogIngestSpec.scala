@@ -54,4 +54,52 @@ class LogIngestSpec extends AnyFunSuite {
       msgField = Some("message")).collect().map(_.getString(1))
     assert(narrowed.toSeq === Seq("""{"k":5}""", """{"message":"plain text"}"""))
   }
+
+  test("splunk hec /event: batching forms, validation codes, row mapping") {
+    import spark.implicits._
+    // concatenated objects with no separator + a top-level array payload
+    val concat =
+      """{"time":1700000000,"index":"main","host":"h1","event":"a","extra":7}""" +
+        """{"event":"b"}""" +
+        """{"event":" ","index":"x"}""" + // code 13: blank event -> dropped
+        """{"index":"x"}""" + // code 12: missing event -> dropped
+        """{"event":"c","time":"nope"}""" // code 6: bad time -> dropped
+    val arr = """[{"time":1700000000.5,"event":{"k":1},"fields":{"dc":"eu"},"sourcetype":"st"}]"""
+    val rows = LogIngest.fromSplunkHec(Seq(concat, arr).toDF("body"), "body",
+        queryTable = Some("qtab"), defaultTsMs = 42L)
+      .collect().map(r => (r.getAs[String]("table"), r.getAs[Long]("ts_ms"),
+        r.getAs[Map[String, String]]("tags"), r.getAs[String]("event"), r.getAs[String]("extras")))
+    assert(rows.length === 3)
+    assert(rows(0) === ("main", 1700000000000L, Map("host" -> "h1"), "a", """{"extra":7}"""))
+    assert(rows(1) === ("qtab", 42L, Map.empty[String, String], "b", "{}"))
+    // fractional seconds floor to millis; object event kept as JSON; fields+sourcetype are tags
+    assert(rows(2) === ("qtab", 1700000000500L,
+      Map("dc" -> "eu", "sourcetype" -> "st"), """{"k":1}""", "{}"))
+  }
+
+  test("splunk hec index sanitization mirrors splunk.rs table-name rules") {
+    import spark.implicits._
+    val payload =
+      """{"event":"a","index":"ok_name:x-y.z@#"}""" +
+        """{"event":"b","index":"bad name!"}""" +
+        """{"event":"c","index":"9starts_digit"}""" +
+        """{"event":"d","index":"   "}"""
+    val tabs = LogIngest.fromSplunkHec(Seq(payload).toDF("body"), "body")
+      .collect().map(_.getAs[String]("table"))
+    assert(tabs.toSeq === Seq("ok_name:x-y.z@#", "bad_name_", "_9starts_digit", "splunk_logs"))
+  }
+
+  test("splunk hec /raw: whole-body event vs linebreaker split, request metadata") {
+    import spark.implicits._
+    val whole = LogIngest.fromSplunkRaw(Seq("line1\nline2").toDF("b"), "b",
+        metadata = Map("host" -> "h", "ignored" -> "x"), tsMs = 5L)
+      .collect().map(r => (r.getAs[Long]("ts_ms"), r.getAs[String]("message"),
+        r.getAs[Map[String, String]]("tags")))
+    assert(whole.toSeq === Seq((5L, "line1\nline2", Map("host" -> "h"))))
+
+    val split = LogIngest.fromSplunkRaw(Seq("a|| ||b||").toDF("b"), "b",
+        linebreaker = Some("||")).collect().map(_.getAs[String]("message"))
+    assert(split.toSeq === Seq("a", "b"))
+    assert(LogIngest.fromSplunkRaw(Seq("  ").toDF("b"), "b").count() === 0)
+  }
 }
