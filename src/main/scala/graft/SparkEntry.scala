@@ -28,6 +28,7 @@ object SparkEntry {
     (MergeQueries.queries, MergeQueries.oracles),
     (SqlQueries.queries, SqlQueries.oracles),
     (IngestQueries.queries, IngestQueries.oracles),
+    (TraceQueries.queries, TraceQueries.oracles),
     (TsbsQueries.queries, TsbsQueries.oracles)
   )
 

@@ -36,6 +36,12 @@ object ProtoWire {
       while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
       this
     }
+    def fixed32(field: Int, v: Int): Writer = {
+      tag(field, 5)
+      var i = 0
+      while (i < 4) { out.write(((v >>> (8 * i)) & 0xff)); i += 1 }
+      this
+    }
     def bytes(field: Int, v: Array[Byte]): Writer = { tag(field, 2); varint(v.length.toLong); out.write(v, 0, v.length); this }
     def string(field: Int, v: String): Writer = bytes(field, v.getBytes("UTF-8"))
     def message(field: Int)(body: Writer => Unit): Writer = {
