@@ -19,23 +19,70 @@ import org.apache.spark.sql.functions.udf
   */
 object TextMatch {
 
-  @inline private def isWordByte(ch: Char): Boolean =
-    ch < 128 && (Character.isLetterOrDigit(ch))
+  // char classes mirroring matches_term.rs:250-258 classify_char
+  private final val AsciiWord = 0
+  private final val Han = 1
+  private final val UnicodeWord = 2
+  private final val OtherClass = 3
 
-  /** Core matcher shared by matches_term (caseSensitive) and matches terms. */
+  @inline private def classify(cp: Int): Int =
+    if (cp < 128 && Character.isLetterOrDigit(cp)) AsciiWord
+    else if (Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN) Han
+    else if (Character.isLetterOrDigit(cp)) UnicodeWord
+    else OtherClass
+
+  // term kinds (matches_term.rs:268-287 classify_term): a Han-containing
+  // term matches as a plain substring; a unicode-word term needs non-word
+  // neighbors; an ascii-like term only rejects ascii-word neighbors
+  private final val AsciiLike = 0
+  private final val UnicodeWordTerm = 1
+  private final val HanContaining = 2
+
+  private def classifyTerm(q: String): Int = {
+    var hasHan = false; var hasUni = false
+    var i = 0
+    while (i < q.length) {
+      val cp = q.codePointAt(i)
+      classify(cp) match {
+        case Han => hasHan = true
+        case UnicodeWord => hasUni = true
+        case _ =>
+      }
+      i += Character.charCount(cp)
+    }
+    if (hasHan) HanContaining else if (hasUni) UnicodeWordTerm else AsciiLike
+  }
+
+  private def boundaryOk(kind: Int, neighborClass: Int): Boolean = kind match {
+    case AsciiLike => neighborClass != AsciiWord
+    case UnicodeWordTerm =>
+      neighborClass != AsciiWord && neighborClass != UnicodeWord && neighborClass != Han
+    case _ => true // HanContaining
+  }
+
+  /** Core matcher shared by matches_term (caseSensitive) and matches
+    * terms — the reference's MatchesTermFinder::find
+    * (matches_term.rs:289-360): a term edge that is itself a non-word
+    * char satisfies that side's boundary unconditionally. */
   def termMatches(text: String, term: String, caseSensitive: Boolean): Boolean = {
     if (text == null || term == null) return false
     val t = if (caseSensitive) text else text.toLowerCase
     val q = if (caseSensitive) term else term.toLowerCase
     if (q.isEmpty) return t.isEmpty
+    val kind = classifyTerm(q)
+    val startsWithOther = classify(q.codePointAt(0)) == OtherClass
+    val endsWithOther = classify(q.codePointBefore(q.length)) == OtherClass
     var idx = t.indexOf(q)
     while (idx >= 0) {
-      val beforeOk = idx == 0 ||
-        !(isWordByte(t.charAt(idx - 1)) && isWordByte(q.charAt(0)))
-      val end = idx + q.length
-      val afterOk = end >= t.length ||
-        !(isWordByte(t.charAt(end)) && isWordByte(q.charAt(q.length - 1)))
-      if (beforeOk && afterOk) return true
+      val prevOk = startsWithOther || idx == 0 ||
+        boundaryOk(kind, classify(t.codePointBefore(idx)))
+      if (prevOk) {
+        if (kind == HanContaining) return true
+        val end = idx + q.length
+        val nextOk = endsWithOther || end >= t.length ||
+          boundaryOk(kind, classify(t.codePointAt(end)))
+        if (nextOk) return true
+      }
       idx = t.indexOf(q, idx + 1)
     }
     false

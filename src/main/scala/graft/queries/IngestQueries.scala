@@ -110,6 +110,24 @@ object IngestQueries {
         .orderBy(col("table"))
     }),
 
+    // events rows → OpenTSDB `put` lines (ms timestamps) → the real
+    // telnet-style parser → per-type aggregate vs DuckDB raw columns.
+    "ingest_opentsdb" -> ((s, d) => {
+      val lines = T(s, d, "events").select(concat(
+        lit("put events_value "), expr("ts div 1000000"), lit(" "),
+        col("value").cast("decimal(18,4)"),
+        lit(" type="), col("event_type"),
+        lit(" user="), col("user_id")).as("line"))
+      Protocols.fromOpenTsdbLines(lines, "line")
+        .where(col("measurement") === "events_value")
+        .groupBy(element_at(col("tags"), "type").as("type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(element_at(col("fields_num"), "value")).as("sum_v"),
+          sum(element_at(col("tags"), "user").cast("long")).as("sum_user"),
+          max(expr("ts_ns div 1000000")).as("max_ts_ms"))
+        .orderBy(col("type"))
+    }),
+
     // events rows → snappy-compressed protobuf WriteRequest payloads (one
     // per ~500-row executor-side batch) → the real remote-write parser →
     // same aggregate as DuckDB on the raw columns.
@@ -219,6 +237,11 @@ object IngestQueries {
            CAST(SUM(doc_id) AS BIGINT) AS sum_id,
            CAST(SUM(length(text)) AS BIGINT) AS sum_len
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "ingest_opentsdb" ->
+      """SELECT event_type AS type, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user, MAX(epoch_ns(ts) // 1000000) AS max_ts_ms
+         FROM events GROUP BY 1 ORDER BY 1""",
     "ingest_splunk_hec" ->
       """SELECT 'splunk_' || event_type AS "table", COUNT(*) AS n,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,

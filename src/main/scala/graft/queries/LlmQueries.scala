@@ -130,6 +130,24 @@ object LlmQueries {
             .as("feat_sum"),
           max(col("meta.width")).cast("long").as("max_w"))
         .orderBy(col("modality"))
+    }),
+
+    // deterministic corpus sampling: per-stratum quota (exactly 200 by
+    // hash-rank) and per-stratum fractions (downsample common strata,
+    // keep rare ones) — both md5-rank driven so DuckDB replays the
+    // identical arithmetic.
+    "sample_stratified" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val quota = graft.operators.Sampling
+        .stratifiedQuota(ev, Seq("event_type"), col("event_id"), 200)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_quota"), sum(col("event_id")).as("sum_id_quota"))
+      val frac = graft.operators.Sampling
+        .stratifiedFractions(ev, col("event_type"), col("event_id"),
+          Map("error" -> 0.5), default = 0.1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_frac"), sum(col("event_id")).as("sum_id_frac"))
+      quota.join(frac, Seq("event_type")).orderBy(col("event_type"))
     })
   )
 
@@ -381,6 +399,26 @@ object LlmQueries {
            GROUP BY 1)
          SELECT 'video' AS modality, CAST(SUM(n_fr) AS BIGINT) AS n_frames,
            round(SUM(n_fr * es), 4) AS feat_sum, CAST(MAX(w) AS BIGINT) AS max_w
-         FROM a JOIN f USING (event_id)"""
+         FROM a JOIN f USING (event_id)""",
+
+    // same md5-prefix 60-bit rank as the Spark side (Sampling.hashRank)
+    "sample_stratified" ->
+      """WITH r AS (SELECT event_type, event_id,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS rk
+           FROM events),
+         q AS (SELECT event_type, COUNT(*) AS n_quota,
+                 CAST(SUM(event_id) AS BIGINT) AS sum_id_quota
+               FROM (SELECT event_type, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY rk, event_id) AS rn FROM r) t
+               WHERE rn <= 200 GROUP BY 1),
+         f AS (SELECT event_type, COUNT(*) AS n_frac,
+                 CAST(SUM(event_id) AS BIGINT) AS sum_id_frac
+               FROM r
+               WHERE rk / 1152921504606846976.0 <
+                     CASE WHEN event_type = 'error' THEN 0.5 ELSE 0.1 END
+               GROUP BY 1)
+         SELECT event_type, n_quota, sum_id_quota, n_frac, sum_id_frac
+         FROM q JOIN f USING (event_type) ORDER BY event_type"""
   )
 }

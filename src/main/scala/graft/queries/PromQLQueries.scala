@@ -82,6 +82,29 @@ object PromQLQueries {
         .orderBy(col("event_type"))
     }),
 
+    // classic le-bucket histogram_quantile (HistogramFold): cumulative
+    // buckets 10/100/1000/+Inf built per event_type at one instant, then
+    // the real PromQL.histogramQuantile path; DuckDB replays the
+    // Prometheus interpolation arithmetic in the same operation order.
+    "promql_histogram_quantile" -> ((s, d) => {
+      val b = T(s, d, "events").groupBy(col("event_type")).agg(
+        sum(when(col("value") <= 10, 1L).otherwise(0L)).cast("double").as("b1"),
+        sum(when(col("value") <= 100, 1L).otherwise(0L)).cast("double").as("b2"),
+        sum(when(col("value") <= 1000, 1L).otherwise(0L)).cast("double").as("b3"),
+        count(lit(1)).cast("double").as("bi"))
+      val iv = PromQL.InstantVector(
+        b.select(col("event_type"), lit(Start).as("__ts"), explode(array(
+          struct(lit("10").as("le"), col("b1").as("__val")),
+          struct(lit("100").as("le"), col("b2").as("__val")),
+          struct(lit("1000").as("le"), col("b3").as("__val")),
+          struct(lit("+Inf").as("le"), col("bi").as("__val")))).as("x"))
+          .select(col("event_type"), col("__ts"), col("x.le"), col("x.__val")),
+        Seq("event_type", "le"))
+      PromQL.histogramQuantile(iv, 0.9).df
+        .select(col("event_type"), col("__val").as("phi90"))
+        .orderBy(col("event_type"))
+    }),
+
     "promql_instant" -> ((s, d) => {
       ev(s, d, "events_value")
         .select(col("__ts").as("ts_g"), col("event_type"), col("__val").as("val"))
@@ -246,6 +269,24 @@ object PromQLQueries {
            round((c2 + c3) / cnt, 9) AS h_frac
          FROM g ORDER BY event_type""",
 
+    // same op order as PromFunctions.histogramQuantile: target = q*total,
+    // first bucket with cum >= target, then le*target/c (first bucket,
+    // le > 0) or prevLe + (le-prevLe)*(target-prevC)/(c-prevC); target
+    // beyond the last finite bucket returns the second-last le.
+    "promql_histogram_quantile" ->
+      """WITH b AS (SELECT event_type,
+             CAST(SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END) AS DOUBLE) AS b1,
+             CAST(SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS DOUBLE) AS b2,
+             CAST(SUM(CASE WHEN value <= 1000 THEN 1 ELSE 0 END) AS DOUBLE) AS b3,
+             CAST(COUNT(*) AS DOUBLE) AS bi
+           FROM events GROUP BY 1)
+         SELECT event_type, CASE
+             WHEN bi = 0 THEN NULL
+             WHEN 0.9 * bi <= b1 THEN 10 * (0.9 * bi) / b1
+             WHEN 0.9 * bi <= b2 THEN 10 + (100 - 10) * ((0.9 * bi) - b1) / (b2 - b1)
+             WHEN 0.9 * bi <= b3 THEN 100 + (1000 - 100) * ((0.9 * bi) - b2) / (b3 - b2)
+             ELSE 1000 END AS phi90
+         FROM b ORDER BY event_type""",
     "promql_instant" ->
       s"""$instantCte SELECT ts_g, event_type, val FROM iv
           ORDER BY ts_g, event_type""",

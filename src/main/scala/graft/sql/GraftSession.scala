@@ -111,6 +111,7 @@ final class GraftSession(val spark: SparkSession,
       userViews.toSeq.sorted.toDF("Views")
     }
     else if (up.startsWith("ALTER TABLE")) alterTable(stmt)
+    else if (up.startsWith("SHOW COLUMNS")) showColumns(stmt)
     else if (up.startsWith("SHOW TABLES")) showTables()
     else if (up.startsWith("SHOW CREATE TABLE"))
       showCreateTable(normTable(stmt.split("\\s+")(3)))
@@ -518,6 +519,22 @@ final class GraftSession(val spark: SparkSession,
     r = r.replaceAll("(?i)FROM\\s+(?:public\\.)?numbers\\s+LIMIT\\s+(\\d+)",
       "FROM (SELECT CAST(id AS INT) AS number FROM range(0, $1))")
     // system functions / session vars resolved at rewrite time
+    // MySQL aggregate aliases bind POPULATION variants in DataFusion
+    // (function_alias.result: std -> stddev_pop, variance -> var_pop);
+    // Spark's natives are the sample variants, so rewrite by name
+    r = rewriteOutsideQuotes(r)(
+      _.replaceAll("(?i)\\bstd\\s*\\(", "stddev_pop(")
+        .replaceAll("(?i)\\bvariance\\s*\\(", "var_pop("))
+    // system functions with environment-specific output render the
+    // reference's shapes (function/system.result pins the sqlness
+    // REPLACE-able forms: semver-only version, multi-line build)
+    r = rewriteOutsideQuotes(r)(
+      _.replaceAll("(?i)\\bversion\\(\\)", "'0.14.0' AS `version()`")
+        .replaceAll("(?i)\\bbuild\\(\\)",
+          "'branch: main\\\\ncommit: 0000000000000000000000000000000000000000\\\\n" +
+            "commit_short: 0000000\\\\nclean: true\\\\nversion: 0.14.0' AS `build()`")
+        .replaceAll("(?i)\\bpg_backend_pid\\(\\)", "'1' AS `pg_backend_pid()`")
+        .replaceAll("(?i)\\bconnection_id\\(\\)", "'1' AS `connection_id()`"))
     r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bdatabase\\(\\)",
       s"'${if (infoDb) "information_schema" else currentDb}'")
       .replaceAll("(?i)\\bcurrent_schema\\(\\)",
@@ -885,10 +902,17 @@ final class GraftSession(val spark: SparkSession,
     def render(kind: String, defaults: Seq[(String, String)]): String =
       s"$kind INDEX WITH(" +
         opts(defaults).map { case (k, v) => s"$k = '$v'" }.mkString(", ") + ")"
-    if (u.contains("FULLTEXT INDEX"))
-      Some(render("FULLTEXT", Seq("analyzer" -> "English", "backend" -> "bloom",
-        "case_sensitive" -> "false", "false_positive_rate" -> "0.01",
-        "granularity" -> "10240")))
+    if (u.contains("FULLTEXT INDEX")) {
+      // the bloom-tuning defaults are backend-specific: a tantivy
+      // backend renders without them (change_col_fulltext_options.result)
+      val tantivy = "(?i)backend\\s*=\\s*'?tantivy'?".r.findFirstIn(item).isDefined
+      val defaults =
+        if (tantivy) Seq("analyzer" -> "English", "case_sensitive" -> "false")
+        else Seq("analyzer" -> "English", "backend" -> "bloom",
+          "case_sensitive" -> "false", "false_positive_rate" -> "0.01",
+          "granularity" -> "10240")
+      Some(render("FULLTEXT", defaults))
+    }
     else if (u.contains("SKIPPING INDEX"))
       Some(render("SKIPPING", Seq("false_positive_rate" -> "0.01",
         "granularity" -> "10240", "type" -> "BLOOM")))
@@ -904,6 +928,37 @@ final class GraftSession(val spark: SparkSession,
   /** MODIFY COLUMN type changes, applied as casts in the read view. */
   private val colCasts =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, DataType]]
+  /** Timestamp defaults resolved to absolute instants at DDL time —
+    * the reference parses the literal under the session timezone ONCE
+    * (alter_table_default.result: a later SET time_zone must not move
+    * an already-declared default). ColMeta keeps the original string
+    * for DESC/SHOW CREATE display. */
+  private val colDefaultResolved =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
+  /** Quoted datetime default → `TIMESTAMP_MICROS(n)` under the CURRENT
+    * session timezone; non-timestamp or non-literal defaults unchanged. */
+  private def resolveTsDefault(gtype: String, d: String): String = {
+    if (!gtype.startsWith("Timestamp")) return d
+    val rx = ("^'([0-9]{4}-[0-9]{2}-[0-9]{2})[ T]" +
+      "([0-9]{2}:[0-9]{2}(?::[0-9]{2})?(?:\\.[0-9]+)?)\\s*(Z|[+-][0-9:]+)?'$").r
+    d.trim match {
+      case rx(date, time0, off) =>
+        try {
+          val time = if (time0.count(_ == ':') == 1) time0 + ":00" else time0
+          val zone = Option(off) match {
+            case Some("Z") => java.time.ZoneId.of("UTC")
+            case Some(o) => java.time.ZoneOffset.of(o)
+            case None => java.time.ZoneId.of(
+              spark.conf.get("spark.sql.session.timeZone", "UTC"))
+          }
+          val ldt = java.time.LocalDateTime.parse(s"${date}T$time")
+          val inst = ldt.atZone(zone).toInstant
+          s"TIMESTAMP_MICROS(${inst.getEpochSecond * 1000000L + inst.getNano / 1000L})"
+        } catch { case _: Exception => d }
+      case _ => d
+    }
+  }
 
   /** Reference type-name canonicalization (datatypes/src/data_type.rs
     * `ConcreteDataType` display names) from the declared SQL token. */
@@ -924,7 +979,8 @@ final class GraftSession(val spark: SparkSession,
       case "UINT64" => "UInt64"
       case "FLOAT" | "FLOAT32" | "REAL" | "FLOAT4" => "Float32"
       case "DOUBLE" | "FLOAT64" | "FLOAT8" => "Float64"
-      case "STRING" | "TEXT" | "VARCHAR" | "CHAR" => "String"
+      case "STRING" | "TEXT" | "VARCHAR" | "CHAR" |
+           "TINYTEXT" | "MEDIUMTEXT" | "LONGTEXT" => "String"
       case "BOOLEAN" | "BOOL" => "Boolean"
       case "BINARY" | "BLOB" | "VARBINARY" => "Binary"
       case "DATE" => "Date"
@@ -1012,7 +1068,8 @@ final class GraftSession(val spark: SparkSession,
     val u = t.trim.toUpperCase(Locale.ROOT)
     val base = u.takeWhile(_ != '(')
     base match {
-      case "STRING" | "TEXT" | "VARCHAR" | "CHAR" => StringType
+      case "STRING" | "TEXT" | "VARCHAR" | "CHAR" |
+           "TINYTEXT" | "MEDIUMTEXT" | "LONGTEXT" => StringType
       case "BOOLEAN" | "BOOL" => BooleanType
       case "TINYINT" => ByteType
       case "INT16" | "SMALLINT" | "INT2" => ShortType
@@ -1378,6 +1435,13 @@ final class GraftSession(val spark: SparkSession,
             if (ci.get.name == spec.timeIndex)
               throw new IllegalArgumentException(
                 s"Not allowed to change timestamp index column '${ci.get.name}' datatype")
+            // NOT NULL columns reject type changes
+            // (alter/change_col_type_not_null.result)
+            if (colMeta.getOrElse(name, Vector.empty)
+                .find(_.name == ci.get.name).exists(!_.nullable))
+              throw new IllegalArgumentException(
+                s"Invalid alter table($name) request: column '${ci.get.name}' " +
+                  "must be nullable to ensure safe conversion.")
             val typeTok = body.drop(rawTok.length)
               .trim.takeWhile(!_.isWhitespace)
             if (typeTok.toUpperCase(Locale.ROOT).startsWith("INTERVAL"))
@@ -1406,6 +1470,7 @@ final class GraftSession(val spark: SparkSession,
         droppedCols.remove(name).foreach(droppedCols.put(newName, _))
         backfills.remove(name).foreach(backfills.put(newName, _))
         colCasts.remove(name).foreach(colCasts.put(newName, _))
+        colDefaultResolved.remove(name).foreach(colDefaultResolved.put(newName, _))
         tsLiteralUs.remove(name).foreach(tsLiteralUs.put(newName, _))
         spark.catalog.dropTempView(name)
         refreshView(newName)
@@ -1508,16 +1573,35 @@ final class GraftSession(val spark: SparkSession,
     if (cd.isPrimaryKey)
       catalog.register(spec.copy(tags = spec.tags :+ cd.name))
     // rows written before this ALTER read the column default (reference
-    // add_col_default.result): gate on the ingest sequence
+    // add_col_default.result): gate on the ingest sequence. Timestamp
+    // string defaults resolve against the session tz NOW, not at read.
     cd.default.foreach { d =>
+      val resolved = resolveTsDefault(meta.gtype, d)
+      if (resolved != d)
+        colDefaultResolved.put(name,
+          colDefaultResolved.getOrElse(name, Map.empty) + (cd.name -> resolved))
       backfills.put(name, backfills.getOrElse(name, Vector.empty) :+
-        ((cd.name, d, seqCounter.incrementAndGet())))
+        ((cd.name, resolved, seqCounter.incrementAndGet())))
     }
   }
 
+  /** DROP TABLE [IF EXISTS] t1[, t2...]: without IF EXISTS every named
+    * table must exist BEFORE anything is dropped (drop/drop_table.result:
+    * `DROP TABLE foo, bar` with bar missing errors and foo survives). */
   private def dropTable(stmt: String): DataFrame = {
-    val name = normTable(stmt.split("\\s+")
-      .filterNot(t => t.equalsIgnoreCase("IF") || t.equalsIgnoreCase("EXISTS")).last)
+    val ifExists = "(?i)\\bIF\\s+EXISTS\\b".r.findFirstIn(stmt).isDefined
+    val body = stmt.replaceAll("(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?", "")
+    val names = body.split(",").map(_.trim).filter(_.nonEmpty).map(normTable)
+    val known = catalog.tables.toSet
+    if (!ifExists) names.find(n => !known.contains(n)).foreach { missing =>
+      throw new IllegalArgumentException(
+        s"Table not found: greptime.$currentDb.${missing.replace("__schema__", ".")}")
+    }
+    names.foreach(dropOneTable)
+    status(s"table ${names.mkString(", ")} dropped")
+  }
+
+  private def dropOneTable(name: String): Unit = {
     spark.catalog.dropTempView(name)
     // a subsequent CREATE TABLE of the same name must start empty
     catalog.deregister(name).foreach { spec =>
@@ -1532,10 +1616,10 @@ final class GraftSession(val spark: SparkSession,
     droppedCols.remove(name)
     colMeta.remove(name)
     colCasts.remove(name)
+    colDefaultResolved.remove(name)
     backfills.remove(name)
     tsLiteralUs.remove(name)
     tableOpts.remove(name)
-    status(s"table $name dropped")
   }
 
   /** MySQL/Postgres-compatible session SET forms the reference accepts
@@ -1870,6 +1954,47 @@ final class GraftSession(val spark: SparkSession,
     case other => other.simpleString.capitalize
   }
 
+  /** `SHOW COLUMNS {FROM|IN} t [{FROM|IN} db] [LIKE p]` in the MySQL
+    * 7-column shape (sql/src/statements/show.rs: Field | Type | Null |
+    * Key | Default | Extra | Greptime_type), rows ordered by Field,
+    * SQL types lowercased (show/show_columns.result). */
+  private def showColumns(stmt: String): DataFrame = {
+    import spark.implicits._
+    val m = "(?is)^SHOW\\s+(?:FULL\\s+)?COLUMNS\\s+(?:FROM|IN)\\s+(\\S+)" +
+      "(?:\\s+(?:FROM|IN)\\s+(\\S+))?(?:\\s+LIKE\\s+'([^']*)')?\\s*$"
+    val rx = m.r
+    stmt match {
+      case rx(t, _, likeOpt) =>
+        val name = normTable(t)
+        val spec = catalog.spec(name)
+        val dropped = droppedCols.getOrElse(name, Set.empty)
+        val metas = colMeta.getOrElse(name,
+          spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+            .filterNot(f => f.name == SeqCol)
+            .map(f => ColMeta(f.name, greptimeNameOf(f.dataType), f.nullable, None, None))
+            .toVector)
+        val like = Option(likeOpt).map(_.replace("%", ".*").replace("_", "."))
+        metas.filterNot(mm => dropped.contains(mm.name))
+          .filter(mm => like.forall(p => mm.name.matches(p)))
+          .sortBy(_.name)
+          .map { mm =>
+            val key =
+              if (mm.name == spec.timeIndex) "TIME INDEX"
+              else if (spec.tags.contains(mm.name)) "PRI" else ""
+            val nul = if (mm.nullable && mm.name != spec.timeIndex) "YES" else "NO"
+            val dft = mm.default
+              .map(_.stripPrefix("'").stripSuffix("'"))
+              .map(d => if (d.matches("(?i)current_timestamp(\\(\\))?"))
+                "current_timestamp()" else d)
+              .getOrElse("")
+            (mm.name, showCreateType(mm.gtype).toLowerCase(Locale.ROOT),
+              nul, key, dft, "", mm.gtype)
+          }.toDF("Field", "Type", "Null", "Key", "Default", "Extra", "Greptime_type")
+      case _ => throw new IllegalArgumentException(
+        "Unexpected token while parsing SQL statement, expected: '{FROM | IN} table'")
+    }
+  }
+
   /** DESC TABLE in the reference's six-column shape
     * (sql/src/statements.rs `prepare_describe_arrow`):
     * Column | Type | Key | Null | Default | Semantic Type. */
@@ -1896,8 +2021,12 @@ final class GraftSession(val spark: SparkSession,
         else if (spec.tags.contains(n)) "TAG"
         else "FIELD"
       val key = if (semantic == "TIMESTAMP" || semantic == "TAG") "PRI" else ""
+      // the reference renders defaults through its expression printer:
+      // CURRENT_TIMESTAMP -> current_timestamp() (create_type_alias.result)
       val default = defaults.getOrElse(n, None)
-        .map(_.stripPrefix("'").stripSuffix("'")).getOrElse("")
+        .map(_.stripPrefix("'").stripSuffix("'"))
+        .map(d => if (d.matches("(?i)current_timestamp(\\(\\))?")) "current_timestamp()" else d)
+        .getOrElse("")
       (n, t, key, if (nullable) "YES" else "NO", default, semantic)
     }.toDF("Column", "Type", "Key", "Null", "Default", "Semantic Type")
   }
@@ -1935,8 +2064,9 @@ final class GraftSession(val spark: SparkSession,
       cols: Seq[String]): String = {
     if (!body.trim.toUpperCase(Locale.ROOT).startsWith("VALUES") ||
       !"(?i)\\bDEFAULT\\b".r.findFirstIn(body).isDefined) return body
+    val resolved = colDefaultResolved.getOrElse(table, Map.empty)
     val defaults = colMeta.getOrElse(table, Vector.empty)
-      .map(m => m.name -> m.default).toMap
+      .map(m => m.name -> resolved.get(m.name).orElse(m.default)).toMap
     val ti = scala.util.Try(catalog.spec(table).timeIndex).toOption
     val metas = colMeta.getOrElse(table, Vector.empty)
     val tuples = splitTop(body.trim.substring("VALUES".length)).map { t0 =>
@@ -1987,7 +2117,41 @@ final class GraftSession(val spark: SparkSession,
             if (n != cols.size) throw new IllegalArgumentException(
               s"Invalid SQL, error: column count mismatch, columns: ${cols.size}, values: $n")
           }
-      var df = spark.sql(dialect(substituteDefaults(name, cleanBody, cols)))
+      // a VALUES column that mixes numeric epoch literals with timestamp
+      // exprs (now()) would fail Spark's inline-table coercion — wrap the
+      // numerics in the epoch-ms convention up front
+      // (system/semantic_graph.sql's `(now(), ...), (0, ...)`)
+      def coerceMixedTs(valuesBody: String): String = {
+        if (!valuesBody.trim.toUpperCase(Locale.ROOT).startsWith("VALUES"))
+          return valuesBody
+        val tsIdx = cols.zipWithIndex.filter { case (c, _) =>
+          target.find(_.name == c).exists(f =>
+            f.dataType == TimestampType || f.dataType == TimestampNTZType)
+        }.map(_._2).toSet
+        if (tsIdx.isEmpty) return valuesBody
+        val tuples = splitTop(valuesBody.trim.substring("VALUES".length)).map(_.trim)
+        if (tuples.isEmpty || !tuples.forall(_.startsWith("("))) return valuesBody
+        val cells = tuples.map(t => splitTop(t.stripPrefix("(").stripSuffix(")")))
+        val us = tsLiteralUs.getOrElse(name, 1000L)
+        def isNum(t: String) = t.matches("-?\\d+")
+        def isStr(t: String) = t.startsWith("'") && t.endsWith("'")
+        val needCoerce = tsIdx.filter { i =>
+          val toks = cells.map(_.lift(i).map(_.trim).getOrElse(""))
+          val kinds = toks.map(t =>
+            if (isNum(t)) 0 else if (isStr(t)) 1 else 2).distinct
+          kinds.size > 1
+        }
+        if (needCoerce.isEmpty) return valuesBody
+        "VALUES " + cells.map(_.zipWithIndex.map { case (tok0, i) =>
+          val tok = tok0.trim
+          if (needCoerce(i) && isNum(tok))
+            if (us > 0) s"TIMESTAMP_MICROS(CAST($tok AS BIGINT) * $us)"
+            else s"TIMESTAMP_MICROS(CAST($tok AS BIGINT) div 1000)"
+          else if (needCoerce(i) && isStr(tok)) s"CAST($tok AS TIMESTAMP)"
+          else tok
+        }.mkString("(", ", ", ")")).mkString(", ")
+      }
+      var df = spark.sql(dialect(coerceMixedTs(substituteDefaults(name, cleanBody, cols))))
       df = df.toDF(cols: _*)
       // align to full target schema: missing columns become nulls, the
       // sequence column is stamped per statement (write order for the
@@ -1995,6 +2159,7 @@ final class GraftSession(val spark: SparkSession,
       // duplicate keys WITHIN one statement: the later row wins (write
       // order), mirroring the reference's ingest; dedup here because the
       // statement-level seq can't order rows inside the statement
+      var dedupApplied = false
       if (spec.mergeMode == MergeMode.LastRow) {
         val pkCols = spec.primaryKey.filter(cols.contains)
         if (pkCols.nonEmpty) {
@@ -2003,6 +2168,7 @@ final class GraftSession(val spark: SparkSession,
           df = df.withColumn("__ord", monotonically_increasing_id())
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__ord", "__rn")
+          dedupApplied = true
         }
       }
       // a VALUES cell that cannot cast to the column type drops the row
@@ -2028,8 +2194,12 @@ final class GraftSession(val spark: SparkSession,
           val srcType = df.schema(f.name).dataType
           val isTs = f.dataType == TimestampType || f.dataType == TimestampNTZType
           // integer into TIME INDEX = epoch milliseconds (the reference's
-          // TIMESTAMP(3) literal convention), not Spark's epoch seconds
-          if (isTs && numericTypes.contains(srcType)) {
+          // TIMESTAMP(3) literal convention), not Spark's epoch seconds;
+          // fractional numerics truncate toward zero first
+          // (insert_select.result: memory=333.3 -> 00:00:00.333)
+          if (isTs && (numericTypes.contains(srcType) ||
+              srcType == DoubleType || srcType == FloatType ||
+              srcType.isInstanceOf[DecimalType])) {
             val us = tsLiteralUs.getOrElse(name, 1000L)
             val micros =
               if (us > 0) col(f.name).cast(LongType) * lit(us)
@@ -2040,8 +2210,9 @@ final class GraftSession(val spark: SparkSession,
         } else {
           // unspecified column: declared DEFAULT, else null
           // (datatypes/src/schema/constraint.rs)
-          val d = colMeta.getOrElse(name, Vector.empty)
-            .find(_.name == f.name).flatMap(_.default)
+          val d = colDefaultResolved.getOrElse(name, Map.empty).get(f.name)
+            .orElse(colMeta.getOrElse(name, Vector.empty)
+              .find(_.name == f.name).flatMap(_.default))
           val isTs = f.dataType == TimestampType || f.dataType == TimestampNTZType
           d.map { x =>
             // numeric default on a timestamp column = epoch millis
@@ -2052,7 +2223,16 @@ final class GraftSession(val spark: SparkSession,
           }.getOrElse(lit(null).cast(f.dataType).as(f.name))
         }
       }
-      val n = df.count()
+      // a literal VALUES insert with no dedup/cast-drop has a known row
+      // count — skip the extra count() job (halves insert latency; the
+      // 1-second database-ttl test is wall-clock sensitive)
+      val n =
+        if (cleanBody.toUpperCase(Locale.ROOT).startsWith("VALUES") &&
+            badCast.isEmpty && !dedupApplied)
+          splitTop(cleanBody.substring("VALUES".length))
+            .count(_.trim.startsWith("("))
+            .toLong
+        else df.count()
       df.select(aligned: _*).write.mode("append").parquet(spec.path)
       refreshView(name)
       // flows process writes to their source table continuously — an
@@ -2079,7 +2259,9 @@ final class GraftSession(val spark: SparkSession,
     * (operator/src/delete.rs). */
   private def delete(stmt: String): DataFrame = stmt match {
     case DeleteRx(rawName, condOpt) =>
-      val name = unquote(rawName)
+      // same identifier folding as CREATE: unquoted names case-fold
+      // (delete.result's `DELETE FROM MoNiToR` hits table `monitor`)
+      val name = normTable(rawName)
       val spec = catalog.spec(name)
       val raw = spark.read.option("mergeSchema", "true").parquet(spec.path)
       // integer literals compared against the time index are epoch

@@ -24,7 +24,8 @@ object GoldenRunner {
   sealed trait Expected
   case object NonQuery extends Expected
   case object ErrorExpected extends Expected
-  final case class Table(rows: Seq[Seq[String]], header: Seq[String] = Nil) extends Expected
+  final case class Table(rows: Seq[Seq[String]], header: Seq[String] = Nil,
+      rawBlock: Seq[String] = Nil) extends Expected
 
   /** `replaces`: `-- SQLNESS REPLACE <pattern> <replacement>` directives
     * preceding the statement — the golden was written AFTER applying
@@ -110,8 +111,10 @@ object GoldenRunner {
             // header row lands among the data rows — keep every | line
             // and let run() drop the header by name.
             var header = pendingSort != 1
+            val rawLines = Vector.newBuilder[String]
             while (i < lines.length && lines(i).trim.nonEmpty) {
               val l = lines(i)
+              rawLines += l
               if (l.startsWith("|")) {
                 val cells = l.split("\\|", -1).drop(1).dropRight(1).map(_.trim).toSeq
                 if (header) { header = false; headerCells = cells }
@@ -119,7 +122,7 @@ object GoldenRunner {
               }
               i += 1
             }
-            Table(rows.result(), headerCells)
+            Table(rows.result(), headerCells, rawLines.result())
           } else NonQuery
         // mysql-protocol transcripts prefix statements with protocol
         // echoes — strip them (insert/mysql_insert)
@@ -238,7 +241,46 @@ object GoldenRunner {
           }
         case Success(df) =>
           e.expected match {
-            case Table(want, wantHeader) =>
+            case Table(want, wantHeader, rawBlock)
+                if want.isEmpty && wantHeader.isEmpty &&
+                  rawBlock.exists(_.contains("|")) =>
+              // a REPLACE-collapsed golden (`[\s\-]+` folded the whole
+              // rendered table, newlines included, into one `++|..|++`
+              // line, e.g. function/system.result): render our table
+              // sqlness-style, apply the directives to the full block,
+              // compare strings
+              Try(df.collect().map(_.toSeq.map(v => cell(v))).toSeq) match {
+                case Failure(_) => skipped += 1
+                case Success(rows0) =>
+                  val expanded = rows0.flatMap { r =>
+                    val maxLines = r.map(_.count(_ == '\n') + 1).max
+                    if (maxLines == 1) Seq(r)
+                    else (0 until maxLines).map { li =>
+                      r.map { c =>
+                        val ls = c.split("\n", -1)
+                        if (li < ls.length) ls(li) else ""
+                      }
+                    }
+                  }
+                  val hdr = df.columns.toSeq
+                  val all = hdr +: expanded
+                  val w = hdr.indices.map(j => all.map(r =>
+                    if (j < r.length) r(j).length else 0).max)
+                  def line(r: Seq[String]) = r.zipWithIndex
+                    .map { case (c, j) => " " + c.padTo(w(j), ' ') + " " }
+                    .mkString("|", "|", "|")
+                  val sep = w.map(x => "-" * (x + 2)).mkString("+", "+", "+")
+                  val block = (Seq(sep, line(hdr), sep) ++
+                    expanded.map(line) :+ sep).mkString("\n")
+                  val gotLine = e.replaces.foldLeft(block) { case (acc, (p, r)) =>
+                    Try(acc.replaceAll(p, r)).getOrElse(acc)
+                  }.trim
+                  val wantLine = rawBlock.mkString("\n").trim
+                  if (gotLine == wantLine) compared += 1
+                  else problems += s"MISMATCH: ${e.sql.take(100)} [collapsed]" +
+                    s"\n  got:  $gotLine\n  want: $wantLine"
+              }
+            case Table(want, wantHeader, _) =>
               val ordered = e.sql.toUpperCase.contains("ORDER BY")
               Try(df.collect().map(_.toSeq.map(v => cell(v))).toSeq) match {
                 case Failure(_) => skipped += 1
