@@ -58,15 +58,15 @@ object Catalog {
     * hash-partition by the keys first (series co-location). */
   def partSort(df: DataFrame, keys: Seq[String], orderBy: String): DataFrame = {
     val partitioned =
-      if (keys.isEmpty) df else df.repartition(keys.map(col): _*)
-    partitioned.sortWithinPartitions((keys :+ orderBy).map(col): _*)
+      if (keys.isEmpty) df else df.repartition(keys.map(k => col(s"`$k`")): _*)
+    partitioned.sortWithinPartitions((keys :+ orderBy).map(k => col(s"`$k`")): _*)
   }
 
   def readView(df: DataFrame, spec: TableSpec): DataFrame = {
     val ttlFiltered = spec.ttlMillis match {
       case Some(0L) => df.filter(lit(false)) // ttl='instant': nothing persists
       case Some(ttl) =>
-        df.filter(col(spec.timeIndex) >=
+        df.filter(col(s"`${spec.timeIndex}`") >=
           (current_timestamp() - expr(s"INTERVAL $ttl MILLISECOND")))
       case None => df
     }
@@ -101,17 +101,17 @@ object Catalog {
       .filterNot(c => pk.contains(c) || c == SeqCol || spec.seqColumn.contains(c))
     // Ordered newest-first; frame [current, +inf) reaches back to older
     // writes, so first(ignoreNulls) == newest non-null value <= this row.
-    val w = Window.partitionBy(spec.primaryKey.map(col): _*)
+    val w = Window.partitionBy(spec.primaryKey.map(c => col(s"`$c`")): _*)
       .orderBy(col(SeqCol).desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val merged = fields.foldLeft(seqd) { (d, f) =>
-      d.withColumn(f, first(col(f), ignoreNulls = true).over(w))
+      d.withColumn(f, first(col(s"`$f`"), ignoreNulls = true).over(w))
     }
     dropSeq(keepNewest(merged, spec))
   }
 
   private def keepNewest(df: DataFrame, spec: TableSpec): DataFrame = {
-    val w = Window.partitionBy(spec.primaryKey.map(col): _*).orderBy(col(SeqCol).desc)
+    val w = Window.partitionBy(spec.primaryKey.map(c => col(s"`$c`")): _*).orderBy(col(SeqCol).desc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

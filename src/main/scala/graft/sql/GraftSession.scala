@@ -620,8 +620,16 @@ final class GraftSession(val spark: SparkSession,
     val count = "COUNT\\s*\\((?:[^()]|\\([^()]*\\))*\\)"
     val ident = "[A-Za-z_`\"][A-Za-z0-9_.`\"]*"
     val lit = "[0-9]+"
-    s"(?i)($count|$ident|$lit)\\s*/\\s*($count|$ident|$lit)(?![0-9.])".r
+    // integer-only parenthesized arithmetic (no '/', no floats) and
+    // left-associative multiplicative chains: `6 * 1 / 2` is (6*1)/2=3,
+    // `10 / (2 * 3)` is 1 (parser/operator_precedence.result)
+    val paren = "\\((?:[0-9\\s*+%-]|\\([0-9\\s*+%-]*\\))*\\)"
+    val operand = s"(?:$count|$ident|$lit|$paren)"
+    val chain = s"$operand(?:\\s*[*%]\\s*$operand)*"
+    s"(?i)(?<![0-9.])($chain)\\s*/\\s*($operand)(?![0-9.])".r
   }
+  /** integer-only parenthesized arithmetic group */
+  private val IntParenRx = "\\((?:[0-9\\s*+%-]|\\([0-9\\s*+%-]*\\))*\\)".r
   /** Strip `/* ... */` comments with single-quote awareness: a comment
     * marker inside a string literal is data, and an apostrophe inside a
     * comment must not open a string. */
@@ -707,9 +715,14 @@ final class GraftSession(val spark: SparkSession,
         val t = op.trim
         if (t.matches("[0-9]+")) true
         else if (t.toUpperCase(Locale.ROOT).startsWith("COUNT")) true
+        else if (IntParenRx.pattern.matcher(t).matches()) true
         else if (t.matches("[A-Za-z_`\"][A-Za-z0-9_.`\"]*") &&
           !t.matches("(?i)(SELECT|FROM|WHERE|AND|OR|NOT|NULL|TRUE|FALSE|AS|ON|BY|IN)"))
           probeType(t, s).exists(isIntegral)
+        // a parens-free multiplicative chain is integral when every
+        // component is
+        else if (!t.contains('(') && t.matches(".*[*%].*"))
+          t.split("[*%]").forall(integral)
         else false
       }
       val (l, rr) = (m.group(1), m.group(2))
@@ -991,7 +1004,7 @@ final class GraftSession(val spark: SparkSession,
         case "9" => "TimestampNanosecond"
         case _ => "TimestampMillisecond"
       }
-      case "TIMESTAMPSECOND" | "TIMESTAMP_S" => "TimestampSecond"
+      case "TIMESTAMPSECOND" | "TIMESTAMP_S" | "TIMESTAMP_SEC" => "TimestampSecond"
       case "TIMESTAMPMILLISECOND" | "TIMESTAMP_MS" => "TimestampMillisecond"
       case "TIMESTAMPMICROSECOND" | "TIMESTAMP_US" => "TimestampMicrosecond"
       case "TIMESTAMPNANOSECOND" | "TIMESTAMP_NS" => "TimestampNanosecond"
@@ -1090,7 +1103,7 @@ final class GraftSession(val spark: SparkSession,
         }
       case "TIMESTAMP" | "DATETIME" | "TIMESTAMPSECOND" | "TIMESTAMPMILLISECOND" |
         "TIMESTAMPMICROSECOND" | "TIMESTAMPNANOSECOND" |
-        "TIMESTAMP_S" | "TIMESTAMP_MS" | "TIMESTAMP_US" | "TIMESTAMP_NS" =>
+        "TIMESTAMP_S" | "TIMESTAMP_MS" | "TIMESTAMP_US" | "TIMESTAMP_NS" | "TIMESTAMP_SEC" =>
         TimestampType // precision folded to µs
       case "DATE" => DateType
       case "TIME" | "DURATION" => LongType
@@ -1266,11 +1279,11 @@ final class GraftSession(val spark: SparkSession,
     backfills.getOrElse(name, Vector.empty).foreach { case (c, d, seqAt) =>
       if (df.columns.contains(c))
         df = df.withColumn(c,
-          when(col(c).isNull && col(SeqCol) < seqAt, expr(dialect(d)))
-            .otherwise(col(c)))
+          when(col(s"`$c`").isNull && col(SeqCol) < seqAt, expr(dialect(d)))
+            .otherwise(col(s"`$c`")))
     }
     colCasts.getOrElse(name, Map.empty).foreach { case (c, t) =>
-      if (df.columns.contains(c)) df = df.withColumn(c, col(c).cast(t))
+      if (df.columns.contains(c)) df = df.withColumn(c, col(s"`$c`").cast(t))
     }
     df = df.drop(SeqCol +: droppedCols.getOrElse(name, Set.empty).toSeq: _*)
     // declared order drives SELECT * and DESC
@@ -1450,9 +1463,15 @@ final class GraftSession(val spark: SparkSession,
             if (!org.apache.spark.sql.catalyst.expressions.Cast.canCast(ci.get.dataType, t))
               throw new IllegalArgumentException(
                 s"column '${ci.get.name}' cannot be cast automatically to type '$typeTok'")
-            colCasts.put(name, colCasts.getOrElse(name, Map.empty) + (colName -> t))
+            // physical migration: later INSERTs carry values of the NEW
+            // type, which parquet mergeSchema cannot union with the old
+            // (alter_table.result inserts 'word' after `MODIFY i STRING`)
+            if (ci.get.dataType != t)
+              migrateParquet(spec)(df =>
+                df.withColumn(ci.get.name, expr(s"try_cast(`${ci.get.name}` AS ${t.sql})")))
+            colCasts.put(name, colCasts.getOrElse(name, Map.empty) + (ci.get.name -> t))
             colMeta.get(name).foreach(m => colMeta.put(name, m.map(c =>
-              if (c.name == colName) c.copy(gtype = greptimeTypeName(typeTok)) else c)))
+              if (c.name == ci.get.name) c.copy(gtype = greptimeTypeName(typeTok)) else c)))
           }
         }
       } else if (up.startsWith("RENAME")) {
@@ -1512,6 +1531,21 @@ final class GraftSession(val spark: SparkSession,
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
   }
 
+  /** One-off physical rewrite of a table's Parquet (type migration /
+    * dropped-column purge). DDL-time only — reads stay lazy; the
+    * reference migrates lazily per-file, which Parquet mergeSchema
+    * cannot express for type changes. */
+  private def migrateParquet(spec: TableSpec)(f: DataFrame => DataFrame): Unit = {
+    val out = f(spark.read.option("mergeSchema", "true").parquet(spec.path))
+    val tmp = spec.path + "__mig_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(spec.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(spec.path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(spec.path))
+  }
+
   private def alterAddColumn(name: String, body0: String): Unit = {
     val spec = catalog.spec(name)
     val ifNotExists = "(?is)^IF\\s+NOT\\s+EXISTS\\s+".r.findFirstIn(body0).isDefined
@@ -1556,6 +1590,12 @@ final class GraftSession(val spark: SparkSession,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
         .write.mode("append").parquet(spec.path)
+    } else if (droppedCols.getOrElse(name, Set.empty).contains(cd.name)) {
+      // re-ADD of a DROPped column: the old values are gone in the
+      // reference; purge them so only the new default shows
+      // (alter/drop_add_col.result)
+      migrateParquet(spec)(df =>
+        df.withColumn(cd.name, lit(null).cast(t)))
     }
     droppedCols.put(name, droppedCols.getOrElse(name, Set.empty) - cd.name)
     val meta = ColMeta(cd.name, greptimeTypeName(cd.typeTok), cd.nullable, cd.default)
@@ -2164,26 +2204,28 @@ final class GraftSession(val spark: SparkSession,
         val pkCols = spec.primaryKey.filter(cols.contains)
         if (pkCols.nonEmpty) {
           val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(pkCols.map(col): _*).orderBy(col("__ord").desc)
+            .partitionBy(pkCols.map(k => col(s"`$k`")): _*).orderBy(col("__ord").desc)
           df = df.withColumn("__ord", monotonically_increasing_id())
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__ord", "__rn")
           dedupApplied = true
         }
       }
-      // a VALUES cell that cannot cast to the column type drops the row
-      // silently while the insert still reports success (pinned by
-      // alter_table.result's `"word"` into DOUBLE)
+      // a VALUES cell that cannot cast to the column type fails the whole
+      // statement, nothing inserted (insert/mysql_insert.result: '15a'
+      // into INT errors and the companion '16' row must not land)
       val badCast = target.filter(f => cols.contains(f.name)).flatMap { f =>
         val srcType = df.schema(f.name).dataType
         if (srcType == StringType && f.dataType != StringType &&
           f.dataType != BinaryType && f.dataType != TimestampType &&
           f.dataType != TimestampNTZType && f.dataType != DateType)
-          Some(col(f.name).isNotNull &&
+          Some(col(s"`${f.name}`").isNotNull &&
             expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").isNull)
         else None
       }
-      if (badCast.nonEmpty) df = df.filter(!badCast.reduce(_ || _))
+      if (badCast.nonEmpty && !df.filter(badCast.reduce(_ || _)).isEmpty)
+        throw new IllegalArgumentException(
+          "Unable to convert value to column datatype")
       val seq = seqCounter.incrementAndGet()
       val numericTypes: Set[DataType] =
         Set(ByteType, ShortType, IntegerType, LongType)
@@ -2202,11 +2244,22 @@ final class GraftSession(val spark: SparkSession,
               srcType.isInstanceOf[DecimalType])) {
             val us = tsLiteralUs.getOrElse(name, 1000L)
             val micros =
-              if (us > 0) col(f.name).cast(LongType) * lit(us)
+              if (us > 0) col(s"`${f.name}`").cast(LongType) * lit(us)
               else expr(s"CAST(`${f.name}` AS BIGINT) div 1000")
             timestamp_micros(micros).cast(f.dataType).as(f.name)
           }
-          else col(f.name).cast(f.dataType).as(f.name)
+          else if (isTs && srcType == StringType) {
+            // numeric strings follow the same epoch convention
+            // (insert/mysql_insert.result: '3' -> 00:00:00.003);
+            // non-numeric strings parse as datetimes
+            val us = tsLiteralUs.getOrElse(name, 1000L)
+            val asNum = expr(s"try_cast(`${f.name}` AS BIGINT)")
+            val micros =
+              if (us > 0) asNum * lit(us) else expr(s"try_cast(`${f.name}` AS BIGINT) div 1000")
+            when(asNum.isNotNull, timestamp_micros(micros).cast(f.dataType))
+              .otherwise(col(s"`${f.name}`").cast(f.dataType)).as(f.name)
+          }
+          else col(s"`${f.name}`").cast(f.dataType).as(f.name)
         } else {
           // unspecified column: declared DEFAULT, else null
           // (datatypes/src/schema/constraint.rs)

@@ -176,7 +176,14 @@ object GoldenRunner {
       val bd = BigDecimal(x)
       bd.round(new java.math.MathContext(12))
         .bigDecimal.stripTrailingZeros.toPlainString
-    } catch { case _: NumberFormatException => x }
+    } catch {
+      case _: NumberFormatException =>
+        // MySQL/PG protocol transcripts render datetimes with a space
+        // where sqlness uses 'T' (insert/mysql_insert.result)
+        if (x.matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}(\\.\\d+)?"))
+          x.replaceFirst(" ", "T")
+        else x
+    }
 
   /** In-process stall reporter: if a statement runs >90s, dump all
     * thread stacks once (works even when jstack attach is starved). */
