@@ -125,7 +125,10 @@ object TextMatch {
         val (n, rem) = parse(rest)
         val rem2 = rem.dropWhile(_ == ")") match { case r => r }
         (n match {
-          case g: Group => g.copy(must = must, mustNot = mustNot)
+          // an already-signed group must NOT absorb the outer sign —
+          // `-(-(a OR b))` is double negation (select/matches.result)
+          case g: Group if !g.must && !g.mustNot =>
+            g.copy(must = must, mustNot = mustNot)
           case other => Group(Seq(other), must, mustNot)
         }, if (rem.headOption.contains(")")) rem.tail else rem2)
       case "+" :: rest => primary(rest, must = true, mustNot = false)
@@ -170,8 +173,11 @@ object TextMatch {
       val opts = children.filterNot(c => isMust(c) || isMustNot(c))
       val mustsOk = musts.forall(evalPositive(_, text))
       val notsOk = !nots.exists(evalPositive(_, text))
-      if (musts.nonEmpty || nots.nonEmpty) mustsOk && notsOk
-      else opts.exists(evalPositive(_, text))
+      // tantivy: with no MUST clauses at least one SHOULD must match;
+      // must_nots always exclude (`a AND b -c` = (a AND b) AND NOT c)
+      if (musts.nonEmpty) mustsOk && notsOk
+      else if (opts.nonEmpty) opts.exists(evalPositive(_, text)) && notsOk
+      else notsOk
   }
 
   private def isMust(n: Node): Boolean = n match {

@@ -519,6 +519,12 @@ final class GraftSession(val spark: SparkSession,
     r = r.replaceAll("(?i)FROM\\s+(?:public\\.)?numbers\\s+LIMIT\\s+(\\d+)",
       "FROM (SELECT CAST(id AS INT) AS number FROM range(0, $1))")
     // system functions / session vars resolved at rewrite time
+    // the reference parses TABLESAMPLE but does not sample yet — every
+    // form returns the full table (sample/basic_sample.result pins
+    // count(*) = full count under PERCENT/ROWS/SYSTEM/BERNOULLI)
+    r = rewriteOutsideQuotes(r)(_.replaceAll(
+      "(?i)\\bTABLESAMPLE\\s+(?:SYSTEM|BERNOULLI)?\\s*\\([^)]*\\)" +
+        "(?:\\s*REPEATABLE\\s*\\([^)]*\\))?", " "))
     // MySQL aggregate aliases bind POPULATION variants in DataFusion
     // (function_alias.result: std -> stddev_pop, variance -> var_pop);
     // Spark's natives are the sample variants, so rewrite by name
@@ -1510,8 +1516,25 @@ final class GraftSession(val spark: SparkSession,
               }
               catalog.register(catalog.spec(name).copy(ttlMillis = ms))
             case "append_mode" =>
-              val mm = if (v.contains("true")) MergeMode.Append else MergeMode.LastRow
-              catalog.register(catalog.spec(name).copy(mergeMode = mm))
+              val toAppend = v.contains("true")
+              val cur = catalog.spec(name)
+              // append mode can be turned ON, never OFF
+              // (alter/alter_append_mode.result)
+              if (!toAppend && cur.mergeMode == MergeMode.Append)
+                throw new IllegalArgumentException(
+                  "Invalid request to alter table: append mode cannot be disabled")
+              if (toAppend && cur.mergeMode != MergeMode.Append) {
+                // the merged history compacts physically before append
+                // semantics begin: pre-alter duplicates stay merged
+                if (cur.mergeMode == MergeMode.LastRow)
+                  migrateParquet(cur)(Catalog.dedupLastRow(_, cur))
+                else migrateParquet(cur)(Catalog.dedupLastNonNull(_, cur))
+                // append tables carry no merge_mode option
+                tableOpts.put(name,
+                  tableOpts.getOrElse(name, Nil).filterNot(_._1 == "merge_mode"))
+              }
+              catalog.register(cur.copy(
+                mergeMode = if (toAppend) MergeMode.Append else MergeMode.LastRow))
             case "merge_mode" =>
               v.foreach(x => catalog.register(catalog.spec(name).copy(mergeMode = MergeMode.parse(x))))
             case _ => ()
@@ -1863,7 +1886,7 @@ final class GraftSession(val spark: SparkSession,
     // hidden but still leave an (empty) WITH block behind
     // (alter/alter_auto_flush_interval.result, alter/alter_format.result)
     val bareKeys = Set("ttl", "append_mode", "merge_mode", "skip_wal",
-      "auto_flush_interval", "sst_format")
+      "auto_flush_interval", "sst_format", "max_row_group_row_count")
     val hiddenKeys = Set.empty[String]
     val visible = effective.filterNot(e => hiddenKeys(e._1))
     val hasHidden = effective.exists(e => hiddenKeys(e._1))
