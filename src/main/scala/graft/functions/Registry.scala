@@ -129,6 +129,82 @@ object Registry {
     registerVecTail(spark)
   }
 
+  /** Numeric trunc — DataFusion dialect semantics. ONLY GraftSession
+    * sessions call this: it shadows Spark's builtin trunc, and Spark 4
+    * resolves even functions.trunc(...) by name, so a global override
+    * would hijack Column-API callers (Verify oracles). date_format's
+    * session-tz-aware override lives in GraftSession for the same
+    * reason. */
+  def registerDialectOverrides(spark: SparkSession): Unit = {
+    // numeric trunc-toward-zero with decimal-digit control (DataFusion
+    // trunc(x, d); d<0 truncates to tens/hundreds). Shadows Spark's
+    // date-trunc builtin, which the corpus never calls by this name.
+    spark.udf.register("trunc",
+      new org.apache.spark.sql.api.java.UDF2[AnyRef, AnyRef, java.lang.Double] {
+        def call(x0: AnyRef, d0: AnyRef): java.lang.Double = {
+          if (x0 == null) null
+          else {
+            val x = x0 match {
+              case n: java.lang.Number => n.doubleValue()
+              case s: String => s.toDouble
+            }
+            val d = d0 match {
+              case null => 0
+              case n: java.lang.Number => n.intValue()
+              case s: String => s.toInt
+            }
+            val p = math.pow(10, d)
+            Double.box(
+              (if (x >= 0) math.floor(x * p) else math.ceil(x * p)) / p)
+          }
+        }
+      }, org.apache.spark.sql.types.DoubleType)
+  }
+
+  /** Minimal chrono/strftime formatter (the %-tokens the corpus uses). */
+  object Strftime {
+    def format(ts: java.sql.Timestamp, fmt: String): String = {
+      val dt = ts.toLocalDateTime
+      val sb = new StringBuilder
+      var i = 0
+      while (i < fmt.length) {
+        val c = fmt.charAt(i)
+        if (c == '%' && i + 2 < fmt.length && fmt.charAt(i + 1).isDigit &&
+          fmt.charAt(i + 2) == 'f') {
+          // %3f / %6f / %9f: fixed-width truncated fraction (chrono)
+          val w = fmt.charAt(i + 1) - '0'
+          sb.append(f"${dt.getNano}%09d".take(w))
+          i += 3
+        } else if (c == '%' && i + 1 < fmt.length) {
+          fmt.charAt(i + 1) match {
+            case 'Y' => sb.append(f"${dt.getYear}%04d")
+            case 'y' => sb.append(f"${dt.getYear % 100}%02d")
+            case 'm' => sb.append(f"${dt.getMonthValue}%02d")
+            case 'd' => sb.append(f"${dt.getDayOfMonth}%02d")
+            case 'e' => sb.append(f"${dt.getDayOfMonth}%2d")
+            case 'H' => sb.append(f"${dt.getHour}%02d")
+            case 'M' => sb.append(f"${dt.getMinute}%02d")
+            case 'S' => sb.append(f"${dt.getSecond}%02d")
+            case 'j' => sb.append(f"${dt.getDayOfYear}%03d")
+            case 'f' => sb.append(f"${dt.getNano}%09d")
+            case 'a' => sb.append(dt.getDayOfWeek.getDisplayName(
+              java.time.format.TextStyle.SHORT, java.util.Locale.US))
+            case 'A' => sb.append(dt.getDayOfWeek.getDisplayName(
+              java.time.format.TextStyle.FULL, java.util.Locale.US))
+            case 'b' => sb.append(dt.getMonth.getDisplayName(
+              java.time.format.TextStyle.SHORT, java.util.Locale.US))
+            case 'B' => sb.append(dt.getMonth.getDisplayName(
+              java.time.format.TextStyle.FULL, java.util.Locale.US))
+            case '%' => sb.append('%')
+            case o => sb.append('%').append(o)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
   /** The 21 h3_* functions (reference common/function/src/scalars/geo/h3.rs).
     * Cell arguments accept Int64/UInt64/hex-string like the reference's
     * signature set; resolutions reject negatives like its UInt8 cast.

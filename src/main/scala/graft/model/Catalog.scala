@@ -63,12 +63,13 @@ object Catalog {
   }
 
   def readView(df: DataFrame, spec: TableSpec): DataFrame = {
+    // ttl='instant' drops rows at write (scans never see them); a
+    // duration ttl expires rows only when flush/compaction materializes
+    // it (ttl/ttl_instant.result vs flow/flow_advance_ttl.result: rows
+    // older than the ttl stay visible until ADMIN flush/compact)
     val ttlFiltered = spec.ttlMillis match {
-      case Some(0L) => df.filter(lit(false)) // ttl='instant': nothing persists
-      case Some(ttl) =>
-        df.filter(col(s"`${spec.timeIndex}`") >=
-          (current_timestamp() - expr(s"INTERVAL $ttl MILLISECOND")))
-      case None => df
+      case Some(0L) => df.filter(lit(false))
+      case _ => df
     }
     spec.mergeMode match {
       case MergeMode.Append      => ttlFiltered

@@ -48,7 +48,8 @@ object MergeMode {
   * columns are tags / time index, and the storage semantics attached to
   * the logical row key (SURVEY.md §1.1).
   *
-  * @param ttlMillis rows older than now-ttl are filtered at read
+  * @param ttlMillis 0 = instant (rows hidden from scans at write); a
+  *   positive ttl expires rows at flush/compaction time
   *                  (table/src/requests.rs:164,202-210)
   * @param seqColumn optional ingestion-sequence column used to order
   *                  duplicate keys; when absent, dedup falls back to a

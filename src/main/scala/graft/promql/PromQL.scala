@@ -318,10 +318,16 @@ object PromQL {
         // treats the left as many with no copied labels (same join)
         val (manyIv, oneIv, manyIsLeft) =
           if (groupRight) (rhs, lhs, false) else (lhs, rhs, true)
-        // the many side keeps its extra labels (set_operation.result's
-        // `/ on(job)` pins null_label surviving on the left side; only
-        // the metric-engine tsid pruning drops them, which we don't model)
-        val manyExtra = manyIv.labels.filterNot(matchLabels.contains)
+        // the many side keeps extra labels only when the other side also
+        // carries the column (set_operation.result pins null_label
+        // surviving `/ on(job)` with both sides having it; the planner
+        // prunes labels absent from one side —
+        // tsid_binary_join_regression.result drops `host` under on(job)).
+        // group_left/right keeps the many side's extras unconditionally.
+        val manyExtra0 = manyIv.labels.filterNot(matchLabels.contains)
+        val manyExtra =
+          if (groupLeft || groupRight) manyExtra0
+          else manyExtra0.filter(oneIv.labels.contains)
         val many = manyIv.df
           .select((keys ++ manyExtra :+ "__val").map(col): _*)
           .withColumnRenamed("__val", "__mv").alias("__m")

@@ -13,7 +13,8 @@ object SqlQueries {
   val queries: Map[String, Q] = Map(
     "sql_frontend_e2e" -> ((s, d) => {
       val g = new GraftSession(s)
-      T(s, d, "nation").createOrReplaceTempView("nation_src")
+      // register on g's cloned session — GraftSession isolates its views
+      T(g.spark, d, "nation").createOrReplaceTempView("nation_src")
       g.sql("""CREATE TABLE n2 (
           ts TIMESTAMP TIME INDEX,
           n_name STRING PRIMARY KEY,

@@ -33,11 +33,32 @@ import graft.streaming.Flow.FlowDef
   *    (query/src/optimizer/transcribe_atat.rs)
   *  - `ADMIN fn(...)` no-op status stubs (common/function admin fns)
   */
-final class GraftSession(val spark: SparkSession,
+final class GraftSession(spark0: SparkSession,
     warehouse: String = java.nio.file.Files.createTempDirectory("graft_wh").toString) {
 
+  /** Own cloned session: the dialect function overrides (date_format,
+    * trunc) and temp views must not leak into the caller's session —
+    * Spark 4 resolves even functions.date_format(...) through the
+    * session registry. */
+  val spark: SparkSession = spark0.newSession()
+
   val catalog = new Catalog(spark)
+  /** Serializable mirror of sessionTzOffsetMs for UDF closures (updated
+    * by SET time_zone; declared before the UDF registration below). */
+  private val tzOffsetRef = new java.util.concurrent.atomic.AtomicLong(0L)
+
   graft.functions.Registry.registerAll(spark)
+  graft.functions.Registry.registerDialectOverrides(spark)
+  // session-aware override: stored timestamps are UTC instants and the
+  // reference renders date_format in the session time zone
+  // (system/timezone.result) — including offsets Java rejects (+23:00)
+  spark.udf.register("date_format", {
+    val off = tzOffsetRef // serializable holder; do NOT capture `this`
+    (ts: java.time.LocalDateTime, fmt: String) =>
+      if (ts == null || fmt == null) null
+      else graft.functions.Registry.Strftime.format(
+        java.sql.Timestamp.valueOf(ts.plusNanos(off.get() * 1000000L)), fmt)
+  })
   // `numbers` test table (table/src/table/numbers.rs:39-62): one UInt32
   // column `number`, default 100 rows; LIMIT n drives the generator
   // (numbers.rs:119 `request.limit.unwrap_or(100)`) — see dialect().
@@ -112,7 +133,8 @@ final class GraftSession(val spark: SparkSession,
     }
     else if (up.startsWith("ALTER TABLE")) alterTable(stmt)
     else if (up.startsWith("SHOW COLUMNS")) showColumns(stmt)
-    else if (up.startsWith("SHOW TABLES")) showTables()
+    else if (up.startsWith("SHOW TABLES") || up.startsWith("SHOW FULL TABLES"))
+      showTables(stmt)
     else if (up.startsWith("SHOW CREATE TABLE"))
       showCreateTable(normTable(stmt.split("\\s+")(3)))
     else if (up.startsWith("SHOW CREATE DATABASE")) {
@@ -147,11 +169,9 @@ final class GraftSession(val spark: SparkSession,
       }
     }
     else if (up.startsWith("SET ")) setSession(stmt)
-    else if (up.startsWith("SHOW DATABASES") || up.startsWith("SHOW SCHEMAS")) {
-      import spark.implicits._
-      (dbOpts.keys.toSeq ++ Seq("information_schema", "greptime_private"))
-        .distinct.sorted.toDF("Database")
-    }
+    else if (up.startsWith("SHOW DATABASES") || up.startsWith("SHOW SCHEMAS") ||
+      up.startsWith("SHOW FULL DATABASES") || up.startsWith("SHOW FULL SCHEMAS"))
+      showDatabases(stmt)
     else if (up.startsWith("ALTER DATABASE")) {
       // SET/UNSET database options; only ttl affects query results
       val kv = "(?is)SET\\s+'?([A-Za-z_][A-Za-z0-9_.]*)'?\\s*=\\s*'([^']*)'".r
@@ -167,10 +187,26 @@ final class GraftSession(val spark: SparkSession,
         if (k == "ttl" && v.nonEmpty && v != "forever") parseTtlMs(v)
         // only the known database options are stored; unknown keys (e.g.
         // 'invalid.compaction.option') error (alter/alter_database.result)
-        val known = Set("ttl", "memtable.type", "append_mode", "merge_mode", "skip_wal")
+        val known = Set("ttl", "memtable.type", "append_mode", "merge_mode",
+          "skip_wal", "sst_format")
         if (!known(k) && !k.startsWith("compaction."))
           throw new IllegalArgumentException(s"Invalid database option key: $k")
         dbOpts.put(db, dbOpts(db).filterNot(_._1 == k) :+ (k -> v))
+        // a database-level ttl change re-resolves for every table in the
+        // db that has no ttl of its own (ttl/database_ttl.result)
+        if (k == "ttl" && db == currentDb) {
+          val ms = v match {
+            case "" | "forever" => None
+            case "instant" => Some(0L)
+            case x => Some(parseTtlMs(x))
+          }
+          catalog.tables.foreach { t =>
+            if (!tableOpts.getOrElse(t, Nil).exists(_._1 == "ttl")) {
+              catalog.register(catalog.spec(t).copy(ttlMillis = ms))
+              refreshView(t)
+            }
+          }
+        }
       }
       if (up.contains("UNSET")) {
         val k = "'([^']*)'".r.findFirstMatchIn(
@@ -190,6 +226,7 @@ final class GraftSession(val spark: SparkSession,
     else if (up.startsWith("REPLACE INTO"))
       insert("INSERT" + stmt.substring("REPLACE".length))
     else if (up.startsWith("DELETE FROM")) delete(stmt)
+    else if (up.startsWith("TRUNCATE")) truncateTable(stmt)
     else if (up.startsWith("CREATE FLOW") || up.startsWith("CREATE OR REPLACE FLOW"))
       createFlow(stmt)
     else if (up.startsWith("DROP FLOW")) {
@@ -248,7 +285,7 @@ final class GraftSession(val spark: SparkSession,
       RangeSql.execute(spark, rewriteAtAt(stmt), name => {
         val spec = catalog.spec(name)
         (spark.table(name), spec.timeIndex, spec.tags)
-      })
+      }, sessionTzOffsetMs)
     else reorderUsingJoin(stmt, spark.sql(dialect(stmt)))
   }
 
@@ -383,7 +420,7 @@ final class GraftSession(val spark: SparkSession,
   // ---- dialect shims (DataFusion/Postgres syntax the corpus uses) -----
 
   private val CastRx =
-    ("(?i)('[^']*'|[A-Za-z_][A-Za-z0-9_.]*\\([^()]*\\)|[A-Za-z_][A-Za-z0-9_.]*|[0-9][0-9.]*)" +
+    ("(?i)('[^']*'|`[^`]+`|\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_.]*\\([^()]*\\)|[A-Za-z_][A-Za-z0-9_.]*|[0-9][0-9.]*)" +
       "\\s*::\\s*([A-Za-z_][A-Za-z0-9_]*(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)").r
 
   private def castType(t: String): String = {
@@ -1279,7 +1316,13 @@ final class GraftSession(val spark: SparkSession,
     * columns hidden; ADD COLUMN DEFAULT backfills and MODIFY COLUMN
     * casts applied; columns in declared (FIRST/AFTER-adjusted) order. */
   private def refreshView(name: String, seqFloor: Option[Long] = None): Unit = {
-    var df = catalog.read(name)
+    // a seqFloor means a flow is evaluating: instant-ttl rows (never
+    // visible to plain scans) ARE visible to the flow engine
+    val spec0 = catalog.spec(name)
+    var df =
+      if (seqFloor.isDefined && spec0.ttlMillis.contains(0L))
+        Catalog.readView(catalog.raw(name), spec0.copy(ttlMillis = None))
+      else catalog.read(name)
     seqFloor.foreach(s => df = df.filter(col(SeqCol) > s))
     // rows predating an ALTER ... DEFAULT read the default
     backfills.getOrElse(name, Vector.empty).foreach { case (c, d, seqAt) =>
@@ -1352,6 +1395,11 @@ final class GraftSession(val spark: SparkSession,
       if (up.contains("OR REPLACE") && up.contains("IF NOT EXISTS"))
         throw new IllegalArgumentException(
           "Create Or Replace and If Not Exist cannot be used together")
+      // a TABLE of that name blocks view creation under every modifier
+      // (view/create.result: plain, IF NOT EXISTS and OR REPLACE all fail)
+      if (catalog.tables.contains(normIdent(name)))
+        throw new IllegalArgumentException(
+          s"Table already exists: `greptime.$currentDb.$name`")
       if (userViews.contains(name) && up.contains("IF NOT EXISTS") &&
         !up.contains("OR REPLACE"))
         return status(s"view $name exists")
@@ -1502,8 +1550,9 @@ final class GraftSession(val spark: SparkSession,
         return status(s"table $name renamed to $newName")
       } else if (up.startsWith("SET")) {
         // table options; ttl / append_mode / merge_mode affect queries,
-        // storage tuning options are accepted as no-ops
-        val kv = "(?is)'([^']*)'\\s*=\\s*(?:'([^']*)'|NULL)".r
+        // storage tuning options are accepted as no-ops; option keys may
+        // be quoted ('ttl') or bare (ttl) — ttl/alter_table_ttl uses both
+        val kv = "(?is)'?([A-Za-z_][A-Za-z0-9_.]*)'?\\s*=\\s*(?:'([^']*)'|NULL)".r
         kv.findAllMatchIn(tail).foreach { m =>
           val v = Option(m.group(2)).filter(_.nonEmpty)
           val key = m.group(1).toLowerCase(Locale.ROOT)
@@ -1691,6 +1740,26 @@ final class GraftSession(val spark: SparkSession,
     * `SET search_path TO x`. Time zone variants apply to the session;
     * everything else is accepted as a no-op like the reference. */
   /** session variables readable via `@@name` / helper functions */
+  /** Session time zone as SET (may exceed Java's ±18h fixed-offset cap). */
+  private var sessionTz: String = "UTC"
+
+  /** Offset of the session tz at epoch, ms east of UTC — the RANGE
+    * default ALIGN origin (reference aligns '1d' buckets to local
+    * calendar midnight; range/to.result). */
+  private def tzOffsetOf(tz: String): Long = {
+    val fixed = "([+-])(\\d{1,2}):(\\d{2})".r
+    tz match {
+      case fixed(sg, h, m) =>
+        (if (sg == "-") -1L else 1L) * (h.toLong * 3600000L + m.toLong * 60000L)
+      case z =>
+        try java.time.ZoneId.of(z).getRules
+          .getOffset(java.time.Instant.EPOCH).getTotalSeconds * 1000L
+        catch { case _: Exception => 0L }
+    }
+  }
+
+  private def sessionTzOffsetMs: Long = tzOffsetOf(sessionTz)
+
   private val sessionVars = scala.collection.mutable.Map[String, String](
     "max_execution_time" -> "0", "read_preference" -> "leader")
   /** warnings from the previous statement only (SHOW WARNINGS contract) */
@@ -1709,7 +1778,16 @@ final class GraftSession(val spark: SparkSession,
         val v = rawVal.trim.stripPrefix("'").stripSuffix("'")
         key match {
           case "time_zone" | "timezone" =>
-            spark.conf.set("spark.sql.session.timeZone", v)
+            sessionTz = v
+            // Java zones cap fixed offsets at ±18h; the reference accepts
+            // up to ±23:59 (range/to.result '+23:00') — keep our own copy
+            // for RANGE align-origin math and set Spark's when legal
+            try spark.conf.set("spark.sql.session.timeZone", v)
+            catch { case _: Exception => () }
+            // date_format applies only the RESIDUAL offset Spark's own
+            // LTZ→local conversion doesn't already cover
+            tzOffsetRef.set(sessionTzOffsetMs -
+              tzOffsetOf(spark.conf.get("spark.sql.session.timeZone")))
           case "read_preference" =>
             if (!Set("leader", "follower").contains(v.toLowerCase(Locale.ROOT)))
               throw new IllegalArgumentException(
@@ -1757,9 +1835,42 @@ final class GraftSession(val spark: SparkSession,
     val numbersRow =
       if ((currentRows ++ savedRows).exists(r => r._2 == "public" && r._3 == "numbers")) Nil
       else Seq(("greptime", "public", "numbers", "LOCAL TEMPORARY", "append", "", "number"))
-    (currentRows ++ savedRows ++ numbersRow)
-      .toDF("table_catalog", "table_schema", "table_name", "table_type",
-        "merge_mode", "time_index", "primary_keys")
+    // the reference information_schema.tables shape (24 columns, pinned
+    // by system/information_schema.result and view/create.result)
+    final case class InfoT(schema: String, name: String, ttype: String,
+      id: Long, engine: String, temporary: String)
+    // real wall-clock (create_time > now()-interval filters run on it);
+    // sqlness REPLACEs it to DATETIME in the goldens
+    val fixedTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS"))
+    val infoT = InfoTables.map { case (n, id) =>
+      InfoT("information_schema", n, "LOCAL TEMPORARY", id.toLong, "", "Y") }
+    val userT = (currentRows ++ savedRows).zipWithIndex.map { case (r, i) =>
+      InfoT(r._2, r._3, "BASE TABLE", 1024L + i, "mito", "N") }
+    val viewT = userViews.toSeq.distinct.zipWithIndex.map { case (v, i) =>
+      InfoT(if (infoDb) "public" else currentDb, v, "VIEW", 2048L + i, "", "N") }
+    val numT =
+      if (numbersRow.nonEmpty) Seq(InfoT("public", "numbers", "LOCAL TEMPORARY", 2L,
+        "test_engine", "Y")) else Nil
+    val tblSchema = StructType(Seq(
+      StructField("table_catalog", StringType), StructField("table_schema", StringType),
+      StructField("table_name", StringType), StructField("table_type", StringType),
+      StructField("table_id", LongType), StructField("data_length", LongType),
+      StructField("max_data_length", LongType), StructField("index_length", LongType),
+      StructField("max_index_length", LongType), StructField("avg_row_length", LongType),
+      StructField("engine", StringType), StructField("version", LongType),
+      StructField("row_format", StringType), StructField("table_rows", LongType),
+      StructField("data_free", LongType), StructField("auto_increment", LongType),
+      StructField("create_time", StringType), StructField("update_time", StringType),
+      StructField("check_time", StringType), StructField("table_collation", StringType),
+      StructField("checksum", LongType), StructField("create_options", StringType),
+      StructField("table_comment", StringType), StructField("temporary", StringType)))
+    val tblRows = (infoT ++ userT ++ viewT ++ numT).map(t =>
+      org.apache.spark.sql.Row("greptime", t.schema, t.name, t.ttype, t.id,
+        0L, 0L, 0L, 0L, 0L, t.engine, 11L, "Fixed", 0L, 0L, 0L,
+        fixedTime, fixedTime, "", "utf8_bin", 0L, "", "", t.temporary))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(tblRows, 1).toJavaRDD, tblSchema)
       .createOrReplaceTempView("__info_tables")
     // TIME INDEX / PRIMARY constraints per table (table_constraints.result)
     val constraintRows = (currentRows ++ savedRows ++ numbersRow).flatMap {
@@ -1787,8 +1898,13 @@ final class GraftSession(val spark: SparkSession,
       // the reference stores the full CREATE statement, pretty-printed
       // over three lines (flow/show_create_flow.result)
       val defn = s"CREATE FLOW IF NOT EXISTS $f\nSINK TO public.$sinkT\nAS $qNorm"
-      (f, "greptime", defn, s"greptime.public.$src")
-    }.toDF("flow_name", "table_catalog", "flow_definition", "source_table_names")
+      // instant-ttl sources and non-aggregating queries force streaming
+      // mode (flow/flow_advance_ttl.result, flow/flow_no_aggr.result)
+      val mode = if (flowModeStreaming(q, flowMeta.get(f).flatMap(_.srcTable)))
+        "streaming" else "batching"
+      (f, "greptime", defn, s"greptime.public.$src", s"""{"flow_type":"$mode"}""")
+    }.toDF("flow_name", "table_catalog", "flow_definition", "source_table_names",
+      "options")
       .createOrReplaceTempView("__info_flows")
   }
 
@@ -1906,10 +2022,83 @@ final class GraftSession(val spark: SparkSession,
       .toDF("Table", "Create Table")
   }
 
-  private def showTables(): DataFrame = {
+  /** The information_schema virtual tables with their fixed table ids
+    * (reference src/common/catalog/src/consts.rs; pinned by
+    * system/information_schema.result). */
+  private[graft] val InfoTables: Seq[(String, Int)] = Seq(
+    "build_info" -> 8, "character_sets" -> 9, "check_constraints" -> 12,
+    "cluster_info" -> 31, "collation_character_set_applicability" -> 11,
+    "collations" -> 10, "column_privileges" -> 6, "column_statistics" -> 7,
+    "columns" -> 4, "engines" -> 5, "events" -> 13, "files" -> 14,
+    "flow_statistics" -> 45, "flows" -> 33, "global_status" -> 25,
+    "key_column_usage" -> 16, "optimizer_trace" -> 17, "parameters" -> 18,
+    "partitions" -> 28, "procedure_info" -> 34, "process_list" -> 36,
+    "profiling" -> 19, "referential_constraints" -> 20, "region_info" -> 41,
+    "region_peers" -> 29, "region_statistics" -> 35, "routines" -> 21,
+    "schema_privileges" -> 22, "schemata" -> 15, "session_status" -> 26,
+    "ssts_index_meta" -> 39, "ssts_manifest" -> 37, "ssts_storage" -> 38,
+    "statistics" -> 43, "table_constraints" -> 30, "table_privileges" -> 23,
+    "table_semantics" -> 42, "tables" -> 3, "views" -> 32)
+
+  /** SQL LIKE pattern → anchored regex. */
+  private def likeRegex(p: String): String =
+    p.flatMap {
+      case '%' => ".*"
+      case '_' => "."
+      case c if "\\.[]{}()*+?^$|".indexOf(c) >= 0 => "\\" + c
+      case c => c.toString
+    }
+
+  private def showTables(stmt: String): DataFrame = {
     import spark.implicits._
-    // `numbers` is a built-in table (table/src/table/numbers.rs)
-    (catalog.tables ++ userViews :+ "numbers").sorted.toDF("Tables")
+    val full = stmt.toUpperCase(Locale.ROOT).startsWith("SHOW FULL")
+    val fromDb = "(?i)\\b(?:FROM|IN)\\s+([A-Za-z_\"`][A-Za-z0-9_\"`-]*)".r
+      .findFirstMatchIn(stmt).map(m => unquote(m.group(1)))
+    val like = "(?i)\\bLIKE\\s+'([^']*)'".r.findFirstMatchIn(stmt).map(_.group(1))
+    val where = "(?is)\\bWHERE\\s+(.*)$".r.findFirstMatchIn(stmt).map(_.group(1).trim)
+    val db = fromDb.getOrElse(if (infoDb) "information_schema" else currentDb)
+    val rows: Seq[(String, String)] =
+      if (db == "information_schema") InfoTables.map(t => (t._1, "LOCAL TEMPORARY"))
+      else {
+        val base: Seq[(String, String)] =
+          if (db == currentDb)
+            catalog.tables.map((_, "BASE TABLE")) ++ userViews.toSeq.map((_, "VIEW"))
+          else dbSaved.get(db).map(_.specs.keys.toSeq.map((_, "BASE TABLE")))
+            .getOrElse(throw new IllegalArgumentException(s"database $db not found"))
+        // `numbers` is a public-schema builtin (table/src/table/numbers.rs)
+        if (db == "public") base :+ ("numbers" -> "LOCAL TEMPORARY") else base
+      }
+    val colName = s"Tables_in_$db"
+    var df = rows.sortBy(_._1).toDF(colName, "Table_type")
+    like.foreach(p => df = df.filter(col(s"`$colName`").rlike("^" + likeRegex(p) + "$")))
+    where.foreach(w => df = df.where(
+      dialect(w).replaceAll("(?i)\\bTables\\b", s"`$colName`")))
+    if (full) df else df.select(s"`$colName`")
+  }
+
+  private def showDatabases(stmt: String): DataFrame = {
+    import spark.implicits._
+    val full = stmt.toUpperCase(Locale.ROOT).startsWith("SHOW FULL")
+    val like = "(?i)\\bLIKE\\s+'([^']*)'".r.findFirstMatchIn(stmt).map(_.group(1))
+    val where = "(?is)\\bWHERE\\s+(.*)$".r.findFirstMatchIn(stmt).map(_.group(1).trim)
+    val names = (dbOpts.keys.toSeq ++ Seq("information_schema", "greptime_private"))
+      .distinct.sorted
+    val filtered = names
+      .filter(n => like.forall(p => n.matches("^" + likeRegex(p) + "$")))
+    var df =
+      if (!full) filtered.toDF("Database")
+      else filtered.flatMap { n =>
+        // ttl first, the rest alphabetical, one option per row with a
+        // trailing blank row (create_database_opts.result)
+        val opts = dbOpts.getOrElse(n, Nil)
+        val ordered = opts.filter(_._1 == "ttl") ++
+          opts.filterNot(_._1 == "ttl").sortBy(_._1)
+        val lines = ordered.map { case (k, v) => s"'$k'='$v'" }
+        if (lines.isEmpty) Seq((n, ""))
+        else (n, lines.head) +: (lines.tail.map(("", _)) :+ ("", ""))
+      }.toDF("Database", "Options")
+    where.foreach(w => df = df.where(dialect(w)))
+    df
   }
 
   // ---- databases ------------------------------------------------------
@@ -2156,8 +2345,10 @@ final class GraftSession(val spark: SparkSession,
     case InsertRx(name0, colsOpt, body) =>
       val name = normTable(name0)
       val spec = catalog.spec(name)
-      // ttl='instant': rows are accepted but never persisted
-      if (spec.ttlMillis.contains(0L)) return status(s"inserted 0 rows into $name")
+      // ttl='instant': rows report 0 affected and are invisible to scans
+      // (Catalog.readView filters them) but STILL persist so attached
+      // flows can process them (flow/flow_advance_ttl streaming mode)
+      val instant = spec.ttlMillis.contains(0L)
       val target = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
       val cols = Option(colsOpt)
         .map(_.stripPrefix("(").stripSuffix(")").split(",").map(c => unquote(c)).toSeq)
@@ -2321,7 +2512,7 @@ final class GraftSession(val spark: SparkSession,
               System.err.println(s"[flow-refresh] $fname: ${String.valueOf(e.getMessage).take(160)}")
           }
       }
-      status(s"inserted $n rows into $name")
+      status(s"inserted ${if (instant) 0L else n} rows into $name")
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
   }
 
@@ -2362,6 +2553,25 @@ final class GraftSession(val spark: SparkSession,
         new org.apache.hadoop.fs.Path(spec.path))
       refreshView(name)
       status(s"deleted $n rows from $name")
+    case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
+  }
+
+  /** TRUNCATE [TABLE] t — with or without the TABLE keyword, optionally
+    * `FILE RANGE (a, b), ...` (mito region truncate); every form drops
+    * all data (truncate/truncate.result pins FILE RANGE wiping the whole
+    * table too). */
+  private val TruncateRx =
+    "(?is)TRUNCATE\\s+(?:TABLE\\s+)?([A-Za-z_\"`][A-Za-z0-9_.\"`-]*)\\s*(?:FILE\\s+RANGE\\b.*)?".r
+
+  private def truncateTable(stmt: String): DataFrame = stmt.trim match {
+    case TruncateRx(name0) =>
+      val name = normTable(name0)
+      if (!catalog.tables.contains(name))
+        throw new IllegalArgumentException(
+          s"Table not found: greptime.$currentDb.$name")
+      migrateParquet(catalog.spec(name))(_.filter(lit(false)))
+      refreshView(name)
+      status(s"table $name truncated")
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
   }
 
@@ -2451,7 +2661,8 @@ final class GraftSession(val spark: SparkSession,
   }
 
   private def createFlow(stmt: String): DataFrame = stmt match {
-    case CreateFlowRx(name, sink, expire, withPart, query) =>
+    case CreateFlowRx(name, sink, expire, withPart, query0) =>
+      val query = rewriteFlowIntDiv(query0)
       val up0 = stmt.toUpperCase(Locale.ROOT)
       val orReplace = up0.contains("OR REPLACE")
       val ifNotExists = up0.contains("IF NOT EXISTS")
@@ -2529,8 +2740,8 @@ final class GraftSession(val spark: SparkSession,
         // streaming-mode fallback (ttl'd source) labels the sink with the
         // flow id; batching mode uses the generic comment
         val comment =
-          if (srcTable0.exists(s => catalog.spec(s).ttlMillis.isDefined))
-            s"Sink table for flow flow-id=${1024 + flows.size}" // 4-digit id like the reference's allocator
+          if (flowModeStreaming(query, srcTable0))
+            s"Sink table for flow flow-id=${1024 + flows.size}" // streaming-mode fallback
           else "Auto created table by flow engine"
         createTable((s"""CREATE TABLE IF NOT EXISTS "$sinkName" (""" +
           (colDefs ++ extras ++ Seq(s"""TIME INDEX ("$ti")""") ++ pk).mkString(", ") +
@@ -2545,8 +2756,17 @@ final class GraftSession(val spark: SparkSession,
           if (declared.length >= names.length) declared.take(names.length).toSeq
           else names
         } else names
+      // SELECT DISTINCT flows upsert on the distinct columns — a later
+      // eval over only-new rows must not replace earlier sink rows
+      // (flow_advance_ttl: dis accumulates 20,22 then 23)
+      val distinctKeys =
+        if ("(?is)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(query).isDefined)
+          names.zip(qdf.schema.fields)
+            .filterNot { case (_, f) => isTsType(f.dataType) }.map(_._1)
+        else Nil
       val rawKeys = opts.get("keys").map(_.split(",").map(_.trim).toSeq)
-        .getOrElse((inferGroupByKeys(query).map(normIdent).filter(names.contains) ++
+        .getOrElse(((if (distinctKeys.nonEmpty) distinctKeys
+          else inferGroupByKeys(query).map(normIdent).filter(names.contains)) ++
           tsOut.toSeq).distinct)
       val upsertKeys = rawKeys.flatMap { k =>
         val i = names.indexOf(k)
@@ -2567,6 +2787,71 @@ final class GraftSession(val spark: SparkSession,
       status(s"flow $name created")
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
   }
+
+  /** Flow execution mode (flows.rs mode selection, pinned by
+    * flow_advance_ttl + flow_no_aggr): an instant-ttl source or a
+    * non-aggregating query falls back to streaming; aggregations run
+    * as batching flows. */
+  private def flowModeStreaming(query: String, srcTable: Option[String]): Boolean = {
+    val instantSrc = srcTable.exists(s =>
+      catalog.tables.contains(s) && catalog.spec(s).ttlMillis.contains(0L))
+    val u = query.toUpperCase(Locale.ROOT)
+    val aggregating = u.matches("(?s).*\\bGROUP\\s+BY\\b.*") ||
+      "(?is)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(query).isDefined ||
+      ("(?i)\\b(sum|count|avg|min|max|first_value|last_value|array_agg|" +
+        "approx_\\w+|hll|uddsketch_\\w+|stddev\\w*|var\\w*)\\s*\\(").r
+        .findFirstIn(query).isDefined
+    instantSrc || !aggregating
+  }
+
+  /** DataFusion divides integer aggregates integrally (sum(int)/count →
+    * Int64) while Spark's `/` always yields DOUBLE; rewrite a top-level
+    * `a/b` select item to `a div b` when both operands analyze to
+    * integral types (flow_basic's avg_after_filter_num BIGINT sink). */
+  private def rewriteFlowIntDiv(query: String): String = try {
+    val m = "(?is)^(\\s*SELECT\\s+(?:DISTINCT\\s+)?)(.*?)(\\sFROM\\s.*)$".r
+      .findFirstMatchIn(query).getOrElse(return query)
+    val items = splitTop(m.group(2))
+    val slash = items.map { it =>
+      // top-level single '/' split (outside parens/quotes)
+      var depth = 0; var pos = -1
+      var i = 0
+      while (i < it.length) {
+        it.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '\'' => i += 1 + it.substring(i + 1).indexOf('\'').max(0)
+          case '/' if depth == 0 => pos = i
+          case _ => ()
+        }
+        i += 1
+      }
+      (it, pos)
+    }
+    if (!slash.exists(_._2 > 0)) return query
+    val rewritten = slash.map {
+      case (it, -1) => it
+      case (it, pos) =>
+        val aliasRx = "(?is)^(.*?)(\\s+AS\\s+\\S+\\s*)$".r
+        val (exprPart, alias) = it match {
+          case aliasRx(e, a) => (e, a)
+          case _ => (it, "")
+        }
+        val p2 = if (pos < exprPart.length) pos else -1
+        if (p2 <= 0) it
+        else {
+          val (l, r) = (exprPart.substring(0, p2), exprPart.substring(p2 + 1))
+          val probe = m.group(1) + items.mkString(", ") +
+            s", ($l) AS __pl, ($r) AS __pr" + m.group(3)
+          val sch = spark.sql(dialect(probe)).schema
+          val integral = Set[DataType](LongType, IntegerType, ShortType, ByteType)
+          if (integral(sch("__pl").dataType) && integral(sch("__pr").dataType))
+            s"($l) div ($r)$alias"
+          else it
+        }
+    }
+    m.group(1) + rewritten.mkString(", ") + m.group(3)
+  } catch { case _: Exception => query }
 
   /** Plain column identifiers in the final GROUP BY clause. */
   private[graft] def inferGroupByKeys(query: String): Seq[String] = {
@@ -2739,7 +3024,27 @@ final class GraftSession(val spark: SparkSession,
           .trim.stripPrefix("'").stripSuffix("'")
         refreshFlow(name)
         " FLOW_FLUSHED  "
-      } else "0"
+      } else {
+        // compaction materializes TTL expiry: fully-expired rows are
+        // physically dropped, so a later LOOSER ttl cannot resurrect
+        // them (ttl/alter_table_ttl.result, ttl/database_ttl.result)
+        val fnl = fn.toLowerCase(Locale.ROOT)
+        if (fnl.startsWith("compact_table") || fnl.startsWith("flush_table")) {
+          val name = normTable(fn.substring(fn.indexOf('(') + 1, fn.lastIndexOf(')'))
+            .trim.stripPrefix("'").stripSuffix("'"))
+          if (catalog.tables.contains(name)) {
+            val spec = catalog.spec(name)
+            spec.ttlMillis.foreach { ttl =>
+              if (ttl == 0L) migrateParquet(spec)(_.filter(lit(false)))
+              else migrateParquet(spec)(_.filter(
+                col(s"`${spec.timeIndex}`") >=
+                  (current_timestamp() - expr(s"INTERVAL $ttl MILLISECOND"))))
+              refreshView(name)
+            }
+          }
+        }
+        "0"
+      }
     Seq(cell).toDF(stmt)
   }
 

@@ -85,7 +85,8 @@ object RangeSql {
   }
 
   def execute(spark: SparkSession, sql: String,
-      resolveTable: String => (DataFrame, String, Seq[String])): DataFrame = {
+      resolveTable: String => (DataFrame, String, Seq[String]),
+      defaultOriginMs: Long = 0L): DataFrame = {
     val stmt = sql.trim.stripSuffix(";")
 
     // ---- tail clauses: FROM / WHERE / ALIGN / TO / BY / FILL / ORDER --
@@ -160,7 +161,7 @@ object RangeSql {
       val v = t.stripPrefix("'").stripSuffix("'")
       if (v.matches("-?\\d+")) v.toLong
       else java.time.Instant.parse(if (v.endsWith("Z")) v else v + "Z").toEpochMilli
-    }.getOrElse(0L)
+    }.getOrElse(defaultOriginMs)
 
     val groups = annots.toList.groupBy(_.rangeMs)
     val parts = groups.map { case (rangeMs, as) =>

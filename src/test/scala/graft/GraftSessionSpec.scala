@@ -148,9 +148,9 @@ class GraftSessionSpec extends AnyFunSuite {
 
   test("information_schema tables and columns") {
     val tables = g.sql(
-      "SELECT table_name, time_index FROM information_schema.tables ORDER BY table_name")
+      "SELECT table_name, table_type FROM information_schema.tables ORDER BY table_name")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(tables.contains("host_cpu") && tables("host_cpu") == "ts")
+    assert(tables.contains("host_cpu") && tables("host_cpu") == "BASE TABLE")
     val cols = g.sql(
       """SELECT column_name, semantic_type FROM information_schema.columns
          WHERE table_name = 'host_cpu' ORDER BY column_name""")

@@ -70,12 +70,15 @@ class ModelSpec extends AnyFunSuite {
     assert(!plan.contains("], true, 0"), plan)
   }
 
-  test("ttl filters rows older than now - ttl") {
+  test("ttl: instant hides rows from scans, duration defers to compaction") {
     val now = System.currentTimeMillis()
     val df = Seq(("a", now - 1000L, 1.0, "x", 0L), ("a", now - 999999L, 2.0, "y", 0L))
       .toDF("host", "ts", "f1", "f2", "seq")
       .withColumn("ts", timestamp_millis($"ts"))
-    val out = Catalog.readView(df, spec(MergeMode.Append, ttl = Some(60000L)))
-    assert(out.count() == 1)
+    // duration ttl: rows stay visible until a flush/compaction
+    // materializes the expiry (flow/flow_advance_ttl.result)
+    assert(Catalog.readView(df, spec(MergeMode.Append, ttl = Some(60000L))).count() == 2)
+    // instant ttl: rows never reach scans (ttl/ttl_instant.result)
+    assert(Catalog.readView(df, spec(MergeMode.Append, ttl = Some(0L))).count() == 0)
   }
 }
