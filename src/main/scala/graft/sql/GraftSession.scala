@@ -49,6 +49,17 @@ final class GraftSession(spark0: SparkSession,
 
   graft.functions.Registry.registerAll(spark)
   graft.functions.Registry.registerDialectOverrides(spark)
+  // metric-engine __tsid (reference row_modifier.rs fxhash; UInt64 →
+  // Decimal(20,0) so values above Long.MaxValue render unsigned)
+  spark.udf.register("__graft_tsid",
+    new org.apache.spark.sql.api.java.UDF2[scala.collection.Seq[String],
+      scala.collection.Seq[String], java.math.BigDecimal] {
+      def call(names: scala.collection.Seq[String],
+          values: scala.collection.Seq[String]): java.math.BigDecimal = {
+        val pairs = names.toSeq.zip(values.toSeq).filter(_._2 != null)
+        graft.functions.Tsid.unsignedDecimal(graft.functions.Tsid.tsid(pairs))
+      }
+    }, org.apache.spark.sql.types.DecimalType(20, 0))
   // session-aware override: stored timestamps are UTC instants and the
   // reference renders date_format in the session time zone
   // (system/timezone.result) — including offsets Java rejects (+23:00)
@@ -135,8 +146,12 @@ final class GraftSession(spark0: SparkSession,
     else if (up.startsWith("SHOW COLUMNS")) showColumns(stmt)
     else if (up.startsWith("SHOW TABLES") || up.startsWith("SHOW FULL TABLES"))
       showTables(stmt)
-    else if (up.startsWith("SHOW CREATE TABLE"))
-      showCreateTable(normTable(stmt.split("\\s+")(3)))
+    else if (up.startsWith("SHOW CREATE TABLE")) {
+      val target = normTable(stmt.split("\\s+")(3))
+      if (up.contains("FOR POSTGRES_FOREIGN_TABLE"))
+        showCreateForeignTable(target)
+      else showCreateTable(target)
+    }
     else if (up.startsWith("SHOW CREATE DATABASE")) {
       import spark.implicits._
       val db = unquote(stmt.split("\\s+")(3))
@@ -144,7 +159,15 @@ final class GraftSession(spark0: SparkSession,
         throw new IllegalArgumentException(s"database $db not found")
       val opts = dbOpts(db).sortBy(_._1).map { case (k, v) =>
         val key = if (k.matches("[A-Za-z_][A-Za-z0-9_]*")) k else s"'$k'"
-        s"  $key = '${if (k == "ttl") humanDuration(v) else v}'" }
+        val ev0 = (if (k == "ttl") humanDuration(v) else v)
+          .replace("\\", "\\\\") // backslashes render escaped (CJK comment golden)
+        // ReadableSize values normalize through a float rendering
+        // ('1KiB' -> '1.0KiB', show/show_create.result)
+        val ev =
+          if (k.endsWith("_size") && ev0.matches("\\d+[KMGT]i?B"))
+            ev0.replaceFirst("(\\d+)", "$1.0")
+          else ev0
+        s"  $key = '$ev'" }
       val lines = s"CREATE DATABASE IF NOT EXISTS $db" +:
         (if (opts.nonEmpty) ("WITH(" +: opts.zipWithIndex.map { case (o, i) =>
           if (i < opts.size - 1) o + "," else o } :+ ")") else Vector.empty)
@@ -937,17 +960,18 @@ final class GraftSession(spark0: SparkSession,
       sqlType: Option[String] = None,    // declared token when it differs
                                          // from the canonical rendering
                                          // (VARBINARY vs BINARY)
-      indexDecl: Option[String] = None)  // FULLTEXT/SKIPPING/INVERTED
+      indexDecl: Option[String] = None,  // FULLTEXT/SKIPPING/INVERTED
                                          // INDEX clause for SHOW CREATE
+      comment: Option[String] = None)    // column COMMENT 'text'
 
   /** Column index modifier → SHOW CREATE rendering with the reference's
     * default parameters merged in (create/create_with_{fulltext,
     * skipping_index}.result). */
   private def indexDeclOf(item: String): Option[String] = {
-    val u = item.toUpperCase(Locale.ROOT)
-    def opts(defaults: Seq[(String, String)]): Seq[(String, String)] = {
-      val w = "(?is)INDEX\\s+WITH\\s*\\(([^)]*)\\)".r.findFirstMatchIn(item)
-        .map(_.group(1)).getOrElse("")
+    def kindOpts(kind: String): Option[String] =
+      s"(?is)\\b$kind\\s+INDEX(\\s+WITH\\s*\\(([^)]*)\\))?".r
+        .findFirstMatchIn(item).map(m => Option(m.group(2)).getOrElse(""))
+    def opts(w: String, defaults: Seq[(String, String)]): Seq[(String, String)] = {
       val declared = splitTop(w).flatMap(_.split("=", 2) match {
         case Array(k, v) => Some(k.trim.stripPrefix("'").stripSuffix("'")
           .toLowerCase(Locale.ROOT) -> v.trim.stripPrefix("'").stripSuffix("'"))
@@ -955,25 +979,30 @@ final class GraftSession(spark0: SparkSession,
       })
       (defaults.filterNot(d => declared.exists(_._1 == d._1)) ++ declared).sortBy(_._1)
     }
-    def render(kind: String, defaults: Seq[(String, String)]): String =
+    def render(kind: String, w: String, defaults: Seq[(String, String)]): String =
       s"$kind INDEX WITH(" +
-        opts(defaults).map { case (k, v) => s"$k = '$v'" }.mkString(", ") + ")"
-    if (u.contains("FULLTEXT INDEX")) {
+        opts(w, defaults).map { case (k, v) => s"$k = '$v'" }.mkString(", ") + ")"
+    // a column may stack several index declarations; render in the
+    // reference's order FULLTEXT, SKIPPING, INVERTED (show_create.result
+    // test_column_constrain_composite_indexes)
+    val parts = Seq.newBuilder[String]
+    kindOpts("FULLTEXT").foreach { w =>
       // the bloom-tuning defaults are backend-specific: a tantivy
       // backend renders without them (change_col_fulltext_options.result)
-      val tantivy = "(?i)backend\\s*=\\s*'?tantivy'?".r.findFirstIn(item).isDefined
+      val tantivy = "(?i)backend\\s*=\\s*'?tantivy'?".r.findFirstIn(w).isDefined
       val defaults =
         if (tantivy) Seq("analyzer" -> "English", "case_sensitive" -> "false")
         else Seq("analyzer" -> "English", "backend" -> "bloom",
           "case_sensitive" -> "false", "false_positive_rate" -> "0.01",
           "granularity" -> "10240")
-      Some(render("FULLTEXT", defaults))
+      parts += render("FULLTEXT", w, defaults)
     }
-    else if (u.contains("SKIPPING INDEX"))
-      Some(render("SKIPPING", Seq("false_positive_rate" -> "0.01",
+    kindOpts("SKIPPING").foreach(w =>
+      parts += render("SKIPPING", w, Seq("false_positive_rate" -> "0.01",
         "granularity" -> "10240", "type" -> "BLOOM")))
-    else if (u.contains("INVERTED INDEX")) Some("INVERTED INDEX")
-    else None
+    kindOpts("INVERTED").foreach(_ => parts += "INVERTED INDEX")
+    val r = parts.result()
+    if (r.isEmpty) None else Some(r.mkString(" "))
   }
   private val colMeta =
     scala.collection.concurrent.TrieMap.empty[String, Vector[ColMeta]]
@@ -1019,7 +1048,17 @@ final class GraftSession(spark0: SparkSession,
   /** Reference type-name canonicalization (datatypes/src/data_type.rs
     * `ConcreteDataType` display names) from the declared SQL token. */
   private def greptimeTypeName(tok: String): String = {
-    val u = tok.trim.toUpperCase(Locale.ROOT)
+    val u0 = tok.trim.toUpperCase(Locale.ROOT)
+    // MySQL `INT UNSIGNED` two-token form → UInt* (show_create.result)
+    if (u0.endsWith(" UNSIGNED"))
+      return greptimeTypeName(u0.stripSuffix(" UNSIGNED")) match {
+        case "Int8" => "UInt8"
+        case "Int16" => "UInt16"
+        case "Int32" => "UInt32"
+        case "Int64" => "UInt64"
+        case other => other
+      }
+    val u = u0
     val base = u.takeWhile(_ != '(')
     val args = if (u.contains('(')) u.dropWhile(_ != '(').stripPrefix("(").stripSuffix(")").trim else ""
     base match {
@@ -1073,8 +1112,11 @@ final class GraftSession(spark0: SparkSession,
     * pins `AbCdEfGe` resolving as `abcdefge`). */
   private def normIdent(ident: String): String = {
     val t = ident.trim
-    if (t.startsWith("\"") || t.startsWith("`")) unquote(t)
-    else t.toLowerCase(Locale.ROOT)
+    val n = if (t.startsWith("\"") || t.startsWith("`")) unquote(t)
+      else t.toLowerCase(Locale.ROOT)
+    // Spark temp-view names reject @/# (create/create.result's fuzzed
+    // names) — map them to stable tokens
+    n.replace("@", "__x40__").replace("#", "__x23__")
   }
 
   /** One column definition: name TYPE [NULL|NOT NULL] [DEFAULT expr]
@@ -1092,7 +1134,12 @@ final class GraftSession(spark0: SparkSession,
     val nameTok = item.takeWhile(!_.isWhitespace)
     val rest = item.drop(nameTok.length).trim
     val restUp = rest.toUpperCase(Locale.ROOT)
-    val typeTok = rest.takeWhile(!_.isWhitespace)
+    val typeTok0 = rest.takeWhile(!_.isWhitespace)
+    // `INT UNSIGNED` style two-token types (show/show_create.result)
+    val typeTok =
+      if (restUp.drop(typeTok0.length).trim.startsWith("UNSIGNED"))
+        typeTok0 + " UNSIGNED"
+      else typeTok0
     ColDef(
       normIdent(nameTok),
       typeTok,
@@ -1121,7 +1168,16 @@ final class GraftSession(spark0: SparkSession,
   }
 
   private def sparkType(t: String): DataType = {
-    val u = t.trim.toUpperCase(Locale.ROOT)
+    val u1 = t.trim.toUpperCase(Locale.ROOT)
+    if (u1.endsWith(" UNSIGNED"))
+      return sparkType("U" + u1.stripSuffix(" UNSIGNED") match {
+        case "UTINYINT" => "UINT8"
+        case "USMALLINT" | "UINT2" => "UINT16"
+        case "UINT" | "UINTEGER" | "UINT4" => "UINT32"
+        case "UBIGINT" | "UINT8" => "UINT64"
+        case other => other.drop(1)
+      })
+    val u = u1
     val base = u.takeWhile(_ != '(')
     base match {
       case "STRING" | "TEXT" | "VARCHAR" | "CHAR" |
@@ -1255,24 +1311,49 @@ final class GraftSession(spark0: SparkSession,
             if (cd.typeTok.toUpperCase(Locale.ROOT) == "VARBINARY") Some("VARBINARY")
             else None
           metas += ColMeta(cd.name, gtype, cd.nullable, cd.default,
-            sqlType = sqlTok, indexDecl = indexDeclOf(item))
+            sqlType = sqlTok, indexDecl = indexDeclOf(item),
+            comment = "(?is)\\bCOMMENT\\s+'((?:[^']|'')*)'".r
+              .findFirstMatchIn(item).map(_.group(1)))
           fields += StructField(cd.name, sparkType(cd.typeTok), cd.nullable)
         }
       }
       if (tiCount > 1) throw new IllegalArgumentException(
         s"Invalid time index: expected only one time index constraint but actual $tiCount")
-      colMeta.put(name, metas.result())
+      var metasV = metas.result()
+      // duplicate column defs error before anything registers
+      // (create_metric_table.result pins the index-pair message shape)
+      metasV.map(_.name).zipWithIndex.groupBy(_._1).find(_._2.size > 1).foreach {
+        case (dup, idxs) => throw new IllegalArgumentException(
+          s"Invalid SQL, error: column name `$dup` is duplicated at index " +
+            s"${idxs.head._2} and ${idxs(1)._2}")
+      }
 
+      def unq(s: String): String = {
+        val t = s.trim
+        if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
+          t.substring(1, t.length - 1)
+        else t
+      }
       val optSeq: Seq[(String, String)] = Option(withPart).map { w =>
         splitTop(w).flatMap { kv =>
           kv.split("=", 2) match {
             case Array(k, v) =>
-              Some(k.trim.stripPrefix("'").stripSuffix("'").toLowerCase(Locale.ROOT) ->
-                v.trim.stripPrefix("'").stripSuffix("'"))
+              Some(unq(k).toLowerCase(Locale.ROOT) -> unq(v))
             case _ => None
           }
         }
       }.getOrElse(Nil)
+      // SHOW CREATE echoes the original key quoting: WITH(COMMENT='x')
+      // renders bare, WITH('comment'='x') quoted (create/create.result
+      // vs the flow sink comment)
+      Option(withPart).foreach { w =>
+        val quoted = splitTop(w).flatMap(_.split("=", 2) match {
+          case Array(k, _) if k.trim.startsWith("'") =>
+            Some(unq(k).toLowerCase(Locale.ROOT))
+          case _ => None
+        }).toSet
+        quotedOptNames.put(name, quoted)
+      }
       // database options inherit into the table at create time — except
       // ttl (resolved dynamically so ALTER DATABASE SET ttl keeps
       // affecting existing tables) and compaction.* (db-level only,
@@ -1280,15 +1361,140 @@ final class GraftSession(spark0: SparkSession,
       val inheritable = dbOpts.getOrElse(currentDb, Nil)
         .filterNot { case (k, _) => k.startsWith("compaction.") || k == "ttl" }
         .filterNot { case (k, _) => optSeq.exists(_._1 == k) }
-      tableOpts.put(name, optSeq ++ inheritable)
       val opts: Map[String, String] = (optSeq ++ inheritable).toMap
+
+      // ---- engine + PARTITION ON clause (metric engine, §SURVEY 2.1) --
+      val tail = stmt.substring(close + 1)
+      val engine = "(?i)\\bENGINE\\s*=\\s*([A-Za-z_]+)".r
+        .findFirstMatchIn(tail).map(_.group(1).toLowerCase(Locale.ROOT))
+        .getOrElse("mito")
+      val partRx = "(?is)PARTITION\\s+ON\\s+COLUMNS\\s*\\(([^)]*)\\)\\s*\\(".r
+      val partClause: Option[(Seq[String], Seq[String])] =
+        partRx.findFirstMatchIn(tail).map { pm =>
+          var d = 1; var j = pm.end
+          while (j < tail.length && d > 0) {
+            tail.charAt(j) match {
+              case '(' => d += 1
+              case ')' => d -= 1
+              case _ => ()
+            }
+            j += 1
+          }
+          val cols = pm.group(1).split(",").map(c => unquote(c.trim)).toSeq
+            .filter(_.nonEmpty)
+          val rules = splitTop(tail.substring(pm.end, j - 1)).map(
+            _.trim.replaceAll("\\s+", " ")
+              .replaceAll("[`\"]", "") // identifiers render unquoted
+              .replaceAll("(?i)\\band\\b", "AND").replaceAll("(?i)\\bor\\b", "OR"))
+            .filter(_.nonEmpty)
+          (cols, rules)
+        }
+      val isMetricPhy = engine == "metric" && opts.contains("physical_metric_table")
+      val isMetricLogical = engine == "metric" && opts.contains("on_physical_table")
+      if (isMetricPhy) {
+        // index.* options validate eagerly (create_metric_table.result)
+        opts.get("index.type").foreach { t =>
+          if (!Set("skipping", "inverted", "none").contains(t))
+            throw new IllegalArgumentException(
+              s"Failed to parse region options: Invalid index type: $t")
+        }
+      }
+      var inheritTtl: Option[Long] = None
+      var inheritMerge: Option[MergeMode] = None
+      if (isMetricLogical) {
+        val phyName = normTable(opts("on_physical_table"))
+        val phy = metricPhy.getOrElse(phyName, throw new IllegalArgumentException(
+          s"physical table $phyName not found"))
+        val phyMetas = colMeta.getOrElse(phyName, Vector.empty)
+        val phySpec = catalog.spec(phyName)
+        val myTags = tags.distinct.toSet
+        // logical partition rule must equal the physical one verbatim
+        partClause.foreach { case (_, rules) =>
+          val phyRules = partitionClause.get(phyName).map(_._2).getOrElse(Nil)
+          if (rules.nonEmpty && rules != phyRules)
+            throw new IllegalArgumentException(
+              "Invalid partition rule: logical table partition rule must " +
+                "match the corresponding physical table's")
+        }
+        // validate each column against the physical schema
+        metasV.foreach { m =>
+          val isTag = myTags.contains(m.name)
+          val isTs = timeIndex.contains(m.name)
+          if (isTs) {
+            val phyTs = phyMetas.find(_.name == phySpec.timeIndex)
+            if (phyTs.exists(_.gtype != m.gtype))
+              throw new IllegalArgumentException(
+                s"Unexpected request: Metric has differenttime unit than the physical region")
+          } else if (isTag) {
+            if (m.gtype != "String")
+              throw new IllegalArgumentException(
+                "Column type mismatch. Expect String(StringType { size_type: Utf8 }), " +
+                  s"got ${m.gtype}(${m.gtype}Type)")
+          } else {
+            phyMetas.find(_.name == m.name) match {
+              case None => throw new IllegalArgumentException(
+                s"Adding field column ${m.name} to physical table")
+              case Some(pm) if pm.gtype != m.gtype =>
+                throw new IllegalArgumentException(
+                  s"Column type mismatch. Expect ${pm.gtype}(${pm.gtype}Type), " +
+                    s"got ${m.gtype}(${m.gtype}Type)")
+              case _ => ()
+            }
+          }
+        }
+        // inherit the physical table's partition columns as extra tags
+        val phyPartCols = partitionClause.get(phyName).map(_._1).getOrElse(Nil)
+        phyPartCols.filterNot(c => metasV.exists(_.name == c)).foreach { c =>
+          metasV :+= ColMeta(c, "String", nullable = true, None)
+          tags :+= c
+        }
+        // logical tables expose columns alphabetically (DESC t1 pins
+        // host, ts, val; SELECT * and positional INSERT follow)
+        metasV = metasV.sortBy(_.name)
+        tags = tags.distinct.sortBy(identity)
+        // add new tags to the physical table schema
+        val phyAdd = tags.filterNot(t => colMeta.getOrElse(phyName, Vector.empty)
+          .exists(_.name == t))
+        if (phyAdd.nonEmpty) {
+          val decor = tableOpts.getOrElse(phyName, Nil).toMap.get("index.type") match {
+            case Some("skipping") =>
+              val fpr = tableOpts.getOrElse(phyName, Nil).toMap
+                .getOrElse("index.false_positive_rate", "0.01")
+              val gran = tableOpts.getOrElse(phyName, Nil).toMap
+                .getOrElse("index.granularity", "10240")
+              Some(s"SKIPPING INDEX WITH(false_positive_rate = '$fpr', " +
+                s"granularity = '$gran', type = 'BLOOM')")
+            case _ => None
+          }
+          colMeta.put(phyName, colMeta.getOrElse(phyName, Vector.empty) ++
+            phyAdd.map(t => ColMeta(t, "String", nullable = true, None,
+              indexDecl = decor)))
+          catalog.register(phySpec.copy(tags = (phySpec.tags ++ phyAdd).distinct))
+          phy.addedTags ++= phyAdd
+        }
+        phy.everLogical = true
+        phy.children += name
+        logicalParent.put(name, phyName)
+        inheritTtl = catalog.spec(phyName).ttlMillis
+        // logical tables share the physical region's storage semantics
+        // (create_metric_table.result: append-mode phy → duplicate rows
+        // survive in t1)
+        inheritMerge = Some(catalog.spec(phyName).mergeMode)
+      }
+      if (engine != "mito") tableEngine.put(name, engine)
+      if (isMetricPhy)
+        metricPhy.put(name, new PhyState())
+      partClause.foreach(pc => partitionClause.put(name, pc))
+
+      tableOpts.put(name, optSeq ++ inheritable)
 
       val ti = timeIndex.getOrElse(
         throw new IllegalArgumentException(s"table $name: TIME INDEX is mandatory"))
       // tags are dropped from primary key if they equal the time index
       val mergeMode =
         if (opts.get("append_mode").exists(_.toLowerCase == "true")) MergeMode.Append
-        else opts.get("merge_mode").map(MergeMode.parse).getOrElse(MergeMode.LastRow)
+        else opts.get("merge_mode").map(MergeMode.parse)
+          .orElse(inheritMerge).getOrElse(MergeMode.LastRow)
       // table ttl, else inherited from the database (table/src/requests.rs
       // database-level TTL); 'instant' drops every historical row
       val ttlOpt = opts.get("ttl")
@@ -1297,10 +1503,15 @@ final class GraftSession(spark0: SparkSession,
         case "instant" => Some(0L)
         case "forever" | "" => None
         case v => Some(parseTtlMs(v))
-      }
+      }.orElse(inheritTtl)
       val path = opts.getOrElse("path", s"$warehouse/${currentDb}__$name")
 
-      val schema = StructType(fields.result() :+ StructField(SeqCol, LongType))
+      colMeta.put(name, metasV)
+      val declaredFields = fields.result()
+      val orderedFields = metasV.map(m =>
+        declaredFields.find(_.name == m.name).getOrElse(
+          StructField(m.name, sparkType(showCreateType(m.gtype)), m.nullable)))
+      val schema = StructType(orderedFields :+ StructField(SeqCol, LongType))
       val spec = TableSpec(name, path, ti, tags.distinct, mergeMode, ttl,
         seqColumn = Some(opts.getOrElse("seq_column", SeqCol)))
       catalog.register(spec)
@@ -1315,7 +1526,39 @@ final class GraftSession(spark0: SparkSession,
   /** Read view with the internal sequence column and any ALTER-dropped
     * columns hidden; ADD COLUMN DEFAULT backfills and MODIFY COLUMN
     * casts applied; columns in declared (FIRST/AFTER-adjusted) order. */
+  /** A metric physical table scans as the union of its logical children
+    * with the reserved __table_id/__tsid tags computed per row
+    * (insert/logical_metric_table.result pins the fxhash tsid values). */
+  private def refreshMetricPhyView(phyName: String): Unit = {
+    val ps = metricPhy.getOrElse(phyName, return)
+    if (!ps.everLogical) return
+    val metas = colMeta.getOrElse(phyName, Vector.empty)
+    val declared = metas.filterNot(m => ps.addedTags.contains(m.name))
+    val added = metas.filter(m => ps.addedTags.contains(m.name))
+    val kids = ps.children.toSeq.filter(catalog.tables.contains)
+    val parts = kids.zipWithIndex.map { case (c, i) =>
+      val cdf = spark.table(c)
+      val cTags = catalog.spec(c).tags.sorted
+      def colOr(n: String): org.apache.spark.sql.Column =
+        if (cdf.columns.contains(n)) col(s"`$n`") else lit(null).cast("string")
+      val cols: Seq[org.apache.spark.sql.Column] =
+        declared.map(m => colOr(m.name).as(m.name)) ++
+          Seq(lit(1025 + i).as("__table_id"),
+            call_udf("__graft_tsid",
+              array(cTags.map(lit): _*),
+              array(cTags.map(t => col(s"`$t`").cast("string")): _*)).as("__tsid")) ++
+          added.map(m => colOr(m.name).as(m.name))
+      cdf.select(cols: _*)
+    }
+    parts.reduceOption(_.unionByName(_)).foreach(
+      _.createOrReplaceTempView(phyName))
+  }
+
   private def refreshView(name: String, seqFloor: Option[Long] = None): Unit = {
+    if (metricPhy.get(name).exists(_.everLogical) && seqFloor.isEmpty) {
+      refreshMetricPhyView(name)
+      return
+    }
     // a seqFloor means a flow is evaluating: instant-ttl rows (never
     // visible to plain scans) ARE visible to the flow engine
     val spec0 = catalog.spec(name)
@@ -1451,13 +1694,38 @@ final class GraftSession(spark0: SparkSession,
       val tail = tail0.trim
       val up = tail.toUpperCase(Locale.ROOT)
       if (up.startsWith("ADD COLUMN")) {
+        // the metric engine forbids structural alters on physical tables
+        // (alter/alter_physical_table.result)
+        if (metricPhy.contains(name))
+          throw new IllegalArgumentException(
+            "Alter request to physical region is forbidden")
         // comma-chained clauses: ADD COLUMN a ..., ADD COLUMN b ...
         splitTop(tail).foreach { clause =>
           val body = clause.trim.replaceAll("(?is)^ADD\\s+COLUMN\\s+", "")
           alterAddColumn(name, body)
         }
+        // a logical metric table keeps alphabetical column order and
+        // propagates new tags onto the physical table
+        logicalParent.get(name).foreach { phyName =>
+          colMeta.get(name).foreach(m => colMeta.put(name, m.sortBy(_.name)))
+          val mySpec = catalog.spec(name)
+          catalog.register(mySpec.copy(tags = mySpec.tags.sorted))
+          val phySpec = catalog.spec(phyName)
+          val newTags = mySpec.tags.filterNot(phySpec.tags.contains)
+            .filterNot(t => colMeta.getOrElse(phyName, Vector.empty).exists(_.name == t))
+          if (newTags.nonEmpty) {
+            colMeta.put(phyName, colMeta.getOrElse(phyName, Vector.empty) ++
+              newTags.map(t => ColMeta(t, "String", nullable = true, None)))
+            catalog.register(phySpec.copy(tags = (phySpec.tags ++ newTags).distinct))
+            metricPhy.get(phyName).foreach(_.addedTags ++= newTags)
+          }
+          refreshView(name)
+        }
       } else if (up.startsWith("DROP COLUMN")) {
         val colName = unquote(tail.split("\\s+").last)
+        if (metricPhy.contains(name))
+          throw new IllegalArgumentException(
+            s"Not allowed to remove index column $colName from table $name")
         droppedCols.put(name, droppedCols.getOrElse(name, Set.empty) + colName)
         colMeta.get(name).foreach(m =>
           colMeta.put(name, m.filterNot(_.name == colName)))
@@ -1564,6 +1832,14 @@ final class GraftSession(spark0: SparkSession,
                 case x => Some(parseTtlMs(x))
               }
               catalog.register(catalog.spec(name).copy(ttlMillis = ms))
+              // a physical table's ttl governs its logical children
+              // (ttl/metric_engine_ttl.result)
+              metricPhy.get(name).foreach(_.children.foreach { c =>
+                if (catalog.tables.contains(c)) {
+                  catalog.register(catalog.spec(c).copy(ttlMillis = ms))
+                  refreshView(c)
+                }
+              })
             case "append_mode" =>
               val toAppend = v.contains("true")
               val cur = catalog.spec(name)
@@ -1714,6 +1990,18 @@ final class GraftSession(spark0: SparkSession,
   }
 
   private def dropOneTable(name: String): Unit = {
+    // a physical metric region refuses to drop while logical tables
+    // still use it (create_metric_table.result)
+    metricPhy.get(name).foreach { ps =>
+      if (ps.children.nonEmpty)
+        throw new IllegalArgumentException(
+          "Physical region is busy, there are still some logical regions using it")
+      metricPhy.remove(name)
+    }
+    logicalParent.remove(name).foreach(phy =>
+      metricPhy.get(phy).foreach(_.children -= name))
+    tableEngine.remove(name)
+    partitionClause.remove(name)
     spark.catalog.dropTempView(name)
     // a subsequent CREATE TABLE of the same name must start empty
     catalog.deregister(name).foreach { spec =>
@@ -1846,7 +2134,8 @@ final class GraftSession(spark0: SparkSession,
     val infoT = InfoTables.map { case (n, id) =>
       InfoT("information_schema", n, "LOCAL TEMPORARY", id.toLong, "", "Y") }
     val userT = (currentRows ++ savedRows).zipWithIndex.map { case (r, i) =>
-      InfoT(r._2, r._3, "BASE TABLE", 1024L + i, "mito", "N") }
+      InfoT(r._2, r._3, "BASE TABLE", 1024L + i,
+        tableEngine.getOrElse(r._3, "mito"), "N") }
     val viewT = userViews.toSeq.distinct.zipWithIndex.map { case (v, i) =>
       InfoT(if (infoDb) "public" else currentDb, v, "VIEW", 2048L + i, "", "N") }
     val numT =
@@ -1961,6 +2250,31 @@ final class GraftSession(spark0: SparkSession,
   private val tableOpts =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
 
+  // ---- metric engine (reference src/metric-engine) --------------------
+  /** One shared physical storage region; logical tables project label
+    * subsets onto it. */
+  private final class PhyState {
+    var everLogical: Boolean = false
+    val children = scala.collection.mutable.LinkedHashSet.empty[String]
+    val addedTags = scala.collection.mutable.LinkedHashSet.empty[String]
+  }
+  private val metricPhy =
+    scala.collection.concurrent.TrieMap.empty[String, PhyState]
+  private val logicalParent =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Table engine when not mito (metric; numbers' test_engine is
+    * hardcoded in refreshInfoSchema). */
+  private val tableEngine =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** PARTITION ON COLUMNS (cols) (rules) clause, normalized. */
+  private val partitionClause =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[String], Seq[String])]
+
+  /** WITH-option keys the user single-quoted (SHOW CREATE echoes the
+    * original quoting). */
+  private val quotedOptNames =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
   private def showCreateTable(name: String): DataFrame = {
     import spark.implicits._
     val spec = catalog.spec(name)
@@ -1983,7 +2297,8 @@ final class GraftSession(spark0: SparkSession,
         s" DEFAULT $norm"
       }.getOrElse("")
       val idx = m.indexDecl.map(" " + _).getOrElse("")
-      base + nul + dft + idx
+      val cmt = m.comment.map(c => s" COMMENT '$c'").getOrElse("")
+      base + nul + dft + cmt + idx
     }
     val keyLines = Vector(s"""  TIME INDEX ("${spec.timeIndex}")""") ++
       (if (spec.tags.nonEmpty)
@@ -2002,18 +2317,45 @@ final class GraftSession(spark0: SparkSession,
     // hidden but still leave an (empty) WITH block behind
     // (alter/alter_auto_flush_interval.result, alter/alter_format.result)
     val bareKeys = Set("ttl", "append_mode", "merge_mode", "skip_wal",
-      "auto_flush_interval", "sst_format", "max_row_group_row_count")
+      "auto_flush_interval", "sst_format", "max_row_group_row_count",
+      "physical_metric_table", "on_physical_table")
     val hiddenKeys = Set.empty[String]
     val visible = effective.filterNot(e => hiddenKeys(e._1))
     val hasHidden = effective.exists(e => hiddenKeys(e._1))
     val opts = visible
       .map { case (k, v) =>
-        val key = if (bareKeys(k)) k else s"'$k'"
-        s"  $key = '${if (k == "ttl") humanDuration(v) else v}'" }
-    // golden shape: ")", blank (partition slot), ENGINE=mito, then the
-    // WITH block or a trailing blank
+        // echo the original quoting: bare for well-known keys and keys
+        // the user wrote unquoted; quoted otherwise (create.result's
+        // comment vs the flow sink's 'comment')
+        val key =
+          if (bareKeys(k)) k
+          else if (k.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+            !quotedOptNames.getOrElse(name, Set.empty).contains(k)) k
+          else s"'$k'"
+        val ev0 = (if (k == "ttl") humanDuration(v) else v)
+          .replace("\\", "\\\\") // backslashes render escaped (CJK comment golden)
+        // ReadableSize values normalize through a float rendering
+        // ('1KiB' -> '1.0KiB', show/show_create.result)
+        val ev =
+          if (k.endsWith("_size") && ev0.matches("\\d+[KMGT]i?B"))
+            ev0.replaceFirst("(\\d+)", "$1.0")
+          else ev0
+        s"  $key = '$ev'" }
+    // golden shape: ")", partition clause (or blank slot), ENGINE=<e>,
+    // then the WITH block or a trailing blank. Logical metric tables
+    // render their physical table's partition clause.
+    val engineLabel = "ENGINE=" + tableEngine.getOrElse(name, "mito")
+    val partLines: Vector[String] =
+      logicalParent.get(name).flatMap(partitionClause.get)
+        .orElse(partitionClause.get(name))
+        .filter(_._2.nonEmpty)
+        .map { case (cols, rules) =>
+          (s"PARTITION ON COLUMNS (${cols.map(c => s""""$c"""").mkString(", ")}) (" +:
+            rules.zipWithIndex.map { case (r, i) =>
+              "  " + r + (if (i < rules.size - 1) "," else "") }.toVector) :+ ")"
+        }.getOrElse(Vector(""))
     val lines = (s"""CREATE TABLE IF NOT EXISTS "$name" (""" +: body :+ ")") ++
-      Vector("", "ENGINE=mito") ++
+      partLines ++ Vector(engineLabel) ++
       (if (opts.nonEmpty) ("WITH(" +: opts.zipWithIndex.map { case (o, i) =>
         if (i < opts.size - 1) o + "," else o } :+ ")")
       else if (hasHidden) Vector("WITH(", ")")
@@ -2048,6 +2390,37 @@ final class GraftSession(spark0: SparkSession,
       case c if "\\.[]{}()*+?^$|".indexOf(c) >= 0 => "\\" + c
       case c => c.toString
     }
+
+  /** SHOW CREATE TABLE t FOR POSTGRES_FOREIGN_TABLE — renders a Postgres
+    * foreign-table DDL over the FDW server (show/show_create.result). */
+  private def showCreateForeignTable(name: String): DataFrame = {
+    import spark.implicits._
+    val spec = catalog.spec(name)
+    val metas = colMeta.getOrElse(name, Vector.empty)
+      .filterNot(m => droppedCols.getOrElse(name, Set.empty).contains(m.name))
+    def pgType(g: String): String = g match {
+      case "Int8" | "Int16" | "UInt8" => "INT2"
+      case "Int32" | "UInt16" | "UInt32" => "INT4"
+      case "Int64" | "UInt64" => "INT8"
+      case "Float32" => "FLOAT4"
+      case "Float64" => "FLOAT8"
+      case "String" => "VARCHAR"
+      case "Boolean" => "BOOLEAN"
+      case "Binary" => "BYTEA"
+      case "Date" => "DATE"
+      case t if t.startsWith("Timestamp") => "TIMESTAMP"
+      case t if t.startsWith("Decimal") => "NUMERIC"
+      case _ => "VARCHAR"
+    }
+    val cols = metas.zipWithIndex.map { case (m, i) =>
+      s"""  "${m.name}" ${pgType(m.gtype)}""" +
+        (if (i < metas.size - 1) "," else "")
+    }
+    val lines = (s"CREATE FOREIGN TABLE ft_$name (" +: cols :+ ")") ++
+      Vector("SERVER greptimedb", s"OPTIONS (table_name '$name')")
+    lines.zipWithIndex.map { case (l, i) => (if (i == 0) name else "", l) }
+      .toDF("Table", "Create Table")
+  }
 
   private def showTables(stmt: String): DataFrame = {
     import spark.implicits._
@@ -2267,10 +2640,23 @@ final class GraftSession(spark0: SparkSession,
     }
     val defaults = colMeta.getOrElse(name, Vector.empty)
       .map(m => m.name -> m.default).toMap
-    rows.map { case (n, t, nullable) =>
+    // a metric physical table that ever hosted a logical table exposes
+    // the reserved __table_id/__tsid tags between its declared columns
+    // and the logically-added ones (create_metric_table.result)
+    val withReserved: Seq[(String, String, Boolean)] = metricPhy.get(name) match {
+      case Some(ps) if ps.everLogical =>
+        val at = rows.indexWhere(r => ps.addedTags.contains(r._1)) match {
+          case -1 => rows.length
+          case i => i
+        }
+        rows.take(at) ++ Seq(("__table_id", "UInt32", false),
+          ("__tsid", "UInt64", false)) ++ rows.drop(at)
+      case _ => rows
+    }
+    withReserved.map { case (n, t, nullable) =>
       val semantic =
         if (n == spec.timeIndex) "TIMESTAMP"
-        else if (spec.tags.contains(n)) "TAG"
+        else if (spec.tags.contains(n) || n == "__table_id" || n == "__tsid") "TAG"
         else "FIELD"
       val key = if (semantic == "TIMESTAMP" || semantic == "TAG") "PRI" else ""
       // the reference renders defaults through its expression printer:
@@ -2360,6 +2746,13 @@ final class GraftSession(spark0: SparkSession,
             .filter(_.nonEmpty)
             .getOrElse(target.map(_.name).toSeq.filterNot(_ == SeqCol))
         }
+      // omitting the time index without a default is rejected
+      // (insert/logical_metric_table.result t_default)
+      if (!cols.exists(_.equalsIgnoreCase(spec.timeIndex)) &&
+        !colMeta.getOrElse(name, Vector.empty)
+          .find(_.name == spec.timeIndex).exists(_.default.isDefined))
+        throw new IllegalArgumentException(
+          s"Invalid request for region, reason: missing required time index column ${spec.timeIndex}")
       // the reference accepts trailing commas after the last VALUES
       // tuple (promql/simple_histogram.sql) and INSIDE a tuple before
       // `)` (insert/append_mode.sql); Spark doesn't
@@ -2502,6 +2895,7 @@ final class GraftSession(spark0: SparkSession,
         else df.count()
       df.select(aligned: _*).write.mode("append").parquet(spec.path)
       refreshView(name)
+      logicalParent.get(name).foreach(refreshMetricPhyView)
       // flows process writes to their source table continuously — an
       // insert while a flow exists reaches the sink (show_create_flow:
       // rows written under an earlier flow incarnation stay materialized)
@@ -3032,14 +3426,18 @@ final class GraftSession(spark0: SparkSession,
         if (fnl.startsWith("compact_table") || fnl.startsWith("flush_table")) {
           val name = normTable(fn.substring(fn.indexOf('(') + 1, fn.lastIndexOf(')'))
             .trim.stripPrefix("'").stripSuffix("'"))
-          if (catalog.tables.contains(name)) {
-            val spec = catalog.spec(name)
+          // flushing a metric physical region covers its logical children
+          // (ttl/metric_engine_ttl.result)
+          val targets = name +: metricPhy.get(name)
+            .map(_.children.toSeq).getOrElse(Nil)
+          targets.filter(catalog.tables.contains).foreach { t =>
+            val spec = catalog.spec(t)
             spec.ttlMillis.foreach { ttl =>
               if (ttl == 0L) migrateParquet(spec)(_.filter(lit(false)))
               else migrateParquet(spec)(_.filter(
                 col(s"`${spec.timeIndex}`") >=
                   (current_timestamp() - expr(s"INTERVAL $ttl MILLISECOND"))))
-              refreshView(name)
+              refreshView(t)
             }
           }
         }
