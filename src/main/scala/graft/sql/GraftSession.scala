@@ -41,6 +41,9 @@ final class GraftSession(spark0: SparkSession,
     * Spark 4 resolves even functions.date_format(...) through the
     * session registry. */
   val spark: SparkSession = spark0.newSession()
+  // java.time results skip the legacy hybrid-calendar rebase that mangles
+  // far-era timestamps (insert/nullable_tag.result -19578-12-20)
+  spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
 
   val catalog = new Catalog(spark)
   /** Serializable mirror of sessionTzOffsetMs for UDF closures (updated
@@ -164,7 +167,7 @@ final class GraftSession(spark0: SparkSession,
         // ReadableSize values normalize through a float rendering
         // ('1KiB' -> '1.0KiB', show/show_create.result)
         val ev =
-          if (k.endsWith("_size") && ev0.matches("\\d+[KMGT]i?B"))
+          if (k == "write_buffer_size" && ev0.matches("\\d+[KMGT]i?B"))
             ev0.replaceFirst("(\\d+)", "$1.0")
           else ev0
         s"  $key = '$ev'" }
@@ -309,7 +312,19 @@ final class GraftSession(spark0: SparkSession,
         val spec = catalog.spec(name)
         (spark.table(name), spec.timeIndex, spec.tags)
       }, sessionTzOffsetMs)
-    else reorderUsingJoin(stmt, spark.sql(dialect(stmt)))
+    else {
+      val out = reorderUsingJoin(stmt, spark.sql(dialect(stmt)))
+      // a FROM-less scalar-subquery select yields NO row when the inner
+      // query is empty (DataFusion; subquery/offset.result), where Spark
+      // returns one NULL row
+      val scalarOnly = "(?is)^SELECT\\s*\\(\\s*SELECT\\b[^;]*\\)\\s*(AS\\s+\\S+)?\\s*;?\\s*$".r
+        .matches(stmt) && !"(?is)\\)\\s*(AS\\s+\\S+)?\\s*FROM\\b".r
+        .findFirstIn(stmt).isDefined
+      if (scalarOnly && out.columns.length == 1) {
+        val rows = out.collect()
+        if (rows.length == 1 && rows(0).isNullAt(0)) out.limit(0) else out
+      } else out
+    }
   }
 
   /** DataFusion's `SELECT *` output for NATURAL / USING joins keeps the
@@ -626,6 +641,14 @@ final class GraftSession(spark0: SparkSession,
     r = rewriteBracketArrays(r)
     // MySQL-style single-quoted aliases: `country as 'country'`
     r = r.replaceAll("(?i)\\bAS\\s+'([^']+)'", "AS `$1`")
+    // DataFusion TIMESTAMP literals are naive-UTC regardless of the
+    // session time zone; bare strings follow the session tz
+    // (query/type_conversion_traversal.result under +8:00)
+    r = "(?i)\\bTIMESTAMP\\s*'([0-9][^']*)'".r.replaceAllIn(r, m => {
+      val lit = m.group(1)
+      if (lit.matches(".*([+-]\\d{2}:?\\d{2}|Z)$")) m.matched
+      else s"CAST('$lit+00:00' AS TIMESTAMP)"
+    })
     r = rewriteUddsketch(r)
     r = rewriteMedian(r)
     r = rewriteIntDiv(r)
@@ -1013,6 +1036,12 @@ final class GraftSession(spark0: SparkSession,
   /** MODIFY COLUMN type changes, applied as casts in the read view. */
   private val colCasts =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, DataType]]
+  /** Per-column write-time type history after MODIFY COLUMN type
+    * changes: (seq watermark, greptime type) — rows with __seq <= the
+    * watermark were written under that type; storage is STRING and each
+    * row casts write-type -> current type at read (alter_table.result). */
+  private val typeHistory =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Vector[(Long, String)]]]
   /** Timestamp defaults resolved to absolute instants at DDL time —
     * the reference parses the literal under the session timezone ONCE
     * (alter_table_default.result: a later SET time_zone must not move
@@ -1486,7 +1515,14 @@ final class GraftSession(spark0: SparkSession,
         metricPhy.put(name, new PhyState())
       partClause.foreach(pc => partitionClause.put(name, pc))
 
-      tableOpts.put(name, optSeq ++ inheritable)
+      // a table with its own compaction.* options is marked as
+      // overriding the database's (create_database_opts.result)
+      val withOverride =
+        if (optSeq.exists(_._1.startsWith("compaction.")) &&
+          !optSeq.exists(_._1 == "compaction.override"))
+          optSeq :+ ("compaction.override" -> "true")
+        else optSeq
+      tableOpts.put(name, withOverride ++ inheritable)
 
       val ti = timeIndex.getOrElse(
         throw new IllegalArgumentException(s"table $name: TIME INDEX is mandatory"))
@@ -1577,6 +1613,22 @@ final class GraftSession(spark0: SparkSession,
     colCasts.getOrElse(name, Map.empty).foreach { case (c, t) =>
       if (df.columns.contains(c)) df = df.withColumn(c, col(s"`$c`").cast(t))
     }
+    // type-changed columns: each row casts its write-time type to the
+    // current one, selected by write sequence (alter_table.result)
+    typeHistory.getOrElse(name, Map.empty).foreach { case (c, hist) =>
+      if (df.columns.contains(c)) {
+        val curG = colMeta.getOrElse(name, Vector.empty)
+          .find(_.name == c).map(_.gtype).getOrElse("String")
+        val cur = showCreateType(curG)
+        def chain(from: String): org.apache.spark.sql.Column =
+          expr(s"CAST(CAST(`$c` AS ${showCreateType(from)}) AS $cur)")
+        val base: org.apache.spark.sql.Column = chain(curG) // rows written under the current type
+        val cased = hist.foldRight(base) { case ((w, t), acc) =>
+          when(col(SeqCol) <= w, chain(t)).otherwise(acc)
+        }
+        df = df.withColumn(c, cased)
+      }
+    }
     df = df.drop(SeqCol +: droppedCols.getOrElse(name, Set.empty).toSeq: _*)
     // declared order drives SELECT * and DESC
     colMeta.get(name).foreach { metas =>
@@ -1593,7 +1645,7 @@ final class GraftSession(spark0: SparkSession,
   /** TTL durations accept compact ('90s') and humantime verbose
     * ('1 second', '6 hours') forms, possibly multi-part ('1h 30m'). */
   private def parseTtlMs(s: String): Long = {
-    val part = "(?i)(\\d+)\\s*(milliseconds?|ms|seconds?|minutes?|hours?|days?|[smhd])".r
+    val part = "(?i)(\\d+)\\s*(milliseconds?|ms|seconds?|minutes?|hours?|days?|weeks?|months?|years?|[smhdwy])".r
     val parts = part.findAllMatchIn(s.trim).toSeq
     if (parts.isEmpty || parts.map(_.matched.replaceAll("\\s+", "").length).sum !=
       s.replaceAll("\\s+", "").length)
@@ -1602,10 +1654,13 @@ final class GraftSession(spark0: SparkSession,
       val unit = m.group(2).toLowerCase(Locale.ROOT)
       m.group(1).toLong * (unit.head match {
         case 'm' if unit.startsWith("ms") || unit.startsWith("milli") => 1L
+        case 'm' if unit.startsWith("month") => 2630016000L // humantime 30.44d
         case 'm' => 60000L
         case 's' => 1000L
         case 'h' => 3600000L
         case 'd' => 86400000L
+        case 'w' => 604800000L
+        case 'y' => 31557600000L // humantime 365.25d
       })
     }.sum
   }
@@ -1693,7 +1748,7 @@ final class GraftSession(spark0: SparkSession,
       val spec = catalog.spec(name)
       val tail = tail0.trim
       val up = tail.toUpperCase(Locale.ROOT)
-      if (up.startsWith("ADD COLUMN")) {
+      if (up.matches("(?s)^ADD\\s+COLUMN\\b.*")) {
         // the metric engine forbids structural alters on physical tables
         // (alter/alter_physical_table.result)
         if (metricPhy.contains(name))
@@ -1721,7 +1776,7 @@ final class GraftSession(spark0: SparkSession,
           }
           refreshView(name)
         }
-      } else if (up.startsWith("DROP COLUMN")) {
+      } else if (up.matches("(?s)^DROP\\s+COLUMN\\b.*")) {
         val colName = unquote(tail.split("\\s+").last)
         if (metricPhy.contains(name))
           throw new IllegalArgumentException(
@@ -1729,7 +1784,7 @@ final class GraftSession(spark0: SparkSession,
         droppedCols.put(name, droppedCols.getOrElse(name, Set.empty) + colName)
         colMeta.get(name).foreach(m =>
           colMeta.put(name, m.filterNot(_.name == colName)))
-      } else if (up.startsWith("MODIFY COLUMN") || up.startsWith("CHANGE COLUMN")) {
+      } else if (up.matches("(?s)^(MODIFY|CHANGE)\\s+COLUMN\\b.*")) {
         // comma-chained clauses each carry their own column + action
         splitTop(tail).foreach { clause =>
           val body = clause.trim.replaceAll("(?is)^(MODIFY|CHANGE)\\s+COLUMN\\s+", "").trim
@@ -1750,6 +1805,11 @@ final class GraftSession(spark0: SparkSession,
           } else if (bodyUp.contains("DROP DEFAULT")) {
             colMeta.get(name).foreach(m => colMeta.put(name,
               m.map(c => if (c.name == colName) c.copy(default = None) else c)))
+            // the resolved-at-DDL-time copy must go too, or DEFAULT
+            // keywords keep resolving to the dropped value
+            // (alter_table_alter_column_drop_default.result)
+            colDefaultResolved.put(name,
+              colDefaultResolved.getOrElse(name, Map.empty) - colName)
           } else if (bodyUp.contains("INDEX")) {
             // bare index hints: no-op
           } else {
@@ -1785,21 +1845,46 @@ final class GraftSession(spark0: SparkSession,
             if (!org.apache.spark.sql.catalyst.expressions.Cast.canCast(ci.get.dataType, t))
               throw new IllegalArgumentException(
                 s"column '${ci.get.name}' cannot be cast automatically to type '$typeTok'")
-            // physical migration: later INSERTs carry values of the NEW
-            // type, which parquet mergeSchema cannot union with the old
-            // (alter_table.result inserts 'word' after `MODIFY i STRING`)
-            if (ci.get.dataType != t)
-              migrateParquet(spec)(df =>
-                df.withColumn(ci.get.name, expr(s"try_cast(`${ci.get.name}` AS ${t.sql})")))
-            colCasts.put(name, colCasts.getOrElse(name, Map.empty) + (ci.get.name -> t))
-            colMeta.get(name).foreach(m => colMeta.put(name, m.map(c =>
-              if (c.name == ci.get.name) c.copy(gtype = greptimeTypeName(typeTok)) else c)))
+            // Per-write-time type semantics (mito keeps each SST's
+            // schema; alter_table.result: a float 0.1 written before
+            // `MODIFY i BOOLEAN` then `MODIFY i INTEGER` reads 0, and
+            // `MODIFY i STRING` reads back "0.1"). Storage widens to
+            // STRING once; every row casts original-type -> current at
+            // read, selected by its write sequence.
+            val cn = ci.get.name
+            val oldG = colMeta.getOrElse(name, Vector.empty)
+              .find(_.name == cn).map(_.gtype)
+              .getOrElse(greptimeNameOf(ci.get.dataType))
+            val newG = greptimeTypeName(typeTok)
+            if (oldG != newG) {
+              if (!typeHistory.getOrElse(name, Map.empty).contains(cn))
+                migrateParquet(spec)(df =>
+                  df.withColumn(cn, col(s"`$cn`").cast("string")))
+              val hist = typeHistory.getOrElse(name, Map.empty)
+              typeHistory.put(name, hist +
+                (cn -> (hist.getOrElse(cn, Vector.empty) :+
+                  ((seqCounter.get(), oldG)))))
+              // the declared default converts through the cast chain
+              // (DESC pins 0.1 -> BOOLEAN -> INTEGER as 1)
+              val newDefault = colMeta.getOrElse(name, Vector.empty)
+                .find(_.name == cn).flatMap(_.default).flatMap { d =>
+                  try {
+                    val v = spark.sql(
+                      s"SELECT CAST(CAST($d AS ${showCreateType(oldG)}) AS " +
+                        s"${showCreateType(newG)})").first().get(0)
+                    Option(v).map(_.toString)
+                  } catch { case _: Exception => Some(d) }
+                }
+              colMeta.get(name).foreach(m => colMeta.put(name, m.map(c =>
+                if (c.name == cn) c.copy(gtype = newG, default = newDefault) else c)))
+              colCasts.put(name, colCasts.getOrElse(name, Map.empty) - cn)
+            }
           }
         }
       } else if (up.startsWith("RENAME")) {
         val rawNew = tail.substring("RENAME".length).trim
           .replaceFirst("(?i)^TO\\s+", "")
-        val newName = unquote(rawNew.stripPrefix("'").stripSuffix("'"))
+        val newName = normIdent(rawNew.stripPrefix("'").stripSuffix("'"))
         // the reference validates rename targets (alter/rename_table.result)
         if (!newName.matches("[A-Za-z_][A-Za-z0-9_]*"))
           throw new IllegalArgumentException(s"Invalid table name: $newName")
@@ -1864,8 +1949,17 @@ final class GraftSession(spark0: SparkSession,
               v.foreach(x => catalog.register(catalog.spec(name).copy(mergeMode = MergeMode.parse(x))))
             case _ => ()
           }
+          val stored =
+            if (key == "ttl" && v.isEmpty) Seq(key -> "forever") // SET ttl=NULL
+            else v.map(key -> _).toSeq
           tableOpts.put(name, tableOpts.getOrElse(name, Nil)
-            .filterNot(_._1 == key) ++ v.map(key -> _))
+            .filterNot(_._1 == key) ++ stored)
+          // any compaction.twcs.* option implies the twcs strategy
+          // (alter_table_options.result renders compaction.type = 'twcs')
+          if (key.startsWith("compaction.twcs.") &&
+            !tableOpts.getOrElse(name, Nil).exists(_._1 == "compaction.type"))
+            tableOpts.put(name,
+              tableOpts.getOrElse(name, Nil) :+ ("compaction.type" -> "twcs"))
         }
       } else if (up.startsWith("UNSET")) {
         "'([^']*)'".r.findFirstMatchIn(tail).foreach { m =>
@@ -2337,7 +2431,7 @@ final class GraftSession(spark0: SparkSession,
         // ReadableSize values normalize through a float rendering
         // ('1KiB' -> '1.0KiB', show/show_create.result)
         val ev =
-          if (k.endsWith("_size") && ev0.matches("\\d+[KMGT]i?B"))
+          if (k == "write_buffer_size" && ev0.matches("\\d+[KMGT]i?B"))
             ev0.replaceFirst("(\\d+)", "$1.0")
           else ev0
         s"  $key = '$ev'" }
@@ -2821,13 +2915,20 @@ final class GraftSession(spark0: SparkSession,
       // a VALUES cell that cannot cast to the column type fails the whole
       // statement, nothing inserted (insert/mysql_insert.result: '15a'
       // into INT errors and the companion '16' row must not land)
+      // type-changed columns store as STRING but validate/convert
+      // against the CURRENT logical type (typeHistory semantics)
+      val histCols = typeHistory.getOrElse(name, Map.empty).keySet
+      def curTypeOf(c: String): DataType = sparkType(showCreateType(
+        colMeta.getOrElse(name, Vector.empty).find(_.name == c)
+          .map(_.gtype).getOrElse("String")))
       val badCast = target.filter(f => cols.contains(f.name)).flatMap { f =>
         val srcType = df.schema(f.name).dataType
-        if (srcType == StringType && f.dataType != StringType &&
-          f.dataType != BinaryType && f.dataType != TimestampType &&
-          f.dataType != TimestampNTZType && f.dataType != DateType)
+        val logical = if (histCols.contains(f.name)) curTypeOf(f.name) else f.dataType
+        if (srcType == StringType && logical != StringType &&
+          logical != BinaryType && logical != TimestampType &&
+          logical != TimestampNTZType && logical != DateType)
           Some(col(s"`${f.name}`").isNotNull &&
-            expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").isNull)
+            expr(s"try_cast(`${f.name}` AS ${logical.sql})").isNull)
         else None
       }
       if (badCast.nonEmpty && !df.filter(badCast.reduce(_ || _)).isEmpty)
@@ -2866,6 +2967,10 @@ final class GraftSession(spark0: SparkSession,
             when(asNum.isNotNull, timestamp_micros(micros).cast(f.dataType))
               .otherwise(col(s"`${f.name}`").cast(f.dataType)).as(f.name)
           }
+          else if (histCols.contains(f.name))
+            // normalize through the current logical type so the stored
+            // string renders it faithfully ("1" vs "1.0")
+            col(s"`${f.name}`").cast(curTypeOf(f.name)).cast(f.dataType).as(f.name)
           else col(s"`${f.name}`").cast(f.dataType).as(f.name)
         } else {
           // unspecified column: declared DEFAULT, else null
@@ -2879,6 +2984,8 @@ final class GraftSession(spark0: SparkSession,
             // (insert/insert_default.result: DEFAULT -3 -> 23:59:59.997)
             if (isTs && x.matches("-?\\d+"))
               timestamp_micros(lit(x.toLong) * 1000L).cast(f.dataType).as(f.name)
+            else if (histCols.contains(f.name))
+              expr(dialect(x)).cast(curTypeOf(f.name)).cast(f.dataType).as(f.name)
             else expr(dialect(x)).cast(f.dataType).as(f.name)
           }.getOrElse(lit(null).cast(f.dataType).as(f.name))
         }

@@ -137,16 +137,32 @@ object GoldenRunner {
     entries.result()
   }
 
-  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
-  private val TsFmtMs = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
+  // `uuuu` = signed proleptic year: -19578 and +262142 render like the
+  // reference's arrow formatter (insert/nullable_tag.result)
+  private val TsFmt = DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ss")
+  private val TsFmtMs = DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSS")
+  private val TsFmtUs = DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSS")
+  private val TsFmtNs = DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSSSSS")
+
+  private def fmtLdt(t: java.time.LocalDateTime): String = {
+    val n = t.getNano
+    if (n == 0) t.format(TsFmt)
+    else if (n % 1000000 == 0) t.format(TsFmtMs)
+    else if (n % 1000 == 0) t.format(TsFmtUs)
+    else t.format(TsFmtNs)
+  }
 
   def cell(v: Any): String = v match {
     case null => ""
     case t: java.sql.Timestamp =>
-      val ldt = t.toLocalDateTime
-      if (ldt.getNano == 0) ldt.format(TsFmt) else ldt.format(TsFmtMs)
-    case t: java.time.LocalDateTime =>
-      if (t.getNano == 0) t.format(TsFmt) else t.format(TsFmtMs)
+      // NOT toLocalDateTime: the legacy hybrid calendar mangles era
+      // fields for far BC/AD dates (insert/nullable_tag.result -19578)
+      fmtLdt(java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(t.getTime / 1000, t.getNanos),
+        java.time.ZoneOffset.UTC))
+    case t: java.time.LocalDateTime => fmtLdt(t)
+    case i: java.time.Instant =>
+      fmtLdt(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
     case d: java.sql.Date => d.toString
     case d: java.time.LocalDate => d.toString
     // DataFusion renders f64 specials Rust-style: inf / -inf (NaN is NaN)
@@ -359,9 +375,13 @@ object GoldenRunner {
                   // cells are space-padded in the rendered table sqlness
                   // replaced over — pad before applying `\s`-anchored
                   // patterns, trim after
+                  // canonize numerics BEFORE the replaces: sqlness saw the
+                  // reference's rendering ("1", not our "1.0"), so
+                  // \s\d\s-style patterns must see the canonical form
+                  // (promql/sort.result)
                   val got = raw.map(_.map(c => canon(strip(
                     if (spanning) c
-                    else e.replaces.foldLeft(" " + c + " ") { case (acc, (p, r)) =>
+                    else e.replaces.foldLeft(" " + canon(c) + " ") { case (acc, (p, r)) =>
                       Try(acc.replaceAll(p, r)).getOrElse(acc)
                     }.trim))))
                   // SORT_RESULT blocks carry the header line as a row

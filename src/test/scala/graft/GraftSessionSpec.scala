@@ -77,7 +77,8 @@ class GraftSessionSpec extends AnyFunSuite {
     // instant vector: lookback picks the latest sample at each step;
     // selector shape follows the declared column order (ts, host, v)
     assert(out.nonEmpty)
-    val atT20 = out.filter(_.getTimestamp(0).getTime == 20000L)
+    // java8API sessions return java.time.Instant for LTZ timestamps
+    val atT20 = out.filter(_.getAs[java.time.Instant](0).toEpochMilli == 20000L)
     assert(atT20.length == 1 && atT20(0).getDouble(2) == 7.0)
   }
 
