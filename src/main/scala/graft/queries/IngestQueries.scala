@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ingest.{LogIngest, OtlpMetrics, Protocols, PromRemoteWrite}
+import graft.ingest.{ArrowFlight, LogIngest, OtlpMetrics, Protocols, PromRemoteWrite}
 import QueryDsl._
 
 /** Protocol-ingest coverage (SURVEY.md §2.1): events rows are encoded
@@ -108,6 +108,37 @@ object IngestQueries {
           countDistinct(element_at(col("tags"), "host")).as("n_hosts"),
           max(col("ts_ms")).as("max_ts_ms"))
         .orderBy(col("table"))
+    }),
+
+    // events rows → Arrow IPC record batches wrapped as gRPC-framed
+    // FlightData protobufs (the reference's DoPut bulk-insert wire format,
+    // ref servers/src/grpc/flight.rs:242) → the real columnar decoder →
+    // per-type aggregate vs DuckDB on the raw columns. Encode and decode
+    // both run executor-side; one payload per ~500-row batch.
+    "ingest_flight" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val flightSchema = StructType(Seq(
+        StructField("etype", StringType), StructField("ts_ms", LongType),
+        StructField("v", DoubleType), StructField("uid", LongType)))
+      val src = T(s, d, "events").select(
+        col("event_type").as("etype"),
+        expr("ts div 1000000").as("ts_ms"),
+        col("value").cast("decimal(18,4)").cast("double").as("v"),
+        col("user_id").cast("long").as("uid"))
+      val payloads = src.as[(String, Long, Double, Long)].mapPartitions { it =>
+        it.grouped(500).map { chunk =>
+          ArrowFlight.encodePayload(flightSchema,
+            chunk.map(t => Seq[Any](t._1, t._2, t._3, t._4)))
+        }
+      }.toDF("body")
+      ArrowFlight.fromPayloads(payloads, "body", flightSchema)
+        .groupBy(col("etype").as("type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("v")).as("sum_v"),
+          sum(col("uid")).as("sum_user"),
+          max(col("ts_ms")).as("max_ts_ms"))
+        .orderBy(col("type"))
     }),
 
     // events rows → OpenTSDB `put` lines (ms timestamps) → the real
@@ -250,6 +281,11 @@ object IngestQueries {
            MAX(epoch_ns(ts) // 1000000) AS max_ts_ms
          FROM events GROUP BY 1 ORDER BY 1""",
     "ingest_prom_remote_write" ->
+      """SELECT event_type AS type, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user, MAX(epoch_ns(ts) // 1000000) AS max_ts_ms
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "ingest_flight" ->
       """SELECT event_type AS type, COUNT(*) AS n,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
            CAST(SUM(user_id) AS BIGINT) AS sum_user, MAX(epoch_ns(ts) // 1000000) AS max_ts_ms
