@@ -65,6 +65,105 @@ object Copy {
     r.load(path)
   }
 
+  // ---- single-file statement surface ---------------------------------
+  // The SQL `COPY ... TO '<file>'` statement writes ONE file at the exact
+  // path (operator/src/statement.rs:280) — inherently a single-writer
+  // export, so the parallel part is the upstream compute; the final
+  // coalesce(1) is the statement's contract, not a scale path. Bulk
+  // distributed export stays `tableTo` (a directory of parts).
+
+  private def codecName(c: String): String = c.toLowerCase match {
+    case "gzip" | "gz"  => org.apache.commons.compress.compressors.CompressorStreamFactory.GZIP
+    case "zstd" | "zst" => org.apache.commons.compress.compressors.CompressorStreamFactory.ZSTANDARD
+    case "bzip2" | "bz2" => org.apache.commons.compress.compressors.CompressorStreamFactory.BZIP2
+    case "xz"           => org.apache.commons.compress.compressors.CompressorStreamFactory.XZ
+    case other => throw new IllegalArgumentException(s"unsupported compression_type: $other")
+  }
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write `df` as exactly one file at `path` (optionally stream-
+    * compressed with commons-compress: gzip/zstd/bzip2/xz). */
+  def exportSingleFile(df: DataFrame, path: String, opts: Options): Unit = {
+    val spark = df.sparkSession
+    val fmt = check(opts.format)
+    val tmp = path + ".__graft_copy_tmp"
+    var w = df.coalesce(1).write.mode("overwrite").format(fmt)
+    if (fmt == "csv")
+      w = w.option("header", opts.header.toString).option("sep", opts.delimiter)
+    w.save(tmp)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = fsOf(spark, tmpPath)
+    val part = fs.listStatus(tmpPath).map(_.getPath)
+      .find(p => p.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file written under $tmp"))
+    val dest = new org.apache.hadoop.fs.Path(path)
+    Option(dest.getParent).foreach(fs.mkdirs(_))
+    if (fs.exists(dest)) fs.delete(dest, true)
+    opts.compression match {
+      case None => fs.rename(part, dest)
+      case Some(c) =>
+        val in = fs.open(part)
+        val out = new org.apache.commons.compress.compressors.CompressorStreamFactory()
+          .createCompressorOutputStream(codecName(c), fs.create(dest, true))
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536)
+        finally { out.close(); in.close() }
+    }
+    fs.delete(tmpPath, true)
+  }
+
+  /** Resolve a COPY FROM source path to concrete files: a file or a
+    * directory listing, with the reference's PATTERN regex filter on file
+    * names (copy_table_from.rs). Part/tmp artifacts are skipped. */
+  def listSourceFiles(spark: SparkSession, path: String,
+      pattern: Option[String]): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) throw new IllegalArgumentException(s"path not found: $path")
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath)
+          .filterNot(_.getName.startsWith("_")).toSeq
+      else Seq(p)
+    val matched = pattern match {
+      case Some(rx) => files.filter(f => f.getName.matches(rx))
+      case None     => files
+    }
+    matched.map(_.toString)
+  }
+
+  /** Read COPY FROM files; compressed csv/json (by `compression` option or
+    * file extension) are stream-decompressed to local temp files first. */
+  def importFiles(spark: SparkSession, paths: Seq[String], opts: Options): DataFrame = {
+    val fmt = check(opts.format)
+    val CompExt = Map("gz" -> "gzip", "zst" -> "zstd", "bz2" -> "bzip2", "xz" -> "xz")
+    def maybeDecompress(path: String): String = {
+      val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+      val codec = opts.compression.orElse(CompExt.get(ext))
+      codec match {
+        case Some(c) if fmt != "parquet" && fmt != "orc" =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = fsOf(spark, p)
+          val local = java.nio.file.Files.createTempFile("graft_copy_in", "." + fmt)
+          val in = new org.apache.commons.compress.compressors.CompressorStreamFactory()
+            .createCompressorInputStream(codecName(c), new java.io.BufferedInputStream(fs.open(p)))
+          val out = java.nio.file.Files.newOutputStream(local)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536)
+          finally { out.close(); in.close() }
+          local.toFile.deleteOnExit()
+          "file://" + local.toString
+        case _ => path
+      }
+    }
+    val resolved = paths.map(maybeDecompress)
+    var r = spark.read.format(fmt)
+    if (fmt == "csv")
+      r = r.option("header", "true").option("inferSchema", "true")
+        .option("sep", opts.delimiter)
+    r.load(resolved: _*)
+  }
+
   /** COPY DATABASE TO: one subdirectory per registered table. */
   def databaseTo(catalog: Catalog, dir: String, opts: Options = Options()): Unit =
     catalog.tables.foreach(t => tableTo(catalog.read(t), s"$dir/$t", opts))

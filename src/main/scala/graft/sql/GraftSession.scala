@@ -253,6 +253,7 @@ final class GraftSession(spark0: SparkSession,
       insert("INSERT" + stmt.substring("REPLACE".length))
     else if (up.startsWith("DELETE FROM")) delete(stmt)
     else if (up.startsWith("TRUNCATE")) truncateTable(stmt)
+    else if (up.startsWith("COPY ")) copyStatement(stmt)
     else if (up.startsWith("CREATE FLOW") || up.startsWith("CREATE OR REPLACE FLOW"))
       createFlow(stmt)
     else if (up.startsWith("DROP FLOW")) {
@@ -3074,6 +3075,192 @@ final class GraftSession(spark0: SparkSession,
       refreshView(name)
       status(s"table $name truncated")
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
+  }
+
+  // ---- COPY TO/FROM (§2.1) --------------------------------------------
+  // operator/src/statement.rs:269-307 (`COPY TABLE TO/FROM`,
+  // `COPY (query) TO`, `COPY DATABASE`), options per
+  // operator/src/statement/copy_table_from.rs: format, pattern (regex),
+  // start_time/end_time ([start, end) on the time index),
+  // timestamp_format/date_format (strftime rendering for text formats),
+  // compression_type, LIMIT n (tables only).
+
+  private def parseCopyOpts(withBody: Option[String]): Map[String, String] =
+    withBody.map { b =>
+      splitTop(b).flatMap(_.split("=", 2) match {
+        case Array(k, v) => Some(
+          k.trim.toLowerCase(Locale.ROOT) ->
+            v.trim.stripPrefix("'").stripSuffix("'")
+              .stripPrefix("\"").stripSuffix("\""))
+        case _ => None
+      }).toMap
+    }.getOrElse(Map.empty)
+
+  private def parseCopyTime(s: String): java.time.Instant = {
+    val t = s.trim.replace(' ', 'T')
+    val withZone = if (t.endsWith("Z") || t.contains("+")) t else t + "Z"
+    java.time.Instant.parse(
+      // Instant.parse needs seconds — pad a bare "HH:mm" if ever given
+      if (withZone.count(_ == ':') == 1) withZone.replace("Z", ":00Z") else withZone)
+  }
+
+  private def copyTimeFilter(df: DataFrame, tsCol: String,
+      opts: Map[String, String]): DataFrame = {
+    var out = df
+    opts.get("start_time").foreach { s =>
+      out = out.filter(col(s"`$tsCol`") >=
+        lit(java.sql.Timestamp.from(parseCopyTime(s))).cast(df.schema(tsCol).dataType))
+    }
+    opts.get("end_time").foreach { s =>
+      out = out.filter(col(s"`$tsCol`") <
+        lit(java.sql.Timestamp.from(parseCopyTime(s))).cast(df.schema(tsCol).dataType))
+    }
+    out
+  }
+
+  /** strftime-render timestamp/date columns for text exports
+    * (copy_to_fs.result timestamp_format='%m-%d-%Y'). */
+  private def copyRenderTimes(df: DataFrame, opts: Map[String, String]): DataFrame = {
+    val tsFmt = opts.get("timestamp_format")
+    val dFmt = opts.get("date_format")
+    if (tsFmt.isEmpty && dFmt.isEmpty) return df
+    // java8API is on: TIMESTAMP_NTZ surfaces as LocalDateTime in UDFs
+    val strf = udf((ts: java.time.LocalDateTime, fmt: String) =>
+      if (ts == null) null
+      else graft.functions.Registry.Strftime.format(java.sql.Timestamp.valueOf(ts), fmt))
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case TimestampType | TimestampNTZType if tsFmt.isDefined =>
+          strf(col(s"`${f.name}`").cast(TimestampNTZType), lit(tsFmt.get)).as(f.name)
+        case DateType if dFmt.isDefined =>
+          strf(col(s"`${f.name}`").cast(TimestampNTZType), lit(dFmt.get)).as(f.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }.toSeq: _*)
+  }
+
+  private def copyWriteOpts(opts: Map[String, String]): graft.sources.Copy.Options =
+    graft.sources.Copy.Options(
+      format = opts.getOrElse("format", "parquet"),
+      compression = opts.get("compression_type"),
+      pattern = opts.get("pattern"))
+
+  private def copyExtOf(opts: Map[String, String]): String =
+    opts.getOrElse("format", "parquet").toLowerCase
+
+  /** COPY <table> TO: export the visible (merged) rows as one file. */
+  private def copyTableTo(name: String, path: String,
+      opts: Map[String, String]): Long = {
+    val spec = catalog.spec(name)
+    var df = spark.table(name)
+    df = copyTimeFilter(df, spec.timeIndex, opts)
+    val n = df.count()
+    graft.sources.Copy.exportSingleFile(
+      copyRenderTimes(df, opts), path, copyWriteOpts(opts))
+    n
+  }
+
+  /** COPY <table> FROM: read files, adapt to the table schema (casts,
+    * DEFAULTs for missing columns, extras dropped — copy_table_from.rs),
+    * filter the time range, append. */
+  private def copyTableFrom(name: String, path: String,
+      opts: Map[String, String], limit: Option[Long]): Long = {
+    val spec = catalog.spec(name)
+    val files = graft.sources.Copy.listSourceFiles(spark, path, opts.get("pattern"))
+    val src0 = graft.sources.Copy.importFiles(spark, files, copyWriteOpts(opts))
+    val srcCols = src0.schema.fields.map(f => f.name.toLowerCase(Locale.ROOT) -> f.name).toMap
+    val target = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+    val metas = colMeta.getOrElse(name, Vector.empty)
+    val seq = seqCounter.incrementAndGet()
+    val aligned = target.map { f =>
+      if (f.name == SeqCol) lit(seq).cast(f.dataType).as(f.name)
+      else srcCols.get(f.name.toLowerCase(Locale.ROOT)) match {
+        case Some(srcName) =>
+          val srcType = src0.schema(srcName).dataType
+          val isTs = f.dataType == TimestampType || f.dataType == TimestampNTZType
+          // numeric into a timestamp column = epoch milliseconds, same
+          // literal convention as INSERT
+          if (isTs && (srcType == LongType || srcType == IntegerType ||
+              srcType == DoubleType || srcType.isInstanceOf[DecimalType]))
+            timestamp_micros(col(s"`$srcName`").cast(LongType) * 1000L)
+              .cast(f.dataType).as(f.name)
+          else col(s"`$srcName`").cast(f.dataType).as(f.name)
+        case None =>
+          val d = colDefaultResolved.getOrElse(name, Map.empty).get(f.name)
+            .orElse(metas.find(_.name == f.name).flatMap(_.default))
+          val isTs = f.dataType == TimestampType || f.dataType == TimestampNTZType
+          d.map { x =>
+            if (isTs && x.matches("-?\\d+"))
+              timestamp_micros(lit(x.toLong) * 1000L).cast(f.dataType).as(f.name)
+            else expr(dialect(x)).cast(f.dataType).as(f.name)
+          }.getOrElse(lit(null).cast(f.dataType).as(f.name))
+      }
+    }
+    var df = src0.select(aligned: _*)
+    df = copyTimeFilter(df, spec.timeIndex, opts)
+    limit.foreach(n => df = df.limit(n.toInt))
+    val n = df.count()
+    df.write.mode("append").parquet(spec.path)
+    refreshView(name)
+    n
+  }
+
+  private val CopyRx =
+    ("(?is)COPY\\s+(DATABASE\\s+)?" +
+      "(\\((?:[^()']|'[^']*'|\\([^()]*\\))*\\)|\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)\\s+" +
+      "(TO|FROM)\\s+'([^']+)'\\s*" +
+      "(?:WITH\\s*\\((.*?)\\)\\s*)?" +
+      "(?:LIMIT\\s+(\\S+)\\s*)?").r
+
+  private def copyStatement(stmt: String): DataFrame = stmt.trim match {
+    case CopyRx(dbKw, target, dir0, path, withBody, limitTok) =>
+      val opts = parseCopyOpts(Option(withBody))
+      val toDir = dir0.equalsIgnoreCase("TO")
+      val limit: Option[Long] = Option(limitTok).map { t =>
+        if (dbKw != null) throw new IllegalArgumentException(
+          "Invalid SQL, error: limit is not supported in COPY DATABASE")
+        if (!t.matches("\\d+")) throw new IllegalArgumentException(
+          s"Unexpected token while parsing SQL statement, expected: 'the number of maximum rows', found: $t")
+        t.toLong
+      }
+      val n: Long =
+        if (dbKw != null) {
+          // COPY DATABASE <db> TO/FROM '<dir>': one file per table
+          val ext = copyExtOf(opts)
+          val tables = catalog.tables.filterNot(_.contains("__schema__"))
+          if (toDir)
+            tables.map(t => copyTableTo(t, s"${path.stripSuffix("/")}/$t.$ext", opts)).sum
+          else {
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(p)) throw new IllegalArgumentException(s"path not found: $path")
+            fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSeq
+              .flatMap { fn =>
+                val i = fn.indexOf('.')
+                val base = if (i <= 0) fn else fn.substring(0, i)
+                if (tables.contains(base))
+                  Some(copyTableFrom(base, s"${path.stripSuffix("/")}/$fn", opts, None))
+                else None
+              }.sum
+          }
+        } else if (target.startsWith("(")) {
+          // COPY (query) TO
+          if (!toDir) throw new IllegalArgumentException("COPY (query) FROM is not supported")
+          val df = sql(target.substring(1, target.length - 1))
+          val cnt = df.count()
+          graft.sources.Copy.exportSingleFile(
+            copyRenderTimes(df, opts), path, copyWriteOpts(opts))
+          cnt
+        } else {
+          val name = normTable(target)
+          if (!catalog.tables.contains(name))
+            throw new IllegalArgumentException(
+              s"Table not found: greptime.$currentDb.$name")
+          if (toDir) copyTableTo(name, path, opts)
+          else copyTableFrom(name, path, opts, limit)
+        }
+      status(s"copied $n rows")
+    case _ => throw new IllegalArgumentException(s"cannot parse COPY: $stmt")
   }
 
   // ---- CREATE FLOW (§2.10) --------------------------------------------

@@ -35,7 +35,7 @@ object GoldenRunner {
     * (header/tail kept in place, data rows sorted). */
   final case class Entry(sql: String, expected: Expected,
       replaces: Seq[(String, String)] = Nil, sortMode: Int = 0,
-      sleepMs: Long = 0L) {
+      sleepMs: Long = 0L, protocol: String = "") {
     def sortResult: Boolean = sortMode > 0
   }
 
@@ -69,6 +69,7 @@ object GoldenRunner {
     var pendingReplaces = Vector.empty[(String, String)]
     var pendingSort = 0
     var pendingSleep = 0L
+    var pendingProtocol = ""
     val replaceRx = "^--\\s*SQLNESS\\s+REPLACE\\s+(\\S+)\\s*(.*)$".r
     while (i < lines.length) {
       val line = lines(i).trim
@@ -81,6 +82,10 @@ object GoldenRunner {
         "(?i)^--\\s*SQLNESS\\s+SLEEP\\s+(\\d+)(m?s)\\s*$".r.findFirstMatchIn(line).foreach { m =>
           pendingSleep = m.group(1).toLong * (if (m.group(2) == "s") 1000 else 1)
         }
+        // MySQL/Postgres wire protocols render timestamps at full µs
+        // precision (copy/copy_from_fs_*.result)
+        "(?i)^--\\s*SQLNESS\\s+PROTOCOL\\s+(MYSQL|POSTGRES)\\s*$".r
+          .findFirstMatchIn(line).foreach(m => pendingProtocol = m.group(1).toLowerCase)
         i += 1
       }
       else {
@@ -128,10 +133,12 @@ object GoldenRunner {
         // echoes — strip them (insert/mysql_insert)
         val sqlText = stmt.result().trim.stripSuffix(";")
           .replaceFirst("(?i)^(affected_rows:\\s*\\d+\\s*)+", "")
-        entries += Entry(sqlText, expected, pendingReplaces, pendingSort, pendingSleep)
+        entries += Entry(sqlText, expected, pendingReplaces, pendingSort,
+          pendingSleep, pendingProtocol)
         pendingReplaces = Vector.empty
         pendingSort = 0
         pendingSleep = 0L
+        pendingProtocol = ""
       }
     }
     entries.result()
@@ -235,7 +242,12 @@ object GoldenRunner {
     var skipped = 0
     val problems = Seq.newBuilder[String]
     val trace = sys.env.contains("GOLDEN_TRACE")
-    parseResult(resultFile).foreach { e =>
+    // sqlness substitutes ${SQLNESS_HOME} with its working dir (COPY
+    // corpus paths) — give each file an isolated scratch dir
+    val sqlnessHome = java.nio.file.Files
+      .createTempDirectory("sqlness_home").toString
+    parseResult(resultFile).map(e0 =>
+      e0.copy(sql = e0.sql.replace("${SQLNESS_HOME}", sqlnessHome))).foreach { e =>
       if (e.sleepMs > 0) Thread.sleep(e.sleepMs) // SQLNESS SLEEP (ttl tests)
       stallStmt.set(e.sql)
       stallDeadline.set(System.nanoTime() + 90L * 1000 * 1000 * 1000)
@@ -379,11 +391,21 @@ object GoldenRunner {
                   // reference's rendering ("1", not our "1.0"), so
                   // \s\d\s-style patterns must see the canonical form
                   // (promql/sort.result)
-                  val got = raw.map(_.map(c => canon(strip(
+                  // protocol transcripts render timestamps at fixed µs
+                  // precision — pad our seconds/millis renderings
+                  val ProtoTsRx = "^(\\d{4,}-\\d\\d-\\d\\dT\\d\\d:\\d\\d:\\d\\d)(?:\\.(\\d+))?$".r
+                  def protoTs(c: String): String =
+                    if (e.protocol != "postgres") c
+                    else c match {
+                      case ProtoTsRx(base, frac) =>
+                        base + "." + Option(frac).getOrElse("").padTo(6, '0').take(6)
+                      case _ => c
+                    }
+                  val got = raw.map(_.map(c => protoTs(canon(strip(
                     if (spanning) c
                     else e.replaces.foldLeft(" " + canon(c) + " ") { case (acc, (p, r)) =>
                       Try(acc.replaceAll(p, r)).getOrElse(acc)
-                    }.trim))))
+                    }.trim)))))
                   // SORT_RESULT blocks carry the header line as a row
                   val header = df.columns.map(_.trim.toLowerCase).toSeq
                   val wantRows =
