@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loader for the driver-generated testdata star schema (TESTDATA.md).
   * All queries take `(spark, sfDir)` and read via this object so the
@@ -11,8 +13,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts contract is epoch NANOSECONDS as BIGINT (every query and
+    // bench does integer bucket arithmetic on it). Generator versions
+    // vary between int64-ns (read raw via nanosAsLong) and timestamp[us]
+    // — normalize the latter here so both shapes behave identically.
+    if (name == "events" && df.schema("ts").dataType != LongType)
+      df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    else df
+  }
 
   /** Register every table as a temp view (idempotent). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -17,7 +17,7 @@ object QueryDsl {
   type Q = (SparkSession, String) => DataFrame
 
   def T(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.Tables.load(spark, dir, name) // normalizes events.ts → ns-long
 
   /** Exact sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 4))).cast("double")

@@ -600,6 +600,6 @@ object Relational {
   /** Temp-view helper for SQL-built queries. */
   private object Tables {
     def register(s: org.apache.spark.sql.SparkSession, d: String, names: String*): Unit =
-      names.foreach(n => s.read.parquet(s"$d/$n.parquet").createOrReplaceTempView(n))
+      names.foreach(n => graft.Tables.load(s, d, n).createOrReplaceTempView(n))
   }
 }

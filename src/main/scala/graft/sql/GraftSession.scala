@@ -2,7 +2,7 @@ package graft.sql
 
 import java.util.Locale
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.model.{Catalog, MergeMode, SemanticType, TableSpec}
@@ -127,7 +127,7 @@ final class GraftSession(spark0: SparkSession,
     else if (up.startsWith("CREATE VIEW") || up.startsWith("CREATE OR REPLACE VIEW"))
       createView(stmt)
     else if (up.startsWith("DROP VIEW")) {
-      val v = unquote(stmt.split("\\s+")
+      val v = normTable(stmt.split("\\s+")
         .filterNot(t => t.equalsIgnoreCase("IF") || t.equalsIgnoreCase("EXISTS")).last)
       spark.catalog.dropTempView(v)
       userViews -= v
@@ -275,10 +275,26 @@ final class GraftSession(spark0: SparkSession,
         .replaceAll("(?i)\\s+where\\s+", " WHERE ")
         .replaceAll("(?i)\\s+group\\s+by\\s+", " GROUP BY ")
         .replaceAll("(?i)\\s+having\\s+", " HAVING ")
+      val withLine = flowMeta.get(f).map(_.opts).filter(_.nonEmpty)
+        .map(o => "WITH (" +
+          o.toSeq.sortBy(_._1).map { case (k, v) => s"$k = '$v'" }.mkString(", ") +
+          ")").toSeq
       val lines = Seq(s"CREATE FLOW IF NOT EXISTS $f",
-        s"SINK TO $currentDb.$sinkT", s"AS $q")
+        s"SINK TO $currentDb.$sinkT") ++ withLine ++ Seq(s"AS $q")
       lines.zipWithIndex.map { case (l, i) => (if (i == 0) f else "", l) }
         .toDF("Flow", "Create Flow")
+    }
+    else if (up.startsWith("SHOW CHARACTER SET") || up.startsWith("SHOW CHARSET")) {
+      import spark.implicits._
+      showFilter(Seq(("utf8", "UTF-8 Unicode", "utf8_bin", 4))
+        .toDF("Charset", "Description", "Default collation", "Maxlen"),
+        "Charset", stmt)
+    }
+    else if (up.startsWith("SHOW COLLATION")) {
+      import spark.implicits._
+      showFilter(Seq(("utf8_bin", "utf8", 1, "Yes", "Yes", 1))
+        .toDF("Collation", "Charset", "Id", "Default", "Compiled", "Sortlen"),
+        "Collation", stmt)
     }
     else if (up.startsWith("SHOW FLOWS")) {
       import spark.implicits._
@@ -286,7 +302,50 @@ final class GraftSession(spark0: SparkSession,
       val rx = like.map(p => ("^" + p.replace("%", ".*").replace("_", ".") + "$").r)
       flows.keys.toSeq.filter(f => rx.forall(_.matches(f))).sorted.toDF("Flows")
     }
+    else if (up.startsWith("PREPARE")) {
+      val m = "(?is)^PREPARE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+FROM\\s+'(.*)'\\s*;?\\s*$".r
+        .findFirstMatchIn(stmt.trim).getOrElse(
+          throw new IllegalArgumentException(s"cannot parse: $stmt"))
+      preparedStmts.put(m.group(1), m.group(2).trim.stripSuffix(";"))
+      status("prepared")
+    }
+    else if (up.startsWith("EXECUTE")) {
+      val m = "(?is)^EXECUTE\\s+([A-Za-z_][A-Za-z0-9_]*)(?:\\s+USING\\s+(.*))?\\s*;?\\s*$".r
+        .findFirstMatchIn(stmt.trim).getOrElse(
+          throw new IllegalArgumentException(s"cannot parse: $stmt"))
+      val tmpl = preparedStmts.getOrElse(m.group(1),
+        throw new IllegalArgumentException(s"unknown prepared statement: ${m.group(1)}"))
+      val args = Option(m.group(2)).map(splitTop(_).map(_.trim)).getOrElse(Nil)
+      val it = args.iterator
+      val substituted = new StringBuilder
+      var inStr = false
+      tmpl.foreach { c =>
+        if (c == '\'') { inStr = !inStr; substituted.append(c) }
+        else if (c == '?' && !inStr)
+          substituted.append(if (it.hasNext) it.next()
+            else throw new IllegalArgumentException(
+              "Placeholder '?' was not provided a value for execution"))
+        else substituted.append(c)
+      }
+      // evaluate EAGERLY: a parameter that cannot convert to the cast's
+      // type must error at EXECUTE time (prepare/mysql_prepare.result)
+      val out = sql(substituted.toString)
+      val rows = out.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    }
+    else if (up.startsWith("DEALLOCATE")) {
+      preparedStmts.remove(stmt.trim.split("\\s+").last.stripSuffix(";"))
+      status("deallocated")
+    }
     else if (up.startsWith("TQL EVAL")) tqlEval(stmt)
+    else if (up.startsWith("WITH") &&
+        "(?is)\\bTQL\\s+EVAL\\b".r.findFirstIn(stmt).isDefined) {
+      val rw = rewriteTqlCtes(stmt)
+      if (rw == stmt)
+        throw new IllegalArgumentException(s"unsupported TQL in WITH: $stmt")
+      sql(rw)
+    }
     else if (up.startsWith("TQL EXPLAIN") || up.startsWith("TQL ANALYZE")) {
       import spark.implicits._
       val plan = tqlEval("TQL EVAL" + stmt.substring("TQL EXPLAIN".length))
@@ -402,14 +461,86 @@ final class GraftSession(spark0: SparkSession,
     val (flowDef, query) = flows.getOrElse(name,
       throw new IllegalArgumentException(s"unknown flow: $name"))
     flowMeta.get(name) match {
+      case Some(meta) if meta.pending => // source never appeared — no-op
+      case Some(meta) if meta.srcTable.exists(t =>
+          !catalog.tables.contains(t) ||
+            tableEpoch.getOrElse(t, 0L) != meta.srcEpoch) =>
+        // the source was dropped (and possibly re-created): the flow is
+        // bound to the old table id and stops updating (flow_rebuild)
+        ()
       case Some(meta) =>
         val spec = catalog.spec(meta.sinkTable)
-        // evaluate over only the rows written since flow creation
-        meta.srcTable.foreach(s => refreshView(s, Some(meta.createSeq)))
+        // a streaming non-aggregating flow appends only the rows since
+        // its LAST refresh (show_create_flow accumulates across evals);
+        // an aggregating flow re-evaluates everything since creation
+        val appendMode = meta.streaming && !aggregatingQuery(query)
+        // batching flows re-evaluate every row in the time-windows
+        // DIRTIED by writes since creation — a pre-creation row in a
+        // dirty window IS included (flow_rebuild's "4 is also expected"),
+        // while with no post-creation writes nothing evaluates at all
+        // (flow_flush's empty sink). Streaming non-aggregating flows
+        // instead append only the rows since their last refresh.
+        if (appendMode) {
+          val sinceSeq = flowLastSeq.getOrElse(name, meta.createSeq)
+          meta.srcTable.foreach(s => refreshView(s, Some(sinceSeq)))
+        } else meta.srcTable match {
+          case Some(s) =>
+            refreshView(s, Some(meta.createSeq))
+            val BinRx = ("(?i)date_bin\\s*\\(\\s*INTERVAL\\s+'([^']+)'\\s*,\\s*" +
+              "([A-Za-z_][A-Za-z0-9_]*)").r
+            BinRx.findFirstMatchIn(query) match {
+              case Some(mm) if spark.table(s).columns.contains(mm.group(2)) =>
+                // time-windowed flow: only windows DIRTIED by new rows
+                // re-evaluate; with none, nothing does (flow_flush)
+                val ms = intervalMs(mm.group(1))
+                val tsC = mm.group(2)
+                def win(c: Column) =
+                  floor(unix_millis(c.cast("timestamp")) / ms)
+                val wins = spark.table(s)
+                  .select(win(col(tsC)).as("w")).distinct()
+                  .collect().map(_.getLong(0)).toSeq
+                if (wins.isEmpty) { refreshView(s); return }
+                // an instant-ttl source's pre-creation rows were already
+                // consumed-and-dropped — only post-creation rows replay
+                val seqF = if (catalog.spec(s).ttlMillis.contains(0L))
+                  Some(meta.createSeq) else None
+                refreshView(s, seqF,
+                  rowFilter = Some(win(col(tsC)).isin(wins: _*)))
+              case _ =>
+                // no declared time window: the whole table re-evaluates
+                // on every tick/flush (flow_rebuild's count(*), TQL avg) —
+                // except an instant-ttl source, whose rows only exist
+                // for the flow between arrival and consumption
+                // (flow_advance_ttl keeps accumulating 20,22 then 23)
+                if (!catalog.spec(s).ttlMillis.contains(0L)) refreshView(s)
+            }
+          case None => ()
+        }
+        // a scheduled flow evaluates with now()/current_timestamp()
+        // PINNED to its schedule boundary — the reference's batching
+        // engine plans each tick at the aligned instant, which
+        // flow_scheduled_now_boundary asserts (create_time lands exactly
+        // on the second, filters don't drift with wall clock)
+        val evalQuery = meta.evalInterval match {
+          case Some(_) =>
+            // pinned to the SECOND boundary: finer-grained than the eval
+            // interval (a '5m' flow still sees this tick's data,
+            // flow_batch_join_subquery) yet exact enough that
+            // flow_scheduled_now_boundary's create_time =
+            // date_trunc('second', create_time) holds
+            val pinned = math.floorDiv(System.currentTimeMillis(), 1000L) * 1000L
+            rewriteOutsideQuotes(query)(
+              _.replaceAll("(?i)\\b(?:now|current_timestamp)\\s*\\(\\s*\\)",
+                s"timestamp_millis(${pinned}L)"))
+          case None => query
+        }
         var out =
-          try spark.sql(dialect(query)).toDF(meta.outNames: _*)
+          try flowQueryDf(evalQuery).toDF(meta.outNames: _*)
           finally meta.srcTable.foreach(s => refreshView(s))
-        out = out.withColumn("update_at", current_timestamp())
+        // a flow may project its own update_at literal — only fill the
+        // engine timestamp when the query didn't (flow_last_non_null)
+        if (!out.columns.contains("update_at"))
+          out = out.withColumn("update_at", current_timestamp())
         if (meta.placeholder)
           out = out.withColumn("__ts_placeholder", timestamp_millis(lit(0L)))
         out = out.withColumn(SeqCol, lit(seqCounter.incrementAndGet()))
@@ -424,10 +555,28 @@ final class GraftSession(spark0: SparkSession,
             colMeta.getOrElse(meta.sinkTable, Vector.empty).map(m =>
               StructField(m.name, sparkType(showCreateType(m.gtype)), m.nullable))
               :+ StructField(SeqCol, LongType))
+        // a sink column the flow doesn't produce takes its DECLARED
+        // default (show_create_flow: ts DEFAULT CURRENT_TIMESTAMP gives
+        // each appended batch a distinct ts), else null
+        val sinkDefaults = colMeta.getOrElse(meta.sinkTable, Vector.empty)
+          .flatMap(m => m.default.map(m.name -> _)).toMap
         val aligned = out.select(target.map(f =>
-          (if (out.columns.contains(f.name)) col(s"`${f.name}`") else lit(null))
+          (if (out.columns.contains(f.name)) col(s"`${f.name}`")
+           else sinkDefaults.get(f.name)
+             .map(d => scala.util.Try(expr(dialect(d)))
+               .getOrElse(lit(null).cast(f.dataType)))
+             .getOrElse(lit(null)))
             .cast(f.dataType).as(f.name)): _*)
-        if (flowDef.keys.nonEmpty)
+        if (appendMode) {
+          aligned.write.mode("append").parquet(spec.path)
+          flowLastSeq.put(name, seqCounter.get())
+        }
+        else if (spec.mergeMode == MergeMode.LastNonNull)
+          // the sink's own merge view coalesces per column (null keeps
+          // the old value) — append and let storage-merge resolve, like
+          // the reference region write path (flow_last_non_null)
+          aligned.write.mode("append").parquet(spec.path)
+        else if (flowDef.keys.nonEmpty)
           Flow.upsert(aligned, spec.path, flowDef.keys)
         else {
           // keyless flow (global aggregate): full recompute replaces the
@@ -449,11 +598,67 @@ final class GraftSession(spark0: SparkSession,
     }
   }
 
+  /** Cross-schema table references (select/multi_column_ref.sql,
+    * select/qualified_view.sql, flow/flow_batch_join_subquery.sql):
+    * `db.tbl` resolves to the per-schema mangled view. A FROM/JOIN
+    * without a user alias gains the bare table name as alias so both
+    * `db.tbl.col` and `tbl.col` column qualifiers keep resolving. */
+  private def rewriteDbQualified(s0: String): String = {
+    val dbs = (dbOpts.keySet ++ dbSaved.keySet) - currentDb - "public"
+    if (dbs.isEmpty) return s0
+    var s = s0
+    val stopWords = Set("WHERE", "GROUP", "ORDER", "LIMIT", "ON", "JOIN",
+      "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "UNION", "HAVING", "USING",
+      "VALUES", "SET", "WITH", "INTERSECT", "EXCEPT", "OFFSET")
+    val tok = "(?:\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+    for (d <- dbs if s.toLowerCase(Locale.ROOT).contains(d.toLowerCase(Locale.ROOT))) {
+      val dq = java.util.regex.Pattern.quote(d)
+      // FROM/JOIN db.tbl [alias]: mangle; add the bare name as alias when
+      // the user gave none
+      s = ("(?is)\\b(FROM|JOIN)\\s+" + dq + "\\.(" + tok + ")" +
+        "(\\s+(?:AS\\s+)?[A-Za-z_][A-Za-z0-9_]*)?").r.replaceAllIn(s, m => {
+        val bare = normIdent(m.group(2))
+        val mangled = s"${d}__schema__$bare"
+        val alias = Option(m.group(3)).map(_.trim)
+          .filterNot(a => stopWords.contains(
+            a.stripPrefix("AS ").stripPrefix("as ").trim.toUpperCase(Locale.ROOT)))
+        scala.util.matching.Regex.quoteReplacement(alias match {
+          case Some(a) => s"${m.group(1)} $mangled $a"
+          case None =>
+            val kept = Option(m.group(3)).getOrElse("")
+            s"${m.group(1)} $mangled $bare$kept"
+        })
+      })
+      // column qualifiers db.tbl.col → tbl.col
+      s = ("(?i)\\b" + dq + "\\.(" + tok + ")\\.").r.replaceAllIn(s, m =>
+        scala.util.matching.Regex.quoteReplacement(normIdent(m.group(1)) + "."))
+      // any remaining db.tbl reference → the mangled name
+      s = ("(?i)\\b" + dq + "\\.(" + tok + ")").r.replaceAllIn(s, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          s"${d}__schema__${normIdent(m.group(1))}"))
+    }
+    s
+  }
+
+  /** SHOW CHARACTER SET / COLLATION filter handling: `LIKE 'pat'`
+    * matches against `likeCol`; a `WHERE cond` tail applies verbatim
+    * (show/show_charset.sql, show/show_collation.sql). */
+  private def showFilter(df: DataFrame, likeCol: String, stmt: String): DataFrame = {
+    val like = "(?i)\\bLIKE\\s+'([^']*)'".r.findFirstMatchIn(stmt).map(_.group(1))
+    val where = "(?is)\\bWHERE\\s+(.+)$".r.findFirstMatchIn(stmt)
+      .map(_.group(1).trim.stripSuffix(";"))
+    val d1 = like.map(p => df.where(col(likeCol).like(p))).getOrElse(df)
+    where.map(w => d1.where(w)).getOrElse(d1)
+  }
+
   // ---- @@ sugar (transcribe_atat.rs) ----------------------------------
 
+  /** LHS of `@@` may be a column, a backticked column, a string literal
+    * or a one-level function call (expr/atat.sql: `lower(x) @@ 'y'`). */
   private[graft] def rewriteAtAt(s: String): String =
     s.replaceAll(
-      "([A-Za-z_][A-Za-z0-9_.]*)\\s*@@\\s*('(?:[^'\\\\]|\\\\.)*')",
+      "('(?:[^'\\\\]|\\\\.)*'|`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*\\s*\\([^()]*\\)|" +
+        "[A-Za-z_][A-Za-z0-9_.]*)\\s*@@\\s*('(?:[^'\\\\]|\\\\.)*')",
       "matches_term($1, $2)")
 
   // ---- dialect shims (DataFusion/Postgres syntax the corpus uses) -----
@@ -575,6 +780,11 @@ final class GraftSession(spark0: SparkSession,
       })
     // remaining UNNEST over arrays → explode
     r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bUNNEST\\s*\\(", "explode("))
+    // count_hash(cols) → distinct-count of a 64-bit hash (VectorAggs
+    // .countHash; aggrs/count_hash.rs) — macro-expanded so the SQL
+    // surface works without a registered UDAF
+    r = rewriteOutsideQuotes(r)(_.replaceAll(
+      "(?i)\\bcount_hash\\s*\\(([^()]*)\\)", "count(DISTINCT xxhash64($1))"))
     var prev: String = null
     while (prev != r) {
       prev = r
@@ -585,9 +795,35 @@ final class GraftSession(spark0: SparkSession,
           // integer literal → timestamp is epoch MILLIS in the reference
           if (t == "TIMESTAMP" && operand.matches("-?\\d+"))
             s"TIMESTAMP_MILLIS($operand)"
+          // humantime literal → interval ('30s'::interval in
+          // flow/flow_tql_avg.sql); Spark's day-time interval cast
+          // rejects the compact form, so expand to make_dt_interval
+          else if (t.startsWith("INTERVAL") && operand.startsWith("'") &&
+              scala.util.Try(intervalMs(
+                operand.stripPrefix("'").stripSuffix("'"))).isSuccess) {
+            val ms = intervalMs(operand.stripPrefix("'").stripSuffix("'"))
+            s"make_dt_interval(0, 0, 0, ${ms / 1000.0})"
+          }
           else s"CAST($operand AS $t)")
       })
     }
+    // DataFusion's within-aggregate ORDER BY: first/last_value become
+    // min_by/max_by on the sort key; order is irrelevant for the
+    // commutative aggregates so it's just dropped there
+    // (flow/flow_scheduled_late_overlap.sql, range/nest.sql)
+    r = rewriteOutsideQuotes(r)(
+      ("(?i)\\b(first_value|last_value|min|max|sum|count|avg)\\s*\\(" +
+        "([^()]*?)\\s+ORDER\\s+BY\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*(ASC|DESC)?\\s*\\)").r
+        .replaceAllIn(_, m => {
+          val (fn, arg, ord) = (m.group(1).toLowerCase(Locale.ROOT),
+            m.group(2).trim, m.group(3))
+          val desc = Option(m.group(4)).exists(_.equalsIgnoreCase("DESC"))
+          scala.util.matching.Regex.quoteReplacement(fn match {
+            case "last_value" => s"${if (desc) "min_by" else "max_by"}($arg, $ord)"
+            case "first_value" => s"${if (desc) "max_by" else "min_by"}($arg, $ord)"
+            case _ => s"$fn($arg)"
+          })
+        }))
     // array_agg keeps nulls and returns NULL on empty input (DataFusion);
     // the struct wrapper defeats collect_list's null-dropping
     r = r.replaceAll("(?i)\\bARRAY_AGG\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*\\)",
@@ -632,6 +868,7 @@ final class GraftSession(spark0: SparkSession,
     if (currentDb == "public")
       r = rewriteOutsideQuotes(r)(
         _.replaceAll("(?i)\\bpublic\\.([A-Za-z_][A-Za-z0-9_]*)", "$1"))
+    r = rewriteOutsideQuotes(r)(rewriteDbQualified)
     // the reference tolerates a trailing comma in the SELECT list
     // (flow/flow_blog.sql: `avg(...) as avg_speed, FROM ...`)
     r = r.replaceAll("(?is),\\s*(FROM)\\b", " $1")
@@ -1133,9 +1370,15 @@ final class GraftSession(spark0: SparkSession,
     }
   }
 
-  private def unquote(ident: String): String =
-    ident.trim.stripPrefix("`").stripSuffix("`")
-      .stripPrefix("\"").stripSuffix("\"")
+  private def unquote(ident: String): String = {
+    val t = ident.trim
+    // doubled quote chars inside a quoted identifier unescape to one
+    // (keywords/escaped_quotes.sql: "COL""UMN" names column COL"UMN)
+    if (t.startsWith("`")) t.stripPrefix("`").stripSuffix("`").replace("``", "`")
+    else if (t.startsWith("\""))
+      t.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
+    else t
+  }
 
   /** DataFusion identifier normalization: UNQUOTED identifiers fold to
     * lowercase, quoted ones keep their case (create/upper_case_table_name
@@ -1591,19 +1834,23 @@ final class GraftSession(spark0: SparkSession,
       _.createOrReplaceTempView(phyName))
   }
 
-  private def refreshView(name: String, seqFloor: Option[Long] = None): Unit = {
-    if (metricPhy.get(name).exists(_.everLogical) && seqFloor.isEmpty) {
+  private def refreshView(name: String, seqFloor: Option[Long] = None,
+      rowFilter: Option[Column] = None): Unit = {
+    if (metricPhy.get(name).exists(_.everLogical) && seqFloor.isEmpty &&
+        rowFilter.isEmpty) {
       refreshMetricPhyView(name)
       return
     }
-    // a seqFloor means a flow is evaluating: instant-ttl rows (never
-    // visible to plain scans) ARE visible to the flow engine
+    // a seqFloor/rowFilter means a flow is evaluating: instant-ttl rows
+    // (never visible to plain scans) ARE visible to the flow engine
     val spec0 = catalog.spec(name)
     var df =
-      if (seqFloor.isDefined && spec0.ttlMillis.contains(0L))
+      if ((seqFloor.isDefined || rowFilter.isDefined) &&
+          spec0.ttlMillis.contains(0L))
         Catalog.readView(catalog.raw(name), spec0.copy(ttlMillis = None))
       else catalog.read(name)
     seqFloor.foreach(s => df = df.filter(col(SeqCol) > s))
+    rowFilter.foreach(f => df = df.filter(f))
     // rows predating an ALTER ... DEFAULT read the default
     backfills.getOrElse(name, Vector.empty).foreach { case (c, d, seqAt) =>
       if (df.columns.contains(c))
@@ -1631,13 +1878,25 @@ final class GraftSession(spark0: SparkSession,
       }
     }
     df = df.drop(SeqCol +: droppedCols.getOrElse(name, Set.empty).toSeq: _*)
-    // declared order drives SELECT * and DESC
+    // declared order drives SELECT * and DESC; case-collision shadow
+    // columns (alter/add_col.sql "IdC") surface as their default value,
+    // aliased in the SAME single select — any later by-name reference
+    // would be ambiguous under case-insensitive resolution
+    val shadowMap = shadowCols.getOrElse(name, Vector.empty)
+      .map { case (cn, d, tok) => cn -> ((d, tok)) }.toMap
     colMeta.get(name).foreach { metas =>
-      val declared = metas.map(_.name).filter(df.columns.contains)
+      val declared = metas.map(_.name)
+      val cols = declared.flatMap { n =>
+        if (df.columns.contains(n)) Some(col(s"`$n`"))
+        else shadowMap.get(n).map { case (d, tok) =>
+          d.map(x => expr(dialect(x))).getOrElse(lit(null))
+            .cast(sparkType(tok)).as(n)
+        }
+      }
       val extra = df.columns.filterNot(declared.contains)
       // flow-sink columns carry dots/parens in their names — backtick
-      if (declared.nonEmpty)
-        df = df.select((declared ++ extra).map(c => col(s"`$c`")): _*)
+      if (cols.nonEmpty)
+        df = df.select(cols ++ extra.map(c => col(s"`$c`")): _*)
     }
     df.createOrReplaceTempView(name)
     rebuildViews()
@@ -1670,7 +1929,9 @@ final class GraftSession(spark0: SparkSession,
 
   private val CreateViewRx =
     ("(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
-      "([A-Za-z_][A-Za-z0-9_]*)\\s*(\\([^)]*\\))?\\s+AS\\s+(.*)").r
+      "((?:\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\.(?:\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))?)" +
+      "\\s*(\\([^)]*\\))?\\s+AS\\s+(.*)").r
 
   /** CREATE VIEW-created view names (SHOW VIEWS / SHOW TABLES listing). */
   private val userViews = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -1689,7 +1950,8 @@ final class GraftSession(spark0: SparkSession,
     }
 
   private def createView(stmt: String): DataFrame = stmt match {
-    case CreateViewRx(name, colList, query0) =>
+    case CreateViewRx(name0, colList, query0) =>
+      val name = normTable(name0) // `s.b` → mangled per-schema view name
       val up = stmt.toUpperCase(Locale.ROOT)
       if (up.contains("OR REPLACE") && up.contains("IF NOT EXISTS"))
         throw new IllegalArgumentException(
@@ -2027,6 +2289,20 @@ final class GraftSession(spark0: SparkSession,
       throw new IllegalArgumentException(s"column ${cd.name} already exists")
     }
     val t = sparkType(cd.typeTok)
+    // a quoted name that collides case-insensitively with an existing
+    // column ("IdC" vs idc, alter/add_col.sql) cannot share a parquet
+    // file under Spark's case-insensitive resolution — keep it as a
+    // SHADOW column: declared metadata + default-valued in the view
+    if (metas.exists(m => m.name.equalsIgnoreCase(cd.name) && m.name != cd.name)) {
+      shadowCols.put(name, shadowCols.getOrElse(name, Vector.empty) :+
+        ((cd.name, cd.default, cd.typeTok)))
+      colMeta.put(name, metas :+
+        ColMeta(cd.name, greptimeTypeName(cd.typeTok), cd.nullable, cd.default))
+      if (cd.isPrimaryKey)
+        catalog.register(spec.copy(tags = spec.tags :+ cd.name))
+      refreshView(name)
+      return
+    }
     val existing = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
     if (!existing.fieldNames.contains(cd.name)) {
       val widened = StructType(existing :+ StructField(cd.name, t, cd.nullable))
@@ -2097,6 +2373,8 @@ final class GraftSession(spark0: SparkSession,
       metricPhy.get(phy).foreach(_.children -= name))
     tableEngine.remove(name)
     partitionClause.remove(name)
+    // flows bound to this incarnation stop refreshing (flow_rebuild)
+    tableEpoch.put(name, tableEpoch.getOrElse(name, 0L) + 1L)
     spark.catalog.dropTempView(name)
     // a subsequent CREATE TABLE of the same name must start empty
     catalog.deregister(name).foreach { spec =>
@@ -2111,6 +2389,7 @@ final class GraftSession(spark0: SparkSession,
     droppedCols.remove(name)
     colMeta.remove(name)
     colCasts.remove(name)
+    shadowCols.remove(name)
     colDefaultResolved.remove(name)
     backfills.remove(name)
     tsLiteralUs.remove(name)
@@ -2274,21 +2553,43 @@ final class GraftSession(spark0: SparkSession,
     }.toDF("table_name", "column_name", "data_type", "is_nullable", "semantic_type")
       .createOrReplaceTempView("__info_columns")
     flows.toSeq.map { case (f, (_, q)) =>
-      val src = flowMeta.get(f).flatMap(_.srcTable).getOrElse("")
-      val sinkT = flowMeta.get(f).map(_.sinkTable).getOrElse("")
+      val meta = flowMeta.get(f)
+      val pending = meta.exists(_.pending)
+      // ALL catalog tables the query references (a join flow lists every
+      // source — flow_batch_join_subquery checks both sides by LIKE)
+      val srcs =
+        if (pending) Nil
+        else flowSourceTables(q, meta.map(_.sinkTable).getOrElse(""))
+      val sinkT = meta.map(_.sinkTable).getOrElse("")
       val qNorm = q.replaceAll("\\s+", " ").trim
         .replaceAll("(?i)\\s+where\\s+", " WHERE ")
         .replaceAll("(?i)\\s+from\\s+", " FROM ")
+        .replaceAll("(?i)\\s+as\\s+", " AS ")
       // the reference stores the full CREATE statement, pretty-printed
-      // over three lines (flow/show_create_flow.result)
-      val defn = s"CREATE FLOW IF NOT EXISTS $f\nSINK TO public.$sinkT\nAS $qNorm"
+      // (flow/show_create_flow.result); WITH options echo on their own line
+      val withLine = meta.map(_.opts).filter(_.nonEmpty)
+        .map(o => "\nWITH (" +
+          o.toSeq.sortBy(_._1).map { case (k, v) => s"$k = '$v'" }.mkString(", ") +
+          ")").getOrElse("")
+      val defn =
+        s"CREATE FLOW IF NOT EXISTS $f\nSINK TO public.$sinkT$withLine\nAS $qNorm"
       // instant-ttl sources and non-aggregating queries force streaming
       // mode (flow/flow_advance_ttl.result, flow/flow_no_aggr.result)
-      val mode = if (flowModeStreaming(q, flowMeta.get(f).flatMap(_.srcTable)))
+      val mode = if (!pending && flowModeStreaming(q, meta.flatMap(_.srcTable)))
         "streaming" else "batching"
-      (f, "greptime", defn, s"greptime.public.$src", s"""{"flow_type":"$mode"}""")
-    }.toDF("flow_name", "table_catalog", "flow_definition", "source_table_names",
-      "options")
+      val optJson = (meta.map(_.opts).getOrElse(Map.empty) - "flow_type")
+        .toSeq.sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" }
+      val options = (optJson :+ s""""flow_type":"$mode"""").mkString("{", ",", "}")
+      (f, "greptime", defn,
+        if (pending) "[]" else srcs.map(_ => "0").mkString("[", ", ", "]"),
+        srcs.map(_.split("__schema__", 2) match {
+          case Array(d, t) => s"greptime.$d.$t"
+          case a => s"greptime.public.${a.head}"
+        }).mkString(","),
+        if (pending) "{}" else "{}",
+        options)
+    }.toDF("flow_name", "table_catalog", "flow_definition", "source_table_ids",
+      "source_table_names", "flownode_ids", "options")
       .createOrReplaceTempView("__info_flows")
   }
 
@@ -2651,6 +2952,17 @@ final class GraftSession(spark0: SparkSession,
         s.specs.keys.foreach(t => refreshView(t))
       }
     }
+    // per-schema mangled tables/views of the dropped db go away too
+    // (select/multi_column_ref.sql's DROP SCHEMA)
+    val prefix = s"${name}__schema__"
+    catalog.tables.filter(_.startsWith(prefix)).foreach { t =>
+      spark.catalog.dropTempView(t)
+      catalog.deregister(t)
+      colMeta.remove(t); tableOpts.remove(t)
+    }
+    userViews.filter(_.startsWith(prefix)).foreach { v =>
+      spark.catalog.dropTempView(v); userViews -= v; userViewDefs -= v
+    }
     dbSaved.remove(name)
     dbOpts.remove(name)
     status(s"database $name dropped")
@@ -3004,11 +3316,12 @@ final class GraftSession(spark0: SparkSession,
       df.select(aligned: _*).write.mode("append").parquet(spec.path)
       refreshView(name)
       logicalParent.get(name).foreach(refreshMetricPhyView)
-      // flows process writes to their source table continuously — an
-      // insert while a flow exists reaches the sink (show_create_flow:
-      // rows written under an earlier flow incarnation stay materialized)
+      // SCHEDULED flows (EVAL INTERVAL) process source writes
+      // continuously; flows without a schedule materialize only on
+      // FLUSH_FLOW (flow_last_non_null: the un-flushed sibling flow's
+      // windows must NOT recompute on the other flow's insert)
       flowMeta.foreach { case (fname, m) =>
-        if (m.srcTable.contains(name))
+        if (m.srcTable.contains(name) && m.evalInterval.isDefined)
           try refreshFlow(fname) catch {
             case e: Throwable =>
               System.err.println(s"[flow-refresh] $fname: ${String.valueOf(e.getMessage).take(160)}")
@@ -3268,18 +3581,60 @@ final class GraftSession(spark0: SparkSession,
   private val CreateFlowRx =
     ("(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?FLOW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+" +
       "SINK\\s+TO\\s+([A-Za-z0-9_/.:-]+)\\s*" +
-      "(?:EVAL\\s+INTERVAL\\s+'[^']*'\\s*)?" +       // batching refresh period
+      "(?:EVAL\\s+INTERVAL\\s+'([^']*)'\\s*)?" +     // batching refresh period
       "(?:EXPIRE\\s+AFTER\\s+'?([^'\\s]+)'?\\s*)?" + // state retention
-      "(?:EVAL\\s+INTERVAL\\s+'[^']*'\\s*)?" +
+      "(?:EVAL\\s+INTERVAL\\s+'([^']*)'\\s*)?" +
       "(?:COMMENT\\s+'[^']*'\\s*)?" +
-      "(?:WITH\\s*\\((.*?)\\)\\s*)?AS\\s+(SELECT.*)").r
+      "(?:WITH\\s*\\((.*?)\\)\\s*)?AS\\s+((?:SELECT|WITH|TQL).*)").r
+
+  /** Catalog tables a flow query reads — matches both the bare name and
+    * the `db."table"` spelling of per-schema mangled tables
+    * (flow/flow_batch_join_subquery.sql joins two qualified sources). */
+  private def flowSourceTables(query: String, sink: String): Seq[String] =
+    catalog.tables.filter { t =>
+      val rx = t.split("__schema__", 2) match {
+        case Array(d, tb) =>
+          "(?i)\\b" + java.util.regex.Pattern.quote(d) +
+            "\\s*\\.\\s*[\"`]?" + java.util.regex.Pattern.quote(tb) + "[\"`]?"
+        case _ => "(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b"
+      }
+      t != sink && rx.r.findFirstIn(query).isDefined
+    }.sorted
+
+  /** A flow body may be plain SELECT, a CTE query, or TQL EVAL
+    * (flow/flow_tql_avg.sql, flow/flow_scheduled_late_overlap.sql). */
+  private def flowQueryDf(query: String): DataFrame = {
+    val u = query.trim.toUpperCase(Locale.ROOT)
+    if (u.startsWith("TQL")) tqlEval(query.trim)
+    else if (u.startsWith("WITH") &&
+        "(?is)\\bTQL\\s+EVAL\\b".r.findFirstIn(query).isDefined)
+      sql(rewriteTqlCtes(query))
+    else spark.sql(dialect(query))
+  }
 
   /** Per-flow sink metadata: sink table, renamed output columns, and
     * whether the sink carries the reference's __ts_placeholder column. */
   private case class FlowMeta(sinkTable: String, outNames: Seq[String],
       placeholder: Boolean, srcTable: Option[String] = None,
-      createSeq: Long = 0L)
+      createSeq: Long = 0L,
+      opts: Map[String, String] = Map.empty,
+      evalInterval: Option[String] = None,
+      streaming: Boolean = false,
+      pending: Boolean = false,
+      srcEpoch: Long = 0L)
   private val flowMeta = scala.collection.concurrent.TrieMap.empty[String, FlowMeta]
+  /** last source sequence a streaming flow appended through */
+  private val flowLastSeq = scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** PREPARE name FROM '...' templates (prepare/mysql_prepare.sql) */
+  private val preparedStmts = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** case-collision shadow columns: (name, default, typeTok) per table —
+    * declared but not parquet-materialized (alter/add_col.sql "IdC") */
+  private val shadowCols =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[(String, Option[String], String)]]
+  /** per-table generation counter: DROP TABLE bumps it, so a flow bound
+    * to the old incarnation stops refreshing (flow_rebuild.result pins
+    * that a re-created source is "a different table" to the flow) */
+  private val tableEpoch = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** Top-level select-list items of the flow query. */
   private def selectList(query: String): Seq[String] = {
@@ -3306,6 +3661,9 @@ final class GraftSession(spark0: SparkSession,
     * win; an unaliased `fn(col)` becomes `fn(table.col)` (the auto sink
     * column "sum(numbers_input_basic.number)" in flow_basic.result). */
   private def flowOutputNames(query: String, sparkNames: Seq[String]): Seq[String] = {
+    // WITH/TQL bodies: the engine's own output names stand
+    if (!query.trim.toUpperCase(Locale.ROOT).startsWith("SELECT"))
+      return sparkNames
     val table = "(?is)\\bFROM\\s+(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)".r
       .findFirstMatchIn(query).map(m => normTable(m.group(1)))
     val items = selectList(query)
@@ -3348,12 +3706,23 @@ final class GraftSession(spark0: SparkSession,
     case _ => "STRING"
   }
 
+  /** flow WITH-option keys the reference accepts (flows.rs options
+    * validation — anything else errors, show_create_flow's
+    * `access_key_id` case). */
+  private val flowOptionKeys =
+    Set("defer_on_missing_source", "keys", "flow_type", "batching_interval")
+
   private def createFlow(stmt: String): DataFrame = stmt match {
-    case CreateFlowRx(name, sink, expire, withPart, query0) =>
+    case CreateFlowRx(name, sink, ev1, expire, ev2, withPart, query0) =>
       val query = rewriteFlowIntDiv(query0)
       val up0 = stmt.toUpperCase(Locale.ROOT)
       val orReplace = up0.contains("OR REPLACE")
       val ifNotExists = up0.contains("IF NOT EXISTS")
+      // the reference rejects combining the two (show_create_flow.result:
+      // `CREATE OR REPLACE FLOW IF NOT EXISTS` errors, old flow remains)
+      if (orReplace && ifNotExists)
+        throw new IllegalArgumentException(
+          "create flow: OR REPLACE and IF NOT EXISTS cannot be used together")
       if (flows.contains(name)) {
         if (ifNotExists && !orReplace) return status(s"flow $name exists")
         if (!orReplace)
@@ -3366,18 +3735,32 @@ final class GraftSession(spark0: SparkSession,
           case _ => None
         }).toMap
       }.getOrElse(Map.empty)
+      opts.keys.find(!flowOptionKeys.contains(_)).foreach(k =>
+        throw new IllegalArgumentException(s"invalid flow option: $k"))
+      val evalInterval = Option(ev1).orElse(Option(ev2))
       val sinkName = normTable(sink)
-      // evaluate once for the output schema (also validates the query)
-      val qdf = spark.sql(dialect(query))
+      // evaluate once for the output schema (also validates the query) —
+      // with defer_on_missing_source a missing source registers the flow
+      // in pending state instead (flow/flow_pending.sql)
+      val qdf =
+        try flowQueryDf(query)
+        catch {
+          case e: Throwable
+              if opts.get("defer_on_missing_source").contains("true") =>
+            flows.put(name, (FlowDef(name, "", Nil, identity,
+              expireAfter = Option(expire), allowUnpartitioned = true), query))
+            flowMeta.put(name, FlowMeta(sinkName, Nil, placeholder = false,
+              srcTable = None, createSeq = seqCounter.get(), opts = opts,
+              evalInterval = evalInterval, pending = true))
+            return status(s"flow $name pending")
+        }
       val names = flowOutputNames(query, qdf.schema.fieldNames.toSeq)
       val isTsType = (dt: DataType) =>
         dt == TimestampType || dt == TimestampNTZType
       val tsOut = names.zip(qdf.schema.fields)
         .find { case (_, f) => isTsType(f.dataType) }.map(_._1)
       val preExisting = catalog.tables.contains(sinkName)
-      val srcTable0 = "(?is)\\bFROM\\s+(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)".r
-        .findFirstMatchIn(query).map(m => normTable(m.group(1)))
-        .filter(catalog.tables.contains)
+      val srcTable0 = flowSourceTables(query, sinkName).headOption
       if (!preExisting) {
         // auto-create the sink the way the reference flow engine does
         // (flow_auto_sink_table.result): outputs, update_at, and a
@@ -3437,12 +3820,50 @@ final class GraftSession(spark0: SparkSession,
       }
       val spec = catalog.spec(sinkName)
       // a PRE-CREATED sink maps flow outputs POSITIONALLY onto its
-      // declared columns (flow_null: `time_window` lands in `ts`)
+      // declared columns (flow_null: `time_window` lands in `ts`) —
+      // except when all output names already exist in the sink (TQL
+      // flows emit [value, sensor, ts] against a (value, ts, sensor)
+      // sink: align by NAME, flow_tql_avg.result)
       val finalNames =
         if (preExisting) {
           val declared = colMeta.getOrElse(sinkName, Vector.empty).map(_.name)
-          if (declared.length >= names.length) declared.take(names.length).toSeq
-          else names
+          if (names.length > declared.length)
+            throw new IllegalArgumentException(
+              s"flow $name: ${names.length} outputs exceed sink $sinkName's " +
+                s"${declared.length} columns")
+          if (names.toSet.subsetOf(declared.toSet)) {
+            // partial column coverage needs per-column merge on the sink:
+            // without merge_mode=last_non_null the reference rejects the
+            // plan at CREATE FLOW time (flow_last_non_null's 2nd section)
+            // columns with a declared default (and the engine's own
+            // update_at/placeholder) are fillable — only a defaultless
+            // uncovered column demands per-column merge
+            val defaulted = colMeta.getOrElse(sinkName, Vector.empty)
+              .filter(_.default.isDefined).map(_.name).toSet
+            val missing = declared.toSet -- names.toSet -- defaulted -
+              "update_at" - "__ts_placeholder"
+            if (missing.nonEmpty && spec.mergeMode != MergeMode.LastNonNull)
+              throw new IllegalArgumentException(
+                "Failed to rewrite plan: flow output misses sink columns " +
+                  missing.mkString(", "))
+            names
+          }
+          else {
+            // positional mapping must be type-sound: a numeric output
+            // cannot land in a timestamp column (show_create_flow's
+            // n1,n2 → (number, ts) replace errors in the reference)
+            val declMeta = colMeta.getOrElse(sinkName, Vector.empty)
+            names.zip(qdf.schema.fields).zipWithIndex.foreach {
+              case ((_, f), i) =>
+                val declTs = declMeta.lift(i)
+                  .exists(m => showCreateType(m.gtype).startsWith("TIMESTAMP"))
+                if (declTs && !isTsType(f.dataType))
+                  throw new IllegalArgumentException(
+                    s"flow $name: output ${f.name} (${f.dataType.simpleString}) " +
+                      s"cannot map onto timestamp column ${declMeta(i).name}")
+            }
+            declared.take(names.length).toSeq
+          }
         } else names
       // SELECT DISTINCT flows upsert on the distinct columns — a later
       // eval over only-new rows must not replace earlier sink rows
@@ -3452,8 +3873,17 @@ final class GraftSession(spark0: SparkSession,
           names.zip(qdf.schema.fields)
             .filterNot { case (_, f) => isTsType(f.dataType) }.map(_._1)
         else Nil
+      // a TQL flow upserts on the PromQL grouping labels + ts
+      // (flow_tql_avg: avg by(sensor) keys the sink on sensor)
+      val tqlByKeys =
+        if (query.trim.toUpperCase(Locale.ROOT).startsWith("TQL"))
+          "(?i)\\bby\\s*\\(([^)]*)\\)".r.findFirstMatchIn(query)
+            .map(_.group(1).split(",").map(_.trim).toSeq).getOrElse(Nil)
+            .filter(names.contains)
+        else Nil
       val rawKeys = opts.get("keys").map(_.split(",").map(_.trim).toSeq)
         .getOrElse(((if (distinctKeys.nonEmpty) distinctKeys
+          else if (tqlByKeys.nonEmpty) tqlByKeys
           else inferGroupByKeys(query).map(normIdent).filter(names.contains)) ++
           tsOut.toSeq).distinct)
       val upsertKeys = rawKeys.flatMap { k =>
@@ -3467,9 +3897,13 @@ final class GraftSession(spark0: SparkSession,
       flows.put(name, (flowDef, query))
       // the flow only sees rows written AFTER its creation (flow_flush:
       // pre-existing rows stay invisible even after FLUSH_FLOW)
+      val streaming = flowModeStreaming(query, srcTable0)
       flowMeta.put(name,
         FlowMeta(sinkName, finalNames, placeholder = !preExisting && tsOut.isEmpty,
-          srcTable = srcTable0, createSeq = seqCounter.get()))
+          srcTable = srcTable0, createSeq = seqCounter.get(), opts = opts,
+          evalInterval = evalInterval, streaming = streaming,
+          srcEpoch = srcTable0.map(t => tableEpoch.getOrElse(t, 0L)).getOrElse(0L)))
+      flowLastSeq.put(name, seqCounter.get())
       // the reference flow engine materializes nothing at creation time —
       // rows appear on FLUSH_FLOW / the eval interval (flow_flush.result)
       status(s"flow $name created")
@@ -3480,16 +3914,20 @@ final class GraftSession(spark0: SparkSession,
     * flow_advance_ttl + flow_no_aggr): an instant-ttl source or a
     * non-aggregating query falls back to streaming; aggregations run
     * as batching flows. */
-  private def flowModeStreaming(query: String, srcTable: Option[String]): Boolean = {
-    val instantSrc = srcTable.exists(s =>
-      catalog.tables.contains(s) && catalog.spec(s).ttlMillis.contains(0L))
+  private def aggregatingQuery(query: String): Boolean = {
     val u = query.toUpperCase(Locale.ROOT)
-    val aggregating = u.matches("(?s).*\\bGROUP\\s+BY\\b.*") ||
+    u.matches("(?s).*\\bGROUP\\s+BY\\b.*") ||
+      u.matches("(?s).*\\bBY\\s*\\(.*") || // TQL `by(...)` grouping
       "(?is)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(query).isDefined ||
       ("(?i)\\b(sum|count|avg|min|max|first_value|last_value|array_agg|" +
         "approx_\\w+|hll|uddsketch_\\w+|stddev\\w*|var\\w*)\\s*\\(").r
         .findFirstIn(query).isDefined
-    instantSrc || !aggregating
+  }
+
+  private def flowModeStreaming(query: String, srcTable: Option[String]): Boolean = {
+    val instantSrc = srcTable.exists(s =>
+      catalog.tables.contains(s) && catalog.spec(s).ttlMillis.contains(0L))
+    instantSrc || !aggregatingQuery(query)
   }
 
   /** DataFusion divides integer aggregates integrally (sum(int)/count →
@@ -3554,18 +3992,101 @@ final class GraftSession(spark0: SparkSession,
   // ---- TQL EVAL (§2.6) ------------------------------------------------
 
   private val TqlRx =
-    "(?is)TQL\\s+EVAL\\s*\\(\\s*([^,]+?)\\s*,\\s*([^,]+?)\\s*,\\s*'?([^,')]+?)'?\\s*\\)\\s*(.*)".r
+    ("(?is)TQL\\s+EVAL\\s*\\(\\s*([^,]+?)\\s*,\\s*([^,]+?)\\s*,\\s*'?([^,')]+?)'?\\s*" +
+      "(?:,\\s*'?([^,')]+?)'?\\s*)?\\)\\s*(.*)").r
+
+  /** Trailing `AS alias` on the PromQL body names the value column
+    * (tql/tql-cte.sql). */
+  private val TqlValAliasRx = "(?is)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
 
   private def tqlEval(stmt: String): DataFrame = stmt match {
-    case TqlRx(startS, endS, stepS, promql) =>
+    case TqlRx(startS, endS, stepS, lookbackS, promql0) =>
       val startMs = tqlTimeMs(startS.trim)
       val endMs = tqlTimeMs(endS.trim)
       val stepMs = PromParser.parseDuration(stepS.trim)
+      val lookbackMs = Option(lookbackS)
+        .map(s => PromParser.parseDuration(s.trim)).getOrElse(300000L)
+      val (promql, valAlias) = promql0.trim match {
+        case TqlValAliasRx(body, a)
+            // `... offset 50s` and range selectors end in durations, not
+            // aliases; only treat the tail as an alias after ')' or an
+            // identifier that isn't itself the whole query
+            if body.trim.endsWith(")") || body.trim.endsWith("]") =>
+          (body.trim, Some(a))
+        case p => (p, None)
+      }
       val metrics = catalog.tables.map(t => t -> metricOf(t)).toMap
-      val df = new PromEval(spark, metrics, EvalParams(startMs, endMs, stepMs))
-        .evalQuery(promql.trim)
-      tqlReshape(promql.trim, df)
+      val df = new PromEval(spark, metrics,
+        EvalParams(startMs, endMs, stepMs, lookbackMs)).evalQuery(promql)
+      tqlReshape(promql, df, valAlias)
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
+  }
+
+  // ---- TQL EVAL inside CTEs (tql/tql-cte.sql) -------------------------
+
+  private var tqlCteN = 0
+
+  /** `WITH name [(cols)] AS (TQL EVAL ...)` — evaluate each TQL CTE
+    * eagerly into a temp view, leaving a plain-SQL WITH for Spark. The
+    * reference plans these inline (query/src/planner.rs); eager
+    * evaluation is equivalent because a TQL result is bounded by its
+    * (start, end, step) grid. */
+  private def rewriteTqlCtes(stmt: String): String = {
+    val HeadRx = ("(?is)([A-Za-z_][A-Za-z0-9_]*)\\s*" +
+      "(\\(\\s*[A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*\\s*\\))?" +
+      "\\s+AS\\s*\\(").r
+    var s = stmt
+    var changed = true
+    while (changed) {
+      changed = false
+      for (m <- HeadRx.findAllMatchIn(s).toList if !changed) {
+        val open = m.end - 1
+        var depth = 0; var i = open; var inStr = false; var close = -1
+        while (i < s.length && close < 0) {
+          val c = s.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false }
+          else c match {
+            case '\'' => inStr = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        val body = if (close > 0) s.substring(open + 1, close).trim else ""
+        if (close > 0 && body.toUpperCase(Locale.ROOT).startsWith("TQL")) {
+          var df = tqlEval(body)
+          Option(m.group(2)).foreach { lst =>
+            val names = lst.trim.stripPrefix("(").stripSuffix(")")
+              .split(",").map(_.trim).toIndexedSeq
+            // the alias list maps positionally onto the reference PLAN's
+            // schema: for an aggregation that is Aggregate's output
+            // [ts, by-labels, value] (tql-cte.result's EXPLAIN pins
+            // `labels.ts AS ts, sum(labels.cpu) AS summary`) while our
+            // rendered shape is [value, by-labels, ts] — reorder first
+            val isAgg = TqlRx.findFirstMatchIn(body).map(_.group(5)).exists { p =>
+              try PromParser.parse(p.trim.replaceAll(
+                "(?is)\\s+AS\\s+[A-Za-z_][A-Za-z0-9_]*\\s*$", ""))
+                .isInstanceOf[PromParser.Agg]
+              catch { case _: Throwable => false }
+            }
+            if (isAgg && df.columns.length >= 2) {
+              val cs = df.columns
+              df = df.select((cs.last +: cs.drop(1).dropRight(1).toSeq :+ cs.head)
+                .map(col): _*)
+            }
+            df = df.toDF(names: _*)
+          }
+          tqlCteN += 1
+          val view = s"__tql_cte_$tqlCteN"
+          df.createOrReplaceTempView(view)
+          s = s.substring(0, m.start) +
+            s"${m.group(1)} AS (SELECT * FROM $view)" + s.substring(close + 1)
+          changed = true
+        }
+      }
+    }
+    s
   }
 
   /** Reorder/retype TQL output to the reference planner's column shape
@@ -3574,7 +4095,8 @@ final class GraftSession(spark0: SparkSession,
     * bare selector → [value, (labels∪ts) by name]; aggregation →
     * [value, by-labels, ts]; range-fn / scalar / default →
     * [ts, value, labels]. */
-  private def tqlReshape(promql: String, df: DataFrame): DataFrame = {
+  private def tqlReshape(promql: String, df: DataFrame,
+      valAlias: Option[String] = None): DataFrame = {
     import PromParser._
     val labels = df.columns.filterNot(Set("__ts", "__val")).toSeq
     if (!df.columns.contains("__ts") || !df.columns.contains("__val")) return df
@@ -3667,14 +4189,38 @@ final class GraftSession(spark0: SparkSession,
         Seq(ts, v) ++ (dst.filter(labels.contains).toSeq ++ rest).map(col)
       case _ => (ts +: Seq(v)) ++ labels.map(col)
     }
-    df.select(cols: _*)
+    val out = df.select(cols: _*)
+    // name the value column like the reference planner: an explicit
+    // `AS alias` wins, else the first selector's value-field name
+    // (tql/tql-cte.sql relies on these names in the outer SELECT)
+    valAlias.orElse(table.flatMap(valueFieldOf))
+      .filterNot(out.columns.contains)
+      .map(n => out.withColumnRenamed("__val", n)).getOrElse(out)
+  }
+
+  /** First numeric non-tag/non-time field of a table — the column the
+    * PromQL planner treats as the metric value (mirrors [[metricOf]]). */
+  private def valueFieldOf(name: String): Option[String] = {
+    val spec = catalog.spec(name)
+    catalog.read(name).schema.fields.find(f =>
+      !spec.tags.contains(f.name) && f.name != spec.timeIndex &&
+        (f.dataType == DoubleType || f.dataType == FloatType ||
+          f.dataType == LongType || f.dataType == IntegerType)).map(_.name)
   }
 
   private def tqlTimeMs(s: String): Long = {
     val t = s.stripPrefix("'").stripSuffix("'")
     if (t.matches("\\d+")) t.toLong * 1000L // epoch seconds, like the reference
-    else java.time.Instant.parse(
+    else if (t.matches("[0-9TZ:. +-]+")) java.time.Instant.parse(
       if (t.endsWith("Z")) t else t.replace(" ", "T") + "Z").toEpochMilli
+    else {
+      // expression bound, e.g. `now() - '1m'::interval`
+      // (flow/flow_tql_avg.sql) — evaluate through the dialect layer;
+      // truncated to whole seconds like the reference's grid timestamps
+      val ms = spark.sql(s"SELECT unix_millis(CAST((${dialect(t)}) AS TIMESTAMP))")
+        .head.getLong(0)
+      math.floorDiv(ms, 1000L) * 1000L
+    }
   }
 
   /** Table → PromQL metric: tags are labels, first double/float field is

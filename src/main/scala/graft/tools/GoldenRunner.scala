@@ -415,17 +415,23 @@ object GoldenRunner {
                   // postgres-protocol goldens render booleans t/f
                   val pgBools = got.flatten.toSet.subsetOf(Set("true", "false")) &&
                     wantRows.flatten.map(strip).toSet.subsetOf(Set("t", "f"))
+                  // mysql-protocol goldens render booleans 0/1
+                  val myBools = e.protocol == "mysql"
                   val wantC = wantRows.map(_.map(c => canon(strip(c)) match {
                     case "t" if pgBools => "true"
                     case "f" if pgBools => "false"
                     case x => x
                   }))
+                  val gotMy =
+                    if (myBools) got.map(_.map {
+                      case "true" => "1"; case "false" => "0"; case x => x
+                    }) else got
                   // rows compare pipe-joined: a result cell that itself
                   // contains '|' (string_agg) parses as extra cells from
                   // the golden table — joining makes that benign. Cells
                   // compare trimmed: the golden table parser trims, so
                   // our side must too (SHOW CREATE indentation).
-                  val gotJ = got.map(_.map(_.trim).mkString("|"))
+                  val gotJ = gotMy.map(_.map(_.trim).mkString("|"))
                   val wantJ = wantC.map(_.mkString("|"))
                   val (a, b) =
                     if (ordered && !e.sortResult) (gotJ, wantJ)
@@ -450,12 +456,12 @@ object GoldenRunner {
                       wantHeader.map(_.trim.toLowerCase) !=
                         df.columns.map(_.trim.toLowerCase).toSeq)
                   if (a == b || (ordered && a.sorted == b.sorted) ||
-                    (cellFallbackOk && cellSorted(got) == cellSorted(wantC)))
+                    (cellFallbackOk && cellSorted(gotMy) == cellSorted(wantC)))
                     compared += 1
                   else {
                     val d = a.indices.find(i => i >= b.length || a(i) != b(i))
                       .getOrElse(math.min(a.length, b.length))
-                    val (cg, cw) = (cellSorted(got), cellSorted(wantC))
+                    val (cg, cw) = (cellSorted(gotMy), cellSorted(wantC))
                     val cd = cg.indices.find(i => i >= cw.length || cg(i) != cw(i))
                       .getOrElse(math.min(cg.length, cw.length))
                     problems += s"MISMATCH: ${e.sql.take(100)} [rows got=${a.length} want=${b.length} firstDiff=$d cellDiff=$cd]" +

@@ -1,7 +1,5 @@
 package graft.tools
-
 import org.apache.spark.sql.SparkSession
-
 object T3 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -10,19 +8,50 @@ object T3 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val g = new graft.sql.GraftSession(spark)
-    def run(s: String): Unit = {
-      try {
-        val df = g.sql(s)
-        println(s"--- $s")
-        df.show(20, false)
-      } catch { case e: Exception => println(s"--- $s\nERR ${e.getMessage}") }
+    g.sql("""CREATE TABLE scheduled_late_overlap_input (
+  ts TIMESTAMP(3) TIME INDEX,
+  series STRING,
+  reading DOUBLE,
+  PRIMARY KEY(series)
+)""")
+    try {
+      g.sql("""CREATE FLOW scheduled_late_overlap_flow
+SINK TO scheduled_late_overlap_sink
+EVAL INTERVAL '1s'
+AS
+WITH
+target_offsets(delta) AS (
+  VALUES
+    (INTERVAL '1 second'),
+    (INTERVAL '2 seconds')
+),
+target_seconds AS (
+  SELECT date_trunc('second', now()) - delta AS target_ts
+  FROM target_offsets
+),
+bucketed AS (
+  SELECT
+    series,
+    date_bin(INTERVAL '1 second', ts) AS bucket_ts,
+    last_value(reading ORDER BY ts) AS reading
+  FROM scheduled_late_overlap_input
+  WHERE ts >= date_trunc('second', now()) - INTERVAL '20 seconds'
+    AND ts <  date_trunc('second', now())
+  GROUP BY series, date_bin(INTERVAL '1 second', ts)
+)
+SELECT
+  target_seconds.target_ts AS ts,
+  bucketed.series,
+  bucketed.reading,
+  now() AS create_time
+FROM target_seconds
+JOIN bucketed
+  ON bucketed.bucket_ts = target_seconds.target_ts""")
+      println("[t3] create flow OK")
+    } catch { case e: Throwable =>
+      println("[t3] FAIL " + e.getClass.getName + ": " + e.getMessage)
+      e.printStackTrace()
     }
-    run("""CREATE TABLE distinct_basic ("number" INT, ts TIMESTAMP DEFAULT CURRENT_TIMESTAMP, PRIMARY KEY(number), TIME INDEX(ts))WITH ('ttl' = 'instant')""")
-    run("""CREATE FLOW test_distinct_basic SINK TO out_distinct_basic EVAL INTERVAL '1m' AS
-SELECT DISTINCT number as dis FROM distinct_basic""")
-    run("""INSERT INTO distinct_basic VALUES (20, "2021-07-01 00:00:00.200"), (20, "2021-07-01 00:00:00.200"), (22, "2021-07-01 00:00:00.600")""")
-    run("ADMIN FLUSH_FLOW('test_distinct_basic')")
-    run("SELECT dis FROM out_distinct_basic")
-    run("SELECT number FROM distinct_basic")
+    spark.stop()
   }
 }
