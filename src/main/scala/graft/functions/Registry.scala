@@ -127,6 +127,16 @@ object Registry {
     // vector helpers for SQL (native Column API is the perf path)
     spark.udf.register("vec_dim", (v: Seq[Float]) => if (v == null) -1 else v.length)
     registerVecTail(spark)
+
+    // t-digest quantiles (approx_percentile_cont family) — GraftSession's
+    // dialect layer macro-expands the WITHIN GROUP spelling onto this
+    spark.udf.register("__approx_pct_td",
+      F.udaf(graft.aggregates.TDigest.agg,
+        Encoders.product[(Double, Double, Double)]))
+    // MAD frame statistics for the anomaly_score_mad window macro
+    // (function/anomaly.sql); zscore/iqr expand to built-in aggregates
+    spark.udf.register("__mad_stats",
+      F.udaf(graft.aggregates.AnomalyWindowAggs.madStats, Encoders.DOUBLE))
   }
 
   /** Numeric trunc — DataFusion dialect semantics. ONLY GraftSession

@@ -38,10 +38,10 @@ final class PromEval(
       throw new IllegalArgumentException(s"unknown metric: ${sel.name}"))
     val filtered = sel.matchers.foldLeft(m.df) { (df, mt) =>
       mt.op match {
-        case "=" => df.filter(col(mt.label) === mt.value)
-        case "!=" => df.filter(col(mt.label) =!= mt.value)
-        case "=~" => df.filter(col(mt.label).rlike(s"^(?:${mt.value})$$"))
-        case "!~" => df.filter(!col(mt.label).rlike(s"^(?:${mt.value})$$"))
+        case "=" => df.filter(col(s"`${mt.label}`") === mt.value)
+        case "!=" => df.filter(col(s"`${mt.label}`") =!= mt.value)
+        case "=~" => df.filter(col(s"`${mt.label}`").rlike(s"^(?:${mt.value})$$"))
+        case "!~" => df.filter(!col(s"`${mt.label}`").rlike(s"^(?:${mt.value})$$"))
       }
     }
     m.copy(df = filtered)
@@ -77,6 +77,12 @@ final class PromEval(
       val p = param.map { case NumberLit(v) => v; case other =>
         throw new IllegalArgumentException(s"aggregation param must be a literal: $other") }
       Right(PromQL.aggregate(iv, op, by, without, p))
+
+    case Call("timestamp", Seq(sel: Selector)) if sel.rangeMs.isEmpty =>
+      // timestamp(v): the selected SAMPLE's timestamp in seconds — not
+      // the grid instant (promql/timestamp_fn.result: grid t=30s over a
+      // sample at t=1s yields 1.0)
+      Right(PromQL.timestampInstant(metricOf(sel), params, sel.offsetMs))
 
     case Call(fn @ ("holt_winters" | "double_exponential_smoothing"), args) =>
       val (sel, sf, tf) = args match {
@@ -251,6 +257,7 @@ final class PromEval(
       case "*" => a * b
       case "/" => a / b
       case "%" => a % b
+      case "atan2" => math.atan2(a, b)
       case "^" => math.pow(a, b)
       case _ =>
         val r = op match {

@@ -58,6 +58,11 @@ object PromParser {
           case 'n'  => sb.append('\n'); i += 2
           case 't'  => sb.append('\t'); i += 2
           case 'r'  => sb.append('\r'); i += 2
+          case 'x' if i + 3 < s.length + 1 &&
+              s.length >= i + 4 &&
+              s.substring(i + 2, i + 4).matches("[0-9a-fA-F]{2}") =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar)
+            i += 4
           case _    => sb.append(c); i += 1
         }
       } else { sb.append(c); i += 1 }
@@ -117,7 +122,7 @@ object PromParser {
         def labelList(): Seq[String] = {
           expect("(")
           val ls = scala.collection.mutable.ListBuffer.empty[String]
-          while (!peek.contains(")")) { ls += next(); if (peek.contains(",")) next() }
+          while (!peek.contains(")")) { ls += stripIdent(next()); if (peek.contains(",")) next() }
           expect(")")
           ls.toSeq
         }
@@ -148,7 +153,7 @@ object PromParser {
     private def cmpExpr(): Expr =
       binChain(() => addExpr(), Set("==", "!=", ">", "<", ">=", "<="))
     private def addExpr(): Expr = binChain(() => mulExpr(), Set("+", "-"))
-    private def mulExpr(): Expr = binChain(() => powExpr(), Set("*", "/", "%"))
+    private def mulExpr(): Expr = binChain(() => powExpr(), Set("*", "/", "%", "atan2"))
     private def powExpr(): Expr = {
       val l = unary()
       if (peek.contains("^")) { next(); Binary("^", l, powExpr(), boolMod = false) }
@@ -165,6 +170,17 @@ object PromParser {
       val t = peek.getOrElse(throw new IllegalArgumentException("unexpected end"))
       val base =
         if (t == "(") { next(); val e = expr(); expect(")"); e }
+        else if (t == "{") {
+          // matcher-block-only selector: `{"metric"}`
+          // (promql/string_identifier.sql); general `{__name__=..,l=..}`
+          // blocks stay unsupported like the reference planner's
+          // bare-matcher path (promql/label.result pins empty results
+          // there via a different mechanism)
+          val matchers = parseMatcherBlock()
+          require(matchers.length == 1 && matchers.head.label == "__name__",
+            "bare matcher block must name exactly one metric")
+          Selector(matchers.head.value, Nil, None, 0L)
+        }
         else if (t.matches("[0-9].*") && !isDuration(t)) { next(); NumberLit(t.toDouble) }
         else if (t.startsWith("\"") || t.startsWith("'")) {
           next(); StringLit(unescapeString(t.substring(1, t.length - 1)))
@@ -172,6 +188,34 @@ object PromParser {
         else if (AggOps.contains(t.toLowerCase)) aggExpr()
         else identExpr()
       postfix(base)
+    }
+
+    /** A quoted token denotes a label/metric identifier with otherwise
+      * illegal characters (promql/string_identifier.sql). */
+    private def stripIdent(tok: String): String =
+      if (tok.startsWith("\"") || tok.startsWith("'"))
+        unescapeString(tok.substring(1, tok.length - 1))
+      else tok
+
+    /** `{ ... }` matcher list; a lone quoted string is the metric name. */
+    private def parseMatcherBlock(): Seq[Matcher] = {
+      expect("{")
+      val ms = scala.collection.mutable.ListBuffer.empty[Matcher]
+      while (!peek.contains("}")) {
+        val label0 = next()
+        if (peek.contains("}") || peek.contains(",")) {
+          // bare string entry = metric-name matcher
+          ms += Matcher("__name__", "=", stripIdent(label0))
+        } else {
+          val op = next()
+          val raw = next()
+          ms += Matcher(stripIdent(label0), op,
+            unescapeString(raw.substring(1, raw.length - 1)))
+        }
+        if (peek.contains(",")) next()
+      }
+      expect("}")
+      ms.toSeq
     }
 
     /** `[range]` / `[range:step]` and `offset d` apply to the finished
@@ -230,7 +274,7 @@ object PromParser {
         val without = next().equalsIgnoreCase("without")
         expect("(")
         val ls = scala.collection.mutable.ListBuffer.empty[String]
-        while (!peek.contains(")")) { ls += next(); if (peek.contains(",")) next() }
+        while (!peek.contains(")")) { ls += stripIdent(next()); if (peek.contains(",")) next() }
         expect(")")
         (ls.toSeq, without)
       case _ => (Nil, false)
@@ -265,19 +309,7 @@ object PromParser {
         Call(name.toLowerCase, args.toSeq)
       } else { // selector
         var matchers = Seq.empty[Matcher]
-        if (peek.contains("{")) {
-          next()
-          val ms = scala.collection.mutable.ListBuffer.empty[Matcher]
-          while (!peek.contains("}")) {
-            val label = next()
-            val op = next()
-            val raw = next()
-            ms += Matcher(label, op, unescapeString(raw.substring(1, raw.length - 1)))
-            if (peek.contains(",")) next()
-          }
-          expect("}")
-          matchers = ms.toSeq
-        }
+        if (peek.contains("{")) matchers = parseMatcherBlock()
         // range/offset attach in postfix() so subqueries share the path
         val nameMatcher = matchers.find(m => m.label == "__name__")
         val metricName = nameMatcher.map(_.value).getOrElse(name)

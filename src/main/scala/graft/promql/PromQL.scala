@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object PromQL {
 
+  /** Label-name column ref — backtick-quoted, since quoted PromQL
+    * identifiers may contain dots (promql/string_identifier.sql). */
+  private def lcol(n: String): Column = col(s"`$n`")
+
+
   /** A metric table: label columns + epoch-ms long time column + double
     * value column. */
   final case class Metric(df: DataFrame, tsMs: String, value: String, labels: Seq[String])
@@ -38,7 +43,7 @@ object PromQL {
     * plus the label columns. */
   final case class InstantVector(df: DataFrame, labels: Seq[String]) {
     def output: DataFrame =
-      df.select((col("__ts") +: labels.sorted.map(col)) :+ col("__val"): _*)
+      df.select((col("__ts") +: labels.sorted.map(lcol)) :+ col("__val"): _*)
   }
 
   private def gridExplode(
@@ -75,13 +80,27 @@ object PromQL {
     // NaN keeping a series present in count()); only the reference's
     // staleness marker — which never reaches parquet — is filtered
     val base = m.df
-      .select((m.labels.map(col) :+ ts) :+ col(m.value).as("__v"): _*)
+      .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
     // lookback window is LEFT-EXCLUSIVE (t - lookback, t]: a sample
     // exactly lookback old is stale (promql/subquery.result, t=359 case)
     val exploded = gridExplode(base, col("__sample_ts"), p, p.lookbackMs)
     val grouped = exploded
-      .groupBy((m.labels.map(col) :+ col("__ts")): _*)
+      .groupBy((m.labels.map(lcol) :+ col("__ts")): _*)
       .agg(max_by(col("__v"), col("__sample_ts")).as("__val"))
+    InstantVector(grouped, m.labels)
+  }
+
+  /** timestamp(selector): instant vector whose value is the selected
+    * sample's own timestamp in SECONDS (prometheus timestamp();
+    * promql/timestamp_fn.result pins pre-alignment sample times). */
+  def timestampInstant(m: Metric, p: EvalParams, offsetMs: Long = 0L): InstantVector = {
+    val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
+    val base = m.df
+      .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
+    val exploded = gridExplode(base, col("__sample_ts"), p, p.lookbackMs)
+    val grouped = exploded
+      .groupBy((m.labels.map(lcol) :+ col("__ts")): _*)
+      .agg((max(col("__sample_ts")).cast("double") / 1000.0).as("__val"))
     InstantVector(grouped, m.labels)
   }
 
@@ -90,10 +109,10 @@ object PromQL {
   def rangeVector(m: Metric, p: EvalParams, rangeMs: Long, offsetMs: Long = 0L): DataFrame = {
     val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
     val base = m.df
-      .select((m.labels.map(col) :+ ts) :+ col(m.value).as("__v"): _*)
+      .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
     val exploded = gridExplode(base, col("__sample_ts"), p, rangeMs)
     exploded
-      .groupBy((m.labels.map(col) :+ col("__ts")): _*)
+      .groupBy((m.labels.map(lcol) :+ col("__ts")): _*)
       .agg(sort_array(collect_list(struct(col("__sample_ts").as("_1"),
         col("__v").as("_2")))).as("__samples"))
   }
@@ -157,7 +176,7 @@ object PromQL {
     val keep =
       if (without) iv.labels.filterNot(by.contains)
       else iv.labels.filter(by.contains)
-    val keys = (keep.map(col) :+ col("__ts"))
+    val keys = (keep.map(lcol) :+ col("__ts"))
     val x = col("__val")
     op match {
       case "topk" | "bottomk" =>
@@ -208,7 +227,7 @@ object PromQL {
       else v.toString
     }
     val df = iv.df.withColumn(dst, fmt(col("__val")))
-    val keys = (keep :+ dst).map(col) :+ col("__ts")
+    val keys = (keep :+ dst).map(lcol) :+ col("__ts")
     InstantVector(
       df.groupBy(keys: _*).agg(count(lit(1)).cast("double").as("__val")),
       keep :+ dst)
@@ -222,6 +241,7 @@ object PromQL {
     case "*" => l * r
     case "/" => l / r
     case "%" => l % r
+    case "atan2" => atan2(l, r)
     case "^" => pow(l, r)
     case _ => throw new IllegalArgumentException(op)
   }
@@ -296,22 +316,22 @@ object PromQL {
         if (have.contains(l)) d else d.withColumn(l, lit(null).cast("string")))
     def semiJoin(left: DataFrame, right: DataFrame, joinType: String): DataFrame = {
       val l = left.alias("__l")
-      val r = right.select(setKeys.map(col): _*).distinct().alias("__r")
+      val r = right.select(setKeys.map(lcol): _*).distinct().alias("__r")
       val cond = setKeys.map(k => col(s"__l.$k") <=> col(s"__r.$k")).reduce(_ && _)
       l.join(r, cond, joinType)
     }
     op match {
       case "and" =>
         val out = semiJoin(pad(lhs.df, lhs.labels), pad(rhs.df, rhs.labels), "left_semi")
-        InstantVector(out.select(("__ts" +: lhs.labels :+ "__val").map(col): _*), lhs.labels)
+        InstantVector(out.select(("__ts" +: lhs.labels :+ "__val").map(lcol): _*), lhs.labels)
       case "unless" =>
         val out = semiJoin(pad(lhs.df, lhs.labels), pad(rhs.df, rhs.labels), "left_anti")
-        InstantVector(out.select(("__ts" +: lhs.labels :+ "__val").map(col): _*), lhs.labels)
+        InstantVector(out.select(("__ts" +: lhs.labels :+ "__val").map(lcol): _*), lhs.labels)
       case "or" =>
         // UnionDistinctOn: keep left row on key collision; output schema
         // is the union of both sides' label columns
         val rightOnly = semiJoin(pad(rhs.df, rhs.labels), pad(lhs.df, lhs.labels), "left_anti")
-        def shape(df: DataFrame) = df.select(("__ts" +: allLabels :+ "__val").map(col): _*)
+        def shape(df: DataFrame) = df.select(("__ts" +: allLabels :+ "__val").map(lcol): _*)
         InstantVector(shape(pad(lhs.df, lhs.labels)).union(shape(rightOnly)), allLabels)
       case _ =>
         // the "many" side keeps its full label set; default one-to-one
@@ -329,10 +349,10 @@ object PromQL {
           if (groupLeft || groupRight) manyExtra0
           else manyExtra0.filter(oneIv.labels.contains)
         val many = manyIv.df
-          .select((keys ++ manyExtra :+ "__val").map(col): _*)
+          .select((keys ++ manyExtra :+ "__val").map(lcol): _*)
           .withColumnRenamed("__val", "__mv").alias("__m")
         val one = oneIv.df
-          .select((keys ++ extraLabels :+ "__val").map(col): _*)
+          .select((keys ++ extraLabels :+ "__val").map(lcol): _*)
           .withColumnRenamed("__val", "__ov").alias("__o")
         val cond = keys.map(k => col(s"__m.$k") <=> col(s"__o.$k")).reduce(_ && _)
         val joined = many.join(one, cond).select(
@@ -377,6 +397,9 @@ object PromQL {
       case "clamp_max" => least(x, lit(args(0)))
       case "rad" => radians(x)
       case "deg" => degrees(x)
+      // timestamp(v): the SAMPLE's timestamp in seconds as the value
+      // (prometheus functions.md; ref promql timestamp fn)
+      case "timestamp" => col("__ts").cast("double") / 1000.0
       case "sin" => sin(x)
       case "cos" => cos(x)
       case "tan" => tan(x)
@@ -461,7 +484,7 @@ object PromQL {
     val grouped = iv.df
       .withColumn("__le", when(col("le") === "+Inf", lit(Double.PositiveInfinity))
         .otherwise(col("le").cast("double")))
-      .groupBy((rest.map(col) :+ col("__ts")): _*)
+      .groupBy((rest.map(lcol) :+ col("__ts")): _*)
       .agg(collect_list(struct(col("__le").as("_1"), col("__val").as("_2"))).as("__b"))
     InstantVector(grouped
       .withColumn("__val", PromFunctions.histogramQuantileUdf(lit(q), col("__b")))

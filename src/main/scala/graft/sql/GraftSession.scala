@@ -242,8 +242,14 @@ final class GraftSession(spark0: SparkSession,
       status(s"database $db altered")
     }
     else if (up.startsWith("DESCRIBE ") || up.startsWith("DESC ")) {
-      val target = normTable(stmt.split("\\s+").last)
-      if (infoDb && target.equalsIgnoreCase("table_constraints")) describeInfoConstraints()
+      val rawTarget = stmt.split("\\s+").last.stripSuffix(";")
+      val target = normTable(rawTarget)
+      val infoQualified = rawTarget.toLowerCase(Locale.ROOT)
+        .startsWith("information_schema.")
+      if ((infoDb || infoQualified) && target.endsWith("table_constraints"))
+        describeInfoConstraints()
+      else if ((infoDb || infoQualified) && target.endsWith("table_semantics"))
+        describeInfoTableSemantics()
       else describeTable(target)
     }
     else if (up.startsWith("INSERT INTO")) insert(stmt)
@@ -283,6 +289,35 @@ final class GraftSession(spark0: SparkSession,
         s"SINK TO $currentDb.$sinkT") ++ withLine ++ Seq(s"AS $q")
       lines.zipWithIndex.map { case (l, i) => (if (i == 0) f else "", l) }
         .toDF("Flow", "Create Flow")
+    }
+    else if (up.startsWith("SHOW PROCESSLIST") || up.startsWith("SHOW FULL PROCESSLIST")) {
+      // one row: this session's own statement (the reference's catalog
+      // process registry; show/show_process_list.result shapes)
+      import spark.implicits._
+      val q = stmt.trim.stripSuffix(";")
+      val id = "127.0.0.1:4001/0"
+      if (up.startsWith("SHOW FULL"))
+        Seq((id, "greptime", "public", "unknown [unknown client addr]",
+          "127.0.0.1:4001", "2026-01-01T00:00:00.000", "PT0.001S", q))
+          .toDF("Id", "Catalog", "Schema", "Client", "Frontend", "StartTime",
+            "ElapsedTime", "Query")
+      else Seq((id, "greptime", q, "PT0.001S"))
+        .toDF("Id", "Catalog", "Query", "ElapsedTime")
+    }
+    else if (up.startsWith("SHOW REGION")) {
+      // one region per PARTITION rule (show/show_region.result)
+      import spark.implicits._
+      val m = ("(?is)^SHOW\\s+REGION\\s+FROM\\s+([A-Za-z_\"`][A-Za-z0-9_.\"`]*)" +
+        "(?:\\s+IN\\s+\\S+)?(?:\\s+WHERE\\s+(.*))?\\s*;?\\s*$").r
+        .findFirstMatchIn(stmt.trim).getOrElse(
+          throw new IllegalArgumentException(s"cannot parse: $stmt"))
+      val t = normTable(m.group(1))
+      if (!catalog.tables.contains(t))
+        throw new IllegalArgumentException(s"Table not found: $t")
+      val n = partitionClause.get(t).map(_._2.size).getOrElse(1).max(1)
+      val df = (0 until n).map(i => (t, 4398046511104L + i, 0, "Yes"))
+        .toDF("Table", "Region", "Peer", "Leader")
+      Option(m.group(2)).map(w => df.where(w.trim.stripSuffix(";"))).getOrElse(df)
     }
     else if (up.startsWith("SHOW CHARACTER SET") || up.startsWith("SHOW CHARSET")) {
       import spark.implicits._
@@ -352,6 +387,19 @@ final class GraftSession(spark0: SparkSession,
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
       plan.split("\n").toSeq.toDF("plan")
     }
+    else if (up.contains("GREPTIME_PRIVATE") &&
+        (up.contains("SEMANTIC_ENTITIES") || up.contains("SEMANTIC_RELATIONSHIPS"))) {
+      // computed entity-graph registry: readable virtual tables, every
+      // DDL/DML path rejected (system/semantic_graph.sql)
+      if (!up.trim.startsWith("SELECT"))
+        throw new IllegalArgumentException(
+          "Cannot change read-only table: semantic_entities")
+      semanticEntitiesDf().createOrReplaceTempView("__sem_entities")
+      semanticRelationshipsDf().createOrReplaceTempView("__sem_rel")
+      spark.sql(dialect(stmt)
+        .replaceAll("(?i)greptime_private\\.semantic_entities", "__sem_entities")
+        .replaceAll("(?i)greptime_private\\.semantic_relationships", "__sem_rel"))
+    }
     else if (up.startsWith("ADMIN")) admin(stmt)
     else if (up.contains("INFORMATION_SCHEMA.") ||
         (infoDb && InfoBareRx.findFirstIn(stmt).isDefined)) {
@@ -363,9 +411,11 @@ final class GraftSession(spark0: SparkSession,
         else stmt
       spark.sql(dialect(qualified)
         .replaceAll("(?i)information_schema\\.table_constraints", "__info_constraints")
+        .replaceAll("(?i)information_schema\\.table_semantics", "__info_table_semantics")
         .replaceAll("(?i)information_schema\\.tables", "__info_tables")
         .replaceAll("(?i)information_schema\\.columns", "__info_columns")
-        .replaceAll("(?i)information_schema\\.flows", "__info_flows"))
+        .replaceAll("(?i)information_schema\\.flows", "__info_flows")
+        .replaceAll("(?i)information_schema\\.views", "__info_views"))
     }
     else if (up.startsWith("SELECT") && RangeSql.looksLikeRange(stmt))
       RangeSql.execute(spark, rewriteAtAt(stmt), name => {
@@ -824,12 +874,99 @@ final class GraftSession(spark0: SparkSession,
             case _ => s"$fn($arg)"
           })
         }))
+    // approx_percentile_cont family → the t-digest aggregate
+    // (aggregates/TDigest.scala); the reference renders the estimate in
+    // the ORDER BY column's type, so integral inputs truncate — decided
+    // at runtime via typeof since the rewrite can't resolve column types
+    def apcExpand(x: String, w: String, p: String, desc: Boolean): String = {
+      val q = if (desc) s"(1.0 - ($p))" else s"($p)"
+      val call = s"__approx_pct_td(CAST(($x) AS DOUBLE), CAST(($w) AS DOUBLE), $q)" +
+        s" FILTER (WHERE ($x) IS NOT NULL AND ($w) IS NOT NULL)"
+      s"CASE WHEN any_value(typeof($x)) RLIKE 'int' " +
+        s"THEN CAST(CAST($call AS BIGINT) AS STRING) " +
+        s"ELSE CAST($call AS STRING) END"
+    }
+    def splitOrd(ord: String): (String, Boolean) =
+      "(?is)^(.*?)\\s+(ASC|DESC)\\s*$".r.findFirstMatchIn(ord.trim) match {
+        case Some(m) => (m.group(1).trim, m.group(2).equalsIgnoreCase("DESC"))
+        case None => (ord.trim, false)
+      }
+    r = rewriteOutsideQuotes(r) { s0 =>
+      var s = s0
+      s = ("(?is)\\bapprox_percentile_cont_with_weight\\s*\\(\\s*([^(),]+?)\\s*,\\s*" +
+        "([^(),]+?)\\s*\\)\\s*WITHIN\\s+GROUP\\s*\\(\\s*ORDER\\s+BY\\s+([^()]+?)\\s*\\)").r
+        .replaceAllIn(s, m => {
+          val (x, desc) = splitOrd(m.group(3))
+          scala.util.matching.Regex.quoteReplacement(
+            apcExpand(x, m.group(1), m.group(2), desc))
+        })
+      s = ("(?is)\\bapprox_percentile_cont\\s*\\(\\s*([^(),]+?)\\s*\\)\\s*" +
+        "WITHIN\\s+GROUP\\s*\\(\\s*ORDER\\s+BY\\s+([^()]+?)\\s*\\)").r
+        .replaceAllIn(s, m => {
+          val (x, desc) = splitOrd(m.group(2))
+          scala.util.matching.Regex.quoteReplacement(
+            apcExpand(x, "1.0", m.group(1), desc))
+        })
+      s = "(?i)\\bapprox_median\\s*\\(\\s*([^()]+?)\\s*\\)".r
+        .replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(
+          apcExpand(m.group(1), "1.0", "0.5", desc = false)))
+      // approx_distinct: DataFusion's HLL is exact at corpus scale — the
+      // sketch path in this engine is hll/hll_count (aggregates/Hll)
+      s = s.replaceAll("(?i)\\bapprox_distinct\\s*\\(", "count(DISTINCT ")
+      // anomaly scorers as window functions (scalars/anomaly/*.rs): the
+      // current row scores against its frame's statistics. zscore/iqr
+      // expand onto built-in windowed aggregates; MAD uses the
+      // __mad_stats struct aggregate (aggregates/AnomalyWindowAggs).
+      val OvT = "(\\([^()]*\\)|[A-Za-z_][A-Za-z0-9_]*)" // (spec) | named window
+      val inf = "CAST('Infinity' AS DOUBLE)"
+      s = ("(?is)\\banomaly_score_zscore\\s*\\(\\s*([^()]+?)\\s*\\)\\s*OVER\\s*" + OvT).r
+        .replaceAllIn(s, m => {
+          val (v, ov) = (m.group(1), m.group(2))
+          val n = s"count($v) OVER $ov"
+          val mean = s"(avg($v) OVER $ov)"
+          val sd = s"(stddev_pop($v) OVER $ov)"
+          scala.util.matching.Regex.quoteReplacement(
+            s"(CASE WHEN ($v) IS NULL THEN NULL WHEN $n < 2 THEN NULL " +
+              s"WHEN $sd = 0.0 THEN (CASE WHEN ($v) = $mean THEN 0.0 ELSE $inf END) " +
+              s"ELSE abs(($v) - $mean) / $sd END)")
+        })
+      s = ("(?is)\\banomaly_score_iqr\\s*\\(\\s*([^(),]+?)\\s*,\\s*([^(),]+?)\\s*\\)\\s*OVER\\s*" + OvT).r
+        .replaceAllIn(s, m => {
+          val (v, k, ov) = (m.group(1), m.group(2), m.group(3))
+          val n = s"count($v) OVER $ov"
+          val q1 = s"(percentile($v, 0.25) OVER $ov)"
+          val q3 = s"(percentile($v, 0.75) OVER $ov)"
+          val iqr = s"($q3 - $q1)"
+          val lo = s"($q1 - ($k) * $iqr)"
+          val hi = s"($q3 + ($k) * $iqr)"
+          scala.util.matching.Regex.quoteReplacement(
+            s"(CASE WHEN ($v) IS NULL THEN NULL WHEN $n < 3 THEN NULL " +
+              s"WHEN ($v) >= $lo AND ($v) <= $hi THEN 0.0 " +
+              s"WHEN $iqr = 0.0 THEN $inf " +
+              s"WHEN ($v) < $lo THEN ($lo - ($v)) / $iqr " +
+              s"ELSE (($v) - $hi) / $iqr END)")
+        })
+      s = ("(?is)\\banomaly_score_mad\\s*\\(\\s*([^()]+?)\\s*\\)\\s*OVER\\s*" + OvT).r
+        .replaceAllIn(s, m => {
+          val (v, ov) = (m.group(1), m.group(2))
+          val n = s"count($v) OVER $ov"
+          val st = s"(__mad_stats(CAST(($v) AS DOUBLE)) OVER $ov)"
+          scala.util.matching.Regex.quoteReplacement(
+            s"(CASE WHEN ($v) IS NULL THEN NULL WHEN $n < 3 THEN NULL " +
+              s"WHEN $st.mad = 0.0 THEN " +
+              s"(CASE WHEN ($v) = $st.med THEN 0.0 ELSE $inf END) " +
+              s"ELSE abs(($v) - $st.med) / (1.4826 * $st.mad) END)")
+        })
+      s
+    }
     // array_agg keeps nulls and returns NULL on empty input (DataFusion);
     // the struct wrapper defeats collect_list's null-dropping
     r = r.replaceAll("(?i)\\bARRAY_AGG\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*\\)",
       "nullif(transform(collect_list(struct($1 AS __v)), s -> s.__v), array())")
     r = r.replaceAll("(?i)FROM\\s+(?:public\\.)?numbers\\s+LIMIT\\s+(\\d+)",
       "FROM (SELECT CAST(id AS INT) AS number FROM range(0, $1))")
+    r = r.replaceAll("(?i)FROM\\s+(?:public\\.)?numbers\\s+WHERE\\b",
+      "FROM (SELECT CAST(id AS INT) AS number FROM range(0, 100)) WHERE")
     // system functions / session vars resolved at rewrite time
     // the reference parses TABLESAMPLE but does not sample yet — every
     // form returns the full table (sample/basic_sample.result pins
@@ -2468,6 +2605,143 @@ final class GraftSession(spark0: SparkSession,
     }
   }
 
+  // ---- semantic entity graph (greptime_private.*, read-only) ---------
+
+  /** Entities derived at read time (system/semantic_graph.sql): declared
+    * via 'greptime.semantic.entity.<type>.{id,scope,descriptive}' table
+    * options, plus implicit `service` entities from trace-model tables.
+    * Only rows inside the one-hour derivation window contribute. */
+  private def semanticEntitiesDf(): DataFrame = {
+    import spark.implicits._
+    val winStart = System.currentTimeMillis() - 3600000L
+    val empty = Seq.empty[(java.sql.Timestamp, String, String, String,
+      String, String, String)]
+      .toDF("observed_at", "entity_type", "entity_id", "entity_id_attrs",
+        "scope", "descriptive", "source_tables")
+    val parts = catalog.tables.toSeq.sorted.flatMap { t =>
+      val opts = tableOpts.getOrElse(t, Seq.empty).toMap
+      val spec = catalog.spec(t)
+      def recent = spark.table(t).filter(
+        col(s"`${spec.timeIndex}`").cast("timestamp") >=
+          timestamp_millis(lit(winStart)))
+      val srcJson = s"""["public.$t"]"""
+      val declared = opts.keys
+        .collect { case k if k.startsWith("greptime.semantic.entity.") =>
+          k.stripPrefix("greptime.semantic.entity.").split("\\.", 2)(0) }
+        .toSeq.distinct.map { etype =>
+        val p = s"greptime.semantic.entity.$etype"
+        val idCols = opts(s"$p.id").split(",").map(_.trim).toSeq
+        val scopeCol = opts.get(s"$p.scope")
+        val descCols = opts.get(s"$p.descriptive")
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+        val selCols = (idCols ++ scopeCol ++ descCols).distinct
+        val ids = idCols.sorted
+        val idExpr =
+          if (ids.length == 1) col(s"`${ids.head}`").cast("string")
+          else concat_ws(",", ids.map(c =>
+            concat(lit(c + "="), col(s"`$c`").cast("string"))): _*)
+        val attrsExpr =
+          if (ids.length == 1) lit(null).cast("string")
+          else concat(lit("{"), concat_ws(",", ids.map(c =>
+            concat(lit(s""""$c":""""), col(s"`$c`").cast("string"),
+              lit("\""))): _*), lit("}"))
+        val descExpr =
+          if (descCols.isEmpty) lit(null).cast("string")
+          else concat(lit("{"), concat_ws(",", descCols.sorted.map(c =>
+            concat(lit(s""""$c":""""), col(s"`$c`").cast("string"),
+              lit("\""))): _*), lit("}"))
+        recent.select(selCols.map(c => col(s"`$c`")): _*).distinct()
+          .select(
+            timestamp_millis(lit(winStart + 3600000L)).as("observed_at"),
+            lit(etype).as("entity_type"),
+            idExpr.as("entity_id"),
+            attrsExpr.as("entity_id_attrs"),
+            scopeCol.map(c => col(s"`$c`").cast("string"))
+              .getOrElse(lit(null).cast("string")).as("scope"),
+            descExpr.as("descriptive"),
+            lit(srcJson).as("source_tables"))
+      }
+      val trace =
+        if (opts.get("table_data_model").contains("greptime_trace_v1") &&
+            spark.table(t).columns.contains("service_name"))
+          Seq(recent.select(col("service_name")).distinct()
+            .select(
+              timestamp_millis(lit(winStart + 3600000L)).as("observed_at"),
+              lit("service").as("entity_type"),
+              col("service_name").cast("string").as("entity_id"),
+              lit(null).cast("string").as("entity_id_attrs"),
+              lit(null).cast("string").as("scope"),
+              lit(null).cast("string").as("descriptive"),
+              lit(srcJson).as("source_tables")))
+        else Nil
+      declared ++ trace
+    }
+    parts.foldLeft(empty)(_ unionByName _)
+  }
+
+  /** service→service `calls` relationships from trace-model tables:
+    * client/server span pairs joined on (trace_id, parent_span_id),
+    * aggregated per service pair inside the derivation window. */
+  private def semanticRelationshipsDf(): DataFrame = {
+    import spark.implicits._
+    val winStart = System.currentTimeMillis() - 3600000L
+    val empty = Seq.empty[(java.sql.Timestamp, String, String, String,
+      String, String, String, Double, Long, Long, Double, Long, String)]
+      .toDF("observed_at", "src_type", "src_id", "dst_type", "dst_id",
+        "rel_type", "provenance", "confidence", "request_count",
+        "error_count", "duration_sum", "duration_count", "attributes")
+    val parts = catalog.tables.toSeq.sorted.flatMap { t =>
+      val opts = tableOpts.getOrElse(t, Seq.empty).toMap
+      if (!opts.get("table_data_model").contains("greptime_trace_v1")) Nil
+      else {
+        val spec = catalog.spec(t)
+        val df = spark.table(t).filter(
+          col(s"`${spec.timeIndex}`").cast("timestamp") >=
+            timestamp_millis(lit(winStart)))
+        val client = df.filter(col("span_kind") === "SPAN_KIND_CLIENT")
+          .select(col("trace_id").as("c_trace"), col("span_id").as("c_span"),
+            col("service_name").as("src_id"))
+        val server = df.filter(col("span_kind") === "SPAN_KIND_SERVER")
+          .select(col("trace_id").as("s_trace"),
+            col("parent_span_id").as("s_parent"),
+            col("service_name").as("dst_id"),
+            col("span_status_code").as("s_status"),
+            col("duration_nano").cast("double").as("s_dur"))
+        Seq(client.join(server,
+            col("c_trace") === col("s_trace") && col("c_span") === col("s_parent"))
+          .groupBy(col("src_id"), col("dst_id"))
+          .agg(count(lit(1)).as("request_count"),
+            sum(when(col("s_status") === "STATUS_CODE_ERROR", 1L)
+              .otherwise(0L)).as("error_count"),
+            (sum(col("s_dur")) / 1e9).as("duration_sum"),
+            count(lit(1)).as("duration_count"))
+          .select(
+            timestamp_millis(lit(winStart + 3600000L)).as("observed_at"),
+            lit("service").as("src_type"), col("src_id"),
+            lit("service").as("dst_type"), col("dst_id"),
+            lit("calls").as("rel_type"), lit("trace").as("provenance"),
+            lit(1.0).as("confidence"), col("request_count"),
+            col("error_count"), col("duration_sum"), col("duration_count"),
+            lit(null).cast("string").as("attributes")))
+      }
+    }
+    parts.foldLeft(empty)(_ unionByName _)
+  }
+
+  /** DESC of information_schema.table_semantics (its reference schema;
+    * information_schema/table_semantics.result). */
+  private def describeInfoTableSemantics(): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("table_catalog", "String", "NO"), ("table_schema", "String", "NO"),
+      ("table_name", "String", "NO"), ("table_id", "UInt32", "NO"),
+      ("signal_type", "String", "YES"), ("source", "String", "YES"),
+      ("source_version", "String", "YES"), ("pipeline", "String", "YES"),
+      ("metadata_quality", "String", "YES"), ("semantic_options", "String", "YES"))
+      .map { case (c, t, n) => (c, t, "", n, "", "FIELD") }
+      .toDF("Column", "Type", "Key", "Null", "Default", "Semantic Type")
+  }
+
   /** DESC of information_schema.table_constraints (its reference schema). */
   private def describeInfoConstraints(): DataFrame = {
     import spark.implicits._
@@ -2591,6 +2865,50 @@ final class GraftSession(spark0: SparkSession,
     }.toDF("flow_name", "table_catalog", "flow_definition", "source_table_ids",
       "source_table_names", "flownode_ids", "options")
       .createOrReplaceTempView("__info_flows")
+    // information_schema.views (information_schema/views.result): the
+    // stored definition re-rendered with uppercase keywords
+    def upKw(s: String): String =
+      ("(?i)\\b(create|or|replace|view|as|select|from|where|inner|outer|" +
+        "join|on|and|group|by|order|limit|union|all|left|right|full|" +
+        "distinct|having)\\b").r
+        .replaceAllIn(s, m => m.group(1).toUpperCase(Locale.ROOT))
+    userViews.toSeq.sorted.map { v =>
+      val (db, name) = v.split("__schema__", 2) match {
+        case Array(d, n) => (d, n)
+        case _ => (if (infoDb) "public" else currentDb, v)
+      }
+      val defn = userViewDefs.get(v).map(d => upKw(d._1.stripSuffix(";")))
+        .getOrElse("")
+      ("greptime", db, name, defn)
+    }.toDF("table_catalog", "table_schema", "table_name", "view_definition")
+      .createOrReplaceTempView("__info_views")
+    // information_schema.table_semantics: tables carrying
+    // 'greptime.semantic.*' WITH options, promoted columns + residual
+    // JSON (information_schema/table_semantics.result)
+    val semRows = (currentRows ++ savedRows).flatMap { case (_, db, t, _, _, _, _) =>
+      val opts = tableOpts.getOrElse(t, Seq.empty)
+        .collect { case (k, v) if k.startsWith("greptime.semantic.") =>
+          k.stripPrefix("greptime.semantic.") -> v }
+      if (opts.isEmpty) None
+      else {
+        val m = opts.toMap
+        val signal = m.get("signal_type")
+        val mq = signal.flatMap(sg => m.get(s"$sg.metadata_quality"))
+        val promoted = Set("signal_type", "source", "source_version",
+          "pipeline") ++ signal.map(sg => s"$sg.metadata_quality")
+        val residual = opts.filterNot(o => promoted.contains(o._1))
+          .sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" }
+        Some(("greptime", db, t, 1024L,
+          signal.orNull, m.get("source").orNull,
+          m.get("source_version").orNull, m.get("pipeline").orNull,
+          mq.orNull,
+          if (residual.isEmpty) null else residual.mkString("{", ",", "}")))
+      }
+    }
+    semRows.toDF("table_catalog", "table_schema", "table_name", "table_id",
+      "signal_type", "source", "source_version", "pipeline",
+      "metadata_quality", "semantic_options")
+      .createOrReplaceTempView("__info_table_semantics")
   }
 
   /** ConcreteDataType display name → SHOW CREATE TABLE SQL type token
@@ -4019,6 +4337,11 @@ final class GraftSession(spark0: SparkSession,
       val df = new PromEval(spark, metrics,
         EvalParams(startMs, endMs, stepMs, lookbackMs)).evalQuery(promql)
       tqlReshape(promql, df, valAlias)
+    case _ if "(?is)^\\s*TQL\\s+EVAL\\s+[^(].*".r.matches(stmt.trim) ||
+        "(?is)^\\s*TQL\\s+EVAL\\s+[A-Za-z_]".r.findFirstIn(stmt.trim).isDefined =>
+      // range-less `TQL EVAL <expr>` evaluates over an empty range —
+      // zero rows, zero columns (promql/timestamp_fn.result issue 6707)
+      spark.emptyDataFrame
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
   }
 
@@ -4097,6 +4420,7 @@ final class GraftSession(spark0: SparkSession,
     * [ts, value, labels]. */
   private def tqlReshape(promql: String, df: DataFrame,
       valAlias: Option[String] = None): DataFrame = {
+    def lcol(n: String): org.apache.spark.sql.Column = col(s"`$n`")
     import PromParser._
     val labels = df.columns.filterNot(Set("__ts", "__val")).toSeq
     if (!df.columns.contains("__ts") || !df.columns.contains("__val")) return df
@@ -4160,13 +4484,13 @@ final class GraftSession(spark0: SparkSession,
               .filterNot(droppedCols.getOrElse(t, Set.empty))
             def toCol(c: String): Option[org.apache.spark.sql.Column] =
               if (c == spec.timeIndex) Some(ts)
-              else if (labels.contains(c)) Some(col(c))
+              else if (labels.contains(c)) Some(lcol(c))
               else if (!spec.tags.contains(c)) Some(v) // the value field
               else None
             // labels joined in by set ops (or-union pads the rhs-only
             // columns, e.g. `l`) aren't in the table's declared schema —
             // keep them at the end
-            val extra = labels.filterNot(declared.contains).sorted.map(col)
+            val extra = labels.filterNot(declared.contains).sorted.map(lcol)
             // non-ms time index is cast by the planner, which moves the
             // ts column to the end: [fields, tags, ts]
             (if (tsLiteralUs.get(t).exists(_ != 1000L))
@@ -4174,11 +4498,11 @@ final class GraftSession(spark0: SparkSession,
                 .flatMap(toCol) ++
                 declared.filter(spec.tags.contains).flatMap(toCol)) :+ ts
             else declared.flatMap(toCol)) ++ extra
-          case None => (v +: labels.sorted.map(col)) :+ ts
+          case None => (v +: labels.sorted.map(lcol)) :+ ts
         }
-      case "agg" => (v +: labels.map(col)) :+ ts
+      case "agg" => (v +: labels.map(lcol)) :+ ts
       case "scalar" => Seq(ts, v)
-      case "vecbinary" => labels.sorted.map(col) ++ Seq(ts, v)
+      case "vecbinary" => labels.sorted.map(lcol) ++ Seq(ts, v)
       case "label" =>
         // new/destination label first, then the original labels
         val dst = ast.flatMap {
@@ -4186,8 +4510,8 @@ final class GraftSession(spark0: SparkSession,
           case _ => None
         }
         val rest = labels.filterNot(dst.contains).sorted
-        Seq(ts, v) ++ (dst.filter(labels.contains).toSeq ++ rest).map(col)
-      case _ => (ts +: Seq(v)) ++ labels.map(col)
+        Seq(ts, v) ++ (dst.filter(labels.contains).toSeq ++ rest).map(lcol)
+      case _ => (ts +: Seq(v)) ++ labels.map(lcol)
     }
     val out = df.select(cols: _*)
     // name the value column like the reference planner: an explicit
@@ -4211,6 +4535,7 @@ final class GraftSession(spark0: SparkSession,
   private def tqlTimeMs(s: String): Long = {
     val t = s.stripPrefix("'").stripSuffix("'")
     if (t.matches("\\d+")) t.toLong * 1000L // epoch seconds, like the reference
+    else if (t.matches("\\d+\\.\\d+")) (t.toDouble * 1000.0).toLong // fractional s
     else if (t.matches("[0-9TZ:. +-]+")) java.time.Instant.parse(
       if (t.endsWith("Z")) t else t.replace(" ", "T") + "Z").toEpochMilli
     else {
@@ -4227,7 +4552,18 @@ final class GraftSession(spark0: SparkSession,
     * the value, time index normalized to epoch-ms. */
   private def metricOf(name: String): Metric = {
     val spec = catalog.spec(name)
-    val df = catalog.read(name)
+    // the registered VIEW, not the raw storage: a logical metric table's
+    // tag columns exist only in the view over its physical region
+    // (promql/tsid_binary_join_regression.sql), and the view also
+    // carries backfills/casts. Tables without any numeric field fall
+    // back to the raw read, whose __seq column stands in as the value
+    // (pinned by GraftSessionSpec's TQL-over-logs case).
+    val df = scala.util.Try(spark.table(name)).toOption
+      .filter(_.schema.fields.exists(f =>
+        !spec.tags.contains(f.name) && f.name != spec.timeIndex &&
+          (f.dataType == DoubleType || f.dataType == FloatType ||
+            f.dataType == LongType || f.dataType == IntegerType)))
+      .getOrElse(catalog.read(name))
     val tsType = df.schema(spec.timeIndex).dataType
     val tsMsCol = tsType match {
       case LongType => col(spec.timeIndex) // assume epoch-ms longs

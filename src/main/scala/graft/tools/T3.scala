@@ -8,50 +8,25 @@ object T3 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val g = new graft.sql.GraftSession(spark)
-    g.sql("""CREATE TABLE scheduled_late_overlap_input (
+    g.sql("""CREATE TABLE tsid_binary_join_physical (
   ts TIMESTAMP(3) TIME INDEX,
-  series STRING,
-  reading DOUBLE,
-  PRIMARY KEY(series)
-)""")
-    try {
-      g.sql("""CREATE FLOW scheduled_late_overlap_flow
-SINK TO scheduled_late_overlap_sink
-EVAL INTERVAL '1s'
-AS
-WITH
-target_offsets(delta) AS (
-  VALUES
-    (INTERVAL '1 second'),
-    (INTERVAL '2 seconds')
-),
-target_seconds AS (
-  SELECT date_trunc('second', now()) - delta AS target_ts
-  FROM target_offsets
-),
-bucketed AS (
-  SELECT
-    series,
-    date_bin(INTERVAL '1 second', ts) AS bucket_ts,
-    last_value(reading ORDER BY ts) AS reading
-  FROM scheduled_late_overlap_input
-  WHERE ts >= date_trunc('second', now()) - INTERVAL '20 seconds'
-    AND ts <  date_trunc('second', now())
-  GROUP BY series, date_bin(INTERVAL '1 second', ts)
-)
-SELECT
-  target_seconds.target_ts AS ts,
-  bucketed.series,
-  bucketed.reading,
-  now() AS create_time
-FROM target_seconds
-JOIN bucketed
-  ON bucketed.bucket_ts = target_seconds.target_ts""")
-      println("[t3] create flow OK")
-    } catch { case e: Throwable =>
-      println("[t3] FAIL " + e.getClass.getName + ": " + e.getMessage)
-      e.printStackTrace()
-    }
+  greptime_value DOUBLE
+) ENGINE = metric WITH ("physical_metric_table" = "")""")
+    g.sql("""CREATE TABLE tsid_binary_join_left (
+  host STRING NULL,
+  job STRING NULL,
+  ts TIMESTAMP(3) NOT NULL,
+  greptime_value DOUBLE NULL,
+  TIME INDEX (ts),
+  PRIMARY KEY(host, job)
+) ENGINE = metric WITH (on_physical_table = 'tsid_binary_join_physical')""")
+    g.sql("INSERT INTO tsid_binary_join_left (host, job, ts, greptime_value) VALUES ('h1','j1','1970-01-01 00:00:00', 10)")
+    println("[t3] select: " + scala.util.Try(
+      g.sql("SELECT * FROM tsid_binary_join_left").columns.mkString(","))
+      .recover { case e => "ERR " + String.valueOf(e.getMessage).take(200) }.get)
+    println("[t3] tql: " + scala.util.Try(
+      g.sql("TQL EVAL (0, 5, '5s') tsid_binary_join_left").columns.mkString(","))
+      .recover { case e => "ERR " + String.valueOf(e.getMessage).take(300) }.get)
     spark.stop()
   }
 }
