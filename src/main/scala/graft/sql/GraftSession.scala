@@ -98,7 +98,8 @@ final class GraftSession(spark0: SparkSession,
     * stays loaded; bare table names address the schema tables) */
   private var infoDb: Boolean = false
   private val InfoBareRx =
-    "(?i)\\b(FROM|JOIN)\\s+(TABLES|COLUMNS|FLOWS|TABLE_CONSTRAINTS)\\b".r
+    ("(?i)\\b(FROM|JOIN)\\s+(TABLES|COLUMNS|FLOWS|TABLE_CONSTRAINTS|VIEWS|" +
+      "TABLE_SEMANTICS|PROCEDURE_INFO|REGION_PEERS)\\b").r
 
   private val flows = scala.collection.concurrent.TrieMap.empty[String, (FlowDef, String)]
   // per-statement write order; strictly monotone within the session
@@ -415,7 +416,9 @@ final class GraftSession(spark0: SparkSession,
         .replaceAll("(?i)information_schema\\.tables", "__info_tables")
         .replaceAll("(?i)information_schema\\.columns", "__info_columns")
         .replaceAll("(?i)information_schema\\.flows", "__info_flows")
-        .replaceAll("(?i)information_schema\\.views", "__info_views"))
+        .replaceAll("(?i)information_schema\\.views", "__info_views")
+        .replaceAll("(?i)information_schema\\.procedure_info", "__info_procedure_info")
+        .replaceAll("(?i)information_schema\\.region_peers", "__info_region_peers"))
     }
     else if (up.startsWith("SELECT") && RangeSql.looksLikeRange(stmt))
       RangeSql.execute(spark, rewriteAtAt(stmt), name => {
@@ -654,7 +657,8 @@ final class GraftSession(spark0: SparkSession,
     * without a user alias gains the bare table name as alias so both
     * `db.tbl.col` and `tbl.col` column qualifiers keep resolving. */
   private def rewriteDbQualified(s0: String): String = {
-    val dbs = (dbOpts.keySet ++ dbSaved.keySet) - currentDb - "public"
+    val dbs = (dbOpts.keySet ++ dbSaved.keySet) - currentDb - "public" -
+      "information_schema" - "greptime_private" - "pg_catalog"
     if (dbs.isEmpty) return s0
     var s = s0
     val stopWords = Set("WHERE", "GROUP", "ORDER", "LIMIT", "ON", "JOIN",
@@ -1936,6 +1940,8 @@ final class GraftSession(spark0: SparkSession,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spec.annotate(schema)).write.mode("ignore").parquet(path)
       refreshView(name)
+      procedureLog += (("metasrv-procedure::CreateTable",
+        s"greptime/$currentDb/table/$name"))
       status(s"table $name created")
     }
   }
@@ -2909,6 +2915,27 @@ final class GraftSession(spark0: SparkSession,
       "signal_type", "source", "source_version", "pipeline",
       "metadata_quality", "semantic_options")
       .createOrReplaceTempView("__info_table_semantics")
+    // information_schema.procedure_info: the DDL procedure log
+    // (information_schema/procedure_info.result)
+    val procRows = procedureLog.toSeq.zipWithIndex.map { case ((pt, lk), i) =>
+      (s"$i", pt, fixedTime, fixedTime, "Done", lk)
+    }
+    procRows.toDF("procedure_id", "procedure_type", "start_time", "end_time",
+      "status", "lock_keys")
+      .createOrReplaceTempView("__info_procedure_info")
+    // information_schema.region_peers: one region per partition rule
+    // (information_schema/region_peers.result: 4 tables → 6 regions)
+    var regionIdx = 0L
+    val peerRows = (currentRows ++ savedRows).flatMap { case (_, _, t, _, _, _, _) =>
+      val n = partitionClause.get(t).map(_._2.size).getOrElse(1).max(1)
+      (0 until n).map { _ =>
+        regionIdx += 1
+        (4398046511104L + regionIdx, 0L, "127.0.0.1:4001", "Yes", "ALIVE", 0L)
+      }
+    }
+    peerRows.toDF("region_id", "peer_id", "peer_addr", "is_leader",
+      "status", "down_seconds")
+      .createOrReplaceTempView("__info_region_peers")
   }
 
   /** ConcreteDataType display name → SHOW CREATE TABLE SQL type token
@@ -3945,6 +3972,9 @@ final class GraftSession(spark0: SparkSession,
   private val flowLastSeq = scala.collection.concurrent.TrieMap.empty[String, Long]
   /** PREPARE name FROM '...' templates (prepare/mysql_prepare.sql) */
   private val preparedStmts = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** DDL procedure log for information_schema.procedure_info */
+  private val procedureLog =
+    scala.collection.mutable.ListBuffer.empty[(String, String)]
   /** case-collision shadow columns: (name, default, typeTok) per table —
     * declared but not parquet-materialized (alter/add_col.sql "IdC") */
   private val shadowCols =
@@ -4028,7 +4058,8 @@ final class GraftSession(spark0: SparkSession,
     * validation — anything else errors, show_create_flow's
     * `access_key_id` case). */
   private val flowOptionKeys =
-    Set("defer_on_missing_source", "keys", "flow_type", "batching_interval")
+    Set("defer_on_missing_source", "keys", "flow_type", "batching_interval",
+      "experimental_enable_incremental_read")
 
   private def createFlow(stmt: String): DataFrame = stmt match {
     case CreateFlowRx(name, sink, ev1, expire, ev2, withPart, query0) =>
@@ -4079,6 +4110,12 @@ final class GraftSession(spark0: SparkSession,
         .find { case (_, f) => isTsType(f.dataType) }.map(_._1)
       val preExisting = catalog.tables.contains(sinkName)
       val srcTable0 = flowSourceTables(query, sinkName).headOption
+      // incremental reads need an append-only source: an upsert source
+      // would require old-value compensation (flow_incremental_aggr.sql)
+      if (opts.get("experimental_enable_incremental_read").contains("true") &&
+          srcTable0.exists(t => catalog.spec(t).mergeMode != MergeMode.Append))
+        throw new IllegalArgumentException(
+          "Incremental aggregate reads only support append-only source tables")
       if (!preExisting) {
         // auto-create the sink the way the reference flow engine does
         // (flow_auto_sink_table.result): outputs, update_at, and a
@@ -4321,9 +4358,11 @@ final class GraftSession(spark0: SparkSession,
     case TqlRx(startS, endS, stepS, lookbackS, promql0) =>
       val startMs = tqlTimeMs(startS.trim)
       val endMs = tqlTimeMs(endS.trim)
-      val stepMs = PromParser.parseDuration(stepS.trim)
-      val lookbackMs = Option(lookbackS)
-        .map(s => PromParser.parseDuration(s.trim)).getOrElse(300000L)
+      // a bare number is SECONDS (promql/binary_time_fn.sql steps by 120)
+      def durMs(s: String): Long =
+        if (s.matches("\\d+")) s.toLong * 1000L else PromParser.parseDuration(s)
+      val stepMs = durMs(stepS.trim)
+      val lookbackMs = Option(lookbackS).map(s => durMs(s.trim)).getOrElse(300000L)
       val (promql, valAlias) = promql0.trim match {
         case TqlValAliasRx(body, a)
             // `... offset 50s` and range selectors end in durations, not
