@@ -137,6 +137,62 @@ object Registry {
     // (function/anomaly.sql); zscore/iqr expand to built-in aggregates
     spark.udf.register("__mad_stats",
       F.udaf(graft.aggregates.AnomalyWindowAggs.madStats, Encoders.DOUBLE))
+
+    // clamp family SQL spellings (function/arithmetic.sql) — the Column
+    // API (MathFunctions) is the codegen'd path
+    spark.udf.register("clamp", (v: Double, lo: Double, hi: Double) =>
+      math.min(math.max(v, lo), hi))
+    spark.udf.register("clamp_min", (v: Double, lo: Double) => math.max(v, lo))
+    spark.udf.register("clamp_max", (v: Double, hi: Double) => math.min(v, hi))
+    // to_unixtime: string/date/timestamp/number → epoch seconds
+    // (select/dummy.sql)
+    spark.udf.register("to_unixtime",
+      new org.apache.spark.sql.api.java.UDF1[AnyRef, java.lang.Long] {
+        def call(x: AnyRef): java.lang.Long = x match {
+          case null => null
+          case n: java.lang.Number => n.longValue()
+          case t: java.sql.Timestamp => t.getTime / 1000L
+          case t: java.time.Instant => t.getEpochSecond
+          case t: java.time.LocalDateTime => t.toEpochSecond(java.time.ZoneOffset.UTC)
+          case d: java.sql.Date => d.toLocalDate.toEpochDay * 86400L
+          case d: java.time.LocalDate => d.toEpochDay * 86400L
+          case s: String =>
+            val t = s.trim
+            val norm = if (t.contains("T") || t.contains(" ")) t else t + "T00:00:00Z"
+            val iso = norm.replace(" ", "T")
+            try java.time.Instant.parse(
+              if (iso.endsWith("Z") || iso.matches(".*[+-]\\d{2}:?\\d{2}$")) iso
+              else iso + "Z").getEpochSecond
+            catch {
+              case _: Exception =>
+                java.time.OffsetDateTime.parse(iso.replaceAll("([+-]\\d{4})$", "$1"),
+                  java.time.format.DateTimeFormatter.ofPattern(
+                    "yyyy-MM-dd'T'HH:mm:ssZ")).toEpochSecond
+            }
+          case other => throw new IllegalArgumentException(
+            s"to_unixtime: $other")
+        }
+      }, org.apache.spark.sql.types.LongType)
+    // IP function SQL spellings (function/ip.sql)
+    spark.udf.register("inet_ntoa", (n: Long) =>
+      s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}")
+    spark.udf.register("ipv4_to_cidr", graft.functions.IpFunctions.ipv4ToCidrUdf)
+    spark.udf.register("ipv6_to_cidr", graft.functions.IpFunctions.ipv6ToCidrUdf)
+    spark.udf.register("ipv6_num_to_string",
+      graft.functions.IpFunctions.ipv6NumToStringUdf)
+    spark.udf.register("ipv6_string_to_num",
+      graft.functions.IpFunctions.ipv6StringToNumUdf)
+    spark.udf.register("ipv6_in_range", graft.functions.IpFunctions.ipv6InRangeUdf)
+    spark.udf.register("ipv4_in_range", (ip: String, cidr: String) => {
+      val Array(base, bitsS) = cidr.split("/")
+      def num(s: String): Long = {
+        val p = s.split("\\.").map(_.toLong)
+        (p(0) << 24) | (p(1) << 16) | (p(2) << 8) | p(3)
+      }
+      val bits = bitsS.toInt
+      val mask = if (bits == 0) 0L else (-1L << (32 - bits)) & 0xFFFFFFFFL
+      (num(ip) & mask) == (num(base) & mask)
+    })
   }
 
   /** Numeric trunc — DataFusion dialect semantics. ONLY GraftSession

@@ -266,10 +266,19 @@ object Dedup {
     * pairs are verified exactly with array_intersect. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.6, n: Int = 3): DataFrame = {
+    // the shingled docs feed THREE consumers (frequency pass, prefix
+    // join, exact verify) — persist once instead of re-shingling per
+    // branch; spills to disk when the corpus outgrows executor memory.
+    // Grams are 64-bit hashes, not strings: the verify-stage
+    // array_intersect over longs runs an order of magnitude faster than
+    // string-set intersection, and the shuffles carry 8-byte keys.
     val docs = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
       .repartition(col("__id"))
-      .select(col("__id"), shingles(col("__text"), n).as("__g"))
+      .select(col("__id"),
+        array_sort(array_distinct(
+          transform(shingles(col("__text"), n), g => xxhash64(g)))).as("__g"))
       .filter(size(col("__g")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = docs.select(col("__id"), size(col("__g")).as("__sz"),
       explode(col("__g")).as("__gram"))
     val freq = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))

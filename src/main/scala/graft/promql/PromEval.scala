@@ -35,16 +35,68 @@ final class PromEval(
 
   private def metricOf(sel: Selector): Metric = {
     val m = catalog.getOrElse(sel.name,
-      throw new IllegalArgumentException(s"unknown metric: ${sel.name}"))
-    val filtered = sel.matchers.foldLeft(m.df) { (df, mt) =>
-      mt.op match {
-        case "=" => df.filter(col(s"`${mt.label}`") === mt.value)
-        case "!=" => df.filter(col(s"`${mt.label}`") =!= mt.value)
-        case "=~" => df.filter(col(s"`${mt.label}`").rlike(s"^(?:${mt.value})$$"))
-        case "!~" => df.filter(!col(s"`${mt.label}`").rlike(s"^(?:${mt.value})$$"))
+      // a non-existent metric is an EMPTY instant vector, not an error
+      // (tql/range.result: sum(rate(non_existent_table[1m])) → ++ ++)
+      Metric(spark.range(0).select(lit(0L).as("__ms"), lit(0.0).as("__value")),
+        "__ms", "__value", Nil))
+    // reserved matchers (tql/basic.sql): __schema__/__database__ scope
+    // the query to a schema; __field__ picks the value column
+    val (reserved, plain) = sel.matchers.partition(mt =>
+      Set("__schema__", "__database__", "__field__").contains(mt.label))
+    var base = m
+    reserved.foreach { mt =>
+      mt.label match {
+        case "__schema__" | "__database__" =>
+          if (mt.value != "public" && mt.value != "greptime")
+            base = base.copy(df = base.df.filter(lit(false)))
+        case "__field__" =>
+          require(base.df.columns.contains(mt.value),
+            s"field ${mt.value} not found")
+          base = base.copy(df = base.df.withColumn(base.value,
+            col(s"`${mt.value}`").cast("double")))
       }
     }
-    m.copy(df = filtered)
+    val filtered = plain.foldLeft(base.df) { (df, mt) =>
+      // a matcher on an ABSENT label compares against the empty string
+      // (prometheus semantics; tql/range.result's non_existent_label)
+      val absent = !df.columns.contains(mt.label)
+      def rx = s"^(?:${mt.value})$$"
+      mt.op match {
+        case "=" =>
+          if (absent) { if (mt.value == "") df else df.filter(lit(false)) }
+          else df.filter(col(s"`${mt.label}`") === mt.value)
+        case "!=" =>
+          if (absent) { if (mt.value == "") df.filter(lit(false)) else df }
+          else df.filter(col(s"`${mt.label}`") =!= mt.value)
+        case "=~" =>
+          if (absent) { if ("".matches(rx)) df else df.filter(lit(false)) }
+          else df.filter(col(s"`${mt.label}`").rlike(rx))
+        case "!~" =>
+          if (absent) { if ("".matches(rx)) df.filter(lit(false)) else df }
+          else df.filter(!col(s"`${mt.label}`").rlike(rx))
+      }
+    }
+    base.copy(df = filtered)
+  }
+
+  /** Literal-arithmetic constant folding: the reference accepts scalar
+    * FUNCTION ARGUMENTS as expressions (promql/functions.sql:
+    * quantile_over_time(0.2 + 0.05, ...)). */
+  private def constFold(e: Expr): Option[Double] = e match {
+    case NumberLit(v) => Some(v)
+    case Unary(x) => constFold(x).map(v => -v)
+    case Binary(op, a, b, _, _)
+        if Set("+", "-", "*", "/", "%", "^", "atan2").contains(op) =>
+      for (x <- constFold(a); y <- constFold(b)) yield op match {
+        case "+" => x + y
+        case "-" => x - y
+        case "*" => x * y
+        case "/" => x / y
+        case "%" => x % y
+        case "^" => math.pow(x, y)
+        case "atan2" => math.atan2(x, y)
+      }
+    case _ => None
   }
 
   /** Left = scalar, Right = vector. */
@@ -74,8 +126,8 @@ final class PromEval(
 
     case Agg(op, by, without, param, body) =>
       val iv = evalToVector(body)
-      val p = param.map { case NumberLit(v) => v; case other =>
-        throw new IllegalArgumentException(s"aggregation param must be a literal: $other") }
+      val p = param.map(e => constFold(e).getOrElse(
+        throw new IllegalArgumentException(s"aggregation param must be a literal: $e")))
       Right(PromQL.aggregate(iv, op, by, without, p))
 
     case Call("timestamp", Seq(sel: Selector)) if sel.rangeMs.isEmpty =>
@@ -86,7 +138,9 @@ final class PromEval(
 
     case Call(fn @ ("holt_winters" | "double_exponential_smoothing"), args) =>
       val (sel, sf, tf) = args match {
-        case Seq(s: Selector, NumberLit(a), NumberLit(b)) => (s, a, b)
+        case Seq(s: Selector, a, b)
+            if constFold(a).isDefined && constFold(b).isDefined =>
+          (s, constFold(a).get, constFold(b).get)
         case other => throw new IllegalArgumentException(s"$fn args: $other")
       }
       val range = sel.rangeMs.getOrElse(
@@ -100,8 +154,8 @@ final class PromEval(
 
     case Call(fn, args) if RangeFns.contains(fn) =>
       val (param, target) = args match {
-        case Seq(NumberLit(p), t) => (Some(p), t)
-        case Seq(t, NumberLit(p)) => (Some(p), t)
+        case Seq(p, t) if constFold(p).isDefined => (constFold(p), t)
+        case Seq(t, p) if constFold(p).isDefined => (constFold(p), t)
         case Seq(t) => (None, t)
         case other => throw new IllegalArgumentException(s"$fn args: $other")
       }
@@ -176,10 +230,10 @@ final class PromEval(
     case Call("pi", Seq()) => Left(math.Pi)
 
     case Call(fn, args) =>
-      val (vecArg, scalarArgs) = args.partition(a => !a.isInstanceOf[NumberLit])
+      val (scalarArgs0, vecArg) = args.partition(a => constFold(a).isDefined)
       require(vecArg.size == 1, s"$fn expects one vector arg")
       val iv = evalToVector(vecArg.head)
-      Right(mathFn(iv, fn, scalarArgs.map { case NumberLit(v) => v; case _ => 0.0 }))
+      Right(mathFn(iv, fn, scalarArgs0.flatMap(constFold)))
 
     case Binary(op, lhs, rhs, boolMod, matching) =>
       // scalar-valued sub-expressions (scalar(), time(), and arithmetic

@@ -177,9 +177,12 @@ object PromParser {
           // bare-matcher path (promql/label.result pins empty results
           // there via a different mechanism)
           val matchers = parseMatcherBlock()
-          require(matchers.length == 1 && matchers.head.label == "__name__",
+          val reserved = Set("__name__", "__field__", "__schema__", "__database__")
+          require(matchers.exists(_.label == "__name__") &&
+            matchers.forall(m => reserved.contains(m.label)),
             "bare matcher block must name exactly one metric")
-          Selector(matchers.head.value, Nil, None, 0L)
+          Selector(matchers.find(_.label == "__name__").get.value,
+            matchers.filterNot(_.label == "__name__"), None, 0L)
         }
         else if (t.matches("[0-9].*") && !isDuration(t)) { next(); NumberLit(t.toDouble) }
         else if (t.startsWith("\"") || t.startsWith("'")) {

@@ -455,9 +455,13 @@ object PromQL {
     }
   }
 
-  def labelJoin(iv: InstantVector, dst: String, sep: String, srcs: Seq[String]): InstantVector =
-    InstantVector(iv.df.withColumn(dst, concat_ws(sep, srcs.map(col): _*)),
-      (iv.labels :+ dst).distinct)
+  def labelJoin(iv: InstantVector, dst: String, sep: String, srcs: Seq[String]): InstantVector = {
+    // empty source-label names contribute nothing (promql/label.sql
+    // label_join(..., "host", "-", "") clears the label)
+    val real = srcs.filter(_.nonEmpty)
+    val v = if (real.isEmpty) lit("") else concat_ws(sep, real.map(lcol): _*)
+    InstantVector(iv.df.withColumn(dst, v), (iv.labels :+ dst).distinct)
+  }
 
   /** scalar(): value when the instant vector has exactly one element at
     * the step, NaN when it has several, and NO row when it has none —

@@ -735,7 +735,8 @@ final class GraftSession(spark0: SparkSession,
       case "UINT8" | "UINT16" => "INT"
       case "UINT32" | "UINT64" => "BIGINT"
       case "TIMESTAMPSECOND" | "TIMESTAMPMILLISECOND" | "TIMESTAMPMICROSECOND" |
-        "TIMESTAMPNANOSECOND" | "DATETIME" => "TIMESTAMP"
+        "TIMESTAMPNANOSECOND" | "DATETIME" |
+        "TIMESTAMP_S" | "TIMESTAMP_MS" | "TIMESTAMP_US" | "TIMESTAMP_NS" => "TIMESTAMP"
       case "INTERVAL" => "INTERVAL DAY TO SECOND"
       case _ => u
     }
@@ -839,6 +840,36 @@ final class GraftSession(spark0: SparkSession,
     // surface works without a registered UDAF
     r = rewriteOutsideQuotes(r)(_.replaceAll(
       "(?i)\\bcount_hash\\s*\\(([^()]*)\\)", "count(DISTINCT xxhash64($1))"))
+    // arrow_cast(x, 'T') → CAST with the arrow type mapped
+    r = "(?i)\\barrow_cast\\s*\\(\\s*([^(),]+)\\s*,\\s*'([^']+)'\\s*\\)".r
+      .replaceAllIn(r, m => scala.util.matching.Regex.quoteReplacement(
+        s"CAST(${m.group(1)} AS ${castType(m.group(2)
+          .replaceAll("\\(.*", "").toUpperCase(Locale.ROOT))})"))
+    // single-arg CIDR forms take the auto-detect path (function/ip.sql)
+    r = rewriteOutsideQuotes(r)(_.replaceAll(
+      "(?i)\\b(ipv[46]_to_cidr)\\s*\\(\\s*([^(),]+)\\s*\\)",
+      "$1($2, CAST(NULL AS INT))"))
+    // date_add/date_sub with INTERVAL or duration-string arguments
+    // (function/date.sql): expand onto +/- make_interval so DATE inputs
+    // stay DATE and timestamps stay timestamps
+    val DateAddRx = ("(?i)\\b(date_add|date_sub)\\s*\\(\\s*" +
+      "((?:[^(),']|'[^']*'|\\([^()]*\\))+?)\\s*,\\s*" +
+      "(?:INTERVAL\\s+)?'([^']+)'\\s*\\)").r
+    r = DateAddRx.replaceAllIn(r, m => {
+      val spec = "(\\d+)\\s*(year|month|week|day|hour|minute|second)s?".r
+      var (y, mo, w, d, h, mi, se) = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      spec.findAllMatchIn(m.group(3).toLowerCase(Locale.ROOT)).foreach { u =>
+        val n = u.group(1).toLong
+        u.group(2) match {
+          case "year" => y += n; case "month" => mo += n; case "week" => w += n
+          case "day" => d += n; case "hour" => h += n
+          case "minute" => mi += n; case "second" => se += n
+        }
+      }
+      val sign = if (m.group(1).equalsIgnoreCase("date_sub")) "-" else "+"
+      scala.util.matching.Regex.quoteReplacement(
+        s"(${m.group(2)} $sign make_interval($y, $mo, $w, $d, $h, $mi, $se))")
+    })
     var prev: String = null
     while (prev != r) {
       prev = r
@@ -849,6 +880,10 @@ final class GraftSession(spark0: SparkSession,
           // integer literal → timestamp is epoch MILLIS in the reference
           if (t == "TIMESTAMP" && operand.matches("-?\\d+"))
             s"TIMESTAMP_MILLIS($operand)"
+          // TIMESTAMP_S stores whole seconds: the cast TRUNCATES
+          // sub-second input (function/date.result pins :000)
+          else if (m.group(2).trim.equalsIgnoreCase("TIMESTAMP_S"))
+            s"date_trunc('second', CAST($operand AS TIMESTAMP))"
           // humantime literal → interval ('30s'::interval in
           // flow/flow_tql_avg.sql); Spark's day-time interval cast
           // rejects the compact form, so expand to make_dt_interval
@@ -4346,29 +4381,55 @@ final class GraftSession(spark0: SparkSession,
 
   // ---- TQL EVAL (§2.6) ------------------------------------------------
 
-  private val TqlRx =
-    ("(?is)TQL\\s+EVAL\\s*\\(\\s*([^,]+?)\\s*,\\s*([^,]+?)\\s*,\\s*'?([^,')]+?)'?\\s*" +
-      "(?:,\\s*'?([^,')]+?)'?\\s*)?\\)\\s*(.*)").r
-
   /** Trailing `AS alias` on the PromQL body names the value column
-    * (tql/tql-cte.sql). */
+    * (tql/tql-cte.sql, tql/basic.sql `{...} AS series`). */
   private val TqlValAliasRx = "(?is)^(.*?)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
 
-  private def tqlEval(stmt: String): DataFrame = stmt match {
-    case TqlRx(startS, endS, stepS, lookbackS, promql0) =>
-      val startMs = tqlTimeMs(startS.trim)
-      val endMs = tqlTimeMs(endS.trim)
-      // a bare number is SECONDS (promql/binary_time_fn.sql steps by 120)
-      def durMs(s: String): Long =
-        if (s.matches("\\d+")) s.toLong * 1000L else PromParser.parseDuration(s)
-      val stepMs = durMs(stepS.trim)
-      val lookbackMs = Option(lookbackS).map(s => durMs(s.trim)).getOrElse(300000L)
+  /** `TQL EVAL (args...) promql` with a PAREN-AWARE arg split — bounds
+    * may be arbitrary expressions containing commas
+    * (tql/basic.sql: `date_trunc('day', '...'::timestamp)`). */
+  private def parseTqlHead(stmt: String): Option[(Seq[String], String)] = {
+    val m = "(?is)^\\s*TQL\\s+EVAL\\s*\\(".r.findFirstMatchIn(stmt).getOrElse(
+      return None)
+    val open = m.end - 1
+    var depth = 0; var i = open; var close = -1; var inStr = false
+    while (i < stmt.length && close < 0) {
+      val c = stmt.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return None
+    val args = splitTop(stmt.substring(open + 1, close)).map(_.trim)
+    if (args.length < 3 || args.length > 4) None
+    else Some((args, stmt.substring(close + 1).trim))
+  }
+
+  private def tqlEval(stmt: String): DataFrame = parseTqlHead(stmt) match {
+    case Some((args, promql0)) =>
+      val startMs = tqlTimeMs(args(0))
+      val endMs = tqlTimeMs(args(1))
+      // a bare number is SECONDS, fractions included
+      // (promql/binary_time_fn.sql steps by 120, tql/basic.sql by 0.5)
+      def durMs(s0: String): Long = {
+        val s = s0.stripPrefix("'").stripSuffix("'")
+        if (s.matches("\\d+(\\.\\d+)?")) (s.toDouble * 1000.0).toLong
+        else PromParser.parseDuration(s)
+      }
+      val stepMs = durMs(args(2))
+      val lookbackMs = args.lift(3).map(durMs).getOrElse(300000L)
       val (promql, valAlias) = promql0.trim match {
         case TqlValAliasRx(body, a)
             // `... offset 50s` and range selectors end in durations, not
             // aliases; only treat the tail as an alias after ')' or an
             // identifier that isn't itself the whole query
-            if body.trim.endsWith(")") || body.trim.endsWith("]") =>
+            if body.trim.endsWith(")") || body.trim.endsWith("]") ||
+              body.trim.endsWith("}") =>
           (body.trim, Some(a))
         case p => (p, None)
       }
@@ -4376,8 +4437,8 @@ final class GraftSession(spark0: SparkSession,
       val df = new PromEval(spark, metrics,
         EvalParams(startMs, endMs, stepMs, lookbackMs)).evalQuery(promql)
       tqlReshape(promql, df, valAlias)
-    case _ if "(?is)^\\s*TQL\\s+EVAL\\s+[^(].*".r.matches(stmt.trim) ||
-        "(?is)^\\s*TQL\\s+EVAL\\s+[A-Za-z_]".r.findFirstIn(stmt.trim).isDefined =>
+    case None
+        if "(?is)^\\s*TQL\\s+EVAL\\s+[A-Za-z_{]".r.findFirstIn(stmt).isDefined =>
       // range-less `TQL EVAL <expr>` evaluates over an empty range —
       // zero rows, zero columns (promql/timestamp_fn.result issue 6707)
       spark.emptyDataFrame
@@ -4426,7 +4487,7 @@ final class GraftSession(spark0: SparkSession,
             // [ts, by-labels, value] (tql-cte.result's EXPLAIN pins
             // `labels.ts AS ts, sum(labels.cpu) AS summary`) while our
             // rendered shape is [value, by-labels, ts] — reorder first
-            val isAgg = TqlRx.findFirstMatchIn(body).map(_.group(5)).exists { p =>
+            val isAgg = parseTqlHead(body).map(_._2).exists { p =>
               try PromParser.parse(p.trim.replaceAll(
                 "(?is)\\s+AS\\s+[A-Za-z_][A-Za-z0-9_]*\\s*$", ""))
                 .isInstanceOf[PromParser.Agg]
@@ -4572,7 +4633,14 @@ final class GraftSession(spark0: SparkSession,
   }
 
   private def tqlTimeMs(s: String): Long = {
-    val t = s.stripPrefix("'").stripSuffix("'")
+    // strip quotes only when they wrap the WHOLE token — an expression
+    // like `'…'::timestamp + interval …` must stay intact (tql/basic.sql)
+    val s1 = s.trim
+    val t =
+      if (s1.length >= 2 && s1.startsWith("'") && s1.endsWith("'") &&
+          !s1.substring(1, s1.length - 1).contains("'"))
+        s1.substring(1, s1.length - 1)
+      else s1
     if (t.matches("\\d+")) t.toLong * 1000L // epoch seconds, like the reference
     else if (t.matches("\\d+\\.\\d+")) (t.toDouble * 1000.0).toLong // fractional s
     else if (t.matches("[0-9TZ:. +-]+")) java.time.Instant.parse(
@@ -4580,9 +4648,18 @@ final class GraftSession(spark0: SparkSession,
     else {
       // expression bound, e.g. `now() - '1m'::interval`
       // (flow/flow_tql_avg.sql) — evaluate through the dialect layer;
-      // truncated to whole seconds like the reference's grid timestamps
-      val ms = spark.sql(s"SELECT unix_millis(CAST((${dialect(t)}) AS TIMESTAMP))")
-        .head.getLong(0)
+      // truncated to whole seconds like the reference's grid timestamps.
+      // An INTERVAL-typed bound (tql/basic.sql `now() - now()`) reads as
+      // an offset from the epoch.
+      val e = dialect(t)
+      val ms =
+        try spark.sql(s"SELECT unix_millis(CAST(($e) AS TIMESTAMP))")
+          .head.getLong(0)
+        catch {
+          case _: Exception =>
+            spark.sql(s"SELECT unix_millis(timestamp_millis(0) + ($e))")
+              .head.getLong(0)
+        }
       math.floorDiv(ms, 1000L) * 1000L
     }
   }

@@ -107,7 +107,8 @@ class FunctionsSpec extends AnyFunSuite {
       IpFunctions.ipv6NumToString(IpFunctions.ipv6StringToNum(col("ip"))),
       IpFunctions.ipv6InRange(col("ip"), col("cidr")),
       IpFunctions.ipv6InRange(lit("2001:db9::1"), col("cidr"))).head()
-    assert(row.getString(0) == "2001:db8:0:0:0:0:0:1")
+    // Rust-Display compression (function/ip.result pins `2001:db8::1`)
+    assert(row.getString(0) == "2001:db8::1")
     assert(row.getBoolean(1))
     assert(!row.getBoolean(2))
   }
