@@ -291,6 +291,48 @@ final class GraftSession(spark0: SparkSession,
       lines.zipWithIndex.map { case (l, i) => (if (i == 0) f else "", l) }
         .toDF("Flow", "Create Flow")
     }
+    else if (up.startsWith("SHOW VARIABLES")) {
+      import spark.implicits._
+      val name = stmt.trim.stripSuffix(";").split("\\s+").last.toLowerCase(Locale.ROOT)
+      val value = name match {
+        case "time_zone" | "timezone" => sessionTz
+        case "system_time_zone" => "UTC"
+        case v => sessionVars.getOrElse(v, "")
+      }
+      Seq(value).toDF(name.toUpperCase(Locale.ROOT))
+    }
+    else if (up.startsWith("SHOW INDEX")) {
+      // MySQL-shape index listing from declared metadata
+      // (show/show_index.result, alter/change_col_*_options.result)
+      import spark.implicits._
+      val m = "(?is)^SHOW\\s+INDEX\\s+(?:FROM|IN)\\s+([A-Za-z_\"`][A-Za-z0-9_.\"`]*)".r
+        .findFirstMatchIn(stmt.trim).getOrElse(throw new IllegalArgumentException(
+          "Unexpected token while parsing SQL statement, expected: '{FROM | IN} table'"))
+      val t = normTable(m.group(1))
+      val spec = catalog.spec(t)
+      val metas = colMeta.getOrElse(t, Vector.empty)
+      def nullCell(c: String): String =
+        if (c == spec.timeIndex) ""
+        else if (metas.find(_.name == c).forall(_.nullable)) "YES" else ""
+      val pk = spec.tags.zipWithIndex.map { case (c, i) =>
+        (t, 0, "PRIMARY", i + 1, c, nullCell(c), "PRIMARY") }
+      val ti = Seq((t, 1, "TIME INDEX", 1, spec.timeIndex,
+        nullCell(spec.timeIndex), "TIME"))
+      val decls = metas.flatMap(cm => cm.indexDecl.toSeq.flatMap { d =>
+        Seq("FULLTEXT", "SKIPPING", "INVERTED")
+          .filter(k => ("(?i)\\b" + k + "\\b").r.findFirstIn(d).isDefined)
+          .map(kind =>
+            (t, 1, s"${kind}_INDEX_${cm.name}", 1, cm.name, nullCell(cm.name), kind))
+      })
+      val df = (pk ++ ti ++ decls).sortBy(r => (r._3, r._4))
+        .map { case (tb, nu, key, seq, c, nl, kind) =>
+          (tb, nu, key, seq, c, "A", "", "", "", nl, kind, "", "", "YES", "") }
+        .toDF("Table", "Non_unique", "Key_name", "Seq_in_index", "Column_name",
+          "Collation", "Cardinality", "Sub_part", "Packed", "Null",
+          "Index_type", "Comment", "Index_comment", "Visible", "Expression")
+      "(?is)\\bWHERE\\s+(.+?)\\s*;?\\s*$".r.findFirstMatchIn(stmt)
+        .map(w => df.where(w.group(1))).getOrElse(df)
+    }
     else if (up.startsWith("SHOW PROCESSLIST") || up.startsWith("SHOW FULL PROCESSLIST")) {
       // one row: this session's own statement (the reference's catalog
       // process registry; show/show_process_list.result shapes)
@@ -1029,6 +1071,21 @@ final class GraftSession(spark0: SparkSession,
             "commit_short: 0000000\\\\nclean: true\\\\nversion: 0.14.0' AS `build()`")
         .replaceAll("(?i)\\bpg_backend_pid\\(\\)", "'1' AS `pg_backend_pid()`")
         .replaceAll("(?i)\\bconnection_id\\(\\)", "'1' AS `connection_id()`"))
+    r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\btimezone\\(\\)",
+      s"'$sessionTz' AS `timezone()`"))
+    // to_unixtime through Spark's session-tz-aware cast (zone-less
+    // strings parse in the session zone — system/timezone.result);
+    // numerics are already epoch seconds (ANSI forbids their cast).
+    // NOT quote-masked: the argument is usually a quoted literal, which
+    // the masked rewriter would hide from the pattern.
+    r = "(?i)\\bto_unixtime\\s*\\(\\s*('[^']*'|[^()']*(?:\\([^()]*\\)[^()']*)*)\\s*\\)".r
+      .replaceAllIn(r, m => {
+        val a = m.group(1).trim
+        scala.util.matching.Regex.quoteReplacement(
+          if (a.matches("-?\\d+(\\.\\d+)?")) s"CAST($a AS BIGINT)"
+          else s"unix_seconds(coalesce(try_cast(($a) AS TIMESTAMP), " +
+            s"try_to_timestamp(trim(CAST(($a) AS STRING)), 'yyyy-MM-dd HH:mm:ssZ')))")
+      })
     r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bdatabase\\(\\)",
       s"'${if (infoDb) "information_schema" else currentDb}'")
       .replaceAll("(?i)\\bcurrent_schema\\(\\)",
@@ -2618,11 +2675,16 @@ final class GraftSession(spark0: SparkSession,
         val v = rawVal.trim.stripPrefix("'").stripSuffix("'")
         key match {
           case "time_zone" | "timezone" =>
-            sessionTz = v
+            // offsets normalize to ±HH:MM (system/timezone.result echoes
+            // '+8:00' back as '+08:00'; Java also requires the padded form)
+            sessionTz = "([+-])(\\d{1,2}):(\\d{2})".r.findFirstMatchIn(v.trim)
+              .filter(_.matched == v.trim)
+              .map(m => f"${m.group(1)}${m.group(2).toInt}%02d:${m.group(3)}")
+              .getOrElse(v)
             // Java zones cap fixed offsets at ±18h; the reference accepts
             // up to ±23:59 (range/to.result '+23:00') — keep our own copy
             // for RANGE align-origin math and set Spark's when legal
-            try spark.conf.set("spark.sql.session.timeZone", v)
+            try spark.conf.set("spark.sql.session.timeZone", sessionTz)
             catch { case _: Exception => () }
             // date_format applies only the RESIDUAL offset Spark's own
             // LTZ→local conversion doesn't already cover

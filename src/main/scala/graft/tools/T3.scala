@@ -8,25 +8,10 @@ object T3 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val g = new graft.sql.GraftSession(spark)
-    g.sql("""CREATE TABLE tsid_binary_join_physical (
-  ts TIMESTAMP(3) TIME INDEX,
-  greptime_value DOUBLE
-) ENGINE = metric WITH ("physical_metric_table" = "")""")
-    g.sql("""CREATE TABLE tsid_binary_join_left (
-  host STRING NULL,
-  job STRING NULL,
-  ts TIMESTAMP(3) NOT NULL,
-  greptime_value DOUBLE NULL,
-  TIME INDEX (ts),
-  PRIMARY KEY(host, job)
-) ENGINE = metric WITH (on_physical_table = 'tsid_binary_join_physical')""")
-    g.sql("INSERT INTO tsid_binary_join_left (host, job, ts, greptime_value) VALUES ('h1','j1','1970-01-01 00:00:00', 10)")
-    println("[t3] select: " + scala.util.Try(
-      g.sql("SELECT * FROM tsid_binary_join_left").columns.mkString(","))
-      .recover { case e => "ERR " + String.valueOf(e.getMessage).take(200) }.get)
-    println("[t3] tql: " + scala.util.Try(
-      g.sql("TQL EVAL (0, 5, '5s') tsid_binary_join_left").columns.mkString(","))
-      .recover { case e => "ERR " + String.valueOf(e.getMessage).take(300) }.get)
+    g.sql("SET time_zone = '+8:00'")
+    println("[t3] gconf=" + g.spark.conf.get("spark.sql.session.timeZone"))
+    println("[t3] gsql=" + g.spark.sql("SELECT unix_seconds(CAST('2024-01-02 00:00:00' AS TIMESTAMP))").head.getLong(0))
+    println("[t3] ux=" + g.sql("select to_unixtime('2024-01-02 00:00:00')").head.get(0))
     spark.stop()
   }
 }
