@@ -173,6 +173,11 @@ object Registry {
             s"to_unixtime: $other")
         }
       }, org.apache.spark.sql.types.LongType)
+    // quote_ident — PostgreSQL identifier quoting (system/pg_catalog.sql)
+    spark.udf.register("quote_ident", (s: String) =>
+      if (s == null) null
+      else if (s.matches("[a-z_][a-z0-9_]*")) s
+      else "\"" + s.replace("\"", "\"\"") + "\"")
     // IP function SQL spellings (function/ip.sql)
     spark.udf.register("inet_ntoa", (n: Long) =>
       s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}")

@@ -190,6 +190,9 @@ final class GraftSession(spark0: SparkSession,
         // virtual database: keep the real catalog loaded (its views read it)
         infoDb = true
         status("using information_schema")
+      } else if (target.equalsIgnoreCase("pg_catalog")) {
+        infoDb = false
+        status("using pg_catalog") // virtual schema, catalog stays loaded
       } else {
         infoDb = false
         useDatabase(target)
@@ -290,6 +293,10 @@ final class GraftSession(spark0: SparkSession,
         s"SINK TO $currentDb.$sinkT") ++ withLine ++ Seq(s"AS $q")
       lines.zipWithIndex.map { case (l, i) => (if (i == 0) f else "", l) }
         .toDF("Flow", "Create Flow")
+    }
+    else if (up.startsWith("SHOW SEARCH_PATH")) {
+      import spark.implicits._
+      Seq(currentDb).toDF("search_path")
     }
     else if (up.startsWith("SHOW VARIABLES")) {
       import spark.implicits._
@@ -445,13 +452,32 @@ final class GraftSession(spark0: SparkSession,
     }
     else if (up.startsWith("ADMIN")) admin(stmt)
     else if (up.contains("INFORMATION_SCHEMA.") ||
+        "(?s).*\\bPG_(CATALOG|NAMESPACE|CLASS|DATABASE|ATTRIBUTE)\\b.*".r
+          .matches(up) ||
         (infoDb && InfoBareRx.findFirstIn(stmt).isDefined)) {
       refreshInfoSchema()
+      refreshPgCatalog()
       // inside `USE information_schema`, bare names address its tables
-      val qualified =
+      val qualified0 =
         if (infoDb) InfoBareRx.replaceAllIn(stmt, m =>
           s"${m.group(1)} information_schema.${m.group(2)}")
         else stmt
+      // pg_catalog surface (system/pg_catalog.sql): strip the schema
+      // qualifier, map the tables to materialized views, fold the
+      // postgres-only functions/operators
+      var qualified = qualified0
+        .replaceAll("(?i)\\bpg_catalog\\.", "")
+        .replaceAll("(?i)\\bpg_namespace\\b", "__pg_namespace")
+        .replaceAll("(?i)\\bpg_class\\b", "__pg_class")
+        .replaceAll("(?i)\\bpg_database\\b", "__pg_database")
+        .replaceAll("(?i)\\bpg_attribute\\b", "__pg_attribute")
+        .replaceAll("(?i)\\bpg_get_userbyid\\s*\\([^()]*\\)", "'postgres'")
+        .replaceAll("(?i)\\bpg_table_is_visible\\s*\\([^()]*\\)", "true")
+        .replaceAll("(?i)\\b(obj|col|shobj)_description\\s*\\([^()]*(?:\\([^()]*\\)[^()]*)*\\)",
+          "CAST(NULL AS STRING)")
+        .replaceAll("!~", " NOT RLIKE ")
+      qualified = "(?i)'([A-Za-z_][A-Za-z0-9_]*)'::regclass(::oid)?".r
+        .replaceAllIn(qualified, m => pgOidOf(normIdent(m.group(1))).toString)
       spark.sql(dialect(qualified)
         .replaceAll("(?i)information_schema\\.table_constraints", "__info_constraints")
         .replaceAll("(?i)information_schema\\.table_semantics", "__info_table_semantics")
@@ -777,7 +803,7 @@ final class GraftSession(spark0: SparkSession,
       case "UINT8" | "UINT16" => "INT"
       case "UINT32" | "UINT64" => "BIGINT"
       case "TIMESTAMPSECOND" | "TIMESTAMPMILLISECOND" | "TIMESTAMPMICROSECOND" |
-        "TIMESTAMPNANOSECOND" | "DATETIME" |
+        "TIMESTAMPNANOSECOND" | "DATETIME" | "TIMESTAMP" |
         "TIMESTAMP_S" | "TIMESTAMP_MS" | "TIMESTAMP_US" | "TIMESTAMP_NS" => "TIMESTAMP"
       case "INTERVAL" => "INTERVAL DAY TO SECOND"
       case _ => u
@@ -882,6 +908,10 @@ final class GraftSession(spark0: SparkSession,
     // surface works without a registered UDAF
     r = rewriteOutsideQuotes(r)(_.replaceAll(
       "(?i)\\bcount_hash\\s*\\(([^()]*)\\)", "count(DISTINCT xxhash64($1))"))
+    // Spark's CAST grammar has no timestamp precision — strip it
+    // (filter/cast_preimage.sql `CAST(ts AS TIMESTAMP(9))`)
+    r = rewriteOutsideQuotes(r)(_.replaceAll(
+      "(?i)\\b(AS\\s+)TIMESTAMP\\s*\\(\\s*\\d+\\s*\\)", "$1TIMESTAMP"))
     // arrow_cast(x, 'T') → CAST with the arrow type mapped
     r = "(?i)\\barrow_cast\\s*\\(\\s*([^(),]+)\\s*,\\s*'([^']+)'\\s*\\)".r
       .replaceAllIn(r, m => scala.util.matching.Regex.quoteReplacement(
@@ -926,6 +956,13 @@ final class GraftSession(spark0: SparkSession,
           // sub-second input (function/date.result pins :000)
           else if (m.group(2).trim.equalsIgnoreCase("TIMESTAMP_S"))
             s"date_trunc('second', CAST($operand AS TIMESTAMP))"
+          // sub-microsecond literal: unrepresentable at µs storage, so an
+          // equality against it matches NOTHING (filter/cast_preimage's
+          // '…05.000000001' on a millisecond table → empty)
+          else if (t.startsWith("TIMESTAMP") &&
+              "'[^']*\\.\\d{6}(\\d*[1-9]\\d*)'".r.findFirstMatchIn(operand)
+                .exists(g => g.group(1).exists(_ != '0')))
+            "CAST(NULL AS TIMESTAMP)"
           // humantime literal → interval ('30s'::interval in
           // flow/flow_tql_avg.sql); Spark's day-time interval cast
           // rejects the compact form, so expand to make_dt_interval
@@ -1064,6 +1101,11 @@ final class GraftSession(spark0: SparkSession,
     // system functions with environment-specific output render the
     // reference's shapes (function/system.result pins the sqlness
     // REPLACE-able forms: semver-only version, multi-line build)
+    // the pg-client probe's column is `version` without parens
+    // (system/pg_catalog.result's collapsed header compare)
+    if ("(?i)current_schemas\\s*\\(".r.findFirstIn(r).isDefined)
+      r = r.replaceAll("(?i)\\bversion\\(\\)",
+        "'PostgreSQL 16.3 GreptimeDB' AS `version`")
     r = rewriteOutsideQuotes(r)(
       _.replaceAll("(?i)\\bversion\\(\\)", "'0.14.0' AS `version()`")
         .replaceAll("(?i)\\bbuild\\(\\)",
@@ -1072,7 +1114,14 @@ final class GraftSession(spark0: SparkSession,
         .replaceAll("(?i)\\bpg_backend_pid\\(\\)", "'1' AS `pg_backend_pid()`")
         .replaceAll("(?i)\\bconnection_id\\(\\)", "'1' AS `connection_id()`"))
     r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\btimezone\\(\\)",
-      s"'$sessionTz' AS `timezone()`"))
+      s"'$sessionTz' AS `timezone()`")
+      .replaceAll("(?i)\\bcurrent_schemas\\(\\s*true\\s*\\)",
+        "'{public,information_schema,pg_catalog,greptime_private}' AS `current_schemas(Boolean(true))`")
+      .replaceAll("(?i)\\bcurrent_schemas\\(\\s*false\\s*\\)",
+        "'{public}' AS `current_schemas(Boolean(false))`")
+      .replaceAll("(?i)=\\s*ANY\\s*\\(\\s*current_schemas\\(\\s*true\\s*\\)\\s*\\)",
+        "IN ('public','information_schema','pg_catalog','greptime_private')")
+      .replaceAll("(?i)\\bpg_my_temp_schema\\(\\)", "0"))
     // to_unixtime through Spark's session-tz-aware cast (zone-less
     // strings parse in the session zone — system/timezone.result);
     // numerics are already epoch seconds (ANSI forbids their cast).
@@ -1089,7 +1138,9 @@ final class GraftSession(spark0: SparkSession,
     r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bdatabase\\(\\)",
       s"'${if (infoDb) "information_schema" else currentDb}'")
       .replaceAll("(?i)\\bcurrent_schema\\(\\)",
-        s"'${if (infoDb) "information_schema" else currentDb}'")
+        s"'${if (infoDb) "information_schema" else currentDb}' AS `current_schema()`")
+      .replaceAll("(?i)\\bcurrent_database\\(\\)",
+        s"'${if (infoDb) "information_schema" else currentDb}' AS `current_database()`")
       .replaceAll("(?i)\\bsession_user\\b(?!\\s*\\()", "'greptime'")
       .replaceAll("(?i)\\bread_preference\\(\\)",
         s"'${sessionVars("read_preference").toUpperCase(Locale.ROOT)}'"))
@@ -2831,6 +2882,74 @@ final class GraftSession(spark0: SparkSession,
     parts.foldLeft(empty)(_ unionByName _)
   }
 
+  // ---- pg_catalog emulation (system/pg_catalog.sql) -------------------
+
+  /** Stable pg-style oids, rebuilt by [[refreshPgCatalog]]. */
+  private val pgOids = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def pgOidOf(t: String): Long = pgOids.getOrElse(t, 0L)
+
+  /** pg type oid for a ColMeta gtype (the public PostgreSQL oids). */
+  private def pgTypeOid(g: String): Long = g match {
+    case "Boolean" => 16L
+    case "Binary" => 17L
+    case "Int64" | "UInt64" => 20L
+    case "Int16" | "Int8" | "UInt16" | "UInt8" => 21L
+    case "Int32" | "UInt32" => 23L
+    case "Float32" => 700L
+    case "Float64" => 701L
+    case "Date" => 1082L
+    case s if s.startsWith("Timestamp") || s == "DateTime" => 1114L
+    case _ => 25L // text
+  }
+
+  private def refreshPgCatalog(): Unit = {
+    import spark.implicits._
+    // namespaces: the three built-ins plus every user database
+    val userDbs = ((dbOpts.keySet ++ dbSaved.keySet) - "public")
+      .toSeq.sorted.zipWithIndex.map { case (d, i) => d -> (16000L + i) }
+    val ns = Seq(("greptime_private", 4200L), ("information_schema", 4201L),
+      ("public", 2200L)) ++ userDbs
+    ns.map { case (n, o) => (o, n, 10L, "", "") }
+      .toDF("oid", "nspname", "nspowner", "nspacl", "options")
+      .createOrReplaceTempView("__pg_namespace")
+    val nsOid = ns.toMap
+    // (db, bare name, meta table key) across the live catalog and the
+    // saved databases; per-schema mangled names split back apart
+    def split(t: String): (String, String) = t.split("__schema__", 2) match {
+      case Array(d, b) => (d, b)
+      case _ => (currentDb, t)
+    }
+    val live = catalog.tables.toSeq.sorted.map(t => (split(t)._1, split(t)._2, t))
+    val saved = dbSaved.toSeq.filterNot(_._1 == currentDb).flatMap { case (db, st) =>
+      st.specs.keys.toSeq.sorted.map(t => (db, t, t))
+    }
+    val all = (live ++ saved) :+ (("public", "numbers", "numbers"))
+    pgOids.clear()
+    all.zipWithIndex.foreach { case ((_, bare, _), i) =>
+      pgOids.put(bare, 16384L + i) }
+    all.map { case (db, bare, _) =>
+      (pgOids(bare), bare, nsOid.getOrElse(db, 2200L),
+        if (userViews.contains(bare)) "v" else "r", 10L)
+    }.toDF("oid", "relname", "relnamespace", "relkind", "relowner")
+      .createOrReplaceTempView("__pg_class")
+    // pg_database: the reference exposes no databases through it
+    Seq.empty[(Long, String, Long, Int, String, String, String, Boolean,
+      Boolean, Int, Long, Long, Long, Long, String, String, String)]
+      .toDF("oid", "datname", "datdba", "encoding", "datlocprovider",
+        "datcollate", "datctype", "datistemplate", "datallowconn",
+        "datconnlimit", "datlastsysoid", "datfrozenxid", "datminmxid",
+        "dattablespace", "daticulocale", "daticurules", "datacl")
+      .createOrReplaceTempView("__pg_database")
+    val attrRows = live.flatMap { case (_, bare, key) =>
+      colMeta.getOrElse(key, Vector.empty).zipWithIndex.map { case (cm, i) =>
+        (pgOids(bare), cm.name, pgTypeOid(cm.gtype), i + 1)
+      }
+    }
+    attrRows.toDF("attrelid", "attname", "atttypid", "attnum")
+      .createOrReplaceTempView("__pg_attribute")
+  }
+
+
   /** DESC of information_schema.table_semantics (its reference schema;
     * information_schema/table_semantics.result). */
   private def describeInfoTableSemantics(): DataFrame = {
@@ -3323,6 +3442,10 @@ final class GraftSession(spark0: SparkSession,
       val name = unquote(rawName.stripPrefix("'").stripSuffix("'"))
       if (!name.matches("[A-Za-z_][A-Za-z0-9_-]*"))
         throw new IllegalArgumentException(s"Invalid database name: $name")
+      if (Set("pg_catalog", "information_schema", "greptime_private")
+          .contains(name.toLowerCase(Locale.ROOT)))
+        throw new IllegalArgumentException(
+          s"Schema $name already exists") // reserved (system/pg_catalog.sql)
       if (dbOpts.contains(name) || dbSaved.contains(name)) {
         if ("(?is).*IF\\s+NOT\\s+EXISTS.*".r.matches(stmt.take(40)))
           return status(s"database $name exists")

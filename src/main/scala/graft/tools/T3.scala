@@ -8,10 +8,12 @@ object T3 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val g = new graft.sql.GraftSession(spark)
-    g.sql("SET time_zone = '+8:00'")
-    println("[t3] gconf=" + g.spark.conf.get("spark.sql.session.timeZone"))
-    println("[t3] gsql=" + g.spark.sql("SELECT unix_seconds(CAST('2024-01-02 00:00:00' AS TIMESTAMP))").head.getLong(0))
-    println("[t3] ux=" + g.sql("select to_unixtime('2024-01-02 00:00:00')").head.get(0))
+    g.sql("CREATE TABLE cast_preimage_ts_ms (host STRING PRIMARY KEY, ts TIMESTAMP(3) TIME INDEX, v INTEGER)")
+    g.sql("INSERT INTO cast_preimage_ts_ms VALUES ('host1', 0, 1), ('host1', 5000, 2)")
+    try {
+      val df = g.sql("SELECT host, v FROM cast_preimage_ts_ms WHERE CAST(ts AS TIMESTAMP(9)) = '1970-01-01 00:00:05.000000001'::TIMESTAMP(9) ORDER BY host")
+      println("[t3] rows=" + df.count())
+    } catch { case e: Throwable => println("[t3] " + e.getClass.getName + " msg=" + e.getMessage); e.printStackTrace() }
     spark.stop()
   }
 }
