@@ -99,7 +99,7 @@ final class GraftSession(spark0: SparkSession,
   private var infoDb: Boolean = false
   private val InfoBareRx =
     ("(?i)\\b(FROM|JOIN)\\s+(TABLES|COLUMNS|FLOWS|TABLE_CONSTRAINTS|VIEWS|" +
-      "TABLE_SEMANTICS|PROCEDURE_INFO|REGION_PEERS)\\b").r
+      "TABLE_SEMANTICS|PROCEDURE_INFO|REGION_PEERS|SCHEMATA|PARTITIONS)\\b").r
 
   private val flows = scala.collection.concurrent.TrieMap.empty[String, (FlowDef, String)]
   // per-statement write order; strictly monotone within the session
@@ -486,7 +486,9 @@ final class GraftSession(spark0: SparkSession,
         .replaceAll("(?i)information_schema\\.flows", "__info_flows")
         .replaceAll("(?i)information_schema\\.views", "__info_views")
         .replaceAll("(?i)information_schema\\.procedure_info", "__info_procedure_info")
-        .replaceAll("(?i)information_schema\\.region_peers", "__info_region_peers"))
+        .replaceAll("(?i)information_schema\\.region_peers", "__info_region_peers")
+        .replaceAll("(?i)information_schema\\.schemata", "__info_schemata")
+        .replaceAll("(?i)information_schema\\.partitions", "__info_partitions"))
     }
     else if (up.startsWith("SELECT") && RangeSql.looksLikeRange(stmt))
       RangeSql.execute(spark, rewriteAtAt(stmt), name => {
@@ -903,6 +905,9 @@ final class GraftSession(spark0: SparkSession,
       })
     // remaining UNNEST over arrays → explode
     r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bUNNEST\\s*\\(", "explode("))
+    // MySQL numeric IF condition → boolean (starrocks_compatibility.sql)
+    r = rewriteOutsideQuotes(r)(_.replaceAll(
+      "(?i)\\bIF\\s*\\(\\s*(\\d+)\\s*,", "IF($1 <> 0,"))
     // count_hash(cols) → distinct-count of a 64-bit hash (VectorAggs
     // .countHash; aggrs/count_hash.rs) — macro-expanded so the SQL
     // surface works without a registered UDAF
@@ -3152,6 +3157,30 @@ final class GraftSession(spark0: SparkSession,
     peerRows.toDF("region_id", "peer_id", "peer_addr", "is_leader",
       "status", "down_seconds")
       .createOrReplaceTempView("__info_region_peers")
+    // information_schema.schemata + .partitions (StarRocks client probes;
+    // system/starrocks_compatibility.sql)
+    val allDbs = (Seq("greptime_private", "information_schema", "public") ++
+      (dbOpts.keySet ++ dbSaved.keySet - "public").toSeq.sorted).distinct
+    allDbs.map(d => ("greptime", d, "utf8", "utf8_bin", null: String, null: String))
+      .toDF("catalog_name", "schema_name", "default_character_set_name",
+        "default_collation_name", "sql_path", "options")
+      .createOrReplaceTempView("__info_schemata")
+    val partRows = (currentRows ++ savedRows).flatMap { case (_, db, t, _, _, _, _) =>
+      partitionClause.get(t) match {
+        case Some((cols, rules)) =>
+          // an empty rule list still has ONE region (PARTITION ON
+          // COLUMNS (host) () — starrocks_compatibility.sql)
+          (0 until math.max(rules.size, 1)).map(i =>
+            (db, t, s"p$i", "RANGE", cols.mkString(", "), null: String,
+              4398046511104L + i, fixedTime.take(19), null: String))
+        case None => Seq((db, t, "p0", "RANGE", null: String, null: String,
+          4398046511104L, fixedTime.take(19), null: String))
+      }
+    }
+    partRows.toDF("table_schema", "table_name", "partition_name",
+      "partition_method", "partition_expression", "partition_description",
+      "greptime_partition_id", "create_time", "update_time")
+      .createOrReplaceTempView("__info_partitions")
   }
 
   /** ConcreteDataType display name → SHOW CREATE TABLE SQL type token
