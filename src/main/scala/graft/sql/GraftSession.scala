@@ -99,7 +99,8 @@ final class GraftSession(spark0: SparkSession,
   private var infoDb: Boolean = false
   private val InfoBareRx =
     ("(?i)\\b(FROM|JOIN)\\s+(TABLES|COLUMNS|FLOWS|TABLE_CONSTRAINTS|VIEWS|" +
-      "TABLE_SEMANTICS|PROCEDURE_INFO|REGION_PEERS|SCHEMATA|PARTITIONS)\\b").r
+      "TABLE_SEMANTICS|PROCEDURE_INFO|REGION_PEERS|SCHEMATA|PARTITIONS|" +
+      "REGION_INFO|REGION_STATISTICS)\\b").r
 
   private val flows = scala.collection.concurrent.TrieMap.empty[String, (FlowDef, String)]
   // per-statement write order; strictly monotone within the session
@@ -250,10 +251,13 @@ final class GraftSession(spark0: SparkSession,
       val target = normTable(rawTarget)
       val infoQualified = rawTarget.toLowerCase(Locale.ROOT)
         .startsWith("information_schema.")
+      val bare = target.stripPrefix("information_schema__schema__")
       if ((infoDb || infoQualified) && target.endsWith("table_constraints"))
         describeInfoConstraints()
       else if ((infoDb || infoQualified) && target.endsWith("table_semantics"))
         describeInfoTableSemantics()
+      else if ((infoDb || infoQualified) && infoTableDescs.contains(bare))
+        describeInfoTable(bare)
       else describeTable(target)
     }
     else if (up.startsWith("INSERT INTO")) insert(stmt)
@@ -488,7 +492,10 @@ final class GraftSession(spark0: SparkSession,
         .replaceAll("(?i)information_schema\\.procedure_info", "__info_procedure_info")
         .replaceAll("(?i)information_schema\\.region_peers", "__info_region_peers")
         .replaceAll("(?i)information_schema\\.schemata", "__info_schemata")
-        .replaceAll("(?i)information_schema\\.partitions", "__info_partitions"))
+        .replaceAll("(?i)information_schema\\.partitions", "__info_partitions")
+        .replaceAll("(?i)information_schema\\.region_info", "__info_region_info")
+        .replaceAll("(?i)information_schema\\.region_statistics",
+          "__info_region_statistics"))
     }
     else if (up.startsWith("SELECT") && RangeSql.looksLikeRange(stmt))
       RangeSql.execute(spark, rewriteAtAt(stmt), name => {
@@ -2955,6 +2962,64 @@ final class GraftSession(spark0: SparkSession,
   }
 
 
+  /** DESC schemas of the storage-introspection info tables
+    * (information_schema/{region_info,region_statistics,ssts}.result). */
+  private val infoTableDescs: Map[String, Seq[(String, String, String)]] = Map(
+    "region_info" -> Seq(
+      ("region_id", "UInt64", "NO"), ("table_id", "UInt32", "NO"),
+      ("region_number", "UInt32", "NO"), ("region_group", "UInt8", "NO"),
+      ("region_sequence", "UInt32", "NO"), ("state", "String", "NO"),
+      ("role", "String", "NO"), ("writable", "Boolean", "NO"),
+      ("committed_sequence", "UInt64", "NO"),
+      ("flushed_sequence", "UInt64", "YES"),
+      ("manifest_version", "UInt64", "NO"),
+      ("compaction_time_window", "String", "YES"),
+      ("region_options", "String", "NO"), ("sst_format", "String", "NO"),
+      ("node_id", "UInt64", "YES")),
+    "region_statistics" -> Seq(
+      ("region_id", "UInt64", "NO"), ("table_id", "UInt32", "NO"),
+      ("region_number", "UInt32", "NO"), ("region_rows", "UInt64", "YES"),
+      ("disk_size", "UInt64", "YES"), ("memtable_size", "UInt64", "YES"),
+      ("manifest_size", "UInt64", "YES"), ("sst_size", "UInt64", "YES"),
+      ("sst_num", "UInt64", "YES"), ("index_size", "UInt64", "YES"),
+      ("engine", "String", "YES"), ("region_role", "String", "YES"),
+      ("written_bytes_since_open", "UInt64", "YES"),
+      ("query_cpu_time_millis", "UInt64", "YES"),
+      ("query_scanned_bytes", "UInt64", "YES")),
+    "ssts_manifest" -> Seq(
+      ("table_dir", "String", "NO"), ("region_id", "UInt64", "NO"),
+      ("table_id", "UInt32", "NO"), ("region_number", "UInt32", "NO"),
+      ("region_group", "UInt8", "NO"), ("region_sequence", "UInt32", "NO"),
+      ("file_id", "String", "NO"), ("index_version", "UInt64", "NO"),
+      ("level", "UInt8", "NO"), ("file_path", "String", "NO"),
+      ("file_size", "UInt64", "NO"), ("index_file_path", "String", "YES"),
+      ("index_file_size", "UInt64", "YES"), ("num_rows", "UInt64", "NO"),
+      ("num_row_groups", "UInt64", "NO"), ("num_series", "UInt64", "YES"),
+      ("min_ts", "TimestampNanosecond", "YES"),
+      ("max_ts", "TimestampNanosecond", "YES"),
+      ("sequence", "UInt64", "YES"), ("origin_region_id", "UInt64", "NO"),
+      ("node_id", "UInt64", "YES"), ("visible", "Boolean", "NO"),
+      ("primary_key_min", "Binary", "YES"), ("primary_key_max", "Binary", "YES")),
+    "ssts_storage" -> Seq(
+      ("file_path", "String", "NO"), ("file_size", "UInt64", "YES"),
+      ("last_modified_ms", "TimestampMillisecond", "YES"),
+      ("node_id", "UInt64", "YES")),
+    "ssts_index_meta" -> Seq(
+      ("table_dir", "String", "NO"), ("index_file_path", "String", "NO"),
+      ("region_id", "UInt64", "NO"), ("table_id", "UInt32", "NO"),
+      ("region_number", "UInt32", "NO"), ("region_group", "UInt8", "NO"),
+      ("region_sequence", "UInt32", "NO"), ("file_id", "String", "NO"),
+      ("index_file_size", "UInt64", "YES"), ("index_type", "String", "NO"),
+      ("target_type", "String", "NO"), ("target_key", "String", "NO"),
+      ("target_json", "String", "NO"), ("blob_size", "UInt64", "NO"),
+      ("meta_json", "String", "YES"), ("node_id", "UInt64", "YES")))
+
+  private def describeInfoTable(name: String): DataFrame = {
+    import spark.implicits._
+    infoTableDescs(name).map { case (c, t, n) => (c, t, "", n, "", "FIELD") }
+      .toDF("Column", "Type", "Key", "Null", "Default", "Semantic Type")
+  }
+
   /** DESC of information_schema.table_semantics (its reference schema;
     * information_schema/table_semantics.result). */
   private def describeInfoTableSemantics(): DataFrame = {
@@ -3147,14 +3212,16 @@ final class GraftSession(spark0: SparkSession,
     // information_schema.region_peers: one region per partition rule
     // (information_schema/region_peers.result: 4 tables → 6 regions)
     var regionIdx = 0L
-    val peerRows = (currentRows ++ savedRows).flatMap { case (_, _, t, _, _, _, _) =>
+    val peerRows = (currentRows ++ savedRows).flatMap { case (_, db, t, _, _, _, _) =>
       val n = partitionClause.get(t).map(_._2.size).getOrElse(1).max(1)
       (0 until n).map { _ =>
         regionIdx += 1
-        (4398046511104L + regionIdx, 0L, "127.0.0.1:4001", "Yes", "ALIVE", 0L)
+        ("greptime", db, t, 4398046511104L + regionIdx, 0L,
+          "127.0.0.1:4001", "Yes", "ALIVE", 0L)
       }
     }
-    peerRows.toDF("region_id", "peer_id", "peer_addr", "is_leader",
+    peerRows.toDF("table_catalog", "table_schema", "table_name",
+      "region_id", "peer_id", "peer_addr", "is_leader",
       "status", "down_seconds")
       .createOrReplaceTempView("__info_region_peers")
     // information_schema.schemata + .partitions (StarRocks client probes;
@@ -3181,6 +3248,39 @@ final class GraftSession(spark0: SparkSession,
       "partition_method", "partition_expression", "partition_description",
       "greptime_partition_id", "create_time", "update_time")
       .createOrReplaceTempView("__info_partitions")
+    // information_schema.region_info / .region_statistics: one row per
+    // region, ids consistent with region_peers and tables.table_id
+    // (information_schema/region_info.sql, region_statistics.sql)
+    val tableIds = (currentRows ++ savedRows).zipWithIndex
+      .map { case (r, i) => r._3 -> (1024L + i) }.toMap
+    var ri = 0L
+    val regionRows = (currentRows ++ savedRows).flatMap { case (_, _, t, _, _, _, _) =>
+      val n = partitionClause.get(t).map(_._2.size).getOrElse(1).max(1)
+      (0 until n).map { k =>
+        ri += 1
+        (4398046511104L + ri, tableIds.getOrElse(t, 0L), k, t)
+      }
+    }
+    regionRows.map { case (rid, tid, k, t) =>
+      (rid, tid, k, 0, k, "Leader(Writable)", "Leader", true, 1L, 1L, 1L,
+        null: String,
+        s"""{"compaction":{}}""",
+        tableOpts.getOrElse(t, Seq.empty).toMap
+          .getOrElse("sst_format", "primary_key"),
+        0L)
+    }.toDF("region_id", "table_id", "region_number", "region_group",
+      "region_sequence", "state", "role", "writable", "committed_sequence",
+      "flushed_sequence", "manifest_version", "compaction_time_window",
+      "region_options", "sst_format", "node_id")
+      .createOrReplaceTempView("__info_region_info")
+    regionRows.map { case (rid, tid, k, _) =>
+      (rid, tid, k, 3L, 100L, 1L, 1L, 100L, 1L, 10L, "mito", "Leader",
+        100L, 1L, 100L)
+    }.toDF("region_id", "table_id", "region_number", "region_rows",
+      "disk_size", "memtable_size", "manifest_size", "sst_size", "sst_num",
+      "index_size", "engine", "region_role", "written_bytes_since_open",
+      "query_cpu_time_millis", "query_scanned_bytes")
+      .createOrReplaceTempView("__info_region_statistics")
   }
 
   /** ConcreteDataType display name → SHOW CREATE TABLE SQL type token
