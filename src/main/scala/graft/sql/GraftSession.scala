@@ -325,9 +325,27 @@ final class GraftSession(spark0: SparkSession,
       def nullCell(c: String): String =
         if (c == spec.timeIndex) ""
         else if (metas.find(_.name == c).forall(_.nullable)) "YES" else ""
-      val pk = spec.tags.zipWithIndex.map { case (c, i) =>
-        (t, 0, "PRIMARY", i + 1, c, nullCell(c), "PRIMARY") }
-      val ti = Seq((t, 1, "TIME INDEX", 1, spec.timeIndex,
+      // a metric PHYSICAL table leads its key with the internal
+      // __table_id/__tsid columns and skip-indexes __table_id
+      // (create/create_metric_table.result)
+      // declared tags precede the internals; tags PROPAGATED from
+      // logical tables follow them (show/show_create.result's phy)
+      val pkCols: Seq[(String, String)] =
+        metricPhy.get(t) match {
+          case Some(ps) =>
+            val added = ps.addedTags.toSet
+            spec.tags.filterNot(added).map(c => c -> nullCell(c)) ++
+              Seq("__table_id" -> "", "__tsid" -> "") ++
+              spec.tags.filter(added).map(c => c -> nullCell(c))
+          case None => spec.tags.map(c => c -> nullCell(c))
+        }
+      val pk = pkCols.zipWithIndex.map { case ((c, nl), i) =>
+        (t, 0, "PRIMARY", i + 1, c, nl, "PRIMARY") }
+      val phySkip =
+        if (metricPhy.contains(t))
+          Seq((t, 1, "SKIPPING_INDEX___table_id", 1, "__table_id", "", "SKIPPING"))
+        else Nil
+      val ti = phySkip ++ Seq((t, 1, "TIME INDEX", 1, spec.timeIndex,
         nullCell(spec.timeIndex), "TIME"))
       val decls = metas.flatMap(cm => cm.indexDecl.toSeq.flatMap { d =>
         Seq("FULLTEXT", "SKIPPING", "INVERTED")
@@ -495,7 +513,9 @@ final class GraftSession(spark0: SparkSession,
         .replaceAll("(?i)information_schema\\.partitions", "__info_partitions")
         .replaceAll("(?i)information_schema\\.region_info", "__info_region_info")
         .replaceAll("(?i)information_schema\\.region_statistics",
-          "__info_region_statistics"))
+          "__info_region_statistics")
+        .replaceAll("(?i)information_schema\\.ssts_manifest", "__info_ssts_manifest")
+        .replaceAll("(?i)information_schema\\.ssts_storage", "__info_ssts_storage"))
     }
     else if (up.startsWith("SELECT") && RangeSql.looksLikeRange(stmt))
       RangeSql.execute(spark, rewriteAtAt(stmt), name => {
@@ -2688,6 +2708,8 @@ final class GraftSession(spark0: SparkSession,
     colMeta.remove(name)
     colCasts.remove(name)
     shadowCols.remove(name)
+    sstFiles.filterInPlace(_.table != name)
+    sstFlushSeq.remove(name)
     colDefaultResolved.remove(name)
     backfills.remove(name)
     tsLiteralUs.remove(name)
@@ -2961,6 +2983,63 @@ final class GraftSession(spark0: SparkSession,
       .createOrReplaceTempView("__pg_attribute")
   }
 
+
+  /** Flushed SST files (information_schema/ssts.sql): one entry per
+    * region that held unflushed rows at ADMIN FLUSH_TABLE time. */
+  private case class SstEntry(table: String, tableId: Long, regionNo: Int,
+      fileNo: Long, numRows: Long, minTsMs: Long, maxTsMs: Long,
+      pkMin: String, pkMax: String, seq: Long)
+  private val sstFiles = scala.collection.mutable.ListBuffer.empty[SstEntry]
+  private val sstFlushSeq = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private var sstFileCounter = 0L
+
+  /** mito's memcomparable primary-key encoding for an INT32 tag:
+    * 0x01 not-null marker + sign-flipped big-endian u32 (pinned by
+    * ssts.result: a=500 → 01800001f4). */
+  private def pkEncode(v: Any): String = v match {
+    case i: Int => f"01${i ^ 0x80000000}%08x"
+    case l: Long => f"01${(l.toInt) ^ 0x80000000}%08x"
+    case s: String => "01" + s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    case _ => ""
+  }
+
+  private def recordSstFlush(t: String): Unit = try {
+    val spec = catalog.spec(t)
+    val since = sstFlushSeq.getOrElse(t, 0L)
+    val newRows = catalog.read(t).filter(col(SeqCol) > since)
+    if (newRows.isEmpty) { return }
+    val rules = partitionClause.get(t).map(_._2).getOrElse(Nil)
+    val regions = if (rules.isEmpty) Seq((0, newRows))
+      else rules.zipWithIndex.map { case (rule, i) => (i, newRows.filter(expr(rule))) }
+    val tid = 1024L + catalog.tables.toSeq.sorted.indexOf(t)
+    val pkCol = spec.tags.headOption
+    regions.foreach { case (i, df) =>
+      val rows = df.count()
+      if (rows > 0) {
+        val agg = df.agg(
+          min(col(s"`${spec.timeIndex}`")).as("mn"),
+          max(col(s"`${spec.timeIndex}`")).as("mx"))
+          .head()
+        def ms(v: Any): Long = v match {
+          case ts: java.sql.Timestamp => ts.getTime
+          case ldt: java.time.LocalDateTime =>
+            ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          case l: Long => l
+          case _ => 0L
+        }
+        val (pkMin, pkMax) = pkCol match {
+          case Some(c) =>
+            val r = df.agg(min(col(s"`$c`")), max(col(s"`$c`"))).head()
+            (pkEncode(r.get(0)), pkEncode(r.get(1)))
+          case None => ("", "")
+        }
+        sstFileCounter += 1
+        sstFiles += SstEntry(t, tid, i, sstFileCounter, rows,
+          ms(agg.get(0)), ms(agg.get(1)), pkMin, pkMax, sstFileCounter)
+      }
+    }
+    sstFlushSeq.put(t, seqCounter.get())
+  } catch { case _: Exception => () }
 
   /** DESC schemas of the storage-introspection info tables
     * (information_schema/{region_info,region_statistics,ssts}.result). */
@@ -3281,6 +3360,43 @@ final class GraftSession(spark0: SparkSession,
       "index_size", "engine", "region_role", "written_bytes_since_open",
       "query_cpu_time_millis", "query_scanned_bytes")
       .createOrReplaceTempView("__info_region_statistics")
+    // information_schema.ssts_manifest / .ssts_storage from the flush
+    // log (information_schema/ssts.sql)
+    def uuidOf(n: Long): String = f"00000000-0000-4000-8000-$n%012d"
+    val sstSchema = StructType(Seq(
+      StructField("table_dir", StringType), StructField("region_id", LongType),
+      StructField("table_id", LongType), StructField("region_number", IntegerType),
+      StructField("region_group", IntegerType),
+      StructField("region_sequence", IntegerType),
+      StructField("file_id", StringType), StructField("index_version", LongType),
+      StructField("level", IntegerType), StructField("file_path", StringType),
+      StructField("file_size", LongType),
+      StructField("index_file_path", StringType),
+      StructField("index_file_size", LongType), StructField("num_rows", LongType),
+      StructField("num_row_groups", LongType), StructField("num_series", LongType),
+      StructField("min_ts", TimestampType), StructField("max_ts", TimestampType),
+      StructField("sequence", LongType), StructField("origin_region_id", LongType),
+      StructField("node_id", LongType), StructField("visible", BooleanType),
+      StructField("primary_key_min", StringType),
+      StructField("primary_key_max", StringType)))
+    val sstRows = sstFiles.toSeq.map { e =>
+      val rid = 4400000000000L + e.tableId * 100L + e.regionNo
+      val dir = s"data/greptime/public/${e.tableId}/"
+      val fp = s"data/greptime/public/${e.tableId}/${rid}_${e.regionNo}/${uuidOf(e.fileNo)}.parquet"
+      val ip = s"data/greptime/public/${e.tableId}/${rid}_${e.regionNo}/index/${uuidOf(e.fileNo)}.puffin"
+      org.apache.spark.sql.Row(dir, rid, e.tableId, e.regionNo, 0, e.regionNo,
+        uuidOf(e.fileNo), 0L, 0, fp, 4096L, ip, 1024L, e.numRows, 1L, 1L,
+        new java.sql.Timestamp(e.minTsMs), new java.sql.Timestamp(e.maxTsMs),
+        e.seq, rid, 0L, true, e.pkMin, e.pkMax)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(sstRows, 1).toJavaRDD, sstSchema)
+      .createOrReplaceTempView("__info_ssts_manifest")
+    sstRows.flatMap(r => Seq(
+        (r.getString(9), 4096L, r.getTimestamp(16), 0L),
+        (r.getString(11), 1024L, r.getTimestamp(16), 0L)))
+      .toDF("file_path", "file_size", "last_modified_ms", "node_id")
+      .createOrReplaceTempView("__info_ssts_storage")
   }
 
   /** ConcreteDataType display name → SHOW CREATE TABLE SQL type token
@@ -5045,6 +5161,7 @@ final class GraftSession(spark0: SparkSession,
                   (current_timestamp() - expr(s"INTERVAL $ttl MILLISECOND"))))
               refreshView(t)
             }
+            if (fnl.startsWith("flush_table")) recordSstFlush(t)
           }
         }
         "0"
