@@ -311,8 +311,12 @@ object PromQL {
     // null-equality joins.
     val allLabels = lhs.labels ++ rhs.labels.filterNot(lhs.labels.contains)
     val setKeys = "__ts" +: on.getOrElse(allLabels.filterNot(ignoring.contains))
+    // an on() label absent from BOTH sides still joins — as null on
+    // each (set_operation.result `AND ON (dummy) vector(1)`)
+    val joinPad = allLabels ++
+      setKeys.filterNot(k => k == "__ts" || allLabels.contains(k))
     def pad(df: DataFrame, have: Seq[String]): DataFrame =
-      allLabels.foldLeft(df)((d, l) =>
+      joinPad.foldLeft(df)((d, l) =>
         if (have.contains(l)) d else d.withColumn(l, lit(null).cast("string")))
     def semiJoin(left: DataFrame, right: DataFrame, joinType: String): DataFrame = {
       val l = left.alias("__l")

@@ -940,6 +940,30 @@ final class GraftSession(spark0: SparkSession,
     // surface works without a registered UDAF
     r = rewriteOutsideQuotes(r)(_.replaceAll(
       "(?i)\\bcount_hash\\s*\\(([^()]*)\\)", "count(DISTINCT xxhash64($1))"))
+    // DataFusion coerces an integer literal compared against a TIME
+    // INDEX column to the column's epoch unit (expr/atat.sql:
+    // `WHERE id <= 6` on a TIMESTAMP(3) index means 6 ms)
+    for (t <- catalog.tables if r.contains(t)) {
+      val ti = catalog.spec(t).timeIndex
+      val isTs = scala.util.Try(spark.table(t).schema(ti).dataType).toOption
+        .exists(d => d == TimestampType || d == TimestampNTZType)
+      if (isTs) {
+        val us = tsLiteralUs.getOrElse(t, 1000L)
+        val conv = (n: String) =>
+          if (us > 0) s"TIMESTAMP_MICROS($n * $us)"
+          else s"TIMESTAMP_MICROS($n div 1000)"
+        val rx = ("(`" + java.util.regex.Pattern.quote(ti) + "`|\\b" +
+          java.util.regex.Pattern.quote(ti) + "\\b)\\s*(<=|>=|<|>|=)\\s*(\\d+)(?![\\d.])").r
+        r = rewriteOutsideQuotes(r)(rx.replaceAllIn(_, m =>
+          scala.util.matching.Regex.quoteReplacement(
+            s"${m.group(1)} ${m.group(2)} ${conv(m.group(3))}")))
+        val betweenRx = ("(?i)(`" + java.util.regex.Pattern.quote(ti) + "`|\\b" +
+          java.util.regex.Pattern.quote(ti) + "\\b)\\s+BETWEEN\\s+(\\d+)\\s+AND\\s+(\\d+)").r
+        r = rewriteOutsideQuotes(r)(betweenRx.replaceAllIn(_, m =>
+          scala.util.matching.Regex.quoteReplacement(
+            s"${m.group(1)} BETWEEN ${conv(m.group(2))} AND ${conv(m.group(3))}")))
+      }
+    }
     // Spark's CAST grammar has no timestamp precision — strip it
     // (filter/cast_preimage.sql `CAST(ts AS TIMESTAMP(9))`)
     r = rewriteOutsideQuotes(r)(_.replaceAll(

@@ -8,12 +8,12 @@ object T3 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val g = new graft.sql.GraftSession(spark)
-    g.sql("CREATE TABLE cast_preimage_ts_ms (host STRING PRIMARY KEY, ts TIMESTAMP(3) TIME INDEX, v INTEGER)")
-    g.sql("INSERT INTO cast_preimage_ts_ms VALUES ('host1', 0, 1), ('host1', 5000, 2)")
+    g.sql("CREATE TABLE logs (`id` INT, `log_message` STRING, `ts` TIMESTAMP TIME INDEX)")
+    g.sql("INSERT INTO logs VALUES (1, 'An error occurred!', 1000)")
     try {
-      val df = g.sql("SELECT host, v FROM cast_preimage_ts_ms WHERE CAST(ts AS TIMESTAMP(9)) = '1970-01-01 00:00:05.000000001'::TIMESTAMP(9) ORDER BY host")
-      println("[t3] rows=" + df.count())
-    } catch { case e: Throwable => println("[t3] " + e.getClass.getName + " msg=" + e.getMessage); e.printStackTrace() }
+      val df = g.sql("SELECT `id`, `log_message`, `log_message` @@ 'error' as `matches_error` FROM logs WHERE `id` <= 6 ORDER BY `id`")
+      println("[t3] ok " + df.count())
+    } catch { case e: Throwable => println("[t3] ERR " + String.valueOf(e.getMessage).take(400)) }
     spark.stop()
   }
 }
