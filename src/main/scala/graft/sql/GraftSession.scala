@@ -100,7 +100,9 @@ final class GraftSession(spark0: SparkSession,
   private val InfoBareRx =
     ("(?i)\\b(FROM|JOIN)\\s+(TABLES|COLUMNS|FLOWS|TABLE_CONSTRAINTS|VIEWS|" +
       "TABLE_SEMANTICS|PROCEDURE_INFO|REGION_PEERS|SCHEMATA|PARTITIONS|" +
-      "REGION_INFO|REGION_STATISTICS)\\b").r
+      "REGION_INFO|REGION_STATISTICS|KEY_COLUMN_USAGE|ENGINES|BUILD_INFO|" +
+      "CHARACTER_SETS|COLLATIONS|COLLATION_CHARACTER_SET_APPLICABILITY|" +
+      "COLUMN_PRIVILEGES|COLUMN_STATISTICS|CHECK_CONSTRAINTS)\\b").r
 
   private val flows = scala.collection.concurrent.TrieMap.empty[String, (FlowDef, String)]
   // per-statement write order; strictly monotone within the session
@@ -484,6 +486,12 @@ final class GraftSession(spark0: SparkSession,
         if (infoDb) InfoBareRx.replaceAllIn(stmt, m =>
           s"${m.group(1)} information_schema.${m.group(2)}")
         else stmt
+      // the full information_schema.columns self-listing needs column
+      // parity across every virtual table — unsupported, like before
+      if ("(?is)^\\s*select\\s+\\*\\s+from\\s+information_schema\\.columns\\b".r
+          .findFirstIn(stmt).isDefined)
+        throw new IllegalArgumentException(
+          "information_schema.columns self-listing is not supported")
       // pg_catalog surface (system/pg_catalog.sql): strip the schema
       // qualifier, map the tables to materialized views, fold the
       // postgres-only functions/operators
@@ -515,7 +523,17 @@ final class GraftSession(spark0: SparkSession,
         .replaceAll("(?i)information_schema\\.region_statistics",
           "__info_region_statistics")
         .replaceAll("(?i)information_schema\\.ssts_manifest", "__info_ssts_manifest")
-        .replaceAll("(?i)information_schema\\.ssts_storage", "__info_ssts_storage"))
+        .replaceAll("(?i)information_schema\\.ssts_storage", "__info_ssts_storage")
+        .replaceAll("(?i)information_schema\\.key_column_usage", "__info_key_column_usage")
+        .replaceAll("(?i)information_schema\\.engines", "__info_engines")
+        .replaceAll("(?i)information_schema\\.build_info", "__info_build_info")
+        .replaceAll("(?i)information_schema\\.character_sets", "__info_character_sets")
+        .replaceAll("(?i)information_schema\\.collation_character_set_applicability",
+          "__info_collation_character_set_applicability")
+        .replaceAll("(?i)information_schema\\.collations", "__info_collations")
+        .replaceAll("(?i)information_schema\\.column_privileges", "__info_column_privileges")
+        .replaceAll("(?i)information_schema\\.column_statistics", "__info_column_statistics")
+        .replaceAll("(?i)information_schema\\.check_constraints", "__info_check_constraints"))
     }
     else if (up.startsWith("SELECT") && RangeSql.looksLikeRange(stmt))
       RangeSql.execute(spark, rewriteAtAt(stmt), name => {
@@ -3068,6 +3086,46 @@ final class GraftSession(spark0: SparkSession,
   /** DESC schemas of the storage-introspection info tables
     * (information_schema/{region_info,region_statistics,ssts}.result). */
   private val infoTableDescs: Map[String, Seq[(String, String, String)]] = Map(
+    "schemata" -> Seq(
+      ("catalog_name", "String", "NO"), ("schema_name", "String", "NO"),
+      ("default_character_set_name", "String", "NO"),
+      ("default_collation_name", "String", "NO"),
+      ("sql_path", "String", "YES"), ("options", "String", "YES")),
+    "build_info" -> Seq(
+      ("git_branch", "String", "NO"), ("git_commit", "String", "NO"),
+      ("git_commit_short", "String", "NO"), ("git_clean", "String", "NO"),
+      ("pkg_version", "String", "NO")),
+    "key_column_usage" -> Seq(
+      ("constraint_catalog", "String", "NO"),
+      ("constraint_schema", "String", "NO"),
+      ("constraint_name", "String", "NO"),
+      ("table_catalog", "String", "NO"),
+      ("real_table_catalog", "String", "NO"),
+      ("table_schema", "String", "NO"), ("table_name", "String", "NO"),
+      ("column_name", "String", "NO"), ("ordinal_position", "UInt32", "NO"),
+      ("position_in_unique_constraint", "UInt32", "YES"),
+      ("referenced_table_schema", "String", "YES"),
+      ("referenced_table_name", "String", "YES"),
+      ("referenced_column_name", "String", "YES"),
+      ("greptime_index_type", "String", "YES")),
+    "column_privileges" -> Seq(
+      ("grantee", "String", "NO"), ("table_catalog", "String", "NO"),
+      ("table_schema", "String", "NO"), ("table_name", "String", "NO"),
+      ("column_name", "String", "NO"), ("privilege_type", "String", "NO"),
+      ("is_grantable", "String", "NO")),
+    "column_statistics" -> Seq(
+      ("schema_name", "String", "NO"), ("table_name", "String", "NO"),
+      ("column_name", "String", "NO"), ("histogram", "String", "NO")),
+    "check_constraints" -> Seq(
+      ("constraint_catalog", "String", "NO"),
+      ("constraint_schema", "String", "NO"),
+      ("constraint_name", "String", "NO"), ("check_clause", "String", "NO")),
+    "region_peers" -> Seq(
+      ("table_catalog", "String", "NO"), ("table_schema", "String", "NO"),
+      ("table_name", "String", "NO"), ("region_id", "UInt64", "NO"),
+      ("peer_id", "UInt64", "YES"), ("peer_addr", "String", "YES"),
+      ("is_leader", "String", "YES"), ("status", "String", "YES"),
+      ("down_seconds", "Int64", "YES")),
     "region_info" -> Seq(
       ("region_id", "UInt64", "NO"), ("table_id", "UInt32", "NO"),
       ("region_number", "UInt32", "NO"), ("region_group", "UInt8", "NO"),
@@ -3216,11 +3274,79 @@ final class GraftSession(spark0: SparkSession,
     constraintRows.toDF("constraint_catalog", "constraint_schema", "constraint_name",
       "table_schema", "table_name", "constraint_type", "enforced")
       .createOrReplaceTempView("__info_constraints")
-    catalog.tables.flatMap { t =>
+    // reference columns shape: data_type is the SQL spelling, the
+    // ConcreteDataType name rides in greptime_data_type
+    // (system/information_schema.result's my_db.foo row)
+    val colViewRows = catalog.tables.toSeq.sorted.flatMap { t =>
       describeTable(t).collect().map(r =>
-        (t, r.getString(0), r.getString(1), r.getString(3) == "YES", r.getString(5)))
-    }.toDF("table_name", "column_name", "data_type", "is_nullable", "semantic_type")
+        ("greptime", currentDb, t, r.getString(0), r.getString(1),
+          r.getString(3) == "YES", r.getString(5)))
+    } ++ dbSaved.toSeq.filterNot(_._1 == currentDb).flatMap { case (db, st) =>
+      st.specs.toSeq.sortBy(_._1).flatMap { case (t, spec) =>
+        st.meta.getOrElse(t, Vector.empty).map { cm =>
+          val sem = if (cm.name == spec.timeIndex) "TIMESTAMP"
+            else if (spec.tags.contains(cm.name)) "TAG" else "FIELD"
+          ("greptime", db, t, cm.name, cm.gtype, cm.nullable, sem)
+        }
+      }
+    }
+    val colViewAll = colViewRows :+
+      (("greptime", "public", "numbers", "number", "UInt32", false, "TAG"))
+    colViewAll.map { case (cat, db, t, c, gtype, nullable, sem) =>
+      (cat, db, t, c, showCreateType(gtype).toLowerCase(Locale.ROOT),
+        gtype, nullable, sem)
+    }.toDF("table_catalog", "table_schema", "table_name", "column_name",
+      "data_type", "greptime_data_type", "is_nullable", "semantic_type")
       .createOrReplaceTempView("__info_columns")
+    // key_column_usage: a row per PRIMARY-key column (system/
+    // information_schema.result pins numbers.number with 'dense')
+    val kcuRows = ((currentRows ++ savedRows).map(r => (r._2, r._3, r._7)) :+
+      (("public", "numbers", "number"))).flatMap { case (db, t, pks) =>
+      pks.split(",").filter(_.nonEmpty).zipWithIndex.map { case (c, i) =>
+        ("def", db, "PRIMARY", "def", "greptime", db, t, c, i + 1,
+          null: String, null: String, null: String, null: String, "dense")
+      }
+    }
+    kcuRows.toDF("constraint_catalog", "constraint_schema", "constraint_name",
+      "table_catalog", "real_table_catalog", "table_schema", "table_name",
+      "column_name", "ordinal_position", "position_in_unique_constraint",
+      "referenced_table_schema", "referenced_table_name",
+      "referenced_column_name", "greptime_index_type")
+      .createOrReplaceTempView("__info_key_column_usage")
+    // engines / build_info / charsets / collations and the always-empty
+    // privilege tables (system/information_schema.result)
+    Seq(("mito", "DEFAULT", "Storage engine for time-series data", "NO", "NO", "NO"),
+      ("metric", "YES",
+        "Storage engine for observability scenarios, which is adept at " +
+          "handling a large number of small tables, making it particularly " +
+          "suitable for cloud-native monitoring", "NO", "NO", "NO"))
+      .toDF("engine", "support", "comment", "transactions", "xa", "savepoints")
+      .createOrReplaceTempView("__info_engines")
+    Seq(("main", "0" * 40, "0000000", "true", "0.14.0"))
+      .toDF("git_branch", "git_commit", "git_commit_short", "git_clean",
+        "pkg_version")
+      .createOrReplaceTempView("__info_build_info")
+    Seq(("utf8", "utf8_bin", "UTF-8 Unicode", 4))
+      .toDF("character_set_name", "default_collate_name", "description", "maxlen")
+      .createOrReplaceTempView("__info_character_sets")
+    Seq(("utf8_bin", "utf8", 1, "Yes", "Yes", 1))
+      .toDF("collation_name", "character_set_name", "id", "is_default",
+        "is_compiled", "sortlen")
+      .createOrReplaceTempView("__info_collations")
+    Seq(("utf8_bin", "utf8"))
+      .toDF("collation_name", "character_set_name")
+      .createOrReplaceTempView("__info_collation_character_set_applicability")
+    Seq.empty[(String, String, String, String, String, String, String)]
+      .toDF("grantee", "table_catalog", "table_schema", "table_name",
+        "column_name", "privilege_type", "is_grantable")
+      .createOrReplaceTempView("__info_column_privileges")
+    Seq.empty[(String, String, String, String)]
+      .toDF("schema_name", "table_name", "column_name", "histogram")
+      .createOrReplaceTempView("__info_column_statistics")
+    Seq.empty[(String, String, String, String)]
+      .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+        "check_clause")
+      .createOrReplaceTempView("__info_check_constraints")
     flows.toSeq.map { case (f, (_, q)) =>
       val meta = flowMeta.get(f)
       val pending = meta.exists(_.pending)
