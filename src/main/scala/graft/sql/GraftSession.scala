@@ -254,7 +254,9 @@ final class GraftSession(spark0: SparkSession,
       val infoQualified = rawTarget.toLowerCase(Locale.ROOT)
         .startsWith("information_schema.")
       val bare = target.stripPrefix("information_schema__schema__")
-      if ((infoDb || infoQualified) && target.endsWith("table_constraints"))
+      if (bare.startsWith("pg_") && infoTableDescs.contains(bare))
+        describeInfoTable(bare)
+      else if ((infoDb || infoQualified) && target.endsWith("table_constraints"))
         describeInfoConstraints()
       else if ((infoDb || infoQualified) && target.endsWith("table_semantics"))
         describeInfoTableSemantics()
@@ -489,7 +491,8 @@ final class GraftSession(spark0: SparkSession,
       // the full information_schema.columns self-listing needs column
       // parity across every virtual table — unsupported, like before
       if ("(?is)^\\s*select\\s+\\*\\s+from\\s+information_schema\\.columns\\b".r
-          .findFirstIn(stmt).isDefined)
+          .findFirstIn(stmt).isDefined &&
+          !"(?i)table_name\\s*=".r.findFirstIn(stmt).isDefined)
         throw new IllegalArgumentException(
           "information_schema.columns self-listing is not supported")
       // pg_catalog surface (system/pg_catalog.sql): strip the schema
@@ -3086,6 +3089,28 @@ final class GraftSession(spark0: SparkSession,
   /** DESC schemas of the storage-introspection info tables
     * (information_schema/{region_info,region_statistics,ssts}.result). */
   private val infoTableDescs: Map[String, Seq[(String, String, String)]] = Map(
+    "pg_class" -> Seq(
+      ("oid", "Int32", "NO"), ("relname", "String", "NO"),
+      ("relnamespace", "Int32", "NO"), ("reltype", "Int32", "NO"),
+      ("reloftype", "Int32", "YES"), ("relowner", "Int32", "NO"),
+      ("relam", "Int32", "NO"), ("relfilenode", "Int32", "NO"),
+      ("reltablespace", "Int32", "NO"), ("relpages", "Int32", "NO"),
+      ("reltuples", "Float64", "NO"), ("relallvisible", "Int32", "NO"),
+      ("reltoastrelid", "Int32", "NO"), ("relhasindex", "Boolean", "NO"),
+      ("relisshared", "Boolean", "NO"), ("relpersistence", "String", "NO"),
+      ("relkind", "String", "NO"), ("relnatts", "Int16", "NO"),
+      ("relchecks", "Int16", "NO"), ("relhasrules", "Boolean", "NO"),
+      ("relhastriggers", "Boolean", "NO"), ("relhassubclass", "Boolean", "NO"),
+      ("relrowsecurity", "Boolean", "NO"),
+      ("relforcerowsecurity", "Boolean", "NO"),
+      ("relispopulated", "Boolean", "NO"), ("relreplident", "String", "NO"),
+      ("relispartition", "Boolean", "NO"), ("relrewrite", "Int32", "YES"),
+      ("relfrozenxid", "Int32", "NO"), ("relminmxid", "Int32", "NO"),
+      ("relpartbound", "String", "YES")),
+    "pg_namespace" -> Seq(
+      ("oid", "Int32", "NO"), ("nspname", "String", "NO"),
+      ("nspowner", "Int32", "NO"), ("nspacl", "String", "YES"),
+      ("options", "String", "YES")),
     "schemata" -> Seq(
       ("catalog_name", "String", "NO"), ("schema_name", "String", "NO"),
       ("default_character_set_name", "String", "NO"),
