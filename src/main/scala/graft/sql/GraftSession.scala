@@ -812,6 +812,55 @@ final class GraftSession(spark0: SparkSession,
     s
   }
 
+  /** FROM-less `SELECT unnest(...)` forms (select/unnest.sql): nested
+    * unnest flattens; multiple array generators ZIP positionally padded
+    * with null; a struct unnest expands to its fields. Re-expressed as a
+    * sequence-index explode with `try_element_at`. */
+  private def rewriteScalarUnnest(sel0: String): String = {
+    var s = sel0
+    var changed = true
+    while (changed) {
+      val next = s.replaceAll("(?i)\\bunnest\\s*\\(\\s*unnest\\s*\\(",
+        "unnest(flatten(")
+      changed = next != s
+      s = next
+    }
+    // collect balanced unnest(arg) spans
+    def collect(str: String): Seq[(Int, Int, String)] = {
+      val out = Seq.newBuilder[(Int, Int, String)]
+      val rx = "(?i)\\bunnest\\s*\\(".r
+      for (m <- rx.findAllMatchIn(str)) {
+        var d = 0; var i = m.end - 1; var close = -1
+        while (i < str.length && close < 0) {
+          str.charAt(i) match {
+            case '(' => d += 1
+            case ')' => d -= 1; if (d == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close > 0) out += ((m.start, close + 1, str.substring(m.end, close).trim))
+      }
+      out.result()
+    }
+    val spans = collect(s)
+    if (spans.isEmpty) return s
+    val args = spans.map(_._3).distinct
+    if (args.length == 1 && args.head.toLowerCase(Locale.ROOT).startsWith("struct")) {
+      // struct unnest → one row of its fields
+      return s"SELECT inline(array(${args.head}))"
+    }
+    // rewrite right-to-left so spans stay valid
+    var out = s
+    spans.sortBy(-_._1).foreach { case (a, b, arg) =>
+      out = out.substring(0, a) + s"try_element_at(($arg), __i + 1)" +
+        out.substring(b)
+    }
+    val sizes = args.map(a => s"size(($a))").mkString(", ")
+    val great = if (args.length == 1) sizes else s"greatest($sizes)"
+    s"$out FROM (SELECT explode(sequence(0, $great - 1)) AS __i)"
+  }
+
   /** SHOW CHARACTER SET / COLLATION filter handling: `LIKE 'pat'`
     * matches against `likeCol`; a `WHERE cond` tail applies verbatim
     * (show/show_charset.sql, show/show_collation.sql). */
@@ -951,6 +1000,13 @@ final class GraftSession(spark0: SparkSession,
         s"concat('[', concat_ws(',', transform(array_sort(collect_list(struct(($ts) AS ts, CAST(($lat) AS DOUBLE) AS lat, CAST(($lng) AS DOUBLE) AS lng))), " +
           s"p -> concat('[', cast(p.lng AS STRING), ',', cast(p.lat AS STRING), ']'))), ']')"
       })
+    // FROM-less scalar unnest: DataFusion zips multiple generators
+    // positionally with null padding (select/unnest.result:
+    // `unnest([1,2,3]) + unnest([4,5])` → 5, 7, null)
+    if ("(?is)^\\s*SELECT\\b.*".r.matches(r) &&
+        "(?i)\\bFROM\\b".r.findFirstIn(r).isEmpty &&
+        "(?i)\\bunnest\\s*\\(".r.findFirstIn(r).isDefined)
+      r = rewriteScalarUnnest(r)
     // remaining UNNEST over arrays → explode
     r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bUNNEST\\s*\\(", "explode("))
     // MySQL numeric IF condition → boolean (starrocks_compatibility.sql)
