@@ -304,13 +304,23 @@ object Dedup {
       .distinct()
     val da = docs.select(col("__id").as("id_a"), col("__g").as("__ga"))
     val db = docs.select(col("__id").as("id_b"), col("__g").as("__gb"))
-    cand.join(da, "id_a").join(db, "id_b")
+    val pairs = cand.join(da, "id_a").join(db, "id_b")
       .withColumn("__inter", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .withColumn("jaccard",
         col("__inter").cast("double") /
           (size(col("__ga")) + size(col("__gb")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // The pairs result (proportional to the duplicate count, not the
+    // corpus) is materialized eagerly so the shingle cache can be
+    // released NOW instead of leaking one MEMORY_AND_DISK corpus per
+    // call for the life of the session. localCheckpoint truncates the
+    // lineage (so `docs` is no longer referenced) and its blocks are
+    // reclaimed by the ContextCleaner once the returned frame is GC'd —
+    // unlike persist(), which pins until an explicit unpersist.
+    val out = pairs.localCheckpoint(true)
+    docs.unpersist()
+    out
   }
 
   /** Embedding near-dup pairs: random-hyperplane LSH prefilter + exact

@@ -858,7 +858,11 @@ final class GraftSession(spark0: SparkSession,
     }
     val sizes = args.map(a => s"size(($a))").mkString(", ")
     val great = if (args.length == 1) sizes else s"greatest($sizes)"
-    s"$out FROM (SELECT explode(sequence(0, $great - 1)) AS __i)"
+    // guard the generator: for an all-empty input `sequence(0, -1)` is
+    // the DESCENDING sequence [0, -1], which would emit two null rows
+    // where unnest of an empty array must emit zero
+    s"$out FROM (SELECT explode(CASE WHEN ($great) <= 0 THEN array() " +
+      s"ELSE sequence(0, $great - 1) END) AS __i)"
   }
 
   /** SHOW CHARACTER SET / COLLATION filter handling: `LIKE 'pat'`
@@ -1019,8 +1023,14 @@ final class GraftSession(spark0: SparkSession,
       "(?i)\\bcount_hash\\s*\\(([^()]*)\\)", "count(DISTINCT xxhash64($1))"))
     // DataFusion coerces an integer literal compared against a TIME
     // INDEX column to the column's epoch unit (expr/atat.sql:
-    // `WHERE id <= 6` on a TIMESTAMP(3) index means 6 ms)
-    for (t <- catalog.tables if r.contains(t)) {
+    // `WHERE id <= 6` on a TIMESTAMP(3) index means 6 ms).
+    // Only tables actually referenced in a FROM/JOIN clause participate
+    // — a name-substring coincidence (table `log` inside the word
+    // `logs`) must not pick the wrong table's epoch unit — and a
+    // table-qualified occurrence (`t2.ts`) is rewritten only with t2's
+    // own unit, never another FROM table's.
+    val tiRefs = fromClauseTables(r)
+    for (t <- catalog.tables if tiRefs.contains(t)) {
       val ti = catalog.spec(t).timeIndex
       val isTs = scala.util.Try(spark.table(t).schema(ti).dataType).toOption
         .exists(d => d == TimestampType || d == TimestampNTZType)
@@ -1029,16 +1039,26 @@ final class GraftSession(spark0: SparkSession,
         val conv = (n: String) =>
           if (us > 0) s"TIMESTAMP_MICROS($n * $us)"
           else s"TIMESTAMP_MICROS($n div 1000)"
-        val rx = ("(`" + java.util.regex.Pattern.quote(ti) + "`|\\b" +
+        // optional qualifier: skip the occurrence when it names ANOTHER
+        // catalog table (aliases stay eligible — they're unresolvable
+        // here, and the bare-column first-wins behavior is unchanged)
+        val q = "(?:([A-Za-z_][A-Za-z0-9_]*)\\.)?"
+        def qualOk(qual: String): Boolean =
+          qual == null || qual == t || !catalog.tables.contains(qual)
+        def emitQ(qual: String): String =
+          if (qual == null) "" else qual + "."
+        val rx = (q + "(`" + java.util.regex.Pattern.quote(ti) + "`|\\b" +
           java.util.regex.Pattern.quote(ti) + "\\b)\\s*(<=|>=|<|>|=)\\s*(\\d+)(?![\\d.])").r
         r = rewriteOutsideQuotes(r)(rx.replaceAllIn(_, m =>
           scala.util.matching.Regex.quoteReplacement(
-            s"${m.group(1)} ${m.group(2)} ${conv(m.group(3))}")))
-        val betweenRx = ("(?i)(`" + java.util.regex.Pattern.quote(ti) + "`|\\b" +
+            if (!qualOk(m.group(1))) m.matched
+            else s"${emitQ(m.group(1))}${m.group(2)} ${m.group(3)} ${conv(m.group(4))}")))
+        val betweenRx = ("(?i)" + q + "(`" + java.util.regex.Pattern.quote(ti) + "`|\\b" +
           java.util.regex.Pattern.quote(ti) + "\\b)\\s+BETWEEN\\s+(\\d+)\\s+AND\\s+(\\d+)").r
         r = rewriteOutsideQuotes(r)(betweenRx.replaceAllIn(_, m =>
           scala.util.matching.Regex.quoteReplacement(
-            s"${m.group(1)} BETWEEN ${conv(m.group(2))} AND ${conv(m.group(3))}")))
+            if (!qualOk(m.group(1))) m.matched
+            else s"${emitQ(m.group(1))}${m.group(2)} BETWEEN ${conv(m.group(3))} AND ${conv(m.group(4))}")))
       }
     }
     // Spark's CAST grammar has no timestamp precision — strip it
@@ -1133,9 +1153,20 @@ final class GraftSession(spark0: SparkSession,
       val q = if (desc) s"(1.0 - ($p))" else s"($p)"
       val call = s"__approx_pct_td(CAST(($x) AS DOUBLE), CAST(($w) AS DOUBLE), $q)" +
         s" FILTER (WHERE ($x) IS NOT NULL AND ($w) IS NOT NULL)"
-      s"CASE WHEN any_value(typeof($x)) RLIKE 'int' " +
-        s"THEN CAST(CAST($call AS BIGINT) AS STRING) " +
-        s"ELSE CAST($call AS STRING) END"
+      // the reference renders the estimate in the ORDER BY column's own
+      // type (integral input truncates to an integer). Resolve that type
+      // STATICALLY via probeType so the result stays numeric — sorting /
+      // comparing / arithmetic on it keeps numeric semantics. Only when
+      // the probe can't resolve (exotic FROM shapes) fall back to the
+      // runtime-typed CASE, whose branches must share the STRING type.
+      probeType(x, r).map(isIntegral) match {
+        case Some(true)  => s"CAST($call AS BIGINT)"
+        case Some(false) => s"CAST($call AS DOUBLE)"
+        case None =>
+          s"CASE WHEN any_value(typeof($x)) RLIKE 'int' " +
+            s"THEN CAST(CAST($call AS BIGINT) AS STRING) " +
+            s"ELSE CAST($call AS STRING) END"
+      }
     }
     def splitOrd(ord: String): (String, Boolean) =
       "(?is)^(.*?)\\s+(ASC|DESC)\\s*$".r.findFirstMatchIn(ord.trim) match {
@@ -1336,6 +1367,24 @@ final class GraftSession(spark0: SparkSession,
         s"${m.group(1)} ${m.group(2)} TIMESTAMP_MICROS(${m.group(3)} * $usPerUnit)"
       else m.matched
     }))
+  }
+
+  /** Identifiers appearing in FROM/JOIN position anywhere in the
+    * statement (CTE bodies included), plus the last segment of
+    * db-qualified names — the set of tables a clause-level rewrite may
+    * legitimately bind to. */
+  private[graft] def fromClauseTables(s: String): Set[String] = {
+    val out = scala.collection.mutable.Set[String]()
+    val ident = "(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)"
+    val rx = ("(?is)\\b(?:FROM|JOIN)\\s+(" + ident +
+      "(?:\\s*,\\s*" + ident + ")*)").r
+    for (m <- rx.findAllMatchIn(s); part <- m.group(1).split(",")) {
+      val id = part.trim.stripPrefix("`").stripSuffix("`")
+      out += id
+      val dot = id.lastIndexOf('.')
+      if (dot >= 0) out += id.substring(dot + 1)
+    }
+    out.toSet
   }
 
   /** Schema-probe an expression against the statement's FROM clause;

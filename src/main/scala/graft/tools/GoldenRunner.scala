@@ -39,7 +39,85 @@ object GoldenRunner {
     def sortResult: Boolean = sortMode > 0
   }
 
-  final case class Outcome(compared: Int, skipped: Int, problems: Seq[String])
+  final case class Outcome(compared: Int, skipped: Int, problems: Seq[String],
+      errSkipped: Int = 0)
+
+  /** Column indices of the statement's outermost ORDER BY keys, resolved
+    * against the effective (compared) column layout. None when any key
+    * is not a plain output column or positional ordinal — callers then
+    * fall back to strict positional compare. */
+  private[tools] def orderKeyIdxs(sql: String, cols: Seq[String]): Option[Seq[Int]] = {
+    val obs = "(?is)\\bORDER\\s+BY\\s+".r.findAllMatchIn(sql).toSeq
+    if (obs.isEmpty) return None
+    // the LAST occurrence is textually the outermost clause in corpus
+    // query shapes (subquery ORDER BYs come earlier in the statement)
+    val tail = sql.substring(obs.last.end)
+    val up = tail.toUpperCase
+    var depth = 0; var cut = tail.length; var i = 0
+    while (i < tail.length && cut == tail.length) {
+      tail.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => if (depth == 0) cut = i else depth -= 1
+        case ';' if depth == 0 => cut = i
+        case _ =>
+          if (depth == 0 &&
+            (up.startsWith("LIMIT", i) || up.startsWith("OFFSET", i)) &&
+            (i == 0 || !Character.isLetterOrDigit(tail.charAt(i - 1)))) cut = i
+      }
+      i += 1
+    }
+    val clause = tail.substring(0, cut)
+    val parts = Seq.newBuilder[String]
+    depth = 0; var last = 0
+    for (j <- clause.indices) clause.charAt(j) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 => parts += clause.substring(last, j); last = j + 1
+      case _ =>
+    }
+    parts += clause.substring(last)
+    val lower = cols.map(_.trim.toLowerCase)
+    val idxs = parts.result().map { p0 =>
+      val p = p0.trim
+        .replaceAll("(?is)\\s+(ASC|DESC)\\b", "")
+        .replaceAll("(?is)\\s+NULLS\\s+(FIRST|LAST)\\b", "").trim
+      if (p.matches("\\d+")) {
+        val k = p.toInt - 1
+        if (k >= 0 && k < cols.length) Some(k) else None
+      } else {
+        val bare = p.toLowerCase
+          .replaceAll("^[a-z_][a-z0-9_]*\\.", "")
+          .stripPrefix("`").stripSuffix("`")
+          .stripPrefix("\"").stripSuffix("\"")
+        val k = lower.indexOf(bare)
+        if (k >= 0) Some(k)
+        else { val f = lower.indexOf(p.toLowerCase); if (f >= 0) Some(f) else None }
+      }
+    }
+    if (idxs.nonEmpty && idxs.forall(_.isDefined)) Some(idxs.map(_.get)) else None
+  }
+
+  /** Ordered-compare tolerance: rows may permute ONLY within runs of
+    * equal ORDER-BY key cells (tie order is engine-internal); any
+    * permutation across distinct keys — e.g. a reversed sort — fails. */
+  private[tools] def tieRunsEqual(got: Seq[Seq[String]], want: Seq[Seq[String]],
+      keys: Seq[Int]): Boolean = {
+    if (got.length != want.length) return false
+    def key(r: Seq[String]) =
+      keys.map(i => if (i < r.length) r(i).trim else "").mkString("")
+    def joined(r: Seq[String]) = r.map(_.trim).mkString("|")
+    val gk = got.map(key); val wk = want.map(key)
+    if (gk != wk) return false
+    var s = 0; var ok = true
+    while (s < gk.length && ok) {
+      var e2 = s + 1
+      while (e2 < gk.length && gk(e2) == gk(s)) e2 += 1
+      if ((s until e2).map(i => joined(got(i))).sorted !=
+          (s until e2).map(i => joined(want(i))).sorted) ok = false
+      s = e2
+    }
+    ok
+  }
 
   /** Strip a trailing `-- comment` from a statement line, respecting
     * single-quoted strings (the corpus has inline comments after VALUES
@@ -240,6 +318,7 @@ object GoldenRunner {
     stallWatcher // ensure started
     var compared = 0
     var skipped = 0
+    var errSkipped = 0
     val problems = Seq.newBuilder[String]
     val trace = sys.env.contains("GOLDEN_TRACE")
     // sqlness substitutes ${SQLNESS_HOME} with its working dir (COPY
@@ -267,7 +346,12 @@ object GoldenRunner {
         case Failure(ex) =>
           e.expected match {
             case _: Table =>
+              // an exception where the golden expects a TABLE is a
+              // missing capability, not noise — counted separately so a
+              // regression that turns comparisons into exceptions can't
+              // hide inside the plan-text skip count
               skipped += 1
+              errSkipped += 1
               if (trace) System.err.println(
                 s"[golden-skip] ${e.sql.take(120)} -> ${String.valueOf(ex.getMessage).take(200)}")
             case ErrorExpected => // reference also errors — fine
@@ -415,16 +499,25 @@ object GoldenRunner {
                   // postgres-protocol goldens render booleans t/f
                   val pgBools = got.flatten.toSet.subsetOf(Set("true", "false")) &&
                     wantRows.flatten.map(strip).toSet.subsetOf(Set("t", "f"))
-                  // mysql-protocol goldens render booleans 0/1
+                  // mysql-protocol goldens render booleans 0/1 — but only
+                  // BOOLEAN-typed columns: a VARCHAR cell containing the
+                  // literal text 'true' must compare as-is
                   val myBools = e.protocol == "mysql"
+                  val boolCols: Seq[Boolean] = {
+                    val ours = df.schema.fields
+                      .map(_.dataType == org.apache.spark.sql.types.BooleanType).toSeq
+                    colPerm.map(p => p.map(ours)).getOrElse(ours)
+                  }
                   val wantC = wantRows.map(_.map(c => canon(strip(c)) match {
                     case "t" if pgBools => "true"
                     case "f" if pgBools => "false"
                     case x => x
                   }))
                   val gotMy =
-                    if (myBools) got.map(_.map {
-                      case "true" => "1"; case "false" => "0"; case x => x
+                    if (myBools) got.map(_.zipWithIndex.map { case (c, j) =>
+                      if (j < boolCols.length && boolCols(j)) c match {
+                        case "true" => "1"; case "false" => "0"; case x => x
+                      } else c
                     }) else got
                   // rows compare pipe-joined: a result cell that itself
                   // contains '|' (string_agg) parses as extra cells from
@@ -436,8 +529,13 @@ object GoldenRunner {
                   val (a, b) =
                     if (ordered && !e.sortResult) (gotJ, wantJ)
                     else (gotJ.sorted, wantJ.sorted)
-                  // ordered compare tolerates ORDER-BY-tie permutations
-                  // (same multiset): tie order is engine-internal.
+                  // ordered compare tolerates permutations ONLY within
+                  // runs of equal ORDER-BY key cells (tie order is
+                  // engine-internal); a broken sort direction fails.
+                  val effCols = colPerm.map(p => p.map(ourCols)).getOrElse(ourCols)
+                  val tieOk = ordered && !e.sortResult && a != b &&
+                    orderKeyIdxs(e.sql, effCols)
+                      .exists(k => tieRunsEqual(gotMy, wantC, k))
                   // column-permutation fallback: TQL projections order
                   // columns differently per plan shape (and name value
                   // columns by expression) — rows whose sorted cell
@@ -455,7 +553,7 @@ object GoldenRunner {
                     (wantHeader.nonEmpty &&
                       wantHeader.map(_.trim.toLowerCase) !=
                         df.columns.map(_.trim.toLowerCase).toSeq)
-                  if (a == b || (ordered && a.sorted == b.sorted) ||
+                  if (a == b || tieOk ||
                     (cellFallbackOk && cellSorted(gotMy) == cellSorted(wantC)))
                     compared += 1
                   else {
@@ -474,7 +572,7 @@ object GoldenRunner {
       }
     }
     stallDeadline.set(Long.MaxValue)
-    Outcome(compared, skipped, problems.result())
+    Outcome(compared, skipped, problems.result(), errSkipped)
   }
 }
 
@@ -502,7 +600,7 @@ object GoldenSweep {
         case Failure(ex) => GoldenRunner.Outcome(0, 0, Seq(s"RUNNER CRASH: ${ex.getMessage}"))
       }
       val flag = if (out.problems.isEmpty) "OK  " else "FAIL"
-      println(f"[$flag] $rel%-40s compared=${out.compared}%-4d skipped=${out.skipped}%-4d problems=${out.problems.size}")
+      println(f"[$flag] $rel%-40s compared=${out.compared}%-4d skipped=${out.skipped}%-4d errs=${out.errSkipped}%-3d problems=${out.problems.size}")
       sys.env.get("GOLDEN_VERBOSE").foreach { _ =>
         out.problems.take(3).foreach(p => println("    " + p.replace("\n", "\n    ")))
       }
