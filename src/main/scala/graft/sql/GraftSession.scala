@@ -964,8 +964,55 @@ final class GraftSession(spark0: SparkSession,
   /** Rewrites for passthrough SQL: `@@` sugar, `expr::type` casts,
     * DataFusion `date_bin`, null-keeping `array_agg`, and the `numbers`
     * generator where LIMIT sets the row count. */
+  /** Postgres `SELECT DISTINCT ON (keys) list FROM ... ORDER BY ord`
+    * (inherited by the reference via DataFusion; aggregate/distinct.sql,
+    * window/latest_per_series.sql) → row_number-over-window rewrite:
+    * keep the first row per key group according to the ORDER BY, result
+    * ordered by the same clause. Handles the form standalone or inside
+    * one subquery level (the span ends at the enclosing close-paren). */
+  private[graft] def rewriteDistinctOn(s0: String): String = {
+    val m = "(?is)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(".r
+      .findFirstMatchIn(s0).getOrElse(return s0)
+    // keys: up to the matching close paren
+    var i = m.end; var depth = 1
+    while (i < s0.length && depth > 0) {
+      s0.charAt(i) match { case '(' => depth += 1; case ')' => depth -= 1; case _ => }
+      i += 1
+    }
+    if (depth > 0) return s0
+    val keys = s0.substring(m.end, i - 1).trim
+    // span of this SELECT: to the close paren of the enclosing subquery
+    // (depth -1) or end of statement
+    var j = i; depth = 0
+    while (j < s0.length && depth >= 0) {
+      s0.charAt(j) match { case '(' => depth += 1; case ')' => depth -= 1; case _ => }
+      if (depth >= 0) j += 1
+    }
+    val body = s0.substring(i, j)
+    // top-level clause offsets within the body
+    def topLevel(rx: scala.util.matching.Regex): Option[scala.util.matching.Regex.Match] =
+      rx.findAllMatchIn(body).find { mm =>
+        val pre = body.substring(0, mm.start)
+        pre.count(_ == '(') == pre.count(_ == ')')
+      }
+    val fromM = topLevel("(?is)\\bFROM\\b".r).getOrElse(return s0)
+    val ordM = topLevel("(?is)\\bORDER\\s+BY\\b".r).getOrElse(return s0)
+    val limM = topLevel("(?is)\\bLIMIT\\b".r)
+    val selectList = body.substring(0, fromM.start).trim
+    val fromPart = body.substring(fromM.end, ordM.start).trim
+    val ordEnd = limM.map(_.start).getOrElse(body.length)
+    val ordList = body.substring(ordM.end, ordEnd).trim.stripSuffix(";").trim
+    val tail = limM.map(l => " " + body.substring(l.start).trim.stripSuffix(";")).getOrElse("")
+    val outerList = if (selectList == "*") "* EXCEPT (__don_rn)" else selectList
+    val rewritten =
+      s"SELECT $outerList FROM (SELECT *, row_number() OVER " +
+        s"(PARTITION BY $keys ORDER BY $ordList) AS __don_rn FROM $fromPart) " +
+        s"WHERE __don_rn = 1 ORDER BY $ordList$tail"
+    rewriteDistinctOn(s0.substring(0, m.start) + rewritten + s0.substring(j))
+  }
+
   private[graft] def dialect(s: String): String = {
-    var r = rewriteAtAt(s)
+    var r = rewriteAtAt(rewriteDistinctOn(s))
     // ANSI double-quoted identifiers → backticks ("hOsT" = ..., ORDER BY
     // "id"; "" escapes a quote). Aware of single-quoted strings, and
     // VALUES tuples keep double quotes: the corpus' MySQL-ish inserts
@@ -1065,6 +1112,14 @@ final class GraftSession(spark0: SparkSession,
     // (filter/cast_preimage.sql `CAST(ts AS TIMESTAMP(9))`)
     r = rewriteOutsideQuotes(r)(_.replaceAll(
       "(?i)\\b(AS\\s+)TIMESTAMP\\s*\\(\\s*\\d+\\s*\\)", "$1TIMESTAMP"))
+    // length-less VARCHAR/TEXT in CAST targets: Spark demands a length
+    // parameter (order/order_variable_size_payload.sql `cast(i AS VARCHAR)`)
+    r = rewriteOutsideQuotes(r)(_.replaceAll(
+      "(?i)\\b(AS\\s+)(?:VARCHAR|TEXT)\\s*(\\))", "$1STRING$2"))
+    // PG accepts OFFSET before LIMIT; Spark's grammar wants LIMIT first
+    // (subquery/offset.sql `ORDER BY c0 OFFSET 1 LIMIT 1`)
+    r = rewriteOutsideQuotes(r)(_.replaceAll(
+      "(?i)\\bOFFSET\\s+(\\d+)\\s+LIMIT\\s+(\\d+)", "LIMIT $2 OFFSET $1"))
     // arrow_cast(x, 'T') → CAST with the arrow type mapped
     r = "(?i)\\barrow_cast\\s*\\(\\s*([^(),]+)\\s*,\\s*'([^']+)'\\s*\\)".r
       .replaceAllIn(r, m => scala.util.matching.Regex.quoteReplacement(
@@ -1241,6 +1296,31 @@ final class GraftSession(spark0: SparkSession,
         })
       s
     }
+    // within-aggregate ORDER BY (aggregate/{array_agg,string_agg}.sql):
+    // Spark's parser rejects the PG-style inline syntax.
+    // string_agg/listagg map onto Spark 4's listagg WITHIN GROUP form
+    // (DISTINCT supported there natively; nulls are skipped either way)
+    r = ("(?i)\\b(?:string_agg|listagg)\\s*\\(\\s*(DISTINCT\\s+)?" +
+      "((?:[^(),']|'(?:[^']|'')*'|\\([^()]*\\))+?)\\s*,\\s*('(?:[^']|'')*')" +
+      "\\s+ORDER\\s+BY\\s+((?:[^(),']|'(?:[^']|'')*'|\\([^()]*\\))+?)\\s*\\)").r
+      .replaceAllIn(r, m => scala.util.matching.Regex.quoteReplacement(
+        s"string_agg(${Option(m.group(1)).getOrElse("")}${m.group(2)}, " +
+          s"${m.group(3)}) WITHIN GROUP (ORDER BY ${m.group(4)})"))
+    // array_agg(x ORDER BY k [DESC]) expands onto sorted-struct
+    // collection; the __n field forces DataFusion's null placement
+    // (ASC NULLS LAST; the DESC reverse yields NULLS FIRST)
+    r = ("(?i)\\barray_agg\\s*\\(\\s*(DISTINCT\\s+)?" +
+      "((?:[^(),']|'(?:[^']|'')*'|\\([^()]*\\))+?)\\s+ORDER\\s+BY\\s+" +
+      "((?:[^(),']|'(?:[^']|'')*'|\\([^()]*\\))+?)(\\s+ASC|\\s+DESC)?\\s*\\)").r
+      .replaceAllIn(r, m => {
+        val (v, k) = (m.group(2).trim, m.group(3).trim)
+        val desc = Option(m.group(4)).exists(_.trim.equalsIgnoreCase("DESC"))
+        val base = s"collect_list(struct((($k) IS NULL) AS __n, ($k) AS __k, ($v) AS __v))"
+        val dd = if (m.group(1) != null) s"array_distinct($base)" else base
+        val ordered = if (desc) s"reverse(array_sort($dd))" else s"array_sort($dd)"
+        scala.util.matching.Regex.quoteReplacement(
+          s"nullif(transform($ordered, s -> s.__v), array())")
+      })
     // array_agg keeps nulls and returns NULL on empty input (DataFusion);
     // the struct wrapper defeats collect_list's null-dropping
     r = r.replaceAll("(?i)\\bARRAY_AGG\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s*\\)",
