@@ -4,9 +4,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Geospatial functions — reference common/function/src/scalars/geo
-  * (SURVEY.md §2.8). Round 1 covers geohash encode/neighbours, the
-  * st_* point measures, and WKT points; the 23 h3_* / 4 s2_* cell
-  * functions are TODO (need a from-scratch cell indexing port).
+  * (SURVEY.md §2.8): geohash encode/neighbours, the st_* point
+  * measures, and WKT points. The h3_* cell functions live in
+  * [[H3]]/[[Registry]] (from-scratch indexing) and the s2_* family in
+  * [[S2]].
   */
 object GeoFunctions {
 

@@ -185,6 +185,11 @@ object PromParser {
             matchers.filterNot(_.label == "__name__"), None, 0L)
         }
         else if (t.matches("[0-9].*") && !isDuration(t)) { next(); NumberLit(t.toDouble) }
+        // Prometheus number literals include NaN/Inf (case-insensitive)
+        else if (t.equalsIgnoreCase("NaN")) { next(); NumberLit(Double.NaN) }
+        else if (t.equalsIgnoreCase("Inf") || t.equalsIgnoreCase("+Inf")) {
+          next(); NumberLit(Double.PositiveInfinity)
+        }
         else if (t.startsWith("\"") || t.startsWith("'")) {
           next(); StringLit(unescapeString(t.substring(1, t.length - 1)))
         }

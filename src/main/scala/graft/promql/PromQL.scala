@@ -256,7 +256,7 @@ object PromQL {
     case _ => throw new IllegalArgumentException(op)
   }
 
-  val ArithOps = Set("+", "-", "*", "/", "%", "^")
+  val ArithOps = Set("+", "-", "*", "/", "%", "^", "atan2")
   val CmpOps = Set("==", "!=", ">", "<", ">=", "<=")
 
   def vectorScalar(iv: InstantVector, op: String, scalar: Double,

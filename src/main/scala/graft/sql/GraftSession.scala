@@ -439,11 +439,11 @@ final class GraftSession(spark0: SparkSession,
         else substituted.append(c)
       }
       // evaluate EAGERLY: a parameter that cannot convert to the cast's
-      // type must error at EXECUTE time (prepare/mysql_prepare.result)
-      val out = sql(substituted.toString)
-      val rows = out.collect().toSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), out.schema)
+      // type must error at EXECUTE time (prepare/mysql_prepare.result).
+      // localCheckpoint materializes on the EXECUTORS — no driver
+      // roundtrip for a big prepared SELECT — and its blocks are
+      // reclaimed by the ContextCleaner once the frame is unreferenced
+      sql(substituted.toString).localCheckpoint(true)
     }
     else if (up.startsWith("DEALLOCATE")) {
       preparedStmts.remove(stmt.trim.split("\\s+").last.stripSuffix(";"))
@@ -740,13 +740,14 @@ final class GraftSession(spark0: SparkSession,
             .cast(f.dataType).as(f.name)): _*)
         if (appendMode) {
           aligned.write.mode("append").parquet(spec.path)
+          refreshPath(spec.path)
           flowLastSeq.put(name, seqCounter.get())
         }
         else if (spec.mergeMode == MergeMode.LastNonNull)
           // the sink's own merge view coalesces per column (null keeps
           // the old value) — append and let storage-merge resolve, like
           // the reference region write path (flow_last_non_null)
-          aligned.write.mode("append").parquet(spec.path)
+          { aligned.write.mode("append").parquet(spec.path); refreshPath(spec.path) }
         else if (flowDef.keys.nonEmpty)
           Flow.upsert(aligned, spec.path, flowDef.keys)
         else {
@@ -763,6 +764,7 @@ final class GraftSession(spark0: SparkSession,
           fs.rename(staging, sinkP)
           fs.delete(old, true)
         }
+        refreshPath(spec.path)
         refreshView(meta.sinkTable)
       case None =>
         Flow.refreshOnce(spark.sql(dialect(query)), flowDef.copy(transform = identity))
@@ -2784,6 +2786,16 @@ final class GraftSession(spark0: SparkSession,
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
   }
 
+  /** Invalidate Spark's cached file listing for a table path after any
+    * physical write. Without this, a plan resolved before an in-place
+    * rewrite reads the OLD file names through the cached
+    * InMemoryFileIndex and dies with FAILED_READ_FILE.FILE_NOT_EXIST —
+    * a benign retry at sandbox scale, a correctness race with
+    * concurrent readers at cluster scale. */
+  private[graft] def refreshPath(path: String): Unit =
+    try spark.catalog.refreshByPath(path)
+    catch { case _: Throwable => () }
+
   /** One-off physical rewrite of a table's Parquet (type migration /
     * dropped-column purge). DDL-time only — reads stay lazy; the
     * reference migrates lazily per-file, which Parquet mergeSchema
@@ -2797,6 +2809,7 @@ final class GraftSession(spark0: SparkSession,
     fs.delete(new org.apache.hadoop.fs.Path(spec.path), true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(spec.path))
+    refreshPath(spec.path)
   }
 
   private def alterAddColumn(name: String, body0: String): Unit = {
@@ -2857,6 +2870,7 @@ final class GraftSession(spark0: SparkSession,
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
         .write.mode("append").parquet(spec.path)
+      refreshPath(spec.path)
     } else if (droppedCols.getOrElse(name, Set.empty).contains(cd.name)) {
       // re-ADD of a DROPped column: the old values are gone in the
       // reference; purge them so only the new default shows
@@ -2930,6 +2944,7 @@ final class GraftSession(spark0: SparkSession,
         val p = new org.apache.hadoop.fs.Path(spec.path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
+        refreshPath(spec.path)
       }
     }
     // a re-CREATE of the same name must not see stale column metadata
@@ -4484,6 +4499,7 @@ final class GraftSession(spark0: SparkSession,
             .toLong
         else df.count()
       df.select(aligned: _*).write.mode("append").parquet(spec.path)
+      refreshPath(spec.path)
       refreshView(name)
       logicalParent.get(name).foreach(refreshMetricPhyView)
       // SCHEDULED flows (EVAL INTERVAL) process source writes
@@ -4536,6 +4552,7 @@ final class GraftSession(spark0: SparkSession,
       fs.delete(new org.apache.hadoop.fs.Path(spec.path), true)
       fs.rename(new org.apache.hadoop.fs.Path(tmp),
         new org.apache.hadoop.fs.Path(spec.path))
+      refreshPath(spec.path)
       refreshView(name)
       status(s"deleted $n rows from $name")
     case _ => throw new IllegalArgumentException(s"cannot parse: $stmt")
@@ -4684,6 +4701,7 @@ final class GraftSession(spark0: SparkSession,
     limit.foreach(n => df = df.limit(n.toInt))
     val n = df.count()
     df.write.mode("append").parquet(spec.path)
+    refreshPath(spec.path)
     refreshView(name)
     n
   }
@@ -5197,7 +5215,67 @@ final class GraftSession(spark0: SparkSession,
     if (close < 0) return None
     val args = splitTop(stmt.substring(open + 1, close)).map(_.trim)
     if (args.length < 3 || args.length > 4) None
-    else Some((args, stmt.substring(close + 1).trim))
+    else {
+      // `TQL EVAL (s,e,step), expr` — the reference's grammar accepts an
+      // optional comma before the query (tql/binary_operator.sql)
+      Some((args, stmt.substring(close + 1).trim.stripPrefix(",").trim))
+    }
+  }
+
+  /** Numeric field columns of a catalog table, declared order. */
+  private def tqlFieldsOf(name: String): Seq[String] = {
+    if (!catalog.tables.contains(name)) return Nil
+    val spec = catalog.spec(name)
+    scala.util.Try(spark.table(name)).toOption.map(_.schema.fields
+      .filter(f => !spec.tags.contains(f.name) && f.name != spec.timeIndex &&
+        (f.dataType == DoubleType || f.dataType == FloatType ||
+          f.dataType == LongType || f.dataType == IntegerType))
+      .map(_.name).toSeq).getOrElse(Nil)
+  }
+
+  /** GreptimeDB multi-field PromQL: a binary operator between selectors
+    * whose tables carry SEVERAL field columns pairs the fields
+    * POSITIONALLY — `data / data` on (val1,val2,val3) yields three value
+    * columns `lhs.valN / rhs.valN` (tql/binary_operator.sql; the
+    * reference plans this in promql/src/planner.rs via its field-column
+    * matrix). Each pair evaluates as an ordinary single-field binary and
+    * the results join back on (labels, ts). */
+  private def tqlMultiField(promql: String, ep: EvalParams): Option[DataFrame] = {
+    import PromParser._
+    val ast = try PromParser.parse(promql) catch { case _: Throwable => return None }
+    ast match {
+      case Binary(op, l: Selector, r: Selector, boolMod, matching)
+          if graft.promql.PromQL.ArithOps.contains(op) && !boolMod =>
+        def fieldsOf(sel: Selector): Seq[String] = {
+          val explicit = sel.matchers.filter(_.label == "__field__").map(_.value)
+          if (explicit.nonEmpty) explicit else tqlFieldsOf(sel.name)
+        }
+        val lf = fieldsOf(l); val rf = fieldsOf(r)
+        if ((lf.length < 2 && rf.length < 2) || lf.length != rf.length ||
+          lf.isEmpty) return None
+        val metrics = catalog.tables.map(t => t -> metricOf(t)).toMap
+        val ev = new PromEval(spark, metrics, ep)
+        def single(sel: Selector, f: String): Selector =
+          sel.copy(matchers =
+            sel.matchers.filterNot(_.label == "__field__") :+
+              Matcher("__field__", "=", f))
+        val parts = lf.zip(rf).map { case (a, b) =>
+          ev.eval(Binary(op, single(l, a), single(r, b), boolMod, matching)) match {
+            case Right(iv) => (s"lhs.$a $op rhs.$b", iv)
+            case Left(_) => return None
+          }
+        }
+        val labels = parts.head._2.labels
+        val keys = labels :+ "__ts"
+        val joined = parts.map { case (nm, iv) =>
+          iv.df.select(keys.map(c => col(s"`$c`")) :+ col("__val").as(nm): _*)
+        }.reduce((a, b) => a.join(b, keys, "inner"))
+        Some(joined.select(
+          (timestamp_millis(col("__ts")).as("ts") +:
+            parts.map { case (nm, _) => col(s"`$nm`") }) ++
+            labels.sorted.map(c => col(s"`$c`")): _*))
+      case _ => None
+    }
   }
 
   private def tqlEval(stmt: String): DataFrame = parseTqlHead(stmt) match {
@@ -5222,6 +5300,20 @@ final class GraftSession(spark0: SparkSession,
               body.trim.endsWith("}") =>
           (body.trim, Some(a))
         case p => (p, None)
+      }
+      tqlMultiField(promql, EvalParams(startMs, endMs, stepMs, lookbackMs))
+        .foreach(df => return df)
+      // a whole-body double-quoted string is a PromQL STRING literal:
+      // its raw text repeats as the value at every step
+      // (tql/literal_only.sql `"1+1"` → rows of the string "1+1")
+      val StrLitRx = "(?s)^\"([^\"]*)\"$".r
+      promql match {
+        case StrLitRx(sv) =>
+          val steps = math.max((endMs - startMs) / math.max(stepMs, 1L), 0L)
+          return spark.range(0, steps + 1)
+            .select(timestamp_millis(lit(startMs) + col("id") * lit(stepMs)).as("ts"),
+              lit(sv).as("value"))
+        case _ =>
       }
       val metrics = catalog.tables.map(t => t -> metricOf(t)).toMap
       val df = new PromEval(spark, metrics,

@@ -113,11 +113,18 @@ object Flow {
     val sinkPath = new Path(sink)
     val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // every exit invalidates Spark's cached file listing for the sink:
+    // plans resolved pre-rewrite would otherwise read renamed-away files
+    // (FAILED_READ_FILE.FILE_NOT_EXIST under concurrent readers)
+    def refreshed[A](a: A): A = {
+      try spark.catalog.refreshByPath(sink) catch { case _: Throwable => () }
+      a
+    }
     val sinkHasData = fs.exists(sinkPath) && fs.listStatus(sinkPath).nonEmpty
     if (!sinkHasData) {
       val w = batch.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(sink)
-      return
+      return refreshed(())
     }
 
     if (partitionCols.nonEmpty) {
@@ -136,6 +143,7 @@ object Flow {
         spark.read.parquet(staging).write
           .mode("overwrite").partitionBy(partitionCols: _*).parquet(sink)
         fs.delete(new Path(staging), true)
+        refreshed(())
       } finally {
         prev match {
           case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
@@ -154,6 +162,7 @@ object Flow {
       fs.rename(sinkPath, old)
       fs.rename(staging, sinkPath)
       fs.delete(old, true)
+      refreshed(())
     }
   }
 }

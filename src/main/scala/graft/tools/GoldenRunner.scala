@@ -313,7 +313,21 @@ object GoldenRunner {
     t
   }
 
+  /** GOLDEN_TRACE=jobs also logs every Spark job submission with its
+    * call site — pinpoints which statement schedules a stray scan. */
+  private val jobTraceInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def installJobTrace(spark: SparkSession): Unit =
+    if (sys.env.get("GOLDEN_TRACE").contains("jobs") &&
+        jobTraceInstalled.compareAndSet(false, true))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          System.err.println(s"[golden-job] ${j.jobId} stages=${j.stageIds.mkString(",")} " +
+            s"group=${Option(j.properties).map(_.getProperty("spark.jobGroup.id")).getOrElse("?")} " +
+            s"desc=${Option(j.properties).map(p => String.valueOf(p.getProperty("spark.job.description")).take(60)).getOrElse("?")}")
+      })
+
   def run(spark: SparkSession, resultFile: String): Outcome = {
+    installJobTrace(spark)
     val g = new GraftSession(spark)
     stallWatcher // ensure started
     var compared = 0
@@ -330,6 +344,13 @@ object GoldenRunner {
       if (e.sleepMs > 0) Thread.sleep(e.sleepMs) // SQLNESS SLEEP (ttl tests)
       stallStmt.set(e.sql)
       stallDeadline.set(System.nanoTime() + 90L * 1000 * 1000 * 1000)
+      // each statement runs under a job group: a statement that throws
+      // mid-evaluation can leave an ASYNC broadcast-exchange job running,
+      // which then races a following DROP's file deletion
+      // (tql/case_sensitive's cross-schema error + drop) — the group is
+      // cancelled on failure so no orphan scan outlives its statement
+      spark.sparkContext.setJobGroup("golden-stmt", e.sql.take(120),
+        interruptOnCancel = true)
       if (trace) { System.err.println(s"[golden-exec] ${e.sql.take(150)}"); System.err.flush() }
       val upSql = e.sql.toUpperCase
       val isExplain = upSql.startsWith("EXPLAIN") ||
@@ -344,6 +365,7 @@ object GoldenRunner {
       }
       else Try(g.sql(e.sql)) match {
         case Failure(ex) =>
+          spark.sparkContext.cancelJobGroup("golden-stmt")
           e.expected match {
             case _: Table =>
               // an exception where the golden expects a TABLE is a
@@ -369,7 +391,9 @@ object GoldenRunner {
               // sqlness-style, apply the directives to the full block,
               // compare strings
               Try(df.collect().map(_.toSeq.map(v => cell(v))).toSeq) match {
-                case Failure(_) => skipped += 1
+                case Failure(_) =>
+                  spark.sparkContext.cancelJobGroup("golden-stmt")
+                  skipped += 1
                 case Success(rows0) =>
                   val expanded = rows0.flatMap { r =>
                     val maxLines = r.map(_.count(_ == '\n') + 1).max
@@ -402,7 +426,9 @@ object GoldenRunner {
             case Table(want, wantHeader, _) =>
               val ordered = e.sql.toUpperCase.contains("ORDER BY")
               Try(df.collect().map(_.toSeq.map(v => cell(v))).toSeq) match {
-                case Failure(_) => skipped += 1
+                case Failure(_) =>
+                  spark.sparkContext.cancelJobGroup("golden-stmt")
+                  skipped += 1
                 case Success(raw00) =>
                   // a multiline cell renders as continuation ROWS in the
                   // reference's pretty-printer (information_schema.flows'
@@ -570,6 +596,11 @@ object GoldenRunner {
             case _ => // DDL/DML success
           }
       }
+      // end-of-statement: kill any stage still in flight (AQE can leave
+      // a materialization job running after collect() short-circuits on
+      // an empty side) — a stray scan must not race the next DROP
+      spark.sparkContext.cancelJobGroup("golden-stmt")
+      spark.sparkContext.clearJobGroup()
     }
     stallDeadline.set(Long.MaxValue)
     Outcome(compared, skipped, problems.result(), errSkipped)
