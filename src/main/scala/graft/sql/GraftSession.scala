@@ -449,6 +449,48 @@ final class GraftSession(spark0: SparkSession,
       preparedStmts.remove(stmt.trim.split("\\s+").last.stripSuffix(";"))
       status("deallocated")
     }
+    // ---- cursors (operator/src/statement/cursor.rs,
+    //      sql/src/parsers/cursor_parser.rs) ---------------------------
+    else if (up.startsWith("DECLARE")) {
+      val m = ("(?is)^DECLARE\\s+(\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_]*)\\s+" +
+        "CURSOR\\s+FOR\\s+(.*?)\\s*;?\\s*$").r
+        .findFirstMatchIn(stmt.trim).getOrElse(
+          throw new IllegalArgumentException(s"cannot parse: $stmt"))
+      val body = m.group(2).trim
+      val bu = body.toUpperCase(Locale.ROOT)
+      // the reference only accepts SELECT/WITH bodies (cursor_parser.rs)
+      if (!bu.startsWith("SELECT") && !bu.startsWith("WITH"))
+        throw new IllegalArgumentException(
+          "Expect select query in cursor statement")
+      val df = sql(body)
+      // toLocalIterator streams one partition at a time — a cursor over
+      // a huge result never materializes it on the driver; successive
+      // FETCHes drain the iterator like the reference's
+      // RecordBatchStreamCursor (common/recordbatch/src/cursor.rs)
+      cursors.put(unquote(m.group(1)).toLowerCase(Locale.ROOT),
+        (df.toLocalIterator(), df.schema))
+      status("cursor declared")
+    }
+    else if (up.startsWith("FETCH")) {
+      val m = ("(?is)^FETCH\\s+(\\d+)\\s+(?:FROM|IN)\\s+" +
+        "(\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+        .findFirstMatchIn(stmt.trim).getOrElse(
+          throw new IllegalArgumentException(s"cannot parse: $stmt"))
+      val name = unquote(m.group(2)).toLowerCase(Locale.ROOT)
+      val (it, schema) = cursors.getOrElse(name,
+        throw new IllegalArgumentException(s"Cursor not found: $name"))
+      val n = m.group(1).toLong
+      val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      while (rows.length < n && it.hasNext) rows += it.next()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.toArray: _*), schema)
+    }
+    else if (up.startsWith("CLOSE")) {
+      val name = unquote(stmt.trim.split("\\s+").last.stripSuffix(";"))
+        .toLowerCase(Locale.ROOT)
+      cursors.remove(name)
+      status("cursor closed")
+    }
     else if (up.startsWith("TQL EVAL")) tqlEval(stmt)
     else if (up.startsWith("WITH") &&
         "(?is)\\bTQL\\s+EVAL\\b".r.findFirstIn(stmt).isDefined) {
@@ -4815,6 +4857,12 @@ final class GraftSession(spark0: SparkSession,
   private val flowLastSeq = scala.collection.concurrent.TrieMap.empty[String, Long]
   /** PREPARE name FROM '...' templates (prepare/mysql_prepare.sql) */
   private val preparedStmts = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Open cursors: name → (partition-streaming row iterator, schema).
+    * DECLARE/FETCH/CLOSE (operator/src/statement/cursor.rs). */
+  private val cursors = scala.collection.concurrent.TrieMap
+    .empty[String, (java.util.Iterator[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)]
   /** DDL procedure log for information_schema.procedure_info */
   private val procedureLog =
     scala.collection.mutable.ListBuffer.empty[(String, String)]

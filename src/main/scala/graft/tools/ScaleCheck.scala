@@ -3,16 +3,27 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale validation: synthesize a ~10x events table (1M+ rows, derived
-  * deterministically from sf0.1 — NOT written into /root/testdata), link the
-  * other tables, and leave a directory Bench can point at. Each source row
-  * fans out 10 ways with jittered ts/user/value so per-key cardinalities and
-  * time-spread scale together.
+/** Scale validation: synthesize an N× events table (default 100× → 10M
+  * rows) and an M× documents table (default 10×), derived
+  * deterministically from sf0.1 — NOT written into /root/testdata — and
+  * leave a directory Bench can point at.
+  *
+  * events: each source row fans out with jittered ts/user/value so
+  * per-key cardinalities and time-spread scale together.
+  *
+  * documents: each replica applies a DIFFERENT character permutation to
+  * the text, so replicas are not near-duplicates of each other — the
+  * corpus's internal near-dup structure repeats per replica and the
+  * true pair count scales ~linearly with the fan factor (a plain copy
+  * would grow dup clusters quadratically and swamp the verify stage
+  * with semantically-new output, masking the scaling story).
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val evFan = if (args.length > 2) args(2).toInt else 100
+    val docFan = if (args.length > 3) args(3).toInt else 10
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -31,13 +42,14 @@ object ScaleCheck {
     }
     outDir.mkdirs()
 
-    val ev = spark.read.parquet(s"$src/events.parquet")
+    // normalized load (ns-long ts contract regardless of generator shape)
+    val ev = graft.Tables.load(spark, src, "events")
     val n = ev.count()
-    val fan = ev.crossJoin(spark.range(10).toDF("rep"))
+    val fan = ev.crossJoin(spark.range(evFan).toDF("rep"))
       .select(
-        (col("event_id") * 10 + col("rep")).as("event_id"),
+        (col("event_id") * evFan + col("rep")).as("event_id"),
         // spread replicas across the span: shift by rep * 97 seconds so
-        // windows/timeseries densities scale ~10x without colliding
+        // windows/timeseries densities scale without colliding
         (col("ts") + col("rep") * lit(97L) * lit(1000000000L)).as("ts"),
         (col("user_id") + col("rep") * 1000L).as("user_id"),
         col("event_type"),
@@ -47,9 +59,26 @@ object ScaleCheck {
     val n2 = spark.read.parquet(s"$out/events.parquet").count()
     println(s"[scale] events: $n -> $n2 rows at $out/events.parquet")
 
+    // documents: per-replica character permutation (deterministic)
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val dn = docs.count()
+    val alpha = "aeiousnrt"
+    val perms = (0 until docFan).map(r => alpha.drop(r % alpha.length) + alpha.take(r % alpha.length))
+    val permCol = element_at(array(perms.map(lit): _*), col("rep").cast("int") + 1)
+    val idCol = docs.columns.find(c => c == "doc_id" || c == "id").getOrElse(docs.columns.head)
+    val textCol = docs.columns.find(_ == "text").getOrElse("text")
+    val dfan = docs.crossJoin(spark.range(docFan).toDF("rep"))
+      .withColumn(idCol, col(idCol) * docFan + col("rep"))
+      .withColumn("__perm", permCol)
+      .withColumn(textCol, expr(s"translate(`$textCol`, '$alpha', __perm)"))
+      .drop("rep", "__perm")
+    dfan.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val dn2 = spark.read.parquet(s"$out/documents.parquet").count()
+    println(s"[scale] documents: $dn -> $dn2 rows at $out/documents.parquet")
+
     // link the remaining tables unchanged
     for (f <- new java.io.File(src).listFiles() if f.getName.endsWith(".parquet")
-         if f.getName != "events.parquet") {
+         if f.getName != "events.parquet" && f.getName != "documents.parquet") {
       val link = java.nio.file.Paths.get(out, f.getName)
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(link, f.toPath.toAbsolutePath)

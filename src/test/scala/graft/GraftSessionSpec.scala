@@ -174,4 +174,22 @@ class GraftSessionSpec extends AnyFunSuite {
     val r = g.sql("ADMIN compact_table('cpu')").collect()
     assert(r(0).getString(0) == "0")
   }
+
+  test("cursors: DECLARE / successive FETCH / CLOSE") {
+    g.sql("""CREATE TABLE cur_t (ts TIMESTAMP TIME INDEX, v DOUBLE)""")
+    g.sql("INSERT INTO cur_t VALUES (1000, 1.0), (2000, 2.0), (3000, 3.0), (4000, 4.0), (5000, 5.0)")
+    g.sql("DECLARE c1 CURSOR FOR SELECT v FROM cur_t ORDER BY ts")
+    // successive fetches DRAIN the stream (cursor.rs take() semantics)
+    assert(g.sql("FETCH 2 FROM c1").collect().map(_.getDouble(0)).toSeq == Seq(1.0, 2.0))
+    assert(g.sql("FETCH 2 FROM c1").collect().map(_.getDouble(0)).toSeq == Seq(3.0, 4.0))
+    // past the end: remaining rows only, then empty
+    assert(g.sql("FETCH 9 IN c1").collect().map(_.getDouble(0)).toSeq == Seq(5.0))
+    assert(g.sql("FETCH 9 FROM c1").collect().isEmpty)
+    g.sql("CLOSE c1")
+    assertThrows[IllegalArgumentException](g.sql("FETCH 1 FROM c1"))
+    // non-SELECT body rejected (cursor_parser.rs ensure!)
+    assertThrows[IllegalArgumentException](
+      g.sql("DECLARE c2 CURSOR FOR INSERT INTO cur_t VALUES (6000, 6.0)"))
+    g.sql("DROP TABLE cur_t")
+  }
 }
