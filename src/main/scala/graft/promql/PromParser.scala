@@ -177,12 +177,21 @@ object PromParser {
           // bare-matcher path (promql/label.result pins empty results
           // there via a different mechanism)
           val matchers = parseMatcherBlock()
-          val reserved = Set("__name__", "__field__", "__schema__", "__database__")
-          require(matchers.exists(_.label == "__name__") &&
-            matchers.forall(m => reserved.contains(m.label)),
+          require(matchers.exists(_.label == "__name__"),
             "bare matcher block must name exactly one metric")
+          // the reference planner does not support bare matcher blocks
+          // carrying ordinary label matchers — it plans them as an EMPTY
+          // metric (promql/label.result pins ++/++), while the selector
+          // still parses (flow-tql resolves source_table_names from it).
+          // The __bare_block__ sentinel matches nothing at eval time.
+          val reserved = Set("__name__", "__field__", "__schema__", "__database__")
+          val plain = matchers.filterNot(_.label == "__name__")
+          val marked =
+            if (plain.exists(m => !reserved.contains(m.label)))
+              plain :+ Matcher("__bare_block__", "=", "1")
+            else plain
           Selector(matchers.find(_.label == "__name__").get.value,
-            matchers.filterNot(_.label == "__name__"), None, 0L)
+            marked, None, 0L)
         }
         else if (t.matches("[0-9].*") && !isDuration(t)) { next(); NumberLit(t.toDouble) }
         // Prometheus number literals include NaN/Inf (case-insensitive)

@@ -992,11 +992,12 @@ final class GraftSession(spark0: SparkSession,
       "([A-Za-z_][A-Za-z0-9_.]*)\\s*(?:,\\s*'([^']+)'[^)]*)?\\)").r
 
   private def intervalMs(text: String): Long = {
-    val compact = "(?i)^(\\d+)\\s*(ms|s|m|h|d)$".r
+    val compact = "(?i)^(\\d+)\\s*(ms|s|min|m|h|d)$".r
     val verbose = "(?i)^(\\d+)\\s+(millisecond|second|minute|hour|day)s?$".r
     text.trim match {
       case compact(n, u) => n.toLong * (u.toLowerCase(Locale.ROOT) match {
-        case "ms" => 1L; case "s" => 1000L; case "m" => 60000L
+        case "ms" => 1L; case "s" => 1000L
+        case "m" | "min" => 60000L // humantime accepts both spellings
         case "h" => 3600000L; case "d" => 86400000L })
       case verbose(n, u) => n.toLong * (u.toLowerCase(Locale.ROOT) match {
         case "millisecond" => 1L; case "second" => 1000L; case "minute" => 60000L
@@ -3649,9 +3650,12 @@ final class GraftSession(spark0: SparkSession,
           case a => s"greptime.public.${a.head}"
         }).mkString(","),
         if (pending) "{}" else "{}",
-        options)
+        options,
+        // single-node: flows have no assigned flownode addresses
+        // (flow-tql/flow_tql_flownode_addrs.result pins NULL)
+        null.asInstanceOf[String])
     }.toDF("flow_name", "table_catalog", "flow_definition", "source_table_ids",
-      "source_table_names", "flownode_ids", "options")
+      "source_table_names", "flownode_ids", "options", "flownode_addrs")
       .createOrReplaceTempView("__info_flows")
     // information_schema.views (information_schema/views.result): the
     // stored definition re-rendered with uppercase keywords
@@ -4820,7 +4824,26 @@ final class GraftSession(spark0: SparkSession,
   /** Catalog tables a flow query reads — matches both the bare name and
     * the `db."table"` spelling of per-schema mangled tables
     * (flow/flow_batch_join_subquery.sql joins two qualified sources). */
-  private def flowSourceTables(query: String, sink: String): Seq[String] =
+  private def flowSourceTables(query: String, sink: String): Seq[String] = {
+    // TQL bodies: only PromQL SELECTOR names are sources — a token scan
+    // would match table `tql` against the TQL keyword itself
+    // (flow-tql/flow_tql_cte.sql creates exactly that table)
+    if (query.trim.toUpperCase(Locale.ROOT).startsWith("TQL")) {
+      import PromParser._
+      def sels(e: Expr): Seq[String] = e match {
+        case s: Selector => Seq(s.name)
+        case Call(_, as) => as.flatMap(sels)
+        case Agg(_, _, _, p, b) => p.toSeq.flatMap(sels) ++ sels(b)
+        case Binary(_, l, r, _, _) => sels(l) ++ sels(r)
+        case Subquery(e2, _, _, _) => sels(e2)
+        case Unary(e2) => sels(e2)
+        case _ => Nil
+      }
+      return parseTqlHead(query.trim).toSeq.flatMap { case (_, promql) =>
+        (try Some(PromParser.parse(promql)) catch { case _: Throwable => None })
+          .toSeq.flatMap(sels)
+      }.distinct.filter(t => t != sink && catalog.tables.contains(t)).sorted
+    }
     catalog.tables.filter { t =>
       val rx = t.split("__schema__", 2) match {
         case Array(d, tb) =>
@@ -4830,6 +4853,7 @@ final class GraftSession(spark0: SparkSession,
       }
       t != sink && rx.r.findFirstIn(query).isDefined
     }.sorted
+  }
 
   /** A flow body may be plain SELECT, a CTE query, or TQL EVAL
     * (flow/flow_tql_avg.sql, flow/flow_scheduled_late_overlap.sql). */
@@ -4952,9 +4976,109 @@ final class GraftSession(spark0: SparkSession,
     Set("defer_on_missing_source", "keys", "flow_type", "batching_interval",
       "experimental_enable_incremental_read")
 
+  /** CREATE FLOW ... AS TQL EVAL validation, mirroring the reference's
+    * flow TQL parser + const-eval (flow-tql/flow_tql.result):
+    *  - range bounds must be now()-relative;
+    *  - a top-level `+ '...'::interval` tail folds to an
+    *    IntervalMonthDayNano, which is not extractable as a timestamp;
+    *  - a negative duration bound fails the seconds→Duration convert;
+    *  - the source must carry exactly ONE f64 value column. */
+  private def validateTqlFlow(query: String): Unit = {
+    import PromParser._
+    val (args, promql) = parseTqlHead(query.trim).getOrElse(return)
+    args.take(2).foreach { a =>
+      if (!a.toLowerCase(Locale.ROOT).contains("now"))
+        throw new IllegalArgumentException(
+          "Invalid TQL syntax: sql parser error: Expected expression containing `now()`")
+      if ("(?i)\\+\\s*'[^']*'\\s*::\\s*interval\\s*$".r.findFirstIn(a.trim).isDefined)
+        throw new IllegalArgumentException(
+          "Invalid TQL syntax: Failed to evaluate TQL expression: " +
+            "Failed to extract a timestamp value")
+    }
+    val (sMs, eMs) = (tqlTimeMs(args(0)), tqlTimeMs(args(1)))
+    if (sMs < 0 || eMs < 0)
+      throw new IllegalArgumentException(
+        "Failed to convert float seconds to duration: " +
+          "cannot convert float seconds to Duration: value is negative")
+    def sels(e: Expr): Seq[Selector] = e match {
+      case s: Selector => Seq(s)
+      case Call(_, as) => as.flatMap(sels)
+      case Agg(_, _, _, p, b) => p.toSeq.flatMap(sels) ++ sels(b)
+      case Binary(_, l, r, _, _) => sels(l) ++ sels(r)
+      case Subquery(e2, _, _, _) => sels(e2)
+      case Unary(e2) => sels(e2)
+      case _ => Nil
+    }
+    (try Some(PromParser.parse(promql)) catch { case _: Throwable => None })
+      .toSeq.flatMap(sels).foreach { s =>
+        val fs = tqlFieldsOf(s.name)
+        if (fs.length > 1)
+          throw new IllegalArgumentException(
+            s"Invalid query: TQL query only supports one f64 value column, " +
+              s"table `greptime.$currentDb.${s.name}` has ${fs.length} f64 value columns")
+      }
+  }
+
+  /** Plan-derived sink layout for a TQL flow whose sink doesn't exist:
+    * (rename old→new for the value column, sink column order, PK). */
+  private def tqlSinkShape(query: String)
+      : Option[(Map[String, String], Seq[String], Seq[String])] = {
+    import PromParser._
+    val (_, promql) = parseTqlHead(query.trim).getOrElse(return None)
+    val ast = try PromParser.parse(promql) catch { case _: Throwable => return None }
+    ast match {
+      case Agg("count_values", _, _, Some(StringLit(dst)), sel: Selector)
+          if catalog.tables.contains(sel.name) =>
+        val f = valueFieldOf(sel.name).getOrElse(return None)
+        // the value lands in qdf under the source's field name (tqlReshape)
+        val nm = s"count(${sel.name}.$f)"
+        Some((Map(f -> nm), Seq(nm, "ts", dst), Seq(dst)))
+      case Call(fn, Seq(sel: Selector)) if sel.rangeMs.isDefined &&
+          catalog.tables.contains(sel.name) =>
+        val f = valueFieldOf(sel.name).getOrElse(return None)
+        val spec = catalog.spec(sel.name)
+        val nm = s"prom_${fn.toLowerCase(Locale.ROOT)}(ts_range,$f,${spec.timeIndex}," +
+          s"Int64(${sel.rangeMs.get}))"
+        // tagged source: tags follow the value, keyed in declared order
+        Some((Map(f -> nm), Seq("ts", nm) ++ spec.tags, spec.tags))
+      case _ => None
+    }
+  }
+
+  /** Simplest-form TQL CTE in CREATE FLOW (flow-tql/flow_tql_cte.sql):
+    * `WITH name [(aliases)] AS (TQL EVAL ...) SELECT * FROM name` — the
+    * reference's flow engine accepts EXACTLY this shape (matching CTE
+    * name incl. quoted case) and rejects everything else. */
+  private val FlowTqlCteRx =
+    ("(?is)^\\s*WITH\\s+(\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_]*)\\s*" +
+      "(?:\\(([^)]*)\\))?\\s*AS\\s*\\(\\s*(TQL\\s+EVAL.*?)\\)\\s*" +
+      "SELECT\\s+\\*\\s+FROM\\s+(\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+
   private def createFlow(stmt: String): DataFrame = stmt match {
     case CreateFlowRx(name, sink, ev1, expire, ev2, withPart, query0) =>
-      val query = rewriteFlowIntDiv(query0)
+      val query00 = rewriteFlowIntDiv(query0)
+      // resolve the WITH-TQL-CTE form down to its inner TQL EVAL; CTE
+      // column aliases rename the TQL outputs positionally
+      val (query, cteAliases): (String, Seq[String]) =
+        if (query00.trim.toUpperCase(Locale.ROOT).startsWith("WITH") &&
+            "(?is)\\bTQL\\s+EVAL\\b".r.findFirstIn(query00).isDefined) {
+          FlowTqlCteRx.findFirstMatchIn(query00.trim) match {
+            case Some(mm) =>
+              def tok(t: String): String =
+                if (t.startsWith("\"")) t.substring(1, t.length - 1)
+                else t.toLowerCase(Locale.ROOT)
+              if (tok(mm.group(1)) != tok(mm.group(4)))
+                throw new IllegalArgumentException(
+                  "Invalid flow query: WITH is only supported for the " +
+                    "simplest TQL CTE in CREATE FLOW")
+              (mm.group(3).trim,
+                Option(mm.group(2)).map(_.split(",").map(a => unquote(a.trim)).toSeq)
+                  .getOrElse(Nil))
+            case None => throw new IllegalArgumentException(
+              "Invalid flow query: WITH is only supported for the " +
+                "simplest TQL CTE in CREATE FLOW")
+          }
+        } else (query00, Nil)
       val up0 = stmt.toUpperCase(Locale.ROOT)
       val orReplace = up0.contains("OR REPLACE")
       val ifNotExists = up0.contains("IF NOT EXISTS")
@@ -4979,6 +5103,8 @@ final class GraftSession(spark0: SparkSession,
         throw new IllegalArgumentException(s"invalid flow option: $k"))
       val evalInterval = Option(ev1).orElse(Option(ev2))
       val sinkName = normTable(sink)
+      val isTqlFlow = query.trim.toUpperCase(Locale.ROOT).startsWith("TQL")
+      if (isTqlFlow) validateTqlFlow(query)
       // evaluate once for the output schema (also validates the query) —
       // with defer_on_missing_source a missing source registers the flow
       // in pending state instead (flow/flow_pending.sql)
@@ -4994,7 +5120,18 @@ final class GraftSession(spark0: SparkSession,
               evalInterval = evalInterval, pending = true))
             return status(s"flow $name pending")
         }
-      val names = flowOutputNames(query, qdf.schema.fieldNames.toSeq)
+      // TQL flows auto-create their sink with the PLAN-derived value
+      // column name (flow-tql/flow_tql.result: count_values →
+      // "count(src.field)" laid out [value, ts, dst]; range fns →
+      // "prom_fn(ts_range,field,ts,Int64(range))" laid out [ts, value])
+      val tqlShape: Option[(Map[String, String], Seq[String], Seq[String])] =
+        if (isTqlFlow && !catalog.tables.contains(sinkName)) tqlSinkShape(query)
+        else None
+      val names0 = flowOutputNames(query, qdf.schema.fieldNames.toSeq)
+        .map(n => tqlShape.flatMap(_._1.get(n)).getOrElse(n))
+      val names =
+        if (cteAliases.nonEmpty && cteAliases.length == names0.length) cteAliases
+        else names0
       val isTsType = (dt: DataType) =>
         dt == TimestampType || dt == TimestampNTZType
       val tsOut = names.zip(qdf.schema.fields)
@@ -5007,7 +5144,22 @@ final class GraftSession(spark0: SparkSession,
           srcTable0.exists(t => catalog.spec(t).mergeMode != MergeMode.Append))
         throw new IllegalArgumentException(
           "Incremental aggregate reads only support append-only source tables")
-      if (!preExisting) {
+      if (!preExisting && tqlShape.isDefined) {
+        // TQL flow sink: plan-derived layout, NO update_at column
+        // (flow-tql/flow_tql.result SHOW CREATE pins the exact shape)
+        val Some((_, order, pk)) = tqlShape
+        val fieldByName = names.zip(qdf.schema.fields).toMap
+        val colDefs = order.filter(fieldByName.contains)
+          .map(n => s""""$n" ${sqlTypeTok(fieldByName(n).dataType)}""")
+        val ti = tsOut.getOrElse("__ts_placeholder")
+        val pkC = if (pk.nonEmpty)
+          Seq(pk.map(k => s""""$k"""").mkString("PRIMARY KEY (", ", ", ")"))
+        else Nil
+        createTable(s"""CREATE TABLE IF NOT EXISTS "$sinkName" (""" +
+          (colDefs ++ Seq(s"""TIME INDEX ("$ti")""") ++ pkC).mkString(", ") +
+          ") WITH ('comment' = 'Auto created table by flow engine')")
+      }
+      else if (!preExisting) {
         // auto-create the sink the way the reference flow engine does
         // (flow_auto_sink_table.result): outputs, update_at, and a
         // __ts_placeholder time index when no output is a timestamp
@@ -5041,7 +5193,8 @@ final class GraftSession(spark0: SparkSession,
             s""""$n" $tok"""
         }
         val ti = tsOut.getOrElse("__ts_placeholder")
-        val extras = Seq(""""update_at" TIMESTAMP(3)""") ++
+        // TQL flow sinks carry no update_at (flow-tql/flow_tql_cte.result)
+        val extras = (if (isTqlFlow) Nil else Seq(""""update_at" TIMESTAMP(3)""")) ++
           (if (tsOut.isEmpty) Seq(""""__ts_placeholder" TIMESTAMP(3)""") else Nil)
         // SELECT DISTINCT flows key the sink by the distinct columns
         val isDistinct = "(?is)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(query).isDefined
@@ -5122,10 +5275,11 @@ final class GraftSession(spark0: SparkSession,
       // a TQL flow upserts on the PromQL grouping labels + ts
       // (flow_tql_avg: avg by(sensor) keys the sink on sensor)
       val tqlByKeys =
-        if (query.trim.toUpperCase(Locale.ROOT).startsWith("TQL"))
-          "(?i)\\bby\\s*\\(([^)]*)\\)".r.findFirstMatchIn(query)
-            .map(_.group(1).split(",").map(_.trim).toSeq).getOrElse(Nil)
-            .filter(names.contains)
+        if (isTqlFlow)
+          ("(?i)\\bby\\s*\\(([^)]*)\\)".r.findFirstMatchIn(query)
+            .map(_.group(1).split(",").map(_.trim).toSeq).getOrElse(Nil) ++
+            tqlShape.map(_._3).getOrElse(Nil))
+            .distinct.filter(names.contains)
         else Nil
       val rawKeys = opts.get("keys").map(_.split(",").map(_.trim).toSeq)
         .getOrElse(((if (distinctKeys.nonEmpty) distinctKeys
@@ -5173,7 +5327,11 @@ final class GraftSession(spark0: SparkSession,
   private def flowModeStreaming(query: String, srcTable: Option[String]): Boolean = {
     val instantSrc = srcTable.exists(s =>
       catalog.tables.contains(s) && catalog.spec(s).ttlMillis.contains(0L))
-    instantSrc || !aggregatingQuery(query)
+    // TQL flows always run in the batching engine — a plain-selector TQL
+    // is not a streaming append (flow-tql/flow_tql_cte's sink comment +
+    // flush rows pin batching behavior)
+    if (query.trim.toUpperCase(Locale.ROOT).startsWith("TQL")) instantSrc
+    else instantSrc || !aggregatingQuery(query)
   }
 
   /** DataFusion divides integer aggregates integrally (sum(int)/count →
@@ -5622,7 +5780,8 @@ final class GraftSession(spark0: SparkSession,
       .map(_.name)
       .getOrElse(throw new IllegalArgumentException(s"$name: no value field"))
     Metric(
-      df.withColumn("__ms", tsMsCol).withColumn("__value", col(valueCol).cast("double")),
+      df.withColumn("__ms", tsMsCol)
+        .withColumn("__value", col(s"`$valueCol`").cast("double")),
       "__ms", "__value", spec.tags)
   }
 
