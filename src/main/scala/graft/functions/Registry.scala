@@ -23,6 +23,17 @@ object Registry {
     spark.udf.register("uddsketch_calc",
       udf((q: Double, s: String) => graft.aggregates.UddSketch.calc(q, s)))
 
+    // approx_distinct: bit-compatible DataFusion HLL (aggregates/
+    // ApproxDistinct.scala); the type-aware hash is a Catalyst
+    // expression so one rewrite serves every column type
+    spark.udf.register("__approx_distinct",
+      F.udaf(graft.aggregates.ApproxDistinct.agg, Encoders.LONG))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "__ahash64",
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.aggregates.Ahash64(exprs.head),
+      "built-in")
+
     // fulltext
     spark.udf.register("matches_term",
       (text: String, term: String) => TextMatch.termMatches(text, term, caseSensitive = true))

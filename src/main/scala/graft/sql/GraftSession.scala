@@ -991,6 +991,41 @@ final class GraftSession(spark0: SparkSession,
     ("(?i)DATE_BIN\\(\\s*(?:'([^']+)'\\s*::\\s*INTERVAL|INTERVAL\\s+'([^']+)')\\s*,\\s*" +
       "([A-Za-z_][A-Za-z0-9_.]*)\\s*(?:,\\s*'([^']+)'[^)]*)?\\)").r
 
+  /** After `approx_distinct(` is textually rewritten to
+    * `__approx_distinct(__ahash64(`, insert the matching extra `)` at
+    * each original call's close paren (regexes can't balance nesting).
+    */
+  private def closeApproxDistinct(s: String): String = {
+    val marker = "__approx_distinct(__ahash64("
+    val at = s.indexOf(marker)
+    if (at < 0) return s
+    var depth = 2
+    var j = at + marker.length
+    while (j < s.length && depth > 1) {
+      val c = s.charAt(j)
+      if (c == '\'') { // skip string literal ('' is the escape)
+        j += 1
+        var done = false
+        while (j < s.length && !done) {
+          if (s.charAt(j) == '\'') {
+            if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 1
+            else done = true
+          }
+          j += 1
+        }
+        j -= 1 // loop tail re-increments
+      }
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      j += 1
+    }
+    val closed = depth == 1 // j is just past the original `)`
+    val inner =
+      closeApproxDistinct(s.substring(at + marker.length, if (closed) j - 1 else j))
+    s.substring(0, at) + marker + inner + (if (closed) "))" else "") +
+      closeApproxDistinct(s.substring(j))
+  }
+
   private def intervalMs(text: String): Long = {
     val compact = "(?i)^(\\d+)\\s*(ms|s|min|m|h|d)$".r
     val verbose = "(?i)^(\\d+)\\s+(millisecond|second|minute|hour|day)s?$".r
@@ -1292,9 +1327,6 @@ final class GraftSession(spark0: SparkSession,
       s = "(?i)\\bapprox_median\\s*\\(\\s*([^()]+?)\\s*\\)".r
         .replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(
           apcExpand(m.group(1), "1.0", "0.5", desc = false)))
-      // approx_distinct: DataFusion's HLL is exact at corpus scale — the
-      // sketch path in this engine is hll/hll_count (aggregates/Hll)
-      s = s.replaceAll("(?i)\\bapprox_distinct\\s*\\(", "count(DISTINCT ")
       // anomaly scorers as window functions (scalars/anomaly/*.rs): the
       // current row scores against its frame's statistics. zscore/iqr
       // expand onto built-in windowed aggregates; MAD uses the
@@ -1341,6 +1373,14 @@ final class GraftSession(spark0: SparkSession,
         })
       s
     }
+    // approx_distinct: bit-compatible DataFusion HLL sketch
+    // (aggregates/ApproxDistinct.scala) — the pinned goldens include its
+    // exact ±1 estimates, so this is the real estimator, not an exact
+    // count. Runs on the FULL statement (not inside a quote-masked
+    // segment) because the paren balancer must see past string-literal
+    // arguments; the balancer itself skips over quotes.
+    r = closeApproxDistinct(rewriteOutsideQuotes(r)(_.replaceAll(
+      "(?i)\\bapprox_distinct\\s*\\(", "__approx_distinct(__ahash64(")))
     // within-aggregate ORDER BY (aggregate/{array_agg,string_agg}.sql):
     // Spark's parser rejects the PG-style inline syntax.
     // string_agg/listagg map onto Spark 4's listagg WITHIN GROUP form

@@ -622,10 +622,19 @@ object GoldenSweep {
     spark.sparkContext.setLogLevel("ERROR")
     val only: Option[Set[String]] =
       if (args.length > 1) Some(args(1).split(",").toSet) else None
-    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+    val rootFile = new java.io.File(root)
+    // recurse: the corpus nests files (common/types/float/*.result,
+    // common/function/string/*.result); a flat listing misses 72 files
+    def resultsUnder(d: java.io.File): Seq[java.io.File] = {
+      val (dirs, files) = d.listFiles().sortBy(_.getName).partition(_.isDirectory)
+      files.filter(_.getName.endsWith(".result")).toSeq ++
+        dirs.flatMap(resultsUnder)
+    }
+    val dirs = rootFile.listFiles().filter(_.isDirectory)
       .filter(d => only.forall(_.contains(d.getName))).sortBy(_.getName)
-    for (d <- dirs; f <- d.listFiles().filter(_.getName.endsWith(".result")).sortBy(_.getName)) {
-      val rel = s"${d.getName}/${f.getName.stripSuffix(".result")}"
+    for (d <- dirs; f <- resultsUnder(d)) {
+      val rel = rootFile.toPath.relativize(f.toPath).toString
+        .stripSuffix(".result")
       val out = Try(GoldenRunner.run(spark, f.getPath)) match {
         case Success(o) => o
         case Failure(ex) => GoldenRunner.Outcome(0, 0, Seq(s"RUNNER CRASH: ${ex.getMessage}"))

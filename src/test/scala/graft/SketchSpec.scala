@@ -120,4 +120,42 @@ class SketchSpec extends AnyFunSuite {
     assert(row.getLong(1) == 3L)
     assert(row.getString(2) == "[[4.0,3.0],[6.0,5.0],[2.0,1.0]]") // ts order 5,7,10
   }
+
+  // approx_distinct replicates DataFusion's HLL bit-for-bit (the golden
+  // corpus pins its exact ±1 estimates); these pins are the corpus's
+  // aggregate/approx_distinct.result numbers reproduced from raw inputs
+  test("approx_distinct: DataFusion-exact estimates on i32 keys") {
+    def countOf(hs: Seq[Long]): Long = {
+      val r = new Array[Byte](ApproxDistinct.NumRegisters)
+      hs.foreach(h => ApproxDistinct.addHash(r, h))
+      ApproxDistinct.count(r)
+    }
+    assert(countOf((0 until 2000).map(AHash.hashInt)) == 2000L)
+    val groups = (0 until 10).map(b =>
+      countOf((0 until 2000).filter(_ % 10 == b).map(AHash.hashInt)))
+    assert(groups == Seq(200L, 201L, 201L, 200L, 199L, 200L, 199L, 200L, 200L, 200L),
+      s"got $groups")
+    // merge == union
+    val (a, b) = ((0 until 1000).map(AHash.hashInt), (500 until 2000).map(AHash.hashInt))
+    val (ra, rb) = (new Array[Byte](ApproxDistinct.NumRegisters),
+      new Array[Byte](ApproxDistinct.NumRegisters))
+    a.foreach(h => ApproxDistinct.addHash(ra, h))
+    b.foreach(h => ApproxDistinct.addHash(rb, h))
+    assert(ApproxDistinct.agg.merge(ra, rb).sameElements {
+      val ru = new Array[Byte](ApproxDistinct.NumRegisters)
+      (a ++ b).foreach(h => ApproxDistinct.addHash(ru, h))
+      ru
+    })
+  }
+
+  test("approx_distinct: SQL surface over strings and empty input") {
+    val g = new graft.sql.GraftSession(spark)
+    assert(g.sql("SELECT APPROX_DISTINCT('hello') AS c").head().getLong(0) == 1L)
+    val t = g.sql(
+      "SELECT APPROX_DISTINCT(x) AS c FROM (SELECT explode(array('Pedro','Pedro','Mark','Hannes-Muehleisen')) AS x)")
+    assert(t.head().getLong(0) == 3L)
+    assert(g.sql(
+      "SELECT APPROX_DISTINCT(id) AS c FROM (SELECT id FROM range(10) WHERE id < 0)")
+      .head().getLong(0) == 0L)
+  }
 }
