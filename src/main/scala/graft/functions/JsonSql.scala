@@ -1,0 +1,253 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.api.java.{UDF1, UDF2}
+import org.apache.spark.sql.types._
+
+/** SQL surface of the JSON family (reference
+  * common/function/src/scalars/json, pinned by
+  * function/json/{json,json_get,json_is}.result and types/json).
+  * JSON values travel as normalized JSON STRINGs (the JSON column type
+  * is StringType here; the reference's JSONB is an engine-internal
+  * encoding with the same observable semantics). The path dialect is
+  * the jsonb crate's: dot/colon separators, ["quoted"] and [int]
+  * selectors, `[a to last]` ranges, and trailing `?(@ op lit)` filters.
+  */
+object JsonSql {
+  private val mapper = new ObjectMapper()
+
+  private def parse(s: String): JsonNode = mapper.readTree(s)
+
+  private sealed trait Step
+  private case class Key(k: String) extends Step
+  private case class Idx(i: Int) extends Step
+  private case class Range(from: Int, to: Option[Int]) extends Step // to=None → last
+  private case class Filter(op: String, lit: String) extends Step
+
+  /** None = unparseable path. */
+  private def parsePath(p0: String): Option[Seq[Step]] = {
+    var p = p0.trim
+    if (p.isEmpty) return None
+    if (p.startsWith("$")) p = p.substring(1)
+    val steps = Vector.newBuilder[Step]
+    var i = 0
+    try {
+      while (i < p.length) {
+        p.charAt(i) match {
+          case '.' | ':' => i += 1
+          case '[' =>
+            val close = p.indexOf(']', i)
+            if (close < 0) return None
+            val inner = p.substring(i + 1, close).trim
+            if (inner.startsWith("\"") && inner.endsWith("\"") && inner.length >= 2)
+              steps += Key(inner.substring(1, inner.length - 1))
+            else if (inner.matches("-?\\d+")) steps += Idx(inner.toInt)
+            else inner.split("\\s+to\\s+") match {
+              case Array(a, b) if a.matches("\\d+") =>
+                steps += Range(a.toInt,
+                  if (b.trim == "last") None else Some(b.trim.toInt))
+              case _ => return None
+            }
+            i = close + 1
+          case '?' =>
+            // trailing filter ?(@ op lit)
+            if (!p.substring(i).startsWith("?(") || !p.endsWith(")")) return None
+            val body = p.substring(i + 2, p.length - 1).trim
+            val m = "^@\\s*(==|!=|>=|<=|>|<)\\s*(.+)$".r.findFirstMatchIn(body)
+              .getOrElse(return None)
+            steps += Filter(m.group(1), m.group(2).trim)
+            i = p.length
+          case _ =>
+            val end = p.indexWhere(c => c == '.' || c == ':' || c == '[' || c == '?', i)
+            val stop = if (end < 0) p.length else end
+            steps += Key(p.substring(i, stop))
+            i = stop
+        }
+      }
+      Some(steps.result())
+    } catch { case _: Exception => None }
+  }
+
+  private def compare(n: JsonNode, op: String, lit: String): Boolean = {
+    val cmp: Option[Int] =
+      if (n.isNumber && lit.matches("-?\\d+(\\.\\d+)?"))
+        Some(java.lang.Double.compare(n.doubleValue, lit.toDouble))
+      else if (n.isTextual) {
+        val l = lit.stripPrefix("\"").stripSuffix("\"").stripPrefix("'").stripSuffix("'")
+        Some(n.textValue.compareTo(l))
+      } else None
+    cmp.exists(c => op match {
+      case "==" => c == 0
+      case "!=" => c != 0
+      case ">" => c > 0
+      case ">=" => c >= 0
+      case "<" => c < 0
+      case "<=" => c <= 0
+    })
+  }
+
+  private def eval(root: JsonNode, steps: Seq[Step]): Seq[JsonNode] =
+    steps.foldLeft(Seq(root)) { (nodes, s) =>
+      nodes.flatMap { n =>
+        s match {
+          case Key(k) => if (n.isObject && n.has(k)) Seq(n.get(k)) else Nil
+          case Idx(i) => if (n.isArray && i >= 0 && i < n.size) Seq(n.get(i)) else Nil
+          case Range(from, to) =>
+            if (!n.isArray) Nil
+            else {
+              val hi = to.map(math.min(_, n.size - 1)).getOrElse(n.size - 1)
+              (from to hi).filter(j => j >= 0 && j < n.size).map(n.get)
+            }
+          case Filter(op, lit) => if (compare(n, op, lit)) Seq(n) else Nil
+        }
+      }
+    }
+
+  /** Rust f64 Display: shortest roundtrip digits, never exponent
+    * notation (json_get.result pins 1e100 as 1 followed by 100 zeros). */
+  private def fmtF64(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.indexOf('E') < 0) s.stripSuffix(".0")
+    else new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+  }
+
+  /** JSONB scalar → string coercion (json_get_string / json_get::string):
+    * strings bare, numbers full-precision, containers/bools excluded. */
+  private def numText(n: JsonNode): String =
+    if (n.isDouble || n.isFloat) fmtF64(n.doubleValue) else n.asText
+
+  private def getAt(j: String, p: String): Option[JsonNode] =
+    if (j == null || p == null) None
+    else parsePath(p).flatMap(st =>
+      scala.util.Try(eval(parse(j), st)).toOption.flatMap(_.headOption))
+
+  /** Fold `parse_json('<literal>')` calls into plain string literals —
+    * Spark's inline VALUES table rejects non-foldable expressions, so
+    * INSERT ... VALUES(parse_json('{...}'), ...) must pre-evaluate
+    * (function/json/json_get.sql). */
+  def foldParseJsonLiterals(sql: String): String =
+    "(?i)\\bparse_json\\s*\\(\\s*'((?:[^']|'')*)'\\s*\\)".r
+      .replaceAllIn(sql, m => {
+        val raw = m.group(1).replace("''", "'")
+        val norm = try parse(raw).toString catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"Invalid JSON text: $raw", e)
+        }
+        scala.util.matching.Regex.quoteReplacement(
+          "'" + norm.replace("'", "''") + "'")
+      })
+
+  def register(spark: SparkSession): Unit = {
+    // parse_json: validate + normalize (shadows Spark's variant builtin
+    // inside this dialect; JSON columns are strings here)
+    spark.udf.register("parse_json", new UDF1[String, String] {
+      def call(s: String): String =
+        if (s == null) null
+        else {
+          val n = try parse(s) catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"Invalid JSON text: $s", e)
+          }
+          if (n == null) throw new IllegalArgumentException(s"Invalid JSON text: $s")
+          n.toString
+        }
+    }, StringType)
+    spark.udf.register("json_to_string", new UDF1[String, String] {
+      def call(j: String): String =
+        if (j == null) null else scala.util.Try(parse(j).toString).getOrElse(null)
+    }, StringType)
+    spark.udf.register("json_object_keys", new UDF1[String, Array[String]] {
+      def call(j: String): Array[String] =
+        if (j == null) null
+        else scala.util.Try(parse(j)).toOption.filter(_.isObject).map { n =>
+          val it = n.fieldNames()
+          val b = Array.newBuilder[String]
+          while (it.hasNext) b += it.next()
+          b.result()
+        }.orNull
+    }, ArrayType(StringType))
+    spark.udf.register("json_path_exists", new UDF2[String, String, java.lang.Boolean] {
+      def call(j: String, p: String): java.lang.Boolean =
+        if (j == null || p == null) null
+        else parsePath(p) match {
+          case None => false
+          case Some(st) =>
+            Boolean.box(scala.util.Try(eval(parse(j), st)).toOption.exists(_.nonEmpty))
+        }
+    }, BooleanType)
+    spark.udf.register("json_path_match", new UDF2[String, String, java.lang.Boolean] {
+      def call(j: String, p: String): java.lang.Boolean = {
+        if (j == null || p == null) return null
+        val m = "^(.*?)\\s*(==|!=|>=|<=|>|<)\\s*(.+)$".r.findFirstMatchIn(p.trim)
+          .getOrElse(return null)
+        val root = try parse(j) catch { case _: Exception => return null }
+        if (root.isNull) return null
+        parsePath(m.group(1)) match {
+          case None => null
+          case Some(st) =>
+            Boolean.box(eval(root, st).exists(compare(_, m.group(2), m.group(3).trim)))
+        }
+      }
+    }, BooleanType)
+
+    // json_get returns the JSON value; rendered as a string it shows
+    // scalars BARE (strings unquoted, numbers full-precision) and
+    // containers as compact JSON (json_get.result `json_get(j,'[3]')::string`)
+    spark.udf.register("json_get", new UDF2[String, String, String] {
+      def call(j: String, p: String): String = getAt(j, p).map { n =>
+        if (n.isTextual) n.textValue
+        else if (n.isNumber) numText(n)
+        else n.toString
+      }.orNull
+    }, StringType)
+    spark.udf.register("json_get_object", new UDF2[String, String, String] {
+      def call(j: String, p: String): String =
+        getAt(j, p).filter(_.isObject).map(_.toString).orNull
+    }, StringType)
+    spark.udf.register("json_get_int", new UDF2[String, String, java.lang.Long] {
+      def call(j: String, p: String): java.lang.Long = getAt(j, p) match {
+        case Some(n) if n.isIntegralNumber => Long.box(n.longValue)
+        case Some(n) if n.isBoolean => Long.box(if (n.booleanValue) 1L else 0L)
+        case _ => null
+      }
+    }, LongType)
+    spark.udf.register("json_get_float", new UDF2[String, String, java.lang.Double] {
+      def call(j: String, p: String): java.lang.Double = getAt(j, p) match {
+        case Some(n) if n.isNumber => Double.box(n.doubleValue)
+        case Some(n) if n.isBoolean => Double.box(if (n.booleanValue) 1.0 else 0.0)
+        case _ => null
+      }
+    }, DoubleType)
+    spark.udf.register("json_get_string", new UDF2[String, String, String] {
+      def call(j: String, p: String): String = getAt(j, p) match {
+        case Some(n) if n.isTextual => n.textValue
+        // scalars coerce to their rendering (json_get.result: numbers
+        // AND bools; containers and json-null do not)
+        case Some(n) if n.isNumber => numText(n)
+        case Some(n) if n.isBoolean => n.asText
+        case _ => null
+      }
+    }, StringType)
+    spark.udf.register("json_get_bool", new UDF2[String, String, java.lang.Boolean] {
+      def call(j: String, p: String): java.lang.Boolean =
+        getAt(j, p).filter(_.isBoolean).map(n => Boolean.box(n.booleanValue)).orNull
+    }, BooleanType)
+
+    def is(name: String)(f: JsonNode => Boolean): Unit =
+      spark.udf.register(name, new UDF1[String, java.lang.Boolean] {
+        def call(j: String): java.lang.Boolean =
+          if (j == null) null
+          else scala.util.Try(parse(j)).toOption.map(n => Boolean.box(f(n))).orNull
+      }, BooleanType)
+    is("json_is_object")(_.isObject)
+    is("json_is_array")(_.isArray)
+    is("json_is_int")(_.isIntegralNumber)
+    // as_f64 semantics: every number is a float (json_is.result pins
+    // json_is_float(parse_json('1')) = true)
+    is("json_is_float")(_.isNumber)
+    is("json_is_bool")(_.isBoolean)
+    is("json_is_null")(_.isNull)
+    is("json_is_string")(_.isTextual)
+  }
+}

@@ -135,9 +135,8 @@ object Registry {
 
     registerH3(spark)
 
-    // vector helpers for SQL (native Column API is the perf path)
-    spark.udf.register("vec_dim", (v: Seq[Float]) => if (v == null) -1 else v.length)
-    registerVecTail(spark)
+    registerVectorSql(spark)
+    JsonSql.register(spark)
 
     // t-digest quantiles (approx_percentile_cont family) — GraftSession's
     // dialect layer macro-expands the WITHIN GROUP spelling onto this
@@ -218,6 +217,95 @@ object Registry {
     * session-tz-aware override lives in GraftSession for the same
     * reason. */
   def registerDialectOverrides(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val reg = spark.sessionState.functionRegistry
+
+    // PG/DataFusion concat: nulls are skipped, non-strings cast
+    // (function/string/concat.result: CONCAT('hello', NULL) = 'hello',
+    // CONCAT(NULL, NULL) = ''). In this dialect concat is strings-only
+    // (array concat is array_concat), so the shadow is total.
+    reg.createOrReplaceTempFunction("concat",
+      (exprs: Seq[Expression]) =>
+        ConcatWs(Literal.create("", StringType) +:
+          exprs.map(e => Cast(e, StringType))),
+      "built-in")
+
+    // PG/DataFusion ltrim/rtrim(str, trimChars) — Spark's two-arg forms
+    // take (trimStr, srcStr), i.e. REVERSED (trim_pad.result pins
+    // LTRIM('hello world', 'hel') = 'o world')
+    reg.createOrReplaceTempFunction("ltrim",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s) => StringTrimLeft(s, None)
+        case Seq(s, t) => StringTrimLeft(s, Some(t))
+        case _ => throw new IllegalArgumentException("ltrim expects 1-2 args")
+      }, "built-in")
+    reg.createOrReplaceTempFunction("rtrim",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(s) => StringTrimRight(s, None)
+        case Seq(s, t) => StringTrimRight(s, Some(t))
+        case _ => throw new IllegalArgumentException("rtrim expects 1-2 args")
+      }, "built-in")
+
+    // PG/DataFusion substring: a start below 1 consumes length before
+    // the string begins (substring.result: SUBSTRING('hello', -1, 3) =
+    // 'h', ('hello', 0, 3) = 'he'); Spark instead counts from the end
+    def pgSubstring(exprs: Seq[Expression]): Expression = exprs match {
+      case Seq(s, p) => Substring(s, p, Literal(Integer.MAX_VALUE))
+      case Seq(s, p0, l0) =>
+        val p = Cast(p0, IntegerType); val l = Cast(l0, IntegerType)
+        val start = Greatest(Seq(p, Literal(1)))
+        val len = Greatest(Seq(Subtract(Add(p, l), start), Literal(0)))
+        Substring(s, start, len)
+      case _ => throw new IllegalArgumentException("substring expects 2-3 args")
+    }
+    reg.createOrReplaceTempFunction("substring", pgSubstring, "built-in")
+    reg.createOrReplaceTempFunction("substr", pgSubstring, "built-in")
+
+    // PG/DataFusion initcap: words break on every non-alphanumeric
+    // (upper_lower.result: 'hello-world_test' -> 'Hello-World_Test');
+    // Spark's only breaks on whitespace
+    spark.udf.register("initcap", (s: String) =>
+      if (s == null) null
+      else {
+        val sb = new StringBuilder(s.length)
+        var prevAlnum = false
+        s.foreach { c =>
+          val alnum = c.isLetterOrDigit
+          sb.append(
+            if (alnum && !prevAlnum) c.toUpper
+            else if (alnum) c.toLower else c)
+          prevAlnum = alnum
+        }
+        sb.toString
+      })
+
+    // PG/DataFusion regexp_replace replaces only the FIRST match when
+    // no flags are given (function/string/regex.result:
+    // '  extra   spaces  ' \s+ -> ' ' touches only the leading run)
+    spark.udf.register("regexp_replace", (s: String, p: String, r: String) =>
+      if (s == null || p == null || r == null) null
+      else java.util.regex.Pattern.compile(p).matcher(s)
+        .replaceFirst(java.util.regex.Matcher.quoteReplacement(r)))
+
+    // DataFusion regexp_extract returns the whole first match (no group
+    // index); Spark's 2-arg form defaults to group 1 and rejects
+    // group-less patterns. NULL (not '') on no match.
+    spark.udf.register("regexp_extract", (s: String, p: String) =>
+      if (s == null || p == null) null
+      else {
+        val m = java.util.regex.Pattern.compile(p).matcher(s)
+        if (m.find()) m.group(0) else null
+      })
+
+    // PG/DataFusion replace with an empty search interleaves the
+    // replacement around every char (replace.result); Spark returns the
+    // input unchanged
+    spark.udf.register("replace", (s: String, find: String, repl: String) =>
+      if (s == null || find == null || repl == null) null
+      else if (find.isEmpty) s.map(_.toString).mkString(repl, repl, repl)
+      else s.replace(find, repl))
+
     // numeric trunc-toward-zero with decimal-digit control (DataFusion
     // trunc(x, d); d<0 truncates to tens/hundreds). Shadows Spark's
     // date-trunc builtin, which the corpus never calls by this name.
@@ -442,10 +530,137 @@ object Registry {
       }, DoubleType)
   }
 
-  private def registerVecTail(spark: SparkSession): Unit = {
-    spark.udf.register("vec_norm", (v: Seq[Float]) =>
-      math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
-    spark.udf.register("vec_dot_product", (a: Seq[Float], b: Seq[Float]) =>
-      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y })
+  /** SQL surface of the vector family (reference scalars/vector dir,
+    * function/vector/vector.result). Every vector argument accepts a
+    * '[1,2]' string or an array<float> column (the reference
+    * auto-parses string literals); math runs in f32 so the rendered
+    * values match the reference's f32 results bit-for-bit. */
+  private def registerVectorSql(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.api.java.{UDF1, UDF2, UDF3}
+    import org.apache.spark.sql.types._
+    val vecType = ArrayType(FloatType)
+
+    def vecOf(x: AnyRef): Array[Float] = x match {
+      case null => null
+      case s: String =>
+        val t = s.trim.stripPrefix("[").stripSuffix("]").trim
+        if (t.isEmpty) Array.empty[Float]
+        else t.split(",").map(_.trim.toFloat)
+      case a: scala.collection.Seq[_] =>
+        a.map(_.asInstanceOf[java.lang.Number].floatValue).toArray
+      case a: Array[Float] => a
+      case a: Array[_] =>
+        a.map(_.asInstanceOf[java.lang.Number].floatValue)
+    }
+    // Rust f32 Display: shortest roundtrip, no ".0" on integral values
+    def fmtF32(f: Float): String =
+      if (f.isNaN) "NaN"
+      else if (f.isInfinite) (if (f > 0) "inf" else "-inf")
+      else if (f == f.toLong && math.abs(f) < 1e7f) f.toLong.toString
+      else java.lang.Float.toString(f)
+    def render(v: Array[Float]): String =
+      if (v == null) null else v.map(fmtF32).mkString("[", ",", "]")
+    def zip2(a0: AnyRef, b0: AnyRef)(f: (Float, Float) => Float): Array[Float] = {
+      val (a, b) = (vecOf(a0), vecOf(b0))
+      if (a == null || b == null) return null
+      require(a.length == b.length, s"vectors length not match: ${a.length} vs ${b.length}")
+      val out = new Array[Float](a.length)
+      var i = 0
+      while (i < a.length) { out(i) = f(a(i), b(i)); i += 1 }
+      out
+    }
+    def reg1(name: String, tpe: DataType)(f: Array[Float] => AnyRef): Unit =
+      spark.udf.register(name, new UDF1[AnyRef, AnyRef] {
+        def call(x: AnyRef): AnyRef = { val v = vecOf(x); if (v == null) null else f(v) }
+      }, tpe)
+    def reg2(name: String)(f: (Float, Float) => Float): Unit =
+      spark.udf.register(name, new UDF2[AnyRef, AnyRef, Array[Float]] {
+        def call(a: AnyRef, b: AnyRef): Array[Float] = zip2(a, b)(f)
+      }, vecType)
+
+    spark.udf.register("parse_vec", new UDF1[String, Array[Float]] {
+      def call(s: String): Array[Float] = vecOf(s)
+    }, vecType)
+    reg1("vec_to_string", StringType)(v => render(v))
+    reg1("vec_dim", IntegerType)(v => Int.box(v.length))
+    reg1("vec_elem_sum", FloatType)(v => Float.box(v.foldLeft(0f)(_ + _)))
+    reg1("vec_elem_product", FloatType)(v => Float.box(v.foldLeft(1f)(_ * _)))
+    reg1("vec_elem_avg", FloatType)(v =>
+      Float.box(if (v.isEmpty) Float.NaN else v.foldLeft(0f)(_ + _) / v.length))
+    // vec_norm NORMALIZES (reference vector_norm.rs: v / |v|)
+    reg1("vec_norm", vecType) { v =>
+      val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x)).toFloat
+      v.map(_ / n)
+    }
+    reg2("vec_add")(_ + _)
+    reg2("vec_sub")(_ - _)
+    reg2("vec_mul")(_ * _)
+    reg2("vec_div")(_ / _)
+    spark.udf.register("vec_scalar_add", new UDF2[AnyRef, AnyRef, Array[Float]] {
+      def call(s: AnyRef, v0: AnyRef): Array[Float] = {
+        val v = vecOf(v0)
+        if (s == null || v == null) null
+        else { val f = s.asInstanceOf[java.lang.Number].floatValue; v.map(_ + f) }
+      }
+    }, vecType)
+    spark.udf.register("vec_scalar_mul", new UDF2[AnyRef, AnyRef, Array[Float]] {
+      def call(s: AnyRef, v0: AnyRef): Array[Float] = {
+        val v = vecOf(v0)
+        if (s == null || v == null) null
+        else { val f = s.asInstanceOf[java.lang.Number].floatValue; v.map(_ * f) }
+      }
+    }, vecType)
+    spark.udf.register("vec_kth_elem", new UDF2[AnyRef, AnyRef, java.lang.Float] {
+      def call(v0: AnyRef, k0: AnyRef): java.lang.Float = {
+        val v = vecOf(v0)
+        if (v == null || k0 == null) null
+        else {
+          val k = k0.asInstanceOf[java.lang.Number].intValue
+          if (k < 0 || k >= v.length) null else Float.box(v(k))
+        }
+      }
+    }, FloatType)
+    spark.udf.register("vec_subvector", new UDF3[AnyRef, AnyRef, AnyRef, Array[Float]] {
+      def call(v0: AnyRef, s0: AnyRef, e0: AnyRef): Array[Float] = {
+        val v = vecOf(v0)
+        if (v == null || s0 == null || e0 == null) null
+        else {
+          val s = s0.asInstanceOf[java.lang.Number].intValue
+          val e = e0.asInstanceOf[java.lang.Number].intValue
+          require(s >= 0 && e >= s && e <= v.length,
+            s"invalid subvector range [$s, $e) over ${v.length}")
+          java.util.Arrays.copyOfRange(v, s, e)
+        }
+      }
+    }, vecType)
+    def dist(name: String)(f: (Array[Float], Array[Float]) => Float): Unit =
+      spark.udf.register(name, new UDF2[AnyRef, AnyRef, java.lang.Float] {
+        def call(a0: AnyRef, b0: AnyRef): java.lang.Float = {
+          val (a, b) = (vecOf(a0), vecOf(b0))
+          if (a == null || b == null) null
+          else {
+            require(a.length == b.length,
+              s"vectors length not match: ${a.length} vs ${b.length}")
+            Float.box(f(a, b))
+          }
+        }
+      }, FloatType)
+    dist("vec_dot_product") { (a, b) =>
+      var s = 0f; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    dist("vec_l2sq_distance") { (a, b) =>
+      var s = 0f; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    dist("vec_cos_distance") { (a, b) =>
+      var dp = 0f; var na = 0f; var nb = 0f; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      // zero vector → distance 1 (vector_distance.result pins 1.0)
+      if (na == 0f || nb == 0f) 1f
+      else 1f - dp / (math.sqrt(na.toDouble).toFloat * math.sqrt(nb.toDouble).toFloat)
+    }
   }
 }

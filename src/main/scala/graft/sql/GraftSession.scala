@@ -44,6 +44,11 @@ final class GraftSession(spark0: SparkSession,
   // java.time results skip the legacy hybrid-calendar rebase that mangles
   // far-era timestamps (insert/nullable_tag.result -19578-12-20)
   spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+  // single-quoted literals are verbatim in the reference (PG rules:
+  // '\t' is backslash-t, '\d+' reaches regexp functions intact —
+  // function/string/{repeat,regex}.result); Spark's default C-style
+  // escape processing would eat the backslash
+  spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
 
   val catalog = new Catalog(spark)
   /** Serializable mirror of sessionTzOffsetMs for UDF closures (updated
@@ -1233,16 +1238,37 @@ final class GraftSession(spark0: SparkSession,
     var prev: String = null
     while (prev != r) {
       prev = r
-      r = CastRx.replaceAllIn(r, m => {
-        val t = castType(m.group(2))
-        val operand = m.group(1)
-        scala.util.matching.Regex.quoteReplacement(
+      // the `::` scan must not fire on text INSIDE a string literal
+      // ('abc::def' in function/string/replace.sql is data, not a cast):
+      // match against a same-length copy whose quoted content is blanked
+      // (the '...' LHS alternative still matches through the quotes),
+      // extract groups from the original
+      val rr = r
+      val masked = {
+        val a = rr.toCharArray
+        var in = false
+        var k = 0
+        while (k < a.length) {
+          if (a(k) == '\'') in = !in else if (in) a(k) = '\u0001'
+          k += 1
+        }
+        new String(a)
+      }
+      val out = new StringBuilder
+      var last = 0
+      for (m <- CastRx.findAllMatchIn(masked)) if (m.start >= last) {
+        val t = castType(rr.substring(m.start(2), m.end(2)))
+        val operand = rr.substring(m.start(1), m.end(1))
+        val typeTok = rr.substring(m.start(2), m.end(2))
+        out.append(rr.substring(last, m.start))
+        last = m.end
+        out.append(
           // integer literal → timestamp is epoch MILLIS in the reference
           if (t == "TIMESTAMP" && operand.matches("-?\\d+"))
             s"TIMESTAMP_MILLIS($operand)"
           // TIMESTAMP_S stores whole seconds: the cast TRUNCATES
           // sub-second input (function/date.result pins :000)
-          else if (m.group(2).trim.equalsIgnoreCase("TIMESTAMP_S"))
+          else if (typeTok.trim.equalsIgnoreCase("TIMESTAMP_S"))
             s"date_trunc('second', CAST($operand AS TIMESTAMP))"
           // sub-microsecond literal: unrepresentable at µs storage, so an
           // equality against it matches NOTHING (filter/cast_preimage's
@@ -1261,7 +1287,9 @@ final class GraftSession(spark0: SparkSession,
             s"make_dt_interval(0, 0, 0, ${ms / 1000.0})"
           }
           else s"CAST($operand AS $t)")
-      })
+      }
+      out.append(rr.substring(last))
+      r = out.toString
     }
     // DataFusion's within-aggregate ORDER BY: first/last_value become
     // min_by/max_by on the sort key; order is irrelevant for the
@@ -1427,6 +1455,11 @@ final class GraftSession(spark0: SparkSession,
     r = rewriteOutsideQuotes(r)(
       _.replaceAll("(?i)\\bstd\\s*\\(", "stddev_pop(")
         .replaceAll("(?i)\\bvariance\\s*\\(", "var_pop("))
+    // PG regex-match operators (function/string/regex.sql: 'x' ~ '\d+');
+    // never inside TQL bodies, whose label matchers use =~/!~
+    if (!"(?i)\\bTQL\\s".r.findFirstIn(r).isDefined)
+      r = rewriteOutsideQuotes(r)(
+        _.replaceAll("\\s!~\\s", " NOT RLIKE ").replaceAll("\\s~\\s", " RLIKE "))
     // system functions with environment-specific output render the
     // reference's shapes (function/system.result pins the sqlness
     // REPLACE-able forms: semver-only version, multi-line build)
@@ -1438,8 +1471,9 @@ final class GraftSession(spark0: SparkSession,
     r = rewriteOutsideQuotes(r)(
       _.replaceAll("(?i)\\bversion\\(\\)", "'0.14.0' AS `version()`")
         .replaceAll("(?i)\\bbuild\\(\\)",
-          "'branch: main\\\\ncommit: 0000000000000000000000000000000000000000\\\\n" +
-            "commit_short: 0000000\\\\nclean: true\\\\nversion: 0.14.0' AS `build()`")
+          // real newlines: escapedStringLiterals keeps \n literal
+          "'branch: main\ncommit: 0000000000000000000000000000000000000000\n" +
+            "commit_short: 0000000\nclean: true\nversion: 0.14.0' AS `build()`")
         .replaceAll("(?i)\\bpg_backend_pid\\(\\)", "'1' AS `pg_backend_pid()`")
         .replaceAll("(?i)\\bconnection_id\\(\\)", "'1' AS `connection_id()`"))
     r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\btimezone\\(\\)",
@@ -4476,7 +4510,9 @@ final class GraftSession(spark0: SparkSession,
           else tok
         }.mkString("(", ", ", ")")).mkString(", ")
       }
-      var df = spark.sql(dialect(coerceMixedTs(substituteDefaults(name, cleanBody, cols))))
+      var df = spark.sql(dialect(coerceMixedTs(
+        graft.functions.JsonSql.foldParseJsonLiterals(
+          substituteDefaults(name, cleanBody, cols)))))
       df = df.toDF(cols: _*)
       // align to full target schema: missing columns become nulls, the
       // sequence column is stamped per statement (write order for the
@@ -4510,7 +4546,9 @@ final class GraftSession(spark0: SparkSession,
         val logical = if (histCols.contains(f.name)) curTypeOf(f.name) else f.dataType
         if (srcType == StringType && logical != StringType &&
           logical != BinaryType && logical != TimestampType &&
-          logical != TimestampNTZType && logical != DateType)
+          logical != TimestampNTZType && logical != DateType &&
+          // VECTOR literals parse via parse_vec, not a SQL cast
+          !logical.isInstanceOf[ArrayType])
           Some(col(s"`${f.name}`").isNotNull &&
             expr(s"try_cast(`${f.name}` AS ${logical.sql})").isNull)
         else None
@@ -4555,6 +4593,11 @@ final class GraftSession(spark0: SparkSession,
             // normalize through the current logical type so the stored
             // string renders it faithfully ("1" vs "1.0")
             col(s"`${f.name}`").cast(curTypeOf(f.name)).cast(f.dataType).as(f.name)
+          // VECTOR column from a '[1.0, 2.0]' literal (the reference
+          // auto-parses; function/vector/vector_index.sql)
+          else if (srcType == StringType && (f.dataType match {
+              case ArrayType(FloatType, _) => true; case _ => false }))
+            expr(s"parse_vec(`${f.name}`)").as(f.name)
           else col(s"`${f.name}`").cast(f.dataType).as(f.name)
         } else {
           // unspecified column: declared DEFAULT, else null

@@ -124,6 +124,9 @@ object GoldenRunner {
     * tuples, e.g. `(7, 1000),   -- 111`). */
   private def stripInlineComment(l: String): String = {
     if (l.trim.startsWith("-- SQLNESS")) return l.trim // directive, keep
+    // golden TABLE lines are data, not SQL — a result cell may contain
+    // `--` (function/string/repeat.result: `Start----------End`)
+    if (l.startsWith("|") || l.startsWith("+")) return l
     var quotes = 0
     var i = 0
     while (i < l.length - 1) {
