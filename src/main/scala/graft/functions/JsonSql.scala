@@ -19,6 +19,51 @@ object JsonSql {
 
   private def parse(s: String): JsonNode = mapper.readTree(s)
 
+  /** jsonb-style compact rendering: object keys SORTED, strings with
+    * standard JSON escapes plus  /  (types/json/json.result
+    * pins both the key order and the escaped line separator). */
+  def render(n: JsonNode): String = {
+    val sb = new StringBuilder
+    def quote(s: String): Unit = {
+      sb.append('"')
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case c if c < 0x20 || c == '\u2028' || c == '\u2029' =>
+          sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"')
+    }
+    def go(n: JsonNode): Unit =
+      if (n.isObject) {
+        sb.append('{')
+        val it = n.fieldNames()
+        val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) keys += it.next()
+        var first = true
+        keys.sorted.foreach { k =>
+          if (!first) sb.append(',')
+          first = false
+          quote(k); sb.append(':'); go(n.get(k))
+        }
+        sb.append('}')
+      } else if (n.isArray) {
+        sb.append('[')
+        var i = 0
+        while (i < n.size) { if (i > 0) sb.append(','); go(n.get(i)); i += 1 }
+        sb.append(']')
+      } else if (n.isTextual) quote(n.textValue)
+      else sb.append(n.toString) // numbers, booleans, null
+    go(n)
+    sb.toString
+  }
+
   private sealed trait Step
   private case class Key(k: String) extends Step
   private case class Idx(i: Int) extends Step
@@ -28,8 +73,8 @@ object JsonSql {
   /** None = unparseable path. */
   private def parsePath(p0: String): Option[Seq[Step]] = {
     var p = p0.trim
-    if (p.isEmpty) return None
     if (p.startsWith("$")) p = p.substring(1)
+    // '', '$', '.' address the whole document (types/json/json2.result)
     val steps = Vector.newBuilder[Step]
     var i = 0
     try {
@@ -130,7 +175,7 @@ object JsonSql {
     "(?i)\\bparse_json\\s*\\(\\s*'((?:[^']|'')*)'\\s*\\)".r
       .replaceAllIn(sql, m => {
         val raw = m.group(1).replace("''", "'")
-        val norm = try parse(raw).toString catch {
+        val norm = try render(parse(raw)) catch {
           case e: Exception => throw new IllegalArgumentException(
             s"Invalid JSON text: $raw", e)
         }
@@ -150,12 +195,12 @@ object JsonSql {
               s"Invalid JSON text: $s", e)
           }
           if (n == null) throw new IllegalArgumentException(s"Invalid JSON text: $s")
-          n.toString
+          render(n)
         }
     }, StringType)
     spark.udf.register("json_to_string", new UDF1[String, String] {
       def call(j: String): String =
-        if (j == null) null else scala.util.Try(parse(j).toString).getOrElse(null)
+        if (j == null) null else scala.util.Try(render(parse(j))).getOrElse(null)
     }, StringType)
     spark.udf.register("json_object_keys", new UDF1[String, Array[String]] {
       def call(j: String): Array[String] =
@@ -198,12 +243,12 @@ object JsonSql {
       def call(j: String, p: String): String = getAt(j, p).map { n =>
         if (n.isTextual) n.textValue
         else if (n.isNumber) numText(n)
-        else n.toString
+        else render(n)
       }.orNull
     }, StringType)
     spark.udf.register("json_get_object", new UDF2[String, String, String] {
       def call(j: String, p: String): String =
-        getAt(j, p).filter(_.isObject).map(_.toString).orNull
+        getAt(j, p).filter(_.isObject).map(render).orNull
     }, StringType)
     spark.udf.register("json_get_int", new UDF2[String, String, java.lang.Long] {
       def call(j: String, p: String): java.lang.Long = getAt(j, p) match {

@@ -33,6 +33,11 @@ object Registry {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.aggregates.Ahash64(exprs.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "arrow_typeof",
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrowTypeof(exprs.head),
+      "built-in")
 
     // fulltext
     spark.udf.register("matches_term",
@@ -279,6 +284,29 @@ object Registry {
         }
         sb.toString
       })
+
+    // arrow-style timestamp rendering for ts→string casts
+    // (types/timestamp/timestamp.result: T separator, fraction at the
+    // value's natural 0/3/6 digits)
+    spark.udf.register("__ts_render",
+      new org.apache.spark.sql.api.java.UDF1[AnyRef, String] {
+        private def fmt(t: java.time.LocalDateTime): String = {
+          val base = f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d" +
+            f"T${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
+          val n = t.getNano
+          if (n == 0) base
+          else if (n % 1000000 == 0) base + f".${n / 1000000}%03d"
+          else base + f".${n / 1000}%06d"
+        }
+        def call(x: AnyRef): String = x match {
+          case null => null
+          case i: java.time.Instant =>
+            fmt(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
+          case l: java.time.LocalDateTime => fmt(l)
+          case t: java.sql.Timestamp => fmt(t.toLocalDateTime)
+          case other => String.valueOf(other)
+        }
+      }, org.apache.spark.sql.types.StringType)
 
     // PG/DataFusion regexp_replace replaces only the FIRST match when
     // no flags are given (function/string/regex.result:

@@ -574,6 +574,7 @@ final class GraftSession(spark0: SparkSession,
           "__info_region_statistics")
         .replaceAll("(?i)information_schema\\.ssts_manifest", "__info_ssts_manifest")
         .replaceAll("(?i)information_schema\\.ssts_storage", "__info_ssts_storage")
+        .replaceAll("(?i)information_schema\\.ssts_index_meta", "__info_ssts_index_meta")
         .replaceAll("(?i)information_schema\\.key_column_usage", "__info_key_column_usage")
         .replaceAll("(?i)information_schema\\.engines", "__info_engines")
         .replaceAll("(?i)information_schema\\.build_info", "__info_build_info")
@@ -938,7 +939,13 @@ final class GraftSession(spark0: SparkSession,
   // ---- dialect shims (DataFusion/Postgres syntax the corpus uses) -----
 
   private val CastRx =
-    ("(?i)('[^']*'|`[^`]+`|\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_.]*\\([^()]*\\)|[A-Za-z_][A-Za-z0-9_.]*|[0-9][0-9.]*)" +
+    // the function-call operand allows two paren-nesting levels with
+    // possessive quantifiers (FIRST_VALUE(CAST('0.1' AS DECIMAL(4,1)))
+    // ::VARCHAR in types/decimal/decimal_aggregates.sql)
+    ("(?i)((?:TIMESTAMP|DATE)\\s+'[^']*'|'[^']*'|`[^`]+`|\"[^\"]+\"|" +
+      "[A-Za-z_][A-Za-z0-9_.]*\\((?:[^()]++|\\((?:[^()]++|\\([^()]*+\\))*+\\))*+\\)|" +
+      "\\((?:[^()]++|\\([^()]*+\\))*+\\)|" + // parenthesized expr: (-300)::SMALLINT
+      "[A-Za-z_][A-Za-z0-9_.]*|[0-9][0-9.]*)" +
       "\\s*::\\s*([A-Za-z_][A-Za-z0-9_]*(?:\\s*\\(\\s*\\d+(?:\\s*,\\s*\\d+)?\\s*\\))?)").r
 
   private def castType(t: String): String = {
@@ -952,12 +959,18 @@ final class GraftSession(spark0: SparkSession,
       case "FLOAT8" | "FLOAT64" => "DOUBLE"
       case "FLOAT4" | "FLOAT32" | "REAL" => "FLOAT"
       case "BOOL" => "BOOLEAN"
+      // BYTEA stores the literal's raw bytes (types/blob/blob.result)
+      case "BYTEA" => "BINARY"
       case "UINT8" | "UINT16" => "INT"
       case "UINT32" | "UINT64" => "BIGINT"
       case "TIMESTAMPSECOND" | "TIMESTAMPMILLISECOND" | "TIMESTAMPMICROSECOND" |
         "TIMESTAMPNANOSECOND" | "DATETIME" | "TIMESTAMP" |
         "TIMESTAMP_S" | "TIMESTAMP_MS" | "TIMESTAMP_US" | "TIMESTAMP_NS" => "TIMESTAMP"
       case "INTERVAL" => "INTERVAL DAY TO SECOND"
+      // bare DECIMAL defaults to (38,10) in DataFusion, not Spark's
+      // (10,0) (types/decimal/decimal_ops.sql '0.1'::DECIMAL keeps 0.1)
+      case "DECIMAL" | "NUMERIC" =>
+        if (u.contains('(')) u else "DECIMAL(38,10)"
       case _ => u
     }
   }
@@ -1029,6 +1042,92 @@ final class GraftSession(spark0: SparkSession,
       closeApproxDistinct(s.substring(at + marker.length, if (closed) j - 1 else j))
     s.substring(0, at) + marker + inner + (if (closed) "))" else "") +
       closeApproxDistinct(s.substring(j))
+  }
+
+  /** Fold integer-literal products in VALUES bodies with 64-bit math —
+    * the reference evaluates integer literals as Int64, while Spark's
+    * ANSI inline table overflows `456*456*456*456` at INT width
+    * (types/decimal/decimal_aggregates.sql). */
+  private def foldIntProducts(s: String): String = {
+    val rx = "(?<![\\w.'])(\\d+)\\s*\\*\\s*(\\d+)(?![\\w.'])".r
+    var cur = s
+    var prev: String = null
+    while (prev != cur) {
+      prev = cur
+      cur = rx.replaceAllIn(cur, m =>
+        try (m.group(1).toLong * m.group(2).toLong).toString
+        catch { case _: Exception => m.matched })
+    }
+    cur
+  }
+
+  /** Parse the reference's interval grammar to MonthDayNano-at-µs:
+    * PG verbose (`1 year 2 months`), humantime compact (`-1h5m`,
+    * `1y2w3d4h`, `3y2mon`), fractional units (`1.5 year` → 18 mons),
+    * and ISO-8601 (`p3y3m700dt133h17m36.789s` — converted WHOLLY to a
+    * duration with 365-day years / 30-day months, months:0, matching
+    * types/interval/interval.result). */
+  private[graft] def parseIntervalMdn(text0: String): Option[(Int, Int, Long)] = {
+    val text = text0.trim
+    if (text.isEmpty) return None
+    val iso = ("(?i)^([+-]?)p(?:(\\d+(?:\\.\\d+)?)y)?(?:(\\d+(?:\\.\\d+)?)m)?" +
+      "(?:(\\d+(?:\\.\\d+)?)w)?(?:(\\d+(?:\\.\\d+)?)d)?" +
+      "(?:t(?:(\\d+(?:\\.\\d+)?)h)?(?:(\\d+(?:\\.\\d+)?)m)?" +
+      "(?:(\\d+(?:\\.\\d+)?)s)?)?$").r
+    iso.findFirstMatchIn(text) match {
+      case Some(m) if (2 to 8).exists(m.group(_) != null) =>
+        val sign = if (m.group(1) == "-") -1 else 1
+        def g(i: Int) = Option(m.group(i)).map(_.toDouble).getOrElse(0.0)
+        val secs = g(2) * 365 * 86400 + g(3) * 30 * 86400 + g(4) * 7 * 86400 +
+          g(5) * 86400 + g(6) * 3600 + g(7) * 60 + g(8)
+        return Some((0, 0, math.round(sign * secs * 1e6)))
+      case _ =>
+    }
+    val tok = ("(?i)([+-]?\\d+(?:\\.\\d+)?)\\s*" +
+      "(milliseconds?|microseconds?|nanoseconds?|minutes?|months?|seconds?|" +
+      "msecs?|usecs?|nsecs?|years?|yrs?|weeks?|wks?|hours?|mons?|mins?|" +
+      "days?|secs?|hrs?|ms|us|ns|y|w|d|h|m|s)").r
+    var months = 0.0; var days = 0.0; var micros = 0.0
+    val sb = new StringBuilder(text)
+    var any = false
+    for (mm <- tok.findAllMatchIn(text)) {
+      any = true
+      var k = mm.start
+      while (k < mm.end) { sb.setCharAt(k, ' '); k += 1 }
+      val v = mm.group(1).toDouble
+      mm.group(2).toLowerCase(Locale.ROOT) match {
+        case u if u.startsWith("year") || u.startsWith("yr") || u == "y" =>
+          months += v * 12
+        case u if u.startsWith("mon") => months += v
+        case u if u.startsWith("week") || u.startsWith("wk") || u == "w" =>
+          days += v * 7
+        case u if u.startsWith("day") || u == "d" => days += v
+        case u if u.startsWith("hour") || u.startsWith("hr") || u == "h" =>
+          micros += v * 3.6e9
+        case u if u.startsWith("millisecond") || u.startsWith("msec") || u == "ms" =>
+          micros += v * 1000
+        case u if u.startsWith("microsecond") || u.startsWith("usec") || u == "us" =>
+          micros += v
+        case u if u.startsWith("nanosecond") || u.startsWith("nsec") || u == "ns" =>
+          micros += v / 1000
+        case u if u.startsWith("min") || u == "m" => micros += v * 6e7
+        case u if u.startsWith("sec") || u == "s" => micros += v * 1e6
+      }
+    }
+    if (!any || sb.toString.exists(c => !c.isWhitespace && c != ',')) return None
+    // fractional months/days spill down (1.5 year → 18 mons exactly;
+    // 1.5 months → 1 mon 15 days)
+    val mWhole = months.toLong
+    days += (months - mWhole) * 30
+    val dWhole = days.toLong
+    micros += (days - dWhole) * 86400e6
+    Some((mWhole.toInt, dWhole.toInt, math.round(micros)))
+  }
+
+  /** `make_interval(...)` call text for a parsed MonthDayNano. */
+  private def mdnSql(mdn: (Int, Int, Long)): String = {
+    val secs = java.math.BigDecimal.valueOf(mdn._3).movePointLeft(6).toPlainString
+    s"make_interval(0, ${mdn._1}, 0, ${mdn._2}, 0, 0, $secs)"
   }
 
   private def intervalMs(text: String): Long = {
@@ -1270,27 +1369,100 @@ final class GraftSession(spark0: SparkSession,
           // sub-second input (function/date.result pins :000)
           else if (typeTok.trim.equalsIgnoreCase("TIMESTAMP_S"))
             s"date_trunc('second', CAST($operand AS TIMESTAMP))"
-          // sub-microsecond literal: unrepresentable at µs storage, so an
-          // equality against it matches NOTHING (filter/cast_preimage's
-          // '…05.000000001' on a millisecond table → empty)
+          // sub-microsecond literal cast to TIMESTAMP(9): unrepresentable
+          // at µs storage, so an equality against it matches NOTHING
+          // (filter/cast_preimage's '…05.000000001'::TIMESTAMP(9) →
+          // empty). Lower-precision casts TRUNCATE instead (below).
           else if (t.startsWith("TIMESTAMP") &&
+              typeTok.replaceAll("[^0-9]", "") == "9" &&
               "'[^']*\\.\\d{6}(\\d*[1-9]\\d*)'".r.findFirstMatchIn(operand)
                 .exists(g => g.group(1).exists(_ != '0')))
             "CAST(NULL AS TIMESTAMP)"
-          // humantime literal → interval ('30s'::interval in
-          // flow/flow_tql_avg.sql); Spark's day-time interval cast
-          // rejects the compact form, so expand to make_dt_interval
+          // interval literal → MonthDayNano as a calendar interval
+          // ('30s'::interval, '1 year 2 months'::interval,
+          // 'P3Y...'::INTERVAL — types/interval/interval.result)
           else if (t.startsWith("INTERVAL") && operand.startsWith("'") &&
-              scala.util.Try(intervalMs(
-                operand.stripPrefix("'").stripSuffix("'"))).isSuccess) {
-            val ms = intervalMs(operand.stripPrefix("'").stripSuffix("'"))
-            s"make_dt_interval(0, 0, 0, ${ms / 1000.0})"
+              parseIntervalMdn(operand.stripPrefix("'").stripSuffix("'")).isDefined)
+            mdnSql(parseIntervalMdn(
+              operand.stripPrefix("'").stripSuffix("'")).get)
+          // float → string casts render Rust-style inf/-inf
+          // (types/float/nan_cast.result: 'inf'::FLOAT::VARCHAR = inf)
+          else if (t == "STRING" && {
+            val up = operand.toUpperCase(Locale.ROOT)
+            up.endsWith("AS FLOAT)") || up.endsWith("AS DOUBLE)") ||
+              probeType(operand, rr).exists(d => d == FloatType || d == DoubleType)
+          })
+            s"replace(CAST($operand AS STRING), 'Infinity', 'inf')"
+          // timestamp → string renders arrow-style (T separator,
+          // fraction at the value's natural 3/6 digits —
+          // types/timestamp/timestamp.result '…01.5'::VARCHAR =
+          // 2008-01-01T00:00:01.500)
+          else if (t == "STRING" && {
+            val up = operand.toUpperCase(Locale.ROOT)
+            up.startsWith("TIMESTAMP ") || up.endsWith("AS TIMESTAMP)") ||
+              up.contains("DATE_TRUNC(") ||
+              probeType(operand, rr).exists(d =>
+                d == TimestampType || d == TimestampNTZType)
+          })
+            s"__ts_render(CAST($operand AS TIMESTAMP))"
+          // TIMESTAMP(p) casts truncate to the precision
+          // (timestamp_precision.result: '…123456789'::TIMESTAMP(0))
+          else if (t == "TIMESTAMP" && {
+            val compact = typeTok.toUpperCase(Locale.ROOT).replaceAll("\\s", "")
+            compact.startsWith("TIMESTAMP(")
+          }) {
+            val p = typeTok.replaceAll("[^0-9]", "").toInt
+            if (p == 0) s"date_trunc('second', CAST($operand AS TIMESTAMP))"
+            else if (p == 3) s"date_trunc('millisecond', CAST($operand AS TIMESTAMP))"
+            else s"CAST($operand AS TIMESTAMP)"
           }
           else s"CAST($operand AS $t)")
       }
       out.append(rr.substring(last))
       r = out.toString
     }
+    // sub-second EXTRACT fields (PG semantics: value within the MINUTE —
+    // types/timestamp/timestamp_precision.result pins 45123456 for
+    // :45.123456); Spark has no subsecond extract fields
+    r = ("(?i)\\bEXTRACT\\s*\\(\\s*(MICROSECONDS?|MILLISECONDS?|NANOSECONDS?)" +
+      "\\s+FROM\\s+([^()]+?)\\s*\\)").r
+      .replaceAllIn(r, m => scala.util.matching.Regex.quoteReplacement(
+        m.group(1).toUpperCase(Locale.ROOT).stripSuffix("S") match {
+          case "MICROSECOND" =>
+            s"(unix_micros(CAST(${m.group(2)} AS TIMESTAMP)) % 60000000)"
+          case "MILLISECOND" =>
+            s"(unix_millis(CAST(${m.group(2)} AS TIMESTAMP)) % 60000)"
+          case _ =>
+            s"(unix_micros(CAST(${m.group(2)} AS TIMESTAMP)) % 60000000 * 1000)"
+        }))
+    // whitespace-padded timestamp literals parse in the reference
+    // (timestamp '    2017-07-23     13:10:11    ')
+    r = "(?i)\\b(TIMESTAMP|DATE)\\s+'\\s*([0-9][^']*?)\\s*'".r
+      .replaceAllIn(r, m => scala.util.matching.Regex.quoteReplacement(
+        s"${m.group(1)} '${m.group(2).replaceAll("\\s+", " ")}'"))
+    // INTERVAL '<compound text>' literals (INTERVAL '1 year 2 months',
+    // INTERVAL '-1h5m', INTERVAL 'p3y...') — Spark's parser rejects the
+    // compound/compact forms; the SQL-standard `INTERVAL 'n' UNIT`
+    // spelling is left for Spark itself
+    r = ("(?i)\\bINTERVAL\\s+'([^']+)'" +
+      "(?!\\s*(?:YEAR|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND|MILLISECOND|MICROSECOND))").r
+      .replaceAllIn(r, m => parseIntervalMdn(m.group(1)) match {
+        case Some(mdn) => scala.util.matching.Regex.quoteReplacement(mdnSql(mdn))
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+      })
+    // DATE ± interval stays a DATE in the reference (interval.result:
+    // DATE '2000-10-30' + '1 days'::interval = 2000-10-31)
+    r = ("(?i)(DATE\\s*'[^']*')\\s*([+\\-])\\s*(make_interval\\([^()]*\\))").r
+      .replaceAllIn(r, m => scala.util.matching.Regex.quoteReplacement(
+        s"CAST(${m.group(1)} ${m.group(2)} ${m.group(3)} AS DATE)"))
+    // DATE - DATE yields a day count in the reference (types/date/
+    // test_date.result: i - DATE '1993-08-14' = 0), not an interval
+    r = ("(?i)\\b([A-Za-z_][A-Za-z0-9_.]*)\\s*-\\s*(DATE\\s*'[^']*')").r
+      .replaceAllIn(r, m =>
+        if (probeType(m.group(1), r).contains(DateType))
+          scala.util.matching.Regex.quoteReplacement(
+            s"datediff(${m.group(1)}, ${m.group(2)})")
+        else m.matched)
     // DataFusion's within-aggregate ORDER BY: first/last_value become
     // min_by/max_by on the sort key; order is irrelevant for the
     // commutative aggregates so it's just dropped there
@@ -1991,7 +2163,7 @@ final class GraftSession(spark0: SparkSession,
         case other => other
       }
     val u = u0
-    val base = u.takeWhile(_ != '(')
+    val base = u.takeWhile(_ != '(').trim // `TIMESTAMP (9)` spaced form
     val args = if (u.contains('(')) u.dropWhile(_ != '(').stripPrefix("(").stripSuffix(")").trim else ""
     base match {
       // int2/int4/int8 are Postgres BYTE-width aliases
@@ -2009,7 +2181,7 @@ final class GraftSession(spark0: SparkSession,
       case "STRING" | "TEXT" | "VARCHAR" | "CHAR" |
            "TINYTEXT" | "MEDIUMTEXT" | "LONGTEXT" => "String"
       case "BOOLEAN" | "BOOL" => "Boolean"
-      case "BINARY" | "BLOB" | "VARBINARY" => "Binary"
+      case "BINARY" | "BLOB" | "VARBINARY" | "BYTEA" => "Binary"
       case "DATE" => "Date"
       case "DATETIME" => "TimestampMicrosecond"
       case "TIMESTAMP" => args match {
@@ -2072,7 +2244,30 @@ final class GraftSession(spark0: SparkSession,
     val nameTok = item.takeWhile(!_.isWhitespace)
     val rest = item.drop(nameTok.length).trim
     val restUp = rest.toUpperCase(Locale.ROOT)
-    val typeTok0 = rest.takeWhile(!_.isWhitespace)
+    val typeTok0 = {
+      val ws0 = rest.takeWhile(!_.isWhitespace)
+      // `TIMESTAMP (9)` — args may follow after a space
+      // (types/timestamp/timestamp_precision.sql)
+      val ws =
+        if (!ws0.contains('(') &&
+            rest.drop(ws0.length).dropWhile(_.isWhitespace).startsWith("("))
+          rest.take(rest.indexOf('(', ws0.length) + 1) // unbalanced → extended below
+        else ws0
+      // a space inside the args must not cut the token
+      // (`DECIMAL(3, 2)` in types/decimal/decimal_ops.sql)
+      if (ws.count(_ == '(') != ws.count(_ == ')')) {
+        var depth = 0; var i = 0; var stop = -1
+        while (i < rest.length && stop < 0) {
+          rest.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) stop = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (stop >= 0) rest.substring(0, stop + 1) else ws
+      } else ws
+    }
     // `INT UNSIGNED` style two-token types (show/show_create.result)
     val typeTok =
       if (restUp.drop(typeTok0.length).trim.startsWith("UNSIGNED"))
@@ -2116,7 +2311,7 @@ final class GraftSession(spark0: SparkSession,
         case other => other.drop(1)
       })
     val u = u1
-    val base = u.takeWhile(_ != '(')
+    val base = u.takeWhile(_ != '(').trim // `TIMESTAMP (9)` spaced form
     base match {
       case "STRING" | "TEXT" | "VARCHAR" | "CHAR" |
            "TINYTEXT" | "MEDIUMTEXT" | "LONGTEXT" => StringType
@@ -2145,7 +2340,7 @@ final class GraftSession(spark0: SparkSession,
       case "DATE" => DateType
       case "TIME" | "DURATION" => LongType
       case "INTERVAL" => DayTimeIntervalType()
-      case "BINARY" | "BLOB" | "VARBINARY" => BinaryType
+      case "BINARY" | "BLOB" | "VARBINARY" | "BYTEA" => BinaryType
       case "JSON" | "JSON2" => StringType
       case "VECTOR" => ArrayType(FloatType, containsNull = false)
       case other => throw new IllegalArgumentException(s"unknown type: $other")
@@ -3398,10 +3593,108 @@ final class GraftSession(spark0: SparkSession,
         sstFileCounter += 1
         sstFiles += SstEntry(t, tid, i, sstFileCounter, rows,
           ms(agg.get(0)), ms(agg.get(1)), pkMin, pkMax, sstFileCounter)
+        // flush-time index build covers exactly the SST's own rows
+        // (information_schema/ssts.result: the second flush's inverted
+        // meta counts only the new increment's keys)
+        val fileNo = sstFileCounter
+        indexedColsOf(t).foreach { case (ci, kind, decl) =>
+          addOneIndexEntry(t, fileNo, ci, kind, decl, df, rows)
+        }
       }
     }
     sstFlushSeq.put(t, seqCounter.get())
   } catch { case _: Exception => () }
+
+  /** Index blobs inside each flushed SST's puffin file — one entry per
+    * (SST, indexed column). Created at flush for columns indexed at
+    * flush time, and by ADMIN BUILD_INDEX for SSTs that predate the
+    * index declaration (function/admin/build_index_table.sql). Sizes
+    * are emulated with the reference backends' serialized layouts
+    * (information_schema/ssts.result pins the meta_json cells):
+    * bloom-family blobs are 64 bytes per 10240-row segment; inverted
+    * blobs are null-bitmap(8) + one roaring bitmap per key (16+2·card)
+    * + an FST sized 35 + 4·(trie edges of the memcomparable keys). */
+  private case class SstIndexEntry(fileNo: Long, table: String, colIdx: Int,
+      indexType: String, blobSize: Long, metaJson: String)
+  private val sstIndexEntries =
+    scala.collection.mutable.ListBuffer.empty[SstIndexEntry]
+
+  /** (column position, physical index backend, declaration text) for
+    * every indexed column of a table. */
+  private def indexedColsOf(t: String): Seq[(Int, String, String)] =
+    colMeta.getOrElse(t, Vector.empty).zipWithIndex.flatMap { case (cm, i) =>
+      cm.indexDecl.toSeq.flatMap { d =>
+        val du = d.toUpperCase(Locale.ROOT)
+        val b = Seq.newBuilder[(Int, String, String)]
+        if (du.contains("FULLTEXT"))
+          b += ((i, if (du.contains("TANTIVY")) "fulltext_tantivy"
+                    else "fulltext_bloom", d))
+        if (du.contains("SKIPPING")) b += ((i, "bloom_filter", d))
+        if (du.contains("INVERTED")) b += ((i, "inverted", d))
+        b.result()
+      }
+    }
+
+  /** Rows of one region's current contents (the flush emulation keeps
+    * one SST per region, so a rebuild over "the SST's rows" reads the
+    * region). */
+  private def regionDf(t: String, regionNo: Int): DataFrame = {
+    val df = catalog.read(t)
+    partitionClause.get(t).map(_._2) match {
+      case Some(rules) if rules.nonEmpty && regionNo < rules.size =>
+        df.filter(expr(rules(regionNo)))
+      case _ => df
+    }
+  }
+
+  private def addOneIndexEntry(t: String, fileNo: Long, ci: Int,
+      kind: String, decl: String, df: => DataFrame, rows: Long): Unit = {
+    val cname = colMeta(t)(ci).name
+    if (kind == "inverted") {
+      val kv = df.groupBy(col(s"`$cname`")).count().collect()
+        .map(r => (pkEncode(r.get(0)), r.getLong(1))).sortBy(_._1).toSeq
+      val fstOff = 8L + kv.map { case (_, c) => 16L + 2L * c }.sum
+      val prefixes = scala.collection.mutable.HashSet.empty[String]
+      kv.foreach { case (k, _) =>
+        (2 to k.length by 2).foreach(e => prefixes += k.substring(0, e)) }
+      val fst = 35L + 4L * prefixes.size
+      val size = fst + fstOff
+      sstIndexEntries += SstIndexEntry(fileNo, t, ci, kind, size,
+        s"""{"inverted":{"base_offset":0,"bitmap_type":"Roaring","fst_size":$fst,""" +
+          s""""inverted_index_size":$size,"null_bitmap_size":8,""" +
+          s""""relative_fst_offset":$fstOff,"relative_null_bitmap_offset":0,""" +
+          s""""segment_row_count":1024,"total_row_count":$rows}}""")
+    } else {
+      val segs = math.max(1L, (rows + 10239) / 10240)
+      val bloom = s""""bloom":{"bloom_filter_size":${64 * segs},""" +
+        s""""row_count":$rows,"rows_per_segment":10240,"segment_count":$segs}"""
+      val meta =
+        if (kind.startsWith("fulltext")) {
+          val analyzer = "(?i)analyzer\\s*=\\s*'([^']+)'".r
+            .findFirstMatchIn(decl).map(_.group(1)).getOrElse("English")
+          val cs = "(?i)case_sensitive\\s*=\\s*'([^']+)'".r
+            .findFirstMatchIn(decl).map(_.group(1)).getOrElse("false")
+          s"""{$bloom,"fulltext":{"analyzer":"$analyzer","case_sensitive":$cs}}"""
+        } else s"{$bloom}"
+      sstIndexEntries += SstIndexEntry(fileNo, t, ci, kind, 64L * segs, meta)
+    }
+  }
+
+  /** Flush-time index build: every column indexed at flush time gets a
+    * blob in the new SSTs' puffin files. */
+  private def addSstIndexEntries(t: String): Unit = {
+    val idxCols = indexedColsOf(t)
+    if (idxCols.isEmpty) return
+    val covered = sstIndexEntries.filter(_.table == t)
+      .map(e => (e.fileNo, e.colIdx)).toSet
+    sstFiles.filter(_.table == t).foreach { e =>
+      lazy val df = regionDf(t, e.regionNo)
+      idxCols.filterNot(c => covered((e.fileNo, c._1))).foreach {
+        case (ci, kind, decl) =>
+          addOneIndexEntry(t, e.fileNo, ci, kind, decl, df, e.numRows)
+      }
+    }
+  }
 
   /** DESC schemas of the storage-introspection info tables
     * (information_schema/{region_info,region_statistics,ssts}.result). */
@@ -3847,8 +4140,19 @@ final class GraftSession(spark0: SparkSession,
       "flushed_sequence", "manifest_version", "compaction_time_window",
       "region_options", "sst_format", "node_id")
       .createOrReplaceTempView("__info_region_info")
-    regionRows.map { case (rid, tid, k, _) =>
-      (rid, tid, k, 3L, 100L, 1L, 1L, 100L, 1L, 10L, "mito", "Leader",
+    // index_size = total puffin file bytes for the region's SSTs: a
+    // puffin with blobs is 254 bytes of framing + the blob bytes, and
+    // an SST without any index entry has no puffin at all
+    // (function/admin/build_index_table.result pins 0 → 318)
+    val puffinBySst: Map[Long, Long] = sstIndexEntries.groupBy(_.fileNo)
+      .map { case (f, es) => f -> (254L + es.map(_.blobSize).sum) }
+    val idxSizeByRegion: Map[(String, Int), Long] =
+      sstFiles.toSeq.groupBy(e => (e.table, e.regionNo))
+        .map { case (key, es) =>
+          key -> es.map(e => puffinBySst.getOrElse(e.fileNo, 0L)).sum }
+    regionRows.map { case (rid, tid, k, t) =>
+      (rid, tid, k, 3L, 100L, 1L, 1L, 100L, 1L,
+        idxSizeByRegion.getOrElse((t, k), 0L), "mito", "Leader",
         100L, 1L, 100L)
     }.toDF("region_id", "table_id", "region_number", "region_rows",
       "disk_size", "memtable_size", "manifest_size", "sst_size", "sst_num",
@@ -3892,6 +4196,39 @@ final class GraftSession(spark0: SparkSession,
         (r.getString(11), 1024L, r.getTimestamp(16), 0L)))
       .toDF("file_path", "file_size", "last_modified_ms", "node_id")
       .createOrReplaceTempView("__info_ssts_storage")
+    // information_schema.ssts_index_meta: one row per index blob in a
+    // flushed SST's puffin file (information_schema/ssts.result,
+    // function/admin/build_index_table_restart.sql)
+    val sstByNo = sstFiles.map(e => e.fileNo -> e).toMap
+    val idxSchema = StructType(Seq(
+      StructField("table_dir", StringType),
+      StructField("index_file_path", StringType),
+      StructField("region_id", LongType), StructField("table_id", LongType),
+      StructField("region_number", IntegerType),
+      StructField("region_group", IntegerType),
+      StructField("region_sequence", IntegerType),
+      StructField("file_id", StringType),
+      StructField("index_file_size", LongType),
+      StructField("index_type", StringType),
+      StructField("target_type", StringType),
+      StructField("target_key", StringType),
+      StructField("target_json", StringType),
+      StructField("blob_size", LongType), StructField("meta_json", StringType),
+      StructField("node_id", LongType)))
+    val idxRows = sstIndexEntries.toSeq.flatMap { en =>
+      sstByNo.get(en.fileNo).map { e =>
+        val rid = 4400000000000L + e.tableId * 100L + e.regionNo
+        val dir = s"data/greptime/public/${e.tableId}/"
+        val ip = s"data/greptime/public/${e.tableId}/${rid}_${e.regionNo}/index/${uuidOf(e.fileNo)}.puffin"
+        org.apache.spark.sql.Row(dir, ip, rid, e.tableId, e.regionNo, 0,
+          e.regionNo, uuidOf(e.fileNo), puffinBySst.getOrElse(e.fileNo, 0L),
+          en.indexType, "column", en.colIdx.toString,
+          s"""{"column":${en.colIdx}}""", en.blobSize, en.metaJson, 0L)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(idxRows, 1).toJavaRDD, idxSchema)
+      .createOrReplaceTempView("__info_ssts_index_meta")
   }
 
   /** ConcreteDataType display name → SHOW CREATE TABLE SQL type token
@@ -4512,7 +4849,11 @@ final class GraftSession(spark0: SparkSession,
       }
       var df = spark.sql(dialect(coerceMixedTs(
         graft.functions.JsonSql.foldParseJsonLiterals(
-          substituteDefaults(name, cleanBody, cols)))))
+          // parse_vec over a literal folds to the literal itself — the
+          // aligned projection parses strings into VECTOR columns, and
+          // inline VALUES reject non-foldable calls (types/vector)
+          foldIntProducts(substituteDefaults(name, cleanBody, cols)
+            .replaceAll("(?i)\\bparse_vec\\s*\\(\\s*('[^']*')\\s*\\)", "$1"))))))
       df = df.toDF(cols: _*)
       // align to full target schema: missing columns become nulls, the
       // sequence column is stamped per statement (write order for the
@@ -4574,7 +4915,18 @@ final class GraftSession(spark0: SparkSession,
               srcType.isInstanceOf[DecimalType])) {
             val us = tsLiteralUs.getOrElse(name, 1000L)
             val micros =
-              if (us > 0) col(s"`${f.name}`").cast(LongType) * lit(us)
+              // exact when in range; saturate instead of ANSI-overflowing
+              // (types/string/scan_big_varchar.sql multiplies epoch
+              // seconds past the µs-representable horizon)
+              if (us > 0) expr(
+                s"coalesce(try_multiply(CAST(`${f.name}` AS BIGINT), ${us}L), " +
+                  // exact 64-bit WRAPPING multiply via decimal modulus:
+                  // out-of-range epochs stay distinct (scan_big_varchar's
+                  // doubling counts would collide under saturation)
+                  s"CAST(CAST((CAST(CAST(`${f.name}` AS BIGINT) AS DECIMAL(38,0))" +
+                  s" * $us % 18446744073709551616" +
+                  s" + 27670116110564327424) % 18446744073709551616" +
+                  s" - 9223372036854775808 AS DECIMAL(20,0)) AS BIGINT))")
               else expr(s"CAST(`${f.name}` AS BIGINT) div 1000")
             timestamp_micros(micros).cast(f.dataType).as(f.name)
           }
@@ -4613,6 +4965,11 @@ final class GraftSession(spark0: SparkSession,
               timestamp_micros(lit(x.toLong) * 1000L).cast(f.dataType).as(f.name)
             else if (histCols.contains(f.name))
               expr(dialect(x)).cast(curTypeOf(f.name)).cast(f.dataType).as(f.name)
+            // VECTOR DEFAULT '[...]' parses, not casts (types/vector t2)
+            else if ((f.dataType match {
+                case ArrayType(FloatType, _) => true; case _ => false
+              }) && x.trim.startsWith("'"))
+              expr(s"parse_vec(${x.trim})").as(f.name)
             else expr(dialect(x)).cast(f.dataType).as(f.name)
           }.getOrElse(lit(null).cast(f.dataType).as(f.name))
         }
@@ -4627,7 +4984,23 @@ final class GraftSession(spark0: SparkSession,
             .count(_.trim.startsWith("("))
             .toLong
         else df.count()
-      df.select(aligned: _*).write.mode("append").parquet(spec.path)
+      // values truncate to the column's declared precision on write
+      // (timestamp_precision_display.result: a TIMESTAMP(0) column
+      // drops sub-second input; (3) drops sub-millisecond)
+      val gtypeOf = colMeta.getOrElse(name, Vector.empty)
+        .map(c => c.name -> c.gtype).toMap
+      val alignedP = target.zip(aligned).map { case (f, c) =>
+        if (f.dataType == TimestampType || f.dataType == TimestampNTZType)
+          gtypeOf.get(f.name) match {
+            case Some("TimestampSecond") =>
+              date_trunc("second", c).cast(f.dataType).as(f.name)
+            case Some("TimestampMillisecond") =>
+              date_trunc("millisecond", c).cast(f.dataType).as(f.name)
+            case _ => c
+          }
+        else c
+      }
+      df.select(alignedP: _*).write.mode("append").parquet(spec.path)
       refreshPath(spec.path)
       refreshView(name)
       logicalParent.get(name).foreach(refreshMetricPhyView)
@@ -5887,7 +6260,23 @@ final class GraftSession(spark0: SparkSession,
         // physically dropped, so a later LOOSER ttl cannot resurrect
         // them (ttl/alter_table_ttl.result, ttl/database_ttl.result)
         val fnl = fn.toLowerCase(Locale.ROOT)
-        if (fnl.startsWith("compact_table") || fnl.startsWith("flush_table")) {
+        // ADMIN BUILD_INDEX('t'): index SSTs written before the index
+        // declaration existed; idempotent
+        // (function/admin/build_index_table{,_error,_restart}.sql)
+        if (fnl.startsWith("build_index")) {
+          val argsRaw = fn.substring(fn.indexOf('(') + 1, fn.lastIndexOf(')')).trim
+          if (argsRaw.isEmpty) throw new IllegalArgumentException(
+            "1004(InvalidArguments), Expected 1 args, but actual 0")
+          if (!argsRaw.startsWith("'")) throw new IllegalArgumentException(
+            "1004(InvalidArguments), Failed to build admin function args: " +
+              s"failed to cast $argsRaw")
+          val name = normTable(argsRaw.stripPrefix("'").stripSuffix("'"))
+          if (!catalog.tables.contains(name)) throw new IllegalArgumentException(
+            "1002(Unexpected), Failed to execute admin function build_index: " +
+              s"Execution error: Table not found: greptime.public.$name")
+          addSstIndexEntries(name)
+        }
+        else if (fnl.startsWith("compact_table") || fnl.startsWith("flush_table")) {
           val name = normTable(fn.substring(fn.indexOf('(') + 1, fn.lastIndexOf(')'))
             .trim.stripPrefix("'").stripSuffix("'"))
           // flushing a metric physical region covers its logical children

@@ -258,13 +258,53 @@ object GoldenRunner {
       if (d.isInfinite) (if (d > 0) "inf" else "-inf") else d.toString
     case f: java.lang.Float =>
       if (f.isInfinite) (if (f > 0) "inf" else "-inf") else f.toString
-    // DataFusion renders durations as seconds-only ISO-8601 (PT900S,
-    // never PT15M), unlike java.time.Duration.toString
+    // MonthDayNano intervals render DataFusion-style: "14 mons 3 days
+    // 4 hours 5 mins 6.000100000 secs" (types/interval/interval.result)
+    case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+      val parts = Seq.newBuilder[String]
+      if (ci.months != 0) parts += s"${ci.months} mons"
+      if (ci.days != 0) parts += s"${ci.days} days"
+      var us = ci.microseconds
+      val h = us / 3600000000L; us %= 3600000000L
+      val mi = us / 60000000L; us %= 60000000L
+      val sWhole = us / 1000000L; val frac = us % 1000000L
+      if (h != 0) parts += s"$h hours"
+      if (mi != 0) parts += s"$mi mins"
+      if (sWhole != 0 || frac != 0)
+        parts += (
+          if (frac == 0) s"$sWhole secs"
+          else {
+            val sign = if (sWhole == 0 && frac < 0) "-" else ""
+            s"$sign$sWhole.${"%09d".format(math.abs(frac) * 1000)} secs"
+          })
+      val out = parts.result()
+      if (out.isEmpty) "0 secs" else out.mkString(" ")
+    // Duration rendering follows the reference's mix: zero → chrono's
+    // "P0D" (types/timestamp/timestamp.result), whole seconds →
+    // "PT900S" (join/inequality_joins.result), fractional →
+    // "HH:MM:SS.fff" at 3/6/9 digits (types/timestamp/timestamp_types)
     case d: java.time.Duration =>
       val nanos = d.getNano
-      if (nanos == 0) s"PT${d.getSeconds}S"
-      else s"PT${d.getSeconds}.${"%09d".format(nanos).reverse.dropWhile(_ == '0').reverse}S"
+      if (d.isZero) "P0D"
+      else if (nanos == 0) s"PT${d.getSeconds}S"
+      else {
+        val s = d.getSeconds
+        val frac0 = "%09d".format(nanos)
+        val frac =
+          if (frac0.endsWith("000000")) frac0.take(3)
+          else if (frac0.endsWith("000")) frac0.take(6)
+          else frac0
+        f"${s / 3600}%02d:${s / 60 % 60}%02d:${s % 60}%02d.$frac"
+      }
     case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    // a bare VECTOR column renders as its f32-LE byte encoding in hex
+    // (types/vector/vector.result: [1,2,3] -> 0000803f0000004000004040);
+    // array<float> exists only as the VECTOR type in this dialect
+    case s: scala.collection.Seq[_] if s.nonEmpty && s.head.isInstanceOf[Float] =>
+      s.asInstanceOf[scala.collection.Seq[Float]].flatMap { f =>
+        val bits = java.lang.Float.floatToIntBits(f)
+        Seq(bits & 0xFF, (bits >> 8) & 0xFF, (bits >> 16) & 0xFF, (bits >> 24) & 0xFF)
+      }.map("%02x".format(_)).mkString
     case s: scala.collection.Seq[_] => s.map(cell).mkString("[", ", ", "]")
     case a: Array[_] => a.map(cell).mkString("[", ", ", "]")
     case true => "true"
