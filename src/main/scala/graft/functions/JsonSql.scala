@@ -19,6 +19,175 @@ object JsonSql {
 
   private def parse(s: String): JsonNode = mapper.readTree(s)
 
+  // ---- JSON2 shredded-variant emulation (types/json/json2.sql) ------
+  // The reference's JSON2 "flat" SST format shreds each flush batch
+  // into an arrow struct whose schema is the DEEP UNION of the batch's
+  // document shapes; reading re-emits documents against that union, so
+  // keys another row introduced surface as explicit nulls. Schema
+  // encoding here: object → JSON object, array → 1-element JSON array,
+  // scalar leaf (or a type conflict) → JSON `true`.
+
+  /** Deep-union shape of a batch of documents. Null values contribute
+    * nothing; a scalar/object conflict degrades the node to a leaf
+    * (json2.result: c holds both "s8" and [1] → rendered raw). */
+  def shredSchema(texts: Seq[String]): String = {
+    def shapeOf(n: JsonNode): JsonNode =
+      if (n == null || n.isNull) null
+      else if (n.isObject) {
+        val o = mapper.createObjectNode()
+        val it = n.fieldNames()
+        while (it.hasNext) { val k = it.next(); val s = shapeOf(n.get(k)); if (s != null) o.set[JsonNode](k, s) else o.set[JsonNode](k, mapper.nullNode()) }
+        o
+      } else if (n.isArray) {
+        val a = mapper.createArrayNode()
+        var elem: JsonNode = null
+        var i = 0
+        while (i < n.size) { elem = mergeShapes(elem, shapeOf(n.get(i))); i += 1 }
+        a.add(if (elem == null) mapper.getNodeFactory.booleanNode(true) else elem)
+        a
+      } else mapper.getNodeFactory.booleanNode(true)
+    var acc: JsonNode = null
+    texts.foreach { t =>
+      if (t != null) scala.util.Try(parse(t)).foreach(n =>
+        acc = mergeShapes(acc, shapeOf(n)))
+    }
+    if (acc == null) "true" else acc.toString
+  }
+
+  private def mergeShapes(a: JsonNode, b: JsonNode): JsonNode = {
+    if (a == null || a.isNull) return b
+    if (b == null || b.isNull) return a
+    if (a.isObject && b.isObject) {
+      val o = mapper.createObjectNode()
+      val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+      val ia = a.fieldNames(); while (ia.hasNext) keys += ia.next()
+      val ib = b.fieldNames(); while (ib.hasNext) keys += ib.next()
+      keys.foreach(k => o.set[JsonNode](k, mergeShapes(a.get(k), b.get(k))))
+      o
+    } else if (a.isArray && b.isArray) {
+      val arr = mapper.createArrayNode()
+      arr.add(mergeShapes(a.get(0), b.get(0)))
+      arr
+    } else mapper.getNodeFactory.booleanNode(true) // conflict → leaf
+  }
+
+  /** Re-emit a document against its batch's union schema: union keys the
+    * row lacks surface as explicit nulls; an object whose members are
+    * ALL null collapses to null ('{"a":{}}' renders a:null). Returns
+    * null for a null/unparseable document. */
+  def applyShred(jText: String, schemaText: String): String = {
+    if (jText == null) return null
+    val v = scala.util.Try(parse(jText)).getOrElse(return null)
+    val s = scala.util.Try(parse(schemaText)).getOrElse(return render(v))
+    def app(v: JsonNode, s: JsonNode): JsonNode = {
+      if (v == null || v.isNull) return null
+      if (s == null || s.isNull || s.isBoolean) return v // leaf
+      if (s.isArray) {
+        if (!v.isArray) return v // conflict: raw
+        val out = mapper.createArrayNode()
+        var i = 0
+        while (i < v.size) {
+          val e = app(v.get(i), s.get(0))
+          out.add(if (e == null) mapper.nullNode(): JsonNode else e)
+          i += 1
+        }
+        out
+      } else { // object schema
+        if (!v.isObject) return v // conflict: raw
+        val out = mapper.createObjectNode()
+        var anyNonNull = false
+        val it = s.fieldNames()
+        while (it.hasNext) {
+          val k = it.next()
+          val m = app(v.get(k), s.get(k))
+          if (m == null) out.set[JsonNode](k, mapper.nullNode())
+          else { out.set[JsonNode](k, m); anyNonNull = true }
+        }
+        if (anyNonNull) out else null
+      }
+    }
+    val r = app(v, s)
+    if (r == null) null else render(r)
+  }
+
+  // ---- JSON2 type hints (types/json/json2_type_hints.sql) ----------
+  // A hint declares `path TYPE [NOT NULL|NULL] [DEFAULT lit]` inside the
+  // column type. At write time each hinted path is validated against its
+  // declared type and materialized into the stored document: a missing
+  // path takes its DEFAULT, else JSON null (or errors when NOT NULL).
+  // Spec wire format between GraftSession and the UDF: JSON array of
+  // {"path":["user","age"],"type":"Int64","nullable":true,"default":<v>}.
+
+  /** Validate+materialize `doc` against the hint spec. Throws
+    * IllegalArgumentException with the reference's message shapes
+    * (datatypes/src/json.rs:231,261). */
+  def applyTypeHints(doc: String, spec: String): String = {
+    if (doc == null) return null
+    val root = try parse(doc) catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"Invalid JSON text: $doc", e)
+    }
+    val hints = parse(spec)
+    var out: JsonNode = root
+    var hi = 0
+    while (hi < hints.size) {
+      val h = hints.get(hi)
+      val path = (0 until h.get("path").size).map(h.get("path").get(_).asText)
+      val tname = h.get("type").asText
+      val nullable = h.get("nullable").asBoolean
+      val dflt = Option(h.get("default")) // absent key → None
+      out = hintOne(out, path.toList, path, tname, nullable, dflt)
+      hi += 1
+    }
+    render(out)
+  }
+
+  private def typeOk(n: JsonNode, tname: String): Boolean = tname match {
+    case "String" => n.isTextual
+    case "Int64" => n.isIntegralNumber ||
+      (n.isNumber && n.doubleValue == n.doubleValue.floor &&
+        !n.doubleValue.isInfinite && n.canConvertToLong)
+    case "UInt64" => (n.isIntegralNumber && n.longValue >= 0) || n.isBigInteger
+    case "Float64" => n.isNumber
+    case "Boolean" => n.isBoolean
+    case _ => false
+  }
+
+  private def hintOne(node: JsonNode, rest: List[String], full: Seq[String],
+      tname: String, nullable: Boolean, dflt: Option[JsonNode]): JsonNode = {
+    val fullPath = full.mkString(".")
+    def missing(): JsonNode = dflt match {
+      case Some(d) if !d.isNull => d
+      case _ =>
+        if (nullable) mapper.nullNode()
+        else throw new IllegalArgumentException(
+          s"Invalid JSON: missing non-null JSON2 type hint path $fullPath")
+    }
+    rest match {
+      case Nil => // leaf position: node is the candidate value
+        if (node == null || node.isNull) {
+          if (node == null) missing()
+          else if (nullable) node
+          else throw new IllegalArgumentException(
+            s"Invalid JSON: JSON2 type hint path $fullPath is not nullable")
+        } else if (typeOk(node, tname)) node
+        else throw new IllegalArgumentException(
+          s"Invalid JSON: JSON value at $fullPath does not match JSON2 type hint $tname")
+      case seg :: tail =>
+        val base: com.fasterxml.jackson.databind.node.ObjectNode =
+          if (node == null || node.isNull) mapper.createObjectNode()
+          else if (node.isObject)
+            node.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          else throw new IllegalArgumentException(
+            s"Invalid JSON: JSON2 type hint path $fullPath expects object at " +
+              full.take(full.size - rest.size).mkString("."))
+        val childIn = if (base.has(seg)) base.get(seg) else null
+        val childOut = hintOne(childIn, tail, full, tname, nullable, dflt)
+        base.set[JsonNode](seg, childOut)
+        base
+    }
+  }
+
   /** jsonb-style compact rendering: object keys SORTED, strings with
     * standard JSON escapes plus  /  (types/json/json.result
     * pins both the key order and the escaped line separator). */
@@ -184,6 +353,12 @@ object JsonSql {
       })
 
   def register(spark: SparkSession): Unit = {
+    spark.udf.register("__json2_apply", new UDF2[String, String, String] {
+      def call(j: String, s: String): String = applyShred(j, s)
+    }, StringType)
+    spark.udf.register("__json2_hint", new UDF2[String, String, String] {
+      def call(j: String, s: String): String = applyTypeHints(j, s)
+    }, StringType)
     // parse_json: validate + normalize (shadows Spark's variant builtin
     // inside this dialect; JSON columns are strings here)
     spark.udf.register("parse_json", new UDF1[String, String] {
@@ -240,7 +415,9 @@ object JsonSql {
     // scalars BARE (strings unquoted, numbers full-precision) and
     // containers as compact JSON (json_get.result `json_get(j,'[3]')::string`)
     spark.udf.register("json_get", new UDF2[String, String, String] {
-      def call(j: String, p: String): String = getAt(j, p).map { n =>
+      // an extracted JSON null is SQL NULL, not the text "null"
+      // (types/json/json2.sql json2_variant_null pin)
+      def call(j: String, p: String): String = getAt(j, p).filterNot(_.isNull).map { n =>
         if (n.isTextual) n.textValue
         else if (n.isNumber) numText(n)
         else render(n)

@@ -308,6 +308,31 @@ object Registry {
         }
       }, org.apache.spark.sql.types.StringType)
 
+    // nanosecond-timestamp rendering: µs-stored value + sub-µs
+    // remainder digits → arrow-style string with the fraction trimmed
+    // to its natural 0/3/6/9 digit group (types/timestamp/
+    // timestamp_types.result: .889268321)
+    spark.udf.register("__ns_render",
+      new org.apache.spark.sql.api.java.UDF2[AnyRef, Integer, String] {
+        def call(x: AnyRef, rem: Integer): String = {
+          if (x == null) return null
+          val t = x match {
+            case i: java.time.Instant =>
+              java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+            case l: java.time.LocalDateTime => l
+            case ts: java.sql.Timestamp => ts.toLocalDateTime
+            case _ => return String.valueOf(x)
+          }
+          val base = f"${t.getYear}%04d-${t.getMonthValue}%02d-${t.getDayOfMonth}%02d" +
+            f"T${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
+          val ns = t.getNano.toLong + (if (rem == null) 0L else rem.toLong)
+          if (ns == 0) base
+          else if (ns % 1000000 == 0) base + f".${ns / 1000000}%03d"
+          else if (ns % 1000 == 0) base + f".${ns / 1000}%06d"
+          else base + f".$ns%09d"
+        }
+      }, org.apache.spark.sql.types.StringType)
+
     // PG/DataFusion regexp_replace replaces only the FIRST match when
     // no flags are given (function/string/regex.result:
     // '  extra   spaces  ' \s+ -> ' ' touches only the leading run)

@@ -97,12 +97,12 @@ object Catalog {
     * non-null write wins (mito2/src/read/dedup.rs:301-425). */
   def dedupLastNonNull(df: DataFrame, spec: TableSpec): DataFrame = {
     val seqd = withSeq(df, spec)
-    val pk = spec.primaryKey.toSet
+    val pk = mergeKey(seqd, spec).toSet
     val fields = seqd.columns
       .filterNot(c => pk.contains(c) || c == SeqCol || spec.seqColumn.contains(c))
     // Ordered newest-first; frame [current, +inf) reaches back to older
     // writes, so first(ignoreNulls) == newest non-null value <= this row.
-    val w = Window.partitionBy(spec.primaryKey.map(c => col(s"`$c`")): _*)
+    val w = Window.partitionBy(mergeKey(seqd, spec).map(c => col(s"`$c`")): _*)
       .orderBy(col(SeqCol).desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val merged = fields.foldLeft(seqd) { (d, f) =>
@@ -111,8 +111,16 @@ object Catalog {
     dropSeq(keepNewest(merged, spec))
   }
 
+  /** Merge key: the primary key plus, when the table stores one, the
+    * time index's hidden sub-µs remainder — nanosecond-distinct rows
+    * are distinct keys even though they share a µs timestamp. */
+  private def mergeKey(df: DataFrame, spec: TableSpec): Seq[String] =
+    spec.primaryKey ++
+      Some(s"__nsr_${spec.timeIndex}").filter(df.columns.contains)
+
   private def keepNewest(df: DataFrame, spec: TableSpec): DataFrame = {
-    val w = Window.partitionBy(spec.primaryKey.map(c => col(s"`$c`")): _*).orderBy(col(SeqCol).desc)
+    val w = Window.partitionBy(mergeKey(df, spec).map(c => col(s"`$c`")): _*)
+      .orderBy(col(SeqCol).desc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -592,7 +592,15 @@ final class GraftSession(spark0: SparkSession,
         (spark.table(name), spec.timeIndex, spec.tags)
       }, sessionTzOffsetMs)
     else {
-      val out = reorderUsingJoin(stmt, spark.sql(dialect(stmt)))
+      var out = reorderUsingJoin(stmt, spark.sql(dialect(stmt)))
+      // the ns-fidelity rewrite leaves rendered columns named after the
+      // wrapping call — restore the bare column name
+      val NsRenderName = "__ns_render\\(`?(\\w+)`?, `?__nsr_\\w+`?\\)".r
+      if (out.columns.exists(c => NsRenderName.pattern.matcher(c).matches))
+        out = out.toDF(out.columns.map {
+          case NsRenderName(c) => c
+          case other => other
+        }: _*)
       // a FROM-less scalar-subquery select yields NO row when the inner
       // query is empty (DataFusion; subquery/offset.result), where Spark
       // returns one NULL row
@@ -964,7 +972,7 @@ final class GraftSession(spark0: SparkSession,
       case "UINT8" | "UINT16" => "INT"
       case "UINT32" | "UINT64" => "BIGINT"
       case "TIMESTAMPSECOND" | "TIMESTAMPMILLISECOND" | "TIMESTAMPMICROSECOND" |
-        "TIMESTAMPNANOSECOND" | "DATETIME" | "TIMESTAMP" |
+        "TIMESTAMPNANOSECOND" | "DATETIME" | "TIMESTAMP" | "TIMESTAMP_SEC" |
         "TIMESTAMP_S" | "TIMESTAMP_MS" | "TIMESTAMP_US" | "TIMESTAMP_NS" => "TIMESTAMP"
       case "INTERVAL" => "INTERVAL DAY TO SECOND"
       // bare DECIMAL defaults to (38,10) in DataFusion, not Spark's
@@ -1292,6 +1300,123 @@ final class GraftSession(spark0: SparkSession,
             else s"${emitQ(m.group(1))}${m.group(2)} BETWEEN ${conv(m.group(3))} AND ${conv(m.group(4))}")))
       }
     }
+    // --- TimestampNanosecond fidelity (gated: only tables that hold
+    // sub-µs data — types/timestamp/{ts_precision_comparison,
+    // timestamp_types,timestamp_precision,timestamp_precision_display}).
+    // µs-storage column + hidden __nsr_ remainder; reads go through the
+    // __nsq_ view that exposes the remainder.
+    {
+      val nsTabs = fromClauseTables(r).filter(t =>
+        nsRemainderTables.contains(t) && catalog.tables.contains(t))
+      for (t <- nsTabs) {
+        val nsCols = colMeta.getOrElse(t, Vector.empty)
+          .filter(_.gtype == "TimestampNanosecond").map(_.name)
+        // comparisons vs datetime string literals: lexicographic
+        // (µs, remainder) pair compare — `ts = '….000000195'` must hit
+        // only the row with remainder 195
+        for (c <- nsCols) {
+          val qc = java.util.regex.Pattern.quote(c)
+          val cmpRx = ("(?i)(?<![\\w.`])(" + qc + ")\\s*(<=|>=|<|>|=)\\s*" +
+            "'(\\d{4}-\\d\\d-\\d\\d[ T]\\d\\d:\\d\\d:\\d\\d(?:\\.\\d+)?)'").r
+          r = cmpRx.replaceAllIn(r, m => {
+            val lit0 = m.group(3)
+            val dot = lit0.indexOf('.')
+            val (whole, frac) =
+              if (dot < 0) (lit0, "") else (lit0.take(dot), lit0.drop(dot + 1))
+            val frac9 = frac.padTo(9, '0').take(9)
+            val baseUs = whole + "." + frac9.take(6)
+            val rem = frac9.substring(6).toInt
+            val op = m.group(2)
+            val tcol = s"`$c`"
+            val tlit = s"TIMESTAMP '$baseUs'"
+            val remCol = s"coalesce(`__nsr_$c`, 0)"
+            scala.util.matching.Regex.quoteReplacement(op match {
+              case "=" => s"($tcol = $tlit AND $remCol = $rem)"
+              case "<" => s"($tcol < $tlit OR ($tcol = $tlit AND $remCol < $rem))"
+              case "<=" => s"($tcol < $tlit OR ($tcol = $tlit AND $remCol <= $rem))"
+              case ">" => s"($tcol > $tlit OR ($tcol = $tlit AND $remCol > $rem))"
+              case _ => s"($tcol > $tlit OR ($tcol = $tlit AND $remCol >= $rem))"
+            })
+          })
+        }
+        // SELECT * over a remainder table: expand to the declared list
+        // so the hidden companion stays hidden and the ns column renders
+        // at 9 digits
+        val collist = colMeta.getOrElse(t, Vector.empty).map { cm =>
+          if (cm.gtype == "TimestampNanosecond")
+            s"__ns_render(`${cm.name}`, `__nsr_${cm.name}`) AS `${cm.name}`"
+          else s"`${cm.name}`"
+        }.mkString(", ")
+        r = ("(?i)^(\\s*SELECT\\s+)\\*(\\s+FROM\\s+`?" +
+          java.util.regex.Pattern.quote(t) + "`?)\\b").r
+          .replaceFirstIn(r,
+            "$1" + java.util.regex.Matcher.quoteReplacement(collist) + "$2")
+        // bare ns-column references render through the remainder; skip
+        // `::` casts (unit-cast rewrite handles those), EXTRACT(... FROM
+        // c) and table positions (FROM-preceded), and already-backticked
+        // occurrences emitted by the rewrites above
+        for (c <- nsCols) {
+          val qc = java.util.regex.Pattern.quote(c)
+          r = ("(?i)(?<!\\bFROM\\s{0,20})(?<![\\w.`$])" + qc +
+            "(?![\\w`$])(?!\\s*::)").r
+            .replaceAllIn(r, scala.util.matching.Regex.quoteReplacement(
+              s"__ns_render(`$c`, `__nsr_$c`)"))
+        }
+        // reads resolve against the remainder-exposing view
+        r = ("(?i)\\b(FROM|JOIN)\\s+`?" + java.util.regex.Pattern.quote(t) +
+          "`?(?![\\w`])").r
+          .replaceAllIn(r, "$1 __nsq_" + t)
+      }
+    }
+    // JSON2 dot-path access: j.a.b → json_get(j, 'a.b'); an arithmetic
+    // context adds DataFusion's Int64 hint (types/json/json2.result:
+    // `select j.a.b + 1` renders integers, non-numeric leaves → null)
+    {
+      val j2cols: Seq[String] = fromClauseTables(r).toSeq
+        .flatMap(t => colMeta.getOrElse(t, Vector.empty)
+          .filter(_.gtype == "Json2").map(_.name)).distinct
+      for (c <- j2cols) {
+        val qc = java.util.regex.Pattern.quote(c)
+        r = ("(?i)(?<![\\w.`'])" + qc +
+          "\\.([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)*)").r
+          .replaceAllIn(r, m => scala.util.matching.Regex.quoteReplacement(
+            s"json_get(`$c`, '${m.group(1)}')"))
+      }
+      if (j2cols.nonEmpty)
+        r = r.replaceAll(
+          "(?i)(json_get\\(`[A-Za-z_][A-Za-z0-9_]*`, '[^']*'\\))\\s*([+\\-*/])\\s*(\\d)",
+          "try_cast($1 AS BIGINT) $2 $3")
+    }
+    // comparison literal finer than the µs storage: the column coerces
+    // to the literal's precision, so no stored value lands strictly
+    // between two µs ticks — fold the sub-µs remainder into the
+    // operator (ts_precision_comparison.sql: ts >= '….000000195' on a
+    // TIMESTAMP(3) column excludes the .000 row)
+    {
+      val tsCols: Set[String] = fromClauseTables(r).flatMap(t =>
+        colMeta.getOrElse(t, Vector.empty)
+          .filter(cm => cm.gtype.startsWith("Timestamp") &&
+            cm.gtype != "TimestampNanosecond")
+          .map(_.name)).toSet
+      if (tsCols.nonEmpty) {
+        val rx = ("(?i)(?<![\\w.`])([A-Za-z_][A-Za-z0-9_]*)\\s*(<=|>=|<|>|=)\\s*" +
+          "'(\\d{4}-\\d\\d-\\d\\d[ T]\\d\\d:\\d\\d:\\d\\d)\\.(\\d{7,9})'").r
+        r = rx.replaceAllIn(r, m => {
+          val c = m.group(1)
+          val frac9 = m.group(4).padTo(9, '0')
+          if (!tsCols.contains(c) || !frac9.substring(6).exists(_ != '0'))
+            m.matched
+          else {
+            val tlit = s"TIMESTAMP '${m.group(3)}.${frac9.take(6)}'"
+            scala.util.matching.Regex.quoteReplacement(m.group(2) match {
+              case ">" | ">=" => s"`$c` > $tlit"
+              case "<" | "<=" => s"`$c` <= $tlit"
+              case _ => s"(`$c` IS NOT NULL AND FALSE)"
+            })
+          }
+        })
+      }
+    }
     // Spark's CAST grammar has no timestamp precision — strip it
     // (filter/cast_preimage.sql `CAST(ts AS TIMESTAMP(9))`)
     r = rewriteOutsideQuotes(r)(_.replaceAll(
@@ -1365,10 +1490,38 @@ final class GraftSession(spark0: SparkSession,
           // integer literal → timestamp is epoch MILLIS in the reference
           if (t == "TIMESTAMP" && operand.matches("-?\\d+"))
             s"TIMESTAMP_MILLIS($operand)"
-          // TIMESTAMP_S stores whole seconds: the cast TRUNCATES
-          // sub-second input (function/date.result pins :000)
-          else if (typeTok.trim.equalsIgnoreCase("TIMESTAMP_S"))
+          // unit-typed casts TRUNCATE to their storage unit; a BARE
+          // ::TIMESTAMP is TimestampMillisecond in the reference's SQL
+          // mapping (sql/src/statements.rs:262 — types/timestamp/
+          // timestamp_types.result: nano::TIMESTAMP renders .889)
+          else if ({
+            val c = typeTok.trim.toUpperCase(Locale.ROOT)
+            c == "TIMESTAMP_S" || c == "TIMESTAMP_SEC" || c == "TIMESTAMPSECOND"
+          })
             s"date_trunc('second', CAST($operand AS TIMESTAMP))"
+          else if (!operand.matches("-?\\d+") && {
+            val c = typeTok.trim.toUpperCase(Locale.ROOT)
+            c == "TIMESTAMP" || c == "TIMESTAMP_MS" || c == "TIMESTAMPMILLISECOND"
+          })
+            s"date_trunc('millisecond', CAST($operand AS TIMESTAMP))"
+          // display of a sub-µs literal cast to TIMESTAMP(9) in a
+          // literal-only statement renders the full ns text, zero-padded
+          // to 9 digits (timestamp_precision.result: .12345678 →
+          // .123456780); with a FROM clause the preimage rule below wins
+          else if (t.startsWith("TIMESTAMP") &&
+              typeTok.replaceAll("[^0-9]", "") == "9" &&
+              !"(?i)\\bfrom\\b".r.findFirstIn(rr).isDefined && {
+                val m = "'([^']*?)\\.(\\d{7,9})'".r.findFirstMatchIn(operand)
+                m.isDefined
+              }) {
+            val m = "'([^']*?)\\.(\\d{7,9})'".r.findFirstMatchIn(operand).get
+            val frac9 = m.group(2).padTo(9, '0')
+            val frac =
+              if (frac9.endsWith("000000")) frac9.take(3)
+              else if (frac9.endsWith("000")) frac9.take(6)
+              else frac9
+            s"'${m.group(1).replace(' ', 'T')}.$frac'"
+          }
           // sub-microsecond literal cast to TIMESTAMP(9): unrepresentable
           // at µs storage, so an equality against it matches NOTHING
           // (filter/cast_preimage's '…05.000000001'::TIMESTAMP(9) →
@@ -1405,6 +1558,22 @@ final class GraftSession(spark0: SparkSession,
                 d == TimestampType || d == TimestampNTZType)
           })
             s"__ts_render(CAST($operand AS TIMESTAMP))"
+          // ::TIME extracts the time-of-day, rendered at the value's
+          // natural digits (types/timestamp/timestamp_types.result:
+          // milli::TIME = 00:00:01.594; nano::TIME = .889268321 via the
+          // sub-µs remainder)
+          else if (typeTok.trim.equalsIgnoreCase("TIME")) {
+            val op = operand.trim.stripPrefix("`").stripSuffix("`")
+            val isNsCol = op.matches("[A-Za-z_][A-Za-z0-9_]*") && {
+              import scala.jdk.CollectionConverters._
+              nsRemainderTables.asScala.exists(t =>
+                colMeta.getOrElse(t, Vector.empty).exists(cm =>
+                  cm.name == op && cm.gtype == "TimestampNanosecond"))
+            }
+            if (isNsCol)
+              s"substring(__ns_render(`$op`, `__nsr_$op`), 12)"
+            else s"substring(__ts_render(CAST($operand AS TIMESTAMP)), 12)"
+          }
           // TIMESTAMP(p) casts truncate to the precision
           // (timestamp_precision.result: '…123456789'::TIMESTAMP(0))
           else if (t == "TIMESTAMP" && {
@@ -2200,7 +2369,10 @@ final class GraftSession(spark0: SparkSession,
           val p = args.split(",").map(_.trim)
           s"Decimal(${p(0)}, ${if (p.length > 1) p(1) else "0"})"
         }
-      case "JSON" | "JSON2" => "Json"
+      case "JSON" => "Json"
+      // JSON2 is the shredded variant type — distinct semantics (per-SST
+      // schema-union rendering, dot-path access; types/json/json2.sql)
+      case "JSON2" => "Json2"
       case "VECTOR" => s"Vector($args)"
       case "INTERVAL" => "IntervalMonthDayNano"
       case other => other.toLowerCase(Locale.ROOT).capitalize
@@ -2273,13 +2445,21 @@ final class GraftSession(spark0: SparkSession,
       if (restUp.drop(typeTok0.length).trim.startsWith("UNSIGNED"))
         typeTok0 + " UNSIGNED"
       else typeTok0
+    // a JSON2 hint block carries NOT NULL / DEFAULT text INSIDE the
+    // type parens — column options parse from the remainder only
+    // (types/json/json2_type_hints.sql)
+    val optSrc =
+      if (typeTok.toUpperCase(Locale.ROOT).startsWith("JSON2") &&
+          typeTok.contains('(')) rest.drop(typeTok.length)
+      else rest
+    val optUp = optSrc.toUpperCase(Locale.ROOT)
     ColDef(
       normIdent(nameTok),
       typeTok,
-      nullable = !restUp.contains("NOT NULL"),
-      default = DefaultRx.findFirstMatchIn(rest).map(_.group(1)),
-      isTimeIndex = restUp.contains("TIME INDEX"),
-      isPrimaryKey = restUp.contains("PRIMARY KEY"))
+      nullable = !optUp.contains("NOT NULL"),
+      default = DefaultRx.findFirstMatchIn(optSrc).map(_.group(1)),
+      isTimeIndex = optUp.contains("TIME INDEX"),
+      isPrimaryKey = optUp.contains("PRIMARY KEY"))
   }
 
   private def splitTop(s: String): Seq[String] = {
@@ -2400,6 +2580,7 @@ final class GraftSession(spark0: SparkSession,
       var timeIndex: Option[String] = None
       var tiCount = 0
       var tags = Vector.empty[String]
+      var hintsByCol = Map.empty[String, Vector[J2Hint]]
       val fields = Vector.newBuilder[StructField]
 
       val metas = Vector.newBuilder[ColMeta]
@@ -2440,6 +2621,10 @@ final class GraftSession(spark0: SparkSession,
               case "TimestampNanosecond" => -1L
               case _ => 1000L
             })
+          if (gtype == "Json2" && cd.typeTok.contains('(')) {
+            val hs = parseJ2Hints(cd.typeTok)
+            if (hs.nonEmpty) hintsByCol += cd.name -> hs
+          }
           val sqlTok =
             if (cd.typeTok.toUpperCase(Locale.ROOT) == "VARBINARY") Some("VARBINARY")
             else None
@@ -2448,6 +2633,12 @@ final class GraftSession(spark0: SparkSession,
             comment = "(?is)\\bCOMMENT\\s+'((?:[^']|'')*)'".r
               .findFirstMatchIn(item).map(_.group(1)))
           fields += StructField(cd.name, sparkType(cd.typeTok), cd.nullable)
+          // TimestampNanosecond columns carry a hidden sub-µs remainder
+          // (0-999) beside the µs-storage column: Spark timestamps stop
+          // at µs, the reference's ns unit doesn't
+          // (types/timestamp/ts_precision_comparison.sql)
+          if (gtype == "TimestampNanosecond")
+            fields += StructField(s"__nsr_${cd.name}", IntegerType, nullable = true)
         }
       }
       if (tiCount > 1) throw new IllegalArgumentException(
@@ -2647,10 +2838,16 @@ final class GraftSession(spark0: SparkSession,
       val path = opts.getOrElse("path", s"$warehouse/${currentDb}__$name")
 
       colMeta.put(name, metasV)
+      if (hintsByCol.nonEmpty) j2Hints.put(name, hintsByCol)
       val declaredFields = fields.result()
-      val orderedFields = metasV.map(m =>
-        declaredFields.find(_.name == m.name).getOrElse(
-          StructField(m.name, sparkType(showCreateType(m.gtype)), m.nullable)))
+      val orderedFields = metasV.flatMap { m =>
+        val f = declaredFields.find(_.name == m.name).getOrElse(
+          StructField(m.name, sparkType(showCreateType(m.gtype)), m.nullable))
+        // ns columns carry their hidden sub-µs remainder companion
+        if (m.gtype == "TimestampNanosecond")
+          Seq(f, StructField(s"__nsr_${m.name}", IntegerType, nullable = true))
+        else Seq(f)
+      }
       val schema = StructType(orderedFields :+ StructField(SeqCol, LongType))
       val spec = TableSpec(name, path, ti, tags.distinct, mergeMode, ttl,
         seqColumn = Some(opts.getOrElse("seq_column", SeqCol)))
@@ -2739,6 +2936,38 @@ final class GraftSession(spark0: SparkSession,
         df = df.withColumn(c, cased)
       }
     }
+    // JSON2 columns render against their flush batch's deep-union shape
+    // (shredded "flat" SST semantics — types/json/json2.sql). Schema
+    // derivation collects the column's documents; bounded per refresh
+    // and gated to JSON2 tables, this is golden-dialect introspection,
+    // not the scale path.
+    val j2cols = colMeta.getOrElse(name, Vector.empty)
+      .filter(_.gtype == "Json2").map(_.name)
+    for (c <- j2cols if df.columns.contains(c)) {
+      val bounds = j2Boundaries.getOrElse(name, Vector.empty)
+      val rows = df.select(col(SeqCol).cast(LongType), col(s"`$c`").cast(StringType))
+        .collect().map(r => (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1)))
+      if (rows.nonEmpty) {
+        def batchOf(seq: Long): Int = {
+          val i = bounds.indexWhere(seq <= _)
+          if (i < 0) bounds.size else i
+        }
+        val schemas: Map[Int, String] = rows.groupBy(r => batchOf(r._1))
+          .map { case (b, rs) =>
+            b -> graft.functions.JsonSql.shredSchema(rs.map(_._2).toSeq) }
+        val caseCol = schemas.toSeq.sortBy(_._1).foldLeft(lit(null).cast(StringType)) {
+          case (acc, (b, sch)) =>
+            val cond =
+              if (b < bounds.size) col(SeqCol) <= bounds(b) &&
+                (if (b == 0) lit(true) else col(SeqCol) > bounds(b - 1))
+              else (if (bounds.isEmpty) lit(true) else col(SeqCol) > bounds.last)
+            when(cond, lit(sch)).otherwise(acc)
+        }
+        df = df.withColumn(c,
+          call_udf("__json2_apply", col(s"`$c`"), caseCol))
+      }
+    }
     df = df.drop(SeqCol +: droppedCols.getOrElse(name, Set.empty).toSeq: _*)
     // declared order drives SELECT * and DESC; case-collision shadow
     // columns (alter/add_col.sql "IdC") surface as their default value,
@@ -2755,10 +2984,18 @@ final class GraftSession(spark0: SparkSession,
             .cast(sparkType(tok)).as(n)
         }
       }
-      val extra = df.columns.filterNot(declared.contains)
+      val extraAll = df.columns.filterNot(declared.contains)
+      // sub-µs remainder companions stay hidden from the user-facing
+      // view (SELECT * must not show them); the __nsq_ variant below
+      // keeps them for the ns-fidelity statement rewrites
+      val extra = extraAll.filterNot(_.startsWith("__nsr_"))
       // flow-sink columns carry dots/parens in their names — backtick
-      if (cols.nonEmpty)
+      if (cols.nonEmpty) {
+        if (extraAll.exists(_.startsWith("__nsr_")))
+          df.select(cols ++ extraAll.map(c => col(s"`$c`")): _*)
+            .createOrReplaceTempView(s"__nsq_$name")
         df = df.select(cols ++ extra.map(c => col(s"`$c`")): _*)
+      }
     }
     df.createOrReplaceTempView(name)
     rebuildViews()
@@ -2857,6 +3094,122 @@ final class GraftSession(spark0: SparkSession,
   /** table -> µs-per-unit for numeric literals into its TIME INDEX
     * (TIMESTAMP(0)=s, (3)=ms, (6)=µs, (9)=ns — reference precision). */
   private val tsLiteralUs = scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** Tables holding at least one row with a nonzero sub-µs remainder.
+    * Only these need the ns-fidelity statement rewrites — everything
+    * else renders identically from µs storage, so the rewrites (and
+    * their blast radius) stay off for ordinary TIMESTAMP(9) tables. */
+  private val nsRemainderTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** JSON2 shredding generations: the seq recorded at each flush bounds
+    * a schema-union batch; compaction collapses prior batches into one
+    * (types/json/json2.sql — rows 1-6 share one union after swcs). */
+  private val j2Boundaries =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[Long]]
+
+  /** One JSON2 type hint: dotted path, normalized SQL + arrow type
+    * names, nullability, declared DEFAULT literal text
+    * (sql/src/parsers/create_parser/json.rs; types/json/
+    * json2_type_hints.sql). */
+  private case class J2Hint(path: Vector[String], sqlType: String,
+      arrowType: String, nullable: Boolean, default: Option[String])
+  /** table → JSON2 column → its declared hints. */
+  private val j2Hints =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Vector[J2Hint]]]
+
+  /** Parse + validate the hint block of `JSON2 ( path TYPE [opts], ... )`.
+    * Error shapes follow the reference parser (create_parser/json.rs). */
+  private def parseJ2Hints(typeTok: String): Vector[J2Hint] = {
+    def bad(msg: String): Nothing =
+      throw new IllegalArgumentException(s"Invalid SQL, error: $msg")
+    val inner = typeTok.substring(typeTok.indexOf('(') + 1,
+      typeTok.lastIndexOf(')'))
+    val hints = Vector.newBuilder[J2Hint]
+    var seen = Vector.empty[Vector[String]]
+    splitTop(inner).filter(_.nonEmpty).foreach { item =>
+      val pathTok = item.takeWhile(!_.isWhitespace)
+      val rest = item.drop(pathTok.length).trim
+      // dotted path; segments may be quoted ("user"."age")
+      val path = {
+        val segs = Vector.newBuilder[String]
+        val cur = new StringBuilder
+        var inQ = false
+        pathTok.foreach {
+          case '"' => inQ = !inQ
+          case '.' if !inQ => segs += cur.result(); cur.clear()
+          case c => cur += c
+        }
+        segs += cur.result()
+        segs.result().map(s => if (s == s.toUpperCase(Locale.ROOT) &&
+          s == s.toLowerCase(Locale.ROOT)) s else normIdent(s))
+      }
+      if (path.length > 50)
+        bad("JSON2 type hint path cannot exceed 50 segments")
+      if (path.exists(_.isEmpty))
+        bad("JSON2 type hint path segment cannot be empty")
+      val typeDecl = rest.takeWhile(!_.isWhitespace)
+      val afterType0 = rest.drop(typeDecl.length).trim
+      val (typeFull, afterType) =
+        if (afterType0.toUpperCase(Locale.ROOT).startsWith("UNSIGNED"))
+          (typeDecl + " UNSIGNED", afterType0.drop("UNSIGNED".length).trim)
+        else (typeDecl, afterType0)
+      val (sqlT, arrowT) = greptimeTypeName(typeFull) match {
+        case "String" => ("STRING", "String")
+        case "Int8" | "Int16" | "Int32" | "Int64" => ("BIGINT", "Int64")
+        case "UInt8" | "UInt16" | "UInt32" | "UInt64" =>
+          ("BIGINT UNSIGNED", "UInt64")
+        case "Float32" | "Float64" => ("DOUBLE", "Float64")
+        case "Boolean" => ("BOOLEAN", "Boolean")
+        case _ => bad("unsupported JSON2 type hint data type: " +
+          typeFull.toUpperCase(Locale.ROOT))
+      }
+      val up = afterType.toUpperCase(Locale.ROOT)
+      val nullable = !up.contains("NOT NULL")
+      val dflt = DefaultRx.findFirstMatchIn(afterType).map(_.group(1))
+      dflt.foreach { d =>
+        if (!d.matches("(?i)'(?:[^']|'')*'|[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?|TRUE|FALSE|NULL"))
+          bad("JSON2 type hint DEFAULT only supports literal values")
+        if (d.equalsIgnoreCase("NULL") && !nullable)
+          bad(s"invalid DEFAULT for JSON2 type hint '${path.mkString(".")}': " +
+            "Default value should not be null for non null column")
+      }
+      seen.foreach { p =>
+        if (p == path)
+          bad(s"duplicated JSON2 type hint path '${path.mkString(".")}'")
+        if (p.startsWith(path) || path.startsWith(p))
+          bad(s"JSON2 type hint path '${path.mkString(".")}' conflicts with " +
+            s"'${p.mkString(".")}'")
+      }
+      seen :+= path
+      hints += J2Hint(path, sqlT, arrowT, nullable,
+        dflt.filterNot(_.equalsIgnoreCase("NULL")))
+    }
+    hints.result()
+  }
+
+  /** Wire form handed to the __json2_hint UDF: JSON array of hint
+    * objects with the DEFAULT literal folded to a JSON value. */
+  private def j2HintSpecJson(hints: Vector[J2Hint]): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = m.createArrayNode()
+    hints.foreach { h =>
+      val o = arr.addObject()
+      val p = o.putArray("path")
+      h.path.foreach(p.add)
+      o.put("type", h.arrowType)
+      o.put("nullable", h.nullable)
+      h.default.foreach { d =>
+        if (d.startsWith("'"))
+          o.put("default", d.stripPrefix("'").stripSuffix("'").replace("''", "'"))
+        else if (d.equalsIgnoreCase("TRUE")) o.put("default", true)
+        else if (d.equalsIgnoreCase("FALSE")) o.put("default", false)
+        else if (h.arrowType == "Float64") o.put("default", d.toDouble)
+        else if (h.arrowType == "Int64" || h.arrowType == "UInt64")
+          o.put("default", d.toLong)
+        else o.put("default", d)
+      }
+    }
+    arr.toString
+  }
 
   private val AlterHeadRx =
     "(?is)ALTER\\s+TABLE\\s+(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s+(.*)".r
@@ -3264,6 +3617,8 @@ final class GraftSession(spark0: SparkSession,
     droppedCols.remove(name)
     colMeta.remove(name)
     colCasts.remove(name)
+    j2Hints.remove(name)
+    j2Boundaries.remove(name)
     shadowCols.remove(name)
     sstFiles.filterInPlace(_.table != name)
     sstFlushSeq.remove(name)
@@ -4253,6 +4608,7 @@ final class GraftSession(spark0: SparkSession,
     case "TimestampMicrosecond" => "TIMESTAMP(6)"
     case "TimestampNanosecond" => "TIMESTAMP(9)"
     case "Json" => "JSON"
+    case "Json2" => "JSON2"
     case other if other.startsWith("Decimal") => other.toUpperCase(Locale.ROOT)
     case other if other.startsWith("Vector") => other.toUpperCase(Locale.ROOT)
     case other => other.toUpperCase(Locale.ROOT)
@@ -4314,8 +4670,14 @@ final class GraftSession(spark0: SparkSession,
     val spec = catalog.spec(name)
     val metas = colMeta.getOrElse(name, Vector.empty)
       .filterNot(m => droppedCols.getOrElse(name, Set.empty).contains(m.name))
-    val colLines = metas.map { m =>
-      val base = s"""  "${m.name}" ${m.sqlType.getOrElse(showCreateType(m.gtype))}"""
+    val colLines: Vector[Vector[String]] = metas.map { m =>
+      val hinted = j2Hints.getOrElse(name, Map.empty).get(m.name)
+        .filter(_ => m.gtype == "Json2")
+      val base = hinted match {
+        case Some(_) => s"""  "${m.name}" JSON2("""
+        case None =>
+          s"""  "${m.name}" ${m.sqlType.getOrElse(showCreateType(m.gtype))}"""
+      }
       val nul = if (m.nullable && m.name != spec.timeIndex) " NULL" else " NOT NULL"
       // the reference renders the default through its expression printer:
       // CURRENT_TIMESTAMP -> current_timestamp()
@@ -4332,14 +4694,31 @@ final class GraftSession(spark0: SparkSession,
       }.getOrElse("")
       val idx = m.indexDecl.map(" " + _).getOrElse("")
       val cmt = m.comment.map(c => s" COMMENT '$c'").getOrElse("")
-      base + nul + dft + cmt + idx
+      hinted match {
+        case Some(hs) =>
+          // hint block: one line per hint, comma-separated, closing
+          // paren carries the column options (json2_type_hints.result)
+          val hintLines = hs.zipWithIndex.map { case (h, i) =>
+            val pathQ = h.path.map(s => s""""$s"""").mkString(".")
+            val line = s"    $pathQ ${h.sqlType}" +
+              (if (h.nullable) " NULL" else " NOT NULL") +
+              h.default.map(" DEFAULT " + _).getOrElse("")
+            if (i < hs.size - 1) line + "," else line
+          }
+          (base +: hintLines) :+ ("  )" + nul + dft + cmt + idx)
+        case None => Vector(base + nul + dft + cmt + idx)
+      }
     }
-    val keyLines = Vector(s"""  TIME INDEX ("${spec.timeIndex}")""") ++
+    val keyLines = Vector(Vector(s"""  TIME INDEX ("${spec.timeIndex}")""")) ++
       (if (spec.tags.nonEmpty)
-        Vector(spec.tags.map(t => s""""$t"""").mkString("  PRIMARY KEY (", ", ", ")"))
+        Vector(Vector(spec.tags.map(t => s""""$t"""").mkString("  PRIMARY KEY (", ", ", ")")))
       else Vector.empty)
-    val inner = colLines ++ keyLines
-    val body = inner.dropRight(1).map(_ + ",") :+ inner.last
+    val innerBlocks = colLines ++ keyLines
+    // the statement-level comma lands on each block's LAST line
+    val body = innerBlocks.zipWithIndex.flatMap { case (block, i) =>
+      if (i < innerBlocks.size - 1) block.init :+ (block.last + ",")
+      else block
+    }
     val own = tableOpts.getOrElse(name, Nil)
     // a db-level ttl shows as an (inherited) table option; the WITH
     // block renders sorted by key (create/create_database_opts.result)
@@ -4806,6 +5185,11 @@ final class GraftSession(spark0: SparkSession,
       // tuple (promql/simple_histogram.sql) and INSIDE a tuple before
       // `)` (insert/append_mode.sql); Spark doesn't
       val cleanBody = stripTupleTrailingCommas(body.trim.replaceAll(",\\s*$", ""))
+      // a literal with nonzero digits past µs switches the table onto
+      // the ns-fidelity read path (rewrites in dialect())
+      if (target.exists(_.name.startsWith("__nsr_")) &&
+          "[.]\\d{6}\\d*[1-9]".r.findFirstIn(cleanBody).isDefined)
+        nsRemainderTables.add(name)
       if (cleanBody.toUpperCase(Locale.ROOT).startsWith("VALUES"))
         splitTop(cleanBody.substring("VALUES".length)).map(_.trim)
           .filter(_.startsWith("(")).foreach { t =>
@@ -4855,6 +5239,23 @@ final class GraftSession(spark0: SparkSession,
           foldIntProducts(substituteDefaults(name, cleanBody, cols)
             .replaceAll("(?i)\\bparse_vec\\s*\\(\\s*('[^']*')\\s*\\)", "$1"))))))
       df = df.toDF(cols: _*)
+      // JSON2 type hints validate + materialize defaults at write time
+      // (types/json/json2_type_hints.sql); eager so a violation aborts
+      // the statement with the reference's message
+      j2Hints.getOrElse(name, Map.empty).foreach { case (c, hs) =>
+        if (cols.contains(c)) {
+          val hintSpec = j2HintSpecJson(hs)
+          df = df.withColumn(c,
+            call_udf("__json2_hint", col(s"`$c`").cast(StringType), lit(hintSpec)))
+          try df.select(col(s"`$c`")).foreach(_ => ())
+          catch { case e: Throwable =>
+            var cur: Throwable = e
+            while (cur != null && !cur.isInstanceOf[IllegalArgumentException])
+              cur = cur.getCause
+            throw Option(cur).getOrElse(e)
+          }
+        }
+      }
       // align to full target schema: missing columns become nulls, the
       // sequence column is stamped per statement (write order for the
       // last_row / last_non_null merge views)
@@ -4903,6 +5304,25 @@ final class GraftSession(spark0: SparkSession,
       val aligned = target.map { f =>
         if (f.name == SeqCol && !cols.contains(SeqCol))
           lit(seq).cast(f.dataType).as(f.name)
+        // hidden sub-µs remainder beside a TimestampNanosecond column:
+        // digits 7-9 of a string literal's fraction, or epoch-ns % 1000
+        // (types/timestamp/ts_precision_comparison.sql)
+        else if (f.name.startsWith("__nsr_")) {
+          val base = f.name.stripPrefix("__nsr_")
+          val srcT = if (cols.contains(base))
+            scala.util.Try(df.schema(base).dataType).toOption else None
+          (srcT match {
+            case Some(StringType) => expr(
+              s"CAST(coalesce(CASE WHEN try_cast(`$base` AS BIGINT) IS NOT NULL " +
+                s"THEN pmod(try_cast(`$base` AS BIGINT), 1000) " +
+                s"WHEN instr(`$base`, '.') > 0 THEN try_cast(substring(rpad(" +
+                s"substring(`$base`, instr(`$base`, '.') + 1), 9, '0')" +
+                s", 7, 3) AS BIGINT) ELSE 0 END, 0) AS INT)")
+            case Some(t) if numericTypes.contains(t) =>
+              expr(s"CAST(pmod(CAST(`$base` AS BIGINT), 1000) AS INT)")
+            case _ => lit(0)
+          }).cast(IntegerType).as(f.name)
+        }
         else if (cols.contains(f.name)) {
           val srcType = df.schema(f.name).dataType
           val isTs = f.dataType == TimestampType || f.dataType == TimestampNTZType
@@ -6277,8 +6697,10 @@ final class GraftSession(spark0: SparkSession,
           addSstIndexEntries(name)
         }
         else if (fnl.startsWith("compact_table") || fnl.startsWith("flush_table")) {
+          // first argument only — compact_table('t', 'swcs', '86400')
+          // carries strategy options after the table name
           val name = normTable(fn.substring(fn.indexOf('(') + 1, fn.lastIndexOf(')'))
-            .trim.stripPrefix("'").stripSuffix("'"))
+            .split(',')(0).trim.stripPrefix("'").stripSuffix("'"))
           // flushing a metric physical region covers its logical children
           // (ttl/metric_engine_ttl.result)
           val targets = name +: metricPhy.get(name)
@@ -6293,6 +6715,14 @@ final class GraftSession(spark0: SparkSession,
               refreshView(t)
             }
             if (fnl.startsWith("flush_table")) recordSstFlush(t)
+            // JSON2 shredding generations (types/json/json2.sql)
+            if (colMeta.getOrElse(t, Vector.empty).exists(_.gtype == "Json2")) {
+              if (fnl.startsWith("compact_table"))
+                j2Boundaries.put(t, Vector(seqCounter.get()))
+              else j2Boundaries.put(t,
+                j2Boundaries.getOrElse(t, Vector.empty) :+ seqCounter.get())
+              refreshView(t)
+            }
           }
         }
         "0"

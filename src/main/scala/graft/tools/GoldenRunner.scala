@@ -547,11 +547,17 @@ object GoldenRunner {
                   // protocol transcripts render timestamps at fixed µs
                   // precision — pad our seconds/millis renderings
                   val ProtoTsRx = "^(\\d{4,}-\\d\\d-\\d\\dT\\d\\d:\\d\\d:\\d\\d)(?:\\.(\\d+))?$".r
+                  // PG's interval codec renders fractional durations at
+                  // fixed µs precision (types/timestamp/timestamp.result:
+                  // 918 ms → 00:00:00.918000)
+                  val ProtoDurRx = "^(\\d\\d:\\d\\d:\\d\\d)\\.(\\d+)$".r
                   def protoTs(c: String): String =
                     if (e.protocol != "postgres") c
                     else c match {
                       case ProtoTsRx(base, frac) =>
                         base + "." + Option(frac).getOrElse("").padTo(6, '0').take(6)
+                      case ProtoDurRx(base, frac) =>
+                        base + "." + frac.padTo(6, '0').take(6)
                       case _ => c
                     }
                   val got = raw.map(_.map(c => protoTs(canon(strip(

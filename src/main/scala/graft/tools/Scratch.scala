@@ -12,19 +12,16 @@ object Scratch {
     def run(q: String): Unit =
       try { println(s"--- ${q.take(90)}"); g.sql(q).show(20, false) }
       catch { case e: Throwable => println("ERR " + String.valueOf(e.getMessage).take(400)) }
-    run("""CREATE TABLE http_requests_total (host STRING, job STRING, instance STRING, byte DOUBLE, ts TIMESTAMP TIME INDEX, PRIMARY KEY (host, job, instance))""")
-    run("""CREATE FLOW calc_rate SINK TO rate_reqs EVAL INTERVAL '1m' AS
-      TQL EVAL (now() - '1m'::interval, now(), '30s') rate(http_requests_total{job="my_service"}[1m])""")
-    run("SHOW CREATE TABLE rate_reqs")
-    run("""INSERT INTO TABLE http_requests_total VALUES
-      ('localhost', 'my_service', 'instance1', 100, now() - '1min'::interval),
-      ('localhost', 'my_service', 'instance1', 200, now() - '45s'::interval),
-      ('remotehost', 'my_service', 'instance1', 300, now() - '30s'::interval),
-      ('remotehost', 'their_service', 'instance1', 300, now() - '15s'::interval),
-      ('localhost', 'my_service', 'instance1', 400, now())""")
-    run("ADMIN FLUSH_FLOW('calc_rate')")
-    run("SELECT count(*)>0 FROM rate_reqs")
-    run("SELECT * FROM rate_reqs")
+    run("""CREATE TABLE ts_ns_bug (ts TIMESTAMP(9) TIME INDEX, v INT)""")
+    run("""INSERT INTO ts_ns_bug VALUES
+      ('2026-06-02 03:49:59.999999999', 1),
+      ('2026-06-02 03:50:00.000000000', 2),
+      ('2026-06-02 03:50:00.000000195', 3),
+      ('2026-06-02 03:50:01.000000000', 4)""")
+    run("SELECT * FROM __nsq_ts_ns_bug")
+    run("SELECT ts, v FROM ts_ns_bug ORDER BY ts")
+    run("SELECT ts, v FROM ts_ns_bug WHERE ts = '2026-06-02 03:50:00.000000195'")
+    run("SELECT ts, v FROM ts_ns_bug WHERE ts <= '2026-06-02 03:50:00' ORDER BY ts")
     spark.stop()
   }
 }
