@@ -333,6 +333,47 @@ object Registry {
         }
       }, org.apache.spark.sql.types.StringType)
 
+    // PG strpos(str, sub): 1-based CHARACTER index, 0 when absent
+    // (function/string/position.sql; unicode rows count code points)
+    spark.udf.register("strpos", (s: String, sub: String) =>
+      if (s == null || sub == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val i = s.indexOf(sub)
+        java.lang.Long.valueOf(if (i < 0) 0L else s.codePointCount(0, i) + 1L)
+      })
+
+    // PG string_to_array (function/string/string_split.sql): NULL sep →
+    // per-character split; '' sep → whole string; empty string → [];
+    // consecutive separators preserve empty elements
+    spark.udf.register("string_to_array", (s: String, sep: String) =>
+      if (s == null) null
+      else if (s.isEmpty) Array.empty[String]
+      else if (sep == null)
+        s.codePoints.toArray.map(cp => new String(Character.toChars(cp)))
+      else if (sep.isEmpty) Array(s)
+      else s.split(java.util.regex.Pattern.quote(sep), -1))
+
+    // MySQL INSERT(str,pos,len,newstr) — registered under an internal
+    // name (INSERT is a statement keyword); dialect() renames calls.
+    // Character-based; pos out of [1, len(str)] returns str unchanged;
+    // len covering past the end (or negative) replaces through the end
+    // (function/string/mysql_compat.sql)
+    spark.udf.register("__mysql_insert",
+      (str: String, pos: java.lang.Long, len: java.lang.Long, ns: String) => {
+        if (str == null || pos == null || len == null || ns == null) null
+        else {
+          val chars = str.codePoints.toArray
+          val n = chars.length
+          val p = pos.toInt
+          if (p < 1 || p > n) str
+          else {
+            val head = new String(chars, 0, p - 1)
+            val tailFrom = if (len < 0 || p - 1 + len > n) n else (p - 1 + len).toInt
+            head + ns + new String(chars, tailFrom, n - tailFrom)
+          }
+        }
+      })
+
     // PG/DataFusion regexp_replace replaces only the FIRST match when
     // no flags are given (function/string/regex.result:
     // '  extra   spaces  ' \s+ -> ' ' touches only the leading run)
