@@ -107,9 +107,19 @@ final class GraftSession(spark0: SparkSession,
       "TABLE_SEMANTICS|PROCEDURE_INFO|REGION_PEERS|SCHEMATA|PARTITIONS|" +
       "REGION_INFO|REGION_STATISTICS|KEY_COLUMN_USAGE|ENGINES|BUILD_INFO|" +
       "CHARACTER_SETS|COLLATIONS|COLLATION_CHARACTER_SET_APPLICABILITY|" +
-      "COLUMN_PRIVILEGES|COLUMN_STATISTICS|CHECK_CONSTRAINTS)\\b").r
+      "COLUMN_PRIVILEGES|COLUMN_STATISTICS|CHECK_CONSTRAINTS|CLUSTER_INFO)\\b").r
+
+  /** Deployment shape the engine reports through
+    * information_schema.cluster_info / ssts node_id: a standalone node
+    * by default; set for the distributed corpus, where the reference
+    * runs 3 datanodes + frontend + flownode + metasrv
+    * (tests/cases/distributed/information_schema/cluster_info.result). */
+  @volatile var distributedCluster: Boolean = false
+  private val engineStartMs = System.currentTimeMillis()
 
   private val flows = scala.collection.concurrent.TrieMap.empty[String, (FlowDef, String)]
+  /** COMMENT ON FLOW / CREATE FLOW ... COMMENT '...' texts. */
+  private val flowComments = scala.collection.concurrent.TrieMap.empty[String, String]
   // per-statement write order; strictly monotone within the session
   private val seqCounter =
     new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() * 1000L)
@@ -131,8 +141,17 @@ final class GraftSession(spark0: SparkSession,
       return out
     }
     lastWarnings = Nil // warnings live for exactly one following statement
-    if (up.startsWith("CREATE TABLE")) createTable(stmt)
-    else if (up.startsWith("DROP TABLE")) dropTable(stmt)
+    if (up.startsWith("CREATE EXTERNAL TABLE")) createExternalTable(stmt)
+    else if (up.startsWith("CREATE TABLE")) createTable(stmt)
+    else if (up.startsWith("DROP TABLE")) {
+      val tgt = normTable(stmt.split("\\s+")
+        .filterNot(t => t.equalsIgnoreCase("IF") || t.equalsIgnoreCase("EXISTS")).last)
+      if (externalTables.contains(tgt)) {
+        spark.catalog.dropTempView(tgt)
+        externalTables -= tgt
+        status("table dropped")
+      } else dropTable(stmt)
+    }
     else if (up.startsWith("CREATE VIEW") || up.startsWith("CREATE OR REPLACE VIEW"))
       createView(stmt)
     else if (up.startsWith("DROP VIEW")) {
@@ -269,6 +288,7 @@ final class GraftSession(spark0: SparkSession,
         describeInfoTable(bare)
       else describeTable(target)
     }
+    else if (up.startsWith("COMMENT ON ")) commentOn(stmt)
     else if (up.startsWith("INSERT INTO")) insert(stmt)
     // MySQL-style REPLACE INTO: same write path; duplicate keys resolve
     // through the last_row merge view
@@ -284,6 +304,7 @@ final class GraftSession(spark0: SparkSession,
         .filterNot(t => t.equalsIgnoreCase("IF") || t.equalsIgnoreCase("EXISTS")).last)
       flows.remove(f)
       flowMeta.remove(f)
+      flowComments.remove(f)
       status("flow dropped")
     }
     else if (up.startsWith("SHOW CREATE FLOW")) {
@@ -302,8 +323,9 @@ final class GraftSession(spark0: SparkSession,
         .map(o => "WITH (" +
           o.toSeq.sortBy(_._1).map { case (k, v) => s"$k = '$v'" }.mkString(", ") +
           ")").toSeq
+      val commentLine = flowComments.get(f).map(c => s"COMMENT '$c'").toSeq
       val lines = Seq(s"CREATE FLOW IF NOT EXISTS $f",
-        s"SINK TO $currentDb.$sinkT") ++ withLine ++ Seq(s"AS $q")
+        s"SINK TO $currentDb.$sinkT") ++ commentLine ++ withLine ++ Seq(s"AS $q")
       lines.zipWithIndex.map { case (l, i) => (if (i == 0) f else "", l) }
         .toDF("Flow", "Create Flow")
     }
@@ -314,12 +336,18 @@ final class GraftSession(spark0: SparkSession,
     else if (up.startsWith("SHOW VARIABLES")) {
       import spark.implicits._
       val name = stmt.trim.stripSuffix(";").split("\\s+").last.toLowerCase(Locale.ROOT)
-      val value = name match {
-        case "time_zone" | "timezone" => sessionTz
-        case "system_time_zone" => "UTC"
-        case v => sessionVars.getOrElse(v, "")
+      // the MySQL sysvar table doesn't carry max_execution_time — the
+      // reference answers with one empty name/value row (common/basic.result)
+      if (name == "max_execution_time")
+        Seq(("", "")).toDF("Variable_name", "Value")
+      else {
+        val value = name match {
+          case "time_zone" | "timezone" => sessionTz
+          case "system_time_zone" => "UTC"
+          case v => sessionVars.getOrElse(v, "")
+        }
+        Seq(value).toDF(name.toUpperCase(Locale.ROOT))
       }
-      Seq(value).toDF(name.toUpperCase(Locale.ROOT))
     }
     else if (up.startsWith("SHOW INDEX")) {
       // MySQL-shape index listing from declared metadata
@@ -584,7 +612,8 @@ final class GraftSession(spark0: SparkSession,
         .replaceAll("(?i)information_schema\\.collations", "__info_collations")
         .replaceAll("(?i)information_schema\\.column_privileges", "__info_column_privileges")
         .replaceAll("(?i)information_schema\\.column_statistics", "__info_column_statistics")
-        .replaceAll("(?i)information_schema\\.check_constraints", "__info_check_constraints"))
+        .replaceAll("(?i)information_schema\\.check_constraints", "__info_check_constraints")
+        .replaceAll("(?i)information_schema\\.cluster_info", "__info_cluster_info"))
     }
     else if (up.startsWith("SELECT") && RangeSql.looksLikeRange(stmt))
       RangeSql.execute(spark, rewriteAtAt(stmt), name => {
@@ -1849,8 +1878,13 @@ final class GraftSession(spark0: SparkSession,
       .replaceAll("(?i)\\bread_preference\\(\\)",
         s"'${sessionVars("read_preference").toUpperCase(Locale.ROOT)}'"))
     r = rewriteOutsideQuotes(r)(s =>
-      "@@(?:session\\.)?([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(s, m =>
-        sessionVars.getOrElse(m.group(1).toLowerCase(Locale.ROOT), "0")))
+      "@@(?:session\\.)?([A-Za-z_][A-Za-z0-9_]*)".r.replaceAllIn(s, m => {
+        val v = sessionVars.getOrElse(m.group(1).toLowerCase(Locale.ROOT), "0")
+        // non-numeric variable values substitute as string literals
+        // (common/mysql.result: @@tx_isolation -> 'REPEATABLE-READ')
+        scala.util.matching.Regex.quoteReplacement(
+          if (v.matches("-?\\d+(\\.\\d+)?")) v else s"'$v'")
+      }))
     // current-schema qualification: `public.table` resolves to the bare
     // temp view when public is the active database (view/create.result)
     if (currentDb == "public")
@@ -3425,6 +3459,15 @@ final class GraftSession(spark0: SparkSession,
                 mergeMode = if (toAppend) MergeMode.Append else MergeMode.LastRow))
             case "merge_mode" =>
               v.foreach(x => catalog.register(catalog.spec(name).copy(mergeMode = MergeMode.parse(x))))
+            case "skip_wal" =>
+              // skip_wal can only be enabled; disabling errors
+              // (common/skip_wal.result)
+              if (!v.contains("true"))
+                throw new IllegalArgumentException(
+                  "Invalid set table option request: Invalid set region " +
+                    s"option request, key: skip_wal, value: ${v.getOrElse("")}")
+              // rows written while the WAL was on stay restart-durable
+              durableSeq.put(name, seqCounter.get())
             case _ => ()
           }
           val stored =
@@ -3442,6 +3485,10 @@ final class GraftSession(spark0: SparkSession,
       } else if (up.startsWith("UNSET")) {
         "'([^']*)'".r.findFirstMatchIn(tail).foreach { m =>
           val key = m.group(1).toLowerCase(Locale.ROOT)
+          if (key == "skip_wal")
+            throw new IllegalArgumentException(
+              "Invalid unset table option request: Invalid set region " +
+                "option request, key: skip_wal")
           if (key == "ttl") catalog.register(spec.copy(ttlMillis = None))
           tableOpts.put(name, tableOpts.getOrElse(name, Nil).filterNot(_._1 == key))
         }
@@ -3655,7 +3702,10 @@ final class GraftSession(spark0: SparkSession,
   private def sessionTzOffsetMs: Long = tzOffsetOf(sessionTz)
 
   private val sessionVars = scala.collection.mutable.Map[String, String](
-    "max_execution_time" -> "0", "read_preference" -> "leader")
+    "max_execution_time" -> "0", "read_preference" -> "leader",
+    "tx_isolation" -> "REPEATABLE-READ",
+    "transaction_isolation" -> "REPEATABLE-READ",
+    "version_comment" -> "GreptimeDB")
   /** warnings from the previous statement only (SHOW WARNINGS contract) */
   private[graft] var lastWarnings: Seq[(String, Int, String)] = Nil
 
@@ -4155,6 +4205,17 @@ final class GraftSession(spark0: SparkSession,
       ("file_path", "String", "NO"), ("file_size", "UInt64", "YES"),
       ("last_modified_ms", "TimestampMillisecond", "YES"),
       ("node_id", "UInt64", "YES")),
+    "cluster_info" -> Seq(
+      ("peer_id", "Int64", "NO"), ("peer_type", "String", "NO"),
+      ("peer_addr", "String", "YES"), ("peer_hostname", "String", "YES"),
+      ("total_cpu_millicores", "Int64", "NO"),
+      ("total_memory_bytes", "Int64", "NO"),
+      ("cpu_usage_millicores", "Int64", "NO"),
+      ("memory_usage_bytes", "Int64", "NO"),
+      ("version", "String", "NO"), ("git_commit", "String", "NO"),
+      ("start_time", "TimestampMillisecond", "YES"),
+      ("uptime", "String", "YES"), ("active_time", "String", "YES"),
+      ("node_status", "String", "YES")),
     "ssts_index_meta" -> Seq(
       ("table_dir", "String", "NO"), ("index_file_path", "String", "NO"),
       ("region_id", "UInt64", "NO"), ("table_id", "UInt32", "NO"),
@@ -4217,7 +4278,11 @@ final class GraftSession(spark0: SparkSession,
     // the reference information_schema.tables shape (24 columns, pinned
     // by system/information_schema.result and view/create.result)
     final case class InfoT(schema: String, name: String, ttype: String,
-      id: Long, engine: String, temporary: String)
+      id: Long, engine: String, temporary: String, cmt: String = "")
+    def tableCommentOf(db: String, t: String): String =
+      (if (db == currentDb) tableOpts.getOrElse(t, Nil)
+       else dbSaved.get(db).map(_.opts.getOrElse(t, Nil)).getOrElse(Nil))
+        .find(_._1 == "comment").map(_._2).getOrElse("")
     // real wall-clock (create_time > now()-interval filters run on it);
     // sqlness REPLACEs it to DATETIME in the goldens
     val fixedTime = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
@@ -4226,7 +4291,7 @@ final class GraftSession(spark0: SparkSession,
       InfoT("information_schema", n, "LOCAL TEMPORARY", id.toLong, "", "Y") }
     val userT = (currentRows ++ savedRows).zipWithIndex.map { case (r, i) =>
       InfoT(r._2, r._3, "BASE TABLE", 1024L + i,
-        tableEngine.getOrElse(r._3, "mito"), "N") }
+        tableEngine.getOrElse(r._3, "mito"), "N", tableCommentOf(r._2, r._3)) }
     val viewT = userViews.toSeq.distinct.zipWithIndex.map { case (v, i) =>
       InfoT(if (infoDb) "public" else currentDb, v, "VIEW", 2048L + i, "", "N") }
     val numT =
@@ -4248,7 +4313,7 @@ final class GraftSession(spark0: SparkSession,
     val tblRows = (infoT ++ userT ++ viewT ++ numT).map(t =>
       org.apache.spark.sql.Row("greptime", t.schema, t.name, t.ttype, t.id,
         0L, 0L, 0L, 0L, 0L, t.engine, 11L, "Fixed", 0L, 0L, 0L,
-        fixedTime, fixedTime, "", "utf8_bin", 0L, "", "", t.temporary))
+        fixedTime, fixedTime, "", "utf8_bin", 0L, "", t.cmt, t.temporary))
     spark.createDataFrame(
       spark.sparkContext.parallelize(tblRows, 1).toJavaRDD, tblSchema)
       .createOrReplaceTempView("__info_tables")
@@ -4270,23 +4335,27 @@ final class GraftSession(spark0: SparkSession,
     val colViewRows = catalog.tables.toSeq.sorted.flatMap { t =>
       describeTable(t).collect().map(r =>
         ("greptime", currentDb, t, r.getString(0), r.getString(1),
-          r.getString(3) == "YES", r.getString(5)))
+          r.getString(3) == "YES", r.getString(5),
+          colMeta.getOrElse(t, Vector.empty).find(_.name == r.getString(0))
+            .flatMap(_.comment).getOrElse("")))
     } ++ dbSaved.toSeq.filterNot(_._1 == currentDb).flatMap { case (db, st) =>
       st.specs.toSeq.sortBy(_._1).flatMap { case (t, spec) =>
         st.meta.getOrElse(t, Vector.empty).map { cm =>
           val sem = if (cm.name == spec.timeIndex) "TIMESTAMP"
             else if (spec.tags.contains(cm.name)) "TAG" else "FIELD"
-          ("greptime", db, t, cm.name, cm.gtype, cm.nullable, sem)
+          ("greptime", db, t, cm.name, cm.gtype, cm.nullable, sem,
+            cm.comment.getOrElse(""))
         }
       }
     }
     val colViewAll = colViewRows :+
-      (("greptime", "public", "numbers", "number", "UInt32", false, "TAG"))
-    colViewAll.map { case (cat, db, t, c, gtype, nullable, sem) =>
+      (("greptime", "public", "numbers", "number", "UInt32", false, "TAG", ""))
+    colViewAll.map { case (cat, db, t, c, gtype, nullable, sem, cmt) =>
       (cat, db, t, c, showCreateType(gtype).toLowerCase(Locale.ROOT),
-        gtype, nullable, sem)
+        gtype, nullable, sem, cmt)
     }.toDF("table_catalog", "table_schema", "table_name", "column_name",
-      "data_type", "greptime_data_type", "is_nullable", "semantic_type")
+      "data_type", "greptime_data_type", "is_nullable", "semantic_type",
+      "column_comment")
       .createOrReplaceTempView("__info_columns")
     // key_column_usage: a row per PRIMARY-key column (system/
     // information_schema.result pins numbers.number with 'dense')
@@ -4366,6 +4435,7 @@ final class GraftSession(spark0: SparkSession,
         .toSeq.sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" }
       val options = (optJson :+ s""""flow_type":"$mode"""").mkString("{", ",", "}")
       (f, "greptime", defn,
+        flowComments.get(f).orNull,
         if (pending) "[]" else srcs.map(_ => "0").mkString("[", ", ", "]"),
         srcs.map(_.split("__schema__", 2) match {
           case Array(d, t) => s"greptime.$d.$t"
@@ -4376,7 +4446,8 @@ final class GraftSession(spark0: SparkSession,
         // single-node: flows have no assigned flownode addresses
         // (flow-tql/flow_tql_flownode_addrs.result pins NULL)
         null.asInstanceOf[String])
-    }.toDF("flow_name", "table_catalog", "flow_definition", "source_table_ids",
+    }.toDF("flow_name", "table_catalog", "flow_definition", "comment",
+      "source_table_ids",
       "source_table_names", "flownode_ids", "options", "flownode_addrs")
       .createOrReplaceTempView("__info_flows")
     // information_schema.views (information_schema/views.result): the
@@ -4458,15 +4529,17 @@ final class GraftSession(spark0: SparkSession,
       partitionClause.get(t) match {
         case Some((cols, rules)) =>
           // an empty rule list still has ONE region (PARTITION ON
-          // COLUMNS (host) () — starrocks_compatibility.sql)
+          // COLUMNS (host) () — starrocks_compatibility.sql); the rule
+          // text is the partition_description (common/partition.result)
           (0 until math.max(rules.size, 1)).map(i =>
-            (db, t, s"p$i", "RANGE", cols.mkString(", "), null: String,
+            ("greptime", db, t, s"p$i", "RANGE", cols.mkString(", "),
+              rules.lift(i).map(_.trim).orNull,
               4398046511104L + i, fixedTime.take(19), null: String))
-        case None => Seq((db, t, "p0", "RANGE", null: String, null: String,
-          4398046511104L, fixedTime.take(19), null: String))
+        case None => Seq(("greptime", db, t, "p0", "RANGE", null: String,
+          null: String, 4398046511104L, fixedTime.take(19), null: String))
       }
     }
-    partRows.toDF("table_schema", "table_name", "partition_name",
+    partRows.toDF("table_catalog", "table_schema", "table_name", "partition_name",
       "partition_method", "partition_expression", "partition_description",
       "greptime_partition_id", "create_time", "update_time")
       .createOrReplaceTempView("__info_partitions")
@@ -4538,10 +4611,14 @@ final class GraftSession(spark0: SparkSession,
       val dir = s"data/greptime/public/${e.tableId}/"
       val fp = s"data/greptime/public/${e.tableId}/${rid}_${e.regionNo}/${uuidOf(e.fileNo)}.parquet"
       val ip = s"data/greptime/public/${e.tableId}/${rid}_${e.regionNo}/index/${uuidOf(e.fileNo)}.puffin"
+      // regions spread round-robin over the emulated datanodes when the
+      // engine reports a distributed deployment (ssts_limit.result pins
+      // COUNT(DISTINCT node_id) > 1 on a 3-partition table)
+      val nodeId = if (distributedCluster) (e.regionNo % 3).toLong else 0L
       org.apache.spark.sql.Row(dir, rid, e.tableId, e.regionNo, 0, e.regionNo,
         uuidOf(e.fileNo), 0L, 0, fp, 4096L, ip, 1024L, e.numRows, 1L, 1L,
         new java.sql.Timestamp(e.minTsMs), new java.sql.Timestamp(e.maxTsMs),
-        e.seq, rid, 0L, true, e.pkMin, e.pkMax)
+        e.seq, rid, nodeId, true, e.pkMin, e.pkMax)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(sstRows, 1).toJavaRDD, sstSchema)
@@ -4551,6 +4628,54 @@ final class GraftSession(spark0: SparkSession,
         (r.getString(11), 1024L, r.getTimestamp(16), 0L)))
       .toDF("file_path", "file_size", "last_modified_ms", "node_id")
       .createOrReplaceTempView("__info_ssts_storage")
+    // information_schema.cluster_info (cluster membership + node
+    // telemetry; servers expose it from the meta heartbeat channel):
+    // one STANDALONE peer, or the reference test cluster's 3 datanodes +
+    // flownode + frontend + metasrv when distributedCluster is set.
+    // Volatile cells (addr/version/commit/start/uptime) are REPLACEd by
+    // the goldens; totals must be nonzero (cluster_info.result pins
+    // total_cpu_millicores != 0).
+    locally {
+      val upMs = math.max(1L, System.currentTimeMillis() - engineStartMs) % 1000
+      val up = s"${upMs}ms"
+      val started = new java.sql.Timestamp(engineStartMs)
+      val ver = "0.17.2"
+      val hash = "c446b3f51"
+      val dnStatus =
+        """{"workloads":["HYBRID"],"leader_regions":1,"follower_regions":0}"""
+      val ciSchema = StructType(Seq(
+        StructField("peer_id", LongType, nullable = false),
+        StructField("peer_type", StringType, nullable = false),
+        StructField("peer_addr", StringType), StructField("peer_hostname", StringType),
+        StructField("total_cpu_millicores", LongType, nullable = false),
+        StructField("total_memory_bytes", LongType, nullable = false),
+        StructField("cpu_usage_millicores", LongType, nullable = false),
+        StructField("memory_usage_bytes", LongType, nullable = false),
+        StructField("version", StringType, nullable = false),
+        StructField("git_commit", StringType, nullable = false),
+        StructField("start_time", TimestampType),
+        StructField("uptime", StringType), StructField("active_time", StringType),
+        StructField("node_status", StringType)))
+      def peer(id: Long, tpe: String, addr: String, active: String,
+          status: String): org.apache.spark.sql.Row =
+        org.apache.spark.sql.Row(id, tpe, addr,
+          Option(addr).map(_ => "127.0.0.1").orNull,
+          Runtime.getRuntime.availableProcessors().toLong * 1000L,
+          137438953472L, 250L, 1073741824L, ver, hash, started, up,
+          active, status)
+      val peers =
+        if (distributedCluster) Seq(
+          peer(0, "DATANODE", "127.0.0.1:4101", up, dnStatus),
+          peer(1, "DATANODE", "127.0.0.1:4102", up, dnStatus),
+          peer(2, "DATANODE", "127.0.0.1:4103", up, dnStatus),
+          peer(0, "FLOWNODE", "127.0.0.1:4201", up, null),
+          peer(1, "FRONTEND", "127.0.0.1:4001", up, null),
+          peer(1, "METASRV", "127.0.0.1:3002", null, null))
+        else Seq(peer(0, "STANDALONE", null, null, null))
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(peers, 1).toJavaRDD, ciSchema)
+        .createOrReplaceTempView("__info_cluster_info")
+    }
     // information_schema.ssts_index_meta: one row per index blob in a
     // flushed SST's puffin file (information_schema/ssts.result,
     // function/admin/build_index_table_restart.sql)
@@ -4639,6 +4764,28 @@ final class GraftSession(spark0: SparkSession,
   /** Original WITH options per table, for SHOW CREATE TABLE. */
   private val tableOpts =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
+  /** Per-table durability watermark for skip_wal tables: rows with
+    * `__seq` <= watermark survive a restart (they were WAL-protected
+    * before skip_wal was enabled, or flushed to SST). A skip_wal table
+    * with no watermark loses everything unflushed (common/skip_wal
+    * .result). */
+  private val durableSeq = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Emulate a server restart: skip-WAL tables drop rows newer than
+    * their durability watermark; everything else persists (the catalog
+    * itself is durable — create/recover_created.result). */
+  def restart(): Unit =
+    catalog.tables.foreach { t =>
+      val skip = tableOpts.getOrElse(t, Nil)
+        .exists(o => o._1 == "skip_wal" && o._2 == "true")
+      if (skip) {
+        val wm = durableSeq.getOrElse(t, Long.MinValue)
+        val spec = catalog.spec(t)
+        migrateParquet(spec)(_.filter(col(SeqCol) <= wm))
+        refreshView(t)
+      }
+    }
 
   // ---- metric engine (reference src/metric-engine) --------------------
   /** One shared physical storage region; logical tables project label
@@ -4929,7 +5076,13 @@ final class GraftSession(spark0: SparkSession,
       tsLiteralUs.toMap, tableOpts.toMap))
   }
 
-  private def useDatabase(name: String): DataFrame = {
+  private def useDatabase(name0: String): DataFrame = {
+    // database names resolve case-insensitively (the reference corpus
+    // issues `USE PUBLIC` against database `public`)
+    val name =
+      if (dbOpts.contains(name0) || dbSaved.contains(name0)) name0
+      else (dbOpts.keysIterator ++ dbSaved.keysIterator)
+        .find(_.equalsIgnoreCase(name0)).getOrElse(name0)
     if (name != currentDb) {
       val target = dbSaved.getOrElse(name,
         if (name == "public") DbState(Map.empty, Map.empty, Map.empty,
@@ -5635,8 +5788,89 @@ final class GraftSession(spark0: SparkSession,
       "(?:WITH\\s*\\((.*?)\\)\\s*)?" +
       "(?:LIMIT\\s+(\\S+)\\s*)?").r
 
+  /** File-engine external table: a read-only view over files at a
+    * location (reference `CREATE EXTERNAL TABLE ... WITH (location,
+    * format)`, operator/src/statement/ddl.rs; pinned by
+    * standalone/local_file_access.result). Schema is inferred from the
+    * files; an explicit column list is accepted and used as-declared
+    * names only (the file carries the types). */
+  private val externalTables = scala.collection.mutable.Set.empty[String]
+  private val CreateExtRx =
+    ("(?is)CREATE\\s+EXTERNAL\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "(\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*" +
+      "(?:\\(([^)]*)\\))?\\s*WITH\\s*\\((.*)\\)").r
+  private def createExternalTable(stmt: String): DataFrame = stmt.trim match {
+    case CreateExtRx(name0, _, withBody) =>
+      val name = normIdent(unquote(name0))
+      val opts = parseCopyOpts(Some(withBody))
+      val loc = opts.getOrElse("location", throw new IllegalArgumentException(
+        "Invalid SQL, error: location is required for external table"))
+      val fmt = opts.getOrElse("format", "parquet").toLowerCase(Locale.ROOT)
+      var r = spark.read.format(fmt)
+      if (fmt == "csv")
+        r = r.option("header", "true").option("inferSchema", "true")
+      r.load(loc).createOrReplaceTempView(name)
+      externalTables += name
+      status("external table created")
+    case _ => throw new IllegalArgumentException(
+      s"cannot parse CREATE EXTERNAL TABLE: $stmt")
+  }
+
+  /** `COMMENT ON TABLE|COLUMN|FLOW <target> IS '<text>'|NULL` —
+    * reference operator/src/statement.rs comment statements; pinned by
+    * common/comment.result (SHOW CREATE + information_schema echoes). */
+  private val CommentOnRx =
+    ("(?is)COMMENT\\s+ON\\s+(TABLE|COLUMN|FLOW)\\s+" +
+      "([A-Za-z0-9_.\"`]+)\\s+IS\\s+(NULL|'(?:[^']|'')*')\\s*").r
+  private def commentOn(stmt: String): DataFrame = stmt.trim match {
+    case CommentOnRx(kind, target, value) =>
+      val cmt: Option[String] =
+        if (value.equalsIgnoreCase("NULL")) None
+        else Some(value.substring(1, value.length - 1).replace("''", "'"))
+      kind.toUpperCase(Locale.ROOT) match {
+        case "TABLE" =>
+          val t = normTable(target)
+          if (!catalog.tables.contains(t))
+            throw new IllegalArgumentException(
+              s"Table not found: greptime.$currentDb.$t")
+          val rest = tableOpts.getOrElse(t, Nil).filterNot(_._1 == "comment")
+          val next = cmt.map(c => rest :+ ("comment" -> c)).getOrElse(rest)
+          if (next.isEmpty) tableOpts.remove(t) else tableOpts.put(t, next)
+        case "COLUMN" =>
+          val i = target.lastIndexOf('.')
+          if (i <= 0) throw new IllegalArgumentException(
+            "COMMENT ON COLUMN expects table.column")
+          val t = normTable(target.substring(0, i))
+          val c = normIdent(unquote(target.substring(i + 1)))
+          val ms = colMeta.getOrElse(t,
+            throw new IllegalArgumentException(
+              s"Table not found: greptime.$currentDb.$t"))
+          if (!ms.exists(_.name == c))
+            throw new IllegalArgumentException(s"Column not found: $c")
+          colMeta.put(t, ms.map(m =>
+            if (m.name == c) m.copy(comment = cmt) else m))
+        case "FLOW" =>
+          val f = unquote(target)
+          if (!flows.contains(f))
+            throw new IllegalArgumentException(s"flow $f not found")
+          cmt match {
+            case Some(c) => flowComments.put(f, c)
+            case None => flowComments.remove(f)
+          }
+      }
+      status("comment set")
+    case _ => throw new IllegalArgumentException(s"cannot parse COMMENT ON: $stmt")
+  }
+
   private def copyStatement(stmt: String): DataFrame = stmt.trim match {
     case CopyRx(dbKw, target, dir0, path, withBody, limitTok) =>
+      // local paths must stay inside the copy root — reject traversal
+      // (operator's object-store path guard; local_file_access.result)
+      if (!path.contains("://") && path.split("[/\\\\]+").contains(".."))
+        throw new IllegalArgumentException(
+          s"Local filesystem path '$path' is outside the configured copy " +
+            "root or is unsafe: '..' path components are not allowed; use " +
+            "a path relative to the copy root or use S3, OSS, GCS, or AzBlob")
       val opts = parseCopyOpts(Option(withBody))
       val toDir = dir0.equalsIgnoreCase("TO")
       val limit: Option[Long] = Option(limitTok).map { t =>
@@ -5652,7 +5886,14 @@ final class GraftSession(spark0: SparkSession,
           val ext = copyExtOf(opts)
           val tables = catalog.tables.filterNot(_.contains("__schema__"))
           if (toDir)
-            tables.map(t => copyTableTo(t, s"${path.stripSuffix("/")}/$t.$ext", opts)).sum
+            tables.map(t => copyTableTo(t, s"${path.stripSuffix("/")}/$t.$ext", opts)).sum +
+              externalTables.toSeq.sorted.map { t =>
+                val df = spark.table(t)
+                val cnt = df.count()
+                graft.sources.Copy.exportSingleFile(df,
+                  s"${path.stripSuffix("/")}/$t.$ext", copyWriteOpts(opts))
+                cnt
+              }.sum
           else {
             val p = new org.apache.hadoop.fs.Path(path)
             val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -5694,7 +5935,7 @@ final class GraftSession(spark0: SparkSession,
       "(?:EVAL\\s+INTERVAL\\s+'([^']*)'\\s*)?" +     // batching refresh period
       "(?:EXPIRE\\s+AFTER\\s+'?([^'\\s]+)'?\\s*)?" + // state retention
       "(?:EVAL\\s+INTERVAL\\s+'([^']*)'\\s*)?" +
-      "(?:COMMENT\\s+'[^']*'\\s*)?" +
+      "(?:COMMENT\\s+'([^']*)'\\s*)?" +
       "(?:WITH\\s*\\((.*?)\\)\\s*)?AS\\s+((?:SELECT|WITH|TQL).*)").r
 
   /** Catalog tables a flow query reads — matches both the bare name and
@@ -5931,7 +6172,8 @@ final class GraftSession(spark0: SparkSession,
       "SELECT\\s+\\*\\s+FROM\\s+(\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
 
   private def createFlow(stmt: String): DataFrame = stmt match {
-    case CreateFlowRx(name, sink, ev1, expire, ev2, withPart, query0) =>
+    case CreateFlowRx(name, sink, ev1, expire, ev2, cmtPart, withPart, query0) =>
+      Option(cmtPart).foreach(flowComments.put(name, _))
       val query00 = rewriteFlowIntDiv(query0)
       // resolve the WITH-TQL-CTE form down to its inner TQL EVAL; CTE
       // column aliases rename the TQL outputs positionally
@@ -6714,7 +6956,10 @@ final class GraftSession(spark0: SparkSession,
                   (current_timestamp() - expr(s"INTERVAL $ttl MILLISECOND"))))
               refreshView(t)
             }
-            if (fnl.startsWith("flush_table")) recordSstFlush(t)
+            if (fnl.startsWith("flush_table")) {
+              recordSstFlush(t)
+              durableSeq.put(t, seqCounter.get()) // flushed = restart-durable
+            }
             // JSON2 shredding generations (types/json/json2.sql)
             if (colMeta.getOrElse(t, Vector.empty).exists(_.gtype == "Json2")) {
               if (fnl.startsWith("compact_table"))

@@ -35,7 +35,8 @@ object GoldenRunner {
     * (header/tail kept in place, data rows sorted). */
   final case class Entry(sql: String, expected: Expected,
       replaces: Seq[(String, String)] = Nil, sortMode: Int = 0,
-      sleepMs: Long = 0L, protocol: String = "") {
+      sleepMs: Long = 0L, protocol: String = "",
+      restart: Boolean = false) {
     def sortResult: Boolean = sortMode > 0
   }
 
@@ -151,6 +152,7 @@ object GoldenRunner {
     var pendingSort = 0
     var pendingSleep = 0L
     var pendingProtocol = ""
+    var pendingRestart = false
     val replaceRx = "^--\\s*SQLNESS\\s+REPLACE\\s+(\\S+)\\s*(.*)$".r
     while (i < lines.length) {
       val line = lines(i).trim
@@ -167,6 +169,10 @@ object GoldenRunner {
         // precision (copy/copy_from_fs_*.result)
         "(?i)^--\\s*SQLNESS\\s+PROTOCOL\\s+(MYSQL|POSTGRES)\\s*$".r
           .findFirstMatchIn(line).foreach(m => pendingProtocol = m.group(1).toLowerCase)
+        // ARG restart=true: the runner restarts the server before the
+        // next statement (skip_wal.result loses unflushed memtables)
+        if (line.matches("(?i)^--\\s*SQLNESS\\s+ARG\\s+restart=true\\s*$"))
+          pendingRestart = true
         i += 1
       }
       else {
@@ -215,11 +221,12 @@ object GoldenRunner {
         val sqlText = stmt.result().trim.stripSuffix(";")
           .replaceFirst("(?i)^(affected_rows:\\s*\\d+\\s*)+", "")
         entries += Entry(sqlText, expected, pendingReplaces, pendingSort,
-          pendingSleep, pendingProtocol)
+          pendingSleep, pendingProtocol, pendingRestart)
         pendingReplaces = Vector.empty
         pendingSort = 0
         pendingSleep = 0L
         pendingProtocol = ""
+        pendingRestart = false
       }
     }
     entries.result()
@@ -372,6 +379,9 @@ object GoldenRunner {
   def run(spark: SparkSession, resultFile: String): Outcome = {
     installJobTrace(spark)
     val g = new GraftSession(spark)
+    // the distributed corpus runs against the reference's 3-datanode
+    // test cluster — emulate that membership in cluster_info/ssts
+    g.distributedCluster = resultFile.contains("/distributed/")
     stallWatcher // ensure started
     var compared = 0
     var skipped = 0
@@ -382,9 +392,17 @@ object GoldenRunner {
     // corpus paths) — give each file an isolated scratch dir
     val sqlnessHome = java.nio.file.Files
       .createTempDirectory("sqlness_home").toString
+    // bare relative paths (standalone/local_file_access.sql's COPY TO
+    // 'dir/file.parquet') resolve against the local FS working dir —
+    // point it at the scratch home so tests never write into the repo
+    try org.apache.hadoop.fs.FileSystem
+      .getLocal(spark.sparkContext.hadoopConfiguration)
+      .setWorkingDirectory(new org.apache.hadoop.fs.Path(sqlnessHome))
+    catch { case _: Throwable => () }
     parseResult(resultFile).map(e0 =>
       e0.copy(sql = e0.sql.replace("${SQLNESS_HOME}", sqlnessHome))).foreach { e =>
       if (e.sleepMs > 0) Thread.sleep(e.sleepMs) // SQLNESS SLEEP (ttl tests)
+      if (e.restart) g.restart() // SQLNESS ARG restart=true
       stallStmt.set(e.sql)
       stallDeadline.set(System.nanoTime() + 90L * 1000 * 1000 * 1000)
       // each statement runs under a job group: a statement that throws
@@ -659,9 +677,28 @@ object GoldenRunner {
 /** Sweep the whole sqlness corpus and report per-file outcomes — dev
   * tool for deciding which files to pin in GoldenCorpusSpec. */
 object GoldenSweep {
+  /** Corpus roots beyond standalone/common that carry comparable (not
+    * plan-text) semantics. optimizer/ and tql-explain-analyze/ are
+    * EXPLAIN-output files (engine-internal plan text, excluded by
+    * design); distributed/explain is likewise skipped. */
+  val ExtraRoots: Seq[String] = Seq(
+    "/root/reference/tests/cases/standalone/copy",
+    "/root/reference/tests/cases/standalone/create",
+    "/root/reference/tests/cases/standalone/limit",
+    "/root/reference/tests/cases/standalone/flow-tql",
+    "/root/reference/tests/cases/standalone/information_schema",
+    "/root/reference/tests/cases/standalone/local_file_access.result",
+    "/root/reference/tests/cases/distributed/repartition",
+    "/root/reference/tests/cases/distributed/function",
+    "/root/reference/tests/cases/distributed/information_schema",
+    "/root/reference/tests/cases/distributed/local_file_access.result")
+
   def main(args: Array[String]): Unit = {
-    val root = if (args.nonEmpty) args(0)
-      else "/root/reference/tests/cases/standalone/common"
+    val roots: Seq[String] =
+      if (args.nonEmpty && args(0) == "all")
+        Seq("/root/reference/tests/cases/standalone/common") ++ ExtraRoots
+      else if (args.nonEmpty) Seq(args(0))
+      else Seq("/root/reference/tests/cases/standalone/common")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -671,7 +708,6 @@ object GoldenSweep {
     spark.sparkContext.setLogLevel("ERROR")
     val only: Option[Set[String]] =
       if (args.length > 1) Some(args(1).split(",").toSet) else None
-    val rootFile = new java.io.File(root)
     // recurse: the corpus nests files (common/types/float/*.result,
     // common/function/string/*.result); a flat listing misses 72 files
     def resultsUnder(d: java.io.File): Seq[java.io.File] = {
@@ -679,21 +715,34 @@ object GoldenSweep {
       files.filter(_.getName.endsWith(".result")).toSeq ++
         dirs.flatMap(resultsUnder)
     }
-    val dirs = rootFile.listFiles().filter(_.isDirectory)
-      .filter(d => only.forall(_.contains(d.getName))).sortBy(_.getName)
-    for (d <- dirs; f <- resultsUnder(d)) {
-      val rel = rootFile.toPath.relativize(f.toPath).toString
-        .stripSuffix(".result")
-      val out = Try(GoldenRunner.run(spark, f.getPath)) match {
-        case Success(o) => o
-        case Failure(ex) => GoldenRunner.Outcome(0, 0, Seq(s"RUNNER CRASH: ${ex.getMessage}"))
-      }
-      val flag = if (out.problems.isEmpty) "OK  " else "FAIL"
-      println(f"[$flag] $rel%-40s compared=${out.compared}%-4d skipped=${out.skipped}%-4d errs=${out.errSkipped}%-3d problems=${out.problems.size}")
-      sys.env.get("GOLDEN_VERBOSE").foreach { _ =>
-        out.problems.take(3).foreach(p => println("    " + p.replace("\n", "\n    ")))
+    var (nOk, nFail, nCompared, nSkipped, nErrs) = (0, 0, 0, 0, 0)
+    for (root <- roots) {
+      val rootFile0 = new java.io.File(root)
+      val single = rootFile0.isFile
+      val rootFile = if (single) rootFile0.getParentFile else rootFile0
+      val dirs = if (single) Array.empty[java.io.File]
+        else rootFile.listFiles().filter(_.isDirectory)
+          .filter(d => only.forall(_.contains(d.getName))).sortBy(_.getName)
+      val topFiles = if (single) Array(rootFile0)
+        else rootFile.listFiles().filter(f =>
+          f.isFile && f.getName.endsWith(".result") && only.isEmpty).sortBy(_.getName)
+      for (f <- topFiles.toSeq ++ dirs.flatMap(resultsUnder)) {
+        val rel = rootFile.getName + "/" +
+          rootFile.toPath.relativize(f.toPath).toString.stripSuffix(".result")
+        val out = Try(GoldenRunner.run(spark, f.getPath)) match {
+          case Success(o) => o
+          case Failure(ex) => GoldenRunner.Outcome(0, 0, Seq(s"RUNNER CRASH: ${ex.getMessage}"))
+        }
+        val flag = if (out.problems.isEmpty) "OK  " else "FAIL"
+        if (out.problems.isEmpty) nOk += 1 else nFail += 1
+        nCompared += out.compared; nSkipped += out.skipped; nErrs += out.errSkipped
+        println(f"[$flag] $rel%-40s compared=${out.compared}%-4d skipped=${out.skipped}%-4d errs=${out.errSkipped}%-3d problems=${out.problems.size}")
+        sys.env.get("GOLDEN_VERBOSE").foreach { _ =>
+          out.problems.take(3).foreach(p => println("    " + p.replace("\n", "\n    ")))
+        }
       }
     }
+    println(s"[TOTAL] files ok=$nOk fail=$nFail compared=$nCompared skipped=$nSkipped errs=$nErrs")
     spark.stop()
   }
 }
