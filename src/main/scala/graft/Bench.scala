@@ -21,6 +21,7 @@ object Bench {
     "join_inequality", "window_rank", "range_tumbling", "range_sliding",
     "range_fill_linear", "promql_sum_rate", "promql_topk",
     "dedup_minhash", "dedup_ngram_jaccard", "similarity_topk",
+    "similarity_ivf",
     "text_stats", "pipeline_etl", "ingest_influx_lp", "ingest_flight")
 
   def main(args: Array[String]): Unit = {

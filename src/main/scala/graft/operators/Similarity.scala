@@ -67,6 +67,91 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cos_sim"), col("__rn").as("rank"))
   }
 
+  /** Deterministic coarse quantizer for IVF: Lloyd's k-means on a
+    * bounded, id-deterministic sample, run on the driver.
+    *
+    * The sample is constant-size regardless of corpus size (the coarse
+    * quantizer of a 100 TB IVF index is still trained on a few thousand
+    * vectors), so the collect is a fixed small cost, not a scale
+    * hazard. Init = first k sample vectors; ties and iteration order
+    * are deterministic, so the index is reproducible run-to-run. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, sampleLimit: Int = 4096, iters: Int = 5): Array[Array[Float]] = {
+    val sample: Array[Array[Float]] = corpus
+      .orderBy(col(idCol))
+      .select(col(vecCol)).limit(sampleLimit).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= k, s"IVF needs >= $k sample vectors")
+    val dim = sample.head.length
+    var cents = sample.take(k).map(_.clone())
+    def sq(a: Array[Float], c: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) { val d = sq(v, cents(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) // empty cluster keeps its centroid
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Nearest-centroid ids for a vector, closest first. */
+  private def nearestCentroids(cents: Array[Array[Float]], n: Int): Column => Column = {
+    val f = udf { (vec: Seq[Float]) =>
+      val dim = cents.head.length
+      cents.indices.map { c =>
+        val w = cents(c)
+        var s = 0.0; var i = 0
+        val lim = math.min(dim, vec.length)
+        while (i < lim) { val d = vec(i) - w(i); s += d * d; i += 1 }
+        (s, c)
+      }.sorted.take(n).map(_._2).toArray
+    }
+    v => f(v)
+  }
+
+  /** IVF approximate top-k: corpus rows are assigned to their nearest
+    * coarse centroid once; a query exactly re-ranks only the rows in
+    * its `nprobe` nearest cells.
+    *
+    * Scale shape: one narrow pass assigns the corpus (the cell id is a
+    * natural storage partition key, so at rest the filter becomes
+    * partition pruning); queries explode to (query, cell) pairs and
+    * BROADCAST-join the corpus on the cell id — the corpus is never
+    * shuffled, and only ~nprobe/ncentroids of it reaches the re-rank. */
+  def ivfTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, queryVecCol: String, queryIdCol: String,
+      k: Int, ncentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = trainCentroids(corpus, vecCol, idCol, ncentroids)
+    val assign1 = nearestCentroids(cents, 1)
+    val probeN = nearestCentroids(cents, nprobe)
+    val corpusCells = corpus.withColumn("__cell",
+      element_at(assign1(col(vecCol)), 1))
+    val qCells = queries.withColumn("__cell",
+      explode(probeN(col(queryVecCol))))
+    val candidates = corpusCells.join(broadcast(qCells), "__cell")
+      .withColumn("cos_sim", lit(1.0) - vecCosDistance(col(vecCol), col(queryVecCol)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cos_sim").desc, col(idCol))
+    candidates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("cos_sim"), col("__rn").as("rank"))
+  }
+
   /** LSH-pruned approximate top-k: only corpus rows whose hyperplane
     * signature matches the query's in >= (planes - maxFlips) bits are
     * re-ranked exactly. */

@@ -98,6 +98,24 @@ object LlmQueries {
         .orderBy(col("q_id"))
     }),
 
+    "similarity_ivf" -> ((s, d) => {
+      // IVF (coarse k-means cells + nprobe search) checked in its
+      // design regime, same contract as similarity_lsh: probes are
+      // deterministic float32 perturbations (cos ~0.9999) of 5 corpus
+      // vectors; probing the 2 nearest of 16 cells must return each
+      // probe's original as exact top-1. The oracle replicates the
+      // perturbation and emits the (probe, original) pairs.
+      val emb = T(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          transform(col("embedding"), (x, j) =>
+            x * (lit(1.0f) + ((j % 5) - 2).cast("float") * lit(0.008f))).as("q_vec"))
+      Similarity.ivfTopK(emb, "embedding", "vec_id",
+        probes, "q_vec", "q_id", k = 1, ncentroids = 16, nprobe = 2)
+        .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("q_id"))
+    }),
+
     "text_stats" -> ((s, d) => {
       T(s, d, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -226,6 +244,22 @@ object LlmQueries {
                CAST(x * (CAST(1.0 AS FLOAT) +
                  CAST((i - 1) % 7 - 3 AS FLOAT) * CAST(0.01 AS FLOAT)) AS FLOAT)) AS q_vec
            FROM embeddings WHERE vec_id < 5)
+         SELECT q.q_id, e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.q_vec AS DOUBLE[])), 6) AS cos_sim
+         FROM q JOIN embeddings e ON e.vec_id = q.q_id
+         ORDER BY q.q_id""",
+
+    // the perturbed probe's true nearest neighbor is its original
+    // vector; IVF nprobe=2 must recover it as exact top-1 — the oracle
+    // replays the float32 perturbation and joins probe to original
+    "similarity_ivf" ->
+      """WITH q AS (
+           SELECT vec_id AS q_id,
+             list_transform(embedding, (x, i) ->
+               CAST(x * (CAST(1.0 AS FLOAT) +
+                 CAST((i - 1) % 5 - 2 AS FLOAT) * CAST(0.008 AS FLOAT)) AS FLOAT)) AS q_vec
+           FROM embeddings WHERE vec_id >= 5 AND vec_id < 10)
          SELECT q.q_id, e.vec_id,
            round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                         CAST(q.q_vec AS DOUBLE[])), 6) AS cos_sim

@@ -1,27 +1,22 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** Dev scratch probe — not part of the library surface. */
+
+/** Ad-hoc dev probe: run one SparkEntry query at a given SF and print
+  * its result (value-level spot check before the Verify/DuckDB gate). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val g = new graft.sql.GraftSession(spark)
-    def run(q: String): Unit =
-      try { println(s"--- ${q.take(90)}"); g.sql(q).show(20, false) }
-      catch { case e: Throwable => println("ERR " + String.valueOf(e.getMessage).take(400)) }
-    run("""CREATE TABLE ts_ns_bug (ts TIMESTAMP(9) TIME INDEX, v INT)""")
-    run("""INSERT INTO ts_ns_bug VALUES
-      ('2026-06-02 03:49:59.999999999', 1),
-      ('2026-06-02 03:50:00.000000000', 2),
-      ('2026-06-02 03:50:00.000000195', 3),
-      ('2026-06-02 03:50:01.000000000', 4)""")
-    run("SELECT * FROM __nsq_ts_ns_bug")
-    run("SELECT ts, v FROM ts_ns_bug ORDER BY ts")
-    run("SELECT ts, v FROM ts_ns_bug WHERE ts = '2026-06-02 03:50:00.000000195'")
-    run("SELECT ts, v FROM ts_ns_bug WHERE ts <= '2026-06-02 03:50:00' ORDER BY ts")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    for (name <- args.drop(1)) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      println(s"== $name @ $dir ==")
+      df.show(50, truncate = false)
+    }
     spark.stop()
   }
 }
