@@ -174,7 +174,8 @@ final class GraftSession(spark0: SparkSession,
       userViews.toSeq.sorted.toDF("Views")
     }
     else if (up.startsWith("ALTER TABLE")) alterTable(stmt)
-    else if (up.startsWith("SHOW COLUMNS")) showColumns(stmt)
+    else if (up.startsWith("SHOW COLUMNS") || up.startsWith("SHOW FULL COLUMNS"))
+      showColumns(stmt)
     else if (up.startsWith("SHOW TABLES") || up.startsWith("SHOW FULL TABLES"))
       showTables(stmt)
     else if (up.startsWith("SHOW CREATE TABLE")) {
@@ -553,7 +554,7 @@ final class GraftSession(spark0: SparkSession,
     }
     else if (up.startsWith("ADMIN")) admin(stmt)
     else if (up.contains("INFORMATION_SCHEMA.") ||
-        "(?s).*\\bPG_(CATALOG|NAMESPACE|CLASS|DATABASE|ATTRIBUTE)\\b.*".r
+        "(?s).*\\bPG_(CATALOG|NAMESPACE|CLASS|DATABASE|ATTRIBUTE|TYPE)\\b.*".r
           .matches(up) ||
         (infoDb && InfoBareRx.findFirstIn(stmt).isDefined)) {
       refreshInfoSchema()
@@ -563,13 +564,6 @@ final class GraftSession(spark0: SparkSession,
         if (infoDb) InfoBareRx.replaceAllIn(stmt, m =>
           s"${m.group(1)} information_schema.${m.group(2)}")
         else stmt
-      // the full information_schema.columns self-listing needs column
-      // parity across every virtual table — unsupported, like before
-      if ("(?is)^\\s*select\\s+\\*\\s+from\\s+information_schema\\.columns\\b".r
-          .findFirstIn(stmt).isDefined &&
-          !"(?i)table_name\\s*=".r.findFirstIn(stmt).isDefined)
-        throw new IllegalArgumentException(
-          "information_schema.columns self-listing is not supported")
       // pg_catalog surface (system/pg_catalog.sql): strip the schema
       // qualifier, map the tables to materialized views, fold the
       // postgres-only functions/operators
@@ -579,6 +573,7 @@ final class GraftSession(spark0: SparkSession,
         .replaceAll("(?i)\\bpg_class\\b", "__pg_class")
         .replaceAll("(?i)\\bpg_database\\b", "__pg_database")
         .replaceAll("(?i)\\bpg_attribute\\b", "__pg_attribute")
+        .replaceAll("(?i)\\bpg_type\\b", "__pg_type")
         .replaceAll("(?i)\\bpg_get_userbyid\\s*\\([^()]*\\)", "'postgres'")
         .replaceAll("(?i)\\bpg_table_is_visible\\s*\\([^()]*\\)", "true")
         .replaceAll("(?i)\\b(obj|col|shobj)_description\\s*\\([^()]*(?:\\([^()]*\\)[^()]*)*\\)",
@@ -586,6 +581,27 @@ final class GraftSession(spark0: SparkSession,
         .replaceAll("!~", " NOT RLIKE ")
       qualified = "(?i)'([A-Za-z_][A-Za-z0-9_]*)'::regclass(::oid)?".r
         .replaceAllIn(qualified, m => pgOidOf(normIdent(m.group(1))).toString)
+      // psql/TimescaleDB introspection sugar (pg_catalog.result \dt/\d):
+      // our identifiers never need quoting, so quote_ident folds away;
+      // parse_ident over a literal is resolvable at rewrite time; the
+      // search-path membership subquery collapses to its constant value
+      qualified = qualified
+        .replaceAll("(?i)\\bquote_ident\\s*\\(", "(")
+      qualified = "(?i)array_length\\s*\\(\\s*parse_ident\\('([^']*)'\\)\\s*,\\s*1\\s*\\)".r
+        .replaceAllIn(qualified, m => m.group(1).split("\\.").length.toString)
+      qualified = "(?i)\\(\\s*parse_ident\\('([^']*)'\\)\\s*\\)\\s*\\[(\\d+)\\]".r
+        .replaceAllIn(qualified, m => {
+          val parts = m.group(1).split("\\.")
+          val i = m.group(2).toInt
+          scala.util.matching.Regex.quoteReplacement(
+            if (i >= 1 && i <= parts.length) s"'${parts(i - 1)}'" else "NULL")
+        })
+      // the reference has no pg search_path setting — the membership
+      // subquery matches nothing, every table renders schema-qualified
+      // (pg_catalog.result: both my_db.foo AND public.numbers qualified)
+      qualified = ("(?is)\\(\\s*SELECT\\s+CASE\\s+WHEN\\s+trim\\(s\\[i\\]\\).*?" +
+        "string_to_array\\(current_setting\\('search_path'\\),','\\)\\s+s\\s*\\)").r
+        .replaceAllIn(qualified, _ => "('')")
       spark.sql(dialect(qualified)
         .replaceAll("(?i)information_schema\\.table_constraints", "__info_constraints")
         .replaceAll("(?i)information_schema\\.table_semantics", "__info_table_semantics")
@@ -1848,12 +1864,14 @@ final class GraftSession(spark0: SparkSession,
         .replaceAll("(?i)\\bconnection_id\\(\\)", "'1' AS `connection_id()`"))
     r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\btimezone\\(\\)",
       s"'$sessionTz' AS `timezone()`")
+      // the ANY(...) form must rewrite BEFORE the scalar current_schemas
+      // folding consumes its argument (pg_catalog.result issue-7313 query)
+      .replaceAll("(?i)=\\s*ANY\\s*\\(\\s*current_schemas\\(\\s*true\\s*\\)\\s*\\)",
+        "IN ('public','information_schema','pg_catalog','greptime_private')")
       .replaceAll("(?i)\\bcurrent_schemas\\(\\s*true\\s*\\)",
         "'{public,information_schema,pg_catalog,greptime_private}' AS `current_schemas(Boolean(true))`")
       .replaceAll("(?i)\\bcurrent_schemas\\(\\s*false\\s*\\)",
         "'{public}' AS `current_schemas(Boolean(false))`")
-      .replaceAll("(?i)=\\s*ANY\\s*\\(\\s*current_schemas\\(\\s*true\\s*\\)\\s*\\)",
-        "IN ('public','information_schema','pg_catalog','greptime_private')")
       .replaceAll("(?i)\\bpg_my_temp_schema\\(\\)", "0"))
     // to_unixtime through Spark's session-tz-aware cast (zone-less
     // strings parse in the session zone — system/timezone.result);
@@ -3928,6 +3946,22 @@ final class GraftSession(spark0: SparkSession,
         if (userViews.contains(bare)) "v" else "r", 10L)
     }.toDF("oid", "relname", "relnamespace", "relkind", "relowner")
       .createOrReplaceTempView("__pg_class")
+    // pg_type: the stock PG catalog the reference embeds (PgTypeData,
+    // pinned verbatim by system/pg_catalog.result). oid is numeric
+    // (ORDER BY oid / joins on atttypid); the rest compare as text.
+    locally {
+      val tySchema = StructType(
+        StructField("oid", LongType, nullable = false) +:
+          PgTypeData.columns.drop(1).map(c => StructField(c, StringType)))
+      val tyRows = PgTypeData.rows.map { line =>
+        val cells = line.split("\\|", -1)
+        org.apache.spark.sql.Row.fromSeq(
+          cells(0).toLong +: cells.drop(1).toSeq)
+      }
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(tyRows, 1).toJavaRDD, tySchema)
+        .createOrReplaceTempView("__pg_type")
+    }
     // pg_database: the reference exposes no databases through it
     Seq.empty[(Long, String, Long, Int, String, String, String, Boolean,
       Boolean, Int, Long, Long, Long, Long, String, String, String)]
@@ -4205,6 +4239,12 @@ final class GraftSession(spark0: SparkSession,
       ("file_path", "String", "NO"), ("file_size", "UInt64", "YES"),
       ("last_modified_ms", "TimestampMillisecond", "YES"),
       ("node_id", "UInt64", "YES")),
+    // DESC COLUMNS: the columns table's own schema is its rows in the
+    // static inventory (system/information_schema.result)
+    "columns" -> InfoColumnsData.rows.filter(_.startsWith("columns|")).map { l =>
+      val p = l.split("\\|")
+      (p(1), p(2), if (p(3) == "Y") "YES" else "NO")
+    },
     "cluster_info" -> Seq(
       ("peer_id", "Int64", "NO"), ("peer_type", "String", "NO"),
       ("peer_addr", "String", "YES"), ("peer_hostname", "String", "YES"),
@@ -4332,30 +4372,102 @@ final class GraftSession(spark0: SparkSession,
     // reference columns shape: data_type is the SQL spelling, the
     // ConcreteDataType name rides in greptime_data_type
     // (system/information_schema.result's my_db.foo row)
-    val colViewRows = catalog.tables.toSeq.sorted.flatMap { t =>
-      describeTable(t).collect().map(r =>
-        ("greptime", currentDb, t, r.getString(0), r.getString(1),
-          r.getString(3) == "YES", r.getString(5),
+    // the full reference columns shape — 24 columns incl. the MySQL
+    // metadata cells (system/information_schema.result's complete
+    // self-listing; derivation rules datatypes/src/data_type.rs:309-338,
+    // columns.rs:88-90,313-316)
+    val colSchema = StructType(Seq(
+      StructField("table_catalog", StringType), StructField("table_schema", StringType),
+      StructField("table_name", StringType), StructField("column_name", StringType),
+      StructField("ordinal_position", LongType),
+      StructField("character_maximum_length", LongType),
+      StructField("character_octet_length", LongType),
+      StructField("numeric_precision", LongType), StructField("numeric_scale", LongType),
+      StructField("datetime_precision", LongType),
+      StructField("character_set_name", StringType), StructField("collation_name", StringType),
+      StructField("column_key", StringType), StructField("extra", StringType),
+      StructField("privileges", StringType), StructField("generation_expression", StringType),
+      StructField("greptime_data_type", StringType), StructField("data_type", StringType),
+      StructField("semantic_type", StringType), StructField("column_default", StringType),
+      StructField("is_nullable", StringType), StructField("column_type", StringType),
+      StructField("column_comment", StringType), StructField("srs_id", LongType)))
+    def colRow(db: String, t: String, c: String, ordinal: Int, gtype: String,
+        nullable: Boolean, sem: String, default: String, cmt: String):
+        org.apache.spark.sql.Row = {
+      val L = null.asInstanceOf[java.lang.Long]
+      def l(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+      // (maxLen, octLen, numPrec, numScale, dtPrec, charset, collation, sql)
+      val (maxLen, octLen, prec, scale, dtp, cs, coll, sqlName) = gtype match {
+        case "String" => (l(2147483647L), l(2147483647L), L, L, L, "utf8", "utf8_bin", "string")
+        case "Binary" => (L, L, L, L, L, null, null, "varbinary")
+        case "Boolean" => (L, L, L, L, L, null, null, "boolean")
+        case "Int8" => (L, L, l(3), l(0), L, null, null, "tinyint")
+        case "Int16" => (L, L, l(5), l(0), L, null, null, "smallint")
+        case "Int32" => (L, L, l(10), l(0), L, null, null, "int")
+        case "Int64" => (L, L, l(19), l(0), L, null, null, "bigint")
+        case "UInt8" => (L, L, l(3), l(0), L, null, null, "tinyint unsigned")
+        case "UInt16" => (L, L, l(5), l(0), L, null, null, "smallint unsigned")
+        case "UInt32" => (L, L, l(10), l(0), L, null, null, "int unsigned")
+        case "UInt64" => (L, L, l(20), l(0), L, null, null, "bigint unsigned")
+        case "Float32" => (L, L, l(12), L, L, null, null, "float")
+        case "Float64" => (L, L, l(22), L, L, null, null, "double")
+        case "TimestampSecond" => (L, L, L, L, l(0), null, null, "timestamp(0)")
+        case "TimestampMillisecond" => (L, L, L, L, l(3), null, null, "timestamp(3)")
+        case "TimestampMicrosecond" => (L, L, L, L, l(6), null, null, "timestamp(6)")
+        case "TimestampNanosecond" => (L, L, L, L, l(9), null, null, "timestamp(9)")
+        case "Date" => (L, L, L, L, L, null, null, "date")
+        case other =>
+          // Duration*/Interval*/Json/Vector spell as the concrete name
+          // (self-listing pins DurationMillisecond verbatim)
+          (L, L, L, L, L, null, null,
+            if (other.startsWith("Duration") || other.startsWith("Interval")) other
+            else showCreateType(other).toLowerCase(Locale.ROOT))
+      }
+      val key = sem match {
+        case "TAG" => "PRI"
+        case "TIMESTAMP" => "TIME INDEX"
+        case _ => ""
+      }
+      org.apache.spark.sql.Row("greptime", db, t, c, ordinal.toLong,
+        maxLen, octLen, prec, scale, dtp, cs, coll, key, "",
+        "select,insert", "", gtype, sqlName, sem,
+        Option(default).filter(_.nonEmpty).orNull,
+        if (nullable) "YES" else "NO", sqlName,
+        Option(cmt).filter(_.nonEmpty).orNull, L)
+    }
+    // static inventory: the information_schema virtual tables' own
+    // columns (InfoColumnsData, extracted from the reference's pinned
+    // self-listing)
+    val infoColRows = InfoColumnsData.rows
+      .groupBy(_.split("\\|")(0)).toSeq.flatMap { case (_, rs) =>
+        rs.zipWithIndex.map { case (line, i) =>
+          val p = line.split("\\|")
+          colRow("information_schema", p(0), p(1), i + 1, p(2),
+            p(3) == "Y", "FIELD", null, null)
+        }
+      }
+    val userColRows = catalog.tables.toSeq.sorted.flatMap { t =>
+      describeTable(t).collect().zipWithIndex.map { case (r, i) =>
+        colRow(currentDb, t, r.getString(0), i + 1, r.getString(1),
+          r.getString(3) == "YES", r.getString(5), r.getString(4),
           colMeta.getOrElse(t, Vector.empty).find(_.name == r.getString(0))
-            .flatMap(_.comment).getOrElse("")))
+            .flatMap(_.comment).getOrElse(""))
+      }
     } ++ dbSaved.toSeq.filterNot(_._1 == currentDb).flatMap { case (db, st) =>
       st.specs.toSeq.sortBy(_._1).flatMap { case (t, spec) =>
-        st.meta.getOrElse(t, Vector.empty).map { cm =>
+        st.meta.getOrElse(t, Vector.empty).zipWithIndex.map { case (cm, i) =>
           val sem = if (cm.name == spec.timeIndex) "TIMESTAMP"
             else if (spec.tags.contains(cm.name)) "TAG" else "FIELD"
-          ("greptime", db, t, cm.name, cm.gtype, cm.nullable, sem,
-            cm.comment.getOrElse(""))
+          colRow(db, t, cm.name, i + 1, cm.gtype, cm.nullable, sem,
+            cm.default.orNull, cm.comment.getOrElse(""))
         }
       }
     }
-    val colViewAll = colViewRows :+
-      (("greptime", "public", "numbers", "number", "UInt32", false, "TAG", ""))
-    colViewAll.map { case (cat, db, t, c, gtype, nullable, sem, cmt) =>
-      (cat, db, t, c, showCreateType(gtype).toLowerCase(Locale.ROOT),
-        gtype, nullable, sem, cmt)
-    }.toDF("table_catalog", "table_schema", "table_name", "column_name",
-      "data_type", "greptime_data_type", "is_nullable", "semantic_type",
-      "column_comment")
+    val numbersColRow =
+      colRow("public", "numbers", "number", 1, "UInt32", false, "TAG", null, null)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          infoColRows ++ userColRows :+ numbersColRow, 1).toJavaRDD, colSchema)
       .createOrReplaceTempView("__info_columns")
     // key_column_usage: a row per PRIMARY-key column (system/
     // information_schema.result pins numbers.number with 'dense')
@@ -5166,6 +5278,7 @@ final class GraftSession(spark0: SparkSession,
     * SQL types lowercased (show/show_columns.result). */
   private def showColumns(stmt: String): DataFrame = {
     import spark.implicits._
+    val full = "(?is)^SHOW\\s+FULL\\s".r.findFirstIn(stmt.trim).isDefined
     val m = "(?is)^SHOW\\s+(?:FULL\\s+)?COLUMNS\\s+(?:FROM|IN)\\s+(\\S+)" +
       "(?:\\s+(?:FROM|IN)\\s+(\\S+))?(?:\\s+LIKE\\s+'([^']*)')?\\s*$"
     val rx = m.r
@@ -5195,7 +5308,17 @@ final class GraftSession(spark0: SparkSession,
               .getOrElse("")
             (mm.name, showCreateType(mm.gtype).toLowerCase(Locale.ROOT),
               nul, key, dft, "", mm.gtype)
-          }.toDF("Field", "Type", "Null", "Key", "Default", "Extra", "Greptime_type")
+          } match {
+            // SHOW FULL COLUMNS adds Collation/Comment/Privileges
+            // (starrocks_compatibility.result: utf8_bin for strings)
+            case rows if full => rows.map { case (f, tp, nul, key, dft, ex, gt) =>
+              (f, tp, if (gt == "String") "utf8_bin" else "", nul, key, dft,
+                "", "select,insert", ex, gt)
+            }.toDF("Field", "Type", "Collation", "Null", "Key", "Default",
+              "Comment", "Privileges", "Extra", "Greptime_type")
+            case rows => rows
+              .toDF("Field", "Type", "Null", "Key", "Default", "Extra", "Greptime_type")
+          }
       case _ => throw new IllegalArgumentException(
         "Unexpected token while parsing SQL statement, expected: '{FROM | IN} table'")
     }

@@ -376,6 +376,23 @@ object GoldenRunner {
             s"desc=${Option(j.properties).map(p => String.valueOf(p.getProperty("spark.job.description")).take(60)).getOrElse("?")}")
       })
 
+  /** Split a statement batch on ';' outside single/double quotes. */
+  private[tools] def splitStatements(sql: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var q: Char = 0
+    for (ch <- sql) {
+      if (q != 0) { cur += ch; if (ch == q) q = 0 }
+      else ch match {
+        case '\'' | '"' => q = ch; cur += ch
+        case ';' => parts += cur.result(); cur.clear()
+        case c => cur += c
+      }
+    }
+    if (cur.nonEmpty) parts += cur.result()
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   def run(spark: SparkSession, resultFile: String): Outcome = {
     installJobTrace(spark)
     val g = new GraftSession(spark)
@@ -424,7 +441,16 @@ object GoldenRunner {
           .replaceFirst("(?is)^EXPLAIN\\s+(ANALYZE\\s+)?(VERBOSE\\s+)?", "")).collect())
         skipped += 1
       }
-      else Try(g.sql(e.sql)) match {
+      else Try {
+        // a golden entry may glue several statements with interior ';'
+        // (pg_catalog issue-7313: two SELECTs, one block) — sqlness sent
+        // them as one batch whose FIRST result was recorded. Split
+        // outside quotes, run all, compare the first.
+        val parts = splitStatements(e.sql)
+        val first = g.sql(parts.head)
+        parts.tail.foreach(p => Try(g.sql(p)))
+        first
+      } match {
         case Failure(ex) =>
           spark.sparkContext.cancelJobGroup("golden-stmt")
           e.expected match {
@@ -611,7 +637,16 @@ object GoldenRunner {
                       if (j < boolCols.length && boolCols(j)) c match {
                         case "true" => "1"; case "false" => "0"; case x => x
                       } else c
-                    }) else got
+                    })
+                    // postgres wire renders booleans t/f; column-typed so
+                    // mixed-type rows (pg_catalog issue-7313) map too
+                    else if (e.protocol == "postgres" && !pgBools)
+                      got.map(_.zipWithIndex.map { case (c, j) =>
+                        if (j < boolCols.length && boolCols(j)) c match {
+                          case "true" => "t"; case "false" => "f"; case x => x
+                        } else c
+                      })
+                    else got
                   // rows compare pipe-joined: a result cell that itself
                   // contains '|' (string_agg) parses as extra cells from
                   // the golden table — joining makes that benign. Cells
