@@ -23,6 +23,37 @@ object Registry {
     spark.udf.register("uddsketch_calc",
       udf((q: Double, s: String) => graft.aggregates.UddSketch.calc(q, s)))
 
+    // MySQL-compat string/number helpers the reference carries
+    // (scalars/string/{insert,format}.rs; function/string/mysql_compat
+    // .result pins pos/len edge cases and grouped rendering)
+    spark.udf.register("mysql_insert",
+      udf((s: String, pos: Int, len: Int, n: String) =>
+        if (s == null || n == null) null
+        else if (pos < 1 || pos > s.length) s
+        else {
+          val head = s.substring(0, pos - 1)
+          val tailStart = if (len < 0) s.length else math.min(s.length, pos - 1 + len)
+          head + n + s.substring(tailStart)
+        }))
+    spark.udf.register("format",
+      udf((x: java.lang.Double, d: Int) =>
+        if (x == null) null
+        else {
+          val digits = math.max(0, d)
+          val bd = new java.math.BigDecimal(x)
+            .setScale(digits, java.math.RoundingMode.HALF_UP)
+          val fmt = new java.text.DecimalFormat(
+            if (digits == 0) "#,##0" else "#,##0." + "0" * digits)
+          fmt.format(bd)
+        }))
+
+    // DataFusion math helpers Spark lacks (datafusion/functions/math)
+    spark.udf.register("gcd", udf((a: Long, b: Long) =>
+      BigInt(a).gcd(BigInt(b)).toLong))
+    spark.udf.register("lcm", udf((a: Long, b: Long) =>
+      if (a == 0 || b == 0) 0L
+      else (BigInt(a) / BigInt(a).gcd(BigInt(b)) * BigInt(b)).abs.toLong))
+
     // approx_distinct: bit-compatible DataFusion HLL (aggregates/
     // ApproxDistinct.scala); the type-aware hash is a Catalyst
     // expression so one rewrite serves every column type

@@ -1288,6 +1288,17 @@ final class GraftSession(spark0: SparkSession,
         s"concat('[', concat_ws(',', transform(array_sort(collect_list(struct(($ts) AS ts, CAST(($lat) AS DOUBLE) AS lat, CAST(($lng) AS DOUBLE) AS lng))), " +
           s"p -> concat('[', cast(p.lng AS STRING), ',', cast(p.lat AS STRING), ']'))), ']')"
       })
+    // MySQL-compat FIELD(x, a, b, ...) → 1-based position, 0 when
+    // absent/NULL; case-sensitive (function/string/mysql_compat.result)
+    r = "(?i)\\bFIELD\\s*\\(([^()]*)\\)".r.replaceAllIn(r, m => {
+      val args = m.group(1).split(",").map(_.trim)
+      if (args.length < 2) scala.util.matching.Regex.quoteReplacement(m.matched)
+      else scala.util.matching.Regex.quoteReplacement(
+        s"coalesce(array_position(array(${args.tail.mkString(", ")}), ${args.head}), 0)")
+    })
+    // MySQL INSERT(str, pos, len, newstr) — the keyword can't be a
+    // function name in Spark's parser; route to the mysql_insert UDF
+    r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bINSERT\\s*\\(", "mysql_insert("))
     // FROM-less scalar unnest: DataFusion zips multiple generators
     // positionally with null padding (select/unnest.result:
     // `unnest([1,2,3]) + unnest([4,5])` → 5, 7, null)

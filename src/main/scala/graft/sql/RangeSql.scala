@@ -62,26 +62,39 @@ object RangeSql {
     * operand: a parenthesized group or call, plus a leading identifier
     * (the function name). */
   private def operandStart(s: String, rangeKw: Int): Int = {
-    var i = rangeKw - 1
-    while (i >= 0 && s.charAt(i).isWhitespace) i -= 1
-    require(i >= 0 && s.charAt(i) == ')',
-      s"RANGE must follow an aggregate call or (...) group: ${s.substring(0, rangeKw)}")
-    var depth = 0
-    while (i >= 0) {
-      s.charAt(i) match {
-        case ')' => depth += 1
-        case '(' =>
-          depth -= 1
-          if (depth == 0) {
-            var j = i - 1
-            while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
-            return j + 1
-          }
-        case _ =>
+    var end = rangeKw
+    while (true) {
+      var i = end - 1
+      while (i >= 0 && s.charAt(i).isWhitespace) i -= 1
+      require(i >= 0 && s.charAt(i) == ')',
+        s"RANGE must follow an aggregate call or (...) group: ${s.substring(0, rangeKw)}")
+      var depth = 0
+      var start = -1
+      while (i >= 0 && start < 0) {
+        s.charAt(i) match {
+          case ')' => depth += 1
+          case '(' =>
+            depth -= 1
+            if (depth == 0) {
+              var j = i - 1
+              while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
+              start = j + 1
+            }
+          case _ =>
+        }
+        i -= 1
       }
-      i -= 1
+      if (start < 0)
+        throw new IllegalArgumentException(s"unbalanced parens before RANGE in: $s")
+      // `f(p) WITHIN GROUP (ORDER BY x)`: the captured group is the
+      // sorted-set suffix — keep walking back over the owning call
+      // (range/calculate.sql's approx_percentile_cont)
+      val prefix = s.substring(0, start)
+      val within = "(?is)^(.*?)\\bWITHIN\\s+(?:GROUP\\s*)?$".r.findFirstMatchIn(prefix)
+      if (within.isDefined) end = within.get.group(1).length
+      else return start
     }
-    throw new IllegalArgumentException(s"unbalanced parens before RANGE in: $s")
+    -1 // unreachable
   }
 
   // ---- INTERVAL expressions in RANGE/ALIGN (range/interval.sql) -------
@@ -135,19 +148,22 @@ object RangeSql {
         case _ => None
       }
     }
-    // top-level '+' sum
+    // top-level '+'/'-' chain (range/to.sql subtracts intervals)
     val t = strip(text0)
-    var depth = 0; var inStr = false
-    val parts = Seq.newBuilder[String]; val cur = new StringBuilder
+    var depth = 0; var inStr = false; var sign = 1
+    val parts = Seq.newBuilder[(Int, String)]; val cur = new StringBuilder
     t.foreach {
       case '\'' => inStr = !inStr; cur += '\''
       case '(' if !inStr => depth += 1; cur += '('
       case ')' if !inStr => depth -= 1; cur += ')'
-      case '+' if !inStr && depth == 0 => parts += cur.result(); cur.clear()
+      case '+' if !inStr && depth == 0 =>
+        parts += ((sign, cur.result())); cur.clear(); sign = 1
+      case '-' if !inStr && depth == 0 && cur.toString.trim.nonEmpty =>
+        parts += ((sign, cur.result())); cur.clear(); sign = -1
       case c => cur += c
     }
-    parts += cur.result()
-    val ps = parts.result().map(one)
+    parts += ((sign, cur.result()))
+    val ps = parts.result().map { case (sg, p) => one(p).map(_ * sg) }
     if (ps.exists(_.isEmpty)) None else Some(ps.flatten.sum)
   }
 
@@ -193,6 +209,83 @@ object RangeSql {
       "([^()]*?)\\s+ORDER\\s+BY\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*(?:ASC|DESC)?\\s*\\)").r
       .replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(
         s"${m.group(1)}(${m.group(2).trim})"))
+
+  /** `first_value/last_value(x ORDER BY k [ASC|DESC] [NULLS ...][, ...])`
+    * inside a RANGE bucket (range/special_aggr.sql): sort-struct
+    * encoding over collect_list. Key directions fold into the encoded
+    * sort value (numeric keys negate for DESC); null placement follows
+    * the PG/DataFusion defaults (ASC→NULLS LAST, DESC→NULLS FIRST); the
+    * time index rides as the trailing key, reproducing DataFusion's
+    * stable-sort tie behavior (ties resolve in scan = ts order). */
+  private def rewriteFirstLast(text: String, tsCol: String): String = {
+    val rx = ("(?i)\\b(first_value|last_value)\\s*\\(\\s*" +
+      "([A-Za-z_][A-Za-z0-9_.]*)\\s+ORDER\\s+BY\\s+([^()]+)\\)").r
+    rx.replaceAllIn(text, m => {
+      val fn = m.group(1).toLowerCase(Locale.ROOT)
+      val valueCol = m.group(2)
+      val specs = m.group(3).split(",").map(_.trim).filter(_.nonEmpty)
+      val keyExprs = specs.zipWithIndex.flatMap { case (spec, i) =>
+        val up = spec.toUpperCase(Locale.ROOT)
+        val col = spec.split("\\s+")(0)
+        val desc = "\\bDESC\\b".r.findFirstIn(up).isDefined
+        val nullsFirst =
+          if (up.contains("NULLS FIRST")) true
+          else if (up.contains("NULLS LAST")) false
+          else desc
+        val nullFlag =
+          if (nullsFirst) s"(CASE WHEN $col IS NULL THEN 0 ELSE 1 END)"
+          else s"(CASE WHEN $col IS NULL THEN 1 ELSE 0 END)"
+        val keyVal =
+          if (desc) s"coalesce(-CAST($col AS DOUBLE), 0D)"
+          else s"coalesce(CAST($col AS DOUBLE), 0D)"
+        Seq(s"$nullFlag AS __n$i", s"$keyVal AS __k$i")
+      }
+      val pos = if (fn == "first_value") "1" else "-1"
+      scala.util.matching.Regex.quoteReplacement(
+        s"element_at(array_sort(collect_list(struct(${keyExprs.mkString(", ")}, " +
+          s"$tsCol AS __t, $valueCol AS __v))), $pos).__v")
+    })
+  }
+
+  /** DataFusion type names in CASTs (range/{calculate,by}.sql
+    * `::INT64`, `as INT64`). */
+  private def mapDfTypes(s: String): String = s
+    .replaceAll("(?i)\\bINT64\\b", "BIGINT")
+    .replaceAll("(?i)\\bINT32\\b", "INT")
+    .replaceAll("(?i)\\bFLOAT64\\b", "DOUBLE")
+    .replaceAll("(?i)\\bFLOAT32\\b", "FLOAT")
+
+  /** Range-expression dialect shims the main SQL path's rewriter would
+    * have applied: `covar` → covar_samp (DataFusion's covar is the
+    * sample covariance) and `approx_percentile_cont(p) WITHIN GROUP
+    * (ORDER BY x [DESC])` → the t-digest aggregate, rendered in the
+    * ORDER BY column's own type (range/calculate.result: BIGINT input
+    * truncates, all-null buckets stay NULL via FILTER). */
+  private def rewriteRangeAggDialect(text: String,
+      schema: org.apache.spark.sql.types.StructType): String = {
+    var s = text.replaceAll("(?i)\\bcovar\\s*\\(", "covar_samp(")
+    val rx = ("(?is)\\bapprox_percentile_cont\\s*\\(\\s*([0-9.]+)\\s*\\)\\s*" +
+      "WITHIN\\s+GROUP\\s*\\(\\s*ORDER\\s+BY\\s+([A-Za-z_][A-Za-z0-9_.]*)" +
+      "\\s*(ASC|DESC)?\\s*\\)").r
+    s = rx.replaceAllIn(s, m => {
+      val (p, x) = (m.group(1), m.group(2))
+      val desc = Option(m.group(3)).exists(_.equalsIgnoreCase("DESC"))
+      val q = if (desc) s"(1.0 - $p)" else p
+      val integral = schema.fields.find(_.name.equalsIgnoreCase(x))
+        .exists(_.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        })
+      val call = s"__approx_pct_td(CAST($x AS DOUBLE), CAST(1.0 AS DOUBLE), $q)" +
+        s" FILTER (WHERE $x IS NOT NULL)"
+      scala.util.matching.Regex.quoteReplacement(
+        if (integral) s"CAST($call AS BIGINT)" else s"CAST($call AS DOUBLE)")
+    })
+    s
+  }
 
   def execute(spark: SparkSession, sql: String,
       resolveTable: String => (DataFrame, String, Seq[String]),
@@ -245,12 +338,65 @@ object RangeSql {
       }
     }
 
+    // `TO (expr)` with arbitrary nesting: extract with a balanced scan
+    // before the tail regex (range/to.sql's now()-(now()+1h))
+    var toExprStored: Option[String] = None
+    "(?i)\\bTO\\s*\\(".r.findFirstMatchIn(stmt).foreach { tm =>
+      val open = tm.end - 1
+      var d = 0; var i = open; var close = -1; var inStr = false
+      while (i < stmt.length && close < 0) {
+        val c = stmt.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => d += 1
+          case ')' => d -= 1; if (d == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close > 0) {
+        toExprStored = Some(stmt.substring(open, close + 1))
+        stmt = stmt.substring(0, tm.start) + "TO '__toexpr__'" +
+          stmt.substring(close + 1)
+      }
+    }
+
+    // `BY (items...)` with nested call parens (range/by.sql's
+    // BY (length(host))): balanced-scan extraction before the tail
+    // regex; items restore after the parse. Lookbehinds keep ORDER BY /
+    // GROUP BY out of scope.
+    var byStoredItems: Option[Seq[String]] = None
+    "(?i)(?<!ORDER)(?<!GROUP)\\s+BY\\s*\\(".r.findFirstMatchIn(stmt).foreach { bm =>
+      val open = bm.end - 1
+      var d = 0; var i = open; var close = -1; var inStr = false
+      while (i < stmt.length && close < 0) {
+        val c = stmt.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => d += 1
+          case ')' => d -= 1; if (d == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      val body = if (close > 0) stmt.substring(open + 1, close).trim else ""
+      if (close > 0 && body.contains("(")) {
+        val items = splitTopComma(body)
+        byStoredItems = Some(items)
+        stmt = stmt.substring(0, bm.start) + " BY (" +
+          items.indices.map(i0 => s"__byx$i0").mkString(", ") + ")" +
+          stmt.substring(close + 1)
+      }
+    }
+
     // ---- tail clauses: FROM / WHERE / ALIGN / TO / BY / FILL / ORDER --
     val tailRx =
       ("(?is)^(SELECT\\s+.*?)\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)" +
         "(?:\\s+WHERE\\s+(.*?))?" +
         "\\s+ALIGN\\s+'([^']+)'" +
-        "(?:\\s+TO\\s+('[^']*'|\\S+))?" +
+        "(?:\\s+TO\\s+('[^']*'|\\([^()]*(?:\\([^()]*\\)[^()]*)*\\)|\\S+))?" +
         "(?:\\s+BY\\s+\\(([^)]*)\\))?" +
         "(?:\\s+FILL\\s+(\\w+))?" +
         "(\\s*ORDER\\s+BY\\s+.*|\\s*LIMIT\\s+.*)?$").r
@@ -276,10 +422,11 @@ object RangeSql {
       val g = mm.get
       val start = operandStart(outer, g.start)
       val alias = s"__r$idx"
+      // `count(distinct *)` counts distinct source ROWS — on the merged
+      // time-series view every (pk, ts) row is unique, so it equals
+      // count(*) (special_aggr.result pins 3 per 3-row bucket)
       val text = outer.substring(start, g.start).trim
-      // `distinct *` would silently count internal grid columns
-      require(!text.toLowerCase(Locale.ROOT).contains("distinct *"),
-        s"RANGE does not support DISTINCT *: $text")
+        .replaceAll("(?i)count\\s*\\(\\s*distinct\\s+\\*\\s*\\)", "count(*)")
       annots += Annotated(text,
         PromParser.parseDuration(g.group(1)),
         Option(g.group(2)).map(parseFill), alias)
@@ -314,28 +461,57 @@ object RangeSql {
     // BY items may be expressions (`BY (length(host))`, `BY (2)`); each
     // non-identifier item becomes a computed key column, and the outer
     // select text references it by the generated name
-    val byItems = byOpt.map(splitTopComma).getOrElse(tags)
-    val by = byItems.zipWithIndex.map { case (item, i) =>
+    val byItems = byOpt.map(splitTopComma).getOrElse(tags).map { it =>
+      // restore balanced-scan-extracted BY expressions
+      "__byx(\\d+)".r.findFirstMatchIn(it.trim)
+        .flatMap(m => byStoredItems.map(_(m.group(1).toInt))).getOrElse(it)
+    }
+    val by = byItems.zipWithIndex.map { case (item0, i) =>
+      val item = mapDfTypes(item0)
       if (item.matches("[A-Za-z_][A-Za-z0-9_]*")) item
       else {
         val alias = s"__by$i"
         base = base.withColumn(alias, expr(item))
-        outer = outer.replaceAll(
-          "(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(item) + "(?![A-Za-z0-9_])",
-          alias)
+        // the outer select still spells the original (pre-type-mapped)
+        // text — rewrite both spellings to the computed key column
+        for (spelling <- Seq(item, item0).distinct)
+          outer = outer.replaceAll(
+            "(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(spelling) + "(?![A-Za-z0-9_])",
+            alias)
         alias
       }
     }
     val alignTo = toOpt.map { t =>
       val v = t.stripPrefix("'").stripSuffix("'")
       if (v.matches("-?\\d+")) v.toLong
+      else if (v == "__toexpr__" || v.startsWith("(")) {
+        val body = if (v == "__toexpr__") toExprStored.get else v
+        // TO (expr): evaluate; a timestamp is the origin, an interval
+        // offsets the epoch (range/to.sql's now()-(now()+1h) → 23:00
+        // day buckets)
+        spark.sql(s"SELECT $body").collect()(0).get(0) match {
+          case d: java.time.Duration => d.toMillis
+          case i: java.time.Instant => i.toEpochMilli
+          case ts: java.sql.Timestamp => ts.getTime
+          case l: java.time.LocalDateTime =>
+            l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          case x: java.lang.Number => x.longValue()
+          case other => throw new IllegalArgumentException(
+            s"cannot use TO expression result: $other")
+        }
+      }
+      else if ("[+-]\\d{2}:\\d{2}$".r.findFirstIn(v).isDefined)
+        // explicit zone offset (range/to.sql TO '...+01:00')
+        java.time.OffsetDateTime.parse(v.replace(' ', 'T')).toInstant.toEpochMilli
       else java.time.Instant.parse(if (v.endsWith("Z")) v else v + "Z").toEpochMilli
     }.getOrElse(defaultOriginMs)
 
     val groups = annots.toList.groupBy(_.rangeMs)
     val parts = groups.map { case (rangeMs, as) =>
       RangeSelect(base, tsCol, by, alignMs, rangeMs,
-        as.map(a => RangeAgg(a.alias, _ => expr(a.text),
+        as.map(a => RangeAgg(a.alias,
+          _ => expr(rewriteRangeAggDialect(
+            rewriteFirstLast(a.text, tsCol), base.schema)),
           a.fill.orElse(defaultFill).getOrElse(Fill.None))),
         alignTo)
     }.toList
@@ -349,6 +525,6 @@ object RangeSql {
     else joined
     val view = s"__range_${System.nanoTime()}"
     restored.createOrReplaceTempView(view)
-    spark.sql(s"$outer FROM $view$trailer")
+    spark.sql(s"${mapDfTypes(outer)} FROM $view$trailer")
   }
 }

@@ -462,7 +462,7 @@ object GoldenRunner {
               skipped += 1
               errSkipped += 1
               if (trace) System.err.println(
-                s"[golden-skip] ${e.sql.take(120)} -> ${String.valueOf(ex.getMessage).take(200)}")
+                s"[golden-skip] ${e.sql.take(120)} -> ${ex.getClass.getSimpleName}: ${String.valueOf(ex.getMessage).take(200)}")
             case ErrorExpected => // reference also errors — fine
             case NonQuery =>
               problems += s"setup failed: ${e.sql.take(80)} -> ${String.valueOf(ex.getMessage).take(120)}"
