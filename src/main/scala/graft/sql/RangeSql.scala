@@ -410,7 +410,9 @@ object RangeSql {
     val toOpt = Option(m.group(5))
     val byOpt = Option(m.group(6))
     val defaultFill = Option(m.group(7)).map(parseFill)
-    val trailer = Option(m.group(8)).getOrElse("")
+    // leading space is not guaranteed by the tail regex: the corpus has
+    // `ALIGN '5s'ORDER BY ...` (range/fill.sql:27) — re-add it
+    val trailer = Option(m.group(8)).map(" " + _.trim).getOrElse("")
 
     // ---- lift RANGE annotations out of the select list ---------------
     val rangeRx = "(?i)\\bRANGE\\s+'([^']+)'(?:\\s+FILL\\s+(\\w+))?".r

@@ -533,7 +533,11 @@ object GoldenRunner {
                   // line-spanning REPLACE directives (flow's FLUSH_FLOW
                   // count redaction) operate on the RENDERED table —
                   // render ours sqlness-style, replace, re-parse rows
-                  val spanning = e.replaces.exists(_._1.contains("\\n"))
+                  // ... or on the rendered pipes (flow_status's
+                  // `(\|\s+[0-9]+\s+\|)` flow_id redaction) — per-cell
+                  // replacement never sees a '|'
+                  val spanning = e.replaces.exists(p =>
+                    p._1.contains("\\n") || p._1.contains("\\|"))
                   // column ORDER is plan-internal (TQL projections differ
                   // between engines); when the golden header names match
                   // ours as a multiset, compare in the golden's order
