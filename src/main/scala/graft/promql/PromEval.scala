@@ -102,6 +102,12 @@ final class PromEval(
   /** Left = scalar, Right = vector. */
   def eval(e: Expr): Either[Double, InstantVector] = e match {
     case NumberLit(v) => Left(v)
+    // a TOP-LEVEL subquery (encode_substrait.sql's
+    // `increase(...)[12h:1h]`): the reference's PromRangeManipulate
+    // carries the inner values through at the outer step — each step
+    // samples the most recent inner value inside the subquery range
+    case sq: PromParser.Subquery =>
+      eval(PromParser.Call("last_over_time", Seq(sq)))
     case Unary(x) => eval(x) match {
       case Left(v) => Left(-v)
       case Right(iv) =>
@@ -212,6 +218,10 @@ final class PromEval(
 
     case Call("histogram_quantile", Seq(NumberLit(q), arg)) =>
       Right(histogramQuantile(evalToVector(arg), q))
+    // out-of-range quantiles arrive as a unary-negated literal
+    // (simple_histogram.sql's histogram_quantile(-0.1, ...) → -Inf rows)
+    case Call("histogram_quantile", Seq(Unary(NumberLit(q)), arg)) =>
+      Right(histogramQuantile(evalToVector(arg), -q))
 
     case Call("label_replace", Seq(arg, StringLit(dst), StringLit(rep), StringLit(src), StringLit(re))) =>
       Right(labelReplace(evalToVector(arg), dst, rep, src, re))

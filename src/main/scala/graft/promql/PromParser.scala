@@ -262,7 +262,10 @@ object PromParser {
       while (more) {
         if (peek.exists(_.equalsIgnoreCase("offset"))) {
           next()
-          val off = parseDuration(next())
+          // negative offsets look FORWARD (promql/offset_direction.sql's
+          // `offset -60s`); the sign arrives as its own token
+          val sign = if (peek.contains("-")) { next(); -1L } else 1L
+          val off = sign * parseDuration(next())
           e = e match {
             case s: Selector => s.copy(offsetMs = off)
             case sq: Subquery => sq.copy(offsetMs = off)

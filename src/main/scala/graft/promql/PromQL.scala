@@ -487,7 +487,10 @@ object PromQL {
 
   /** histogram_quantile over classic le-bucket series (HistogramFold). */
   def histogramQuantile(iv: InstantVector, q: Double): InstantVector = {
-    require(iv.labels.contains("le"), "histogram_quantile needs an 'le' label")
+    // a vector with no 'le' label yields an EMPTY result, not an error
+    // (simple_histogram.sql's sum by(pod,instance,fbf) variant)
+    if (!iv.labels.contains("le"))
+      return InstantVector(iv.df.limit(0), iv.labels)
     val rest = iv.labels.filterNot(_ == "le")
     val grouped = iv.df
       .withColumn("__le", when(col("le") === "+Inf", lit(Double.PositiveInfinity))

@@ -176,6 +176,35 @@ final class GraftSession(spark0: SparkSession,
     else if (up.startsWith("ALTER TABLE")) alterTable(stmt)
     else if (up.startsWith("SHOW COLUMNS") || up.startsWith("SHOW FULL COLUMNS"))
       showColumns(stmt)
+    else if (up.startsWith("SHOW TABLE STATUS")) {
+      // MySQL-compat status listing over the information_schema tables
+      // snapshot (show/show_databases_tables.sql pins the 18-col shape;
+      // timestamps are redacted by the golden's REPLACE)
+      refreshInfoSchema()
+      val fromDb = "(?i)\\b(?:FROM|IN)\\s+([A-Za-z_\"`][A-Za-z0-9_\"`-]*)".r
+        .findFirstMatchIn(stmt).map(m => unquote(m.group(1)))
+      val like = "(?i)\\bLIKE\\s+'([^']*)'".r.findFirstMatchIn(stmt).map(_.group(1))
+      val where = "(?is)\\bWHERE\\s+(.*)$".r.findFirstMatchIn(stmt).map(_.group(1).trim)
+      val db = fromDb.getOrElse(if (infoDb) "information_schema" else currentDb)
+      var df = spark.table("__info_tables")
+        .filter(col("table_schema") === db)
+        .select(col("table_name").as("Name"), col("engine").as("Engine"),
+          col("version").as("Version"), col("row_format").as("Row_format"),
+          col("table_rows").as("Rows"), col("avg_row_length").as("Avg_row_length"),
+          col("data_length").as("Data_length"),
+          col("max_data_length").as("Max_data_length"),
+          col("index_length").as("Index_length"), col("data_free").as("Data_free"),
+          col("auto_increment").as("Auto_increment"),
+          col("create_time").as("Create_time"), col("update_time").as("Update_time"),
+          col("check_time").as("Check_time"),
+          col("table_collation").as("Collation"), col("checksum").as("Checksum"),
+          col("create_options").as("Create_options"),
+          col("table_comment").as("Comment"))
+        .orderBy(col("Name"))
+      like.foreach(p => df = df.filter(col("Name").rlike("^" + likeRegex(p) + "$")))
+      where.foreach(w => df = df.where(dialect(w)))
+      df
+    }
     else if (up.startsWith("SHOW TABLES") || up.startsWith("SHOW FULL TABLES"))
       showTables(stmt)
     else if (up.startsWith("SHOW CREATE TABLE")) {
@@ -358,40 +387,7 @@ final class GraftSession(spark0: SparkSession,
         .findFirstMatchIn(stmt.trim).getOrElse(throw new IllegalArgumentException(
           "Unexpected token while parsing SQL statement, expected: '{FROM | IN} table'"))
       val t = normTable(m.group(1))
-      val spec = catalog.spec(t)
-      val metas = colMeta.getOrElse(t, Vector.empty)
-      def nullCell(c: String): String =
-        if (c == spec.timeIndex) ""
-        else if (metas.find(_.name == c).forall(_.nullable)) "YES" else ""
-      // a metric PHYSICAL table leads its key with the internal
-      // __table_id/__tsid columns and skip-indexes __table_id
-      // (create/create_metric_table.result)
-      // declared tags precede the internals; tags PROPAGATED from
-      // logical tables follow them (show/show_create.result's phy)
-      val pkCols: Seq[(String, String)] =
-        metricPhy.get(t) match {
-          case Some(ps) =>
-            val added = ps.addedTags.toSet
-            spec.tags.filterNot(added).map(c => c -> nullCell(c)) ++
-              Seq("__table_id" -> "", "__tsid" -> "") ++
-              spec.tags.filter(added).map(c => c -> nullCell(c))
-          case None => spec.tags.map(c => c -> nullCell(c))
-        }
-      val pk = pkCols.zipWithIndex.map { case ((c, nl), i) =>
-        (t, 0, "PRIMARY", i + 1, c, nl, "PRIMARY") }
-      val phySkip =
-        if (metricPhy.contains(t))
-          Seq((t, 1, "SKIPPING_INDEX___table_id", 1, "__table_id", "", "SKIPPING"))
-        else Nil
-      val ti = phySkip ++ Seq((t, 1, "TIME INDEX", 1, spec.timeIndex,
-        nullCell(spec.timeIndex), "TIME"))
-      val decls = metas.flatMap(cm => cm.indexDecl.toSeq.flatMap { d =>
-        Seq("FULLTEXT", "SKIPPING", "INVERTED")
-          .filter(k => ("(?i)\\b" + k + "\\b").r.findFirstIn(d).isDefined)
-          .map(kind =>
-            (t, 1, s"${kind}_INDEX_${cm.name}", 1, cm.name, nullCell(cm.name), kind))
-      })
-      val df = (pk ++ ti ++ decls).sortBy(r => (r._3, r._4))
+      val df = indexRowsOf(t).sortBy(r => (r._3, r._4))
         .map { case (tb, nu, key, seq, c, nl, kind) =>
           (tb, nu, key, seq, c, "A", "", "", "", nl, kind, "", "", "YES", "") }
         .toDF("Table", "Non_unique", "Key_name", "Seq_in_index", "Column_name",
@@ -544,7 +540,9 @@ final class GraftSession(spark0: SparkSession,
     }
     else if (up.startsWith("TQL EVAL")) tqlEval(stmt)
     else if (up.startsWith("WITH") &&
-        "(?is)\\bTQL\\s+EVAL\\b".r.findFirstIn(stmt).isDefined) {
+        ("(?is)\\bTQL\\s+EVAL\\b".r.findFirstIn(stmt).isDefined ||
+          ("(?is)\\bALIGN\\s+'".r.findFirstIn(stmt).isDefined &&
+            "(?is)\\bRANGE\\s+'".r.findFirstIn(stmt).isDefined))) {
       val rw = rewriteTqlCtes(stmt)
       if (rw == stmt)
         throw new IllegalArgumentException(s"unsupported TQL in WITH: $stmt")
@@ -625,6 +623,7 @@ final class GraftSession(spark0: SparkSession,
         .replaceAll("(?i)information_schema\\.tables", "__info_tables")
         .replaceAll("(?i)information_schema\\.columns", "__info_columns")
         .replaceAll("(?i)information_schema\\.flow_statistics", "__info_flow_statistics")
+        .replaceAll("(?i)information_schema\\.statistics", "__info_statistics")
         .replaceAll("(?i)information_schema\\.flows", "__info_flows")
         .replaceAll("(?i)information_schema\\.views", "__info_views")
         .replaceAll("(?i)information_schema\\.procedure_info", "__info_procedure_info")
@@ -906,7 +905,10 @@ final class GraftSession(spark0: SparkSession,
       "VALUES", "SET", "WITH", "INTERSECT", "EXCEPT", "OFFSET")
     val tok = "(?:\"[^\"]+\"|`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
     for (d <- dbs if s.toLowerCase(Locale.ROOT).contains(d.toLowerCase(Locale.ROOT))) {
-      val dq = java.util.regex.Pattern.quote(d)
+      // the db name may appear backtick-quoted (keywords_expressions'
+      // CREATE DATABASE "SCHEMA" → `SCHEMA`.`TABLE` after ident rewrite)
+      val dq = "(?:`" + java.util.regex.Pattern.quote(d) + "`|\\b" +
+        java.util.regex.Pattern.quote(d) + ")"
       // FROM/JOIN db.tbl [alias]: mangle; add the bare name as alias when
       // the user gave none
       s = ("(?is)\\b(FROM|JOIN)\\s+" + dq + "\\.(" + tok + ")" +
@@ -920,14 +922,16 @@ final class GraftSession(spark0: SparkSession,
           case Some(a) => s"${m.group(1)} $mangled $a"
           case None =>
             val kept = Option(m.group(3)).getOrElse("")
-            s"${m.group(1)} $mangled $bare$kept"
+            // backtick the implicit alias: the bare table name may be a
+            // reserved word (keywords_expressions' "TABLE")
+            s"${m.group(1)} $mangled `$bare`$kept"
         })
       })
       // column qualifiers db.tbl.col → tbl.col
-      s = ("(?i)\\b" + dq + "\\.(" + tok + ")\\.").r.replaceAllIn(s, m =>
+      s = ("(?i)" + dq + "\\.(" + tok + ")\\.").r.replaceAllIn(s, m =>
         scala.util.matching.Regex.quoteReplacement(normIdent(m.group(1)) + "."))
       // any remaining db.tbl reference → the mangled name
-      s = ("(?i)\\b" + dq + "\\.(" + tok + ")").r.replaceAllIn(s, m =>
+      s = ("(?i)" + dq + "\\.(" + tok + ")").r.replaceAllIn(s, m =>
         scala.util.matching.Regex.quoteReplacement(
           s"${d}__schema__${normIdent(m.group(1))}"))
     }
@@ -1037,7 +1041,8 @@ final class GraftSession(spark0: SparkSession,
       case "UINT32" | "UINT64" => "BIGINT"
       case "TIMESTAMPSECOND" | "TIMESTAMPMILLISECOND" | "TIMESTAMPMICROSECOND" |
         "TIMESTAMPNANOSECOND" | "DATETIME" | "TIMESTAMP" | "TIMESTAMP_SEC" |
-        "TIMESTAMP_S" | "TIMESTAMP_MS" | "TIMESTAMP_US" | "TIMESTAMP_NS" => "TIMESTAMP"
+        "TIMESTAMP_S" | "TIMESTAMP_MS" | "TIMESTAMP_US" | "TIMESTAMP_NS" |
+        "TIMESTAMPTZ" => "TIMESTAMP"
       case "INTERVAL" => "INTERVAL DAY TO SECOND"
       // bare DECIMAL defaults to (38,10) in DataFusion, not Spark's
       // (10,0) (types/decimal/decimal_ops.sql '0.1'::DECIMAL keeps 0.1)
@@ -1333,6 +1338,18 @@ final class GraftSession(spark0: SparkSession,
       "(?i)\\bIF\\s*\\(\\s*([+-]?\\d+(?:\\.\\d+)?)\\s*,", "IF($1 <> 0,"))
     // MySQL MID(s, pos, len) ≡ SUBSTRING (function/function_alias.sql)
     r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bMID\\s*\\(", "substring("))
+    // zero-arg count() ≡ count(*) (DataFusion; types/json/jsonbench.sql)
+    r = rewriteOutsideQuotes(r)(_.replaceAll(
+      "(?i)\\bcount\\s*\\(\\s*\\)", "count(*)"))
+    // DataFusion's integer-epoch constructors → Spark's (jsonbench.sql)
+    r = rewriteOutsideQuotes(r) { s0 =>
+      s0.replaceAll("(?i)\\bto_timestamp_micros\\s*\\(", "timestamp_micros(")
+        .replaceAll("(?i)\\bto_timestamp_millis\\s*\\(", "timestamp_millis(")
+        .replaceAll("(?i)\\bto_timestamp_seconds\\s*\\(", "timestamp_seconds(")
+    }
+    // TIMESTAMPTZ literal keyword (types/timestamp/timestamp_tz.sql) —
+    // the session clock is UTC, matching the reference's rendering
+    r = "(?i)\\btimestamptz\\s+'".r.replaceAllIn(r, _ => "TIMESTAMP '")
     // vector aggregates accept '[..]' strings or array<float>
     // (function/vector/vector.sql) — parse first, then aggregate
     r = rewriteOutsideQuotes(r)(_.replaceAll(
@@ -1439,15 +1456,40 @@ final class GraftSession(spark0: SparkSession,
         // occurrences emitted by the rewrites above
         for (c <- nsCols) {
           val qc = java.util.regex.Pattern.quote(c)
-          r = ("(?i)(?<!\\bFROM\\s{0,20})(?<![\\w.`$])" + qc +
+          val qt = java.util.regex.Pattern.quote(t)
+          // optional table qualifier (timestamp_types.sql's self-join
+          // `timestamp.nano = timestamp_two.nano`) — the qualified
+          // remainder column rides the same alias
+          r = ("(?i)(?<!\\bFROM\\s{0,20})(?<![\\w.`$])(?:(`?" + qt + "`?)\\.)?" + qc +
             "(?![\\w`$])(?!\\s*::)").r
-            .replaceAllIn(r, scala.util.matching.Regex.quoteReplacement(
-              s"__ns_render(`$c`, `__nsr_$c`)"))
+            .replaceAllIn(r, m => scala.util.matching.Regex.quoteReplacement(
+              Option(m.group(1)).map(_.stripPrefix("`").stripSuffix("`")) match {
+                case Some(q) => s"__ns_render(`$q`.`$c`, `$q`.`__nsr_$c`)"
+                case None => s"__ns_render(`$c`, `__nsr_$c`)"
+              }))
         }
-        // reads resolve against the remainder-exposing view
+        // reads resolve against the remainder-exposing view, ALIASED
+        // back to the original name so table-qualified column refs keep
+        // resolving (timestamp_types.sql's `timestamp.milli` self-join;
+        // the alias is backticked — `timestamp` is a keyword). A
+        // user-supplied alias right after the name wins instead.
         r = ("(?i)\\b(FROM|JOIN)\\s+`?" + java.util.regex.Pattern.quote(t) +
-          "`?(?![\\w`])").r
-          .replaceAllIn(r, "$1 __nsq_" + t)
+          "`?(?![\\w`])(\\s+(?:AS\\s+)?[A-Za-z_][A-Za-z0-9_]*)?").r
+          .replaceAllIn(r, m => {
+            val stop = Set("WHERE", "GROUP", "ORDER", "LIMIT", "ON", "JOIN",
+              "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "UNION", "HAVING",
+              "USING", "VALUES", "SET", "INTERSECT", "EXCEPT", "OFFSET",
+              "RANGE", "ALIGN")
+            val userAlias = Option(m.group(2)).map(_.trim).filterNot(a =>
+              stop.contains(a.stripPrefix("AS ").stripPrefix("as ")
+                .trim.toUpperCase(Locale.ROOT)))
+            scala.util.matching.Regex.quoteReplacement(userAlias match {
+              case Some(a) => s"${m.group(1)} __nsq_$t $a"
+              case None =>
+                val kept = Option(m.group(2)).getOrElse("")
+                s"${m.group(1)} __nsq_$t `$t`$kept"
+            })
+          })
       }
     }
     // JSON2 dot-path access: j.a.b → json_get(j, 'a.b'); an arithmetic
@@ -1511,8 +1553,11 @@ final class GraftSession(spark0: SparkSession,
     // (subquery/offset.sql `ORDER BY c0 OFFSET 1 LIMIT 1`)
     r = rewriteOutsideQuotes(r)(_.replaceAll(
       "(?i)\\bOFFSET\\s+(\\d+)\\s+LIMIT\\s+(\\d+)", "LIMIT $2 OFFSET $1"))
-    // arrow_cast(x, 'T') → CAST with the arrow type mapped
-    r = "(?i)\\barrow_cast\\s*\\(\\s*([^(),]+)\\s*,\\s*'([^']+)'\\s*\\)".r
+    // arrow_cast(x, 'T') → CAST with the arrow type mapped; the operand
+    // may itself be a call (jsonbench's arrow_cast(json_get(...),
+    // 'Int64') after the json dot-path rewrite)
+    r = ("(?i)\\barrow_cast\\s*\\(\\s*((?:[^()',]|'[^']*'|" +
+      "\\((?:[^()']|'[^']*')*\\))+?)\\s*,\\s*'([^']+)'\\s*\\)").r
       .replaceAllIn(r, m => scala.util.matching.Regex.quoteReplacement(
         s"CAST(${m.group(1)} AS ${castType(m.group(2)
           .replaceAll("\\(.*", "").toUpperCase(Locale.ROOT))})"))
@@ -1562,7 +1607,14 @@ final class GraftSession(spark0: SparkSession,
       }
       val out = new StringBuilder
       var last = 0
-      for (m <- CastRx.findAllMatchIn(masked)) if (m.start >= last) {
+      for (m <- CastRx.findAllMatchIn(masked)) if (m.start >= last &&
+        // an "operand" directly after `::` is really the TYPE slot of a
+        // chained cast (100::DOUBLE::DECIMAL(38,35)::DOUBLE) — leave it
+        // for the next fixpoint iteration, when its true operand is a
+        // finished CAST(...) call
+        { var k = m.start - 1
+          while (k >= 0 && masked.charAt(k).isWhitespace) k -= 1
+          k < 0 || masked.charAt(k) != ':' }) {
         val t = castType(rr.substring(m.start(2), m.end(2)))
         val operand = rr.substring(m.start(1), m.end(1))
         val typeTok = rr.substring(m.start(2), m.end(2))
@@ -1691,6 +1743,57 @@ final class GraftSession(spark0: SparkSession,
     r = "(?i)\\b(TIMESTAMP|DATE)\\s+'\\s*([0-9][^']*?)\\s*'".r
       .replaceAllIn(r, m => scala.util.matching.Regex.quoteReplacement(
         s"${m.group(1)} '${m.group(2).replaceAll("\\s+", " ")}'"))
+    // INTERVAL-literal comparisons. Both sides literal → fold statically
+    // on the parsed MonthDayNano (interval.sql's '6 years' = '72
+    // months'); one side literal → the single-unit SECOND/MONTH literal
+    // spelling, whose DayTime/YearMonth type Spark CAN compare against a
+    // timestamp difference (inequality_joins.sql's
+    // `e2.ts - e1.ts <= INTERVAL '30 minutes'`)
+    r = ("(?i)\\bINTERVAL\\s+'([^']+)'\\s*(=|!=|<>|<=|>=|<|>)\\s*" +
+      "INTERVAL\\s+'([^']+)'").r.replaceAllIn(r, m =>
+      (parseIntervalMdn(m.group(1)), parseIntervalMdn(m.group(3))) match {
+        case (Some(a), Some(b)) =>
+          // logical total ordering on (months, days, micros) normalized
+          // to micros with the reference's 30-day month convention
+          def us(x: (Int, Int, Long)): Long =
+            x._1 * 30L * 86400000000L + x._2 * 86400000000L + x._3
+          val c = java.lang.Long.compare(us(a), us(b))
+          val res = m.group(2) match {
+            case "=" => c == 0
+            case "!=" | "<>" => c != 0
+            case "<" => c < 0
+            case "<=" => c <= 0
+            case ">" => c > 0
+            case ">=" => c >= 0
+          }
+          String.valueOf(res)
+        case _ => scala.util.matching.Regex.quoteReplacement(m.matched)
+      })
+    locally {
+      def singleUnit(text: String): Option[String] =
+        parseIntervalMdn(text).map { case (months, days, micros) =>
+          if (months != 0 && days == 0 && micros == 0L)
+            s"INTERVAL '$months' MONTH"
+          else {
+            val secs = java.math.BigDecimal.valueOf(micros)
+              .movePointLeft(6).add(java.math.BigDecimal.valueOf(days * 86400L))
+              .stripTrailingZeros.toPlainString
+            s"INTERVAL '$secs' SECOND"
+          }
+        }
+      val opThenIv = "(?i)(=|!=|<>|<=|>=|<|>)\\s*INTERVAL\\s+'([^']+)'".r
+      r = opThenIv.replaceAllIn(r, m => singleUnit(m.group(2)) match {
+        case Some(lit) => scala.util.matching.Regex.quoteReplacement(
+          s"${m.group(1)} $lit")
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+      })
+      val ivThenOp = "(?i)\\bINTERVAL\\s+'([^']+)'\\s*(=|!=|<>|<=|>=|<|>)".r
+      r = ivThenOp.replaceAllIn(r, m => singleUnit(m.group(1)) match {
+        case Some(lit) => scala.util.matching.Regex.quoteReplacement(
+          s"$lit ${m.group(2)}")
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+      })
+    }
     // a window-frame bound must stay a LITERAL — the make_interval
     // rewrite below would turn `RANGE INTERVAL '5 minutes' PRECEDING`
     // (function/anomaly.sql) into a non-literal call Spark rejects.
@@ -1972,7 +2075,7 @@ final class GraftSession(spark0: SparkSession,
     // temp view when public is the active database (view/create.result)
     if (currentDb == "public")
       r = rewriteOutsideQuotes(r)(
-        _.replaceAll("(?i)\\bpublic\\.([A-Za-z_][A-Za-z0-9_]*)", "$1"))
+        _.replaceAll("(?i)\\bpublic\\.(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)", "$1"))
     r = rewriteOutsideQuotes(r)(rewriteDbQualified)
     // the reference tolerates a trailing comma in the SELECT list
     // (flow/flow_blog.sql: `avg(...) as avg_speed, FROM ...`)
@@ -1996,6 +2099,7 @@ final class GraftSession(spark0: SparkSession,
     r = rewriteMedian(r)
     r = rewriteIntDiv(r)
     r = rewriteDivDecimalLit(r)
+    r = rewriteEpochExtract(r)
     r = rewriteTsLiteralCompare(r)
     defaultNullOrdering(r)
   }
@@ -2011,16 +2115,29 @@ final class GraftSession(spark0: SparkSession,
     val fromTable = "(?is)\\bFROM\\s+([A-Za-z_][A-Za-z0-9_]*)".r
       .findFirstMatchIn(s).map(_.group(1))
     val usPerUnit = fromTable.flatMap(tsLiteralUs.get).getOrElse(1000L)
+    // derived column list `FROM v1 t1(x)` (view/view.sql): the renamed
+    // columns map positionally onto the relation's schema
+    val aliasTypes: Map[String, DataType] =
+      "(?is)\\bFROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+(?:AS\\s+)?[A-Za-z_][A-Za-z0-9_]*\\s*\\(([^()]*)\\)".r
+        .findFirstMatchIn(s).map { m =>
+          val cols = m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+          scala.util.Try(spark.table(m.group(1)).schema).toOption
+            .map(sch => cols.zip(sch.fields.map(_.dataType)).toMap)
+            .getOrElse(Map.empty[String, DataType])
+        }.getOrElse(Map.empty)
     val cache = scala.collection.mutable.Map.empty[String, Boolean]
     // probe against the bare table (the statement's own WHERE may be the
     // unrewritten comparison that fails analysis)
     val probeStmt = fromTable.map(t => s"SELECT 1 FROM $t").getOrElse(return s)
     rewriteOutsideQuotes(s)(seg => cmp.replaceAllIn(seg, m => {
-      val isTs = cache.getOrElseUpdate(m.group(1), probeType(m.group(1), probeStmt) match {
-        case Some(_: org.apache.spark.sql.types.TimestampType) => true
-        case Some(org.apache.spark.sql.types.TimestampNTZType) => true
-        case _ => false
-      })
+      val isTs = cache.getOrElseUpdate(m.group(1),
+        aliasTypes.get(m.group(1))
+          .map(d => d == TimestampType || d == TimestampNTZType)
+          .getOrElse(probeType(m.group(1), probeStmt) match {
+            case Some(_: org.apache.spark.sql.types.TimestampType) => true
+            case Some(org.apache.spark.sql.types.TimestampNTZType) => true
+            case _ => false
+          }))
       if (isTs)
         s"${m.group(1)} ${m.group(2)} TIMESTAMP_MICROS(${m.group(3)} * $usPerUnit)"
       else m.matched
@@ -2180,6 +2297,35 @@ final class GraftSession(spark0: SparkSession,
       scala.util.matching.Regex.quoteReplacement(
         if (integral(l) && integral(rr)) s"($l div $rr)" else m.matched)
     }))
+  }
+
+  /** `date_part('epoch', <interval>)` → fractional seconds. DataFusion
+    * extracts epoch from a timestamp difference (jsonbench.sql's
+    * activity span); Spark has no epoch field — anchor the interval to
+    * the epoch origin and read unix millis. */
+  private def rewriteEpochExtract(s: String): String = {
+    val rx = "(?i)\\bdate_part\\s*\\(\\s*'epoch'\\s*,".r
+    rx.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        var d = 1; var i = m.end; var inStr = false
+        while (i < s.length && d > 0) {
+          val c = s.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false }
+          else c match {
+            case '\'' => inStr = true
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (d > 0) return s
+        val arg = s.substring(m.end, i - 1)
+        val repl =
+          s"((unix_millis(TIMESTAMP '1970-01-01 00:00:00' + ($arg))) / 1000.0)"
+        rewriteEpochExtract(s.substring(0, m.start) + repl + s.substring(i))
+    }
   }
 
   /** A bare decimal literal is Float64 in DataFusion but DECIMAL(p,s) in
@@ -4664,6 +4810,27 @@ final class GraftSession(spark0: SparkSession,
       "updated_time", "last_execution_time",
       "source_table_names", "flownode_addrs")
       .createOrReplaceTempView("__info_flows")
+    // information_schema.statistics: per-table index inventory in the
+    // MySQL shape + greptime_index_type (show/show_index.sql queries it
+    // alongside SHOW INDEX)
+    locally {
+      import spark.implicits._
+      val db = if (infoDb) "public" else currentDb
+      val gtype = Map("PRIMARY" -> "dense", "TIME" -> "",
+        "FULLTEXT" -> "fulltext_bloom", "INVERTED" -> "inverted",
+        "SKIPPING" -> "bloom_filter")
+      catalog.tables.toSeq.sorted.flatMap(t =>
+        scala.util.Try(indexRowsOf(t)).getOrElse(Nil)).map {
+        case (t, nu, key, seq, c, nl, kind) =>
+          ("greptime", db, t, nu, key, seq, c, "A", "", "", "", nl,
+            kind, "", "", "YES", "", gtype.getOrElse(kind, ""))
+      }.toDF("table_catalog", "table_schema", "table_name", "non_unique",
+        "index_name", "seq_in_index", "column_name", "collation",
+        "cardinality", "sub_part", "packed", "nullable", "index_type",
+        "comment", "index_comment", "visible", "expression",
+        "greptime_index_type")
+        .createOrReplaceTempView("__info_statistics")
+    }
     // information_schema.flow_statistics (flow_statistics.rs:81-92)
     flows.keys.toSeq.sorted.map { f =>
       val meta = flowMeta.get(f)
@@ -5390,15 +5557,64 @@ final class GraftSession(spark0: SparkSession,
     * 7-column shape (sql/src/statements/show.rs: Field | Type | Null |
     * Key | Default | Extra | Greptime_type), rows ordered by Field,
     * SQL types lowercased (show/show_columns.result). */
+  /** (table, non_unique, key_name, seq, column, nullCell, index_type)
+    * index rows of a table's declared metadata — shared by SHOW INDEX
+    * and information_schema.statistics (show/show_index.sql compares
+    * both against the same inventory). */
+  private def indexRowsOf(t: String): Seq[(String, Int, String, Int, String, String, String)] = {
+    val spec = catalog.spec(t)
+    val metas = colMeta.getOrElse(t, Vector.empty)
+    def nullCell(c: String): String =
+      if (c == spec.timeIndex) ""
+      else if (metas.find(_.name == c).forall(_.nullable)) "YES" else ""
+    // a metric PHYSICAL table leads its key with the internal
+    // __table_id/__tsid columns and skip-indexes __table_id
+    // (create/create_metric_table.result)
+    // declared tags precede the internals; tags PROPAGATED from
+    // logical tables follow them (show/show_create.result's phy)
+    val pkCols: Seq[(String, String)] =
+      metricPhy.get(t) match {
+        case Some(ps) =>
+          val added = ps.addedTags.toSet
+          spec.tags.filterNot(added).map(c => c -> nullCell(c)) ++
+            Seq("__table_id" -> "", "__tsid" -> "") ++
+            spec.tags.filter(added).map(c => c -> nullCell(c))
+        case None => spec.tags.map(c => c -> nullCell(c))
+      }
+    val pk = pkCols.zipWithIndex.map { case ((c, nl), i) =>
+      (t, 0, "PRIMARY", i + 1, c, nl, "PRIMARY") }
+    val phySkip =
+      if (metricPhy.contains(t))
+        Seq((t, 1, "SKIPPING_INDEX___table_id", 1, "__table_id", "", "SKIPPING"))
+      else Nil
+    val ti = phySkip ++ Seq((t, 1, "TIME INDEX", 1, spec.timeIndex,
+      nullCell(spec.timeIndex), "TIME"))
+    val decls = metas.flatMap(cm => cm.indexDecl.toSeq.flatMap { d =>
+      Seq("FULLTEXT", "SKIPPING", "INVERTED")
+        .filter(k => ("(?i)\\b" + k + "\\b").r.findFirstIn(d).isDefined)
+        .map(kind =>
+          (t, 1, s"${kind}_INDEX_${cm.name}", 1, cm.name, nullCell(cm.name), kind))
+    })
+    pk ++ ti ++ decls
+  }
+
   private def showColumns(stmt: String): DataFrame = {
     import spark.implicits._
     val full = "(?is)^SHOW\\s+FULL\\s".r.findFirstIn(stmt.trim).isDefined
     val m = "(?is)^SHOW\\s+(?:FULL\\s+)?COLUMNS\\s+(?:FROM|IN)\\s+(\\S+)" +
-      "(?:\\s+(?:FROM|IN)\\s+(\\S+))?(?:\\s+LIKE\\s+'([^']*)')?\\s*$"
+      "(?:\\s+(?:FROM|IN)\\s+(\\S+))?(?:\\s+LIKE\\s+'([^']*)')?" +
+      "(?:\\s+WHERE\\s+(.+?))?\\s*$"
     val rx = m.r
     stmt match {
-      case rx(t, _, likeOpt) =>
+      case rx(t, _, likeOpt, whereOpt) =>
         val name = normTable(t)
+        // a VIEW has no stored column metadata — the reference returns
+        // an empty result (view/create.result:155-163)
+        if (!catalog.tables.contains(name) && userViews.contains(name)) {
+          val empty = Seq.empty[(String, String, String, String, String, String, String)]
+            .toDF("Field", "Type", "Null", "Key", "Default", "Extra", "Greptime_type")
+          return empty.limit(0)
+        }
         val spec = catalog.spec(name)
         val dropped = droppedCols.getOrElse(name, Set.empty)
         val metas = colMeta.getOrElse(name,
@@ -5407,7 +5623,7 @@ final class GraftSession(spark0: SparkSession,
             .map(f => ColMeta(f.name, greptimeNameOf(f.dataType), f.nullable, None, None))
             .toVector)
         val like = Option(likeOpt).map(_.replace("%", ".*").replace("_", "."))
-        metas.filterNot(mm => dropped.contains(mm.name))
+        val df0 = metas.filterNot(mm => dropped.contains(mm.name))
           .filter(mm => like.forall(p => mm.name.matches(p)))
           .sortBy(_.name)
           .map { mm =>
@@ -5433,6 +5649,9 @@ final class GraftSession(spark0: SparkSession,
             case rows => rows
               .toDF("Field", "Type", "Null", "Key", "Default", "Extra", "Greptime_type")
           }
+        // `SHOW COLUMNS ... WHERE Field = 'x'` filters on the output
+        // columns (show/show_columns.sql)
+        Option(whereOpt).map(w => df0.where(dialect(w))).getOrElse(df0)
       case _ => throw new IllegalArgumentException(
         "Unexpected token while parsing SQL statement, expected: '{FROM | IN} table'")
     }
@@ -6946,7 +7165,29 @@ final class GraftSession(spark0: SparkSession,
           i += 1
         }
         val body = if (close > 0) s.substring(open + 1, close).trim else ""
-        if (close > 0 && body.toUpperCase(Locale.ROOT).startsWith("TQL")) {
+        // a RANGE-select CTE body (cte/cte.sql's `AVG(latency) RANGE
+        // '2s' ... ALIGN '2s'`) evaluates eagerly the same way — its
+        // result is bounded by the source's aligned grid
+        val isRangeBody = close > 0 && {
+          val up = body.toUpperCase(Locale.ROOT)
+          up.startsWith("SELECT") && up.contains(" ALIGN ") &&
+            "(?i)\\bRANGE\\s+'".r.findFirstIn(body).isDefined
+        }
+        if (isRangeBody) {
+          var df = sql(body)
+          Option(m.group(2)).foreach { lst =>
+            val names = lst.trim.stripPrefix("(").stripSuffix(")")
+              .split(",").map(_.trim).toIndexedSeq
+            df = df.toDF(names: _*)
+          }
+          tqlCteN += 1
+          val view = s"__tql_cte_$tqlCteN"
+          df.createOrReplaceTempView(view)
+          s = s.substring(0, m.start) +
+            s"${m.group(1)} AS (SELECT * FROM $view)" + s.substring(close + 1)
+          changed = true
+        }
+        else if (close > 0 && body.toUpperCase(Locale.ROOT).startsWith("TQL")) {
           var df = tqlEval(body)
           Option(m.group(2)).foreach { lst =>
             val names = lst.trim.stripPrefix("(").stripSuffix(")")
