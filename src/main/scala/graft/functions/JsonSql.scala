@@ -423,6 +423,13 @@ object JsonSql {
         else render(n)
       }.orNull
     }, StringType)
+    // raw JSON rendering (strings KEEP their quotes) — feeds the typed
+    // `::` cast helpers, which must distinguish the JSON string "42"
+    // from the number 42 (json2_cast.sql's a_bool column)
+    spark.udf.register("__json_get_raw", new UDF2[String, String, String] {
+      def call(j: String, p: String): String =
+        getAt(j, p).filterNot(_.isNull).map(n => n.toString).orNull
+    }, StringType)
     spark.udf.register("json_get_object", new UDF2[String, String, String] {
       def call(j: String, p: String): String =
         getAt(j, p).filter(_.isObject).map(render).orNull

@@ -20,6 +20,18 @@ object Registry {
     spark.udf.register("hll_merge", F.udaf(graft.aggregates.Hll.hllMerge, Encoders.BINARY))
     spark.udf.register("hll_count",
       udf((s: Array[Byte]) => graft.aggregates.Hll.count(s)))
+    // JSON-variant `::` casts over the RAW rendering (__json_get_raw —
+    // strings keep quotes). Two dialects, never an ANSI cast error:
+    //  - strict (JSON1 json_get, function/json/json_get.sql): int from
+    //    integral/boolean only; bool from boolean only; strings → NULL
+    //  - lenient (JSON2, types/json/json2_cast.sql): numeric strings
+    //    parse, floats truncate to int, numbers → bool via != 0
+    spark.udf.register("__json_cast_double",
+      udf((raw: String, lenient: Boolean) => JsonCasts.toDouble(raw, lenient)))
+    spark.udf.register("__json_cast_long",
+      udf((raw: String, lenient: Boolean) => JsonCasts.toLong(raw, lenient)))
+    spark.udf.register("__json_cast_bool",
+      udf((raw: String, lenient: Boolean) => JsonCasts.toBool(raw, lenient)))
     // NULL (not NaN) on a null/empty sketch — the reference's calc
     // yields NULL for a bucket with no samples (flow_step_aggr's p99)
     spark.udf.register("uddsketch_calc",

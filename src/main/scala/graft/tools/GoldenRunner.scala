@@ -478,9 +478,12 @@ object GoldenRunner {
               // sqlness-style, apply the directives to the full block,
               // compare strings
               Try(df.collect().map(_.toSeq.map(v => cell(v))).toSeq) match {
-                case Failure(_) =>
+                case Failure(ex) =>
                   spark.sparkContext.cancelJobGroup("golden-stmt")
                   skipped += 1
+                  errSkipped += 1
+                  if (trace) System.err.println(
+                    s"[golden-skip-exec] ${e.sql.take(120)} -> ${ex.getClass.getSimpleName}: ${String.valueOf(ex.getMessage).take(200)}")
                 case Success(rows0) =>
                   val expanded = rows0.flatMap { r =>
                     val maxLines = r.map(_.count(_ == '\n') + 1).max
@@ -513,9 +516,12 @@ object GoldenRunner {
             case Table(want, wantHeader, _) =>
               val ordered = e.sql.toUpperCase.contains("ORDER BY")
               Try(df.collect().map(_.toSeq.map(v => cell(v))).toSeq) match {
-                case Failure(_) =>
+                case Failure(ex) =>
                   spark.sparkContext.cancelJobGroup("golden-stmt")
                   skipped += 1
+                  errSkipped += 1
+                  if (trace) System.err.println(
+                    s"[golden-skip-exec] ${e.sql.take(120)} -> ${ex.getClass.getSimpleName}: ${String.valueOf(ex.getMessage).take(200)}")
                 case Success(raw00) =>
                   // a multiline cell renders as continuation ROWS in the
                   // reference's pretty-printer (information_schema.flows'
