@@ -1386,6 +1386,12 @@ final class GraftSession(spark0: SparkSession,
         scala.util.matching.Regex.quoteReplacement(s"CAST($wrapped AS $tok)")
       }))
     }
+    // DataFusion coerces a numeric/string UNION of bare literals to
+    // STRING (setops' `SELECT 1 UNION ALL SELECT 'asdf'`); ANSI Spark
+    // rejects the implicit cast — stringify the numeric side
+    r = r.replaceAll(
+      "(?is)^\\s*SELECT\\s+(\\d+)\\s+UNION\\s+(ALL\\s+)?SELECT\\s+(?=')",
+      "SELECT CAST($1 AS STRING) UNION $2SELECT ")
     // zero-arg count() ≡ count(*) (DataFusion; types/json/jsonbench.sql)
     r = rewriteOutsideQuotes(r)(_.replaceAll(
       "(?i)\\bcount\\s*\\(\\s*\\)", "count(*)"))
@@ -3280,8 +3286,12 @@ final class GraftSession(spark0: SparkSession,
           when(col(s"`$c`").isNull && col(SeqCol) < seqAt, expr(dialect(d)))
             .otherwise(col(s"`$c`")))
     }
+    // MODIFY-COLUMN casts are LOSSY like the reference's: a value the
+    // narrower type can't hold reads as NULL, never an ANSI error
+    // (change_col_type.sql's 'greptime' back to INTEGER)
     colCasts.getOrElse(name, Map.empty).foreach { case (c, t) =>
-      if (df.columns.contains(c)) df = df.withColumn(c, col(s"`$c`").cast(t))
+      if (df.columns.contains(c))
+        df = df.withColumn(c, expr(s"try_cast(`$c` AS ${t.sql})"))
     }
     // type-changed columns: each row casts its write-time type to the
     // current one, selected by write sequence (alter_table.result)
@@ -3291,7 +3301,7 @@ final class GraftSession(spark0: SparkSession,
           .find(_.name == c).map(_.gtype).getOrElse("String")
         val cur = showCreateType(curG)
         def chain(from: String): org.apache.spark.sql.Column =
-          expr(s"CAST(CAST(`$c` AS ${showCreateType(from)}) AS $cur)")
+          expr(s"try_cast(try_cast(`$c` AS ${showCreateType(from)}) AS $cur)")
         val base: org.apache.spark.sql.Column = chain(curG) // rows written under the current type
         val cased = hist.foldRight(base) { case ((w, t), acc) =>
           when(col(SeqCol) <= w, chain(t)).otherwise(acc)
@@ -3972,8 +3982,8 @@ final class GraftSession(spark0: SparkSession,
           "Physical region is busy, there are still some logical regions using it")
       metricPhy.remove(name)
     }
-    logicalParent.remove(name).foreach(phy =>
-      metricPhy.get(phy).foreach(_.children -= name))
+    val parentPhy = logicalParent.remove(name)
+    parentPhy.foreach(phy => metricPhy.get(phy).foreach(_.children -= name))
     tableEngine.remove(name)
     partitionClause.remove(name)
     // flows bound to this incarnation stop refreshing (flow_rebuild)
@@ -4002,6 +4012,11 @@ final class GraftSession(spark0: SparkSession,
     backfills.remove(name)
     tsLiteralUs.remove(name)
     tableOpts.remove(name)
+    // a logical metric table's physical view unions its children's
+    // files — rebuild AFTER this table's parquet is gone so a later
+    // scan doesn't chase deleted part files
+    // (create/metric_engine_partition's FAILED_READ_FILE race)
+    parentPhy.foreach(phy => scala.util.Try(refreshView(phy)))
   }
 
   /** MySQL/Postgres-compatible session SET forms the reference accepts
