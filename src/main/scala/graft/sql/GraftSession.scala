@@ -3237,29 +3237,47 @@ final class GraftSession(spark0: SparkSession,
   /** A metric physical table scans as the union of its logical children
     * with the reserved __table_id/__tsid tags computed per row
     * (insert/logical_metric_table.result pins the fxhash tsid values). */
-  private def refreshMetricPhyView(phyName: String): Unit = {
-    val ps = metricPhy.getOrElse(phyName, return)
-    if (!ps.everLogical) return
+  /** One logical child's rows in the physical view's column shape. */
+  private def phyShapedRows(phyName: String, child: String,
+      idx: Int): DataFrame = {
+    val ps = metricPhy(phyName)
     val metas = colMeta.getOrElse(phyName, Vector.empty)
     val declared = metas.filterNot(m => ps.addedTags.contains(m.name))
     val added = metas.filter(m => ps.addedTags.contains(m.name))
+    val cdf = spark.table(child)
+    val cTags = catalog.spec(child).tags.sorted
+    def colOr(n: String): org.apache.spark.sql.Column =
+      if (cdf.columns.contains(n)) col(s"`$n`") else lit(null).cast("string")
+    val cols: Seq[org.apache.spark.sql.Column] =
+      declared.map(m => colOr(m.name).as(m.name)) ++
+        Seq(lit(1025 + idx).cast("long").as("__table_id"),
+          call_udf("__graft_tsid",
+            array(cTags.map(lit): _*),
+            array(cTags.map(t => col(s"`$t`").cast("string")): _*)).as("__tsid")) ++
+        added.map(m => colOr(m.name).as(m.name))
+    cdf.select(cols: _*)
+  }
+
+  private def refreshMetricPhyView(phyName: String): Unit = {
+    val ps = metricPhy.getOrElse(phyName, return)
+    if (!ps.everLogical) return
     val kids = ps.children.toSeq.filter(catalog.tables.contains)
-    val parts = kids.zipWithIndex.map { case (c, i) =>
-      val cdf = spark.table(c)
-      val cTags = catalog.spec(c).tags.sorted
-      def colOr(n: String): org.apache.spark.sql.Column =
-        if (cdf.columns.contains(n)) col(s"`$n`") else lit(null).cast("string")
-      val cols: Seq[org.apache.spark.sql.Column] =
-        declared.map(m => colOr(m.name).as(m.name)) ++
-          Seq(lit(1025 + i).as("__table_id"),
-            call_udf("__graft_tsid",
-              array(cTags.map(lit): _*),
-              array(cTags.map(t => col(s"`$t`").cast("string")): _*)).as("__tsid")) ++
-          added.map(m => colOr(m.name).as(m.name))
-      cdf.select(cols: _*)
+    val parts = kids.zipWithIndex.map { case (c, i) => phyShapedRows(phyName, c, i) }
+    // rows RETAINED from dropped logical tables: the physical region
+    // owns the data, a logical DROP only removes the route to it
+    // (insert/logical_metric_table.result keeps all 4 rows after both
+    // drops) — dropOneTable materializes them into the phy's own dir
+    val ownRows: Option[DataFrame] = scala.util.Try(catalog.spec(phyName))
+        .toOption.flatMap { spec =>
+      val p = new org.apache.hadoop.fs.Path(spec.path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        Some(spark.read.option("mergeSchema", "true").parquet(spec.path))
+      else None
     }
-    parts.reduceOption(_.unionByName(_)).foreach(
-      _.createOrReplaceTempView(phyName))
+    (parts ++ ownRows)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true)).foreach(
+        _.createOrReplaceTempView(phyName))
   }
 
   private def refreshView(name: String, seqFloor: Option[Long] = None,
@@ -3983,7 +4001,24 @@ final class GraftSession(spark0: SparkSession,
       metricPhy.remove(name)
     }
     val parentPhy = logicalParent.remove(name)
-    parentPhy.foreach(phy => metricPhy.get(phy).foreach(_.children -= name))
+    parentPhy.foreach { phy =>
+      // the physical region OWNS the rows — materialize this logical
+      // table's contribution into the phy's own dir before the route
+      // (and the child's parquet) disappears
+      // (insert/logical_metric_table.result keeps the rows)
+      metricPhy.get(phy).foreach { ps =>
+        val idx = ps.children.toSeq.indexOf(name)
+        if (idx >= 0 && catalog.tables.contains(name) &&
+            scala.util.Try(catalog.spec(phy)).isSuccess) {
+          val dest = catalog.spec(phy).path
+          scala.util.Try(
+            phyShapedRows(phy, name, math.max(idx, 0))
+              .write.mode("append").parquet(dest))
+          refreshPath(dest)
+        }
+        ps.children -= name
+      }
+    }
     tableEngine.remove(name)
     partitionClause.remove(name)
     // flows bound to this incarnation stop refreshing (flow_rebuild)
@@ -4015,8 +4050,8 @@ final class GraftSession(spark0: SparkSession,
     // a logical metric table's physical view unions its children's
     // files — rebuild AFTER this table's parquet is gone so a later
     // scan doesn't chase deleted part files
-    // (create/metric_engine_partition's FAILED_READ_FILE race)
-    parentPhy.foreach(phy => scala.util.Try(refreshView(phy)))
+    // (insert/logical_metric_table's FAILED_READ_FILE race)
+    parentPhy.foreach(phy => scala.util.Try(refreshMetricPhyView(phy)))
   }
 
   /** MySQL/Postgres-compatible session SET forms the reference accepts
