@@ -46,6 +46,72 @@ object PromQL {
       df.select((col("__ts") +: labels.sorted.map(lcol)) :+ col("__val"): _*)
   }
 
+  /** Above this window/step ratio the grid explode's shuffle
+    * amplification (each sample duplicated into window/step grid slots)
+    * outweighs the window-function formulation's anchor overhead, and
+    * [[collectWindows]]/[[latestAtGrid]] switch to a per-series
+    * rangeBetween window: one shuffle on the series labels, each sample
+    * carried once. `rate(x[1h])` at 15 s step is a 240× amplification
+    * through gridExplode but 1× through the window path — the
+    * reference's RangeManipulate
+    * (promql/src/extension_plan/range_manipulate.rs:64) likewise folds
+    * windows over one sorted per-series stream. */
+  private val GridFanoutMax = 8L
+
+  /** Grid anchor rows unioned under the samples: one row per
+    * (series, grid step), ordered with the samples by timestamp so a
+    * trailing rangeBetween frame at each anchor sees exactly the
+    * samples in its left-exclusive window (t-window, t]. */
+  private def withGridAnchors(base: DataFrame, labels: Seq[String],
+      p: EvalParams, windowMs: Long): DataFrame = {
+    val spark = base.sparkSession
+    // samples outside (start-window, end] can contribute to no anchor
+    val pruned = base.filter(
+      col("__sample_ts") > p.startMs - windowMs && col("__sample_ts") <= p.endMs)
+    val series = pruned.select(labels.map(lcol): _*).distinct()
+    val anchors = series
+      .crossJoin(broadcast(gridDf(spark, p)))
+      .withColumn("__sample_ts", col("__ts"))
+      .withColumn("__v", lit(null).cast("double"))
+      .withColumn("__anchor", lit(true))
+    pruned
+      .withColumn("__ts", lit(null).cast("long"))
+      .withColumn("__anchor", lit(false))
+      .unionByName(anchors)
+  }
+
+  private def seriesWindow(labels: Seq[String], windowMs: Long) =
+    Window.partitionBy(labels.map(lcol): _*)
+      .orderBy(col("__sample_ts"))
+      .rangeBetween(-(windowMs - 1), 0)
+
+  /** RangeManipulate without fan-out: per-(series, step) sorted sample
+    * arrays via a trailing range window at grid anchors. Output schema
+    * matches [[rangeVector]]: labels..., __ts, __samples. */
+  private def collectWindowsViaWindow(base: DataFrame, labels: Seq[String],
+      p: EvalParams, windowMs: Long): DataFrame =
+    withGridAnchors(base, labels, p, windowMs)
+      .withColumn("__samples", sort_array(collect_list(
+        when(!col("__anchor"),
+          struct(col("__sample_ts").as("_1"), col("__v").as("_2"))))
+        .over(seriesWindow(labels, windowMs))))
+      .filter(col("__anchor") && size(col("__samples")) > 0)
+      .select((labels.map(lcol) :+ col("__ts")) :+ col("__samples"): _*)
+
+  /** InstantManipulate without fan-out: the latest sample in each grid
+    * step's lookback as a constant-state window max over
+    * struct(ts, v) — no per-row array state. Output: labels..., __ts,
+    * __latest struct<_1: ts, _2: v>. */
+  private def latestAtGridViaWindow(base: DataFrame, labels: Seq[String],
+      p: EvalParams, windowMs: Long): DataFrame =
+    withGridAnchors(base, labels, p, windowMs)
+      .withColumn("__latest", max(
+        when(!col("__anchor"),
+          struct(col("__sample_ts").as("_1"), col("__v").as("_2"))))
+        .over(seriesWindow(labels, windowMs)))
+      .filter(col("__anchor") && col("__latest").isNotNull)
+      .select((labels.map(lcol) :+ col("__ts")) :+ col("__latest"): _*)
+
   private def gridExplode(
       df: DataFrame, tsCol: Column, p: EvalParams, windowMs: Long): DataFrame = {
     // Parallelize narrow few-partition sources (a single parquet file =
@@ -83,10 +149,14 @@ object PromQL {
       .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
     // lookback window is LEFT-EXCLUSIVE (t - lookback, t]: a sample
     // exactly lookback old is stale (promql/subquery.result, t=359 case)
-    val exploded = gridExplode(base, col("__sample_ts"), p, p.lookbackMs)
-    val grouped = exploded
-      .groupBy((m.labels.map(lcol) :+ col("__ts")): _*)
-      .agg(max_by(col("__v"), col("__sample_ts")).as("__val"))
+    val grouped =
+      if (p.lookbackMs / p.stepMs >= GridFanoutMax)
+        latestAtGridViaWindow(base, m.labels, p, p.lookbackMs)
+          .withColumn("__val", col("__latest._2")).drop("__latest")
+      else
+        gridExplode(base, col("__sample_ts"), p, p.lookbackMs)
+          .groupBy((m.labels.map(lcol) :+ col("__ts")): _*)
+          .agg(max_by(col("__v"), col("__sample_ts")).as("__val"))
     InstantVector(grouped, m.labels)
   }
 
@@ -97,10 +167,15 @@ object PromQL {
     val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
     val base = m.df
       .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
-    val exploded = gridExplode(base, col("__sample_ts"), p, p.lookbackMs)
-    val grouped = exploded
-      .groupBy((m.labels.map(lcol) :+ col("__ts")): _*)
-      .agg((max(col("__sample_ts")).cast("double") / 1000.0).as("__val"))
+    val grouped =
+      if (p.lookbackMs / p.stepMs >= GridFanoutMax)
+        latestAtGridViaWindow(base, m.labels, p, p.lookbackMs)
+          .withColumn("__val", col("__latest._1").cast("double") / 1000.0)
+          .drop("__latest")
+      else
+        gridExplode(base, col("__sample_ts"), p, p.lookbackMs)
+          .groupBy((m.labels.map(lcol) :+ col("__ts")): _*)
+          .agg((max(col("__sample_ts")).cast("double") / 1000.0).as("__val"))
     InstantVector(grouped, m.labels)
   }
 
@@ -110,11 +185,13 @@ object PromQL {
     val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
     val base = m.df
       .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
-    val exploded = gridExplode(base, col("__sample_ts"), p, rangeMs)
-    exploded
-      .groupBy((m.labels.map(lcol) :+ col("__ts")): _*)
-      .agg(sort_array(collect_list(struct(col("__sample_ts").as("_1"),
-        col("__v").as("_2")))).as("__samples"))
+    if (rangeMs / p.stepMs >= GridFanoutMax)
+      collectWindowsViaWindow(base, m.labels, p, rangeMs)
+    else
+      gridExplode(base, col("__sample_ts"), p, rangeMs)
+        .groupBy((m.labels.map(lcol) :+ col("__ts")): _*)
+        .agg(sort_array(collect_list(struct(col("__sample_ts").as("_1"),
+          col("__v").as("_2")))).as("__samples"))
   }
 
   /** Apply a range-vector function over the collected windows. */

@@ -141,6 +141,8 @@ final class GraftSession(spark0: SparkSession,
       return out
     }
     lastWarnings = Nil // warnings live for exactly one following statement
+    if (up.startsWith("SELECT") || up.startsWith("WITH") || up.startsWith("TQL"))
+      catchUpScheduledFlows(stmt)
     if (up.startsWith("CREATE EXTERNAL TABLE")) createExternalTable(stmt)
     else if (up.startsWith("CREATE TABLE")) createTable(stmt)
     else if (up.startsWith("DROP TABLE")) {
@@ -746,7 +748,7 @@ final class GraftSession(spark0: SparkSession,
     catalog.createView(spec.name)
   }
 
-  def refreshFlow(name: String): Unit = {
+  def refreshFlow(name: String, pinnedMs: Option[Long] = None): Unit = {
     val (flowDef, query) = flows.getOrElse(name,
       throw new IllegalArgumentException(s"unknown flow: $name"))
     flowMeta.get(name) match {
@@ -818,7 +820,8 @@ final class GraftSession(spark0: SparkSession,
             // flow_batch_join_subquery) yet exact enough that
             // flow_scheduled_now_boundary's create_time =
             // date_trunc('second', create_time) holds
-            val pinned = math.floorDiv(System.currentTimeMillis(), 1000L) * 1000L
+            val pinned = pinnedMs.getOrElse(
+              math.floorDiv(System.currentTimeMillis(), 1000L) * 1000L)
             rewriteOutsideQuotes(query)(
               _.replaceAll("(?i)\\b(?:now|current_timestamp)\\s*\\(\\s*\\)",
                 s"timestamp_millis(${pinned}L)"))
@@ -1324,12 +1327,13 @@ final class GraftSession(spark0: SparkSession,
       })
     // MySQL-compat FIELD(x, a, b, ...) → 1-based position, 0 when
     // absent/NULL; case-sensitive (function/string/mysql_compat.result)
-    r = "(?i)\\bFIELD\\s*\\(([^()]*)\\)".r.replaceAllIn(r, m => {
-      val args = m.group(1).split(",").map(_.trim)
-      if (args.length < 2) scala.util.matching.Regex.quoteReplacement(m.matched)
-      else scala.util.matching.Regex.quoteReplacement(
-        s"coalesce(array_position(array(${args.tail.mkString(", ")}), ${args.head}), 0)")
-    })
+    r = "(?i)\\bFIELD\\s*\\(((?:[^()']|'[^']*'|\\([^()]*\\))*)\\)".r
+      .replaceAllIn(r, m => {
+        val args = splitTop(m.group(1))
+        if (args.length < 2) scala.util.matching.Regex.quoteReplacement(m.matched)
+        else scala.util.matching.Regex.quoteReplacement(
+          s"coalesce(array_position(array(${args.tail.mkString(", ")}), ${args.head}), 0)")
+      })
     // MySQL INSERT(str, pos, len, newstr) — the keyword can't be a
     // function name in Spark's parser; route to the mysql_insert UDF
     r = rewriteOutsideQuotes(r)(_.replaceAll("(?i)\\bINSERT\\s*\\(", "mysql_insert("))
@@ -1857,8 +1861,13 @@ final class GraftSession(spark0: SparkSession,
           if (months != 0 && days == 0 && micros == 0L)
             s"INTERVAL '$months' MONTH"
           else {
+            // mixed-unit literal: fold months into days with the same
+            // 30-day convention the literal-vs-literal fold above uses,
+            // so the months component is not silently dropped
             val secs = java.math.BigDecimal.valueOf(micros)
-              .movePointLeft(6).add(java.math.BigDecimal.valueOf(days * 86400L))
+              .movePointLeft(6)
+              .add(java.math.BigDecimal.valueOf(
+                (months * 30L + days) * 86400L))
               .stripTrailingZeros.toPlainString
             s"INTERVAL '$secs' SECOND"
           }
@@ -1888,8 +1897,12 @@ final class GraftSession(spark0: SparkSession,
             if (months != 0 && days == 0 && micros == 0L)
               s"INTERVAL '$months' MONTH"
             else {
+              // 30-day month fold for mixed-unit frame bounds (see
+              // singleUnit above)
               val secs = java.math.BigDecimal.valueOf(micros)
-                .movePointLeft(6).add(java.math.BigDecimal.valueOf(days * 86400L))
+                .movePointLeft(6)
+                .add(java.math.BigDecimal.valueOf(
+                  (months * 30L + days) * 86400L))
                 .stripTrailingZeros.toPlainString
               s"INTERVAL '$secs' SECOND"
             }
@@ -2178,7 +2191,9 @@ final class GraftSession(spark0: SparkSession,
       // offset can attach (timestamp_limits.sql's timestamp '1970-01-01')
       val lit = if (lit0.matches("\\d{4}-\\d{2}-\\d{2}")) lit0 + " 00:00:00"
         else lit0
-      if (lit.matches(".*([+-]\\d{2}:?\\d{2}|Z)$")) m.matched
+      // an explicit zone may be +HH:MM, +HHMM, or hour-only +HH
+      // (distributed/flow-tql/tsid_on_phy.sql: '2026-01-23 03:30:00+00')
+      if (lit.matches(".*([+-]\\d{2}(:?\\d{2})?|Z)$")) m.matched
       else s"CAST('$lit+00:00' AS TIMESTAMP)"
     })
     r = rewriteUddsketch(r)
@@ -3166,7 +3181,7 @@ final class GraftSession(spark0: SparkSession,
           phy.addedTags ++= phyAdd
         }
         phy.everLogical = true
-        phy.children += name
+        phy.addChild(name)
         logicalParent.put(name, phyName)
         inheritTtl = catalog.spec(phyName).ttlMillis
         // logical tables share the physical region's storage semantics
@@ -3239,7 +3254,7 @@ final class GraftSession(spark0: SparkSession,
     * (insert/logical_metric_table.result pins the fxhash tsid values). */
   /** One logical child's rows in the physical view's column shape. */
   private def phyShapedRows(phyName: String, child: String,
-      idx: Int): DataFrame = {
+      tableId: Long): DataFrame = {
     val ps = metricPhy(phyName)
     val metas = colMeta.getOrElse(phyName, Vector.empty)
     val declared = metas.filterNot(m => ps.addedTags.contains(m.name))
@@ -3250,7 +3265,7 @@ final class GraftSession(spark0: SparkSession,
       if (cdf.columns.contains(n)) col(s"`$n`") else lit(null).cast("string")
     val cols: Seq[org.apache.spark.sql.Column] =
       declared.map(m => colOr(m.name).as(m.name)) ++
-        Seq(lit(1025 + idx).cast("long").as("__table_id"),
+        Seq(lit(tableId).cast("long").as("__table_id"),
           call_udf("__graft_tsid",
             array(cTags.map(lit): _*),
             array(cTags.map(t => col(s"`$t`").cast("string")): _*)).as("__tsid")) ++
@@ -3261,8 +3276,8 @@ final class GraftSession(spark0: SparkSession,
   private def refreshMetricPhyView(phyName: String): Unit = {
     val ps = metricPhy.getOrElse(phyName, return)
     if (!ps.everLogical) return
-    val kids = ps.children.toSeq.filter(catalog.tables.contains)
-    val parts = kids.zipWithIndex.map { case (c, i) => phyShapedRows(phyName, c, i) }
+    val kids = ps.children.filter(catalog.tables.contains)
+    val parts = kids.map(c => phyShapedRows(phyName, c, ps.childIds(c)))
     // rows RETAINED from dropped logical tables: the physical region
     // owns the data, a logical DROP only removes the route to it
     // (insert/logical_metric_table.result keeps all 4 rows after both
@@ -3995,7 +4010,7 @@ final class GraftSession(spark0: SparkSession,
     // a physical metric region refuses to drop while logical tables
     // still use it (create_metric_table.result)
     metricPhy.get(name).foreach { ps =>
-      if (ps.children.nonEmpty)
+      if (ps.childIds.nonEmpty)
         throw new IllegalArgumentException(
           "Physical region is busy, there are still some logical regions using it")
       metricPhy.remove(name)
@@ -4007,16 +4022,17 @@ final class GraftSession(spark0: SparkSession,
       // (and the child's parquet) disappears
       // (insert/logical_metric_table.result keeps the rows)
       metricPhy.get(phy).foreach { ps =>
-        val idx = ps.children.toSeq.indexOf(name)
-        if (idx >= 0 && catalog.tables.contains(name) &&
-            scala.util.Try(catalog.spec(phy)).isSuccess) {
-          val dest = catalog.spec(phy).path
-          scala.util.Try(
-            phyShapedRows(phy, name, math.max(idx, 0))
-              .write.mode("append").parquet(dest))
-          refreshPath(dest)
+        ps.childIds.get(name).foreach { tid =>
+          if (catalog.tables.contains(name) &&
+              scala.util.Try(catalog.spec(phy)).isSuccess) {
+            val dest = catalog.spec(phy).path
+            scala.util.Try(
+              phyShapedRows(phy, name, tid)
+                .write.mode("append").parquet(dest))
+            refreshPath(dest)
+          }
         }
-        ps.children -= name
+        ps.childIds.remove(name)
       }
     }
     tableEngine.remove(name)
@@ -4932,8 +4948,11 @@ final class GraftSession(spark0: SparkSession,
           case a => s"greptime.public.${a.head}"
         }).mkString(","),
         // single-node: flows have no assigned flownode addresses
-        // (flow-tql/flow_tql_flownode_addrs.result pins NULL)
-        null.asInstanceOf[String])
+        // (standalone/flow-tql/flow_tql_flownode_addrs.result pins
+        // NULL); the distributed twin pins NOT NULL — the test
+        // cluster's single flownode address
+        (if (distributedCluster) "127.0.0.1:4004"
+         else null.asInstanceOf[String]))
     }.toDF("flow_name", "flow_id", "state_size", "table_catalog",
       "flow_definition", "comment", "expire_after", "source_table_ids",
       "sink_table_name", "flownode_ids", "options", "created_time",
@@ -5159,8 +5178,10 @@ final class GraftSession(spark0: SparkSession,
     // the goldens; totals must be nonzero (cluster_info.result pins
     // total_cpu_millicores != 0).
     locally {
-      val upMs = math.max(1L, System.currentTimeMillis() - engineStartMs) % 1000
-      val up = s"${upMs}ms"
+      val upMs = math.max(1L, System.currentTimeMillis() - engineStartMs)
+      val up =
+        if (upMs < 1000L) s"${upMs}ms"
+        else s"${upMs / 1000}s ${upMs % 1000}ms"
       val started = new java.sql.Timestamp(engineStartMs)
       val ver = "0.17.2"
       val hash = "c446b3f51"
@@ -5315,7 +5336,17 @@ final class GraftSession(spark0: SparkSession,
     * subsets onto it. */
   private final class PhyState {
     var everLogical: Boolean = false
-    val children = scala.collection.mutable.LinkedHashSet.empty[String]
+    /** logical child → its stable __table_id, assigned once at CREATE
+      * and never renumbered — a drop must not shift surviving ids (the
+      * drop-time materialization writes rows stamped with the dropped
+      * child's id, which would otherwise collide) */
+    val childIds = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    private var nextChildId: Long = 1025L
+    def addChild(name: String): Unit =
+      if (!childIds.contains(name)) {
+        childIds.put(name, nextChildId); nextChildId += 1
+      }
+    def children: Seq[String] = childIds.keys.toSeq
     val addedTags = scala.collection.mutable.LinkedHashSet.empty[String]
   }
   private val metricPhy =
@@ -6517,7 +6548,9 @@ final class GraftSession(spark0: SparkSession,
 
   private val CreateFlowRx =
     ("(?is)CREATE\\s+(?:OR\\s+REPLACE\\s+)?FLOW\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s+" +
-      "SINK\\s+TO\\s+([A-Za-z0-9_/.:-]+)\\s*" +
+      // the sink name may be single-quoted (distributed/flow-tql/
+      // tsid_on_phy.sql: SINK TO 'test_tsid_output')
+      "SINK\\s+TO\\s+'?([A-Za-z0-9_/.:-]+)'?\\s*" +
       "(?:EVAL\\s+INTERVAL\\s+'([^']*)'\\s*)?" +     // batching refresh period
       "(?:EXPIRE\\s+AFTER\\s+'?([^'\\s]+)'?\\s*)?" + // state retention
       "(?:EVAL\\s+INTERVAL\\s+'([^']*)'\\s*)?" +
@@ -6596,6 +6629,50 @@ final class GraftSession(spark0: SparkSession,
   }
   /** last source sequence a streaming flow appended through */
   private val flowLastSeq = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** last schedule boundary a scheduled flow ticked at (read-time
+    * catch-up; see [[catchUpScheduledFlows]]) */
+  private val flowLastTickMs = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** The reference's batching engine ticks an EVAL INTERVAL flow on a
+    * background schedule. Emulated deterministically: when a flow's
+    * SINK is read, evaluate once per schedule boundary elapsed since
+    * the last tick, with now() pinned at each boundary
+    * (distributed/flow-tql/flow_eval_interval_schedule.result pins >=2
+    * distinct scheduled ticks after a 5 s sleep on a '1s' flow).
+    * Restricted to flows whose query references now()/
+    * current_timestamp — for any other query a tick on an unchanged
+    * source is an idempotent upsert, observationally a no-op. */
+  private def catchUpScheduledFlows(stmt: String): Unit = {
+    if (flowMeta.isEmpty) return
+    flowMeta.foreach { case (f, m) =>
+      m.evalInterval.foreach { iv =>
+        val usesNow = flows.get(f).exists { case (_, q) =>
+          "(?i)\\b(now|current_timestamp)\\s*\\(".r.findFirstIn(q).isDefined }
+        val sinkRead = ("(?i)\\b" +
+          java.util.regex.Pattern.quote(m.sinkTable) + "\\b").r
+          .findFirstIn(stmt).isDefined
+        if (usesNow && sinkRead) {
+          val ivMs = math.max(1000L, scala.util.Try(intervalMs(iv))
+            .getOrElse(PromParser.parseDuration(iv)))
+          val nowB = math.floorDiv(System.currentTimeMillis(), 1000L) * 1000L
+          var last = flowLastTickMs.getOrElse(f,
+            math.floorDiv(m.createdMs, 1000L) * 1000L)
+          // bound the backfill to the trailing window — older ticks on
+          // the same data are subsumed by the newer ones
+          if (nowB - last > 20L * ivMs) last = nowB - 20L * ivMs
+          while (last + ivMs <= nowB) {
+            last += ivMs
+            flowLastTickMs.put(f, last)
+            try refreshFlow(f, Some(last)) catch {
+              case e: Throwable => System.err.println(
+                s"[flow-tick] $f: ${String.valueOf(e.getMessage).take(160)}")
+            }
+          }
+        }
+      }
+    }
+  }
   /** PREPARE name FROM '...' templates (prepare/mysql_prepare.sql) */
   private val preparedStmts = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -7587,7 +7664,7 @@ final class GraftSession(spark0: SparkSession,
           // flushing a metric physical region covers its logical children
           // (ttl/metric_engine_ttl.result)
           val targets = name +: metricPhy.get(name)
-            .map(_.children.toSeq).getOrElse(Nil)
+            .map(_.children).getOrElse(Nil)
           targets.filter(catalog.tables.contains).foreach { t =>
             val spec = catalog.spec(t)
             spec.ttlMillis.foreach { ttl =>

@@ -217,7 +217,8 @@ object RangeSql {
     * the PG/DataFusion defaults (ASC→NULLS LAST, DESC→NULLS FIRST); the
     * time index rides as the trailing key, reproducing DataFusion's
     * stable-sort tie behavior (ties resolve in scan = ts order). */
-  private def rewriteFirstLast(text: String, tsCol: String): String = {
+  private def rewriteFirstLast(text: String, tsCol: String,
+      schema: org.apache.spark.sql.types.StructType): String = {
     val rx = ("(?i)\\b(first_value|last_value)\\s*\\(\\s*" +
       "([A-Za-z_][A-Za-z0-9_.]*)\\s+ORDER\\s+BY\\s+([^()]+)\\)").r
     rx.replaceAllIn(text, m => {
@@ -235,8 +236,21 @@ object RangeSql {
         val nullFlag =
           if (nullsFirst) s"(CASE WHEN $col IS NULL THEN 0 ELSE 1 END)"
           else s"(CASE WHEN $col IS NULL THEN 1 ELSE 0 END)"
+        // a string key can't be encoded as a negatable double — keep it
+        // as a native struct field (array_sort orders strings
+        // lexicographically); DESC on one has no encoding, reject
+        val bare = col.split("\\.").last
+        val isString = schema.fields.exists(f =>
+          f.name.equalsIgnoreCase(bare) &&
+            f.dataType == org.apache.spark.sql.types.StringType)
         val keyVal =
-          if (desc) s"coalesce(-CAST($col AS DOUBLE), 0D)"
+          if (isString) {
+            require(!desc,
+              s"first_value/last_value ORDER BY $col DESC: descending " +
+                "order on a string key is not supported")
+            s"coalesce($col, '')"
+          }
+          else if (desc) s"coalesce(-CAST($col AS DOUBLE), 0D)"
           else s"coalesce(CAST($col AS DOUBLE), 0D)"
         Seq(s"$nullFlag AS __n$i", s"$keyVal AS __k$i")
       }
@@ -513,7 +527,7 @@ object RangeSql {
       RangeSelect(base, tsCol, by, alignMs, rangeMs,
         as.map(a => RangeAgg(a.alias,
           _ => expr(rewriteRangeAggDialect(
-            rewriteFirstLast(a.text, tsCol), base.schema)),
+            rewriteFirstLast(a.text, tsCol, base.schema), base.schema)),
           a.fill.orElse(defaultFill).getOrElse(Fill.None))),
         alignTo)
     }.toList

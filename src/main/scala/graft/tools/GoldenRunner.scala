@@ -733,12 +733,20 @@ object GoldenSweep {
     "/root/reference/tests/cases/standalone/flow-tql",
     "/root/reference/tests/cases/standalone/information_schema",
     "/root/reference/tests/cases/standalone/local_file_access.result",
+    "/root/reference/tests/cases/distributed/flow-tql",
     "/root/reference/tests/cases/distributed/repartition",
     "/root/reference/tests/cases/distributed/function",
     "/root/reference/tests/cases/distributed/information_schema",
     "/root/reference/tests/cases/distributed/local_file_access.result")
 
+  /** Files allowed to carry runtime-errored comparisons (errs>0)
+    * without failing the sweep — each a documented, deliberate
+    * divergence. aggregate/sum: ANSI Spark raises on the near-Long.Max
+    * SUM two's-complement wrap where DataFusion wraps (README). */
+  val ErrAllowlist: Seq[String] = Seq("aggregate/sum")
+
   def main(args: Array[String]): Unit = {
+    println(s"[allowlist] files permitted runtime errs: ${ErrAllowlist.mkString(", ")}")
     val roots: Seq[String] =
       if (args.nonEmpty && args(0) == "all")
         Seq("/root/reference/tests/cases/standalone/common") ++ ExtraRoots
@@ -778,8 +786,13 @@ object GoldenSweep {
           case Success(o) => o
           case Failure(ex) => GoldenRunner.Outcome(0, 0, Seq(s"RUNNER CRASH: ${ex.getMessage}"))
         }
-        val flag = if (out.problems.isEmpty) "OK  " else "FAIL"
-        if (out.problems.isEmpty) nOk += 1 else nFail += 1
+        // a runtime error where the golden expects a table is a missing
+        // capability — it FAILS the file so "ok=N" stays falsifiable,
+        // unless the divergence is documented on the allowlist
+        val errAllowed = out.errSkipped > 0 && ErrAllowlist.exists(rel.endsWith)
+        val ok = out.problems.isEmpty && (out.errSkipped == 0 || errAllowed)
+        val flag = if (ok) "OK  " else "FAIL"
+        if (ok) nOk += 1 else nFail += 1
         nCompared += out.compared; nSkipped += out.skipped; nErrs += out.errSkipped
         println(f"[$flag] $rel%-40s compared=${out.compared}%-4d skipped=${out.skipped}%-4d errs=${out.errSkipped}%-3d problems=${out.problems.size}")
         sys.env.get("GOLDEN_VERBOSE").foreach { _ =>
