@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side contract is real — schema, partitioning (by payload
   * size so decode batches stay memory-bounded), operator signatures and
-  * output shapes — while the codec itself is STUBBED with a
-  * deterministic fake (this container ships no image/audio libraries).
-  * A production build swaps `fakeDecode` for a real codec (e.g. a
-  * Pandas UDF over mapInPandas in PySpark, or a JNI codec here) without
-  * touching any caller.
+  * output shapes. IMAGE decode is real (JDK ImageIO: PNG/JPEG →
+  * dimensions, channels, 8×8 average-hash; see [[decodeImage]]).
+  * Audio/video decode remains a deterministic fake (this container
+  * ships no media codecs); a production build swaps `fakeDecode` for a
+  * real codec (e.g. a Pandas UDF over mapInPandas in PySpark, or a JNI
+  * codec here) without touching any caller.
   */
 object Multimodal {
 
@@ -93,4 +94,102 @@ object Multimodal {
     * budget (the real-codec memory knob at 100 TB). */
   def repartitionBySize(df: DataFrame, targetPartitions: Int): DataFrame =
     df.repartitionByRange(targetPartitions, length(col("content")), col("media_id"))
+
+  // ---- real image decode (JDK ImageIO — no external codecs) -----------
+
+  /** 8 deterministic pattern classes; identical class → identical PNG
+    * bytes (perceptual-dup ground truth), distinct classes → distinct
+    * 8×8 average-hashes (verified by MultimodalSpec). */
+  val imageClasses = 8
+
+  private val pngCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+
+  /** A real PNG: gradient + class-periodic checker, dims 48+8c × 32+8c.
+    * Memoized per class — executors synthesize each pattern once. */
+  def pngFor(classId: Int): Array[Byte] =
+    pngCache.computeIfAbsent(classId, { cls =>
+      val w = 48 + cls * 8; val h = 32 + cls * 8
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val period = cls + 2
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = x * 255 / math.max(1, w - 1)
+          val g = y * 255 / math.max(1, h - 1)
+          val b = ((x / period + y / period) % 2) * 255
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    })
+
+  /** Image-modality assets with REAL PNG payloads, one pattern class
+    * per `media_id % imageClasses`. */
+  def imageAssets(spark: SparkSession, eventsDf: DataFrame): DataFrame = {
+    val mk = udf((cls: Int) => pngFor(cls))
+    eventsDf.select(
+      col("event_id").as("media_id"),
+      lit("image").as("modality"),
+      mk((col("event_id") % imageClasses).cast("int")).as("content"))
+  }
+
+  final case class DecodedImage(width: Int, height: Int, channels: Int,
+      ahash: Long)
+
+  /** ImageIO decode: true dimensions + channel count + an 8×8
+    * average-hash (downscale, luma, threshold at the mean) for
+    * perceptual dedup. Null/undecodable payloads → null row. */
+  def decodeImage(bytes: Array[Byte]): DecodedImage = {
+    if (bytes == null) return null
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return null
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = small.createGraphics()
+    g2.drawImage(img, 0, 0, 8, 8, null)
+    g2.dispose()
+    val gray = new Array[Double](64)
+    var sum = 0.0
+    var i = 0
+    while (i < 64) {
+      val p = small.getRGB(i % 8, i / 8)
+      gray(i) = 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+        0.114 * (p & 0xff)
+      sum += gray(i)
+      i += 1
+    }
+    val mean = sum / 64.0
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (gray(i) >= mean) bits |= (1L << i)
+      i += 1
+    }
+    DecodedImage(img.getWidth, img.getHeight,
+      img.getColorModel.getNumComponents, bits)
+  }
+
+  /** Decode the binary column: adds `decoded` struct<width, height,
+    * channels, ahash>. Per-row ImageIO work — pair with
+    * [[repartitionBySize]] so each task's decode budget stays bounded. */
+  def decodeImages(df: DataFrame): DataFrame = {
+    val dec = udf((b: Array[Byte]) => decodeImage(b))
+    df.withColumn("decoded", dec(col("content")))
+  }
+
+  /** Perceptual-hash dedup: canonical id = min media_id sharing the
+    * average-hash. One shuffle on the 64-bit hash — 100 TB-safe (the
+    * hash is the partition key; no pairwise comparison). */
+  def phashCanonical(decoded: DataFrame): DataFrame =
+    decoded.withColumn("canonical_id",
+      min(col("media_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("decoded.ahash"))))
 }

@@ -150,6 +150,31 @@ object LlmQueries {
         .orderBy(col("modality"))
     }),
 
+    "multimodal_decode" -> ((s, d) => {
+      // REAL PNG decode via JDK ImageIO — dims/channels have exact
+      // arithmetic ground truth (pattern class = event_id % 8)
+      val assets = Multimodal.imageAssets(s,
+        T(s, d, "events").filter(col("event_id") < 3000))
+      Multimodal.decodeImages(assets).select(
+        col("media_id"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.channels").as("channels"))
+        .orderBy(col("media_id"))
+    }),
+
+    "multimodal_phash_dedup" -> ((s, d) => {
+      // perceptual dedup over the decoded average-hash: canonical id =
+      // min media_id sharing the ahash. Identical pattern class →
+      // identical PNG → identical ahash; the 8 classes hash distinctly
+      // (MultimodalSpec pins it), so groups == classes exactly.
+      val assets = Multimodal.imageAssets(s,
+        T(s, d, "events").filter(col("event_id") < 3000))
+      Multimodal.phashCanonical(Multimodal.decodeImages(assets))
+        .select(col("media_id"), col("canonical_id"))
+        .orderBy(col("media_id"))
+    }),
+
     // deterministic corpus sampling: per-stratum quota (exactly 200 by
     // hash-rank) and per-stratum fractions (downsample common strata,
     // keep rare ones) — both md5-rank driven so DuckDB replays the
@@ -434,6 +459,22 @@ object LlmQueries {
          SELECT 'video' AS modality, CAST(SUM(n_fr) AS BIGINT) AS n_frames,
            round(SUM(n_fr * es), 4) AS feat_sum, CAST(MAX(w) AS BIGINT) AS max_w
          FROM a JOIN f USING (event_id)""",
+
+    // the decoded dims are pinned by the generator arithmetic
+    // (class = event_id % 8 → 48+8c × 32+8c, RGB = 3 channels)
+    "multimodal_decode" ->
+      """SELECT event_id AS media_id,
+           CAST(48 + (event_id % 8) * 8 AS INT) AS width,
+           CAST(32 + (event_id % 8) * 8 AS INT) AS height,
+           CAST(3 AS INT) AS channels
+         FROM events WHERE event_id < 3000 ORDER BY media_id""",
+
+    // ahash groups == pattern classes (identical class → identical
+    // bytes; the 8 classes hash distinctly — MultimodalSpec)
+    "multimodal_phash_dedup" ->
+      """SELECT event_id AS media_id,
+           MIN(event_id) OVER (PARTITION BY event_id % 8) AS canonical_id
+         FROM events WHERE event_id < 3000 ORDER BY media_id""",
 
     // same md5-prefix 60-bit rank as the Spark side (Sampling.hashRank)
     "sample_stratified" ->
