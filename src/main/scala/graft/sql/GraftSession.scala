@@ -4467,11 +4467,21 @@ final class GraftSession(spark0: SparkSession,
       kind: String, decl: String, df: => DataFrame, rows: Long): Unit = {
     val cname = colMeta(t)(ci).name
     if (kind == "inverted") {
-      val kv = df.groupBy(col(s"`$cname`")).count().collect()
-        .map(r => (pkEncode(r.get(0)), r.getLong(1))).sortBy(_._1).toSeq
-      val fstOff = 8L + kv.map { case (_, c) => 16L + 2L * c }.sum
+      // Σ(16 + 2·count) over groups = 16·ndv + 2·rows — computed
+      // executor-side so a high-cardinality tag never lands on the
+      // driver; only the FST prefix census needs values, and that
+      // collect is CAPPED (exact below the cap — every corpus table is;
+      // bounded estimate above it, introspection-only output)
+      val grouped = df.groupBy(col(s"`$cname`")).count()
+      val aggRow = grouped.agg(count(lit(1)), sum(col("count"))).head
+      val ndv = aggRow.getLong(0)
+      val total = if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1)
+      val fstOff = 8L + 16L * ndv + 2L * total
+      val invertedStatCap = 10000
+      val sampleKeys = grouped.select(col(s"`$cname`"))
+        .limit(invertedStatCap).collect().map(r => pkEncode(r.get(0)))
       val prefixes = scala.collection.mutable.HashSet.empty[String]
-      kv.foreach { case (k, _) =>
+      sampleKeys.foreach { k =>
         (2 to k.length by 2).foreach(e => prefixes += k.substring(0, e)) }
       val fst = 35L + 4L * prefixes.size
       val size = fst + fstOff
