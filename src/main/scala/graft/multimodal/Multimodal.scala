@@ -11,11 +11,12 @@ import org.apache.spark.sql.types._
   * The Spark-side contract is real — schema, partitioning (by payload
   * size so decode batches stay memory-bounded), operator signatures and
   * output shapes. IMAGE decode is real (JDK ImageIO: PNG/JPEG →
-  * dimensions, channels, 8×8 average-hash; see [[decodeImage]]).
-  * Audio/video decode remains a deterministic fake (this container
-  * ships no media codecs); a production build swaps `fakeDecode` for a
-  * real codec (e.g. a Pandas UDF over mapInPandas in PySpark, or a JNI
-  * codec here) without touching any caller.
+  * dimensions, channels, 8×8 average-hash; see [[decodeImage]]) and so
+  * is AUDIO (javax.sound.sampled: WAV/PCM → rate, channels, duration,
+  * RMS; see [[decodeAudio]]). Video decode remains a deterministic
+  * fake (no video codec ships in the JDK); a production build swaps
+  * `fakeDecode` for a real codec (e.g. a Pandas UDF over mapInPandas
+  * in PySpark, or a JNI codec here) without touching any caller.
   */
 object Multimodal {
 
@@ -192,4 +193,80 @@ object Multimodal {
     decoded.withColumn("canonical_id",
       min(col("media_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("decoded.ahash"))))
+
+  // ---- real audio decode (JDK javax.sound.sampled — WAV/PCM) ----------
+
+  private val wavCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+
+  /** A real RIFF/WAV byte stream: 16-bit mono PCM at 16 kHz, a pure
+    * (220 + 55·class) Hz sine, (200 + 50·class) ms long. Memoized per
+    * class like [[pngFor]]. */
+  def wavFor(classId: Int): Array[Byte] =
+    wavCache.computeIfAbsent(classId, { cls =>
+      val rate = 16000
+      val durMs = 200 + 50 * cls
+      val n = rate * durMs / 1000
+      val freq = 220.0 + 55.0 * cls
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = (math.sin(2.0 * math.Pi * freq * i / rate) * 12000.0).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    })
+
+  final case class DecodedAudio(sample_rate: Int, channels: Int,
+      duration_ms: Long, rms: Double)
+
+  /** Real WAV decode: frame rate, channel count, duration and the PCM
+    * RMS amplitude (the feature a quality filter would threshold on). */
+  def decodeAudio(bytes: Array[Byte]): DecodedAudio = {
+    if (bytes == null) return null
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val data = ais.readAllBytes()
+      var sumSq = 0.0
+      var i = 0
+      val nSamp = data.length / 2
+      while (i < nSamp) {
+        val lo = data(2 * i) & 0xff
+        val hi = data(2 * i + 1).toInt
+        val s = (hi << 8) | lo
+        sumSq += s.toDouble * s.toDouble
+        i += 1
+      }
+      val rms = if (nSamp == 0) 0.0 else math.sqrt(sumSq / nSamp)
+      DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels,
+        frames * 1000L / fmt.getSampleRate.toLong, rms)
+    } catch { case _: Exception => null }
+  }
+
+  /** Audio-modality assets with REAL WAV payloads, one tone class per
+    * `media_id % imageClasses`. */
+  def audioAssets(spark: SparkSession, eventsDf: DataFrame): DataFrame = {
+    val mk = udf((cls: Int) => wavFor(cls))
+    eventsDf.select(
+      col("event_id").as("media_id"),
+      lit("audio").as("modality"),
+      mk((col("event_id") % imageClasses).cast("int")).as("content"))
+  }
+
+  /** Decode the audio binary column: adds `adecoded` struct. */
+  def decodeAudios(df: DataFrame): DataFrame = {
+    val dec = udf((b: Array[Byte]) => decodeAudio(b))
+    df.withColumn("adecoded", dec(col("content")))
+  }
 }

@@ -56,7 +56,7 @@ object PromQL {
     * reference's RangeManipulate
     * (promql/src/extension_plan/range_manipulate.rs:64) likewise folds
     * windows over one sorted per-series stream. */
-  private val GridFanoutMax = 8L
+  private[graft] var GridFanoutMax = 8L
 
   /** Grid anchor rows unioned under the samples: one row per
     * (series, grid step), ordered with the samples by timestamp so a

@@ -175,6 +175,21 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    "multimodal_audio_decode" -> ((s, d) => {
+      // REAL WAV decode via javax.sound.sampled — rate/channels/duration
+      // pinned by the synth arithmetic; rms_ok proves the PCM was read
+      // (a pure sine's RMS is amplitude/sqrt(2) ~ 8485)
+      val assets = Multimodal.audioAssets(s,
+        T(s, d, "events").filter(col("event_id") < 3000))
+      Multimodal.decodeAudios(assets).select(
+        col("media_id"),
+        col("adecoded.sample_rate").as("sample_rate"),
+        col("adecoded.channels").as("channels"),
+        col("adecoded.duration_ms").as("duration_ms"),
+        col("adecoded.rms").between(8400.0, 8600.0).as("rms_ok"))
+        .orderBy(col("media_id"))
+    }),
+
     // deterministic corpus sampling: per-stratum quota (exactly 200 by
     // hash-rank) and per-stratum fractions (downsample common strata,
     // keep rare ones) — both md5-rank driven so DuckDB replays the
@@ -474,6 +489,15 @@ object LlmQueries {
     "multimodal_phash_dedup" ->
       """SELECT event_id AS media_id,
            MIN(event_id) OVER (PARTITION BY event_id % 8) AS canonical_id
+         FROM events WHERE event_id < 3000 ORDER BY media_id""",
+
+    // WAV synth arithmetic: 16 kHz mono, 200+50·(id%8) ms per tone class
+    "multimodal_audio_decode" ->
+      """SELECT event_id AS media_id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(200 + (event_id % 8) * 50 AS BIGINT) AS duration_ms,
+           true AS rms_ok
          FROM events WHERE event_id < 3000 ORDER BY media_id""",
 
     // same md5-prefix 60-bit rank as the Spark side (Sampling.hashRank)

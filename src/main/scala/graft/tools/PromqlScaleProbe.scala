@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import graft.promql.PromQL
+import graft.promql.PromQL.{EvalParams, Metric}
+
+/** Measures the PromQL range-vector formulations against each other at
+  * a large range/step ratio: `rate(x[1h])` at 15 s step (240× grid
+  * fan-out through gridExplode). Reports wall time and total shuffle
+  * write bytes for (a) the grid-explode path, (b) the per-series
+  * rangeBetween window path — the round-4 verdict's acceptance
+  * criterion is ≥5× shuffle-bytes reduction. */
+object PromqlScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    val ev = graft.Tables.load(spark, src, "events")
+      .select(col("event_type"),
+        (col("ts") / 1000000L).cast("long").as("ms"),
+        col("value").cast("double").as("v"))
+    val b = ev.agg(min(col("ms")), max(col("ms"))).head
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val m = Metric(ev, "ms", "v", Seq("event_type"))
+    // 15 s step over the span, 1 h range → 240× fan-out ratio
+    val p = EvalParams(startMs = lo, endMs = hi, stepMs = 15000L)
+    val rangeMs = 3600000L
+
+    def run(label: String, threshold: Long): Unit = {
+      PromQL.GridFanoutMax = threshold
+      // warmup once for JIT/scan caches, then measure
+      PromQL.rangeFn("rate", m, p, rangeMs).df.count()
+      Thread.sleep(500)
+      shuffleBytes.set(0L)
+      val t0 = System.nanoTime()
+      val n = PromQL.rangeFn("rate", m, p, rangeMs).df.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener events drain async
+      println(f"[promql-scale] $label%-12s rows=$n%-9d wall=$wall%7.2f s shuffleMB=${shuffleBytes.get / 1e6}%9.1f")
+    }
+
+    println(s"[promql-scale] events span ${(hi - lo) / 1000}s, steps=${(hi - lo) / 15000}, ratio=${rangeMs / 15000}")
+    run("gridExplode", Long.MaxValue) // never switch → explode path
+    run("window", 8L)                 // production threshold → window path
+    PromQL.GridFanoutMax = 8L
+    spark.stop()
+  }
+}

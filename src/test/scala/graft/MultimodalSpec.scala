@@ -38,6 +38,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("wavFor emits real decodable WAV with the declared rate/duration") {
+    for (cls <- 0 until Multimodal.imageClasses) {
+      val a = Multimodal.decodeAudio(Multimodal.wavFor(cls))
+      assert(a.sample_rate == 16000)
+      assert(a.channels == 1)
+      assert(a.duration_ms == 200 + 50 * cls)
+      // a 12000-amplitude sine's RMS is 12000/sqrt(2) ~ 8485
+      assert(a.rms > 8400 && a.rms < 8600, s"rms=${a.rms}")
+    }
+    assert(Multimodal.decodeAudio(null) == null)
+    assert(Multimodal.decodeAudio(Array[Byte](9, 9, 9)) == null)
+  }
+
   test("phashCanonical groups by perceptual hash end-to-end") {
     val events = spark.range(0, 40).select(col("id").as("event_id"))
     val assets = Multimodal.imageAssets(spark, events)
