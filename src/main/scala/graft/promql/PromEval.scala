@@ -151,12 +151,7 @@ final class PromEval(
       }
       val range = sel.rangeMs.getOrElse(
         throw new IllegalArgumentException(s"$fn needs a range selector"))
-      val rv = PromQL.rangeVector(metricOf(sel), params, range, sel.offsetMs)
-      Right(InstantVector(
-        rv.withColumn("__val",
-            PromFunctions.holtWintersUdf(col("__samples"), lit(sf), lit(tf)))
-          .filter(col("__val").isNotNull).drop("__samples"),
-        metricOf(sel).labels))
+      Right(rangeFn(fn, metricOf(sel), params, range, sel.offsetMs, Seq(sf, tf)))
 
     case Call(fn, args) if RangeFns.contains(fn) =>
       val (param, target) = args match {
@@ -199,7 +194,7 @@ final class PromEval(
         val present = rangeFn("present_over_time", metric, evalParams, range, offset)
         Right(absent(present, params, spark))
       } else {
-        val iv = rangeFn(fn, metric, evalParams, range, offset, param)
+        val iv = rangeFn(fn, metric, evalParams, range, offset, param.toSeq)
         Right(atPin match {
           case Some(_) => InstantVector(
             iv.df.drop("__ts").crossJoin(gridDf(spark, params)), iv.labels)

@@ -86,16 +86,20 @@ object PromFunctions {
   lazy val idextaUdf: UserDefinedFunction = udf((s: Seq[(Long, Double)]) =>
     instantDiff(s, isCounter = false, perSecond = false).map(java.lang.Double.valueOf).orNull)
 
+  def countChanges(s: Seq[Sample]): Double =
+    s.sliding(2).count(p => p.size == 2 && p(1)._2 != p(0)._2 &&
+      !(p(1)._2.isNaN && p(0)._2.isNaN)).toDouble
+
+  def countResets(s: Seq[Sample]): Double =
+    s.sliding(2).count(p => p.size == 2 && p(1)._2 < p(0)._2).toDouble
+
   lazy val changesUdf: UserDefinedFunction = udf((s: Seq[(Long, Double)]) =>
     if (s == null || s.isEmpty) null
-    else java.lang.Double.valueOf(
-      s.sliding(2).count(p => p.size == 2 && p(1)._2 != p(0)._2 &&
-        !(p(1)._2.isNaN && p(0)._2.isNaN)).toDouble))
+    else java.lang.Double.valueOf(countChanges(s)))
 
   lazy val resetsUdf: UserDefinedFunction = udf((s: Seq[(Long, Double)]) =>
     if (s == null || s.isEmpty) null
-    else java.lang.Double.valueOf(
-      s.sliding(2).count(p => p.size == 2 && p(1)._2 < p(0)._2).toDouble))
+    else java.lang.Double.valueOf(countResets(s)))
 
   /** Least-squares slope/intercept vs the range end (Prometheus deriv /
     * predict_linear). Intercept is at the evaluation timestamp. */
@@ -123,23 +127,36 @@ object PromFunctions {
         .map { case (m, b) => java.lang.Double.valueOf(b + m * aheadSeconds) }.orNull)
 
   // ---- *_over_time ----------------------------------------------------
+  /** Raw value-sequence reduction for each `*_over_time` fn — shared by
+    * the grid-explode UDFs and the fold path's in-partition evaluation. */
+  def overTimeFn(name: String): Seq[Double] => Double = name match {
+    case "avg_over_time" => v => v.sum / v.size
+    // Prometheus funcMin/MaxOverTime: NaN loses to any real value (an
+    // accumulated NaN is replaced by the next sample)
+    case "min_over_time" => _.reduceLeft((m, x) => if (x < m || m.isNaN) x else m)
+    case "max_over_time" => _.reduceLeft((m, x) => if (x > m || m.isNaN) x else m)
+    case "sum_over_time" => _.sum
+    case "count_over_time" => _.size.toDouble
+    case "last_over_time" => _.last
+    case "stddev_over_time" => v => math.sqrt(welfordVar(v))
+    case "stdvar_over_time" => welfordVar
+    case "present_over_time" => _ => 1.0
+    case other => throw new IllegalArgumentException(s"unknown over-time fn: $other")
+  }
+
   private def overTime(f: Seq[Double] => Double): UserDefinedFunction =
     udf((s: Seq[(Long, Double)]) =>
       if (s == null || s.isEmpty) null else java.lang.Double.valueOf(f(s.map(_._2))))
 
-  lazy val avgOverTime: UserDefinedFunction = overTime(v => v.sum / v.size)
-  // Prometheus funcMin/MaxOverTime: NaN loses to any real value (an
-  // accumulated NaN is replaced by the next sample)
-  lazy val minOverTime: UserDefinedFunction =
-    overTime(_.reduceLeft((m, x) => if (x < m || m.isNaN) x else m))
-  lazy val maxOverTime: UserDefinedFunction =
-    overTime(_.reduceLeft((m, x) => if (x > m || m.isNaN) x else m))
-  lazy val sumOverTime: UserDefinedFunction = overTime(_.sum)
-  lazy val countOverTime: UserDefinedFunction = overTime(_.size.toDouble)
-  lazy val lastOverTime: UserDefinedFunction = overTime(_.last)
+  lazy val avgOverTime: UserDefinedFunction = overTime(overTimeFn("avg_over_time"))
+  lazy val minOverTime: UserDefinedFunction = overTime(overTimeFn("min_over_time"))
+  lazy val maxOverTime: UserDefinedFunction = overTime(overTimeFn("max_over_time"))
+  lazy val sumOverTime: UserDefinedFunction = overTime(overTimeFn("sum_over_time"))
+  lazy val countOverTime: UserDefinedFunction = overTime(overTimeFn("count_over_time"))
+  lazy val lastOverTime: UserDefinedFunction = overTime(overTimeFn("last_over_time"))
   /** Welford's incremental variance — the exact algorithm Prometheus
     * uses (funcStdvarOverTime), so equal samples give exactly 0. */
-  private def welfordVar(v: Seq[Double]): Double = {
+  def welfordVar(v: Seq[Double]): Double = {
     var count = 0.0; var mean = 0.0; var aux = 0.0
     v.foreach { x =>
       count += 1
@@ -230,6 +247,36 @@ object PromFunctions {
 
   lazy val histogramQuantileUdf: UserDefinedFunction =
     udf((q: Double, b: Seq[(Double, Double)]) => histogramQuantile(q, b))
+
+  /** One-window evaluator `(samples, windowStartMs, windowEndMs) =>
+    * value` for every range-vector function — the fold path
+    * ([[PromQL]] foldWindowsAtGrid) computes results in-partition from
+    * the sliding deque, skipping `__samples` array materialization and
+    * UDF (de)serialization entirely. Must match the UDF battery above
+    * exactly; the PromQLSpec fold-vs-explode test pins the parity. */
+  def windowEval(name: String, args: Seq[Double])
+      : (Seq[Sample], Long, Long) => Option[Double] = name match {
+    case "rate" => (s, a, b) => extrapolatedRate(s, a, b, isCounter = true, isRate = true)
+    case "increase" => (s, a, b) => extrapolatedRate(s, a, b, isCounter = true, isRate = false)
+    case "delta" => (s, a, b) => extrapolatedRate(s, a, b, isCounter = false, isRate = false)
+    case "irate" => (s, _, _) => instantDiff(s, isCounter = true, perSecond = true)
+    case "idelta" => (s, _, _) => instantDiff(s, isCounter = false, perSecond = false)
+    case "changes" => (s, _, _) => if (s.isEmpty) None else Some(countChanges(s))
+    case "resets" => (s, _, _) => if (s.isEmpty) None else Some(countResets(s))
+    case "deriv" => (s, _, e) => linearRegression(s, e).map(_._1)
+    case "predict_linear" =>
+      val ahead = args.head
+      (s, _, e) => linearRegression(s, e).map { case (m, b) => b + m * ahead }
+    case "quantile_over_time" =>
+      val q = args.head
+      (s, _, _) => if (s.isEmpty) None else Some(promQuantile(q, s.map(_._2)))
+    case "holt_winters" | "double_exponential_smoothing" =>
+      val (sf, tf) = (args(0), args(1))
+      (s, _, _) => doubleExponentialSmoothing(s, sf, tf)
+    case overName =>
+      val f = overTimeFn(overName)
+      (s, _, _) => if (s.isEmpty) None else Some(f(s.map(_._2)))
+  }
 
   def overTimeUdf(name: String): UserDefinedFunction = name match {
     case "avg_over_time" => avgOverTime

@@ -58,59 +58,159 @@ object PromQL {
     * windows over one sorted per-series stream. */
   private[graft] var GridFanoutMax = 8L
 
-  /** Grid anchor rows unioned under the samples: one row per
-    * (series, grid step), ordered with the samples by timestamp so a
-    * trailing rangeBetween frame at each anchor sees exactly the
-    * samples in its left-exclusive window (t-window, t]. */
-  private def withGridAnchors(base: DataFrame, labels: Seq[String],
-      p: EvalParams, windowMs: Long): DataFrame = {
-    val spark = base.sparkSession
+  /** RangeManipulate without fan-out — the reference's formulation
+    * (range_manipulate.rs:64): one shuffle on the series labels, each
+    * partition sorted by (series, ts, v) and folded in a single linear
+    * pass with a sliding deque. CPU is O(samples + Σ|window|) — the
+    * output size — where the rangeBetween-window formulation tried
+    * first recomputed each frame per ROW (quadratic on dense series:
+    * 5.6× slower wall at 10× events despite 42× less shuffle).
+    *
+    * `latestOnly=false`: per-anchor sorted sample arrays (labels...,
+    * __ts, __samples array<struct<_1 ts, _2 v>>), anchors with empty
+    * windows dropped — exactly [[gridExplode]]+collect_list's output.
+    * `latestOnly=true`: per-anchor latest sample (labels..., __ts,
+    * __latest struct<_1 ts, _2 v>) for the instant/lookback path.
+    * `evalF=Some(f)`: the range function is evaluated IN the fold —
+    * f(window samples, winStartMs, winEndMs) emits `__val` directly
+    * (None anchors dropped, matching the UDF path's isNotNull filter),
+    * so no per-anchor sample array is ever built or serialized. */
+  private def foldWindowsAtGrid(base: DataFrame, labels: Seq[String],
+      p: EvalParams, windowMs: Long, latestOnly: Boolean,
+      evalF: Option[(Seq[PromFunctions.Sample], Long, Long) => Option[Double]] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
     // samples outside (start-window, end] can contribute to no anchor
     val pruned = base.filter(
       col("__sample_ts") > p.startMs - windowMs && col("__sample_ts") <= p.endMs)
-    val series = pruned.select(labels.map(lcol): _*).distinct()
-    val anchors = series
-      .crossJoin(broadcast(gridDf(spark, p)))
-      .withColumn("__sample_ts", col("__ts"))
-      .withColumn("__v", lit(null).cast("double"))
-      .withColumn("__anchor", lit(true))
-    pruned
-      .withColumn("__ts", lit(null).cast("long"))
-      .withColumn("__anchor", lit(false))
-      .unionByName(anchors)
+    val keyCol =
+      if (labels.isEmpty) lit(0L).as("__k0") else struct(labels.map(lcol): _*)
+    // TIME-SLICED parallelism: few-series metrics would otherwise fold
+    // on #series cores. Each series splits into ~64 chunks of the eval
+    // span (never narrower than the window, so a sample lands in ≤2
+    // chunks — the copy into the successor covers its early anchors).
+    // A sample at offset o serves anchors in [o, o+window) → chunks
+    // floor(o/span) .. floor((o+window-1)/span).
+    val totalSpan = math.max(1L, p.endMs - p.startMs)
+    val chunkSpan = math.max(windowMs, (totalSpan + 63) / 64)
+    val lastChunk = (totalSpan - 1) / chunkSpan
+    val off = col("__t") - p.startMs
+    // clamp into [0, lastChunk]: a sample at exactly the span end (the
+    // last grid anchor's own timestamp) computes chunk lastChunk+1
+    val cLo = least(
+      greatest(floor(off.cast("double") / chunkSpan).cast("long"), lit(0L)),
+      lit(lastChunk))
+    val cHi = least(floor((off + windowMs - 1).cast("double") / chunkSpan).cast("long"),
+      lit(lastChunk))
+    val keyed = pruned
+      .select(keyCol.as("__k"), col("__sample_ts").as("__t"),
+        col("__v").cast("double").as("__vv"))
+      .withColumn("__c", explode(when(cLo <= cHi, sequence(cLo, cHi))
+        .otherwise(array().cast("array<long>"))))
+      .repartition(col("__k"), col("__c"))
+      .sortWithinPartitions(col("__k"), col("__c"), col("__t"), col("__vv"))
+    val sampleT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_1",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_2",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val outT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__k",
+        keyed.schema("__k").dataType, nullable = labels.nonEmpty),
+      org.apache.spark.sql.types.StructField("__ts",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      if (evalF.isDefined)
+        org.apache.spark.sql.types.StructField("__val",
+          org.apache.spark.sql.types.DoubleType, nullable = false)
+      else if (latestOnly)
+        org.apache.spark.sql.types.StructField("__latest", sampleT)
+      else
+        org.apache.spark.sql.types.StructField("__samples",
+          org.apache.spark.sql.types.ArrayType(sampleT, containsNull = false))))
+    val (startMs, stepMs, endMs) = (p.startMs, p.stepMs, p.endMs)
+    val nSteps = (endMs - startMs) / stepMs
+    val folded = keyed.mapPartitions { it =>
+      new Iterator[Row] {
+        private val out = scala.collection.mutable.Queue.empty[Row]
+        private var curKey: Any = null
+        private var curChunk = -1L
+        private var started = false
+        private val deque = new java.util.ArrayDeque[Row]() // (ts, v) rows
+        private var nextK = 0L // next unemitted grid slot of the chunk
+        private var endK = 0L  // first slot past the chunk (exclusive)
+        private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+        private def emitUpTo(kLimit: Long): Unit = {
+          val lim = math.min(kLimit, endK)
+          while (nextK < lim) {
+            val t = startMs + nextK * stepMs
+            while (!deque.isEmpty && deque.peekFirst.getLong(0) <= t - windowMs)
+              deque.pollFirst()
+            if (!deque.isEmpty) {
+              evalF match {
+                case Some(f) =>
+                  val s = new Array[PromFunctions.Sample](deque.size)
+                  var i = 0
+                  val di = deque.iterator()
+                  while (di.hasNext) {
+                    val r = di.next(); s(i) = (r.getLong(0), r.getDouble(1)); i += 1
+                  }
+                  f(scala.collection.immutable.ArraySeq.unsafeWrapArray(s),
+                    t - windowMs, t).foreach(v => out += Row(curKey, t, v))
+                case None if latestOnly => out += Row(curKey, t, deque.peekLast)
+                case None =>
+                  val arr = new Array[Row](deque.size)
+                  var i = 0
+                  val di = deque.iterator()
+                  while (di.hasNext) { arr(i) = di.next(); i += 1 }
+                  out += Row(curKey, t, arr.toSeq)
+              }
+            }
+            nextK += 1
+          }
+        }
+        private def flushChunk(): Unit = {
+          emitUpTo(endK)
+          deque.clear()
+        }
+        private def startChunk(c: Long): Unit = {
+          curChunk = c
+          nextK = ceilDiv(c * chunkSpan, stepMs)
+          // the last chunk also owns any anchor at exactly the span end
+          endK =
+            if (c == lastChunk) nSteps + 1
+            else math.min(nSteps + 1, ceilDiv((c + 1) * chunkSpan, stepMs))
+        }
+        private def advance(): Unit = {
+          while (out.isEmpty && it.hasNext) {
+            val r = it.next()
+            val k = r.get(0)
+            val c = r.getLong(3)
+            if (!started || k != curKey || c != curChunk) {
+              if (started) flushChunk()
+              curKey = k
+              startChunk(c)
+              started = true
+            }
+            val ts = r.getLong(1)
+            // every anchor strictly before this sample's slot is final
+            emitUpTo(
+              if (ts < startMs) 0L
+              else math.floorDiv(ts - startMs + stepMs - 1, stepMs))
+            deque.addLast(Row(ts, if (r.isNullAt(2)) null else r.getDouble(2)))
+          }
+          if (out.isEmpty && started) { flushChunk(); started = false }
+        }
+        def hasNext: Boolean = { if (out.isEmpty) advance(); out.nonEmpty }
+        def next(): Row = { if (out.isEmpty) advance(); out.dequeue() }
+      }
+    }(Encoders.row(outT))
+    val dataCol =
+      if (evalF.isDefined) col("__val")
+      else if (latestOnly) col("__latest") else col("__samples")
+    if (labels.isEmpty) folded.select(col("__ts"), dataCol)
+    else folded.select((labels.map(l => col(s"__k.`$l`").as(l)) :+
+      col("__ts")) :+ dataCol: _*)
   }
-
-  private def seriesWindow(labels: Seq[String], windowMs: Long) =
-    Window.partitionBy(labels.map(lcol): _*)
-      .orderBy(col("__sample_ts"))
-      .rangeBetween(-(windowMs - 1), 0)
-
-  /** RangeManipulate without fan-out: per-(series, step) sorted sample
-    * arrays via a trailing range window at grid anchors. Output schema
-    * matches [[rangeVector]]: labels..., __ts, __samples. */
-  private def collectWindowsViaWindow(base: DataFrame, labels: Seq[String],
-      p: EvalParams, windowMs: Long): DataFrame =
-    withGridAnchors(base, labels, p, windowMs)
-      .withColumn("__samples", sort_array(collect_list(
-        when(!col("__anchor"),
-          struct(col("__sample_ts").as("_1"), col("__v").as("_2"))))
-        .over(seriesWindow(labels, windowMs))))
-      .filter(col("__anchor") && size(col("__samples")) > 0)
-      .select((labels.map(lcol) :+ col("__ts")) :+ col("__samples"): _*)
-
-  /** InstantManipulate without fan-out: the latest sample in each grid
-    * step's lookback as a constant-state window max over
-    * struct(ts, v) — no per-row array state. Output: labels..., __ts,
-    * __latest struct<_1: ts, _2: v>. */
-  private def latestAtGridViaWindow(base: DataFrame, labels: Seq[String],
-      p: EvalParams, windowMs: Long): DataFrame =
-    withGridAnchors(base, labels, p, windowMs)
-      .withColumn("__latest", max(
-        when(!col("__anchor"),
-          struct(col("__sample_ts").as("_1"), col("__v").as("_2"))))
-        .over(seriesWindow(labels, windowMs)))
-      .filter(col("__anchor") && col("__latest").isNotNull)
-      .select((labels.map(lcol) :+ col("__ts")) :+ col("__latest"): _*)
 
   private def gridExplode(
       df: DataFrame, tsCol: Column, p: EvalParams, windowMs: Long): DataFrame = {
@@ -151,7 +251,7 @@ object PromQL {
     // exactly lookback old is stale (promql/subquery.result, t=359 case)
     val grouped =
       if (p.lookbackMs / p.stepMs >= GridFanoutMax)
-        latestAtGridViaWindow(base, m.labels, p, p.lookbackMs)
+        foldWindowsAtGrid(base, m.labels, p, p.lookbackMs, latestOnly = true)
           .withColumn("__val", col("__latest._2")).drop("__latest")
       else
         gridExplode(base, col("__sample_ts"), p, p.lookbackMs)
@@ -169,7 +269,7 @@ object PromQL {
       .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
     val grouped =
       if (p.lookbackMs / p.stepMs >= GridFanoutMax)
-        latestAtGridViaWindow(base, m.labels, p, p.lookbackMs)
+        foldWindowsAtGrid(base, m.labels, p, p.lookbackMs, latestOnly = true)
           .withColumn("__val", col("__latest._1").cast("double") / 1000.0)
           .drop("__latest")
       else
@@ -186,7 +286,7 @@ object PromQL {
     val base = m.df
       .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
     if (rangeMs / p.stepMs >= GridFanoutMax)
-      collectWindowsViaWindow(base, m.labels, p, rangeMs)
+      foldWindowsAtGrid(base, m.labels, p, rangeMs, latestOnly = false)
     else
       gridExplode(base, col("__sample_ts"), p, rangeMs)
         .groupBy((m.labels.map(lcol) :+ col("__ts")): _*)
@@ -194,9 +294,23 @@ object PromQL {
           col("__v").as("_2")))).as("__samples"))
   }
 
-  /** Apply a range-vector function over the collected windows. */
+  /** Apply a range-vector function over the collected windows.
+    * On the fold path (range/step ≥ [[GridFanoutMax]]) the function is
+    * evaluated inside the fold — no `__samples` array is materialized
+    * or pushed through a UDF; the explode path keeps the codegen'd
+    * collect_list + UDF formulation. `fnArgs`: predict_linear's
+    * look-ahead, quantile_over_time's q, holt_winters' (sf, tf). */
   def rangeFn(name: String, m: Metric, p: EvalParams, rangeMs: Long,
-      offsetMs: Long = 0L, param: Option[Double] = None): InstantVector = {
+      offsetMs: Long = 0L, fnArgs: Seq[Double] = Nil): InstantVector = {
+    if (rangeMs / p.stepMs >= GridFanoutMax) {
+      val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
+      val base = m.df
+        .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
+      return InstantVector(
+        foldWindowsAtGrid(base, m.labels, p, rangeMs, latestOnly = false,
+          evalF = Some(PromFunctions.windowEval(name, fnArgs))),
+        m.labels)
+    }
     val rv = rangeVector(m, p, rangeMs, offsetMs)
     val winStart = col("__ts") - rangeMs
     val winEnd = col("__ts")
@@ -210,9 +324,11 @@ object PromQL {
       case "resets" => PromFunctions.resetsUdf(col("__samples"))
       case "deriv" => PromFunctions.derivUdf(col("__samples"), winEnd)
       case "predict_linear" =>
-        PromFunctions.predictLinearUdf(col("__samples"), winEnd, lit(param.get))
+        PromFunctions.predictLinearUdf(col("__samples"), winEnd, lit(fnArgs.head))
       case "quantile_over_time" =>
-        PromFunctions.quantileOverTime(lit(param.get), col("__samples"))
+        PromFunctions.quantileOverTime(lit(fnArgs.head), col("__samples"))
+      case "holt_winters" | "double_exponential_smoothing" =>
+        PromFunctions.holtWintersUdf(col("__samples"), lit(fnArgs(0)), lit(fnArgs(1)))
       case other => PromFunctions.overTimeUdf(other)(col("__samples"))
     }
     InstantVector(

@@ -291,6 +291,41 @@ class PromQLSpec extends AnyFunSuite {
     assert(eval("clamp(test, 1.5, 1.8)")(0)._3 == 1.8)
   }
 
+  test("fold path (GridFanoutMax=1) matches grid-explode across the battery") {
+    // Forces every range/instant evaluation through foldWindowsAtGrid
+    // (the mapPartitions deque fold used when range/step >= threshold)
+    // and pins its output to the explode path's, query by query.
+    val rows = (0 to 6).map(i => (i * 10.0, i * 10000L, if (i % 2 == 0) "a" else "b"))
+    val cat = Map("m" -> Metric(mkDf(rows), "j", "i", Seq("k")))
+    val cases = Seq[(String, (Long, Long, Long))](
+      ("m", (0, 60, 10)),
+      ("rate(m[30s])", (30, 60, 10)),
+      ("increase(m[30s])", (30, 60, 15)),
+      ("irate(m[30s])", (30, 60, 10)),
+      ("changes(m[40s])", (40, 60, 10)),
+      ("avg_over_time(m[25s])", (0, 60, 5)),
+      ("count_over_time(m[30s])", (0, 60, 10)),
+      ("last_over_time(m[20s])", (0, 60, 10)),
+      ("quantile_over_time(0.5, m[30s])", (30, 60, 10)),
+      ("absent_over_time(m[5s])", (0, 70, 5)),
+      ("sum by (k) (rate(m[30s]))", (30, 60, 10)),
+      ("timestamp(m)", (0, 60, 10)),
+      ("max_over_time(m[30s:10s])", (30, 60, 10)),
+      ("count_over_time(m[30s] @ 60)", (0, 60, 10)),
+      ("rate(m[30s] offset 10s)", (40, 60, 10)))
+    def run(q: String, w: (Long, Long, Long), threshold: Long) = {
+      PromQL.GridFanoutMax = threshold
+      try eval(q, w._1, w._2, w._3, cat)
+      finally PromQL.GridFanoutMax = 8L
+    }
+    for ((q, w) <- cases) {
+      val explode = run(q, w, Long.MaxValue)
+      val fold = run(q, w, 1L)
+      assert(fold == explode, s"fold != explode for $q: $fold vs $explode")
+      assert(explode.nonEmpty, s"empty battery case $q")
+    }
+  }
+
   test("scalar-scalar precedence") {
     val p = EvalParams(0, 0, 1000)
     val ev = new PromEval(spark, basicCatalog, p)
