@@ -128,31 +128,41 @@ object Flow {
     }
 
     if (partitionCols.nonEmpty) {
-      // rewrite only the partitions the batch touches
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        val existing = spark.read.parquet(sink)
-        val touched = batch.select(partitionCols.map(col): _*).distinct()
-        val kept = existing
-          .join(touched, partitionCols, "left_semi")
-          .join(batch.select(keys.map(k => col(s"`$k`")): _*).distinct(), keys, "left_anti")
-        // allowMissingColumns: the batch may carry sink columns that
-        // exist only as declared metadata (ALTER ADD COLUMN on an empty
-        // sink — flow_aft_alter's sample_cnt); old rows take null
-        val merged = kept.unionByName(batch, allowMissingColumns = true)
-        val staging = sink + "__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write
-          .mode("overwrite").partitionBy(partitionCols: _*).parquet(sink)
-        fs.delete(new Path(staging), true)
-        refreshed(())
-      } finally {
-        prev match {
-          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
+      // Rewrite only the partitions the batch touches: merged (kept rows
+      // of touched partitions + the batch) is staged PARTITIONED once,
+      // then each staged partition directory is swapped into the sink by
+      // rename — one write of the dirty set (the old formulation staged
+      // unpartitioned, re-read, and rewrote: a second full write+read
+      // roundtrip of the dirty rows per refresh), and the swap is
+      // per-partition atomic for concurrent readers.
+      val existing = spark.read.parquet(sink)
+      val touched = batch.select(partitionCols.map(col): _*).distinct()
+      val kept = existing
+        .join(touched, partitionCols, "left_semi")
+        .join(batch.select(keys.map(k => col(s"`$k`")): _*).distinct(), keys, "left_anti")
+      // allowMissingColumns: the batch may carry sink columns that
+      // exist only as declared metadata (ALTER ADD COLUMN on an empty
+      // sink — flow_aft_alter's sample_cnt); old rows take null
+      val merged = kept.unionByName(batch, allowMissingColumns = true)
+      val staging = new Path(sink + "__staging")
+      merged.write.mode("overwrite")
+        .partitionBy(partitionCols: _*).parquet(staging.toString)
+      // leaf partition dirs sit partitionCols.length levels deep
+      def leaves(p: Path, depth: Int): Seq[Path] =
+        if (depth == 0) Seq(p)
+        else fs.listStatus(p).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+          .flatMap(s => leaves(s.getPath, depth - 1))
+      val stagingPrefix = staging.toUri.getPath
+      for (part <- leaves(staging, partitionCols.length)) {
+        val rel = part.toUri.getPath.stripPrefix(stagingPrefix).stripPrefix("/")
+        val dest = new Path(sinkPath, rel)
+        if (fs.exists(dest)) fs.delete(dest, true)
+        fs.mkdirs(dest.getParent)
+        fs.rename(part, dest)
       }
+      fs.delete(staging, true)
+      refreshed(())
     } else {
       val existing = spark.read.parquet(sink)
       val merged = existing

@@ -62,8 +62,18 @@ object ScaleCheck {
     // documents: per-replica character permutation (deterministic)
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val dn = docs.count()
-    val alpha = "aeiousnrt"
-    val perms = (0 until docFan).map(r => alpha.drop(r % alpha.length) + alpha.take(r % alpha.length))
+    // Bijective per-replica character permutation: two independent
+    // rotations of the lowercase alphabet halves give 13×13 = 169
+    // distinct bijections, so up to 169 replicas are pairwise
+    // non-duplicate (the old single 9-char rotation collided at >9
+    // replicas, turning replica groups into exact-dup clusters and
+    // growing the true pair count quadratically instead of linearly).
+    val (h1, h2) = ("abcdefghijklm", "nopqrstuvwxyz")
+    require(docFan <= h1.length * h2.length, s"docFan $docFan > 169 permutations")
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    val alpha = h1 + h2
+    val perms = (0 until docFan).map(r =>
+      rot(h1, r % h1.length) + rot(h2, r / h1.length))
     val permCol = element_at(array(perms.map(lit): _*), col("rep").cast("int") + 1)
     val idCol = docs.columns.find(c => c == "doc_id" || c == "id").getOrElse(docs.columns.head)
     val textCol = docs.columns.find(_ == "text").getOrElse("text")
