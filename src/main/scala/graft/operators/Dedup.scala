@@ -171,15 +171,32 @@ object Dedup {
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-    val sa = sig.select(col("__id").as("id_a"), col("__mh").as("__sa"))
-    val sb = sig.select(col("__id").as("id_b"), col("__mh").as("__sb"))
-    cand.join(sa, "id_a").join(sb, "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Output-bounded verify: semi-filter the signature table to ids that
+    // appear in a candidate pair (broadcast — |candIds| ∝ near-dup
+    // pairs, not the corpus) so the verify joins shuffle only candidate
+    // docs' signatures. Without this, Catalyst's size estimate for cand
+    // flips the joins to sort-merge past ~100k docs and the WHOLE
+    // corpus's signatures shuffle twice (measured 53× shuffle growth
+    // for 10× docs at 500k — DedupScaleProbe).
+    val candIds = cand.select(col("id_a").as("__id"))
+      .union(cand.select(col("id_b").as("__id"))).distinct()
+    val slim = sig.join(broadcast(candIds), Seq("__id"), "left_semi")
+    val sa = slim.select(col("__id").as("id_a"), col("__mh").as("__sa"))
+    val sb = slim.select(col("__id").as("id_b"), col("__mh").as("__sb"))
+    val out = cand.join(sa, "id_a").join(sb, "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("__sa"), col("__sb"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      // eager materialization so the sig/cand caches release now (the
+      // same leak-by-laziness the ngram path fixed in round 4)
+      .localCheckpoint(true)
+    sig.unpersist()
+    cand.unpersist()
+    out
   }
 
   /** Mark near-duplicates: a doc is a dup if it pairs with a smaller id. */
@@ -281,10 +298,23 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = docs.select(col("__id"), size(col("__g")).as("__sz"),
       explode(col("__g")).as("__gram"))
-    val freq = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+    // Only df≥2 grams can ever produce a candidate (an equi-join on
+    // __gram needs the gram in BOTH docs), and since df=1 sorts before
+    // every df≥2 gram in the rarest-first order, a df≥2 gram's global
+    // rank is just (# df=1 grams in the doc) + its rank among the doc's
+    // df≥2 grams — so df=1 instances (the majority of a mostly-unique
+    // corpus) drop at the freq join and never reach the rank window or
+    // the candidate join. Candidates are bit-identical to ranking the
+    // full gram set (prunes unchanged); the two heaviest shuffles carry
+    // ~2-3× fewer rows.
+    val freq2 = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
     val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__gram"))
-    val prefix = grams.join(freq, "__gram")
-      .withColumn("__rank", row_number().over(w))
+    val wCnt = Window.partitionBy(col("__id"))
+    val prefix = grams.join(freq2, "__gram")
+      .withColumn("__rank2", row_number().over(w))
+      .withColumn("__n2", count(lit(1)).over(wCnt))
+      .withColumn("__rank", col("__sz") - col("__n2") + col("__rank2"))
       .filter(col("__rank") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
       .select(col("__id"), col("__gram"), col("__rank"), col("__sz"))
     // candidate join with the PPJoin length + positional prunes:
@@ -302,8 +332,16 @@ object Dedup {
             col("b.__sz") - col("b.__rank"))) >= reqOverlap)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-    val da = docs.select(col("__id").as("id_a"), col("__g").as("__ga"))
-    val db = docs.select(col("__id").as("id_b"), col("__g").as("__gb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Output-bounded verify (same rationale as minhashPairs): without
+    // the broadcast semi-filter, the full corpus's gram ARRAYS shuffle
+    // twice once Catalyst stops broadcasting cand — at 500k docs that
+    // was 4.7 GB of the pipeline's 5.8 GB total shuffle.
+    val candIds = cand.select(col("id_a").as("__id"))
+      .union(cand.select(col("id_b").as("__id"))).distinct()
+    val slim = docs.join(broadcast(candIds), Seq("__id"), "left_semi")
+    val da = slim.select(col("__id").as("id_a"), col("__g").as("__ga"))
+    val db = slim.select(col("__id").as("id_b"), col("__g").as("__gb"))
     val pairs = cand.join(da, "id_a").join(db, "id_b")
       .withColumn("__inter", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .withColumn("jaccard",
@@ -320,6 +358,7 @@ object Dedup {
     // unlike persist(), which pins until an explicit unpersist.
     val out = pairs.localCheckpoint(true)
     docs.unpersist()
+    cand.unpersist()
     out
   }
 
