@@ -46,17 +46,18 @@ object PromQL {
       df.select((col("__ts") +: labels.sorted.map(lcol)) :+ col("__val"): _*)
   }
 
-  /** Above this window/step ratio the grid explode's shuffle
-    * amplification (each sample duplicated into window/step grid slots)
-    * outweighs the window-function formulation's anchor overhead, and
-    * [[collectWindows]]/[[latestAtGrid]] switch to a per-series
-    * rangeBetween window: one shuffle on the series labels, each sample
-    * carried once. `rate(x[1h])` at 15 s step is a 240× amplification
-    * through gridExplode but 1× through the window path — the
-    * reference's RangeManipulate
-    * (promql/src/extension_plan/range_manipulate.rs:64) likewise folds
-    * windows over one sorted per-series stream. */
-  private[graft] var GridFanoutMax = 8L
+  /** At or above this window/step ratio, range/instant evaluation uses
+    * the deque fold ([[foldWindowsAtGrid]]) instead of the grid explode.
+    * PromqlScaleProbe measured the fold faster at EVERY ratio — 2× wall
+    * and 3-6× less shuffle at ratios 1-3 on sf0.1, growing to 15.7×
+    * wall and 77× shuffle at ratio 240 on 10× events — so the fold is
+    * the default path (threshold 1); gridExplode remains for ratio-0
+    * windows (range < step, where fan-out is sub-1 and the explode is a
+    * plain codegen'd filter+agg) and as the reference implementation
+    * the PromQLSpec battery pins the fold against. The reference's
+    * RangeManipulate (promql/src/extension_plan/range_manipulate.rs:64)
+    * likewise folds windows over one sorted per-series stream. */
+  private[graft] var GridFanoutMax = 1L
 
   /** RangeManipulate without fan-out — the reference's formulation
     * (range_manipulate.rs:64): one shuffle on the series labels, each

@@ -15,6 +15,8 @@ import graft.promql.PromQL.{EvalParams, Metric}
 object PromqlScaleProbe {
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val stepArg = if (args.length > 1) args(1).toLong else 15000L
+    val rangeArg = if (args.length > 2) args(2).toLong else 3600000L
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -38,9 +40,9 @@ object PromqlScaleProbe {
     val b = ev.agg(min(col("ms")), max(col("ms"))).head
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val m = Metric(ev, "ms", "v", Seq("event_type"))
-    // 15 s step over the span, 1 h range → 240× fan-out ratio
-    val p = EvalParams(startMs = lo, endMs = hi, stepMs = 15000L)
-    val rangeMs = 3600000L
+    // default: 15 s step over the span, 1 h range → 240× fan-out ratio
+    val p = EvalParams(startMs = lo, endMs = hi, stepMs = stepArg)
+    val rangeMs = rangeArg
 
     def run(label: String, threshold: Long): Unit = {
       PromQL.GridFanoutMax = threshold
@@ -55,10 +57,10 @@ object PromqlScaleProbe {
       println(f"[promql-scale] $label%-12s rows=$n%-9d wall=$wall%7.2f s shuffleMB=${shuffleBytes.get / 1e6}%9.1f")
     }
 
-    println(s"[promql-scale] events span ${(hi - lo) / 1000}s, steps=${(hi - lo) / 15000}, ratio=${rangeMs / 15000}")
+    println(s"[promql-scale] events span ${(hi - lo) / 1000}s, steps=${(hi - lo) / p.stepMs}, ratio=${rangeMs / p.stepMs}")
     run("gridExplode", Long.MaxValue) // never switch → explode path
-    run("window", 8L)                 // production threshold → window path
-    PromQL.GridFanoutMax = 8L
+    run("fold", 1L)                   // always switch → deque-fold path
+    PromQL.GridFanoutMax = 1L
     spark.stop()
   }
 }

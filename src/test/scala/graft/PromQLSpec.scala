@@ -316,7 +316,7 @@ class PromQLSpec extends AnyFunSuite {
     def run(q: String, w: (Long, Long, Long), threshold: Long) = {
       PromQL.GridFanoutMax = threshold
       try eval(q, w._1, w._2, w._3, cat)
-      finally PromQL.GridFanoutMax = 8L
+      finally PromQL.GridFanoutMax = 1L
     }
     for ((q, w) <- cases) {
       val explode = run(q, w, Long.MaxValue)
