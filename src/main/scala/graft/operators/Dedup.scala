@@ -171,28 +171,31 @@ object Dedup {
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
+      // persisted: cand feeds both broadcast probes below; unpersisted,
+      // the band self-join pipeline executes once per broadcast
+      // (measured 2× shuffle rows at 500k docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Output-bounded verify: semi-filter the signature table to ids that
-    // appear in a candidate pair (broadcast — |candIds| ∝ near-dup
-    // pairs, not the corpus) so the verify joins shuffle only candidate
-    // docs' signatures. Without this, Catalyst's size estimate for cand
-    // flips the joins to sort-merge past ~100k docs and the WHOLE
-    // corpus's signatures shuffle twice (measured 53× shuffle growth
-    // for 10× docs at 500k — DedupScaleProbe).
-    val candIds = cand.select(col("id_a").as("__id"))
-      .union(cand.select(col("id_b").as("__id"))).distinct()
-    val slim = sig.join(broadcast(candIds), Seq("__id"), "left_semi")
-    val sa = slim.select(col("__id").as("id_a"), col("__mh").as("__sa"))
-    val sb = slim.select(col("__id").as("id_b"), col("__mh").as("__sb"))
-    val out = cand.join(sa, "id_a").join(sb, "id_b")
+    // Output-bounded verify: broadcast the candidate PAIRS into each
+    // signature stream (|cand| ∝ near-dup pairs, not the corpus), then
+    // join the two slimmed streams on the pair key — the corpus-side
+    // signature table is never shuffled and the one shuffle carries
+    // only candidate rows. Without the explicit hint, Catalyst's size
+    // estimate for cand flips the joins to sort-merge past ~100k docs
+    // and the WHOLE corpus's signatures shuffle twice (measured 53×
+    // shuffle growth for 10× docs at 500k — DedupScaleProbe).
+    val withA = sig.select(col("__id").as("id_a"), col("__mh").as("__sa"))
+      .join(broadcast(cand), Seq("id_a"))
+    val withB = sig.select(col("__id").as("id_b"), col("__mh").as("__sb"))
+      .join(broadcast(cand), Seq("id_b"))
+    val out = withA.join(withB, Seq("id_a", "id_b"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("__sa"), col("__sb"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
-      // eager materialization so the sig/cand caches release now (the
-      // same leak-by-laziness the ngram path fixed in round 4)
+      // eager materialization so the sig cache releases now (the same
+      // leak-by-laziness the ngram path fixed in round 4)
       .localCheckpoint(true)
     sig.unpersist()
     cand.unpersist()
@@ -308,13 +311,9 @@ object Dedup {
     // full gram set (prunes unchanged); the two heaviest shuffles carry
     // ~2-3× fewer rows.
     val freq2 = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= 2)
     val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__gram"))
-    val wCnt = Window.partitionBy(col("__id"))
     val prefix = grams.join(freq2, "__gram")
-      .withColumn("__rank2", row_number().over(w))
-      .withColumn("__n2", count(lit(1)).over(wCnt))
-      .withColumn("__rank", col("__sz") - col("__n2") + col("__rank2"))
+      .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
       .select(col("__id"), col("__gram"), col("__rank"), col("__sz"))
     // candidate join with the PPJoin length + positional prunes:
@@ -332,17 +331,21 @@ object Dedup {
             col("b.__sz") - col("b.__rank"))) >= reqOverlap)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
+      // persisted: cand feeds BOTH broadcast probes below, and without
+      // the cache the whole prefix pipeline executes twice (exchange
+      // reuse does not kick in across the two broadcast subtrees —
+      // measured 2.5× wall at sf0.1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Output-bounded verify (same rationale as minhashPairs): without
-    // the broadcast semi-filter, the full corpus's gram ARRAYS shuffle
-    // twice once Catalyst stops broadcasting cand — at 500k docs that
-    // was 4.7 GB of the pipeline's 5.8 GB total shuffle.
-    val candIds = cand.select(col("id_a").as("__id"))
-      .union(cand.select(col("id_b").as("__id"))).distinct()
-    val slim = docs.join(broadcast(candIds), Seq("__id"), "left_semi")
-    val da = slim.select(col("__id").as("id_a"), col("__g").as("__ga"))
-    val db = slim.select(col("__id").as("id_b"), col("__g").as("__gb"))
-    val pairs = cand.join(da, "id_a").join(db, "id_b")
+    // Output-bounded verify (same shape as minhashPairs): broadcast the
+    // candidate pairs into each gram-array stream and join the slimmed
+    // streams on the pair key — the corpus's gram ARRAYS never shuffle
+    // (they were 4.7 GB of the pipeline's 5.8 GB total at 500k docs
+    // once Catalyst stopped broadcasting cand on its own).
+    val da = docs.select(col("__id").as("id_a"), col("__g").as("__ga"))
+      .join(broadcast(cand), Seq("id_a"))
+    val db = docs.select(col("__id").as("id_b"), col("__g").as("__gb"))
+      .join(broadcast(cand), Seq("id_b"))
+    val pairs = da.join(db, Seq("id_a", "id_b"))
       .withColumn("__inter", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .withColumn("jaccard",
         col("__inter").cast("double") /
