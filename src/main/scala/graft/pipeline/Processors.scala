@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * micro-batch — the reference applies the same chain on its write
   * path (servers/src/http/event.rs → pipeline ETL → insert).
   *
-  * Not ported: `vrl` (embeds the VRL scripting language — out of
-  * scope) and `cmcd` beyond plain key-value splitting.
+  * `vrl` runs through [[MiniVrl]] — an interpreter for the VRL subset
+  * the reference's own pipeline tests exercise (paths, variables,
+  * del/assignment, object/array construction, map_values closures,
+  * bang assertions, scalar helpers), with the reference's one-to-many
+  * result contract. Unsupported VRL constructs fail at compile time.
+  * Not ported: `cmcd` beyond plain key-value splitting.
   */
 object Processors {
 
@@ -340,6 +344,28 @@ object Processors {
       }
       // reference filter.rs DROPS matching rows
       df.filter(!coalesce(hit, lit(false)))
+    }
+  }
+
+  // ---- vrl (vrl_processor.rs) ------------------------------------------
+
+  /** `vrl`: run a [[MiniVrl]] program over a JSON-object column. The
+    * program sees the parsed event; its result follows the reference's
+    * one-to-many contract (vrl_processor.rs + transformer/greptime.rs):
+    * an object yields one row, an array yields one row per element
+    * (each element must be an object — the error names index and type),
+    * an empty array yields zero rows. The output column holds each
+    * resulting event re-serialized as a JSON object string, ready for
+    * `JsonParse`/`from_json` downstream. Compilation happens once on
+    * the driver; unsupported VRL constructs fail fast at compile. */
+  final case class Vrl(field: String, source: String) extends Processor {
+    private val prog = MiniVrl.compile(source)
+    def apply(df: DataFrame): DataFrame = {
+      val p = prog
+      val f = udf { (json: String) =>
+        if (json == null) Seq.empty[String] else MiniVrl.runToRows(p, json)
+      }
+      df.withColumn(field, explode(f(col(field))))
     }
   }
 }

@@ -69,6 +69,43 @@ object PipelineQueries {
       pipe.run(T(s, d, "events"))
         .select(col("event_id"), col("event_type"), col("k").cast("long").as("k"))
         .orderBy(col("event_id"))
+    }),
+
+    // vrl processor (vrl_processor.rs): one-to-many expansion through the
+    // MiniVrl interpreter — each event becomes a 2-element nested JSON
+    // document, the program dels the parents, upcases a field, computes a
+    // derived value, and fans the array out into rows. Integer payloads so
+    // the JSON round-trip is bit-exact against the SQL oracle.
+    "pipeline_vrl" -> ((s, d) => {
+      val raw = T(s, d, "events").select(to_json(struct(
+        col("event_id").as("id"),
+        col("event_type").as("etype"),
+        array(
+          struct(lit("lo").as("k"), (col("event_id") % 1000).as("v")),
+          struct(lit("hi").as("k"), ((col("event_id") % 1000) * 2).as("v"))
+        ).as("tags"))).as("j"))
+      val src = """
+          |tags = del(.tags)
+          |id = del(.id)
+          |etype = del(.etype)
+          |map_values(array!(tags)) -> |t| {
+          |    {
+          |        "id": id,
+          |        "etype": upcase(string!(etype)),
+          |        "k": t.k,
+          |        "v": t.v,
+          |        "v3": t.v * 3 + 1
+          |    }
+          |}
+          |""".stripMargin
+      Pipeline(Seq(Vrl("j", src))).run(raw)
+        .select(
+          get_json_object(col("j"), "$.id").cast("long").as("id"),
+          get_json_object(col("j"), "$.etype").as("etype"),
+          get_json_object(col("j"), "$.k").as("k"),
+          get_json_object(col("j"), "$.v").cast("long").as("v"),
+          get_json_object(col("j"), "$.v3").cast("long").as("v3"))
+        .orderBy(col("id"), col("k"))
     })
   )
 
@@ -92,6 +129,15 @@ object PipelineQueries {
     "pipeline_json" ->
       """SELECT event_id, event_type,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-         FROM events WHERE lower(event_type) <> 'purchase' ORDER BY event_id"""
+         FROM events WHERE lower(event_type) <> 'purchase' ORDER BY event_id""",
+
+    "pipeline_vrl" ->
+      """SELECT id, etype, k, v, v * 3 + 1 AS v3 FROM (
+           SELECT event_id AS id, upper(event_type) AS etype,
+                  'lo' AS k, event_id % 1000 AS v FROM events
+           UNION ALL
+           SELECT event_id, upper(event_type), 'hi', (event_id % 1000) * 2
+           FROM events)
+         ORDER BY id, k"""
   )
 }

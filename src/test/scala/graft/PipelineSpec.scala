@@ -95,6 +95,82 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.getAs[String]("u") == "a b/c")
   }
 
+  test("vrl: one-to-many expansion — pipeline.rs test_one_to_many_with_vrl") {
+    // reference pipeline/tests/pipeline.rs:1010-1100: del + map_values
+    // expands a 3-event list into 3 rows carrying the parent request_id
+    val src = """
+        |events = del(.events)
+        |request_id = del(.request_id)
+        |map_values(array!(events)) -> |event| {
+        |    {
+        |        "request_id": request_id,
+        |        "event_type": event.type,
+        |        "event_value": event.value
+        |    }
+        |}
+        |""".stripMargin
+    val df = Seq(
+      """{"request_id":"req-123","events":[{"type":"click","value":100},{"type":"scroll","value":200},{"type":"submit","value":300}]}"""
+    ).toDF("j")
+    val out = Pipeline(Seq(Vrl("j", src))).run(df)
+      .select(
+        get_json_object(col("j"), "$.request_id").as("rid"),
+        get_json_object(col("j"), "$.event_type").as("et"),
+        get_json_object(col("j"), "$.event_value").cast("long").as("ev"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("req-123", "click", 100L),
+      ("req-123", "scroll", 200L),
+      ("req-123", "submit", 300L)))
+  }
+
+  test("vrl: single object unchanged + assignment — pipeline.rs backward-compat case") {
+    val out = Pipeline(Seq(Vrl("j", ".processed = true\n.")))
+      .run(Seq("""{"name":"Alice","age":30}""").toDF("j"))
+      .select(
+        get_json_object(col("j"), "$.name"),
+        get_json_object(col("j"), "$.age").cast("int"),
+        get_json_object(col("j"), "$.processed").cast("boolean"))
+      .head()
+    assert(out.getString(0) == "Alice" && out.getInt(1) == 30 && out.getBoolean(2))
+  }
+
+  test("vrl: non-object array elements error; empty array yields zero rows") {
+    // pipeline.rs test_one_to_many_array_element_validation
+    val bad = Pipeline(Seq(Vrl("j", ".items")))
+      .run(Seq("""{"items":["string",123,true]}""").toDF("j"))
+    val err = intercept[Exception](bad.collect())
+    assert(err.getMessage.contains("must be an object") ||
+      Option(err.getCause).exists(_.getMessage.contains("must be an object")))
+    // pipeline.rs test_one_to_many_empty_array
+    val empty = Pipeline(Seq(Vrl("j", ".events")))
+      .run(Seq("""{"events":[]}""").toDF("j"))
+    assert(empty.count() == 0)
+  }
+
+  test("vrl: scalar helpers, merge, closure over object, compile-time rejection") {
+    val src = """
+        |.tag = upcase(string!(.tag)) + "-" + to_string(.n * 2)
+        |.flag = exists(.missing) == false
+        |.obj = merge({"a": 1}, {"b": 2})
+        |.
+        |""".stripMargin
+    val out = Pipeline(Seq(Vrl("j", src)))
+      .run(Seq("""{"tag":"api","n":21}""").toDF("j"))
+      .select(
+        get_json_object(col("j"), "$.tag"),
+        get_json_object(col("j"), "$.flag").cast("boolean"),
+        get_json_object(col("j"), "$.obj.a").cast("int"),
+        get_json_object(col("j"), "$.obj.b").cast("int"))
+      .head()
+    assert(out.getString(0) == "API-42" && out.getBoolean(1))
+    assert(out.getInt(2) == 1 && out.getInt(3) == 2)
+    // unsupported constructs are compile-time errors, not silent no-ops
+    val e = intercept[IllegalArgumentException](
+      graft.pipeline.MiniVrl.compile(""". |> parse_grok!(.message, "%{IP}")"""))
+    assert(e.getMessage.contains("vrl"))
+  }
+
   test("select + filter") {
     val df = Seq(("a", "keep", 1), ("b", "DEBUG", 2), ("c", "info", 3))
       .toDF("x", "level", "n")
