@@ -149,6 +149,17 @@ object Dedup {
     ex.groupBy(col("__id")).agg(mh(col("__h")).as("__mh"))
   }
 
+  /** Corpus-size boundary for the dedup verify strategy: at or below
+    * it, the candidate verify joins run as one un-hinted query (Catalyst
+    * broadcasts the candidate set on its own and the whole pipeline is a
+    * single execution — fastest at bench scale); above it, candidates
+    * are persisted once and explicitly broadcast into both corpus
+    * streams so the corpus-side arrays/signatures never shuffle
+    * (Catalyst's size estimate flips to sort-merge past ~100k docs —
+    * measured 53× shuffle growth at 500k). Var so the spec can force
+    * the scale path onto the small fixtures. */
+  private[graft] var VerifyBroadcastMinDocs = 100000L
+
   /** Candidate near-dup pairs via LSH banding + minhash-estimated
     * Jaccard ≥ threshold. Returns (id_a, id_b, est_jaccard), id_a < id_b. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
@@ -157,6 +168,8 @@ object Dedup {
     require(k % bands == 0)
     val r = k / bands
     val sig = minhashSignatures(df, textCol, idCol, k, shingleSize).cache()
+    // materializes the cache; its count picks the verify strategy
+    val nDocs = sig.count()
     // band key = the raw r-slot slice (not a hash of it): exact array
     // equality is what the SQL oracle joins on too
     val bandCols = (0 until bands).map { b =>
@@ -171,23 +184,25 @@ object Dedup {
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-      // persisted: cand feeds both broadcast probes below; unpersisted,
-      // the band self-join pipeline executes once per broadcast
-      // (measured 2× shuffle rows at 500k docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Output-bounded verify: broadcast the candidate PAIRS into each
-    // signature stream (|cand| ∝ near-dup pairs, not the corpus), then
-    // join the two slimmed streams on the pair key — the corpus-side
-    // signature table is never shuffled and the one shuffle carries
-    // only candidate rows. Without the explicit hint, Catalyst's size
-    // estimate for cand flips the joins to sort-merge past ~100k docs
-    // and the WHOLE corpus's signatures shuffle twice (measured 53×
-    // shuffle growth for 10× docs at 500k — DedupScaleProbe).
-    val withA = sig.select(col("__id").as("id_a"), col("__mh").as("__sa"))
-      .join(broadcast(cand), Seq("id_a"))
-    val withB = sig.select(col("__id").as("id_b"), col("__mh").as("__sb"))
-      .join(broadcast(cand), Seq("id_b"))
-    val out = withA.join(withB, Seq("id_a", "id_b"))
+    val scalePath = nDocs > VerifyBroadcastMinDocs
+    val sa = sig.select(col("__id").as("id_a"), col("__mh").as("__sa"))
+    val sb = sig.select(col("__id").as("id_b"), col("__mh").as("__sb"))
+    // Output-bounded verify at scale: persist candidates once (else the
+    // band pipeline executes once per broadcast — measured 2× shuffle
+    // rows) and broadcast the PAIRS into each signature stream (|cand| ∝
+    // near-dup pairs, not the corpus), then join the slimmed streams on
+    // the pair key — the corpus-side signature table never shuffles.
+    // Below the boundary, the un-hinted single-reference chain is both
+    // correct (Catalyst broadcasts cand on its own) and faster.
+    val candP =
+      if (scalePath) cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cand
+    val joined =
+      if (scalePath)
+        sa.join(broadcast(candP), Seq("id_a"))
+          .join(sb.join(broadcast(candP), Seq("id_b")), Seq("id_a", "id_b"))
+      else candP.join(sa, "id_a").join(sb, "id_b")
+    val out = joined
       .withColumn("est_jaccard",
         aggregate(zip_with(col("__sa"), col("__sb"),
           (x, y) => when(x === y, 1).otherwise(0)),
@@ -198,7 +213,7 @@ object Dedup {
       // leak-by-laziness the ngram path fixed in round 4)
       .localCheckpoint(true)
     sig.unpersist()
-    cand.unpersist()
+    if (scalePath) candP.unpersist()
     out
   }
 
@@ -299,20 +314,12 @@ object Dedup {
           transform(shingles(col("__text"), n), g => xxhash64(g)))).as("__g"))
       .filter(size(col("__g")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count() // materializes the cache; picks verify path
     val grams = docs.select(col("__id"), size(col("__g")).as("__sz"),
       explode(col("__g")).as("__gram"))
-    // Only df≥2 grams can ever produce a candidate (an equi-join on
-    // __gram needs the gram in BOTH docs), and since df=1 sorts before
-    // every df≥2 gram in the rarest-first order, a df≥2 gram's global
-    // rank is just (# df=1 grams in the doc) + its rank among the doc's
-    // df≥2 grams — so df=1 instances (the majority of a mostly-unique
-    // corpus) drop at the freq join and never reach the rank window or
-    // the candidate join. Candidates are bit-identical to ranking the
-    // full gram set (prunes unchanged); the two heaviest shuffles carry
-    // ~2-3× fewer rows.
-    val freq2 = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+    val freq = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__gram"))
-    val prefix = grams.join(freq2, "__gram")
+    val prefix = grams.join(freq, "__gram")
       .withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
       .select(col("__id"), col("__gram"), col("__rank"), col("__sz"))
@@ -331,21 +338,26 @@ object Dedup {
             col("b.__sz") - col("b.__rank"))) >= reqOverlap)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-      // persisted: cand feeds BOTH broadcast probes below, and without
-      // the cache the whole prefix pipeline executes twice (exchange
-      // reuse does not kick in across the two broadcast subtrees —
-      // measured 2.5× wall at sf0.1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Output-bounded verify (same shape as minhashPairs): broadcast the
-    // candidate pairs into each gram-array stream and join the slimmed
-    // streams on the pair key — the corpus's gram ARRAYS never shuffle
-    // (they were 4.7 GB of the pipeline's 5.8 GB total at 500k docs
-    // once Catalyst stopped broadcasting cand on its own).
+    // Output-bounded verify at scale (same shape and boundary as
+    // minhashPairs): persist candidates once (without the cache the
+    // whole prefix pipeline executes once per broadcast — measured 2.5×
+    // wall) and broadcast them into each gram-array stream, joining the
+    // slimmed streams on the pair key — the corpus's gram ARRAYS never
+    // shuffle (4.7 GB of the pipeline's 5.8 GB total at 500k docs once
+    // Catalyst stopped broadcasting cand on its own). Below the
+    // boundary the un-hinted single-reference chain is faster.
+    val scalePath = nDocs > VerifyBroadcastMinDocs
+    val candP =
+      if (scalePath) cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cand
     val da = docs.select(col("__id").as("id_a"), col("__g").as("__ga"))
-      .join(broadcast(cand), Seq("id_a"))
     val db = docs.select(col("__id").as("id_b"), col("__g").as("__gb"))
-      .join(broadcast(cand), Seq("id_b"))
-    val pairs = da.join(db, Seq("id_a", "id_b"))
+    val joined =
+      if (scalePath)
+        da.join(broadcast(candP), Seq("id_a"))
+          .join(db.join(broadcast(candP), Seq("id_b")), Seq("id_a", "id_b"))
+      else candP.join(da, "id_a").join(db, "id_b")
+    val pairs = joined
       .withColumn("__inter", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .withColumn("jaccard",
         col("__inter").cast("double") /
@@ -361,7 +373,7 @@ object Dedup {
     // unlike persist(), which pins until an explicit unpersist.
     val out = pairs.localCheckpoint(true)
     docs.unpersist()
-    cand.unpersist()
+    if (scalePath) candP.unpersist()
     out
   }
 

@@ -64,6 +64,23 @@ class DedupSpec extends AnyFunSuite {
     assert(near.exists(j => j > 0.5 && j < 1.0), pairs.toString)
   }
 
+  test("scale-path verify (forced broadcast pair-key join) matches the small-path") {
+    // VerifyBroadcastMinDocs=0 forces the 100k+ docs verify strategy
+    // (persisted candidates broadcast into both corpus streams) onto the
+    // small fixture; results must be identical to the default chain.
+    def both[A](f: => A): (A, A) = {
+      val small = f
+      Dedup.VerifyBroadcastMinDocs = 0L
+      try (small, f) finally Dedup.VerifyBroadcastMinDocs = 100000L
+    }
+    val (m1, m2) = both(Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    assert(m1 == m2 && m1.nonEmpty)
+    val (n1, n2) = both(Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    assert(n1 == n2 && n1.nonEmpty)
+  }
+
   test("embedding cosine pairs: scaled copies collide, orthogonal don't") {
     val e = Seq(
       (1L, Array.fill(64)(1.0f).toSeq),
