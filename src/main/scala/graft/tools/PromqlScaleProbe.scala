@@ -17,6 +17,9 @@ object PromqlScaleProbe {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val stepArg = if (args.length > 1) args(1).toLong else 15000L
     val rangeArg = if (args.length > 2) args(2).toLong else 3600000L
+    // series label: event_type = 5 fat series (chunked-parallelism case),
+    // user_id = thousands of thin series (wide-metric case)
+    val labelArg = if (args.length > 3) args(3) else "event_type"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -34,12 +37,12 @@ object PromqlScaleProbe {
     })
 
     val ev = graft.Tables.load(spark, src, "events")
-      .select(col("event_type"),
+      .select(col(labelArg).cast("string").as("series"),
         (col("ts") / 1000000L).cast("long").as("ms"),
         col("value").cast("double").as("v"))
     val b = ev.agg(min(col("ms")), max(col("ms"))).head
     val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val m = Metric(ev, "ms", "v", Seq("event_type"))
+    val m = Metric(ev, "ms", "v", Seq("series"))
     // default: 15 s step over the span, 1 h range → 240× fan-out ratio
     val p = EvalParams(startMs = lo, endMs = hi, stepMs = stepArg)
     val rangeMs = rangeArg
@@ -57,7 +60,7 @@ object PromqlScaleProbe {
       println(f"[promql-scale] $label%-12s rows=$n%-9d wall=$wall%7.2f s shuffleMB=${shuffleBytes.get / 1e6}%9.1f")
     }
 
-    println(s"[promql-scale] events span ${(hi - lo) / 1000}s, steps=${(hi - lo) / p.stepMs}, ratio=${rangeMs / p.stepMs}")
+    println(s"[promql-scale] label=$labelArg span ${(hi - lo) / 1000}s, steps=${(hi - lo) / p.stepMs}, ratio=${rangeMs / p.stepMs}")
     run("gridExplode", Long.MaxValue) // never switch → explode path
     run("fold", 1L)                   // always switch → deque-fold path
     PromQL.GridFanoutMax = 1L
