@@ -132,10 +132,18 @@ object Similarity {
     * natural storage partition key, so at rest the filter becomes
     * partition pruning); queries explode to (query, cell) pairs and
     * BROADCAST-join the corpus on the cell id — the corpus is never
-    * shuffled, and only ~nprobe/ncentroids of it reaches the re-rank. */
+    * shuffled, and only ~nprobe/ncentroids of it reaches the re-rank.
+    *
+    * Default operating point (SimilarityScaleProbe, 200k synthetic
+    * 64-dim vectors, recall@10 vs brute force): nprobe 2 → 0.58,
+    * nprobe 4 → 0.75, nprobe 6 → 0.81, at ~¼–⅓ the brute-force wall.
+    * IVF is the general mid-similarity ANN path; [[lshTopK]]'s
+    * hyperplane filter is sharp only in its high-similarity (≥0.9)
+    * near-duplicate design regime, where expected bit flips stay far
+    * below random pairs'. */
   def ivfTopK(corpus: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
-      k: Int, ncentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+      k: Int, ncentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = trainCentroids(corpus, vecCol, idCol, ncentroids)
     val assign1 = nearestCentroids(cents, 1)
     val probeN = nearestCentroids(cents, nprobe)

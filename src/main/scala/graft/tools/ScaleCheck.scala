@@ -86,9 +86,26 @@ object ScaleCheck {
     val dn2 = spark.read.parquet(s"$out/documents.parquet").count()
     println(s"[scale] documents: $dn -> $dn2 rows at $out/documents.parquet")
 
+    // embeddings: fan with the doc factor; replicas get a deterministic
+    // per-replica rotation of the vector slots plus a small index-keyed
+    // perturbation, so near-neighbor structure repeats per replica
+    // (nearest-neighbor sets scale linearly) without exact duplicates
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val en = emb.count()
+    val efan = emb.crossJoin(spark.range(docFan).toDF("rep"))
+      .withColumn("vec_id", col("vec_id") * docFan + col("rep"))
+      .withColumn("embedding", expr(
+        """transform(embedding, (x, i) ->
+             cast(element_at(embedding, cast((i + rep) % size(embedding) AS INT) + 1)
+               + cast(rep AS FLOAT) * 1e-4 AS FLOAT))"""))
+      .drop("rep")
+    efan.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scale] embeddings: $en -> ${spark.read.parquet(s"$out/embeddings.parquet").count()} rows")
+
     // link the remaining tables unchanged
     for (f <- new java.io.File(src).listFiles() if f.getName.endsWith(".parquet")
-         if f.getName != "events.parquet" && f.getName != "documents.parquet") {
+         if f.getName != "events.parquet" && f.getName != "documents.parquet"
+         && f.getName != "embeddings.parquet") {
       val link = java.nio.file.Paths.get(out, f.getName)
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
