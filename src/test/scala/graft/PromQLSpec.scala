@@ -326,6 +326,37 @@ class PromQLSpec extends AnyFunSuite {
     }
   }
 
+  test("fold == explode on seeded-random series across random grids") {
+    // Property-style pin for chunk-boundary arithmetic: random sample
+    // layouts × random (start, end, step, range) grids, both paths must
+    // agree exactly. (The span-end clamp bug was exactly this class.)
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 6) {
+      val series = 1 + rnd.nextInt(3)
+      val rows = (0 until 200).map { _ =>
+        val k = ('a' + rnd.nextInt(series)).toChar.toString
+        (rnd.nextInt(1000).toDouble, rnd.nextLong(120000L), k)
+      }
+      val cat = Map("m" -> Metric(mkDf(rows), "j", "i", Seq("k")))
+      val stepS = 1 + rnd.nextInt(9)
+      val startS = rnd.nextInt(30)
+      val endS = startS + stepS * (1 + rnd.nextInt(20))
+      val rangeS = 1 + rnd.nextInt(40)
+      val fn = Seq("count_over_time", "sum_over_time", "last_over_time",
+        "min_over_time", "rate", "delta")(rnd.nextInt(6))
+      val q = s"$fn(m[${rangeS}s])"
+      def run(threshold: Long) = {
+        PromQL.GridFanoutMax = threshold
+        try eval(q, startS, endS, stepS, cat)
+        finally PromQL.GridFanoutMax = 1L
+      }
+      val explode = run(Long.MaxValue)
+      val fold = run(1L)
+      assert(fold == explode,
+        s"trial $trial: $q start=$startS end=$endS step=$stepS — $fold vs $explode")
+    }
+  }
+
   test("scalar-scalar precedence") {
     val p = EvalParams(0, 0, 1000)
     val ev = new PromEval(spark, basicCatalog, p)
