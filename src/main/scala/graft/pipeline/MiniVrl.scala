@@ -141,7 +141,8 @@ object MiniVrl {
     "del", "array!", "string!", "int!", "float!", "bool!", "object!",
     "to_string", "to_int", "to_float", "upcase", "downcase", "length",
     "merge", "push", "exists", "map_values", "contains", "starts_with",
-    "ends_with", "replace", "split", "join", "abs", "floor", "ceil", "round")
+    "ends_with", "replace", "split", "join", "abs", "floor", "ceil", "round",
+    "now")
 
   def compile(src: String): Program = new Parser(tokenize(src)).program()
 
@@ -563,6 +564,10 @@ object MiniVrl {
           case VArr(a) => VStr(a.map(str).mkString(str(vs(1))))
           case o => throw new IllegalArgumentException(s"vrl: join of ${typeName(o)}")
         }
+        // VRL timestamps serialize as RFC-3339 text; nondeterministic by
+        // nature (matches the reference's wall-clock now()) — callers
+        // needing reproducible output simply don't use it
+        case "now" => VStr(java.time.Instant.now().toString)
         case "abs" => vs.head match {
           case VInt(l) => VInt(math.abs(l)); case v => VFloat(math.abs(toD(v)))
         }

@@ -171,6 +171,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vrl"))
   }
 
+  test("vrl: every VRL program embedded in the reference repo compiles and runs") {
+    import graft.pipeline.MiniVrl
+    // the reference's own vrl test programs (pipeline/src/etl.rs,
+    // pipeline/tests/pipeline.rs, etl/processor/vrl_processor.rs)
+    val programs = Seq(
+      "events = del(.events)\nbase_host = del(.host)\nbase_ts = del(.timestamp)\n" +
+        "map_values(array!(events)) -> |event| {\n    {\n        \"host\": base_host,\n" +
+        "        \"event_type\": event.type,\n        \"event_value\": event.value,\n" +
+        "        \"timestamp\": base_ts\n    }\n}",
+      ".processed = true\n.",
+      ".events",
+      ".items",
+      ".name.a = .user_info.name\n.name.b = .user_info.name\ndel(.user_info)\n.timestamp = now()\n.")
+    for (p <- programs) {
+      val prog = MiniVrl.compile(p)
+      val rows = MiniVrl.runToRows(prog,
+        """{"events":[{"type":"a","value":1}],"host":"h","timestamp":9,
+           "name":"n","user_info":{"name":"u"},"items":[{"x":1}],
+           "processed":false}""")
+      assert(rows.nonEmpty, p)
+    }
+    // nested path assignment + del leave the right shape
+    val shaped = MiniVrl.runToRows(MiniVrl.compile(
+      ".name.a = .user_info.name\ndel(.user_info)\n."),
+      """{"user_info":{"name":"u"},"keep":1}""").head
+    assert(shaped.contains(""""name":{"a":"u"}""") && !shaped.contains("user_info"))
+  }
+
   test("select + filter") {
     val df = Seq(("a", "keep", 1), ("b", "DEBUG", 2), ("c", "info", 3))
       .toDF("x", "level", "n")
