@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * del/assignment, object/array construction, map_values closures,
   * bang assertions, scalar helpers), with the reference's one-to-many
   * result contract. Unsupported VRL constructs fail at compile time.
-  * Not ported: `cmcd` beyond plain key-value splitting.
+  * All 18 reference processors are covered.
   */
 object Processors {
 
@@ -284,8 +284,14 @@ object Processors {
           org.apache.spark.sql.types.StringType)))
   }
 
-  /** `cmcd`: CMCD header `k=v,k2,k3="x"` → `field_k` columns. */
+  /** `cmcd`: CMCD header `k=v,k2,k3="x"` → typed `field_k` columns with
+    * the reference's per-key resolution (cmcd.rs:40-117): bs/su are
+    * value-less booleans (true when present); br/bl/d/dl/mtp/rtp/tb are
+    * integers; pr is a decimal; nor is URL-decoded (kept raw if the
+    * decode fails); cid/nrr/ot/sf/sid/st/v are strings with surrounding
+    * quotes stripped. */
   final case class Cmcd(field: String, keys: Seq[String]) extends Processor {
+    private val IntKeys = Set("br", "bl", "d", "dl", "mtp", "rtp", "tb")
     def apply(df: DataFrame): DataFrame = {
       val ks = keys
       val parse = udf { (s: String) =>
@@ -297,8 +303,17 @@ object Processors {
         }.toMap
       }
       val tmp = df.withColumn("__cmcd", parse(col(field)))
-      ks.foldLeft(tmp)((d, k) =>
-        d.withColumn(s"${field}_$k", col("__cmcd").getItem(k))).drop("__cmcd")
+      ks.foldLeft(tmp) { (d, k) =>
+        val raw = col("__cmcd").getItem(k)
+        val typed = k match {
+          case "bs" | "su" => raw.isNotNull // present → true, absent → false
+          case ik if IntKeys(ik) => raw.cast("long")
+          case "pr" => raw.cast("double")
+          case "nor" => coalesce(expr(s"try_url_decode(__cmcd['$k'])"), raw)
+          case _ => raw
+        }
+        d.withColumn(s"${field}_$k", typed)
+      }.drop("__cmcd")
     }
   }
 

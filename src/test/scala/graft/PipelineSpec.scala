@@ -89,8 +89,9 @@ class PipelineSpec extends AnyFunSuite {
       UrlEncoding("u", "decode"))).run(df).head()
     assert(out.getAs[String]("j_b") == "x")
     assert(out.getAs[Map[String, String]]("j")("a") == "1")
-    assert(out.getAs[String]("cm_br") == "3200")
-    assert(out.getAs[String]("cm_bs") == "true")
+    // typed per-key resolution (cmcd.rs): br integer, bs boolean-presence
+    assert(out.getAs[Long]("cm_br") == 3200L)
+    assert(out.getAs[Boolean]("cm_bs"))
     assert(out.getAs[String]("cm_sid") == "abc-123")
     assert(out.getAs[String]("u") == "a b/c")
   }
