@@ -643,6 +643,19 @@ object MiniVrl {
 
   // ---- run ----------------------------------------------------------------
 
+  /** Execute over one event and return the result as a SCALAR — used by
+    * the `table_suffix` hook (pipeline/src/tablesuffix.rs), whose VRL
+    * expression yields the per-row table-name suffix. Strings render
+    * bare (no quotes); null → None. */
+  def runScalar(prog: Program, json: String): Option[String] = {
+    val env = new Env(parseJson(json))
+    evalStmts(prog.stmts, env) match {
+      case VNull => None
+      case VStr(s) => Some(s)
+      case other => Some(render(other))
+    }
+  }
+
   /** Execute over one event (JSON object string) and return the
     * resulting rows as JSON object strings — one-to-many per the
     * reference's contract (object = 1 row, array = N object rows,

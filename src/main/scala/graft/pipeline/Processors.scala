@@ -383,4 +383,47 @@ object Processors {
       df.withColumn(field, explode(f(col(field))))
     }
   }
+
+  // ---- dispatcher / table_suffix routing (dispatcher.rs, tablesuffix.rs)
+
+  /** One dispatcher rule: rows whose field equals `value` leave the
+    * main pipeline, run `pipeline` (when set), and land in the table
+    * named by `tableSuffix`. */
+  final case class DispatchRule(value: String, tableSuffix: String,
+      pipeline: Option[Pipeline] = None)
+
+  /** Pipeline-level routing (reference dispatcher.rs): value-match on
+    * one field splits the stream into per-rule routes; rows matching no
+    * rule continue in the main pipeline. In Spark each route is a
+    * FILTERED VIEW of the same scan (predicate-pushdown keeps this one
+    * pass at rest), so dispatching adds no shuffle. */
+  final case class Dispatcher(field: String, rules: Seq[DispatchRule]) {
+    require(rules.nonEmpty, "dispatcher needs at least one rule")
+    /** (tableSuffix, transformed rows) per rule, in rule order. */
+    def route(df: DataFrame): Seq[(String, DataFrame)] =
+      rules.map { r =>
+        val slice = df.filter(col(field) === lit(r.value))
+        r.tableSuffix -> r.pipeline.map(_.run(slice)).getOrElse(slice)
+      }
+    /** Rows matching no rule — stay in the main pipeline/table. */
+    def remainder(df: DataFrame): DataFrame =
+      df.filter(!coalesce(col(field).isin(rules.map(_.value): _*), lit(false)))
+  }
+
+  /** `table_suffix` hook (reference tablesuffix.rs): a [[MiniVrl]]
+    * expression evaluated per row over a JSON-object column yields the
+    * table-name suffix — emitted as a `__table_suffix` column, the
+    * natural write-path partition key (`partitionBy("__table_suffix")`
+    * = one table-shard per suffix, no shuffle). Null when the program
+    * yields VRL null (row goes to the base table). */
+  final case class TableSuffix(field: String, source: String) extends Processor {
+    private val prog = MiniVrl.compile(source)
+    def apply(df: DataFrame): DataFrame = {
+      val p = prog
+      val f = udf { (json: String) =>
+        if (json == null) null else MiniVrl.runScalar(p, json).orNull
+      }
+      df.withColumn("__table_suffix", f(col(field)))
+    }
+  }
 }

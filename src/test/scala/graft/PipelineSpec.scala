@@ -200,6 +200,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(shaped.contains(""""name":{"a":"u"}""") && !shaped.contains("user_info"))
   }
 
+  test("dispatcher routes by field value; table_suffix names per-row shards") {
+    val df = Seq(
+      ("""{"type":"http","status":200}""", "http"),
+      ("""{"type":"db","status":1}""", "db"),
+      ("""{"type":"other","status":9}""", "other")).toDF("j", "type")
+    val d = Dispatcher("type", Seq(
+      DispatchRule("http", "_http",
+        Some(Pipeline(Seq(JsonPath("j", "status", "code"))))),
+      DispatchRule("db", "_db")))
+    val routes = d.route(df).map { case (sfx, r) => sfx -> r.collect() }
+    assert(routes.map(_._1) == Seq("_http", "_db"))
+    assert(routes.head._2.length == 1 &&
+      routes.head._2.head.getAs[String]("code") == "200")
+    assert(routes(1)._2.length == 1)
+    assert(d.remainder(df).collect().map(_.getString(1)).toSeq == Seq("other"))
+    // table_suffix: VRL expression names the shard per row
+    val suffixed = Pipeline(Seq(TableSuffix("j", """ "_" + string!(.type) """)))
+      .run(df).select(col("type"), col("__table_suffix")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(suffixed == Map("http" -> "_http", "db" -> "_db", "other" -> "_other"))
+  }
+
   test("select + filter") {
     val df = Seq(("a", "keep", 1), ("b", "DEBUG", 2), ("c", "info", 3))
       .toDF("x", "level", "n")
