@@ -49,12 +49,15 @@ object Multimodal {
         lit("application/x-fake").as("mime")).as("meta"))
   }
 
-  /** STUB decode: a real implementation would decode pixels/samples; the
-    * fake derives a fixed-shape feature vector from the payload bytes so
-    * the whole pipeline (schema, batching, downstream joins) is
-    * exercised end-to-end with deterministic values. */
+  /** Fallback feature extraction for the synthetic `application/x-fake`
+    * assets: derives a fixed-shape vector from the payload bytes so the
+    * full pipeline (schema, batching, downstream joins) runs end-to-end
+    * with deterministic values. REAL decode exists below for the
+    * formats the JDK carries codecs for — [[decodeImages]] (ImageIO:
+    * PNG/JPEG → dims/channels/average-hash) and the WAV/PCM audio path
+    * (javax.sound.sampled) — this branch only covers payloads with no
+    * in-JDK codec (video frames, proprietary formats). */
   private def fakeDecode(content: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec goes here (e.g. JPEG decode + CNN features)
     if (content == null) return Array.fill(dim)(0.0f)
     val out = new Array[Float](dim)
     var i = 0
