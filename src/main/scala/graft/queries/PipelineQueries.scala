@@ -106,6 +106,34 @@ object PipelineQueries {
           get_json_object(col("j"), "$.v").cast("long").as("v"),
           get_json_object(col("j"), "$.v3").cast("long").as("v3"))
         .orderBy(col("id"), col("k"))
+    }),
+
+    // dispatcher (dispatcher.rs): value-match routing — the 'purchase'
+    // route runs its own sub-pipeline (extracting props.k), everything
+    // else stays in the main pipeline; both legs union for the oracle
+    "pipeline_dispatch" -> ((s, d) => {
+      val df = T(s, d, "events")
+      val disp = Dispatcher("event_type", Seq(
+        DispatchRule("purchase", "_purchases",
+          Some(Pipeline(Seq(JsonPath("props", "k", "k")))))))
+      val routed = disp.route(df).head._2
+        .select(col("event_id"), lit("_purchases").as("route"),
+          col("k").cast("long").as("k"))
+      val rest = disp.remainder(df)
+        .select(col("event_id"), lit("").as("route"),
+          lit(null).cast("long").as("k"))
+      routed.unionByName(rest).orderBy(col("event_id"))
+    }),
+
+    // table_suffix (tablesuffix.rs): per-row MiniVrl expression names the
+    // write shard from the JSON payload
+    "pipeline_table_suffix" -> ((s, d) => {
+      val raw = T(s, d, "events").select(col("event_id"),
+        to_json(struct(col("event_type").as("etype"))).as("j"))
+      Pipeline(Seq(TableSuffix("j", """ "_" + downcase(string!(.etype)) """)))
+        .run(raw)
+        .select(col("event_id"), col("__table_suffix").as("suffix"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -138,6 +166,17 @@ object PipelineQueries {
            UNION ALL
            SELECT event_id, upper(event_type), 'hi', (event_id % 1000) * 2
            FROM events)
-         ORDER BY id, k"""
+         ORDER BY id, k""",
+
+    "pipeline_dispatch" ->
+      """SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN '_purchases' ELSE '' END AS route,
+           CASE WHEN event_type = 'purchase'
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+         FROM events ORDER BY event_id""",
+
+    "pipeline_table_suffix" ->
+      """SELECT event_id, '_' || lower(event_type) AS suffix
+         FROM events ORDER BY event_id"""
   )
 }
