@@ -152,8 +152,12 @@ object Multimodal {
     * perceptual dedup. Null/undecodable payloads → null row. */
   def decodeImage(bytes: Array[Byte]): DecodedImage = {
     if (bytes == null) return null
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes))
+    // truncated/malformed streams make ImageIO.read THROW (not return
+    // null) — catch so one bad payload nulls its row instead of failing
+    // the whole task, mirroring decodeAudio
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
     val small = new java.awt.image.BufferedImage(
       8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)

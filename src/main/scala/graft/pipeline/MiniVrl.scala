@@ -79,12 +79,17 @@ object MiniVrl {
   private def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
-    var depth = 0
+    // bracket stack: newlines are statement separators at top level AND
+    // inside '{' blocks (closure bodies are statement lists); they are
+    // suppressed only inside '(' / '[' where an expression continues.
+    // Without this, a multi-statement closure body glues onto the next
+    // statement's leading event path via postfix '.'-chaining.
+    var stack = List.empty[Char]
     val n = src.length
     while (i < n) {
       val c = src(i)
       if (c == '\n' || c == ';') {
-        if (depth == 0) out += TNewline
+        if (stack.isEmpty || stack.head == '{') out += TNewline
         i += 1
       } else if (c == ' ' || c == '\t' || c == '\r') i += 1
       else if (c == '#') { while (i < n && src(i) != '\n') i += 1 }
@@ -120,11 +125,15 @@ object MiniVrl {
         val s = i
         while (i < n && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
         var ident = src.substring(s, i)
-        if (i < n && src(i) == '!') { ident += "!"; i += 1 } // array!() etc.
+        // merge '!' only for a bang-function call `array!(...)`; `a!= 1`
+        // must tokenize as ident 'a' + punct '!=' (an inequality)
+        if (i < n && src(i) == '!' && i + 1 < n && src(i + 1) == '(') {
+          ident += "!"; i += 1
+        }
         out += TIdent(ident)
       } else {
-        if (c == '(' || c == '[' || c == '{') depth += 1
-        if (c == ')' || c == ']' || c == '}') depth -= 1
+        if (c == '(' || c == '[' || c == '{') stack = c :: stack
+        if (c == ')' || c == ']' || c == '}') stack = stack.drop(1)
         val two = if (i + 1 < n) src.substring(i, i + 2) else ""
         if (two == "==" || two == "!=" || two == "->" || two == ">=" || two == "<=" || two == "&&" || two == "||") {
           out += TPunct(two); i += 2

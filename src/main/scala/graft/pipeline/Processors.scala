@@ -306,7 +306,9 @@ object Processors {
       ks.foldLeft(tmp) { (d, k) =>
         val raw = col("__cmcd").getItem(k)
         val typed = k match {
-          case "bs" | "su" => raw.isNotNull // present → true, absent → false
+          // present → true, absent → NULL (cmcd.rs bs_su only emits the
+          // field when the key appears in the payload)
+          case "bs" | "su" => when(raw.isNotNull, lit(true))
           case ik if IntKeys(ik) => raw.cast("long")
           case "pr" => raw.cast("double")
           case "nor" => coalesce(expr(s"try_url_decode(__cmcd['$k'])"), raw)

@@ -245,9 +245,13 @@ object PromQL {
     val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
     // ordinary NaN values are REAL samples (promql/scalar.result pins
     // NaN keeping a series present in count()); only the reference's
-    // staleness marker — which never reaches parquet — is filtered
+    // staleness marker — which never reaches parquet — is filtered.
+    // SQL NULL field values are NOT samples: filtered here so the fold
+    // and explode paths agree (the fold's deque would otherwise read a
+    // null as 0.0 via getDouble).
     val base = m.df
       .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
+      .where(col("__v").isNotNull)
     // lookback window is LEFT-EXCLUSIVE (t - lookback, t]: a sample
     // exactly lookback old is stale (promql/subquery.result, t=359 case)
     val grouped =
@@ -268,6 +272,7 @@ object PromQL {
     val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
     val base = m.df
       .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
+      .where(col("__v").isNotNull) // NULL field values are not samples
     val grouped =
       if (p.lookbackMs / p.stepMs >= GridFanoutMax)
         foldWindowsAtGrid(base, m.labels, p, p.lookbackMs, latestOnly = true)
@@ -286,6 +291,7 @@ object PromQL {
     val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
     val base = m.df
       .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
+      .where(col("__v").isNotNull) // NULL field values are not samples
     if (rangeMs / p.stepMs >= GridFanoutMax)
       foldWindowsAtGrid(base, m.labels, p, rangeMs, latestOnly = false)
     else
@@ -307,6 +313,7 @@ object PromQL {
       val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
       val base = m.df
         .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
+        .where(col("__v").isNotNull) // NULL field values are not samples
       return InstantVector(
         foldWindowsAtGrid(base, m.labels, p, rangeMs, latestOnly = false,
           evalF = Some(PromFunctions.windowEval(name, fnArgs))),

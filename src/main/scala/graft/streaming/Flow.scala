@@ -133,8 +133,13 @@ object Flow {
       // then each staged partition directory is swapped into the sink by
       // rename — one write of the dirty set (the old formulation staged
       // unpartitioned, re-read, and rewrote: a second full write+read
-      // roundtrip of the dirty rows per refresh), and the swap is
-      // per-partition atomic for concurrent readers.
+      // roundtrip of the dirty rows per refresh). The swap renames the
+      // old partition aside (dest__old) before moving the staged one in,
+      // checks every rename result, and restores the old dir on failure —
+      // a crash mid-swap leaves either the old or the new partition on
+      // disk, never neither. (Each individual rename is atomic on local
+      // FS / HDFS, but the aside→swap sequence is not: a reader racing
+      // the swap can observe the partition briefly absent.)
       val existing = spark.read.parquet(sink)
       val touched = batch.select(partitionCols.map(col): _*).distinct()
       val kept = existing
@@ -157,9 +162,19 @@ object Flow {
       for (part <- leaves(staging, partitionCols.length)) {
         val rel = part.toUri.getPath.stripPrefix(stagingPrefix).stripPrefix("/")
         val dest = new Path(sinkPath, rel)
-        if (fs.exists(dest)) fs.delete(dest, true)
         fs.mkdirs(dest.getParent)
-        fs.rename(part, dest)
+        val aside = new Path(dest.getParent, dest.getName + "__old")
+        if (fs.exists(aside)) fs.delete(aside, true)
+        val hadDest = fs.exists(dest)
+        if (hadDest && !fs.rename(dest, aside))
+          throw new java.io.IOException(
+            s"flow refresh: failed to move aside partition $dest")
+        if (!fs.rename(part, dest)) {
+          if (hadDest) fs.rename(aside, dest) // restore the old partition
+          throw new java.io.IOException(
+            s"flow refresh: failed to swap in partition $dest")
+        }
+        if (hadDest) fs.delete(aside, true)
       }
       fs.delete(staging, true)
       refreshed(())
@@ -172,8 +187,12 @@ object Flow {
       merged.write.mode("overwrite").parquet(staging.toString)
       val old = new Path(sink + "__old")
       if (fs.exists(old)) fs.delete(old, true)
-      fs.rename(sinkPath, old)
-      fs.rename(staging, sinkPath)
+      if (!fs.rename(sinkPath, old))
+        throw new java.io.IOException(s"flow refresh: failed to move aside $sink")
+      if (!fs.rename(staging, sinkPath)) {
+        fs.rename(old, sinkPath) // restore
+        throw new java.io.IOException(s"flow refresh: failed to swap in $sink")
+      }
       fs.delete(old, true)
       refreshed(())
     }

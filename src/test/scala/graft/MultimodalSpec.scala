@@ -36,6 +36,10 @@ class MultimodalSpec extends AnyFunSuite {
   test("decodeImage handles null and garbage payloads") {
     assert(Multimodal.decodeImage(null) == null)
     assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)) == null)
+    // a TRUNCATED stream with a valid PNG signature makes ImageIO.read
+    // throw (not return null) — must null the row, not fail the task
+    val truncated = Multimodal.pngFor(0).take(40)
+    assert(Multimodal.decodeImage(truncated) == null)
   }
 
   test("wavFor emits real decodable WAV with the declared rate/duration") {

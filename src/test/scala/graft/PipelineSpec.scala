@@ -200,6 +200,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(shaped.contains(""""name":{"a":"u"}""") && !shaped.contains("user_info"))
   }
 
+  test("vrl tokenizer: '!=' without a space is an inequality; bang merges only before '('") {
+    import graft.pipeline.MiniVrl
+    // `a!= 1` must not tokenize as ident `a!` + `=` (an assignment-like form)
+    val rows = MiniVrl.runToRows(MiniVrl.compile(
+      "a = del(.n)\n.ne = a!= 1\n.eq = a== 2\n."),
+      """{"n":2}""").head
+    assert(rows.contains(""""ne":true""") && rows.contains(""""eq":true"""), rows)
+    // a bang-call still merges: array!(...) is one identifier
+    val bang = MiniVrl.runToRows(MiniVrl.compile(
+      "map_values(array!(.xs)) -> |e| { {\"v\": e.v} }"),
+      """{"xs":[{"v":7}]}""")
+    assert(bang == Seq("""{"v":7}"""))
+  }
+
+  test("vrl: multi-statement closure body doesn't swallow the next statement") {
+    import graft.pipeline.MiniVrl
+    // newlines inside `{ }` are statement separators: the closure's last
+    // expression must not postfix-chain onto the following `.done = true`
+    val rows = MiniVrl.runToRows(MiniVrl.compile(
+      """rid = del(.rid)
+        |out = map_values(array!(.events)) -> |e| {
+        |    v = e.value
+        |    {"rid": rid, "v": v}
+        |}
+        |out
+        |""".stripMargin),
+      """{"rid":"r1","events":[{"value":5},{"value":6}]}""")
+    assert(rows == Seq("""{"rid":"r1","v":5}""", """{"rid":"r1","v":6}"""), rows)
+  }
+
+  test("cmcd: absent bs/su keys yield NULL, not false (cmcd.rs bs_su)") {
+    val df = Seq("br=3200,ot=v").toDF("cm")
+    val out = Cmcd("cm", Seq("br", "bs", "su"))(df).head()
+    assert(out.getAs[Long]("cm_br") == 3200L)
+    assert(out.isNullAt(out.fieldIndex("cm_bs")))
+    assert(out.isNullAt(out.fieldIndex("cm_su")))
+  }
+
   test("dispatcher routes by field value; table_suffix names per-row shards") {
     val df = Seq(
       ("""{"type":"http","status":200}""", "http"),
