@@ -23,7 +23,7 @@ object Bench {
     "tsbs_high_cpu_all", "groupby_orderby_limit", "lastpoint",
     "scan_filter_project", "agg_groupby", "agg_cube", "join_multiway",
     "join_inequality", "window_rank", "range_tumbling", "range_sliding",
-    "range_fill_linear", "promql_sum_rate", "promql_topk",
+    "range_fill_linear", "range_percentile", "promql_sum_rate", "promql_topk",
     "dedup_minhash", "dedup_ngram_jaccard", "similarity_topk",
     "similarity_ivf",
     "text_stats", "pipeline_etl", "ingest_influx_lp", "ingest_flight")
@@ -54,6 +54,9 @@ object Bench {
       Thread.sleep(15000)
       waited += 15
     }
+    // stamp the PRE-run value: the 32-core bench itself drives loadavg
+    // up, so the end-of-run loadavg alone can't show the gate passed
+    val loadAtGate = loadavg
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -111,7 +114,7 @@ object Bench {
     val body = timed.map { case (k, v, _) => f""""$k":$v%.3f""" }.mkString(",")
     val ingest = timed.collect { case (k, v, rows) if ingestRows(k) && v > 0 =>
       f""""$k":${rows / v}%.0f""" }.mkString(",")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$body},"ingest_rows_per_s":{$ingest},"sf":"$sfDir","loadavg":$load}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$body},"ingest_rows_per_s":{$ingest},"sf":"$sfDir","loadavg":$load,"loadavg_at_gate":$loadAtGate%.1f}""")
     spark.stop()
   }
 }

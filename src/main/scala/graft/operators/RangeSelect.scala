@@ -60,11 +60,48 @@ object RangeSelect {
     def present: Column = when(guard, lit(1))
   }
 
+  /** A collect-buffering aggregate (exact/approx percentile, WITHIN
+    * GROUP, array_agg) evaluated INSIDE a per-series sliding-window fold
+    * instead of the slot explode — the reference's `RangeSelectStream`
+    * shape (query/src/range_select/plan.rs:967: per-window accumulators
+    * updated in one pass over the sorted series). The explode path
+    * serializes every input row into ceil(range/align) aggregation
+    * buffers — 240× shuffle amplification at RANGE '1h' ALIGN '15s' —
+    * where the fold shuffles each row at most twice (chunk-boundary
+    * copy). Algebraic aggregates (min/max/sum/count/avg) should STAY on
+    * the explode path: partial aggregation already combines them
+    * map-side, and the codegen'd hash aggregate beats the fold there.
+    *
+    * @param eval window evaluator over the non-null (ts, value) samples
+    *             of [[input]] with slot <= ts < slot + range, in
+    *             ascending-ts order; None → NULL output for the slot
+    * @param dataType Spark type of the evaluator's result
+    */
+  final case class FoldAgg(
+      alias: String,
+      input: String,
+      eval: IndexedSeq[(Long, Double)] => Option[Any],
+      fill: Fill = Fill.None,
+      rangeMs: Option[Long] = scala.None,
+      dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.DoubleType)
+
+  /** Explode-to-fold switchover for SQL-surfaced collect-buffering RANGE
+    * aggregates (graft.sql.RangeSql): when ceil(range/align) reaches
+    * this fan-out, percentile WITHIN GROUP routes through [[FoldAgg]].
+    * Below it the explode is a plain codegen'd filter+agg and the
+    * reference sqlness corpus (fan-out ≤ a few) keeps its pinned
+    * explode-path results. */
+  private[graft] var FoldFanoutMin = 16L
+
   private val Slot = "__slot"
 
   /** @param tsMs  name of a LongType epoch-millisecond time column
     * @param by    series key columns
-    * @return DataFrame with columns (tsMs slot, by..., aggs...)
+    * @param foldAggs collect-buffering aggregates routed through the
+    *                 per-series fold (joined with the explode part on
+    *                 (by, slot) — a #series × #slots join)
+    * @return DataFrame with columns (tsMs slot, by..., aggs..., foldAggs...)
     */
   def apply(
       df: DataFrame,
@@ -73,40 +110,200 @@ object RangeSelect {
       alignMs: Long,
       rangeMs: Long,
       aggs: Seq[RangeAgg],
-      alignToMs: Long = 0L): DataFrame = {
+      alignToMs: Long = 0L,
+      foldAggs: Seq[FoldAgg] = Nil): DataFrame = {
     require(alignMs > 0 && rangeMs > 0, "align/range must be positive")
-    val maxRange = (rangeMs +: aggs.flatMap(_.rangeMs)).max
+    require(aggs.nonEmpty || foldAggs.nonEmpty, "at least one aggregate")
     val ts = col(tsMs)
 
-    // slot indices i with i*align+align_to in (ts - maxRange, ts]
-    // (floor division keeps pre-epoch timestamps correct)
-    val iHi = floor((ts - alignToMs).cast("double") / alignMs).cast("long")
-    val loTs = ts - maxRange
-    val iLo = floor((loTs - alignToMs).cast("double") / alignMs).cast("long") + 1
-    // sequence(lo, hi) turns descending when lo > hi (possible when
-    // range < align, where a row may belong to zero slots) — the guard
-    // filter below drops any out-of-window slot it produces.
-    val exploded = df
-      .withColumn("__i", explode(sequence(least(iLo, iHi), iHi)))
-      .withColumn(Slot, col("__i") * alignMs + alignToMs)
-      .drop("__i")
-      .filter(col(Slot) <= ts && ts < col(Slot) + maxRange)
+    val explodePart: Option[DataFrame] = if (aggs.isEmpty) scala.None else Some {
+      val maxRange = (rangeMs +: aggs.flatMap(_.rangeMs)).max
+      // slot indices i with i*align+align_to in (ts - maxRange, ts]
+      // (floor division keeps pre-epoch timestamps correct)
+      val iHi = floor((ts - alignToMs).cast("double") / alignMs).cast("long")
+      val loTs = ts - maxRange
+      val iLo = floor((loTs - alignToMs).cast("double") / alignMs).cast("long") + 1
+      // sequence(lo, hi) turns descending when lo > hi (possible when
+      // range < align, where a row may belong to zero slots) — the guard
+      // filter below drops any out-of-window slot it produces.
+      val exploded = df
+        .withColumn("__i", explode(sequence(least(iLo, iHi), iHi)))
+        .withColumn(Slot, col("__i") * alignMs + alignToMs)
+        .drop("__i")
+        .filter(col(Slot) <= ts && ts < col(Slot) + maxRange)
 
-    val aggCols = aggs.map { a =>
-      val r = a.rangeMs.getOrElse(rangeMs)
-      val guard = (col(Slot) <= ts) && (ts < col(Slot) + r)
-      a.build(new Ctx(guard)).as(a.alias)
+      val aggCols = aggs.map { a =>
+        val r = a.rangeMs.getOrElse(rangeMs)
+        val guard = (col(Slot) <= ts) && (ts < col(Slot) + r)
+        a.build(new Ctx(guard)).as(a.alias)
+      }
+      exploded
+        .groupBy((by.map(col) :+ col(Slot)): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
     }
-    val grouped = exploded
-      .groupBy((by.map(col) :+ col(Slot)): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
 
-    val needFill = aggs.exists(_.fill != Fill.None)
-    val densified = if (needFill) densify(grouped, by, alignMs) else grouped
+    val foldPart: Option[DataFrame] =
+      if (foldAggs.isEmpty) scala.None
+      else Some(foldSlots(df, tsMs, by, alignMs, alignToMs, rangeMs, foldAggs))
 
-    val filled = applyFills(densified, by, aggs)
+    // slot presence = ANY aggregate's window saw a row (the reference
+    // keys output rows off the union of accumulator windows); the
+    // full-outer join reproduces that across the two paths
+    val combined = (explodePart, foldPart) match {
+      case (Some(a), Some(b)) => a.join(b, by :+ Slot, "full_outer")
+      case (Some(a), _) => a
+      case (_, b) => b.get
+    }
+
+    val fills = aggs.map(a => a.alias -> a.fill) ++
+      foldAggs.map(a => a.alias -> a.fill)
+    val needFill = fills.exists(_._2 != Fill.None)
+    val densified = if (needFill) densify(combined, by, alignMs) else combined
+
+    val filled = applyFills(densified, by, fills)
     filled.withColumnRenamed(Slot, tsMs)
-      .select((tsMs +: by) ++ aggs.map(_.alias) map col: _*)
+      .select((tsMs +: by) ++ (aggs.map(_.alias) ++ foldAggs.map(_.alias))
+        map col: _*)
+  }
+
+  /** The fold evaluation of [[FoldAgg]]s: one shuffle on (series,
+    * slot-chunk), each partition sorted by ts and swept once with a
+    * sliding deque — shuffle volume is ≤2× the input (chunk-boundary
+    * copies), independent of range/align, vs the explode's
+    * ceil(range/align)× buffer amplification. Mirrors
+    * graft.promql.PromQL.foldWindowsAtGrid but with RANGE's
+    * FORWARD-looking window (slot <= ts < slot + range) and a
+    * data-driven slot set (a slot exists iff its max-range window is
+    * non-empty) instead of a fixed eval grid. */
+  private def foldSlots(df: DataFrame, tsMs: String, by: Seq[String],
+      alignMs: Long, alignToMs: Long, defaultRangeMs: Long,
+      foldAggs: Seq[FoldAgg]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ranges = foldAggs.map(_.rangeMs.getOrElse(defaultRangeMs))
+    val maxR = ranges.max
+    val inputs = foldAggs.map(_.input).distinct.toIndexedSeq
+    val aggIn = foldAggs.map(a => inputs.indexOf(a.input)).toArray
+    val evals = foldAggs.map(_.eval).toArray
+    val rArr = ranges.toArray
+    val nIn = inputs.length
+    val nAgg = foldAggs.length
+
+    val keyCol = if (by.isEmpty) lit(0L) else struct(by.map(col): _*)
+    val projected = df.select(
+      keyCol.as("__k") +: col(tsMs).cast("long").as("__t") +:
+        inputs.zipWithIndex.map { case (c, i) =>
+          col(c).cast("double").as(s"__in$i") }: _*)
+    // slot indices this sample feeds: forward window t <= ts < t + maxR
+    // → i in [iLo, iHi]
+    val t = col("__t")
+    val iHi = floor((t - alignToMs).cast("double") / alignMs).cast("long")
+    val iLo = floor((t - maxR - alignToMs).cast("double") / alignMs)
+      .cast("long") + 1
+    // chunk = one maxR-wide band of slot indices → a sample lands in ≤2
+    // chunks; per-series parallelism = series time-span / maxR
+    val m = math.max(1L, (maxR + alignMs - 1) / alignMs)
+    val keyed = projected
+      .filter(iLo <= iHi) // range < align can orphan a row from every slot
+      .withColumn("__c", explode(sequence(
+        floor(iLo.cast("double") / m).cast("long"),
+        floor(iHi.cast("double") / m).cast("long"))))
+      .repartition(col("__k"), col("__c"))
+      .sortWithinPartitions(col("__k"), col("__c"), col("__t"))
+
+    val outT = StructType(
+      StructField("__k", keyed.schema("__k").dataType, nullable = by.nonEmpty) +:
+        StructField(Slot, LongType, nullable = false) +:
+        foldAggs.map(a => StructField(a.alias, a.dataType, nullable = true)))
+    val (alignL, alignToL, maxRL, mL) = (alignMs, alignToMs, maxR, m)
+
+    val folded = keyed.mapPartitions { it =>
+      new Iterator[Row] {
+        private val out = scala.collection.mutable.Queue.empty[Row]
+        private var curKey: Any = null
+        private var curChunk = 0L
+        private var started = false
+        // entries: Array(ts: Long, in0: java.lang.Double|null, ...)
+        private val deque = new java.util.ArrayDeque[Array[Any]]()
+        private var nextI = 0L // next unemitted slot index of the chunk
+        private var endI = 0L  // first slot index past the chunk
+        private def emitUpTo(limit0: Long): Unit = {
+          val lim = math.min(limit0, endI)
+          while (nextI < lim) {
+            val slotTs = nextI * alignL + alignToL
+            while (!deque.isEmpty &&
+              deque.peekFirst()(0).asInstanceOf[Long] < slotTs)
+              deque.pollFirst()
+            if (deque.isEmpty) nextI = lim // no samples until the next row
+            else {
+              // invariant (emitUpTo precedes every insert): all deque
+              // entries have ts < slotTs + maxR — the deque IS the
+              // max-range window; per-agg windows are its prefixes
+              val w = deque.toArray(new Array[Array[Any]](deque.size))
+              val vals = new Array[Any](2 + nAgg)
+              vals(0) = curKey
+              vals(1) = slotTs
+              var a = 0
+              while (a < nAgg) {
+                val end = slotTs + rArr(a)
+                val buf = IndexedSeq.newBuilder[(Long, Double)]
+                var j = 0
+                var inWin = true
+                while (j < w.length && inWin) {
+                  val sts = w(j)(0).asInstanceOf[Long]
+                  if (sts >= end) inWin = false
+                  else {
+                    val v = w(j)(1 + aggIn(a))
+                    if (v != null) buf += ((sts, v.asInstanceOf[Double]))
+                  }
+                  j += 1
+                }
+                vals(2 + a) = evals(a)(buf.result()).orNull
+                a += 1
+              }
+              out += Row.fromSeq(
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+              nextI += 1
+            }
+          }
+        }
+        private def advance(): Unit = {
+          while (out.isEmpty && it.hasNext) {
+            val r = it.next()
+            val k = r.get(0)
+            val c = r.getLong(2 + nIn)
+            if (!started || k != curKey || c != curChunk) {
+              if (started) { emitUpTo(endI); deque.clear() }
+              curKey = k
+              curChunk = c
+              nextI = c * mL
+              endI = (c + 1) * mL
+              started = true
+            }
+            val sts = r.getLong(1)
+            // slots strictly before this sample's first slot are final
+            emitUpTo(Math.floorDiv(sts - maxRL - alignToL, alignL) + 1)
+            val e = new Array[Any](1 + nIn)
+            e(0) = sts
+            var i = 0
+            while (i < nIn) {
+              e(1 + i) = if (r.isNullAt(2 + i)) null else Double.box(r.getDouble(2 + i))
+              i += 1
+            }
+            deque.addLast(e)
+          }
+          if (out.isEmpty && started) {
+            emitUpTo(endI); deque.clear(); started = false
+          }
+        }
+        def hasNext: Boolean = { if (out.isEmpty) advance(); out.nonEmpty }
+        def next(): Row = { if (out.isEmpty) advance(); out.dequeue() }
+      }
+    }(Encoders.row(outT))
+
+    if (by.isEmpty) folded.select(col(Slot) +: foldAggs.map(a => col(a.alias)): _*)
+    else folded.select((by.map(b => col(s"__k.`$b`").as(b)) :+ col(Slot)) ++
+      foldAggs.map(a => col(a.alias)): _*)
   }
 
   /** Per-series dense grid from first to last populated slot, left-joined
@@ -120,17 +317,18 @@ object RangeSelect {
     extent.join(grouped, by :+ Slot, "left")
   }
 
-  private def applyFills(df: DataFrame, by: Seq[String], aggs: Seq[RangeAgg]): DataFrame = {
+  private def applyFills(df: DataFrame, by: Seq[String],
+      fills: Seq[(String, Fill)]): DataFrame = {
     val w = Window.partitionBy(by.map(col): _*).orderBy(col(Slot))
-    aggs.foldLeft(df) { (d, a) =>
-      a.fill match {
+    fills.foldLeft(df) { case (d, (alias, fill)) =>
+      fill match {
         case Fill.None | Fill.Null => d
-        case Fill.Const(v) => d.withColumn(a.alias, coalesce(col(a.alias), lit(v)))
+        case Fill.Const(v) => d.withColumn(alias, coalesce(col(alias), lit(v)))
         case Fill.Prev =>
-          d.withColumn(a.alias,
-            last(col(a.alias), ignoreNulls = true)
+          d.withColumn(alias,
+            last(col(alias), ignoreNulls = true)
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        case Fill.Linear => fillLinear(d, a.alias, w)
+        case Fill.Linear => fillLinear(d, alias, w)
       }
     }
   }

@@ -75,6 +75,23 @@ object RangeQueries {
         RangeAgg("n", ctx => count(ctx.value("value"))),
         RangeAgg("min_v", ctx => min(ctx.value("value")))))
         .orderBy(col("ts_ms"), col("ubucket"))
+    }),
+
+    "range_percentile" -> ((s, d) => {
+      // collect-buffering aggregate (percentile WITHIN GROUP) through
+      // the per-series FOLD path — no slot explode of the input rows —
+      // alongside an algebraic count on the explode path, joined on
+      // (by, slot). Rounded to 6 dp so the DuckDB quantile_cont oracle
+      // compares exactly.
+      import graft.operators.{RangeFolds, RangeSelect => RS}
+      RS(events(s, d), "ts_ms", Seq("event_type"), HM, 2 * H, Seq(
+        RangeAgg("n", ctx => count(ctx.value("value")))),
+        foldAggs = Seq(
+          RS.FoldAgg("p50", "value", RangeFolds.percentileCont(0.5)),
+          RS.FoldAgg("p90", "value", RangeFolds.percentileCont(0.9))))
+        .withColumn("p50", round(col("p50"), 6))
+        .withColumn("p90", round(col("p90"), 6))
+        .orderBy(col("ts_ms"), col("event_type"))
     })
   )
 
@@ -185,6 +202,18 @@ object RangeQueries {
     "range_by_derived" ->
       """SELECT user_id % 10 AS ubucket, COUNT(value) AS n, MIN(value) AS min_v,
            ((epoch_ns(ts)//1000000) // 3600000) * 3600000 AS ts_ms
-         FROM events GROUP BY ts_ms, ubucket ORDER BY ts_ms, ubucket"""
+         FROM events GROUP BY ts_ms, ubucket ORDER BY ts_ms, ubucket""",
+
+    // RANGE '2h' ALIGN '30m' (4 slots per row): exact percentile over
+    // each forward window [slot, slot+2h) — DuckDB quantile_cont is the
+    // same q·(n−1) linear interpolation as RangeFolds.percentileCont
+    "range_percentile" ->
+      """SELECT event_type,
+           COUNT(value) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           (((epoch_ns(ts)//1000000) // 1800000) - g.i) * 1800000 AS ts_ms
+         FROM events CROSS JOIN (SELECT unnest(generate_series(0,3)) AS i) g
+         GROUP BY ts_ms, event_type ORDER BY ts_ms, event_type"""
   )
 }

@@ -522,14 +522,50 @@ object RangeSql {
       else java.time.Instant.parse(if (v.endsWith("Z")) v else v + "Z").toEpochMilli
     }.getOrElse(defaultOriginMs)
 
+    // Collect-buffering aggregates at a large fan-out route through the
+    // per-series fold (RangeSelect.FoldAgg) instead of the slot explode:
+    // `percentile WITHIN GROUP ... RANGE '1h' ALIGN '15s'` would
+    // otherwise serialize every input row into 240 aggregation buffers
+    // (the reference's RangeSelectStream, plan.rs:967, folds instead).
+    val pctRx = ("(?is)^\\s*approx_percentile_cont\\s*\\(\\s*([0-9.]+)\\s*\\)" +
+      "\\s*WITHIN\\s+GROUP\\s*\\(\\s*ORDER\\s+BY\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "\\s*(ASC|DESC)?\\s*\\)\\s*$").r
+    def asFoldAgg(a: Annotated): Option[RangeSelect.FoldAgg] =
+      if ((a.rangeMs + alignMs - 1) / alignMs < RangeSelect.FoldFanoutMin)
+        scala.None
+      else pctRx.findFirstMatchIn(a.text).flatMap { mm =>
+        base.schema.fieldNames.find(_.equalsIgnoreCase(mm.group(2))).map { x =>
+          val p = mm.group(1).toDouble
+          val q = if (Option(mm.group(3)).exists(_.equalsIgnoreCase("DESC")))
+            1.0 - p else p
+          val integral = base.schema(x).dataType match {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType => true
+            case _ => false
+          }
+          val td = graft.operators.RangeFolds.percentileTDigest(q)
+          val ev: IndexedSeq[(Long, Double)] => Option[Any] =
+            if (integral) s => td(s).map(_.asInstanceOf[Double].toLong) else td
+          RangeSelect.FoldAgg(a.alias, x, ev,
+            fill = a.fill.orElse(defaultFill).getOrElse(Fill.None),
+            dataType = if (integral) org.apache.spark.sql.types.LongType
+              else org.apache.spark.sql.types.DoubleType)
+        }
+      }
+
     val groups = annots.toList.groupBy(_.rangeMs)
     val parts = groups.map { case (rangeMs, as) =>
-      RangeSelect(base, tsCol, by, alignMs, rangeMs,
-        as.map(a => RangeAgg(a.alias,
+      val folded = as.map(a => a -> asFoldAgg(a))
+      val explodeAggs = folded.collect { case (a, scala.None) =>
+        RangeAgg(a.alias,
           _ => expr(rewriteRangeAggDialect(
             rewriteFirstLast(a.text, tsCol, base.schema), base.schema)),
-          a.fill.orElse(defaultFill).getOrElse(Fill.None))),
-        alignTo)
+          a.fill.orElse(defaultFill).getOrElse(Fill.None))
+      }
+      RangeSelect(base, tsCol, by, alignMs, rangeMs, explodeAggs, alignTo,
+        foldAggs = folded.collect { case (_, Some(f)) => f })
     }.toList
     val joined = parts.reduce { (a, b) =>
       a.join(b, (tsCol +: by).toSeq, "full_outer")

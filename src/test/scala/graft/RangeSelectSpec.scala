@@ -143,4 +143,122 @@ class RangeSelectSpec extends AnyFunSuite {
     assert(collect(out).filter(_(1) == "host1").map(_.head) ==
       Seq(-4000L, 1000L, 6000L, 11000L, 16000L))
   }
+
+  // ---- FoldAgg: collect-buffering aggregates through the fold --------
+
+  /** Seeded random series: 3 hosts × 400 samples, irregular ts (some
+    * before epoch), ~8% null values. */
+  private def randomSeries(seed: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val rows = for {
+      h <- Seq("a", "b", "c")
+      _ <- 0 until 400
+    } yield Row(
+      -20000L + (rnd.nextDouble() * 200000).toLong,
+      h,
+      if (rnd.nextDouble() < 0.08) null
+      else java.lang.Double.valueOf(math.rint(rnd.nextDouble() * 1000) / 10))
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "ts BIGINT, host STRING, val DOUBLE"))
+  }
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    df.orderBy("host", "ts").collect().toSeq.map(_.toSeq)
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    val (ra, rb) = (sortedRows(a), sortedRows(b))
+    assert(ra.length == rb.length, s"rows ${ra.length} vs ${rb.length}")
+    ra.zip(rb).foreach { case (x, y) =>
+      x.zip(y).foreach {
+        case (u: Double, v: Double) =>
+          assert(u == v || math.abs(u - v) < 1e-9, s"$x vs $y")
+        case (u, v) => assert(u == v, s"$x vs $y")
+      }
+    }
+  }
+
+  test("fold percentile ≡ explode percentile at every range/align shape") {
+    import graft.operators.{RangeFolds, RangeSelect => RS}
+    val df = randomSeries(42).cache()
+    // (align, range): sliding, tumbling, range<align, non-divisible
+    for ((a, r) <- Seq((5000L, 40000L), (10000L, 10000L),
+        (10000L, 4000L), (7000L, 30000L))) {
+      val explode = RangeSelect(df, "ts", Seq("host"), a, r, Seq(
+        RangeAgg("n", ctx => count(ctx.value("val"))),
+        RangeAgg("p50", ctx => percentile(ctx.value("val"), lit(0.5))),
+        RangeAgg("p90", ctx => percentile(ctx.value("val"), lit(0.9)))))
+      val fold = RangeSelect(df, "ts", Seq("host"), a, r, Seq(
+        RangeAgg("n", ctx => count(ctx.value("val")))),
+        foldAggs = Seq(
+          RS.FoldAgg("p50", "val", RangeFolds.percentileCont(0.5)),
+          RS.FoldAgg("p90", "val", RangeFolds.percentileCont(0.9))))
+      assertSame(explode.select("ts", "host", "n", "p50", "p90"),
+        fold.select("ts", "host", "n", "p50", "p90"))
+    }
+    df.unpersist()
+  }
+
+  test("fold-only query, per-expression fold ranges, and slot-set union") {
+    import graft.operators.{RangeFolds, RangeSelect => RS}
+    val df = randomSeries(7)
+    // per-expr ranges on the fold side: p5s over [t,t+5s), p20s over
+    // [t,t+20s) — slot set = union (20s window adds leading slots)
+    val fold = RangeSelect(df, "ts", Seq("host"), 5000, 5000, Nil,
+      foldAggs = Seq(
+        RS.FoldAgg("p5s", "val", RangeFolds.percentileCont(0.5)),
+        RS.FoldAgg("p20s", "val", RangeFolds.percentileCont(0.5),
+          rangeMs = Some(20000L))))
+    val explode = RangeSelect(df, "ts", Seq("host"), 5000, 5000, Seq(
+      RangeAgg("p5s", ctx => percentile(ctx.value("val"), lit(0.5))),
+      RangeAgg("p20s", ctx => percentile(ctx.value("val"), lit(0.5)),
+        Fill.None, Some(20000L))))
+    assertSame(explode.select("ts", "host", "p5s", "p20s"),
+      fold.select("ts", "host", "p5s", "p20s"))
+  }
+
+  test("FoldAgg fills ride the shared densified grid") {
+    import graft.operators.{RangeFolds, RangeSelect => RS}
+    val out = RangeSelect(hostGaps(), "ts", Seq("host"), 5000, 5000, Seq(
+      RangeAgg("m", ctx => min(ctx.value("val")), Fill.Prev)),
+      foldAggs = Seq(
+        RS.FoldAgg("p", "val", RangeFolds.percentileCont(0.5), Fill.Prev)))
+    val h1 = collect(out).filter(_(1) == "host1")
+    // slots 0,5s,10s,15s densified; 5s/10s filled from slot 0
+    assert(h1.map(_.head) == Seq(0L, 5000L, 10000L, 15000L))
+    assert(h1.map(_(2)) == Seq(0L, 0L, 0L, 6L))      // min FILL PREV
+    assert(h1.map(_(3)) == Seq(1.0, 1.0, 1.0, 7.0))  // median FILL PREV
+  }
+
+  test("SQL percentile WITHIN GROUP routes through the fold at high fan-out") {
+    import graft.operators.{RangeSelect => RS}
+    graft.functions.Registry.registerAll(spark) // __approx_pct_td for explode
+    val df = randomSeries(11)
+    def resolve(name: String) = (df, "ts", Seq("host"))
+    val sql = "SELECT ts, host, approx_percentile_cont(0.9) WITHIN GROUP " +
+      "(ORDER BY val) RANGE '40s' FROM t ALIGN '5s' BY (host)"
+    val saved = RS.FoldFanoutMin
+    try {
+      RS.FoldFanoutMin = Long.MaxValue // force explode
+      val explodeRows = sortedRows(
+        graft.sql.RangeSql.execute(spark, sql, resolve))
+      RS.FoldFanoutMin = 2L // ratio 8 → fold
+      val foldRows = sortedRows(
+        graft.sql.RangeSql.execute(spark, sql, resolve))
+      assert(explodeRows.length == foldRows.length)
+      // both run the same t-digest; fold builds it in one compress pass
+      // so centroids can differ at batch boundaries — assert tight
+      // numeric agreement rather than bit equality
+      explodeRows.zip(foldRows).foreach { case (x, y) =>
+        assert(x.take(2) == y.take(2), s"$x vs $y")
+        (x(2), y(2)) match {
+          case (null, null) =>
+          case (u: Double, v: Double) =>
+            assert(math.abs(u - v) <= 1e-6 * math.max(1.0, math.abs(u)),
+              s"$x vs $y")
+          case other => fail(s"unexpected $other")
+        }
+      }
+    } finally RS.FoldFanoutMin = saved
+  }
 }
