@@ -42,6 +42,101 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(truncated) == null)
   }
 
+  test("decodeImage on a HAND-CONSTRUCTED PNG (no ImageIO on the encode side)") {
+    // 8×8 RGB PNG written chunk-by-chunk: IHDR + IDAT (raw deflate of
+    // filter-0 scanlines) + IEND, CRCs via java.util.zip.CRC32. Left 4
+    // columns black, right 4 white → the 8×8 average-hash needs no
+    // resampling and is exactly 'white pixel' bits: 0xF0 per row.
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(bos)
+      d.writeInt(body.length)
+      d.write(tag.getBytes("US-ASCII"))
+      d.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+      d.writeInt(crc.getValue.toInt)
+      bos.toByteArray
+    }
+    val ihdr = {
+      val b = java.nio.ByteBuffer.allocate(13)
+      b.putInt(8).putInt(8) // width, height
+      b.put(8.toByte)       // bit depth
+      b.put(2.toByte)       // color type: truecolor RGB
+      b.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      b.array()
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    for (_ <- 0 until 8) {
+      raw.write(0) // filter type None
+      for (x <- 0 until 8; _ <- 0 until 3) raw.write(if (x < 4) 0 else 255)
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw.toByteArray); d.finish()
+      val buf = new Array[Byte](1024)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++
+      chunk("IEND", Array.empty)
+    val dec = Multimodal.decodeImage(png)
+    assert(dec != null, "hand-built PNG failed to decode")
+    assert(dec.width == 8 && dec.height == 8 && dec.channels == 3)
+    // bit i set iff pixel i is the white half: columns 4-7 of every row
+    assert(dec.ahash == 0xF0F0F0F0F0F0F0F0L,
+      f"ahash=0x${dec.ahash}%016x")
+  }
+
+  test("decodeAudio on a HAND-CONSTRUCTED RIFF/WAV (no AudioSystem on the encode side)") {
+    // 16-bit mono 8 kHz, 1000 frames of constant +2000 → duration 125 ms,
+    // RMS exactly 2000. Header written field-by-field (RIFF spec), not
+    // via javax.sound encoding.
+    val n = 1000
+    val b = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1)            // PCM
+    b.putShort(1)            // mono
+    b.putInt(8000)           // sample rate
+    b.putInt(8000 * 2)       // byte rate
+    b.putShort(2)            // block align
+    b.putShort(16)           // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    for (_ <- 0 until n) b.putShort(2000)
+    val dec = Multimodal.decodeAudio(b.array())
+    assert(dec != null, "hand-built WAV failed to decode")
+    assert(dec.sample_rate == 8000 && dec.channels == 1)
+    assert(dec.duration_ms == 125)
+    assert(math.abs(dec.rms - 2000.0) < 1e-6, s"rms=${dec.rms}")
+  }
+
+  test("cross-format: the same pattern as PNG and JPEG decodes to equal dims + ahash") {
+    // a decoder bug symmetric with the PNG encoder can't also be
+    // symmetric with the independent JPEG codec; high-contrast halves
+    // keep the average-hash identical through JPEG loss
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val (png, jpg) = (Multimodal.decodeImage(enc("png")),
+      Multimodal.decodeImage(enc("jpg")))
+    assert(png != null && jpg != null)
+    assert(png.width == 32 && jpg.width == 32 && png.height == 32 &&
+      jpg.height == 32)
+    assert(png.ahash == jpg.ahash,
+      f"png=0x${png.ahash}%016x jpg=0x${jpg.ahash}%016x")
+    assert(png.ahash == 0xF0F0F0F0F0F0F0F0L)
+  }
+
   test("wavFor emits real decodable WAV with the declared rate/duration") {
     for (cls <- 0 until Multimodal.imageClasses) {
       val a = Multimodal.decodeAudio(Multimodal.wavFor(cls))

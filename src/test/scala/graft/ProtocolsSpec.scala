@@ -60,6 +60,43 @@ class ProtocolsSpec extends AnyFunSuite {
     assert(rows(1).getString(0) == "b" && rows(1).isNullAt(1)) // missing field -> null
   }
 
+  test("influxPivoted: sampled discovery, strict unknown-key failure, empty-sample fallback") {
+    import org.apache.spark.sql.functions.col
+    // single partition: the 2-row sample determines the schema
+    val lines = Seq(
+      "cpu,host=a usage=1.0 100",
+      "cpu,host=b usage=2.0 200",
+      "cpu,host=c usage=3.0,extra=9.0 300" // key outside the sample
+    ).toDF("line").coalesce(1)
+    // exhaustive discovery sees `extra`
+    val full = Protocols.influxPivoted(lines, "line", "cpu",
+      discoverySampleRows = 0)
+    assert(full.columns.toSeq == Seq("host", "extra", "usage", "ts"))
+    assert(full.count() == 3)
+    // sampled discovery (2 rows) misses `extra` → loud failure, not a
+    // silently dropped value
+    val strict = Protocols.influxPivoted(lines, "line", "cpu",
+      discoverySampleRows = 2)
+    val e = intercept[Exception](strict.count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("outside the sampled schema")), msgs(e))
+    // homogeneous keys: sampled path is correct
+    val homo = Protocols.influxPivoted(
+      Seq("cpu,host=a usage=1.0 100", "cpu,host=b usage=2.0 200")
+        .toDF("line").coalesce(1),
+      "line", "cpu", discoverySampleRows = 1)
+    assert(homo.orderBy(col("ts")).collect().map(_.getString(0)).toSeq ==
+      Seq("a", "b"))
+    // measurement absent from the sample → automatic full discovery
+    val late = Protocols.influxPivoted(
+      (Seq.fill(5)("cpu,host=a usage=1.0 100") :+
+        "mem,host=z used=9.0 500").toDF("line").coalesce(1),
+      "line", "mem", discoverySampleRows = 2)
+    assert(late.columns.toSeq == Seq("host", "used", "ts"))
+    assert(late.count() == 1)
+  }
+
   test("protobuf wire codec round-trips varint/fixed64/strings/packed") {
     val w = new ProtoWire.Writer
     w.int(1, 300L).int(2, Long.MaxValue).double(3, -2.5)
