@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate for the headline bench queries — pins the
+  * structural properties the bench numbers depend on, so wall-clock
+  * drift is attributable to the machine, not a silently changed plan.
+  * This is the engine-side replacement for what the reference's
+  * excluded optimizer corpus pins textually
+  * (tests/cases/standalone/optimizer/filter_push_down.sql): the same
+  * properties — pushdown, broadcast choice, top-k pruning — asserted
+  * structurally on Spark's formatted physical plan. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val plans = scala.collection.mutable.Map.empty[String, String]
+  private def plan(name: String): String = plans.getOrElseUpdate(name,
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+
+  /** Distinct node ids of `op`, from the formatted plan's detail section
+    * ("(12) BroadcastHashJoin") where every node appears exactly once
+    * with no tree modifiers; the ") " anchor keeps "Exchange" from also
+    * matching BroadcastExchange nodes. */
+  private def nodeIds(p: String, op: String): Set[String] =
+    ("\\((\\d+)\\) " + java.util.regex.Pattern.quote(op) + "(?![A-Za-z])").r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+
+  test("no CartesianProduct in any headline bench plan") {
+    // BroadcastNestedLoopJoin over a broadcast query set is deliberate
+    // (similarity_topk); an unbroadcast CartesianProduct never is
+    for (n <- Bench.headline)
+      assert(!plan(n).contains("CartesianProduct"), s"$n has a cartesian")
+  }
+
+  test("join_multiway: broadcast dims, single-shuffle agg, no sort-merge join") {
+    val p = plan("join_multiway")
+    assert(nodeIds(p, "BroadcastHashJoin").size == 2, p.take(800))
+    assert(nodeIds(p, "SortMergeJoin").isEmpty)
+    assert(nodeIds(p, "Exchange").size <= 2, // agg + output sort
+      s"shuffles=${nodeIds(p, "Exchange")}")
+  }
+
+  test("TSBS scans push their filters into the parquet scan") {
+    def pushed(n: String, frag: String): Unit = {
+      val lines = plan(n).linesIterator.filter(_.contains("PushedFilters")).toSeq
+      assert(lines.exists(_.contains(frag)), s"$n pushed: $lines")
+    }
+    pushed("tsbs_single_groupby_1_1_12", "EqualTo(user_id,1)")
+    pushed("tsbs_high_cpu_all", "GreaterThan(value,")
+    pushed("tsbs_cpu_max_all_8", "LessThan(user_id,8)")
+  }
+
+  test("top-k plans keep the WindowGroupLimit map-side prune") {
+    for (n <- Seq("similarity_topk", "similarity_ivf", "lastpoint"))
+      assert(nodeIds(plan(n), "WindowGroupLimit").size >= 2, // partial+final
+        s"$n lost WindowGroupLimit")
+    // the IVF probe joins the broadcast query-cell set, never shuffling
+    // the corpus
+    assert(nodeIds(plan("similarity_ivf"), "BroadcastHashJoin").nonEmpty)
+    assert(nodeIds(plan("similarity_ivf"), "SortMergeJoin").isEmpty)
+  }
+
+  test("promql_sum_rate: one fold repartition + bounded agg shuffles") {
+    // (series, chunk) repartition, aggregate exchange, output sort —
+    // anything beyond that means the fold path regressed to a fan-out
+    assert(nodeIds(plan("promql_sum_rate"), "Exchange").size <= 3,
+      s"shuffles=${nodeIds(plan("promql_sum_rate"), "Exchange")}")
+  }
+
+  test("range_percentile: fold path shows no slot explode on the percentile side") {
+    val p = plan("range_percentile")
+    // the fold keeps ONE Generate (the explode part's count path may
+    // carry one); the old all-explode formulation had the percentile
+    // riding a Generate into an ObjectHashAggregate
+    assert(!p.contains("ObjectHashAggregate"), "percentile re-entered a buffer agg")
+  }
+
+  test("dedup_ngram_jaccard: stage count and shuffle bytes stay bounded at sf0.1") {
+    // Pins the RUNTIME structure (the static plan hides the persisted
+    // candidate/doc sub-jobs) so bench drift is attributable: machine
+    // noise moves wall-clock, not stages or shuffle volume. Measured
+    // small-path baseline: 16 stages, ~15 MB shuffle; bounds carry ~60%
+    // headroom. A revert to the pre-prune join or a lost broadcast
+    // blows the shuffle bound by an order of magnitude.
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$sf01/documents.parquet").exists())
+    val stages = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        shuffle.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = graft.operators.Dedup.ngramJaccardPairs(docs, "text", "doc_id")
+        .count()
+      Thread.sleep(1000) // listener events drain async
+      assert(n > 0)
+      assert(stages.get <= 26, s"stages=${stages.get} (baseline 16)")
+      assert(shuffle.get <= 40L * 1024 * 1024,
+        s"shuffleMB=${shuffle.get / 1e6} (baseline ~15)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
