@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * The Spark-side contract is real — schema, partitioning (by payload
   * size so decode batches stay memory-bounded), operator signatures and
   * output shapes. IMAGE decode is real (JDK ImageIO: PNG/JPEG →
-  * dimensions, channels, 8×8 average-hash; see [[decodeImage]]) and so
-  * is AUDIO (javax.sound.sampled: WAV/PCM → rate, channels, duration,
-  * RMS; see [[decodeAudio]]). Video decode remains a deterministic
-  * fake (no video codec ships in the JDK); a production build swaps
-  * `fakeDecode` for a real codec (e.g. a Pandas UDF over mapInPandas
-  * in PySpark, or a JNI codec here) without touching any caller.
+  * dimensions, channels, 8×8 average-hash; see [[decodeImage]]), AUDIO
+  * is real (javax.sound.sampled: WAV/PCM → rate, channels, duration,
+  * RMS; see [[decodeAudio]]), and VIDEO is real for MJPEG-in-AVI
+  * (RIFF demux + per-frame ImageIO; see [[decodeVideo]] /
+  * [[sampleVideoFrames]]) — the one video format expressible with
+  * in-JDK codecs. Non-MJPEG codecs (H.264 …) stay out of scope; the
+  * decode operator's null-on-undecodable contract is the swap point
+  * for a JNI codec without touching any caller.
   */
 object Multimodal {
 
@@ -150,15 +152,9 @@ object Multimodal {
   /** ImageIO decode: true dimensions + channel count + an 8×8
     * average-hash (downscale, luma, threshold at the mean) for
     * perceptual dedup. Null/undecodable payloads → null row. */
-  def decodeImage(bytes: Array[Byte]): DecodedImage = {
-    if (bytes == null) return null
-    // truncated/malformed streams make ImageIO.read THROW (not return
-    // null) — catch so one bad payload nulls its row instead of failing
-    // the whole task, mirroring decodeAudio
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null) return null
+  /** 8×8 average-hash of a decoded frame: downscale, luma, threshold at
+    * the mean — shared by the image and video paths. */
+  private def ahashOf(img: java.awt.image.BufferedImage): Long = {
     val small = new java.awt.image.BufferedImage(
       8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val g2 = small.createGraphics()
@@ -181,8 +177,20 @@ object Multimodal {
       if (gray(i) >= mean) bits |= (1L << i)
       i += 1
     }
+    bits
+  }
+
+  def decodeImage(bytes: Array[Byte]): DecodedImage = {
+    if (bytes == null) return null
+    // truncated/malformed streams make ImageIO.read THROW (not return
+    // null) — catch so one bad payload nulls its row instead of failing
+    // the whole task, mirroring decodeAudio
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
     DecodedImage(img.getWidth, img.getHeight,
-      img.getColorModel.getNumComponents, bits)
+      img.getColorModel.getNumComponents, ahashOf(img))
   }
 
   /** Decode the binary column: adds `decoded` struct<width, height,
@@ -275,5 +283,193 @@ object Multimodal {
   def decodeAudios(df: DataFrame): DataFrame = {
     val dec = udf((b: Array[Byte]) => decodeAudio(b))
     df.withColumn("adecoded", dec(col("content")))
+  }
+
+  // ---- real video decode (MJPEG-in-AVI: RIFF demux + ImageIO frames) --
+  //
+  // The JDK ships no video CODEC, but MJPEG needs none beyond ImageIO:
+  // each frame is a standalone JPEG inside an AVI RIFF container. The
+  // demuxer below parses the container (avih header + movi '..dc'/'..db'
+  // chunks) and ImageIO decodes the frames — a real end-to-end video
+  // path for the one format expressible with in-JDK codecs. Other
+  // codecs (H.264 etc.) stay out of scope: the decode operator's
+  // contract (null on undecodable) is the swap point for a JNI codec.
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def readLe32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** One MJPEG frame: gradient background + a bar that moves with the
+    * frame index, so consecutive frames hash differently. */
+  private def mjpegFrame(cls: Int, frame: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val barX = (frame * w) / math.max(1, videoFramesFor(cls)) // sweeps across
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val inBar = x >= barX && x < barX + w / 4
+        val r = if (inBar) 255 else x * 160 / math.max(1, w - 1)
+        val g = if (inBar) 255 else y * 160 / math.max(1, h - 1)
+        val b = (cls * 30) % 255
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Frames per video class: 4 + class (duration scales with class). */
+  def videoFramesFor(cls: Int): Int = 4 + cls
+
+  /** Frame period: 10 fps. */
+  val videoUsPerFrame = 100000L
+
+  private val aviCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+
+  /** A real AVI/MJPEG byte stream, container written field-by-field
+    * (RIFF 'AVI ' → LIST hdrl [avih + LIST strl [strh 'vids'/'MJPG' +
+    * strf BITMAPINFOHEADER]] → LIST movi ['00dc' JPEG frames]):
+    * 10 fps, (4+class) frames of (48+8c)×(32+8c). Memoized per class. */
+  def aviFor(classId: Int): Array[Byte] =
+    aviCache.computeIfAbsent(classId, { cls =>
+      val (w, h) = (48 + 8 * cls, 32 + 8 * cls)
+      val n = videoFramesFor(cls)
+      val frames = (0 until n).map(f => mjpegFrame(cls, f, w, h))
+      val o = new java.io.ByteArrayOutputStream()
+      def cc(s: String): Unit = o.write(s.getBytes("US-ASCII"))
+      def u32(v: Long): Unit = o.write(le32(v))
+      def u16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      val maxFrame = frames.map(_.length).max
+      // movi body (frames padded to even length, per RIFF)
+      val movi = new java.io.ByteArrayOutputStream()
+      movi.write("movi".getBytes("US-ASCII"))
+      frames.foreach { fb =>
+        movi.write("00dc".getBytes("US-ASCII"))
+        movi.write(le32(fb.length))
+        movi.write(fb)
+        if (fb.length % 2 == 1) movi.write(0)
+      }
+      val moviBytes = movi.toByteArray
+      // hdrl = avih(56) + LIST strl (strh(56) + strf(40))
+      val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviBytes.length)
+      cc("RIFF"); u32(riffSize); cc("AVI ")
+      cc("LIST"); u32(hdrlSize); cc("hdrl")
+      cc("avih"); u32(56)
+      u32(videoUsPerFrame); u32(0); u32(0); u32(0)
+      u32(n); u32(0); u32(1); u32(maxFrame)
+      u32(w); u32(h); u32(0); u32(0); u32(0); u32(0)
+      cc("LIST"); u32(4 + (8 + 56) + (8 + 40)); cc("strl")
+      cc("strh"); u32(56)
+      cc("vids"); cc("MJPG"); u32(0); u16(0); u16(0); u32(0)
+      u32(1); u32(10) // scale=1, rate=10 → 10 fps
+      u32(0); u32(n); u32(maxFrame); u32(0xFFFFFFFFL); u32(0)
+      u16(0); u16(0); u16(w); u16(h)
+      cc("strf"); u32(40)
+      u32(40); u32(w); u32(h); u16(1); u16(24)
+      cc("MJPG"); u32(w.toLong * h * 3); u32(0); u32(0); u32(0); u32(0)
+      cc("LIST"); u32(moviBytes.length); o.write(moviBytes)
+      o.toByteArray
+    })
+
+  final case class DecodedVideo(width: Int, height: Int, frames: Int,
+      duration_ms: Long, first_ahash: Long)
+
+  /** RIFF walk: returns (avih payload, frame payloads). Nested LIST
+    * chunks recurse; '..dc'/'..db' are video frames. */
+  private def demuxAvi(b: Array[Byte]): Option[(Array[Byte], Vector[Array[Byte]])] = {
+    if (b == null || b.length < 12 || fourcc(b, 0) != "RIFF" ||
+      fourcc(b, 8) != "AVI ") return None
+    var avih: Array[Byte] = null
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val tag = fourcc(b, p)
+        val size = readLe32(b, p + 4).toInt
+        val body = p + 8
+        if (body + size > b.length) return // truncated
+        if (tag == "LIST") walk(body + 4, body + size)
+        else if (tag == "avih") avih = java.util.Arrays.copyOfRange(b, body, body + size)
+        else if (tag.endsWith("dc") || tag.endsWith("db"))
+          frames += java.util.Arrays.copyOfRange(b, body, body + size)
+        p = body + size + (size & 1) // chunks pad to even
+      }
+    }
+    walk(12, b.length)
+    if (avih == null || avih.length < 40) None else Some((avih, frames.result()))
+  }
+
+  /** Real MJPEG-AVI decode: container dims + frame count + duration from
+    * the avih header, first frame decoded via ImageIO for the
+    * average-hash. Null/undecodable → null row. */
+  def decodeVideo(bytes: Array[Byte]): DecodedVideo =
+    try {
+      demuxAvi(bytes).flatMap { case (avih, frames) =>
+        val usPerFrame = readLe32(avih, 0)
+        val w = readLe32(avih, 32).toInt
+        val h = readLe32(avih, 36).toInt
+        val first =
+          if (frames.isEmpty) null
+          else javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(frames.head))
+        if (first == null) None
+        else Some(DecodedVideo(w, h, frames.length,
+          frames.length * usPerFrame / 1000L, ahashOf(first)))
+      }.orNull
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Frame-SAMPLE with real decode: every `everyN`-th frame demuxed and
+    * ImageIO-decoded to (frame_idx, frame_ts_ms, ahash) — the decode
+    * cost is frames/everyN, not all frames. */
+  def sampleVideoFrames(bytes: Array[Byte], everyN: Int): Seq[(Int, Long, Long)] =
+    try {
+      demuxAvi(bytes).map { case (avih, frames) =>
+        val usPerFrame = readLe32(avih, 0)
+        (0 until frames.length by math.max(1, everyN)).flatMap { i =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(frames(i)))
+          if (img == null) Nil
+          else Seq((i, i * usPerFrame / 1000L, ahashOf(img)))
+        }
+      }.getOrElse(Nil)
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** Video-modality assets with REAL AVI/MJPEG payloads, one class per
+    * `media_id % imageClasses`. */
+  def videoAssets(spark: SparkSession, eventsDf: DataFrame): DataFrame = {
+    val mk = udf((cls: Int) => aviFor(cls))
+    eventsDf.select(
+      col("event_id").as("media_id"),
+      lit("video").as("modality"),
+      mk((col("event_id") % imageClasses).cast("int")).as("content"))
+  }
+
+  /** Decode the video binary column: adds `vdecoded` struct<width,
+    * height, frames, duration_ms, first_ahash>. */
+  def decodeVideos(df: DataFrame): DataFrame = {
+    val dec = udf((b: Array[Byte]) => decodeVideo(b))
+    df.withColumn("vdecoded", dec(col("content")))
+  }
+
+  /** Explode sampled frames: (media_id, frame_idx, frame_ts_ms, ahash). */
+  def videoFrameRows(df: DataFrame, everyN: Int): DataFrame = {
+    val sample = udf((b: Array[Byte]) => sampleVideoFrames(b, everyN))
+    df.select(col("media_id"), explode(sample(col("content"))).as("__f"))
+      .select(col("media_id"), col("__f._1").as("frame_idx"),
+        col("__f._2").as("frame_ts_ms"), col("__f._3").as("ahash"))
   }
 }

@@ -175,6 +175,31 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    "multimodal_video_decode" -> ((s, d) => {
+      // REAL MJPEG-AVI decode: RIFF demux + first-frame ImageIO — dims,
+      // frame count and duration have exact arithmetic ground truth
+      // (class = event_id % 8 → (48+8c)×(32+8c), 4+c frames at 10 fps)
+      val assets = Multimodal.videoAssets(s,
+        T(s, d, "events").filter(col("event_id") < 3000))
+      Multimodal.decodeVideos(assets).select(
+        col("media_id"),
+        col("vdecoded.width").as("width"),
+        col("vdecoded.height").as("height"),
+        col("vdecoded.frames").as("frames"),
+        col("vdecoded.duration_ms").as("duration_ms"))
+        .orderBy(col("media_id"))
+    }),
+
+    "multimodal_video_frames" -> ((s, d) => {
+      // frame-SAMPLE with real decode: every 2nd frame demuxed +
+      // ImageIO-decoded; sampled indices/timestamps are arithmetic
+      val assets = Multimodal.videoAssets(s,
+        T(s, d, "events").filter(col("event_id") < 1000))
+      Multimodal.videoFrameRows(assets, 2)
+        .select(col("media_id"), col("frame_idx"), col("frame_ts_ms"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     "multimodal_audio_decode" -> ((s, d) => {
       // REAL WAV decode via javax.sound.sampled — rate/channels/duration
       // pinned by the synth arithmetic; rms_ok proves the PCM was read
@@ -490,6 +515,23 @@ object LlmQueries {
       """SELECT event_id AS media_id,
            MIN(event_id) OVER (PARTITION BY event_id % 8) AS canonical_id
          FROM events WHERE event_id < 3000 ORDER BY media_id""",
+
+    // AVI/MJPEG synth arithmetic: (48+8c)×(32+8c), 4+c frames, 10 fps
+    "multimodal_video_decode" ->
+      """SELECT event_id AS media_id,
+           CAST(48 + (event_id % 8) * 8 AS INT) AS width,
+           CAST(32 + (event_id % 8) * 8 AS INT) AS height,
+           CAST(4 + (event_id % 8) AS INT) AS frames,
+           CAST((4 + (event_id % 8)) * 100 AS BIGINT) AS duration_ms
+         FROM events WHERE event_id < 3000 ORDER BY media_id""",
+
+    // every-2nd-frame sample: indices 0,2,.. below 4+c, ts = idx·100 ms
+    "multimodal_video_frames" ->
+      """SELECT event_id AS media_id, CAST(g.i AS INT) AS frame_idx,
+           CAST(g.i * 100 AS BIGINT) AS frame_ts_ms
+         FROM events CROSS JOIN (SELECT unnest(generate_series(0, 10)) AS i) g
+         WHERE event_id < 1000 AND g.i % 2 = 0 AND g.i < 4 + (event_id % 8)
+         ORDER BY media_id, frame_idx""",
 
     // WAV synth arithmetic: 16 kHz mono, 200+50·(id%8) ms per tone class
     "multimodal_audio_decode" ->

@@ -403,6 +403,10 @@ object GoldenRunner {
     var compared = 0
     var skipped = 0
     var errSkipped = 0
+    // job-group name is PER-RUN unique: the sharded sweep runs files on
+    // concurrent threads of one context, and cancelling a shared group
+    // name would cancel every sibling shard's running jobs
+    val jobGroup = s"golden-stmt-${java.util.UUID.randomUUID().toString.take(8)}"
     val problems = Seq.newBuilder[String]
     val trace = sys.env.contains("GOLDEN_TRACE")
     // sqlness substitutes ${SQLNESS_HOME} with its working dir (COPY
@@ -427,7 +431,7 @@ object GoldenRunner {
       // which then races a following DROP's file deletion
       // (tql/case_sensitive's cross-schema error + drop) — the group is
       // cancelled on failure so no orphan scan outlives its statement
-      spark.sparkContext.setJobGroup("golden-stmt", e.sql.take(120),
+      spark.sparkContext.setJobGroup(jobGroup, e.sql.take(120),
         interruptOnCancel = true)
       if (trace) { System.err.println(s"[golden-exec] ${e.sql.take(150)}"); System.err.flush() }
       val upSql = e.sql.toUpperCase
@@ -452,7 +456,7 @@ object GoldenRunner {
         first
       } match {
         case Failure(ex) =>
-          spark.sparkContext.cancelJobGroup("golden-stmt")
+          spark.sparkContext.cancelJobGroup(jobGroup)
           e.expected match {
             case _: Table =>
               // an exception where the golden expects a TABLE is a
@@ -479,7 +483,7 @@ object GoldenRunner {
               // compare strings
               Try(df.collect().map(_.toSeq.map(v => cell(v))).toSeq) match {
                 case Failure(ex) =>
-                  spark.sparkContext.cancelJobGroup("golden-stmt")
+                  spark.sparkContext.cancelJobGroup(jobGroup)
                   skipped += 1
                   errSkipped += 1
                   if (trace) System.err.println(
@@ -517,7 +521,7 @@ object GoldenRunner {
               val ordered = e.sql.toUpperCase.contains("ORDER BY")
               Try(df.collect().map(_.toSeq.map(v => cell(v))).toSeq) match {
                 case Failure(ex) =>
-                  spark.sparkContext.cancelJobGroup("golden-stmt")
+                  spark.sparkContext.cancelJobGroup(jobGroup)
                   skipped += 1
                   errSkipped += 1
                   if (trace) System.err.println(
@@ -711,7 +715,7 @@ object GoldenRunner {
       // end-of-statement: kill any stage still in flight (AQE can leave
       // a materialization job running after collect() short-circuits on
       // an empty side) — a stray scan must not race the next DROP
-      spark.sparkContext.cancelJobGroup("golden-stmt")
+      spark.sparkContext.cancelJobGroup(jobGroup)
       spark.sparkContext.clearJobGroup()
     }
     stallDeadline.set(Long.MaxValue)
@@ -752,8 +756,14 @@ object GoldenSweep {
         Seq("/root/reference/tests/cases/standalone/common") ++ ExtraRoots
       else if (args.nonEmpty) Seq(args(0))
       else Seq("/root/reference/tests/cases/standalone/common")
+    // files are independent (each run() gets a fresh GraftSession +
+    // scratch warehouse), so the sweep shards across GOLDEN_SHARDS
+    // worker threads, each on its OWN spark.newSession() (isolated temp
+    // views / function registry, shared context). Sequential: ~19 min;
+    // 4 shards: under 8 — the per-commit-gate budget (r5 task #8).
+    val shards = sys.env.get("GOLDEN_SHARDS").map(_.toInt).getOrElse(4)
     val spark = SparkSession.builder()
-      .master("local[8]")
+      .master(s"local[${math.max(8, shards * 8)}]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -768,8 +778,7 @@ object GoldenSweep {
       files.filter(_.getName.endsWith(".result")).toSeq ++
         dirs.flatMap(resultsUnder)
     }
-    var (nOk, nFail, nCompared, nSkipped, nErrs) = (0, 0, 0, 0, 0)
-    for (root <- roots) {
+    val entries = roots.flatMap { root =>
       val rootFile0 = new java.io.File(root)
       val single = rootFile0.isFile
       val rootFile = if (single) rootFile0.getParentFile else rootFile0
@@ -779,28 +788,59 @@ object GoldenSweep {
       val topFiles = if (single) Array(rootFile0)
         else rootFile.listFiles().filter(f =>
           f.isFile && f.getName.endsWith(".result") && only.isEmpty).sortBy(_.getName)
-      for (f <- topFiles.toSeq ++ dirs.flatMap(resultsUnder)) {
-        val rel = rootFile.getName + "/" +
-          rootFile.toPath.relativize(f.toPath).toString.stripSuffix(".result")
-        val out = Try(GoldenRunner.run(spark, f.getPath)) match {
-          case Success(o) => o
-          case Failure(ex) => GoldenRunner.Outcome(0, 0, Seq(s"RUNNER CRASH: ${ex.getMessage}"))
-        }
-        // a runtime error where the golden expects a table is a missing
-        // capability — it FAILS the file so "ok=N" stays falsifiable,
-        // unless the divergence is documented on the allowlist
-        val errAllowed = out.errSkipped > 0 && ErrAllowlist.exists(rel.endsWith)
-        val ok = out.problems.isEmpty && (out.errSkipped == 0 || errAllowed)
-        val flag = if (ok) "OK  " else "FAIL"
-        if (ok) nOk += 1 else nFail += 1
-        nCompared += out.compared; nSkipped += out.skipped; nErrs += out.errSkipped
-        println(f"[$flag] $rel%-40s compared=${out.compared}%-4d skipped=${out.skipped}%-4d errs=${out.errSkipped}%-3d problems=${out.problems.size}")
-        sys.env.get("GOLDEN_VERBOSE").foreach { _ =>
-          out.problems.take(3).foreach(p => println("    " + p.replace("\n", "\n    ")))
-        }
+      (topFiles.toSeq ++ dirs.flatMap(resultsUnder)).map { f =>
+        (rootFile.getName + "/" +
+          rootFile.toPath.relativize(f.toPath).toString.stripSuffix(".result"),
+          f.getPath)
       }
     }
-    println(s"[TOTAL] files ok=$nOk fail=$nFail compared=$nCompared skipped=$nSkipped errs=$nErrs")
+    val nOk = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nFail = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nCompared = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nSkipped = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nErrs = new java.util.concurrent.atomic.AtomicInteger(0)
+    def process(session: org.apache.spark.sql.SparkSession,
+        rel: String, path: String): Unit = {
+      val out = Try(GoldenRunner.run(session, path)) match {
+        case Success(o) => o
+        case Failure(ex) => GoldenRunner.Outcome(0, 0, Seq(s"RUNNER CRASH: ${ex.getMessage}"))
+      }
+      // a runtime error where the golden expects a table is a missing
+      // capability — it FAILS the file so "ok=N" stays falsifiable,
+      // unless the divergence is documented on the allowlist
+      val errAllowed = out.errSkipped > 0 && ErrAllowlist.exists(rel.endsWith)
+      val ok = out.problems.isEmpty && (out.errSkipped == 0 || errAllowed)
+      val flag = if (ok) "OK  " else "FAIL"
+      if (ok) nOk.incrementAndGet() else nFail.incrementAndGet()
+      nCompared.addAndGet(out.compared)
+      nSkipped.addAndGet(out.skipped)
+      nErrs.addAndGet(out.errSkipped)
+      println(f"[$flag] $rel%-40s compared=${out.compared}%-4d skipped=${out.skipped}%-4d errs=${out.errSkipped}%-3d problems=${out.problems.size}")
+      sys.env.get("GOLDEN_VERBOSE").foreach { _ =>
+        out.problems.take(3).foreach(p => println("    " + p.replace("\n", "\n    ")))
+      }
+    }
+    // local_file_access files COPY to BARE relative paths, resolved via
+    // the JVM-global local-FS working directory run() repoints per file
+    // — racy across shards, so they run sequentially after the join.
+    // (The stall-watcher deadline is also cross-thread; under shards a
+    // stall dump may name a neighbor's statement — diagnostics only.)
+    val (seqEntries, parEntries) =
+      entries.partition(_._1.contains("local_file_access"))
+    val groups = parEntries.zipWithIndex
+      .groupBy(_._2 % shards).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    val threads = groups.map { g =>
+      val t = new Thread(() => {
+        val session = spark.newSession()
+        g.foreach { case (rel, path) => process(session, rel, path) }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    seqEntries.foreach { case (rel, path) => process(spark, rel, path) }
+    println(s"[TOTAL] files ok=$nOk fail=$nFail compared=$nCompared " +
+      s"skipped=$nSkipped errs=$nErrs")
     spark.stop()
   }
 }

@@ -150,6 +150,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(Array[Byte](9, 9, 9)) == null)
   }
 
+  test("aviFor emits a real MJPEG AVI; decodeVideo demuxes dims/frames/duration") {
+    for (cls <- 0 until Multimodal.imageClasses) {
+      val v = Multimodal.decodeVideo(Multimodal.aviFor(cls))
+      assert(v != null, s"class $cls failed to decode")
+      assert(v.width == 48 + 8 * cls && v.height == 32 + 8 * cls)
+      assert(v.frames == 4 + cls)
+      assert(v.duration_ms == (4 + cls) * 100L)
+    }
+    assert(Multimodal.decodeVideo(null) == null)
+    assert(Multimodal.decodeVideo(Array[Byte](1, 2, 3)) == null)
+    // truncated container → null row, not a task failure
+    assert(Multimodal.decodeVideo(Multimodal.aviFor(0).take(60)) == null)
+  }
+
+  test("sampleVideoFrames decodes every Nth frame; the moving bar hashes frames distinctly") {
+    // class 4 → 8 frames at 10 fps; every 2nd → indices 0,2,4,6
+    val fr = Multimodal.sampleVideoFrames(Multimodal.aviFor(4), 2)
+    assert(fr.map(_._1) == Seq(0, 2, 4, 6))
+    assert(fr.map(_._2) == Seq(0L, 200L, 400L, 600L))
+    // the sweeping bar makes sampled frames perceptually distinct
+    assert(fr.map(_._3).distinct.size >= 3, fr.map(_._3).toString)
+  }
+
   test("phashCanonical groups by perceptual hash end-to-end") {
     val events = spark.range(0, 40).select(col("id").as("event_id"))
     val assets = Multimodal.imageAssets(spark, events)
