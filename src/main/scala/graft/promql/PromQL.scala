@@ -149,13 +149,18 @@ object PromQL {
             if (!deque.isEmpty) {
               evalF match {
                 case Some(f) =>
+                  // NULL-valued samples carry PRESENCE (instant path) but
+                  // no value a range function can use — skipped here, so
+                  // a null never reads as 0.0 via getDouble
                   val s = new Array[PromFunctions.Sample](deque.size)
                   var i = 0
                   val di = deque.iterator()
                   while (di.hasNext) {
-                    val r = di.next(); s(i) = (r.getLong(0), r.getDouble(1)); i += 1
+                    val r = di.next()
+                    if (!r.isNullAt(1)) { s(i) = (r.getLong(0), r.getDouble(1)); i += 1 }
                   }
-                  f(scala.collection.immutable.ArraySeq.unsafeWrapArray(s),
+                  f(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                      if (i == s.length) s else java.util.Arrays.copyOf(s, i)),
                     t - windowMs, t).foreach(v => out += Row(curKey, t, v))
                 case None if latestOnly => out += Row(curKey, t, deque.peekLast)
                 case None =>
@@ -243,15 +248,14 @@ object PromQL {
   /** Selector -> instant vector (SeriesNormalize + InstantManipulate). */
   def instant(m: Metric, p: EvalParams, offsetMs: Long = 0L): InstantVector = {
     val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
-    // ordinary NaN values are REAL samples (promql/scalar.result pins
-    // NaN keeping a series present in count()); only the reference's
-    // staleness marker — which never reaches parquet — is filtered.
-    // SQL NULL field values are NOT samples: filtered here so the fold
-    // and explode paths agree (the fold's deque would otherwise read a
-    // null as 0.0 via getDouble).
+    // ordinary NaN values are REAL samples, and so are NULL-valued rows:
+    // promql/scalar.result pins NaN keeping cpu0 present in count() AND
+    // the NULL sample keeping cpu2 present as a zero-count group — null
+    // rides through as a null-valued sample and the aggregate's SQL null
+    // semantics do the rest. Only the reference's staleness marker —
+    // which never reaches parquet — is filtered.
     val base = m.df
       .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
-      .where(col("__v").isNotNull)
     // lookback window is LEFT-EXCLUSIVE (t - lookback, t]: a sample
     // exactly lookback old is stale (promql/subquery.result, t=359 case)
     val grouped =
@@ -272,7 +276,6 @@ object PromQL {
     val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
     val base = m.df
       .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
-      .where(col("__v").isNotNull) // NULL field values are not samples
     val grouped =
       if (p.lookbackMs / p.stepMs >= GridFanoutMax)
         foldWindowsAtGrid(base, m.labels, p, p.lookbackMs, latestOnly = true)
@@ -291,7 +294,6 @@ object PromQL {
     val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
     val base = m.df
       .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
-      .where(col("__v").isNotNull) // NULL field values are not samples
     if (rangeMs / p.stepMs >= GridFanoutMax)
       foldWindowsAtGrid(base, m.labels, p, rangeMs, latestOnly = false)
     else
@@ -313,7 +315,6 @@ object PromQL {
       val ts = (col(m.tsMs) + offsetMs).as("__sample_ts")
       val base = m.df
         .select((m.labels.map(lcol) :+ ts) :+ lcol(m.value).as("__v"): _*)
-        .where(col("__v").isNotNull) // NULL field values are not samples
       return InstantVector(
         foldWindowsAtGrid(base, m.labels, p, rangeMs, latestOnly = false,
           evalF = Some(PromFunctions.windowEval(name, fnArgs))),

@@ -357,6 +357,35 @@ class PromQLSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL samples: presence in count() (scalar.result), valueless to range fns") {
+    // promql/scalar.result pins a NULL-valued row keeping its series
+    // PRESENT as a zero-count group — null rides the selector as a
+    // null-valued sample on both evaluation paths; range functions see
+    // only the non-null values (the fold must not read null as 0.0).
+    def mk(rows: Seq[Row]) = spark.createDataFrame(rows.asJava,
+      StructType.fromDDL("i DOUBLE, j BIGINT, k STRING"))
+    val cat = Map("m" -> Metric(mk(Seq(
+      Row(1.0, 1000L, "a"), Row(null, 1000L, "b"),
+      Row(11.0, 11000L, "a"), Row(21.0, 21000L, "a"))), "j", "i", Seq("k")))
+    def run(q: String, threshold: Long, c: Map[String, Metric] = cat) = {
+      PromQL.GridFanoutMax = threshold
+      try eval(q, 1, 21, 10, c) finally PromQL.GridFanoutMax = 1L
+    }
+    for (th <- Seq(Long.MaxValue, 1L)) {
+      val got = run("count(m) by (k)", th)
+      assert(got.contains((1000L, "b", 0.0)), s"th=$th: $got")
+      assert(got.contains((1000L, "a", 1.0)), s"th=$th: $got")
+    }
+    // fold-path range fns: the null sample contributes presence only —
+    // results equal the same series with the null row absent
+    val noNull = Map("m" -> Metric(mk(Seq(
+      Row(1.0, 1000L, "a"), Row(11.0, 11000L, "a"),
+      Row(21.0, 21000L, "a"))), "j", "i", Seq("k")))
+    assert(run("rate(m[20s])", 1L) == run("rate(m[20s])", 1L, noNull))
+    assert(run("count_over_time(m[20s])", 1L) ==
+      run("count_over_time(m[20s])", 1L, noNull))
+  }
+
   test("scalar-scalar precedence") {
     val p = EvalParams(0, 0, 1000)
     val ev = new PromEval(spark, basicCatalog, p)
