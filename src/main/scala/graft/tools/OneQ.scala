@@ -8,7 +8,7 @@ object OneQ {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (name <- args) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
