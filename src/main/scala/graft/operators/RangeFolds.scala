@@ -55,4 +55,37 @@ object RangeFolds {
     * `dataType = ArrayType(DoubleType)`. */
   val arrayAgg: IndexedSeq[(Long, Double)] => Option[Any] =
     samples => if (samples.isEmpty) None else Some(samples.map(_._2))
+
+  /** first_value(x ORDER BY ts) — null VALUES carry (DataFusion returns
+    * the first row's value even when null), so these are
+    * [[RangeSelect.FoldAgg.evalWithNulls]] evaluators; window order is
+    * (ts, value) ascending, matching the explode path's
+    * struct-lexicographic tie resolution. */
+  val firstValueByTime: IndexedSeq[(Long, java.lang.Double)] => Option[Any] =
+    samples => if (samples.isEmpty) None else Some(samples.head._2)
+
+  /** last_value(x ORDER BY ts) — see [[firstValueByTime]]. */
+  val lastValueByTime: IndexedSeq[(Long, java.lang.Double)] => Option[Any] =
+    samples => if (samples.isEmpty) None else Some(samples.last._2)
+
+  /** first_value(x ORDER BY ts DESC): max-ts row, but ties keep the
+    * explode path's (-ts, value)-ascending order — the MIN value within
+    * the max-ts run, i.e. the first element of that run. */
+  val firstValueByTimeDesc: IndexedSeq[(Long, java.lang.Double)] => Option[Any] =
+    samples => if (samples.isEmpty) None else {
+      val maxTs = samples.last._1
+      var i = samples.length - 1
+      while (i > 0 && samples(i - 1)._1 == maxTs) i -= 1
+      Some(samples(i)._2)
+    }
+
+  /** last_value(x ORDER BY ts DESC): min-ts row, MAX value on ties
+    * (the last element of the min-ts run). */
+  val lastValueByTimeDesc: IndexedSeq[(Long, java.lang.Double)] => Option[Any] =
+    samples => if (samples.isEmpty) None else {
+      val minTs = samples.head._1
+      var i = 0
+      while (i + 1 < samples.length && samples(i + 1)._1 == minTs) i += 1
+      Some(samples(i)._2)
+    }
 }

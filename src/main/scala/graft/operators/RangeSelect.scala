@@ -74,8 +74,13 @@ object RangeSelect {
     *
     * @param eval window evaluator over the non-null (ts, value) samples
     *             of [[input]] with slot <= ts < slot + range, in
-    *             ascending-ts order; None → NULL output for the slot
+    *             ascending (ts, value) order; None → NULL output for the
+    *             slot
     * @param dataType Spark type of the evaluator's result
+    * @param evalWithNulls when set, takes precedence over [[eval]] and
+    *             receives ALL window samples including null-valued ones
+    *             (first_value/last_value carry nulls; percentile drops
+    *             them)
     */
   final case class FoldAgg(
       alias: String,
@@ -84,7 +89,9 @@ object RangeSelect {
       fill: Fill = Fill.None,
       rangeMs: Option[Long] = scala.None,
       dataType: org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.DoubleType)
+        org.apache.spark.sql.types.DoubleType,
+      evalWithNulls: Option[IndexedSeq[(Long, java.lang.Double)] => Option[Any]] =
+        scala.None)
 
   /** Explode-to-fold switchover for SQL-surfaced collect-buffering RANGE
     * aggregates (graft.sql.RangeSql): when ceil(range/align) reaches
@@ -185,6 +192,7 @@ object RangeSelect {
     val inputs = foldAggs.map(_.input).distinct.toIndexedSeq
     val aggIn = foldAggs.map(a => inputs.indexOf(a.input)).toArray
     val evals = foldAggs.map(_.eval).toArray
+    val evalsNul = foldAggs.map(_.evalWithNulls).toArray
     val rArr = ranges.toArray
     val nIn = inputs.length
     val nAgg = foldAggs.length
@@ -209,7 +217,11 @@ object RangeSelect {
         floor(iLo.cast("double") / m).cast("long"),
         floor(iHi.cast("double") / m).cast("long"))))
       .repartition(col("__k"), col("__c"))
-      .sortWithinPartitions(col("__k"), col("__c"), col("__t"))
+      // inputs ride the sort as ts tie-breaks: deterministic window
+      // order, and for single-input first/last it reproduces the
+      // explode path's struct-lexicographic (ts, value) tie resolution
+      .sortWithinPartitions(col("__k") +: col("__c") +: col("__t") +:
+        (0 until nIn).map(i => col(s"__in$i")): _*)
 
     val outT = StructType(
       StructField("__k", keyed.schema("__k").dataType, nullable = by.nonEmpty) +:
@@ -246,19 +258,33 @@ object RangeSelect {
               var a = 0
               while (a < nAgg) {
                 val end = slotTs + rArr(a)
-                val buf = IndexedSeq.newBuilder[(Long, Double)]
-                var j = 0
-                var inWin = true
-                while (j < w.length && inWin) {
-                  val sts = w(j)(0).asInstanceOf[Long]
-                  if (sts >= end) inWin = false
-                  else {
-                    val v = w(j)(1 + aggIn(a))
-                    if (v != null) buf += ((sts, v.asInstanceOf[Double]))
-                  }
-                  j += 1
+                vals(2 + a) = evalsNul(a) match {
+                  case Some(fn) =>
+                    val buf = IndexedSeq.newBuilder[(Long, java.lang.Double)]
+                    var j = 0
+                    var inWin = true
+                    while (j < w.length && inWin) {
+                      val sts = w(j)(0).asInstanceOf[Long]
+                      if (sts >= end) inWin = false
+                      else buf += ((sts, w(j)(1 + aggIn(a)).asInstanceOf[java.lang.Double]))
+                      j += 1
+                    }
+                    fn(buf.result()).orNull
+                  case scala.None =>
+                    val buf = IndexedSeq.newBuilder[(Long, Double)]
+                    var j = 0
+                    var inWin = true
+                    while (j < w.length && inWin) {
+                      val sts = w(j)(0).asInstanceOf[Long]
+                      if (sts >= end) inWin = false
+                      else {
+                        val v = w(j)(1 + aggIn(a))
+                        if (v != null) buf += ((sts, v.asInstanceOf[Double]))
+                      }
+                      j += 1
+                    }
+                    evals(a)(buf.result()).orNull
                 }
-                vals(2 + a) = evals(a)(buf.result()).orNull
                 a += 1
               }
               out += Row.fromSeq(

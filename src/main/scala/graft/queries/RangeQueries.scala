@@ -92,6 +92,21 @@ object RangeQueries {
         .withColumn("p50", round(col("p50"), 6))
         .withColumn("p90", round(col("p90"), 6))
         .orderBy(col("ts_ms"), col("event_type"))
+    }),
+
+    "range_first_last" -> ((s, d) => {
+      // first/last over the time index through the FOLD — the other
+      // collect-buffering RANGE aggregate (the SQL surface encodes it
+      // as element_at(array_sort(collect_list(...)))); ties on ts_ms
+      // break by value, exactly DuckDB's struct-lexicographic min/max
+      import graft.operators.{RangeFolds, RangeSelect => RS}
+      RS(events(s, d), "ts_ms", Seq("event_type"), HM, 2 * H, Nil,
+        foldAggs = Seq(
+          RS.FoldAgg("first_v", "value", _ => scala.None,
+            evalWithNulls = Some(RangeFolds.firstValueByTime)),
+          RS.FoldAgg("last_v", "value", _ => scala.None,
+            evalWithNulls = Some(RangeFolds.lastValueByTime))))
+        .orderBy(col("ts_ms"), col("event_type"))
     })
   )
 
@@ -212,6 +227,16 @@ object RangeQueries {
            COUNT(value) AS n,
            round(quantile_cont(value, 0.5), 6) AS p50,
            round(quantile_cont(value, 0.9), 6) AS p90,
+           (((epoch_ns(ts)//1000000) // 1800000) - g.i) * 1800000 AS ts_ms
+         FROM events CROSS JOIN (SELECT unnest(generate_series(0,3)) AS i) g
+         GROUP BY ts_ms, event_type ORDER BY ts_ms, event_type""",
+
+    // struct-lexicographic (ts, value) min/max == the fold's
+    // (ts, value)-ascending first/last
+    "range_first_last" ->
+      """SELECT event_type,
+           min({t: epoch_ns(ts)//1000000, v: value}).v AS first_v,
+           max({t: epoch_ns(ts)//1000000, v: value}).v AS last_v,
            (((epoch_ns(ts)//1000000) // 1800000) - g.i) * 1800000 AS ts_ms
          FROM events CROSS JOIN (SELECT unnest(generate_series(0,3)) AS i) g
          GROUP BY ts_ms, event_type ORDER BY ts_ms, event_type"""

@@ -530,10 +530,30 @@ object RangeSql {
     val pctRx = ("(?is)^\\s*approx_percentile_cont\\s*\\(\\s*([0-9.]+)\\s*\\)" +
       "\\s*WITHIN\\s+GROUP\\s*\\(\\s*ORDER\\s+BY\\s+([A-Za-z_][A-Za-z0-9_]*)" +
       "\\s*(ASC|DESC)?\\s*\\)\\s*$").r
-    def asFoldAgg(a: Annotated): Option[RangeSelect.FoldAgg] =
+    // first/last over the TIME INDEX: the other collect-buffering RANGE
+    // aggregate (element_at(array_sort(collect_list(...)))) with a
+    // fold-expressible order; arbitrary sort keys stay on the explode
+    val flRx = ("(?is)^\\s*(first_value|last_value)\\s*\\(\\s*" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+ORDER\\s+BY\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+      "\\s*(ASC|DESC)?\\s*\\)\\s*$").r
+    def numericBack(dt: org.apache.spark.sql.types.DataType)
+        : Option[Any => Any] = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case DoubleType => Some(identity)
+        case FloatType => Some(v => v.asInstanceOf[java.lang.Double].floatValue())
+        case LongType => Some(v => v.asInstanceOf[java.lang.Double].longValue())
+        case IntegerType => Some(v => v.asInstanceOf[java.lang.Double].intValue())
+        case ShortType => Some(v => v.asInstanceOf[java.lang.Double].shortValue())
+        case ByteType => Some(v => v.asInstanceOf[java.lang.Double].byteValue())
+        case _ => scala.None // decimal/string keep the lossless explode
+      }
+    }
+    def asFoldAgg(a: Annotated): Option[RangeSelect.FoldAgg] = {
       if ((a.rangeMs + alignMs - 1) / alignMs < RangeSelect.FoldFanoutMin)
-        scala.None
-      else pctRx.findFirstMatchIn(a.text).flatMap { mm =>
+        return scala.None
+      val fill = a.fill.orElse(defaultFill).getOrElse(Fill.None)
+      val pct = pctRx.findFirstMatchIn(a.text).flatMap { mm =>
         base.schema.fieldNames.find(_.equalsIgnoreCase(mm.group(2))).map { x =>
           val p = mm.group(1).toDouble
           val q = if (Option(mm.group(3)).exists(_.equalsIgnoreCase("DESC")))
@@ -548,12 +568,33 @@ object RangeSql {
           val td = graft.operators.RangeFolds.percentileTDigest(q)
           val ev: IndexedSeq[(Long, Double)] => Option[Any] =
             if (integral) s => td(s).map(_.asInstanceOf[Double].toLong) else td
-          RangeSelect.FoldAgg(a.alias, x, ev,
-            fill = a.fill.orElse(defaultFill).getOrElse(Fill.None),
+          RangeSelect.FoldAgg(a.alias, x, ev, fill = fill,
             dataType = if (integral) org.apache.spark.sql.types.LongType
               else org.apache.spark.sql.types.DoubleType)
         }
       }
+      pct.orElse(flRx.findFirstMatchIn(a.text).flatMap { mm =>
+        val fn = mm.group(1).toLowerCase(Locale.ROOT)
+        val desc = Option(mm.group(4)).exists(_.equalsIgnoreCase("DESC"))
+        for {
+          x <- base.schema.fieldNames.find(_.equalsIgnoreCase(mm.group(2)))
+          _ <- Option.when(mm.group(3).equalsIgnoreCase(tsCol))(())
+          back <- numericBack(base.schema(x).dataType)
+        } yield {
+          import graft.operators.RangeFolds
+          val raw = (fn, desc) match {
+            case ("first_value", false) => RangeFolds.firstValueByTime
+            case ("last_value", false) => RangeFolds.lastValueByTime
+            case ("first_value", true) => RangeFolds.firstValueByTimeDesc
+            case _ => RangeFolds.lastValueByTimeDesc
+          }
+          val conv: IndexedSeq[(Long, java.lang.Double)] => Option[Any] =
+            s => raw(s).map(v => if (v == null) null else back(v))
+          RangeSelect.FoldAgg(a.alias, x, _ => scala.None, fill = fill,
+            dataType = base.schema(x).dataType, evalWithNulls = Some(conv))
+        }
+      })
+    }
 
     val groups = annots.toList.groupBy(_.rangeMs)
     val parts = groups.map { case (rangeMs, as) =>

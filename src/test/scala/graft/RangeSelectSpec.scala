@@ -230,6 +230,36 @@ class RangeSelectSpec extends AnyFunSuite {
     assert(h1.map(_(3)) == Seq(1.0, 1.0, 1.0, 7.0))  // median FILL PREV
   }
 
+  test("fold first/last-by-time ≡ explode encoding, incl. ties and null values") {
+    import graft.operators.{RangeFolds, RangeSelect => RS}
+    // force ts collisions so tie-breaks are exercised: quantize to 4s
+    val df = randomSeries(13).withColumn("ts", (col("ts") / 4000) * 4000)
+    def encoded(fn: String, dir: String) = expr(
+      s"element_at(array_sort(collect_list(struct(" +
+        s"(CASE WHEN ts IS NULL THEN ${if (dir == "DESC") 0 else 1} ELSE ${if (dir == "DESC") 1 else 0} END) AS __n0, " +
+        s"coalesce(${if (dir == "DESC") "-" else ""}CAST(ts AS DOUBLE), 0D) AS __k0, " +
+        s"ts AS __t, val AS __v))), ${if (fn == "first_value") "1" else "-1"}).__v")
+    for ((a, r) <- Seq((5000L, 40000L), (10000L, 10000L))) {
+      val explode = RangeSelect(df, "ts", Seq("host"), a, r, Seq(
+        RangeAgg("fa", _ => encoded("first_value", "ASC")),
+        RangeAgg("la", _ => encoded("last_value", "ASC")),
+        RangeAgg("fd", _ => encoded("first_value", "DESC")),
+        RangeAgg("ld", _ => encoded("last_value", "DESC"))))
+      val fold = RangeSelect(df, "ts", Seq("host"), a, r, Nil,
+        foldAggs = Seq(
+          RS.FoldAgg("fa", "val", _ => None,
+            evalWithNulls = Some(RangeFolds.firstValueByTime)),
+          RS.FoldAgg("la", "val", _ => None,
+            evalWithNulls = Some(RangeFolds.lastValueByTime)),
+          RS.FoldAgg("fd", "val", _ => None,
+            evalWithNulls = Some(RangeFolds.firstValueByTimeDesc)),
+          RS.FoldAgg("ld", "val", _ => None,
+            evalWithNulls = Some(RangeFolds.lastValueByTimeDesc))))
+      assertSame(explode.select("ts", "host", "fa", "la", "fd", "ld"),
+        fold.select("ts", "host", "fa", "la", "fd", "ld"))
+    }
+  }
+
   test("SQL percentile WITHIN GROUP routes through the fold at high fan-out") {
     import graft.operators.{RangeSelect => RS}
     graft.functions.Registry.registerAll(spark) // __approx_pct_td for explode
@@ -259,6 +289,16 @@ class RangeSelectSpec extends AnyFunSuite {
           case other => fail(s"unexpected $other")
         }
       }
+      // first/last over the time index route too — exact values (no
+      // sketch), so the two paths must agree bit-for-bit
+      val flSql = "SELECT ts, host, first_value(val ORDER BY ts) RANGE '40s', " +
+        "last_value(val ORDER BY ts DESC) RANGE '40s' " +
+        "FROM t ALIGN '5s' BY (host)"
+      RS.FoldFanoutMin = Long.MaxValue
+      val flExplode = sortedRows(graft.sql.RangeSql.execute(spark, flSql, resolve))
+      RS.FoldFanoutMin = 2L
+      val flFold = sortedRows(graft.sql.RangeSql.execute(spark, flSql, resolve))
+      assert(flExplode == flFold)
     } finally RS.FoldFanoutMin = saved
   }
 }
