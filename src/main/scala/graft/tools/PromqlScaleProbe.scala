@@ -61,7 +61,10 @@ object PromqlScaleProbe {
     }
 
     println(s"[promql-scale] label=$labelArg span ${(hi - lo) / 1000}s, steps=${(hi - lo) / p.stepMs}, ratio=${rangeMs / p.stepMs}")
-    run("gridExplode", Long.MaxValue) // never switch → explode path
+    // arg 5 "foldonly" skips the explode side (at 100× volume it runs
+    // ~17 min — measured once, not worth re-paying per axis)
+    if (args.length <= 4 || args(4) != "foldonly")
+      run("gridExplode", Long.MaxValue) // never switch → explode path
     run("fold", 1L)                   // always switch → deque-fold path
     PromQL.GridFanoutMax = 1L
     spark.stop()

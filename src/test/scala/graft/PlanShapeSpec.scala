@@ -110,7 +110,15 @@ class PlanShapeSpec extends AnyFunSuite {
     try {
       val n = graft.operators.Dedup.ngramJaccardPairs(docs, "text", "doc_id")
         .count()
-      Thread.sleep(1000) // listener events drain async
+      // listener events drain async — wait until the counters go quiet
+      // (fixed sleeps flake when the machine is loaded)
+      var last = -1L
+      var spins = 0
+      while (spins < 20 && (stages.get != last || last < 0)) {
+        last = stages.get
+        Thread.sleep(250)
+        spins += 1
+      }
       assert(n > 0)
       assert(stages.get <= 26, s"stages=${stages.get} (baseline 16)")
       assert(shuffle.get <= 40L * 1024 * 1024,
