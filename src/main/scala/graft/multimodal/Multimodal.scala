@@ -472,4 +472,68 @@ object Multimodal {
       .select(col("media_id"), col("__f._1").as("frame_idx"),
         col("__f._2").as("frame_ts_ms"), col("__f._3").as("ahash"))
   }
+
+  // ---- mixed-modality dispatch (one binary column, sniffed format) ----
+
+  /** Container detection from MAGIC BYTES (not trusted metadata): PNG
+    * signature, JPEG SOI, RIFF/WAVE, RIFF/AVI. Unknown → null. */
+  def sniffModality(b: Array[Byte]): String = {
+    if (b == null || b.length < 12) return null
+    if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      return "image"
+    if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) return "image" // JPEG
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+      val kind = new String(b, 8, 4, "US-ASCII")
+      if (kind == "WAVE") return "audio"
+      if (kind == "AVI ") return "video"
+    }
+    null
+  }
+
+  /** Unified decode row for a mixed-modality binary column; fields not
+    * carried by the sniffed format stay null. */
+  final case class DecodedAny(modality: String,
+      width: java.lang.Integer, height: java.lang.Integer,
+      sample_rate: java.lang.Integer, frames: java.lang.Integer,
+      duration_ms: java.lang.Long)
+
+  /** Sniff + dispatch to the format's real decoder. Null/unknown/
+    * undecodable → null row. */
+  def decodeAny(bytes: Array[Byte]): DecodedAny = sniffModality(bytes) match {
+    case "image" =>
+      val d = decodeImage(bytes)
+      if (d == null) null
+      else DecodedAny("image", d.width, d.height, null, null, null)
+    case "audio" =>
+      val d = decodeAudio(bytes)
+      if (d == null) null
+      else DecodedAny("audio", null, null, d.sample_rate, null, d.duration_ms)
+    case "video" =>
+      val d = decodeVideo(bytes)
+      if (d == null) null
+      else DecodedAny("video", d.width, d.height, null, d.frames, d.duration_ms)
+    case _ => null
+  }
+
+  /** Mixed assets: modality rotates by `media_id % 3` with REAL payloads
+    * (PNG / WAV / MJPEG-AVI), pattern class `media_id % imageClasses` —
+    * the one-binary-column table a training-data lake lands media into. */
+  def mixedAssets(spark: SparkSession, eventsDf: DataFrame): DataFrame = {
+    val mk = udf((m: Long, cls: Int) => (m % 3) match {
+      case 0 => pngFor(cls)
+      case 1 => wavFor(cls)
+      case _ => aviFor(cls)
+    })
+    eventsDf.select(
+      col("event_id").as("media_id"),
+      mk(col("event_id"), (col("event_id") % imageClasses).cast("int"))
+        .as("content"))
+  }
+
+  /** Decode the mixed binary column: adds `dec` struct (see
+    * [[DecodedAny]]). */
+  def decodeAnyCol(df: DataFrame): DataFrame = {
+    val dec = udf((b: Array[Byte]) => decodeAny(b))
+    df.withColumn("dec", dec(col("content")))
+  }
 }

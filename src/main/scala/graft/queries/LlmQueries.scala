@@ -200,6 +200,24 @@ object LlmQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    "multimodal_sniff_decode" -> ((s, d) => {
+      // one binary column carrying PNG / WAV / MJPEG-AVI payloads
+      // (media_id % 3), format detected from MAGIC BYTES (not trusted
+      // metadata) and dispatched to the real decoder — the unified
+      // media-lake landing shape
+      val assets = Multimodal.mixedAssets(s,
+        T(s, d, "events").filter(col("event_id") < 3000))
+      Multimodal.decodeAnyCol(assets).select(
+        col("media_id"),
+        col("dec.modality").as("modality"),
+        col("dec.width").as("width"),
+        col("dec.height").as("height"),
+        col("dec.sample_rate").as("sample_rate"),
+        col("dec.frames").as("frames"),
+        col("dec.duration_ms").as("duration_ms"))
+        .orderBy(col("media_id"))
+    }),
+
     "multimodal_audio_decode" -> ((s, d) => {
       // REAL WAV decode via javax.sound.sampled — rate/channels/duration
       // pinned by the synth arithmetic; rms_ok proves the PCM was read
@@ -532,6 +550,26 @@ object LlmQueries {
          FROM events CROSS JOIN (SELECT unnest(generate_series(0, 10)) AS i) g
          WHERE event_id < 1000 AND g.i % 2 = 0 AND g.i < 4 + (event_id % 8)
          ORDER BY media_id, frame_idx""",
+
+    // sniffed-dispatch arithmetic: modality = id%3 (PNG/WAV/AVI),
+    // per-format fields from the class-c synth formulas, others NULL
+    "multimodal_sniff_decode" ->
+      """SELECT event_id AS media_id,
+           CASE event_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CASE WHEN event_id % 3 IN (0, 2)
+                THEN CAST(48 + (event_id % 8) * 8 AS INT) END AS width,
+           CASE WHEN event_id % 3 IN (0, 2)
+                THEN CAST(32 + (event_id % 8) * 8 AS INT) END AS height,
+           CASE WHEN event_id % 3 = 1 THEN CAST(16000 AS INT) END AS sample_rate,
+           CASE WHEN event_id % 3 = 2
+                THEN CAST(4 + (event_id % 8) AS INT) END AS frames,
+           CASE WHEN event_id % 3 = 1
+                  THEN CAST(200 + (event_id % 8) * 50 AS BIGINT)
+                WHEN event_id % 3 = 2
+                  THEN CAST((4 + (event_id % 8)) * 100 AS BIGINT)
+           END AS duration_ms
+         FROM events WHERE event_id < 3000 ORDER BY media_id""",
 
     // WAV synth arithmetic: 16 kHz mono, 200+50·(id%8) ms per tone class
     "multimodal_audio_decode" ->

@@ -173,6 +173,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fr.map(_._3).distinct.size >= 3, fr.map(_._3).toString)
   }
 
+  test("sniffModality detects containers from magic bytes; decodeAny dispatches") {
+    assert(Multimodal.sniffModality(Multimodal.pngFor(0)) == "image")
+    assert(Multimodal.sniffModality(Multimodal.wavFor(0)) == "audio")
+    assert(Multimodal.sniffModality(Multimodal.aviFor(0)) == "video")
+    // JPEG SOI sniffs as image too
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    assert(Multimodal.sniffModality(bos.toByteArray) == "image")
+    assert(Multimodal.sniffModality(null) == null)
+    assert(Multimodal.sniffModality(Array[Byte](1, 2, 3)) == null)
+    val v = Multimodal.decodeAny(Multimodal.aviFor(2))
+    assert(v.modality == "video" && v.frames == 6 && v.sample_rate == null)
+    val a = Multimodal.decodeAny(Multimodal.wavFor(2))
+    assert(a.modality == "audio" && a.sample_rate == 16000 && a.width == null)
+    val i = Multimodal.decodeAny(Multimodal.pngFor(2))
+    assert(i.modality == "image" && i.width == 64 && i.duration_ms == null)
+    assert(Multimodal.decodeAny(Array[Byte](9, 9, 9)) == null)
+  }
+
   test("phashCanonical groups by perceptual hash end-to-end") {
     val events = spark.range(0, 40).select(col("id").as("event_id"))
     val assets = Multimodal.imageAssets(spark, events)
