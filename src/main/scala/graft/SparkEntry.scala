@@ -21,6 +21,7 @@ object SparkEntry {
     (SketchQueries.queries, SketchQueries.oracles),
     (PromQLQueries.queries, PromQLQueries.oracles),
     (LlmQueries.queries, LlmQueries.oracles),
+    (CurationQueries.queries, CurationQueries.oracles),
     (FlowQueries.queries, FlowQueries.oracles),
     (PipelineQueries.queries, PipelineQueries.oracles),
     (LogQueryQueries.queries, LogQueryQueries.oracles),

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means over an embedding column — the curation
+  * primitive behind semantic dedup / corpus bucketing (cluster, then
+  * sample or dedup within clusters). Complements
+  * [[Similarity.trainCentroids]] (which trains IVF's coarse quantizer
+  * on a bounded driver-side sample): here the ASSIGNMENT and the
+  * centroid updates run over the full corpus as DataFrame jobs.
+  *
+  * Scale shape per Lloyd iteration: one corpus scan + one map-side
+  * combined shuffle of (cluster, dim) partial sums — k·dim rows per
+  * partition, independent of corpus size. Centroids (k·dim longs) are
+  * the model state: they live on the driver between iterations and
+  * ship to executors inside the assignment closure, exactly like a
+  * broadcast model in any ML pipeline. Nothing row-sized is ever
+  * collected.
+  *
+  * Determinism: coordinates are quantized to round(x·1e6) longs, so
+  * every distance is exact integer arithmetic and every centroid
+  * update is one exact long sum + one double division + one half-up
+  * round — bit-identical in any engine regardless of row order. An
+  * external SQL oracle replays the full iteration history exactly
+  * (floating-point Lloyd's would diverge on sum order). Quantization
+  * error is 1e-6 per coordinate — far below any clustering-relevant
+  * signal; a production variant on un-quantized doubles is the same
+  * code minus the rounds, trading oracle-exactness for precision.
+  */
+object Clustering {
+
+  /** round(x·1e6) as long — exact for |x| ≤ ~9e12, i.e. any normalized
+    * embedding coordinate. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1e6).cast("long"))
+
+  private case class Assign(cluster: Int, distq: Long)
+
+  private def assignUdf(cents: Array[Array[Long]]) = udf { (qv: Seq[Long]) =>
+    var best = 0
+    var bd = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var s = 0L
+      var j = 0
+      while (j < cv.length) {
+        val d = qv(j) - cv(j)
+        s += d * d
+        j += 1
+      }
+      if (s < bd) { bd = s; best = c } // ties keep the smaller cluster id
+      c += 1
+    }
+    Assign(best, bd)
+  }
+
+  /** Lloyd's k-means: `iters` assignment passes, `iters - 1` centroid
+    * updates in between. Init = the k rows with the smallest
+    * (md5-rank(id), id) — a deterministic uniform draw any engine can
+    * reproduce. Empty clusters keep their previous centroid. Returns
+    * the input columns plus `cluster` (0-based, by init rank order) and
+    * `distq` (exact quantized squared distance to the final centroid).
+    */
+  def kmeansQuantized(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(iters >= 1 && k >= 1)
+    val qdf = df.withColumn("__qv", quantize(col(vecCol)))
+    // iterated below: cache the quantized corpus across the Lloyd
+    // passes (evicted LRU; the final assignment also reads it hot)
+    qdf.persist()
+
+    var cents: Array[Array[Long]] = qdf
+      .select(col(idCol), col("__qv"))
+      .withColumn("__rk", Dedup.hash60(col(idCol).cast("string")))
+      .orderBy(col("__rk"), col(idCol))
+      .limit(k)
+      .collect() // k rows of model state, not data
+      .map(_.getSeq[Long](1).toArray)
+    require(cents.length == k, s"k-means needs >= $k input rows")
+
+    var it = 1
+    while (it < iters) {
+      // (cluster, dim) partial sums combine map-side; round matches the
+      // SQL oracle's round(sum::DOUBLE / n) half-away-from-zero
+      val upd = qdf
+        .withColumn("__c", assignUdf(cents)(col("__qv")).getField("cluster"))
+        .select(col("__c"), posexplode(col("__qv")).as(Seq("__j", "__v")))
+        .groupBy(col("__c"), col("__j"))
+        .agg(round(sum(col("__v")).cast("double") / count(lit(1))).cast("long").as("__cj"))
+        .collect() // k·dim rows of model state
+      val next = cents.map(_.clone())
+      upd.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      cents = next
+      it += 1
+    }
+
+    qdf.withColumn("__a", assignUdf(cents)(col("__qv")))
+      .withColumn("cluster", col("__a").getField("cluster"))
+      .withColumn("distq", col("__a").getField("distq"))
+      .drop("__qv", "__a")
+  }
+}

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{PiiFunctions, TextRepetition}
+import graft.operators.{Clustering, TfIdf}
+import QueryDsl._
+
+/** Corpus-curation operators for training-data pipelines: Gopher-style
+  * repetition quality filters, PII detection/redaction, TF-IDF keyword
+  * extraction, and distributed k-means over embeddings. Every entry has
+  * a full DuckDB oracle — the repetition and PII paths are exact
+  * integer/regex arithmetic, tf·idf pins tf/df integers alongside the
+  * score, and k-means runs in quantized integer space so the oracle
+  * replays the complete Lloyd iteration history bit-for-bit.
+  */
+object CurationQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Gopher repetition filters (Rae et al. 2021 Table A1). Docs with
+    // doc_id%7=0 are self-concatenated so the duplicate-gram metrics
+    // exercise their nonzero range; 2-word re-lining gives the line
+    // metrics a defined meaning on this single-line corpus.
+    "text_repetition" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val t = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" "), col("text"))).otherwise(col("text"))
+      docs
+        .select(col("doc_id"),
+          TextRepetition.repetitionStats(TextRepetition.relinear(2)(t)).as("r"))
+        .select(col("doc_id"),
+          col("r.n_lines").cast("long").as("n_lines"),
+          round(col("r.dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("r.dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("r.top2gram_char_frac"), 6).as("top2_frac"),
+          round(col("r.top3gram_char_frac"), 6).as("top3_frac"),
+          round(col("r.top4gram_char_frac"), 6).as("top4_frac"),
+          round(col("r.dup5gram_char_frac"), 6).as("dup5_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub: deterministic planted email/IPv4/phone on doc_id%4=0
+    // rows (the corpus itself is PII-free word soup), counts + the md5
+    // of the redacted text so the oracle pins the full replace output.
+    "text_pii_redact" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val planted = when(col("doc_id") % 4 === 0,
+        concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.1."), (col("doc_id") % 200).cast("string"),
+          lit(".7 tel (555) 123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text"))
+      docs.select(col("doc_id"),
+        PiiFunctions.emailCount(planted).cast("long").as("n_email"),
+        PiiFunctions.ipv4Count(planted).cast("long").as("n_ipv4"),
+        PiiFunctions.phoneCount(planted).cast("long").as("n_phone"),
+        md5(PiiFunctions.redact(planted)).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_tfidf" -> ((s, d) =>
+      TfIdf.topTerms(T(s, d, "documents"), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // k=10 (the corpus plants 10 label clusters), 3 assignment passes;
+    // output pins per-cluster membership mass (size, id-sum, label-sum)
+    // and the exact quantized inertia.
+    "cluster_kmeans" -> ((s, d) => {
+      Clustering
+        .kmeansQuantized(T(s, d, "embeddings"), "embedding", "vec_id",
+          k = 10, iters = 3)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("vec_id")).as("sum_id"),
+          sum(col("label").cast("long")).as("sum_label"),
+          sum(col("distq")).as("inertia_q"))
+        .orderBy(col("cluster"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS t
+           FROM documents),
+         w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(t)), '\s+'), x -> x <> '') AS ws
+           FROM d),
+         base AS (SELECT doc_id, ws, len(ws) AS nw,
+             CASE WHEN len(ws) = 0 THEN 0
+                  ELSE length(array_to_string(ws, ' ')) END AS nc
+           FROM w),
+         ln AS (SELECT doc_id, array_to_string(ws[2*i-1 : 2*i], ' ') AS line
+                FROM (SELECT doc_id, ws, unnest(generate_series(1,
+                        CAST(ceil(nw / 2.0) AS BIGINT))) AS i
+                      FROM base WHERE nw > 0) t),
+         lc AS (SELECT doc_id, line, COUNT(*) AS c FROM ln GROUP BY 1, 2),
+         lstat AS (SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_lines,
+             (SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE) AS dlf,
+             CASE WHEN SUM(c * length(line)) = 0 THEN 0.0
+                  ELSE SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)
+                       / CAST(SUM(c * length(line)) AS DOUBLE) END AS dlcf
+           FROM lc GROUP BY doc_id),
+         gr AS (SELECT doc_id, nc, n, array_to_string(ws[i : i+n-1], ' ') AS gram
+                FROM (SELECT doc_id, ws, nc, ns.n,
+                        unnest(generate_series(1, nw - ns.n + 1)) AS i
+                      FROM base CROSS JOIN (SELECT unnest([2,3,4,5]) AS n) ns
+                      WHERE nw >= ns.n) t),
+         gc AS (SELECT doc_id, nc, n, gram, COUNT(*) AS c
+                FROM gr GROUP BY 1, 2, 3, 4),
+         top AS (SELECT doc_id, n, c * length(gram) / CAST(nc AS DOUBLE) AS frac
+                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                         ORDER BY c DESC, gram) AS rn FROM gc) t
+                 WHERE rn = 1),
+         dup5 AS (SELECT doc_id,
+                    SUM(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END)
+                      / CAST(any_value(nc) AS DOUBLE) AS frac
+                  FROM gc WHERE n = 5 GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(lstat.n_lines, 0) AS n_lines,
+           round(coalesce(lstat.dlf, 0.0), 6) AS dup_line_frac,
+           round(coalesce(lstat.dlcf, 0.0), 6) AS dup_line_char_frac,
+           round(coalesce(t2.frac, 0.0), 6) AS top2_frac,
+           round(coalesce(t3.frac, 0.0), 6) AS top3_frac,
+           round(coalesce(t4.frac, 0.0), 6) AS top4_frac,
+           round(coalesce(dup5.frac, 0.0), 6) AS dup5_frac
+         FROM d
+         LEFT JOIN lstat USING (doc_id)
+         LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 2) t2 USING (doc_id)
+         LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 3) t3 USING (doc_id)
+         LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 4) t4 USING (doc_id)
+         LEFT JOIN dup5 USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    "text_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN
+               text || ' reach user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 10.1.' || CAST(doc_id % 200 AS VARCHAR)
+                    || '.7 tel (555) 123-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t,
+             '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+         FROM p ORDER BY doc_id""",
+
+    "text_tfidf" ->
+      """WITH tk AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                    x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                  tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df) AS score
+                FROM tf JOIN dfq USING (term) CROSS JOIN n)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(score, 4) AS score
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS rank FROM sc) t
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // full replay of the quantized Lloyd history: init = 10 smallest
+    // md5-rank ids, three assignment passes (a0/a1/a2) with two
+    // centroid updates between them — all integer-exact.
+    "cluster_kmeans" ->
+      """WITH q AS (SELECT vec_id, label,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+           FROM embeddings),
+         c0 AS (SELECT rn - 1 AS cid, qv AS cv FROM (
+                  SELECT qv, row_number() OVER (ORDER BY
+                    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                    vec_id) AS rn
+                  FROM q) t WHERE rn <= 10),
+         a0 AS (SELECT vec_id, label, qv, cid, dist,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM (SELECT q.vec_id, q.label, q.qv, c.cid,
+                        list_sum(list_transform(generate_series(1, len(q.qv)),
+                          j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS dist
+                      FROM q CROSS JOIN c0 c) t),
+         g0 AS (SELECT vec_id, label, qv, cid FROM a0 WHERE rn = 1),
+         u0 AS (SELECT cid, j,
+                  CAST(round(CAST(SUM(qv[j]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cj
+                FROM (SELECT cid, qv, unnest(generate_series(1, len(qv))) AS j
+                      FROM g0) t GROUP BY cid, j),
+         c1 AS (SELECT c0.cid, coalesce(nc.cv, c0.cv) AS cv
+                FROM c0 LEFT JOIN (SELECT cid, list(cj ORDER BY j) AS cv
+                                   FROM u0 GROUP BY cid) nc USING (cid)),
+         a1 AS (SELECT vec_id, label, qv, cid, dist,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM (SELECT q.vec_id, q.label, q.qv, c.cid,
+                        list_sum(list_transform(generate_series(1, len(q.qv)),
+                          j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS dist
+                      FROM q CROSS JOIN c1 c) t),
+         g1 AS (SELECT vec_id, label, qv, cid FROM a1 WHERE rn = 1),
+         u1 AS (SELECT cid, j,
+                  CAST(round(CAST(SUM(qv[j]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cj
+                FROM (SELECT cid, qv, unnest(generate_series(1, len(qv))) AS j
+                      FROM g1) t GROUP BY cid, j),
+         c2 AS (SELECT c1.cid, coalesce(nc.cv, c1.cv) AS cv
+                FROM c1 LEFT JOIN (SELECT cid, list(cj ORDER BY j) AS cv
+                                   FROM u1 GROUP BY cid) nc USING (cid)),
+         a2 AS (SELECT vec_id, label, cid, dist,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM (SELECT q.vec_id, q.label, c.cid,
+                        list_sum(list_transform(generate_series(1, len(q.qv)),
+                          j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS dist
+                      FROM q CROSS JOIN c2 c) t),
+         g2 AS (SELECT vec_id, label, cid, dist FROM a2 WHERE rn = 1)
+         SELECT cid AS cluster, COUNT(*) AS n,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_id,
+           CAST(SUM(label) AS BIGINT) AS sum_label,
+           CAST(SUM(dist) AS BIGINT) AS inertia_q
+         FROM g2 GROUP BY 1 ORDER BY 1"""
+  )
+}
