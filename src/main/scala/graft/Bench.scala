@@ -26,7 +26,8 @@ object Bench {
     "range_fill_linear", "range_percentile", "promql_sum_rate", "promql_topk",
     "dedup_minhash", "dedup_ngram_jaccard", "similarity_topk",
     "similarity_ivf",
-    "text_stats", "pipeline_etl", "ingest_influx_lp", "ingest_flight")
+    "text_stats", "text_tfidf", "cluster_kmeans",
+    "pipeline_etl", "ingest_influx_lp", "ingest_flight")
 
   /** Queries whose round-over-round drift warranted extra passes. */
   private val minOfFive = Set("promql_sum_rate")

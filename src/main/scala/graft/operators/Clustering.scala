@@ -35,8 +35,10 @@ object Clustering {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1e6).cast("long"))
 
-  private case class Assign(cluster: Int, distq: Long)
-
+  /** Returns Array(cluster, distq) — an array, not a case class, so the
+    * downstream projection stays inside whole-stage codegen (janino
+    * cannot compile an Invoke on a local case-class accessor and the
+    * whole stage would fall back to interpreted eval). */
   private def assignUdf(cents: Array[Array[Long]]) = udf { (qv: Seq[Long]) =>
     var best = 0
     var bd = Long.MaxValue
@@ -53,7 +55,7 @@ object Clustering {
       if (s < bd) { bd = s; best = c } // ties keep the smaller cluster id
       c += 1
     }
-    Assign(best, bd)
+    Array(best.toLong, bd)
   }
 
   /** Lloyd's k-means: `iters` assignment passes, `iters - 1` centroid
@@ -85,7 +87,7 @@ object Clustering {
       // (cluster, dim) partial sums combine map-side; round matches the
       // SQL oracle's round(sum::DOUBLE / n) half-away-from-zero
       val upd = qdf
-        .withColumn("__c", assignUdf(cents)(col("__qv")).getField("cluster"))
+        .withColumn("__c", assignUdf(cents)(col("__qv"))(0).cast("int"))
         .select(col("__c"), posexplode(col("__qv")).as(Seq("__j", "__v")))
         .groupBy(col("__c"), col("__j"))
         .agg(round(sum(col("__v")).cast("double") / count(lit(1))).cast("long").as("__cj"))
@@ -97,8 +99,30 @@ object Clustering {
     }
 
     qdf.withColumn("__a", assignUdf(cents)(col("__qv")))
-      .withColumn("cluster", col("__a").getField("cluster"))
-      .withColumn("distq", col("__a").getField("distq"))
+      .withColumn("cluster", col("__a")(0).cast("int"))
+      .withColumn("distq", col("__a")(1))
       .drop("__qv", "__a")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embeddings, then search for near-duplicate pairs only WITHIN each
+    * cluster — the O(n²) pair search becomes k independent O((n/k)²)
+    * blocks and the equi-join on cluster co-locates all candidates in
+    * one shuffle. Cross-cluster near-dups are unreachable by design
+    * (the published recall trade; raise k to shrink blocks, lower k to
+    * raise recall). */
+  def semanticDedupPairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, k: Int, iters: Int): DataFrame = {
+    val asg = kmeansQuantized(df, vecCol, idCol, k, iters)
+      .select(col("cluster"), col(idCol).as("__id"), col(vecCol).as("__v"))
+    val a = asg.select(col("cluster"), col("__id").as("id_a"), col("__v").as("__va"))
+    val b = asg.select(col("cluster"), col("__id").as("id_b"), col("__v").as("__vb"))
+    val cosSim = lit(1.0) - graft.functions.VectorFunctions
+      .vecCosDistance(col("__va"), col("__vb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosSim)
+      .filter(col("cos_sim") >= threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"), col("cos_sim"))
   }
 }

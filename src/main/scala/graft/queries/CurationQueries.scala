@@ -7,7 +7,8 @@ import QueryDsl._
 
 /** Corpus-curation operators for training-data pipelines: Gopher-style
   * repetition quality filters, PII detection/redaction, TF-IDF keyword
-  * extraction, and distributed k-means over embeddings. Every entry has
+  * extraction, distributed k-means over embeddings, and SemDeDup
+  * semantic dedup (cluster-then-pair-within). Every entry has
   * a full DuckDB oracle — the repetition and PII paths are exact
   * integer/regex arithmetic, tf·idf pins tf/df integers alongside the
   * score, and k-means runs in quantized integer space so the oracle
@@ -77,7 +78,19 @@ object CurationQueries {
           sum(col("label").cast("long")).as("sum_label"),
           sum(col("distq")).as("inertia_q"))
         .orderBy(col("cluster"))
-    })
+    }),
+
+    // SemDeDup: same k-means run (identical params → the oracle reuses
+    // the Lloyd replay), then exact cosine pairs only WITHIN clusters.
+    // At sf0.01 this finds 5 of the 14 corpus-wide >=0.45 pairs — the
+    // published cross-cluster recall trade is part of what the oracle
+    // pins, not an approximation to hide.
+    "dedup_semantic" -> ((s, d) =>
+      Clustering.semanticDedupPairs(T(s, d, "embeddings"), "embedding",
+          "vec_id", threshold = 0.40, k = 10, iters = 3)
+        .select(col("cluster").cast("long").as("cluster"),
+          col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("id_a"), col("id_b")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -178,7 +191,33 @@ object CurationQueries {
     // full replay of the quantized Lloyd history: init = 10 smallest
     // md5-rank ids, three assignment passes (a0/a1/a2) with two
     // centroid updates between them — all integer-exact.
-    "cluster_kmeans" ->
+    "cluster_kmeans" -> (kmeansLloydCte + """
+         SELECT cid AS cluster, COUNT(*) AS n,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_id,
+           CAST(SUM(label) AS BIGINT) AS sum_label,
+           CAST(SUM(dist) AS BIGINT) AS inertia_q
+         FROM g2 GROUP BY 1 ORDER BY 1"""),
+
+    // same Lloyd replay, then exact cosine pairs within each final
+    // cluster only.
+    "dedup_semantic" -> (kmeansLloydCte + """,
+         e AS (SELECT g2.cid AS cluster, g2.vec_id, emb.embedding
+               FROM g2 JOIN embeddings emb USING (vec_id))
+         SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+         FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.40
+         ORDER BY id_a, id_b""")
+  )
+
+  /** Quantized Lloyd replay shared by the `cluster_kmeans` and
+    * `dedup_semantic` oracles: init = k smallest md5-rank ids, three
+    * assignment passes with two centroid updates, ending at `g2`
+    * (vec_id, label, cid, dist) — all integer-exact so any engine
+    * reproduces it bit-for-bit. */
+  private lazy val kmeansLloydCte: String = // lazy: referenced above its definition during object init
       """WITH q AS (SELECT vec_id, label,
              list_transform(embedding, x ->
                CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
@@ -222,11 +261,5 @@ object CurationQueries {
                         list_sum(list_transform(generate_series(1, len(q.qv)),
                           j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS dist
                       FROM q CROSS JOIN c2 c) t),
-         g2 AS (SELECT vec_id, label, cid, dist FROM a2 WHERE rn = 1)
-         SELECT cid AS cluster, COUNT(*) AS n,
-           CAST(SUM(vec_id) AS BIGINT) AS sum_id,
-           CAST(SUM(label) AS BIGINT) AS sum_label,
-           CAST(SUM(dist) AS BIGINT) AS inertia_q
-         FROM g2 GROUP BY 1 ORDER BY 1"""
-  )
+         g2 AS (SELECT vec_id, label, cid, dist FROM a2 WHERE rn = 1)"""
 }

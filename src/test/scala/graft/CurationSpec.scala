@@ -136,6 +136,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(0) == 0 && r.getLong(1) == 0L))
   }
 
+  test("semantic dedup: pairs only within clusters; cosine-identical cross-cluster pairs are the recall trade") {
+    // two direction-coherent groups, euclidean-separated along x:
+    // cos(id1, id11) = 1.0 — but k-means (euclidean) splits them, so the
+    // cross-group pair is unreachable BY DESIGN (the SemDeDup trade);
+    // all six within-group pairs clear the 0.99 threshold
+    val df = vecs(
+      1L -> Seq(1.0f, 0.0f), 2L -> Seq(1.0f, 0.05f), 3L -> Seq(1.0f, -0.05f),
+      11L -> Seq(100.0f, 0.0f), 12L -> Seq(100.0f, 2.0f), 13L -> Seq(100.0f, -2.0f))
+    val out = Clustering.semanticDedupPairs(df, "embedding", "vec_id",
+        threshold = 0.99, k = 2, iters = 3)
+    val pairs = out.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (11L, 12L), (11L, 13L), (12L, 13L)))
+    assert(out.select($"cos_sim").as[Double].collect().forall(_ >= 0.99))
+  }
+
   test("kmeans: inertia is the exact quantized squared distance") {
     // one cluster: centroid after update = avg of (0,0) and (2,2) = (1,1)q
     val df = vecs(1L -> Seq(0.0f, 0.0f), 2L -> Seq(2.0f, 2.0f))

@@ -86,6 +86,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("ObjectHashAggregate"), "percentile re-entered a buffer agg")
   }
 
+  test("per-row curation ops shuffle nothing but the output sort") {
+    // repetition stats and PII redaction are embarrassingly per-row:
+    // any Exchange beyond the final orderBy means a regression
+    for (n <- Seq("text_repetition", "text_pii_redact"))
+      assert(nodeIds(plan(n), "Exchange").size <= 1,
+        s"$n shuffles=${nodeIds(plan(n), "Exchange")}")
+  }
+
+  test("text_tfidf: window top-k prunes map-side, corpus count joins broadcast") {
+    val p = plan("text_tfidf")
+    assert(nodeIds(p, "WindowGroupLimit").size >= 2, "lost WindowGroupLimit")
+    assert(nodeIds(p, "BroadcastNestedLoopJoin").nonEmpty, "N should broadcast")
+    assert(nodeIds(p, "CartesianProduct").isEmpty)
+  }
+
+  test("cluster_kmeans: final assignment aggregates in bounded shuffles") {
+    // the Lloyd iterations run as separate bounded jobs (k·dim partial
+    // sums); the returned plan is scan + assignment UDF + one agg
+    // exchange + output sort
+    assert(nodeIds(plan("cluster_kmeans"), "Exchange").size <= 3,
+      s"shuffles=${nodeIds(plan("cluster_kmeans"), "Exchange")}")
+  }
+
   test("dedup_ngram_jaccard: stage count and shuffle bytes stay bounded at sf0.1") {
     // Pins the RUNTIME structure (the static plan hides the persisted
     // candidate/doc sub-jobs) so bench drift is attributable: machine
