@@ -430,4 +430,51 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
+
+  /** Connected components over an undirected near-dup pair list — the
+    * step that turns any pair-producing dedup op into a keep/drop
+    * decision (one canonical doc per duplicate cluster). Iterated
+    * min-label propagation: comp(v) ← min(comp(v), min over neighbors
+    * comp(u)) until a pass changes nothing. Near-dup graphs are
+    * micro-clusters (diameter 2–4), so a handful of passes in practice;
+    * each pass shuffles the edge list — linear in pairs, never
+    * quadratic, and partial aggregation combines the per-neighbor mins
+    * map-side. The convergence check collects one changed-count per
+    * pass (model-state-sized, like the k-means centroid collect).
+    * Throws if maxIters passes don't converge — a near-dup graph with
+    * diameter > maxIters means the input isn't a dedup pair list.
+    * Returns (id, comp) for every id appearing in `pairs`; comp is the
+    * smallest id in the component. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("__s"), col(bCol).as("__t"))
+      .union(pairs.select(col(bCol).as("__s"), col(aCol).as("__t")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("__s").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+    var cached = labels.persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("__t"), col("comp").as("__tc")), "__t")
+        .groupBy(col("__s").as("id"))
+        .agg(min(col("__tc")).as("__nc"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
+        .persist()
+      changed = next.filter(col("comp") < col("__old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("comp"))
+      it += 1
+    }
+    require(changed == 0L,
+      s"connectedComponents: no convergence after $maxIters passes")
+    edges.unpersist()
+    labels
+  }
 }

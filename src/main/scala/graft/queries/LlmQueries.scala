@@ -67,6 +67,22 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // pair list -> actionable keep/drop: connected components over the
+    // exact-cosine pair graph, canonical = smallest id per duplicate
+    // cluster, singletons keep themselves
+    "dedup_canonical" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val pairs = Dedup.embeddingCosinePairsExact(emb, "embedding", "vec_id",
+        threshold = 0.45)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "vec_id")
+      emb.select(col("vec_id"))
+        .join(comps, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("comp"))
+        .withColumn("keep", col("comp") === col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     "similarity_topk" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
@@ -467,6 +483,24 @@ object LlmQueries {
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])) >= 0.45
          ORDER BY id_a, id_b""",
+
+    // transitive closure by recursive CTE; comp = min reachable id
+    "dedup_canonical" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS s, b.vec_id AS t
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) >= 0.45),
+         edges AS (SELECT s, t FROM pairs UNION SELECT t, s FROM pairs),
+         reach(id, r) AS (
+           SELECT s, s FROM edges
+           UNION
+           SELECT reach.id, e.t FROM reach JOIN edges e ON e.s = reach.r),
+         comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         SELECT e.vec_id, coalesce(c.comp, e.vec_id) AS comp,
+           coalesce(c.comp, e.vec_id) = e.vec_id AS keep
+         FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+         ORDER BY e.vec_id""",
 
     "similarity_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5)

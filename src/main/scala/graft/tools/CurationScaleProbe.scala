@@ -33,8 +33,8 @@ object CurationScaleProbe {
     // (repetition/PII measured as a bare scan); checksum every output
     // column instead so the probe times the real work.
     def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
-      import org.apache.spark.sql.functions.{sum, xxhash64, col}
-      df.select(sum(xxhash64(df.columns.map(col): _*))).collect()
+      import org.apache.spark.sql.functions.{bit_xor, xxhash64, col}
+      df.select(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
       ()
     }
     val ops = Seq("text_repetition", "text_pii_redact", "text_tfidf", "cluster_kmeans")

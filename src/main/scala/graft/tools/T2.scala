@@ -1,6 +1,10 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Ad-hoc dev probe (scratch, rewritten per investigation). Current:
+  * final AQE plan of text_tfidf at the 100x fan dir — where did the
+  * 845 MB shuffle come from. */
 object T2 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -8,14 +12,16 @@ object T2 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
-    val docs = graft.Tables.load(spark, d, "documents")
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      val n = graft.operators.Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.4, 3).count()
-      println(f"[t2] run$i pairs=$n time=${(System.nanoTime()-t0)/1e9}%.2f s")
-    }
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/tmp/graft_cur100")
+    val df = graft.SparkEntry.queries("text_tfidf")(spark, dir)
+    df.select(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
+    println("==== FINAL ADAPTIVE PLAN ====")
+    println(df.queryExecution.executedPlan.toString.take(8000))
+    // vocabulary + tf sizes, to size the join sides
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = docs.select(explode(graft.operators.TfIdf.tokens(col("text"))).as("t"))
+    println("tokens=" + toks.count() + " vocab=" + toks.distinct().count())
     spark.stop()
   }
 }

@@ -81,6 +81,22 @@ class DedupSpec extends AnyFunSuite {
     assert(n1 == n2 && n1.nonEmpty)
   }
 
+  test("connected components: chains propagate the min label, components stay disjoint") {
+    // 1-2-3-4 is a diameter-3 chain (needs several propagation passes);
+    // (10,11) is a separate pair; 99 appears in no pair -> absent
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // a triangle with a reversed pair direction still forms one component
+    val tri = Seq((7L, 5L), (5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val c2 = Dedup.connectedComponents(tri, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("embedding cosine pairs: scaled copies collide, orthogonal don't") {
     val e = Seq(
       (1L, Array.fill(64)(1.0f).toSeq),

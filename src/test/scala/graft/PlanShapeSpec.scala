@@ -99,6 +99,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodeIds(p, "WindowGroupLimit").size >= 2, "lost WindowGroupLimit")
     assert(nodeIds(p, "BroadcastNestedLoopJoin").nonEmpty, "N should broadcast")
     assert(nodeIds(p, "CartesianProduct").isEmpty)
+    // df must come from the term window, not a groupBy+join-back that
+    // re-scans and re-explodes the corpus (measured 2x at 500k docs)
+    assert(nodeIds(p, "Generate").size == 1,
+      "corpus exploded more than once — df branch re-reads the corpus")
   }
 
   test("cluster_kmeans: final assignment aggregates in bounded shuffles") {
