@@ -53,4 +53,23 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Token-budget mixture sampling: the "fill each source's share of
+    * the training mix" draw. Documents are ordered per stratum by
+    * hash-rank (a deterministic uniform permutation) and admitted while
+    * the running token total before them is under the stratum's budget
+    * — so the document that crosses the budget line is kept and every
+    * stratum reaches its target. Adds a boolean `kept` column.
+    *
+    * One shuffle on the stratum column (standard cumulative-sum
+    * window). A stratum's rows must be window-sortable on one
+    * partition; at 100 TB pre-aggregate to (doc, n_tokens) rows first —
+    * the window runs over doc-count-sized data, never corpus bytes. */
+  def tokenBudget(df: DataFrame, stratum: Column, id: Column,
+                  tokens: Column, budgetPerStratum: Long): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(hashRank(id), id)
+    val before = coalesce(
+      sum(tokens).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    df.withColumn("kept", before < budgetPerStratum)
+  }
 }

@@ -1,8 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{PiiFunctions, TextRepetition}
-import graft.operators.{Clustering, TfIdf}
+import graft.functions.{GopherQuality, PiiFunctions, TextAnalysis, TextRepetition}
+import graft.operators.{Clustering, Sampling, TfIdf}
 import QueryDsl._
 
 /** Corpus-curation operators for training-data pipelines: Gopher-style
@@ -78,6 +78,48 @@ object CurationQueries {
           sum(col("label").cast("long")).as("sum_label"),
           sum(col("distq")).as("inertia_q"))
         .orderBy(col("cluster"))
+    }),
+
+    // Gopher Table A1 composite verdict. Same doc_id%7 self-concat as
+    // text_repetition so pass_repetition exercises both branches; the
+    // word-soup corpus carries only 'the' from Gopher's required-word
+    // list, so stop words are planted on a doc_id%3 schedule (0/1/2/3
+    // hits ≈ 41/158/134/167 at sf0.01) — the established planted-PII
+    // pattern, keeping every rule's both branches reachable.
+    "text_gopher_quality" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val t = concat(
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" "), col("text"))).otherwise(col("text")),
+        when(col("doc_id") % 3 === 0, lit(" of the and"))
+          .when(col("doc_id") % 3 === 1, lit(" to")).otherwise(lit("")))
+      docs.select(col("doc_id"), GopherQuality.flags(t).as("g"))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_words"),
+          round(col("g.mean_word_len"), 6).as("mean_wl"),
+          col("g.stop_hits").as("stop_hits"),
+          col("g.pass_words").as("pass_words"),
+          col("g.pass_mean_wl").as("pass_mean_wl"),
+          col("g.pass_symbols").as("pass_symbols"),
+          col("g.pass_lines").as("pass_lines"),
+          col("g.pass_alpha").as("pass_alpha"),
+          col("g.pass_stops").as("pass_stops"),
+          col("g.pass_repetition").as("pass_repetition"),
+          col("g.keep").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token-budget mixture draw: 5 synthetic sources, 3000 tokens each
+    // (~54% of each stratum at sf0.01) — kept is a prefix of the
+    // hash-rank order whose preceding token mass is under budget.
+    "sample_token_budget" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val withTok = docs.select(col("doc_id"),
+        (col("doc_id") % 5).as("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.tokenBudget(withTok, col("source"), col("doc_id"),
+          col("n_tokens"), budgetPerStratum = 3000L)
+        .orderBy(col("doc_id"))
     }),
 
     // SemDeDup: same k-means run (identical params → the oracle reuses
@@ -187,6 +229,98 @@ object CurationQueries {
          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                  ORDER BY score DESC, term) AS rank FROM sc) t
          WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // every rule replicated generally (no corpus-constant shortcuts):
+    // lines from '\n' (trim, drop empties), grams over lowercased
+    // whitespace words, char mass over space-joined words
+    "text_gopher_quality" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END
+               || CASE WHEN doc_id % 3 = 0 THEN ' of the and'
+                       WHEN doc_id % 3 = 1 THEN ' to' ELSE '' END AS t
+           FROM documents),
+         w AS (SELECT doc_id, t,
+             list_filter(regexp_split_to_array(trim(lower(t)), '\s+'), x -> x <> '') AS ws
+           FROM d),
+         base AS (SELECT doc_id, t, ws, len(ws) AS nw,
+             CASE WHEN len(ws) = 0 THEN 0
+                  ELSE length(array_to_string(ws, ' ')) END AS nc
+           FROM w),
+         ln AS (SELECT doc_id, trim(l) AS line
+                FROM (SELECT doc_id, unnest(str_split(t, chr(10))) AS l FROM d) q
+                WHERE trim(l) <> ''),
+         lc AS (SELECT doc_id, line, COUNT(*) AS c FROM ln GROUP BY 1, 2),
+         lstat AS (SELECT doc_id,
+             (SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE) AS dlf,
+             CASE WHEN SUM(c * length(line)) = 0 THEN 0.0
+                  ELSE SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)
+                       / CAST(SUM(c * length(line)) AS DOUBLE) END AS dlcf,
+             SUM(CASE WHEN regexp_matches(line, '^[•\-\*]') THEN c ELSE 0 END)
+               / CAST(SUM(c) AS DOUBLE) AS bullet_frac,
+             SUM(CASE WHEN regexp_matches(line, '(\.\.\.|…)$') THEN c ELSE 0 END)
+               / CAST(SUM(c) AS DOUBLE) AS ell_frac
+           FROM lc GROUP BY doc_id),
+         gr AS (SELECT doc_id, nc, n, array_to_string(ws[i : i+n-1], ' ') AS gram
+                FROM (SELECT doc_id, ws, nc, ns.n,
+                        unnest(generate_series(1, nw - ns.n + 1)) AS i
+                      FROM base CROSS JOIN (SELECT unnest([2,3,4,5]) AS n) ns
+                      WHERE nw >= ns.n) t),
+         gc AS (SELECT doc_id, nc, n, gram, COUNT(*) AS c
+                FROM gr GROUP BY 1, 2, 3, 4),
+         top AS (SELECT doc_id, n, c * length(gram) / CAST(nc AS DOUBLE) AS frac
+                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                         ORDER BY c DESC, gram) AS rn FROM gc) t
+                 WHERE rn = 1),
+         dup5 AS (SELECT doc_id,
+                    SUM(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END)
+                      / CAST(any_value(nc) AS DOUBLE) AS frac
+                  FROM gc WHERE n = 5 GROUP BY doc_id),
+         m AS (SELECT base.doc_id, nw,
+             CASE WHEN nw = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / nw END AS mean_wl,
+             len(list_intersect(list_distinct(ws),
+                 ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+             CASE WHEN nw = 0 THEN 0.0
+                  ELSE len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                       / CAST(nw AS DOUBLE) END AS alpha_frac,
+             CASE WHEN nw = 0 THEN 0.0
+                  ELSE (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.'))
+                        + len(regexp_extract_all(t, '…'))) / CAST(nw AS DOUBLE) END AS symbol_ratio
+           FROM base),
+         r AS (SELECT m.doc_id, m.nw, m.mean_wl, m.stop_hits,
+             (m.nw >= 50 AND m.nw <= 100000) AS pass_words,
+             (m.mean_wl >= 3.0 AND m.mean_wl <= 10.0) AS pass_mean_wl,
+             (m.symbol_ratio <= 0.1) AS pass_symbols,
+             (coalesce(l.bullet_frac, 0.0) <= 0.9 AND coalesce(l.ell_frac, 0.0) <= 0.3) AS pass_lines,
+             (m.alpha_frac >= 0.8) AS pass_alpha,
+             (m.stop_hits >= 2) AS pass_stops,
+             (coalesce(l.dlf, 0.0) <= 0.30 AND coalesce(l.dlcf, 0.0) <= 0.20
+              AND coalesce(t2.frac, 0.0) <= 0.20 AND coalesce(t3.frac, 0.0) <= 0.18
+              AND coalesce(t4.frac, 0.0) <= 0.16 AND coalesce(d5.frac, 0.0) <= 0.15) AS pass_repetition
+           FROM m
+           LEFT JOIN lstat l USING (doc_id)
+           LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 2) t2 USING (doc_id)
+           LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 3) t3 USING (doc_id)
+           LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 4) t4 USING (doc_id)
+           LEFT JOIN dup5 d5 USING (doc_id))
+         SELECT doc_id, CAST(nw AS BIGINT) AS n_words, round(mean_wl, 6) AS mean_wl,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           pass_words, pass_mean_wl, pass_symbols, pass_lines, pass_alpha,
+           pass_stops, pass_repetition,
+           (pass_words AND pass_mean_wl AND pass_symbols AND pass_lines
+            AND pass_alpha AND pass_stops AND pass_repetition) AS keep
+         FROM r ORDER BY doc_id""",
+
+    "sample_token_budget" ->
+      """WITH tok AS (SELECT doc_id, doc_id % 5 AS source,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS rk
+           FROM documents)
+         SELECT doc_id, source, n_tokens,
+           coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 3000 AS kept
+         FROM tok ORDER BY doc_id""",
 
     // full replay of the quantized Lloyd history: init = 10 smallest
     // md5-rank ids, three assignment passes (a0/a1/a2) with two

@@ -136,6 +136,59 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(r => r.getInt(0) == 0 && r.getLong(1) == 0L))
   }
 
+  private def gopher(text: String): Map[String, Any] = {
+    val r = Seq(Tuple1(text)).toDF("t")
+      .select(graft.functions.GopherQuality.flags(col("t")).as("g"))
+      .select(col("g.*")).collect().head
+    r.schema.fieldNames.zip(r.toSeq).toMap
+  }
+
+  test("gopher: a well-formed document passes every rule") {
+    val good = "the of " + (1 to 60).map(i => f"word$i%02d").mkString(" ")
+    val m = gopher(good)
+    assert(m("n_words") == 62L && m("stop_hits") == 2L)
+    assert(m("keep") == true, m.toString)
+  }
+
+  test("gopher: each rule fails on its own trigger") {
+    // too short
+    assert(gopher("the of tiny")("pass_words") == false)
+    // no required stop words, otherwise fine
+    val noStops = (1 to 60).map(i => f"word$i%02d").mkString(" ")
+    val m1 = gopher(noStops)
+    assert(m1("pass_stops") == false && m1("pass_words") == true)
+    // heavy 2-gram repetition
+    val spam = "the of " + Seq.fill(40)("spam ham").mkString(" ")
+    assert(gopher(spam)("pass_repetition") == false)
+    // symbol-to-word ratio: a '#' per word
+    val hashy = "the of " + (1 to 60).map(i => s"w$i#").mkString(" ")
+    assert(gopher(hashy)("pass_symbols") == false)
+    // >90% bullet lines
+    val bullets = (1 to 20).map(i => s"- item $i the of").mkString("\n")
+    assert(gopher(bullets)("pass_lines") == false)
+    // mean word length out of range (all single chars)
+    val shorties = "the of " + Seq.fill(60)("a b c d e f g h").mkString(" ")
+    assert(gopher(shorties)("pass_mean_wl") == false)
+  }
+
+  test("token budget: kept is the hash-rank prefix that crosses the budget") {
+    import graft.operators.Sampling
+    val df = (1L to 10L).map(i => (i, 0L, 10L)).toDF("id", "src", "toks")
+    val out = Sampling.tokenBudget(df, $"src", $"id", $"toks", budgetPerStratum = 25L)
+    val kept = out.filter($"kept").select($"id").as[Long].collect().toSet
+    assert(kept.size == 3) // before-sums 0,10,20 < 25; the 4th has 30
+    // the kept set is exactly the 3 smallest by hash rank
+    val byRank = df.select($"id", Sampling.hashRank($"id").as("rk"))
+      .orderBy($"rk", $"id").as[(Long, Long)].collect().map(_._1)
+    assert(kept == byRank.take(3).toSet)
+    // strata budgets are independent: two sources, each keeps its prefix
+    val two = (1L to 10L).map(i => (i, i % 2, 10L)).toDF("id", "src", "toks")
+    val k2 = Sampling.tokenBudget(two, $"src", $"id", $"toks", 25L)
+      .filter($"kept").groupBy($"src").count()
+      .as[(Long, Long)].collect().toMap
+    assert(k2 == Map(0L -> 3L, 1L -> 3L))
+  }
+
   test("semantic dedup: pairs only within clusters; cosine-identical cross-cluster pairs are the recall trade") {
     // two direction-coherent groups, euclidean-separated along x:
     // cos(id1, id11) = 1.0 — but k-means (euclidean) splits them, so the
