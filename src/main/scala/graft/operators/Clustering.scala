@@ -69,8 +69,11 @@ object Clustering {
       k: Int, iters: Int): DataFrame = {
     require(iters >= 1 && k >= 1)
     val qdf = df.withColumn("__qv", quantize(col(vecCol)))
-    // iterated below: cache the quantized corpus across the Lloyd
-    // passes (evicted LRU; the final assignment also reads it hot)
+    // cache the quantized corpus across the Lloyd update collects (they
+    // run eagerly in the loop below); released before returning so a
+    // call doesn't pin a corpus-sized cache for the session — the final
+    // assignment pass re-reads the source once (scan + quantize, no
+    // shuffle), which is cheaper than leaking one cache per call
     qdf.persist()
 
     var cents: Array[Array[Long]] = qdf
@@ -97,6 +100,7 @@ object Clustering {
       cents = next
       it += 1
     }
+    qdf.unpersist()
 
     qdf.withColumn("__a", assignUdf(cents)(col("__qv")))
       .withColumn("cluster", col("__a")(0).cast("int"))

@@ -453,7 +453,7 @@ object Dedup {
       .persist()
     var labels = edges.select(col("__s").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-    var cached = labels.persist()
+      .localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -461,14 +461,19 @@ object Dedup {
         .join(labels.select(col("id").as("__t"), col("comp").as("__tc")), "__t")
         .groupBy(col("__s").as("id"))
         .agg(min(col("__tc")).as("__nc"))
+      // each pass references `labels` twice (directly and via nbrMin),
+      // so WITHOUT lineage truncation the logical plan DOUBLES per pass
+      // — 2^k nodes by pass k; a 16-pass chain graph spent minutes in
+      // the analyzer before any task ran. localCheckpoint materializes
+      // the pass eagerly and resets the plan to a leaf; superseded
+      // checkpoint blocks are reclaimed by the ContextCleaner once
+      // unreferenced (same lifecycle note as ngramJaccardPairs' out).
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.filter(col("comp") < col("__old")).count()
-      cached.unpersist()
-      cached = next
       labels = next.select(col("id"), col("comp"))
       it += 1
     }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.{GopherQuality, PiiFunctions, TextAnalysis, TextRepetition}
+import graft.functions.{C4Clean, GopherQuality, PiiFunctions, TextAnalysis, TextRepetition}
 import graft.operators.{Clustering, Sampling, TfIdf}
 import QueryDsl._
 
@@ -106,6 +106,32 @@ object CurationQueries {
           col("g.pass_stops").as("pass_stops"),
           col("g.pass_repetition").as("pass_repetition"),
           col("g.keep").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4 line/page cleaning. The soup corpus has no line structure or
+    // punctuation, so the query plants a deterministic shape first:
+    // 10-word lines (relinear), terminal '.' on lines whose char length
+    // isn't divisible by 3, 'javascript' substituted for 'query' on
+    // doc_id%11, a curly brace on %13, a lorem-ipsum line on %17 —
+    // every rule's both branches fire.
+    "text_c4_clean" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val t1 = when(col("doc_id") % 11 === 0,
+        regexp_replace(col("text"), "\\bquery\\b", "javascript"))
+        .otherwise(col("text"))
+      val lined = TextRepetition.relinear(10)(t1)
+      val punct = array_join(transform(split(lined, "\n"),
+        l => when(length(l) % 3 =!= 0, concat(l, lit("."))).otherwise(l)), "\n")
+      val planted = concat(punct,
+        when(col("doc_id") % 13 === 0, lit(" {")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit("\nlorem ipsum.")).otherwise(lit("")))
+      docs.select(col("doc_id"), C4Clean.clean(planted).as("c"))
+        .select(col("doc_id"),
+          col("c.n_lines").as("n_lines"),
+          col("c.n_kept").as("n_kept"),
+          col("c.doc_keep").as("doc_keep"),
+          md5(col("c.cleaned")).as("cleaned_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -310,6 +336,48 @@ object CurationQueries {
            (pass_words AND pass_mean_wl AND pass_symbols AND pass_lines
             AND pass_alpha AND pass_stops AND pass_repetition) AS keep
          FROM r ORDER BY doc_id""",
+
+    // the oracle rebuilds the planted document (10-word lines, '.'
+    // plant, markers), then applies the same line/page rules over list
+    // lambdas (order-preserving) — no corpus-constant shortcuts
+    "text_c4_clean" ->
+      """WITH t1 AS (SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN regexp_replace(text, '\bquery\b', 'javascript', 'g')
+                  ELSE text END AS t
+           FROM documents),
+         w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(t)), '\s+'), x -> x <> '') AS ws
+           FROM t1),
+         ln0 AS (SELECT doc_id, i, array_to_string(ws[10*i-9 : 10*i], ' ') AS line
+                 FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS i
+                       FROM w WHERE len(ws) > 0) q),
+         ln1 AS (SELECT doc_id, i,
+                   CASE WHEN length(line) % 3 <> 0 THEN line || '.' ELSE line END AS line
+                 FROM ln0),
+         doc AS (SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY i)
+               || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END
+               || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum.' ELSE '' END AS t
+           FROM ln1 GROUP BY doc_id),
+         res AS (SELECT doc_id, t,
+             list_filter(list_transform(str_split(t, chr(10)), x -> trim(x)), x -> x <> '') AS ls,
+             list_filter(
+               list_filter(list_transform(str_split(t, chr(10)), x -> trim(x)), x -> x <> ''),
+               l -> regexp_matches(l, '[.!?"”'']$')
+                    AND len(list_filter(regexp_split_to_array(l, '\s+'), x2 -> x2 <> '')) >= 3
+                    AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM doc)
+         SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           (len(kept) >= 5 AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(t, '{')) AS doc_keep,
+           CASE WHEN len(kept) >= 5 AND NOT contains(lower(t), 'lorem ipsum')
+                     AND NOT contains(t, '{')
+                THEN md5(array_to_string(kept, chr(10))) ELSE NULL END AS cleaned_md5
+         FROM res ORDER BY doc_id""",
 
     "sample_token_budget" ->
       """WITH tok AS (SELECT doc_id, doc_id % 5 AS source,

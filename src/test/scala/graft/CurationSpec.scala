@@ -171,6 +171,33 @@ class CurationSpec extends AnyFunSuite {
     assert(gopher(shorties)("pass_mean_wl") == false)
   }
 
+  private def c4(text: String): Map[String, Any] = {
+    val r = Seq(Tuple1(text)).toDF("t")
+      .select(graft.functions.C4Clean.clean(col("t")).as("c"))
+      .select(col("c.*")).collect().head
+    r.schema.fieldNames.zip(r.toSeq).toMap
+  }
+
+  test("c4: line rules drop unpunctuated/short/javascript lines; page rules gate the doc") {
+    val good = (1 to 6).map(i => s"this is sentence number $i.").mkString("\n")
+    val m = c4(good)
+    assert(m("n_lines") == 6L && m("n_kept") == 6L && m("doc_keep") == true)
+    assert(m("cleaned") == good)
+    // no terminal punctuation / short / javascript lines all drop
+    val mixed = good + "\nno terminal punctuation here\nshort one.\nenable javascript to view."
+    val m2 = c4(mixed)
+    // "short one." has 2 words, the others fail punct/javascript -> all 3 drop
+    assert(m2("n_lines") == 9L && m2("n_kept") == 6L, m2.toString)
+    assert(m2("cleaned") == good)
+    // fewer than 5 surviving lines -> page dropped, cleaned is null
+    val short = (1 to 4).map(i => s"this is sentence number $i.").mkString("\n")
+    val m3 = c4(short)
+    assert(m3("doc_keep") == false && m3("cleaned") == null)
+    // lorem ipsum and curly brackets kill the page outright
+    assert(c4(good + "\nsome lorem ipsum filler.")("doc_keep") == false)
+    assert(c4(good.replace("number 2", "number {2}"))("doc_keep") == false)
+  }
+
   test("token budget: kept is the hash-rank prefix that crosses the budget") {
     import graft.operators.Sampling
     val df = (1L to 10L).map(i => (i, 0L, 10L)).toDF("id", "src", "toks")
