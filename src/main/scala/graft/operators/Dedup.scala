@@ -431,6 +431,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Cross-document line dedup (the RefinedWeb/CCNet boilerplate
+    * remover): a line whose exact text occurs >= minRepeats times
+    * corpus-wide is removed from EVERY document — navigation chrome,
+    * footers, cookie banners. Returns (id, n_lines, n_kept, cleaned)
+    * with the surviving lines rejoined in original order.
+    *
+    * Plan: explode lines with position, count line frequency with a
+    * count window over the line partition (no aggregate-and-join-back —
+    * see the TfIdf double-scan note; and a count, never a collected
+    * set, so a boilerplate line in a million docs costs a long, not an
+    * O(docs) array per row), filter, then one groupBy(id) rebuild with
+    * sort_array restoring order. Two linear shuffles of line-sized
+    * rows. */
+  def dedupLinesAcrossDocs(df: DataFrame, textCol: String, idCol: String,
+      minRepeats: Int = 2): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("__id"),
+        posexplode(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => length(l) > 0)).as(Seq("__pos", "__line")))
+    val w = Window.partitionBy(col("__line"))
+    val flagged = lines
+      .withColumn("__occ", count(lit(1)).over(w))
+    val kept = flagged.filter(col("__occ") < minRepeats)
+    val rebuilt = kept
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__line"))))
+        .as("__k"))
+      .select(col("__id"),
+        size(col("__k")).cast("long").as("n_kept"),
+        array_join(transform(col("__k"), s => s.getField("__line")), "\n")
+          .as("cleaned"))
+    df.select(col(idCol).as("__id"),
+        size(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => length(l) > 0)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("cleaned"))
+  }
+
+  /** Benchmark decontamination (GPT-3 Appendix C / PaLM style): flag
+    * every training document sharing at least one word n-gram with the
+    * probe (evaluation) set. The probe gram set is small by nature —
+    * distinct + broadcast into the corpus gram stream, so the corpus
+    * never shuffles. Returns (id, n_hits, contaminated). */
+  def contaminatedDocs(df: DataFrame, textCol: String, idCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int): DataFrame = {
+    val probeGrams = probes
+      .select(explode(shingles(col(probeTextCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__h"))
+      .distinct()
+    val docGrams = df.select(col(idCol).as("__id"),
+        explode_outer(array_distinct(
+          transform(shingles(col(textCol), n), g => xxhash64(g)))).as("__h"))
+    docGrams
+      .join(broadcast(probeGrams).withColumn("__hit", lit(1)), Seq("__h"), "left")
+      .groupBy(col("__id").as(idCol))
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Connected components over an undirected near-dup pair list — the
     * step that turns any pair-producing dedup op into a keep/drop
     * decision (one canonical doc per duplicate cluster). Iterated

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.{C4Clean, GopherQuality, PiiFunctions, TextAnalysis, TextRepetition}
-import graft.operators.{Clustering, Sampling, TfIdf}
+import graft.operators.{Clustering, Dedup, Sampling, TfIdf}
 import QueryDsl._
 
 /** Corpus-curation operators for training-data pipelines: Gopher-style
@@ -132,6 +132,39 @@ object CurationQueries {
           col("c.n_kept").as("n_kept"),
           col("c.doc_keep").as("doc_keep"),
           md5(col("c.cleaned")).as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // cross-document boilerplate removal: 10-word lines planted as in
+    // text_c4_clean, plus a constant footer line on doc_id%3!=2 (~2/3 of
+    // the corpus) — the footer must vanish from every document, and any
+    // naturally colliding relined 10-gram goes with it.
+    "dedup_boilerplate" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val planted = concat(TextRepetition.relinear(10)(col("text")),
+        when(col("doc_id") % 3 =!= 2,
+          lit("\nsubscribe to our newsletter for updates today"))
+          .otherwise(lit("")))
+      Dedup.dedupLinesAcrossDocs(
+          docs.select(col("doc_id"), planted.as("text")),
+          "text", "doc_id", minRepeats = 2)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // eval-set decontamination: docs sharing any word 8-gram with the
+    // probe set (doc_id%31) are flagged; a constant 8-word phrase is
+    // planted on the probes AND on doc_id%23 training docs so planted
+    // contamination exists beyond the probes' self-hits.
+    "text_decontaminate" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val phrase = " alpha beta gamma delta epsilon zeta eta theta"
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 31 === 0 || col("doc_id") % 23 === 0,
+          concat(col("text"), lit(phrase))).otherwise(col("text")).as("text"))
+      val probes = planted.filter(col("doc_id") % 31 === 0)
+      Dedup.contaminatedDocs(planted, "text", "doc_id", probes, "text", n = 8)
         .orderBy(col("doc_id"))
     }),
 
@@ -378,6 +411,48 @@ object CurationQueries {
                      AND NOT contains(t, '{')
                 THEN md5(array_to_string(kept, chr(10))) ELSE NULL END AS cleaned_md5
          FROM res ORDER BY doc_id""",
+
+    "dedup_boilerplate" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+           FROM documents),
+         ln0 AS (SELECT doc_id, i, array_to_string(ws[10*i-9 : 10*i], ' ') AS line
+                 FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS i
+                       FROM w WHERE len(ws) > 0) q),
+         pl AS (SELECT doc_id, i AS pos, line FROM ln0
+                UNION ALL
+                SELECT doc_id, 1000000000 AS pos,
+                  'subscribe to our newsletter for updates today' AS line
+                FROM documents WHERE doc_id % 3 <> 2),
+         occ AS (SELECT doc_id, pos, line, COUNT(*) OVER (PARTITION BY line) AS c FROM pl),
+         kept AS (SELECT doc_id, pos, line FROM occ WHERE c < 2),
+         reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_md5
+                 FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM pl GROUP BY doc_id)
+         SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept, r.cleaned_md5
+         FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""",
+
+    // string grams in SQL vs xxhash64 grams in Spark: hash equality ==
+    // string equality modulo a 2^-64 collision — same adjudication as
+    // the ngram-jaccard oracle
+    "text_decontaminate" ->
+      """WITH p AS (SELECT doc_id,
+             CASE WHEN doc_id % 31 = 0 OR doc_id % 23 = 0
+                  THEN text || ' alpha beta gamma delta epsilon zeta eta theta'
+                  ELSE text END AS text
+           FROM documents),
+         w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM p),
+         g AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i+7], ' ') AS gram
+               FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+                     FROM w WHERE len(ws) >= 8) q),
+         pg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 31 = 0),
+         hits AS (SELECT g.doc_id, COUNT(*) AS n FROM g JOIN pg USING (gram) GROUP BY 1)
+         SELECT p.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n, 0) > 0 AS contaminated
+         FROM p LEFT JOIN hits h USING (doc_id) ORDER BY p.doc_id""",
 
     "sample_token_budget" ->
       """WITH tok AS (SELECT doc_id, doc_id % 5 AS source,

@@ -81,6 +81,36 @@ class DedupSpec extends AnyFunSuite {
     assert(n1 == n2 && n1.nonEmpty)
   }
 
+  test("cross-doc line dedup removes corpus-repeated lines, keeps order") {
+    val docs = Seq(
+      (1L, "unique alpha line one.\nshared footer here\nunique alpha line two."),
+      (2L, "another doc body.\nshared footer here"),
+      (3L, "third doc body only.")).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAcrossDocs(docs, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((3L, 2L, "unique alpha line one.\nunique alpha line two.")))
+    assert(out(2L) == ((2L, 1L, "another doc body.")))
+    assert(out(3L) == ((1L, 1L, "third doc body only.")))
+    // a doc reduced to nothing: n_kept 0, cleaned null
+    val gone = Dedup.dedupLinesAcrossDocs(
+      Seq((1L, "all dup"), (2L, "all dup")).toDF("doc_id", "text"),
+      "text", "doc_id").collect()
+    assert(gone.forall(r => r.getLong(2) == 0L && r.isNullAt(3)))
+  }
+
+  test("decontamination flags docs sharing an n-gram with the probe set") {
+    val docs = Seq((1L, "a b c d e"), (2L, "x y b c d z"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val probes = docs.filter($"doc_id" === 1L)
+    val out = Dedup.contaminatedDocs(docs, "text", "doc_id", probes, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((3L, true)))  // the probe's own 3 grams
+    assert(out(2L) == ((1L, true)))  // shares exactly "b c d"
+    assert(out(3L) == ((0L, false)))
+  }
+
   test("connected components: chains propagate the min label, components stay disjoint") {
     // 1-2-3-4 is a diameter-3 chain (needs several propagation passes);
     // (10,11) is a separate pair; 99 appears in no pair -> absent
