@@ -105,6 +105,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "corpus exploded more than once — df branch re-reads the corpus")
   }
 
+  test("text_decontaminate: probe grams broadcast, corpus grams combine map-side") {
+    val p = plan("text_decontaminate")
+    assert(nodeIds(p, "BroadcastHashJoin").nonEmpty, "probe side must broadcast")
+    assert(nodeIds(p, "SortMergeJoin").isEmpty, "corpus gram stream must not shuffle for the join")
+    assert(nodeIds(p, "HashAggregate").nonEmpty && nodeIds(p, "Exchange").size <= 3,
+      s"shuffles=${nodeIds(p, "Exchange")}")
+  }
+
+  test("dedup_boilerplate: one line-sized shuffle (window, not agg-and-join-back)") {
+    val p = plan("dedup_boilerplate")
+    assert(nodeIds(p, "Window").nonEmpty, "line frequency must come from the window")
+    assert(nodeIds(p, "Generate").size <= 2, "corpus exploded more than needed")
+    assert(nodeIds(p, "CartesianProduct").isEmpty)
+  }
+
   test("cluster_kmeans: final assignment aggregates in bounded shuffles") {
     // the Lloyd iterations run as separate bounded jobs (k·dim partial
     // sums); the returned plan is scan + assignment UDF + one agg
