@@ -27,6 +27,7 @@ object Bench {
     "dedup_minhash", "dedup_ngram_jaccard", "similarity_topk",
     "similarity_ivf",
     "text_stats", "text_tfidf", "cluster_kmeans",
+    "dedup_boilerplate", "text_decontaminate",
     "pipeline_etl", "ingest_influx_lp", "ingest_flight")
 
   /** Queries whose round-over-round drift warranted extra passes. */

@@ -127,6 +127,32 @@ class DedupSpec extends AnyFunSuite {
     assert(c2 == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val nNodes = 30 + rnd.nextInt(50)
+      val edges = Seq.fill(45)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val got = Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find with min-id roots: find(v) ends at the component min
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(v => v -> find(v)).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("embedding cosine pairs: scaled copies collide, orthogonal don't") {
     val e = Seq(
       (1L, Array.fill(64)(1.0f).toSeq),
