@@ -435,40 +435,48 @@ object Dedup {
     * remover): a line whose exact text occurs >= minRepeats times
     * corpus-wide is removed from EVERY document — navigation chrome,
     * footers, cookie banners. Returns (id, n_lines, n_kept, cleaned)
-    * with the surviving lines rejoined in original order.
+    * with the surviving lines rejoined in original order (null cleaned
+    * when nothing survives).
     *
-    * Plan: explode lines with position, count line frequency with a
-    * count window over the line partition (no aggregate-and-join-back —
-    * see the TfIdf double-scan note; and a count, never a collected
-    * set, so a boilerplate line in a million docs costs a long, not an
-    * O(docs) array per row), filter, then one groupBy(id) rebuild with
-    * sort_array restoring order. Two linear shuffles of line-sized
-    * rows. */
+    * Line TEXT never shuffles, and nothing keys on the line value at
+    * row granularity — the natural skew of this operator's own target
+    * (a footer in 100M documents) would make a line-partitioned window
+    * or join one hot task. Instead: (1) line-hash frequencies by
+    * map-combined aggregation (the hot line arrives pre-counted per
+    * partition); (2) the >= minRepeats survivors — boilerplate-sized by
+    * nature — join back into the hash stream (AQE broadcasts them at
+    * runtime; a pathologically large set falls back to a skew-split
+    * SMJ on 8-byte rows); (3) per-document drop-sets of hashes, a
+    * doc-count-sized shuffle; (4) the cleaned text is rebuilt IN PLACE
+    * on the original row by an array filter against the doc's drop-set
+    * — order preserved for free, no rebuild shuffle. Costs one extra
+    * corpus scan vs a line-windowed formulation; buys zero hot
+    * partitions. Hash equality stands in for string equality
+    * (2^-64 collisions), same adjudication as the ngram oracle. */
   def dedupLinesAcrossDocs(df: DataFrame, textCol: String, idCol: String,
       minRepeats: Int = 2): DataFrame = {
-    val lines = df
-      .select(col(idCol).as("__id"),
-        posexplode(filter(transform(split(col(textCol), "\n"), l => trim(l)),
-          l => length(l) > 0)).as(Seq("__pos", "__line")))
-    val w = Window.partitionBy(col("__line"))
-    val flagged = lines
-      .withColumn("__occ", count(lit(1)).over(w))
-    val kept = flagged.filter(col("__occ") < minRepeats)
-    val rebuilt = kept
+    def linesOf(c: Column): Column =
+      filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
+    val hashes = df.select(col(idCol).as("__id"),
+      explode(linesOf(col(textCol))).as("__line"))
+      .select(col("__id"), xxhash64(col("__line")).as("__h"))
+    val repeated = hashes.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minRepeats)
+      .select(col("__h"))
+    val dropsPerDoc = hashes.join(repeated, "__h")
       .groupBy(col("__id"))
-      .agg(sort_array(collect_list(struct(col("__pos"), col("__line"))))
-        .as("__k"))
-      .select(col("__id"),
+      .agg(collect_set(col("__h")).as("__drop"))
+    df.select(col(idCol), linesOf(col(textCol)).as("__ls"))
+      .join(dropsPerDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("__ls"),
+        filter(col("__ls"), l => !coalesce(
+          array_contains(col("__drop"), xxhash64(l)), lit(false))).as("__k"))
+      .select(col(idCol),
+        size(col("__ls")).cast("long").as("n_lines"),
         size(col("__k")).cast("long").as("n_kept"),
-        array_join(transform(col("__k"), s => s.getField("__line")), "\n")
-          .as("cleaned"))
-    df.select(col(idCol).as("__id"),
-        size(filter(transform(split(col(textCol), "\n"), l => trim(l)),
-          l => length(l) > 0)).cast("long").as("n_lines"))
-      .join(rebuilt, Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        col("cleaned"))
+        when(size(col("__k")) > 0, array_join(col("__k"), "\n"))
+          .otherwise(lit(null)).as("cleaned"))
   }
 
   /** Benchmark decontamination (GPT-3 Appendix C / PaLM style): flag

@@ -113,9 +113,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"shuffles=${nodeIds(p, "Exchange")}")
   }
 
-  test("dedup_boilerplate: one line-sized shuffle (window, not agg-and-join-back)") {
+  test("dedup_boilerplate: line text never shuffles, no line-partitioned window") {
     val p = plan("dedup_boilerplate")
-    assert(nodeIds(p, "Window").nonEmpty, "line frequency must come from the window")
+    // a line-value window or row-granular line join would put a footer
+    // shared by 100M docs into one hot task — the operator's own target
+    // shape; frequencies must come from a map-combined hash aggregate
+    assert(nodeIds(p, "Window").isEmpty, "line-partitioned window reintroduced")
     assert(nodeIds(p, "Generate").size <= 2, "corpus exploded more than needed")
     assert(nodeIds(p, "CartesianProduct").isEmpty)
   }
