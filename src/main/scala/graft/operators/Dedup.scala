@@ -451,8 +451,14 @@ object Dedup {
     * on the original row by an array filter against the doc's drop-set
     * — order preserved for free, no rebuild shuffle. Costs one extra
     * corpus scan vs a line-windowed formulation; buys zero hot
-    * partitions. Hash equality stands in for string equality
-    * (2^-64 collisions), same adjudication as the ngram oracle. */
+    * partitions. When boilerplate is widespread the per-doc drop table
+    * outgrows the broadcast threshold and the final join shuffles the
+    * corpus ONCE by doc id — linear and skew-free (ids are unique);
+    * measured at 500k docs with a footer in 2/3 of them: 219 MB, one
+    * flat stage, vs the windowed form's two line-text shuffles with the
+    * footer concentrated in one task. Hash equality stands in for
+    * string equality (2^-64 collisions), same adjudication as the
+    * ngram oracle. */
   def dedupLinesAcrossDocs(df: DataFrame, textCol: String, idCol: String,
       minRepeats: Int = 2): DataFrame = {
     def linesOf(c: Column): Column =

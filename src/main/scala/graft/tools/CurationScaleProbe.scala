@@ -37,7 +37,8 @@ object CurationScaleProbe {
       df.select(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
       ()
     }
-    val ops = Seq("text_repetition", "text_pii_redact", "text_tfidf", "cluster_kmeans")
+    val ops = Seq("text_repetition", "text_pii_redact", "text_tfidf",
+      "cluster_kmeans", "dedup_boilerplate", "text_decontaminate")
     for (dir <- dirs if new java.io.File(s"$dir/documents.parquet").exists()) {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
