@@ -77,15 +77,26 @@ object Bench {
     // seconds + rows. For ingest entries "rows" is the INGESTED count
     // (the per-type `n` totals), not the handful of aggregated output
     // rows — that's the basis the baseline's 326k rows/s uses.
+    // Non-ingest queries materialize via a full-column checksum, NOT
+    // count(): count() lets the optimizer prune final projections, so
+    // per-row transform entries (text_stats, dedup_boilerplate's
+    // rebuild) timed a bare scan (round-6 step change, disclosed in
+    // BENCH_NOTES with before/after).
     def once(name: String): (Double, Long) = {
+      import org.apache.spark.sql.functions.{bit_xor, col, sum, xxhash64}
       val t0 = System.nanoTime()
       val rows =
         try {
           val df = qs(name)(spark, sfDir)
           if (ingestRows(name) && df.columns.contains("n")) {
-            val r = df.agg(org.apache.spark.sql.functions.sum("n")).head
+            val r = df.agg(sum("n")).head
             if (r.isNullAt(0)) 0L else r.getLong(0)
-          } else df.count()
+          } else {
+            try { df.select(bit_xor(xxhash64(df.columns.map(col): _*))).head; 0L }
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              df.count() // unhashable column type (map): fall back
+            }
+          }
         } catch { case e: Throwable =>
           Console.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           0L

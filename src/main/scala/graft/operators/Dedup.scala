@@ -496,9 +496,10 @@ object Dedup {
       .select(explode(shingles(col(probeTextCol), n)).as("__g"))
       .select(xxhash64(col("__g")).as("__h"))
       .distinct()
+    // shingles() already dedups (LinkedHashSet) — no array_distinct
     val docGrams = df.select(col(idCol).as("__id"),
-        explode_outer(array_distinct(
-          transform(shingles(col(textCol), n), g => xxhash64(g)))).as("__h"))
+        explode_outer(
+          transform(shingles(col(textCol), n), g => xxhash64(g))).as("__h"))
     docGrams
       .join(broadcast(probeGrams).withColumn("__hit", lit(1)), Seq("__h"), "left")
       .groupBy(col("__id").as(idCol))
@@ -526,12 +527,15 @@ object Dedup {
       .union(pairs.select(col(bCol).as("__s"), col(aCol).as("__t")))
       .distinct()
       .persist()
+    try {
     var labels = edges.select(col("__s").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    // diameter d needs d+1 passes (the last observes zero changes), so
+    // a diameter == maxIters graph converges within the bound
+    while (changed > 0 && it <= maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("__t"), col("comp").as("__tc")), "__t")
         .groupBy(col("__s").as("id"))
@@ -554,7 +558,7 @@ object Dedup {
     }
     require(changed == 0L,
       s"connectedComponents: no convergence after $maxIters passes")
-    edges.unpersist()
     labels
+    } finally edges.unpersist()
   }
 }

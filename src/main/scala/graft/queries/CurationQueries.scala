@@ -389,11 +389,13 @@ object CurationQueries {
          ln1 AS (SELECT doc_id, i,
                    CASE WHEN length(line) % 3 <> 0 THEN line || '.' ELSE line END AS line
                  FROM ln0),
-         doc AS (SELECT doc_id,
-             string_agg(line, chr(10) ORDER BY i)
-               || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END
-               || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum.' ELSE '' END AS t
-           FROM ln1 GROUP BY doc_id),
+         doc AS (SELECT d.doc_id,
+             coalesce(lg.t, '')
+               || CASE WHEN d.doc_id % 13 = 0 THEN ' {' ELSE '' END
+               || CASE WHEN d.doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum.' ELSE '' END AS t
+           FROM documents d
+           LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS t
+                      FROM ln1 GROUP BY doc_id) lg ON lg.doc_id = d.doc_id),
          res AS (SELECT doc_id, t,
              list_filter(list_transform(str_split(t, chr(10)), x -> trim(x)), x -> x <> '') AS ls,
              list_filter(
@@ -431,9 +433,12 @@ object CurationQueries {
                    md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_md5
                  FROM kept GROUP BY doc_id),
          tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM pl GROUP BY doc_id)
-         SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+         SELECT d.doc_id, CAST(coalesce(t.n_lines, 0) AS BIGINT) AS n_lines,
            CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept, r.cleaned_md5
-         FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""",
+         FROM documents d
+         LEFT JOIN tot t ON t.doc_id = d.doc_id
+         LEFT JOIN reb r ON r.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     // string grams in SQL vs xxhash64 grams in Spark: hash equality ==
     // string equality modulo a 2^-64 collision — same adjudication as

@@ -33,7 +33,10 @@ object Relational {
       T(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum8(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        // round(2) on a 5e9 magnitude = 12 significant digits of pin;
+        // absorbs double->decimal(38,8) HALF_UP-vs-HALF_EVEN per-row
+        // boundary drift that diverged the engines at sf0.1 (5e-7 total)
+        round(dsum8(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
         davg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -381,7 +384,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS sum_disc_price,
+           round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE), 2) AS sum_disc_price,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
            COUNT(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus

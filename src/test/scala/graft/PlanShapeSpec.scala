@@ -99,10 +99,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodeIds(p, "WindowGroupLimit").size >= 2, "lost WindowGroupLimit")
     assert(nodeIds(p, "BroadcastNestedLoopJoin").nonEmpty, "N should broadcast")
     assert(nodeIds(p, "CartesianProduct").isEmpty)
-    // df must come from the term window, not a groupBy+join-back that
-    // re-scans and re-explodes the corpus (measured 2x at 500k docs)
-    assert(nodeIds(p, "Generate").size == 1,
-      "corpus exploded more than once — df branch re-reads the corpus")
+    // no term-partitioned window (Zipf-head terms would be one
+    // unsplittable hot partition); the static plan shows two explode
+    // subtrees but they canonicalize identically (the `tf >= 1` guard
+    // defeats pruning divergence) and AQE's stage cache runs one —
+    // pinned at runtime by CurationScaleProbe stage/shuffle counts
+    assert(nodeIds(p, "Window").size == 1, "df must not come from a term window")
+    assert(nodeIds(p, "Generate").size <= 2)
   }
 
   test("text_decontaminate: probe grams broadcast, corpus grams combine map-side") {
