@@ -130,13 +130,13 @@ object PromQLQueries {
         .orderBy(col("ts_g"))
     }),
 
-    // Tolerance note: the synthetic data's low-precision values make
-    // many true rates EXACT decimals, so at any rounding precision a
-    // grid value can sit on a .5 boundary where the engines' 1-ulp
-    // summation-order difference flips the rounded digit (sf0.1: one
-    // such straddle out of ~350 values at 6dp AND at 5dp, different
-    // rows). The sf0.01 gate is exact; this is a measurement-grid
-    // artifact, not semantic divergence.
+    // The oracle replays the reset accumulation in the engine's exact
+    // association order (ordered list_reduce seeded with last-first) —
+    // pre-summing resets separately left a 1-ulp gap that straddled
+    // rounding-grid lines at sf0.1 (many true rates are exact decimals
+    // on this synthetic data). A sub-ulp residue remains somewhere in
+    // the extrapolation chain, so the pin rounds at 5dp, which is
+    // straddle-free at both sf0.01 and sf0.1 on the ordered oracle.
     "promql_sum_rate" -> ((s, d) => {
       ev(s, d, "sum by (event_type) (rate(events_value[15m]))")
         .select(col("__ts").as("ts_g"), col("event_type"),
@@ -348,11 +348,19 @@ object PromQLQueries {
             SELECT ts_g, event_type, COUNT(*) AS n,
               MIN(v_first) AS v_first, MIN(v_last) AS v_last,
               MIN(ts_ms) AS t_first, MAX(ts_ms) AS t_last,
-              SUM(CASE WHEN pv IS NOT NULL AND value < pv THEN pv ELSE 0 END) AS resets
+              list(CAST(CASE WHEN pv IS NOT NULL AND value < pv THEN pv ELSE 0.0 END AS DOUBLE)
+                   ORDER BY ts_ms, value) AS reset_terms
             FROM ordd GROUP BY 1, 2),
           c1 AS (
             SELECT ts_g, event_type, n,
-              v_last - v_first + resets AS rv0, v_first,
+              -- bit-identical to the engine's fold: start from
+              -- (last - first), then add reset terms IN TIME ORDER
+              -- (the 0.0 non-reset terms are exact no-ops), instead of
+              -- pre-summing resets in arbitrary order — association
+              -- order was the 1-ulp source behind rounding-grid
+              -- straddles at sf0.1
+              list_reduce(list_prepend(CAST(v_last - v_first AS DOUBLE), reset_terms),
+                          (a, b) -> a + b) AS rv0, v_first,
               (t_first - (ts_g - 900000)) / 1000.0 AS d_start0,
               (ts_g - t_last) / 1000.0 AS d_end,
               (t_last - t_first) / 1000.0 AS si,

@@ -150,6 +150,12 @@ class CurationSpec extends AnyFunSuite {
     assert(m("keep") == true, m.toString)
   }
 
+  test("gopher: empty text is dropped without dividing by zero") {
+    val m = gopher("")
+    assert(m("n_words") == 0L && m("mean_word_len") == 0.0)
+    assert(m("keep") == false)
+  }
+
   test("gopher: each rule fails on its own trigger") {
     // too short
     assert(gopher("the of tiny")("pass_words") == false)
@@ -214,6 +220,9 @@ class CurationSpec extends AnyFunSuite {
       .filter($"kept").groupBy($"src").count()
       .as[(Long, Long)].collect().toMap
     assert(k2 == Map(0L -> 3L, 1L -> 3L))
+    // zero budget keeps nothing (the crossing-doc rule needs budget > 0)
+    assert(Sampling.tokenBudget(df, $"src", $"id", $"toks", 0L)
+      .filter($"kept").count() == 0L)
   }
 
   test("semantic dedup: pairs only within clusters; cosine-identical cross-cluster pairs are the recall trade") {
