@@ -28,6 +28,26 @@ object QueryDsl {
   /** Deterministic average: exact decimal sum, one double division. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** Exact integer cent count of a 2-dp-grid double (TPC-H money
+    * columns: quantity/price/discount all sit on the cent grid —
+    * verified max |x*100 − round(x*100)| ≤ 1e-9 over lineitem). The
+    * double product/representation error is « 0.5, so the round is
+    * exact recovery, and downstream sums become primitive LONG adds
+    * inside whole-stage codegen instead of Decimal buffer adds. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Correctly-rounded double of an exact long sum at fixed decimal
+    * scale: one exact decimal division (result scale ≥ 6, representable
+    * exactly for scale ≤ 4 inputs) then ONE decimal→double conversion —
+    * the same single rounding the oracle's decimal-sum cast performs.
+    * Long sums hold exactly to ±9.2e18: at scale 4 with ~1e9/row
+    * products that is ~8.8e9 rows per group (≈ TPC-H SF 1500 in one
+    * group); past that, sum `prod.cast("decimal(38,0)")` instead — the
+    * per-row arithmetic stays integer, only the buffer add widens. */
+  def fromScaled(sumCol: Column, scale: Int): Column =
+    (sumCol.cast(DecimalType(38, 0)) /
+      lit(math.pow(10, scale).toLong)).cast("double")
+
   /** Millisecond epoch of a timestamp column (both engines floor).
     * Parquet naive timestamps arrive as TIMESTAMP_NTZ; session TZ is
     * pinned to UTC so the cast is instant-preserving. */

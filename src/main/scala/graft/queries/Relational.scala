@@ -30,15 +30,32 @@ object Relational {
 
     // ---- aggregates (§2.4) ------------------------------------------
     "agg_groupby" -> ((s, d) => {
+      // Money columns are 2-dp-grid doubles, so the three sums run as
+      // exact LONG adds (see QueryDsl.cents) — the Decimal(28,4)/(38,8)
+      // buffer-add path made this the slowest TSBS-family aggregate at
+      // 5x its siblings on the same scan. price2*(100−disc2) is the
+      // EXACT 4-dp product, which is also what the oracle's per-row
+      // CAST(price*(1.0−disc) AS DECIMAL(38,8)) yields (double error
+      // ~4e-11 « the 5e-9 rounding half-step, any rounding mode), so
+      // the full 4-dp pin holds with no round() cap. The oracle rescales
+      // its (38,8) sum to scale 4 before the double cast: at scale 4 the
+      // unscaled sum stays < 2^53, making both engines' decimal→double
+      // conversions single correct roundings of the same rational.
+      val qty2   = cents(col("l_quantity"))
+      val price2 = cents(col("l_extendedprice"))
+      val disc2  = cents(col("l_discount"))
       T(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        // round(2) on a 5e9 magnitude = 12 significant digits of pin;
-        // absorbs double->decimal(38,8) HALF_UP-vs-HALF_EVEN per-row
-        // boundary drift that diverged the engines at sf0.1 (5e-7 total)
-        round(dsum8(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        davg(col("l_quantity")).as("avg_qty"),
+        sum(qty2).as("__sq"),
+        sum(price2).as("__sp"),
+        sum(price2 * (lit(100L) - disc2)).as("__sd"),
+        count(col("l_quantity")).as("__nq"),
         count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          fromScaled(col("__sq"), 2).as("sum_qty"),
+          fromScaled(col("__sp"), 2).as("sum_base_price"),
+          fromScaled(col("__sd"), 4).as("sum_disc_price"),
+          (fromScaled(col("__sq"), 2) / col("__nq")).as("avg_qty"),
+          col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -384,7 +401,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
-           round(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE), 2) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
            COUNT(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
