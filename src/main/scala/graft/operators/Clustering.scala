@@ -120,10 +120,10 @@ object Clustering {
     // the assignment feeds BOTH sides of the self-join: checkpoint it
     // eagerly so the corpus scan + k*dim assignment UDF run once, not
     // once per join side (blocks reclaimed when the result is GC'd —
-    // the ngramJaccardPairs lifecycle)
-    val asg = kmeansQuantized(df, vecCol, idCol, k, iters)
-      .select(col("cluster"), col(idCol).as("__id"), col(vecCol).as("__v"))
-      .localCheckpoint(true)
+    // the ngramJaccardPairs lifecycle); reliable checkpoint when
+    // graft.checkpoint.dir is set (Lineage.truncate)
+    val asg = Lineage.truncate(kmeansQuantized(df, vecCol, idCol, k, iters)
+      .select(col("cluster"), col(idCol).as("__id"), col(vecCol).as("__v")))
     val a = asg.select(col("cluster"), col("__id").as("id_a"), col("__v").as("__va"))
     val b = asg.select(col("cluster"), col("__id").as("id_b"), col("__v").as("__vb"))
     val cosSim = lit(1.0) - graft.functions.VectorFunctions

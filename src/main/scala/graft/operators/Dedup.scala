@@ -210,8 +210,9 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
       // eager materialization so the sig cache releases now (the same
-      // leak-by-laziness the ngram path fixed in round 4)
-      .localCheckpoint(true)
+      // leak-by-laziness the ngram path fixed in round 4); reliable
+      // checkpoint when graft.checkpoint.dir is set
+      .transform(Lineage.truncate)
     sig.unpersist()
     if (scalePath) candP.unpersist()
     out
@@ -367,11 +368,11 @@ object Dedup {
     // The pairs result (proportional to the duplicate count, not the
     // corpus) is materialized eagerly so the shingle cache can be
     // released NOW instead of leaking one MEMORY_AND_DISK corpus per
-    // call for the life of the session. localCheckpoint truncates the
+    // call for the life of the session. Lineage.truncate cuts the
     // lineage (so `docs` is no longer referenced) and its blocks are
     // reclaimed by the ContextCleaner once the returned frame is GC'd —
     // unlike persist(), which pins until an explicit unpersist.
-    val out = pairs.localCheckpoint(true)
+    val out = Lineage.truncate(pairs)
     docs.unpersist()
     if (scalePath) candP.unpersist()
     out
@@ -509,51 +510,88 @@ object Dedup {
 
   /** Connected components over an undirected near-dup pair list — the
     * step that turns any pair-producing dedup op into a keep/drop
-    * decision (one canonical doc per duplicate cluster). Iterated
-    * min-label propagation: comp(v) ← min(comp(v), min over neighbors
-    * comp(u)) until a pass changes nothing. Near-dup graphs are
-    * micro-clusters (diameter 2–4), so a handful of passes in practice;
-    * each pass shuffles the edge list — linear in pairs, never
-    * quadratic, and partial aggregation combines the per-neighbor mins
-    * map-side. The convergence check collects one changed-count per
-    * pass (model-state-sized, like the k-means centroid collect).
-    * Throws if maxIters passes don't converge — a near-dup graph with
-    * diameter > maxIters means the input isn't a dedup pair list.
-    * Returns (id, comp) for every id appearing in `pairs`; comp is the
-    * smallest id in the component. */
+    * decision (one canonical doc per duplicate cluster).
+    *
+    * Hook-and-compress (Shiloach–Vishkin shape; same O(log d) round
+    * bound as Kiveris et al.'s alternating large-star/small-star, on
+    * the same linear shuffle): each outer pass HOOKS every node to the
+    * minimum label in its closed neighborhood — comp(v) ← min(comp(v),
+    * min over neighbors comp(u)) — then FULLY COMPRESSES the label
+    * forest by pointer doubling (comp(v) ← comp(comp(v)) until depth
+    * ≤ 1, label-table-sized self-joins only, the edge list untouched).
+    * Compression makes each hook pass propagate across an entire tree
+    * instead of one hop, so a diameter-d chain converges in O(log d)
+    * edge passes where plain min-label needed d+1 — the pathological
+    * 16-chain probe dropped from 17 edge passes to 2 (plus 4 cheap
+    * label-sized jumps). Micro-cluster graphs (the realistic near-dup
+    * shape, diameter 1–2) converge in 2 hook passes either way, and
+    * pay only one no-change jump check extra.
+    *
+    * Scale shape: the edge list is hash-partitioned ONCE on the join
+    * key and persisted, so each hook pass shuffles only the label table
+    * (|V| rows); the per-neighbor mins combine map-side. Every
+    * convergence check collects one changed-count (model-state-sized).
+    * Lineage is truncated per materialization via [[Lineage.truncate]]
+    * — set `graft.checkpoint.dir` for the fault-tolerant variant on a
+    * real cluster. Throws if maxIters hook passes don't converge (with
+    * compression that bounds diameter ≥ 2^maxIters — not a dedup pair
+    * list). Returns (id, comp) for every id appearing in `pairs`; comp
+    * is the smallest id in the component.
+    *
+    * Correctness of the stop rule: a hook pass with zero changes means
+    * comp(v) ≤ comp(u) for every edge (u,v) in both directions, i.e.
+    * comp is constant on each component; comp(v) is always an id inside
+    * v's component and ≤ v (monotone min of ids), so the constant is
+    * the component minimum. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("__s"), col(bCol).as("__t"))
       .union(pairs.select(col(bCol).as("__s"), col(aCol).as("__t")))
       .distinct()
+      .repartition(col("__t")) // hook joins reuse this partitioning
       .persist()
     try {
-    var labels = edges.select(col("__s").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    // materialize one pass and read its changed-count from the SAME job
+    // via observe() — a separate count() job per pass doubled the job
+    // count and dominated the probe's wall at 10M edges
+    def advance(next: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val t = Lineage.truncate(next.observe(obs,
+        coalesce(sum(when(col("comp") < col("__old"), 1L).otherwise(0L)),
+          lit(0L)).as("changed")))
+      val changed = obs.get("changed").asInstanceOf[Long]
+      (t.select(col("id"), col("comp")), changed)
+    }
+    var labels = Lineage.truncate(
+      edges.select(col("__s").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
     var changed = 1L
     var it = 0
-    // diameter d needs d+1 passes (the last observes zero changes), so
-    // a diameter == maxIters graph converges within the bound
     while (changed > 0 && it <= maxIters) {
+      // hook: min label over the closed neighborhood
       val nbrMin = edges
         .join(labels.select(col("id").as("__t"), col("comp").as("__tc")), "__t")
         .groupBy(col("__s").as("id"))
         .agg(min(col("__tc")).as("__nc"))
-      // each pass references `labels` twice (directly and via nbrMin),
-      // so WITHOUT lineage truncation the logical plan DOUBLES per pass
-      // — 2^k nodes by pass k; a 16-pass chain graph spent minutes in
-      // the analyzer before any task ran. localCheckpoint materializes
-      // the pass eagerly and resets the plan to a leaf; superseded
-      // checkpoint blocks are reclaimed by the ContextCleaner once
-      // unreferenced (same lifecycle note as ngramJaccardPairs' out).
-      val next = labels
+      val hooked = advance(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("__old"),
-          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      changed = next.filter(col("comp") < col("__old")).count()
-      labels = next.select(col("id"), col("comp"))
+          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp")))
+      changed = hooked._2
+      labels = hooked._1
+      // compress: pointer-double until the label forest is depth ≤ 1.
+      // Every comp value is itself a labeled id (labels start as ids
+      // and evolve by min over label values), so the self-join is
+      // total; a depth-1 forest converges with one no-change jump.
+      var jumping = changed > 0
+      while (jumping) {
+        val jumped = advance(labels.as("l")
+          .join(labels.select(col("id").as("__jid"), col("comp").as("__jc")),
+            col("comp") === col("__jid"))
+          .select(col("id"), col("comp").as("__old"), col("__jc").as("comp")))
+        jumping = jumped._2 > 0
+        labels = jumped._1
+      }
       it += 1
     }
     require(changed == 0L,

@@ -153,6 +153,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components under graft.checkpoint.dir use reliable checkpoints") {
+    // cluster-grade lineage truncation: with the knob set, every
+    // iteration materializes through checkpoint() (survives executor
+    // loss) instead of localCheckpoint(); results must be identical
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("graft.checkpoint.dir", dir)
+    try {
+      val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L))
+        .toDF("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L))
+      def rdds(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(rdds)
+        else Seq(f).filter(_.getName.startsWith("part-"))
+      assert(rdds(new java.io.File(dir)).nonEmpty,
+        "no reliable checkpoint files were written under graft.checkpoint.dir")
+    } finally {
+      spark.conf.unset("graft.checkpoint.dir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("embedding cosine pairs: scaled copies collide, orthogonal don't") {
     val e = Seq(
       (1L, Array.fill(64)(1.0f).toSeq),
