@@ -61,15 +61,67 @@ object Sampling {
     * — so the document that crosses the budget line is kept and every
     * stratum reaches its target. Adds a boolean `kept` column.
     *
-    * One shuffle on the stratum column (standard cumulative-sum
-    * window). A stratum's rows must be window-sortable on one
-    * partition; at 100 TB pre-aggregate to (doc, n_tokens) rows first —
-    * the window runs over doc-count-sized data, never corpus bytes. */
+    * Scale shape: a `Window.partitionBy(stratum)` cumulative sum would
+    * serialize each stratum through ONE task — a 100 TB mixture has ~10
+    * strata and ~10⁹ docs, i.e. ten serial windows. Instead this is a
+    * two-phase distributed prefix sum: (1) range-repartition on
+    * (stratum, rank, id) so the admission order is (partition, row)
+    * order, with every partition carrying its fair slice of even a
+    * single-stratum input; (2) per-partition per-stratum token
+    * subtotals — partitions × strata rows — collect as model state and
+    * prefix-scan on the driver; (3) a partition-local pass computes
+    * each row's running total seeded by its (partition, stratum)
+    * offset. No stage sees a stratum-sized partition. The repartitioned
+    * input is persisted so both passes observe the same range bounds,
+    * and the result is materialized (Lineage.truncate) before the cache
+    * is released. */
   def tokenBudget(df: DataFrame, stratum: Column, id: Column,
                   tokens: Column, budgetPerStratum: Long): DataFrame = {
-    val w = Window.partitionBy(stratum).orderBy(hashRank(id), id)
-    val before = coalesce(
-      sum(tokens).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-    df.withColumn("kept", before < budgetPerStratum)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = df
+      .withColumn("__st", stratum)
+      .withColumn("__rk", hashRank(id))
+      .withColumn("__tid", id)
+      .withColumn("__tok", tokens.cast("long"))
+      .repartitionByRange(col("__st"), col("__rk"), col("__tid"))
+      .sortWithinPartitions(col("__st"), col("__rk"), col("__tid"))
+      .persist()
+    try {
+      // phase 1: per-(partition, stratum) subtotals — model-state-sized
+      // (spark_partition_id() is computed on the cache scan, before the
+      // aggregation exchange, so it names the persisted partitions)
+      val subtotals = parts
+        .groupBy(spark_partition_id().as("__p"), col("__st"))
+        .agg(coalesce(sum(col("__tok")), lit(0L)).as("__t"))
+        .collect()
+      val offsets: Map[(Int, Any), Long] = subtotals
+        .groupBy(_.get(1)).iterator.flatMap { case (st, rows) =>
+          var acc = 0L
+          rows.sortBy(_.getInt(0)).map { r =>
+            val entry = ((r.getInt(0), st), acc); acc += r.getLong(2); entry
+          }
+        }.toMap
+      val bc = spark.sparkContext.broadcast(offsets)
+      val outSchema = StructType(
+        parts.schema.fields :+ StructField("kept", BooleanType, nullable = false))
+      val stIdx = parts.schema.fieldIndex("__st")
+      val tokIdx = parts.schema.fieldIndex("__tok")
+      val budget = budgetPerStratum
+      // phase 2: partition-local running sums seeded by the offsets
+      val flagged = parts.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val running = scala.collection.mutable.Map.empty[Any, Long]
+        it.map { r =>
+          val st = r.get(stIdx)
+          val before = running.getOrElse(st, bc.value.getOrElse((pid, st), 0L))
+          val tok = if (r.isNullAt(tokIdx)) 0L else r.getLong(tokIdx)
+          running(st) = before + tok
+          Row.fromSeq(r.toSeq :+ (before < budget))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      Lineage.truncate(flagged.drop("__st", "__rk", "__tid", "__tok"))
+    } finally parts.unpersist()
   }
 }

@@ -134,6 +134,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"shuffles=${nodeIds(plan("cluster_kmeans"), "Exchange")}")
   }
 
+  test("sample_token_budget: no window stage in any EXECUTED plan") {
+    // the mixture draw at 100 TB has ~10 strata and ~1e9 docs: a
+    // Window.partitionBy(stratum) cumulative sum would serialize each
+    // stratum through one task. tokenBudget materializes eagerly, so
+    // the static plan of the returned frame is just a checkpoint scan —
+    // pin the RUNTIME property instead: every query execution the
+    // operator triggers must be Window-free.
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = seen.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries("sample_token_budget")(spark, dir).collect()
+      // the listener bus is async: the operator triggers >= 2
+      // executions (subtotal collect, materialization) + final collect
+      var spins = 0
+      while (seen.size < 3 && spins < 40) { Thread.sleep(250); spins += 1 }
+      assert(seen.size >= 3, s"captured only ${seen.size} executions")
+      val windowed = seen.toArray.map(_.toString).filter(_.contains("Window"))
+      assert(windowed.isEmpty,
+        s"a Window stage executed:\n${windowed.headOption.getOrElse("")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("dedup_ngram_jaccard: stage count and shuffle bytes stay bounded at sf0.1") {
     // Pins the RUNTIME structure (the static plan hides the persisted
     // candidate/doc sub-jobs) so bench drift is attributable: machine
