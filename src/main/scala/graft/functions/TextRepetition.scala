@@ -41,6 +41,21 @@ object TextRepetition {
       top4gram_char_frac: Double,
       dup5gram_char_frac: Double)
 
+  /** a < b in code-point order (== UTF-8 binary order, the collation
+    * SQL engines use for ORDER BY on UTF-8 strings). */
+  private def cpLess(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j // the exhausted (prefix) side sorts first
+  }
+
   private def gramFracs(ws: Array[String], n: Int, normChars: Double): (Double, Double) = {
     if (ws.length < n || normChars <= 0) return (0.0, 0.0)
     val cnt = new java.util.HashMap[String, Int]()
@@ -58,7 +73,10 @@ object TextRepetition {
       i += 1
     }
     // top gram: max count, ties broken by lexicographically smallest
-    // gram (binary order — tokens are already lowercased)
+    // gram in CODE-POINT order — identical to UTF-8 binary order, i.e.
+    // the DuckDB oracle's ORDER BY gram collation. (String.compareTo is
+    // UTF-16 code-unit order, which ranks supplementary-plane grams
+    // below U+E000..U+FFFF ones and would flip such ties cross-engine.)
     var bestCnt = 0
     var bestGram: String = null
     var dupChars = 0L
@@ -67,7 +85,7 @@ object TextRepetition {
       val e = it.next()
       val g = e.getKey
       val c = e.getValue
-      if (c > bestCnt || (c == bestCnt && (bestGram == null || g.compareTo(bestGram) < 0))) {
+      if (c > bestCnt || (c == bestCnt && (bestGram == null || cpLess(g, bestGram)))) {
         bestCnt = c
         bestGram = g
       }

@@ -442,9 +442,10 @@ object Dedup {
     * Line TEXT never shuffles, and nothing keys on the line value at
     * row granularity — the natural skew of this operator's own target
     * (a footer in 100M documents) would make a line-partitioned window
-    * or join one hot task. Instead: (1) line-hash frequencies by
-    * map-combined aggregation (the hot line arrives pre-counted per
-    * partition); (2) the >= minRepeats survivors — boilerplate-sized by
+    * or join one hot task. Instead: (1) per-line DOCUMENT frequencies
+    * by map-combined distinct aggregation over (hash, doc) pairs (the
+    * hot line arrives pre-deduped per partition); (2) the >= minRepeats
+    * survivors — boilerplate-sized by
     * nature — join back into the hash stream (AQE broadcasts them at
     * runtime; a pathologically large set falls back to a skew-split
     * SMJ on 8-byte rows); (3) per-document drop-sets of hashes, a
@@ -467,8 +468,12 @@ object Dedup {
     val hashes = df.select(col(idCol).as("__id"),
       explode(linesOf(col(textCol))).as("__line"))
       .select(col("__id"), xxhash64(col("__line")).as("__h"))
+    // cross-DOCUMENT frequency (countDistinct doc id), the RefinedWeb/
+    // CCNet semantics: a line repeated only within one document is NOT
+    // boilerplate. The distinct agg still keys on 8-byte hashes — the
+    // extra expand/shuffle carries (hash, id) pairs, never line text.
     val repeated = hashes.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(countDistinct(col("__id")).as("__c"))
       .filter(col("__c") >= minRepeats)
       .select(col("__h"))
     val dropsPerDoc = hashes.join(repeated, "__h")

@@ -427,8 +427,9 @@ object CurationQueries {
                 SELECT doc_id, 1000000000 AS pos,
                   'subscribe to our newsletter for updates today' AS line
                 FROM documents WHERE doc_id % 3 <> 2),
-         occ AS (SELECT doc_id, pos, line, COUNT(*) OVER (PARTITION BY line) AS c FROM pl),
-         kept AS (SELECT doc_id, pos, line FROM occ WHERE c < 2),
+         freq AS (SELECT line, COUNT(DISTINCT doc_id) AS c FROM pl GROUP BY line),
+         kept AS (SELECT pl.doc_id, pl.pos, pl.line
+                  FROM pl JOIN freq USING (line) WHERE freq.c < 2),
          reb AS (SELECT doc_id, COUNT(*) AS n_kept,
                    md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_md5
                  FROM kept GROUP BY doc_id),

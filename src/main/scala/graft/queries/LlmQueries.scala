@@ -72,8 +72,16 @@ object LlmQueries {
     // cluster, singletons keep themselves
     "dedup_canonical" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
+      // membership is quantized before thresholding (round(sim,6) >=
+      // 0.45, identical in the oracle) so a 1-ulp cross-engine cosine
+      // difference near the cut can't flip an edge — an edge flip here
+      // reassigns whole components, a far bigger blast radius than a
+      // printed-value straddle. The inner threshold is a strict
+      // under-bound of the quantized cut (round(x,6) >= 0.45 ⟺
+      // x >= 0.4499995), so the guard never drops a quantized member.
       val pairs = Dedup.embeddingCosinePairsExact(emb, "embedding", "vec_id",
-        threshold = 0.45)
+        threshold = 0.4499)
+        .filter(round(col("cos_sim"), 6) >= 0.45)
       val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .withColumnRenamed("id", "vec_id")
       emb.select(col("vec_id"))
@@ -489,8 +497,8 @@ object LlmQueries {
       """WITH RECURSIVE pairs AS (
            SELECT a.vec_id AS s, b.vec_id AS t
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])) >= 0.45),
+           WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])), 6) >= 0.45),
          edges AS (SELECT s, t FROM pairs UNION SELECT t, s FROM pairs),
          reach(id, r) AS (
            SELECT s, s FROM edges

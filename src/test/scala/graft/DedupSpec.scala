@@ -98,6 +98,13 @@ class DedupSpec extends AnyFunSuite {
       Seq((1L, "all dup"), (2L, "all dup")).toDF("doc_id", "text"),
       "text", "doc_id").collect()
     assert(gone.forall(r => r.getLong(2) == 0L && r.isNullAt(3)))
+    // CROSS-document semantics (RefinedWeb): a line repeated twice
+    // within ONE doc but absent elsewhere is not boilerplate
+    val intra = Dedup.dedupLinesAcrossDocs(
+      Seq((1L, "repeat me\nrepeat me\nbody one"), (2L, "other body"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(intra == Map(1L -> 3L, 2L -> 1L))
   }
 
   test("decontamination flags docs sharing an n-gram with the probe set") {

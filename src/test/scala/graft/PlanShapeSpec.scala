@@ -164,6 +164,48 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("text_tfidf: RUNTIME stage count pins the AQE stage-cache single scan") {
+    // The single-corpus-scan guarantee rests on the no-op `tf >= 1`
+    // guard keeping both aggregate subtrees canonically identical so
+    // AQE's stage cache deduplicates them (TfIdf.topTerms). The static
+    // plan can't show this — it always prints two Generate subtrees —
+    // so pin it at runtime: a Spark upgrade that breaks stage-cache
+    // reuse re-scans and re-explodes the corpus (a second ~6-stage
+    // chain and ~2x shuffle) and must fail here, not in a probe.
+    val sf01 = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$sf01/documents.parquet").exists())
+    val stages = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        shuffle.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = graft.operators.TfIdf.topTerms(docs, "doc_id", "text", k = 3)
+        .count()
+      var last = -1L
+      var spins = 0
+      while (spins < 20 && (stages.get != last || last < 0)) {
+        last = stages.get
+        Thread.sleep(250)
+        spins += 1
+      }
+      assert(n > 0)
+      // measured baseline: 8 stages, 1.75 MB shuffle; a lost stage-cache
+      // reuse adds a >= 4-stage second scan chain and ~8 MB of duplicate
+      // explode+aggregate shuffle at this SF
+      assert(stages.get <= 11, s"stages=${stages.get} (baseline 8)")
+      assert(shuffle.get <= 4L * 1024 * 1024,
+        s"shuffleMB=${shuffle.get / 1e6} (baseline ~1.75)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("dedup_ngram_jaccard: stage count and shuffle bytes stay bounded at sf0.1") {
     // Pins the RUNTIME structure (the static plan hides the persisted
     // candidate/doc sub-jobs) so bench drift is attributable: machine
