@@ -536,4 +536,42 @@ object Multimodal {
     val dec = udf((b: Array[Byte]) => decodeAny(b))
     df.withColumn("dec", dec(col("content")))
   }
+
+  /** Modality-generic perceptual content key from the DECODED media
+    * (never the container bytes, so a re-encoded identical asset
+    * collides): image → pixel average-hash; video → an order-sensitive
+    * fold over every frame's average-hash (the per-frame-phash video
+    * signature — the first frame alone is NOT discriminating: all 8
+    * synthetic classes collide at 8×8); audio → quantized PCM
+    * fingerprint (rate · 1e9 + duration_ms · 1e4 + round(rms)). */
+  final case class ContentKey(modality: String, key: Long)
+
+  def contentKey(bytes: Array[Byte]): ContentKey = sniffModality(bytes) match {
+    case "image" =>
+      val d = decodeImage(bytes)
+      if (d == null) null else ContentKey("image", d.ahash)
+    case "video" =>
+      val frames = sampleVideoFrames(bytes, 1)
+      if (frames.isEmpty) null
+      else ContentKey("video",
+        frames.foldLeft(1125899906842597L) { case (k, (_, _, ah)) =>
+          k * 1000003L + ah
+        })
+    case "audio" =>
+      val d = decodeAudio(bytes)
+      if (d == null) null
+      else ContentKey("audio", d.sample_rate.toLong * 1000000000L +
+        d.duration_ms * 10000L + math.round(d.rms))
+    case _ => null
+  }
+
+  /** Sniff + decode + key the mixed binary column:
+    * (media_id, modality, key). Undecodable rows drop. */
+  def contentKeys(df: DataFrame): DataFrame = {
+    val k = udf((b: Array[Byte]) => contentKey(b))
+    df.withColumn("__k", k(col("content")))
+      .filter(col("__k").isNotNull)
+      .select(col("media_id"), col("__k.modality").as("modality"),
+        col("__k.key").as("key"))
+  }
 }

@@ -242,6 +242,40 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    "multimodal_dedup_pipeline" -> ((s, d) => {
+      // The COMPOSED curation pipeline over one mixed binary column —
+      // each stage is individually pinned elsewhere; this entry pins
+      // the composition where schema/null/partitioning seams hide:
+      // magic-byte sniff → real decode (PNG/WAV/MJPEG-AVI) → perceptual
+      // content key → near-dup pair list (chain pairs within a key
+      // bucket: LINEAR in bucket size where all-pairs is quadratic; CC
+      // restores the full component) → connected components →
+      // canonical keep/drop. Keys derive from decoded content, so the
+      // ground truth is the generator arithmetic: identical
+      // (modality, class) → identical bytes → identical key, and the 8
+      // classes key distinctly per modality (MultimodalSpec).
+      val assets = Multimodal.mixedAssets(s,
+        T(s, d, "events").filter(col("event_id") < 3000))
+      // decode runs once: the keyed table feeds both the pair window
+      // and the final join (same materialize-don't-recompute rule as
+      // SemDeDup's assignment)
+      val keyed = graft.operators.Lineage.truncate(
+        Multimodal.contentKeys(assets))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("modality"), col("key")).orderBy(col("media_id"))
+      val pairs = keyed
+        .withColumn("__prev", lag(col("media_id"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("__prev").as("id_a"), col("media_id").as("id_b"))
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "media_id")
+      keyed.join(comps, Seq("media_id"), "left")
+        .select(col("media_id"), col("modality"),
+          coalesce(col("comp"), col("media_id")).as("canonical_id"))
+        .withColumn("keep", col("canonical_id") === col("media_id"))
+        .orderBy(col("media_id"))
+    }),
+
     "multimodal_audio_decode" -> ((s, d) => {
       // REAL WAV decode via javax.sound.sampled — rate/channels/duration
       // pinned by the synth arithmetic; rms_ok proves the PCM was read
@@ -611,6 +645,20 @@ object LlmQueries {
                 WHEN event_id % 3 = 2
                   THEN CAST((4 + (event_id % 8)) * 100 AS BIGINT)
            END AS duration_ms
+         FROM events WHERE event_id < 3000 ORDER BY media_id""",
+
+    // composed-pipeline ground truth: duplicate groups are exactly the
+    // (modality = id%3, class = id%8) cells — identical cells share
+    // bytes hence keys, distinct classes key distinctly per modality —
+    // so canonical = min event_id of the cell and keep marks the min
+    "multimodal_dedup_pipeline" ->
+      """SELECT event_id AS media_id,
+           CASE event_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           MIN(event_id) OVER (PARTITION BY event_id % 3, event_id % 8)
+             AS canonical_id,
+           event_id = MIN(event_id) OVER (PARTITION BY event_id % 3, event_id % 8)
+             AS keep
          FROM events WHERE event_id < 3000 ORDER BY media_id""",
 
     // WAV synth arithmetic: 16 kHz mono, 200+50·(id%8) ms per tone class

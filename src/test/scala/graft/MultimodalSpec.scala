@@ -194,6 +194,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAny(Array[Byte](9, 9, 9)) == null)
   }
 
+  test("content keys: distinct per class within every modality, stable per class") {
+    // the multimodal_dedup_pipeline oracle's premise: duplicate groups
+    // are exactly the (modality, class) cells — so each modality's 8
+    // classes must key DISTINCTLY and identical bytes identically
+    def keysOf(mk: Int => Array[Byte]) =
+      (0 until 8).map(c => Multimodal.contentKey(mk(c)))
+    for ((mk, m) <- Seq(
+        ((c: Int) => Multimodal.pngFor(c), "image"),
+        ((c: Int) => Multimodal.wavFor(c), "audio"),
+        ((c: Int) => Multimodal.aviFor(c), "video"))) {
+      val ks = keysOf(mk)
+      assert(ks.forall(_ != null) && ks.forall(_.modality == m), m)
+      assert(ks.map(_.key).distinct.size == 8, s"$m keys collide: $ks")
+      assert(keysOf(mk) == ks, s"$m keys unstable")
+    }
+    assert(Multimodal.contentKey(Array[Byte](9, 9, 9)) == null)
+  }
+
   test("phashCanonical groups by perceptual hash end-to-end") {
     val events = spark.range(0, 40).select(col("id").as("event_id"))
     val assets = Multimodal.imageAssets(spark, events)
