@@ -141,23 +141,45 @@ object Similarity {
     * hyperplane filter is sharp only in its high-similarity (≥0.9)
     * near-duplicate design regime, where expected bit flips stay far
     * below random pairs'. */
-  def ivfTopK(corpus: DataFrame, vecCol: String, idCol: String,
-      queries: DataFrame, queryVecCol: String, queryIdCol: String,
-      k: Int, ncentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** IVF index build: assign every corpus vector to its nearest coarse
+    * centroid. This is the once-per-corpus phase of a deployment —
+    * persist the result and serve many query batches against it via
+    * [[ivfSearchIndexed]]. One corpus scan, no shuffle. */
+  def ivfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      ncentroids: Int): (DataFrame, Array[Array[Float]]) = {
     val cents = trainCentroids(corpus, vecCol, idCol, ncentroids)
     val assign1 = nearestCentroids(cents, 1)
-    val probeN = nearestCentroids(cents, nprobe)
-    val corpusCells = corpus.withColumn("__cell",
+    val cells = corpus.withColumn("__cell",
       element_at(assign1(col(vecCol)), 1))
+    (cells, cents)
+  }
+
+  /** Serve a query batch against a built IVF index: queries fan out to
+    * their nprobe nearest cells, broadcast-join into the cell-assigned
+    * corpus (the corpus never shuffles), exact re-rank inside the
+    * probed cells with the map-side WindowGroupLimit prune. */
+  def ivfSearchIndexed(cells: DataFrame, cents: Array[Array[Float]],
+      vecCol: String, idCol: String,
+      queries: DataFrame, queryVecCol: String, queryIdCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val probeN = nearestCentroids(cents, nprobe)
     val qCells = queries.withColumn("__cell",
       explode(probeN(col(queryVecCol))))
-    val candidates = corpusCells.join(broadcast(qCells), "__cell")
+    val candidates = cells.join(broadcast(qCells), "__cell")
       .withColumn("cos_sim", lit(1.0) - vecCosDistance(col(vecCol), col(queryVecCol)))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cos_sim").desc, col(idCol))
     candidates.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col(queryIdCol), col(idCol), col("cos_sim"), col("__rn").as("rank"))
+  }
+
+  def ivfTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, queryVecCol: String, queryIdCol: String,
+      k: Int, ncentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (cells, cents) = ivfIndex(corpus, vecCol, idCol, ncentroids)
+    ivfSearchIndexed(cells, cents, vecCol, idCol,
+      queries, queryVecCol, queryIdCol, k, nprobe)
   }
 
   /** LSH-pruned approximate top-k: only corpus rows whose hyperplane
