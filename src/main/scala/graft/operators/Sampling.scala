@@ -76,15 +76,64 @@ object Sampling {
     * and the result is materialized (Lineage.truncate) before the cache
     * is released. */
   def tokenBudget(df: DataFrame, stratum: Column, id: Column,
-                  tokens: Column, budgetPerStratum: Long): DataFrame = {
+                  tokens: Column, budgetPerStratum: Long): DataFrame =
+    runningBefore(df, stratum, id, tokens, "__before")
+      .withColumn("kept", col("__before") < budgetPerStratum)
+      .drop("__before")
+
+  /** Pack documents into fixed-size context windows — the
+    * concat-and-chunk training-prep step (GPT-2/Pile style: documents
+    * are concatenated in a deterministic order and the token stream is
+    * split every `contextLen`; a document may straddle a boundary).
+    * Per stratum (one stream per source/shard), in hash-rank order:
+    *   window_id = tokens-before div contextLen  (the window holding
+    *               the document's first token)
+    *   offset    = tokens-before mod contextLen
+    *   n_windows = windows the document touches (≥ 1; 1 unless it
+    *               crosses a boundary).
+    * Same two-phase prefix sum as [[tokenBudget]] — no stratum-sized
+    * window stage anywhere. */
+  def packWindows(df: DataFrame, stratum: Column, id: Column,
+                  tokens: Column, contextLen: Long): DataFrame = {
+    require(contextLen > 0)
+    runningBefore(df, stratum, id, tokens, "__before")
+      .withColumn("window_id", expr(s"__before div $contextLen"))
+      .withColumn("offset", col("__before") % contextLen)
+      .withColumn("__last", col("__before") +
+        greatest(tokens.cast("long"), lit(1L)) - 1)
+      .withColumn("n_windows",
+        expr(s"__last div $contextLen") - col("window_id") + 1)
+      .drop("__before", "__last")
+  }
+
+  /** Two-phase distributed prefix sum: appends `outCol` = the sum of
+    * `value` over every row ordered BEFORE this one within its stratum
+    * (order = (hashRank(id), id), the deterministic uniform
+    * permutation all Sampling ops share).
+    *
+    * Scale shape — the reason this is not a window function: a
+    * `Window.partitionBy(stratum)` cumulative sum serializes each
+    * stratum through ONE task (~10 strata over ~1e9 docs at 100 TB).
+    * Instead: (1) range-repartition on (stratum, rank, id) so the
+    * admission order is (partition, row) order, with every partition
+    * carrying its fair slice of even a single-stratum input; (2)
+    * per-(partition, stratum) subtotals — partitions × strata rows —
+    * collect as model state and prefix-scan on the driver; (3) a
+    * partition-local pass seeds each row's running total from its
+    * (partition, stratum) offset. No stage sees a stratum-sized
+    * partition. The repartitioned input is persisted so both passes
+    * observe the same range bounds, and the result is materialized
+    * (Lineage.truncate) before the cache is released. */
+  def runningBefore(df: DataFrame, stratum: Column, id: Column,
+                    value: Column, outCol: String): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
     val parts = df
       .withColumn("__st", stratum)
       .withColumn("__rk", hashRank(id))
       .withColumn("__tid", id)
-      .withColumn("__tok", tokens.cast("long"))
+      .withColumn("__val", value.cast("long"))
       .repartitionByRange(col("__st"), col("__rk"), col("__tid"))
       .sortWithinPartitions(col("__st"), col("__rk"), col("__tid"))
       .persist()
@@ -94,7 +143,7 @@ object Sampling {
       // aggregation exchange, so it names the persisted partitions)
       val subtotals = parts
         .groupBy(spark_partition_id().as("__p"), col("__st"))
-        .agg(coalesce(sum(col("__tok")), lit(0L)).as("__t"))
+        .agg(coalesce(sum(col("__val")), lit(0L)).as("__t"))
         .collect()
       val offsets: Map[(Int, Any), Long] = subtotals
         .groupBy(_.get(1)).iterator.flatMap { case (st, rows) =>
@@ -105,23 +154,22 @@ object Sampling {
         }.toMap
       val bc = spark.sparkContext.broadcast(offsets)
       val outSchema = StructType(
-        parts.schema.fields :+ StructField("kept", BooleanType, nullable = false))
+        parts.schema.fields :+ StructField(outCol, LongType, nullable = false))
       val stIdx = parts.schema.fieldIndex("__st")
-      val tokIdx = parts.schema.fieldIndex("__tok")
-      val budget = budgetPerStratum
+      val valIdx = parts.schema.fieldIndex("__val")
       // phase 2: partition-local running sums seeded by the offsets
-      val flagged = parts.mapPartitions { it =>
+      val summed = parts.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val running = scala.collection.mutable.Map.empty[Any, Long]
         it.map { r =>
           val st = r.get(stIdx)
           val before = running.getOrElse(st, bc.value.getOrElse((pid, st), 0L))
-          val tok = if (r.isNullAt(tokIdx)) 0L else r.getLong(tokIdx)
-          running(st) = before + tok
-          Row.fromSeq(r.toSeq :+ (before < budget))
+          val v = if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx)
+          running(st) = before + v
+          Row.fromSeq(r.toSeq :+ before)
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
-      Lineage.truncate(flagged.drop("__st", "__rk", "__tid", "__tok"))
+      Lineage.truncate(summed.drop("__st", "__rk", "__tid", "__val"))
     } finally parts.unpersist()
   }
 }

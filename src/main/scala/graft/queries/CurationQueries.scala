@@ -181,6 +181,21 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // sequence packing (GPT-2/Pile concat-and-chunk training prep):
+    // per source stream in hash-rank order, each doc lands at
+    // (window_id, offset) of the 2048-token context grid; n_windows
+    // counts boundary crossings. Same scale-safe prefix sum as the
+    // token-budget draw — no stratum-sized window stage.
+    "pack_sequences" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val withTok = docs.select(col("doc_id"),
+        (col("doc_id") % 5).as("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.packWindows(withTok, col("source"), col("doc_id"),
+          col("n_tokens"), contextLen = 2048L)
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup: same k-means run (identical params → the oracle reuses
     // the Lloyd replay), then exact cosine pairs only WITHIN clusters.
     // At sf0.01 this finds 5 of the 14 corpus-wide >=0.45 pairs — the
@@ -470,6 +485,22 @@ object CurationQueries {
            coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 3000 AS kept
          FROM tok ORDER BY doc_id""",
+
+    "pack_sequences" ->
+      """WITH tok AS (SELECT doc_id, doc_id % 5 AS source,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS rk
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+             coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+           FROM tok)
+         SELECT doc_id, source, n_tokens,
+           bef // 2048 AS window_id,
+           bef % 2048 AS "offset",
+           (bef + greatest(n_tokens, 1) - 1) // 2048 - bef // 2048 + 1 AS n_windows
+         FROM c ORDER BY doc_id""",
 
     // full replay of the quantized Lloyd history: init = 10 smallest
     // md5-rank ids, three assignment passes (a0/a1/a2) with two

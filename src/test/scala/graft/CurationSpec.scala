@@ -225,6 +225,34 @@ class CurationSpec extends AnyFunSuite {
       .filter($"kept").count() == 0L)
   }
 
+  test("packWindows: concat-and-chunk metadata matches a sequential replay") {
+    import graft.operators.Sampling
+    val df = (1L to 20L).map(i => (i, i % 2, 5L + (i % 7))).toDF("id", "src", "toks")
+    val out = Sampling.packWindows(df, $"src", $"id", $"toks", contextLen = 16L)
+      .select($"id", $"window_id", $"offset", $"n_windows")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // replay the concat stream per stratum in (hashRank, id) order
+    val ranked = df.select($"id", $"src", $"toks",
+        Sampling.hashRank($"id").as("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for (s <- Seq(0L, 1L)) {
+      var before = 0L
+      for ((id, _, toks, _) <- ranked.filter(_._2 == s).sortBy(x => (x._4, x._1))) {
+        val wid = before / 16
+        val nw = (before + math.max(toks, 1) - 1) / 16 - wid + 1
+        assert(out(id) == ((wid, before % 16, nw)), s"id=$id")
+        before += toks
+      }
+    }
+    // zero-token docs occupy no tokens but land in exactly one window
+    val z = Sampling.packWindows(
+      Seq((1L, 0L, 0L), (2L, 0L, 40L)).toDF("id", "src", "toks"),
+      $"src", $"id", $"toks", 16L)
+      .select($"id", $"n_windows").as[(Long, Long)].collect().toMap
+    assert(z(1L) == 1L)
+  }
+
   test("semantic dedup: pairs only within clusters; cosine-identical cross-cluster pairs are the recall trade") {
     // two direction-coherent groups, euclidean-separated along x:
     // cos(id1, id11) = 1.0 — but k-means (euclidean) splits them, so the
