@@ -490,10 +490,10 @@ final class GraftSession(spark0: SparkSession,
       }
       // evaluate EAGERLY: a parameter that cannot convert to the cast's
       // type must error at EXECUTE time (prepare/mysql_prepare.result).
-      // localCheckpoint materializes on the EXECUTORS — no driver
-      // roundtrip for a big prepared SELECT — and its blocks are
-      // reclaimed by the ContextCleaner once the frame is unreferenced
-      sql(substituted.toString).localCheckpoint(true)
+      // Lineage.truncate materializes on the EXECUTORS — no driver
+      // roundtrip for a big prepared SELECT — and honors
+      // graft.checkpoint.dir for the fault-tolerant variant
+      graft.operators.Lineage.truncate(sql(substituted.toString))
     }
     else if (up.startsWith("DEALLOCATE")) {
       preparedStmts.remove(stmt.trim.split("\\s+").last.stripSuffix(";"))
