@@ -24,7 +24,10 @@ object CcScaleProbe {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
-    for (nEdges <- Seq(1000000L, 10000000L); block <- Seq(8, 16)) {
+    val sizes = sys.env.get("CC_EDGES")
+      .map(_.split(",").map(_.toLong).toSeq)
+      .getOrElse(Seq(1000000L, 10000000L))
+    for (nEdges <- sizes; block <- Seq(8, 16)) {
       // block=8: clique blocks (8 nodes, 28 edges each);
       // block=16: chain blocks (16 nodes, 15 edges each)
       val clique = block == 8
