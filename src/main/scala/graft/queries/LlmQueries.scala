@@ -247,26 +247,30 @@ object LlmQueries {
       // each stage is individually pinned elsewhere; this entry pins
       // the composition where schema/null/partitioning seams hide:
       // magic-byte sniff → real decode (PNG/WAV/MJPEG-AVI) → perceptual
-      // content key → near-dup pair list (chain pairs within a key
-      // bucket: LINEAR in bucket size where all-pairs is quadratic; CC
-      // restores the full component) → connected components →
+      // content key → near-dup pair list → connected components →
       // canonical keep/drop. Keys derive from decoded content, so the
       // ground truth is the generator arithmetic: identical
       // (modality, class) → identical bytes → identical key, and the 8
       // classes key distinctly per modality (MultimodalSpec).
       val assets = Multimodal.mixedAssets(s,
         T(s, d, "events").filter(col("event_id") < 3000))
-      // decode runs once: the keyed table feeds both the pair window
+      // decode runs once: the keyed table feeds both the pair build
       // and the final join (same materialize-don't-recompute rule as
       // SemDeDup's assignment)
       val keyed = graft.operators.Lineage.truncate(
         Multimodal.contentKeys(assets))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("modality"), col("key")).orderBy(col("media_id"))
-      val pairs = keyed
-        .withColumn("__prev", lag(col("media_id"), 1).over(w))
-        .filter(col("__prev").isNotNull)
-        .select(col("__prev").as("id_a"), col("media_id").as("id_b"))
+      // STAR pairs (bucket-min, member): linear in bucket size where
+      // all-pairs is quadratic, and — unlike a per-bucket window chain
+      // — skew-safe: the bucket min comes from a map-side-combined
+      // aggregate and the join back is AQE-splittable, so a meme
+      // duplicated 100M times never funnels through one task. CC then
+      // canonicalizes (and in the general multi-key contract stitches
+      // overlapping buckets into one component).
+      val canon = keyed.groupBy(col("modality"), col("key"))
+        .agg(min(col("media_id")).as("__c"))
+      val pairs = keyed.join(canon, Seq("modality", "key"))
+        .filter(col("media_id") =!= col("__c"))
+        .select(col("__c").as("id_a"), col("media_id").as("id_b"))
       val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
         .withColumnRenamed("id", "media_id")
       keyed.join(comps, Seq("media_id"), "left")

@@ -134,6 +134,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"shuffles=${nodeIds(plan("cluster_kmeans"), "Exchange")}")
   }
 
+  test("sample_stratified: quota window prunes map-side (WindowGroupLimit)") {
+    // the per-stratum top-n quota is scale-safe ONLY through Spark's
+    // rank-limit pushdown: each task pre-prunes to n rows per stratum
+    // before the shuffle, so the final window sees <= n x partitions
+    // rows, never a stratum-sized partition
+    assert(nodeIds(plan("sample_stratified"), "WindowGroupLimit").size >= 2,
+      "quota path lost the map-side rank-limit prune")
+  }
+
   test("sample_token_budget: no window stage in any EXECUTED plan") {
     // the mixture draw at 100 TB has ~10 strata and ~1e9 docs: a
     // Window.partitionBy(stratum) cumulative sum would serialize each
