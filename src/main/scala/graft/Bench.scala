@@ -63,15 +63,25 @@ object Bench {
     val re = """\\?"([a-z0-9_]+)\\?":([0-9]+\.?[0-9]*)""".r
     val names = headline.toSet
     val acc = scala.collection.mutable.Map.empty[String, Double]
-    val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
-      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    // cwd first (the driver runs sbt from the repo root), then the
+    // canonical repo path — launching from elsewhere must not silently
+    // disable the guard
+    val files = Seq(".", "/root/repo").iterator
+      .map(d => Option(new java.io.File(d).listFiles()).getOrElse(Array())
+        .filter(_.getName.matches("BENCH_r\\d+\\.json")))
+      .find(_.nonEmpty).getOrElse(Array())
+    if (files.isEmpty)
+      Console.err.println("[bench-rerun] WARNING: no BENCH_r*.json found — contended-snapshot guard has no reference")
     for (f <- files) {
       val txt =
         try { val s = scala.io.Source.fromFile(f); try s.mkString finally s.close() }
         catch { case _: Throwable => "" }
       for (m <- re.findAllMatchIn(txt); if names(m.group(1))) {
         val v = m.group(2).toDouble
-        if (v > 0) acc(m.group(1)) = math.min(acc.getOrElse(m.group(1), v), v)
+        // < 50 ms is a fast-FAIL wall (once() records elapsed time even
+        // when the query threw), not a clean reference — no healthy
+        // headline query finishes that fast
+        if (v > 0.05) acc(m.group(1)) = math.min(acc.getOrElse(m.group(1), v), v)
       }
     }
     acc.toMap

@@ -560,8 +560,19 @@ object Multimodal {
     case "audio" =>
       val d = decodeAudio(bytes)
       if (d == null) null
-      else ContentKey("audio", d.sample_rate.toLong * 1000000000L +
-        d.duration_ms * 10000L + math.round(d.rms))
+      else {
+        // multiplicative mixing, NOT fixed decimal fields: 16-bit PCM
+        // rms reaches 32767 and long clips overflow any positional
+        // packing, which would collide distinct assets (e.g.
+        // duration 1000ms/rms 12000 vs 1001ms/2000 at width 1e4).
+        // Hash-collision odds replace field-width assumptions — the
+        // same adjudication as every other hash-equality dedup here.
+        var k = 1125899906842597L
+        k = k * 1000003L + d.sample_rate
+        k = k * 1000003L + d.duration_ms
+        k = k * 1000003L + math.round(d.rms)
+        ContentKey("audio", k)
+      }
     case _ => null
   }
 

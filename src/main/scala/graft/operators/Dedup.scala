@@ -561,11 +561,16 @@ object Dedup {
     // count and dominated the probe's wall at 10M edges
     def advance(next: DataFrame): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation()
+      // project __old away BEFORE materializing (CollectMetrics computes
+      // on its input, so the metric survives the project): at the
+      // 100M-edge probe each pass checkpoints ~107M label rows — a
+      // third more bytes if the transient comparison column rides along
       val t = Lineage.truncate(next.observe(obs,
         coalesce(sum(when(col("comp") < col("__old"), 1L).otherwise(0L)),
-          lit(0L)).as("changed")))
+          lit(0L)).as("changed"))
+        .select(col("id"), col("comp")))
       val changed = obs.get("changed").asInstanceOf[Long]
-      (t.select(col("id"), col("comp")), changed)
+      (t, changed)
     }
     var labels = Lineage.truncate(
       edges.select(col("__s").as("id")).distinct()

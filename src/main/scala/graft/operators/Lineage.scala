@@ -26,12 +26,20 @@ import org.apache.spark.sql.DataFrame
   * ContextCleaner once the previous pass's DataFrame is unreferenced.
   */
 object Lineage {
+  // last dir this object applied to the SparkContext: a session that
+  // re-points graft.checkpoint.dir mid-run must not keep writing to
+  // the stale first directory (setCheckpointDir appends a UUID subdir,
+  // so the conf value can't be compared against getCheckpointDir)
+  @volatile private var appliedDir: String = null
+
   def truncate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("graft.checkpoint.dir") match {
       case Some(dir) if dir.nonEmpty =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
+        if (appliedDir != dir) synchronized {
           spark.sparkContext.setCheckpointDir(dir)
+          appliedDir = dir
+        }
         df.checkpoint(eager = true)
       case _ => df.localCheckpoint(eager = true)
     }

@@ -490,10 +490,13 @@ final class GraftSession(spark0: SparkSession,
       }
       // evaluate EAGERLY: a parameter that cannot convert to the cast's
       // type must error at EXECUTE time (prepare/mysql_prepare.result).
-      // Lineage.truncate materializes on the EXECUTORS — no driver
-      // roundtrip for a big prepared SELECT — and honors
-      // graft.checkpoint.dir for the fault-tolerant variant
-      graft.operators.Lineage.truncate(sql(substituted.toString))
+      // localCheckpoint (NOT the graft.checkpoint.dir reliable variant)
+      // on purpose: its blocks are reclaimed by the ContextCleaner once
+      // the frame is GC'd, while reliable checkpoint files outlive the
+      // frame — a long session EXECUTE-ing prepared statements would
+      // accumulate one durable directory per execution. The knob is for
+      // long iterative jobs (CC, SemDeDup), not this per-statement path.
+      sql(substituted.toString).localCheckpoint(true)
     }
     else if (up.startsWith("DEALLOCATE")) {
       preparedStmts.remove(stmt.trim.split("\\s+").last.stripSuffix(";"))
