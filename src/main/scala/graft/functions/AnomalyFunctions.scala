@@ -27,10 +27,35 @@ object AnomalyFunctions {
       .otherwise(abs(x - mean) / sd)
   }
 
+  /** Z-score as a DataFrame transform — the SCALE path: mean/stddev/
+    * count come from a map-side-combined groupBy and join back (tiny
+    * group table, AQE broadcasts), so a low-cardinality partition
+    * column (a handful of event types over 10⁹ rows) never funnels a
+    * whole group through one window task. The WindowSpec variant above
+    * stays for composability inside larger window chains. */
+  def withAnomalyScoreZscore(
+      df: org.apache.spark.sql.DataFrame,
+      valueCol: String,
+      partitionBy: Seq[String],
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    val x = col(valueCol).cast("double")
+    val stats = df.groupBy(partitionBy.map(col): _*)
+      .agg(avg(x).as("__m"), stddev_samp(x).as("__sd"), count(x).as("__n"))
+    df.join(stats, partitionBy)
+      .withColumn(outCol,
+        when(col("__n") < 2, lit(null).cast("double"))
+          .when(col("__sd") === 0.0, when(x === col("__m"), 0.0).otherwise(Inf))
+          .otherwise(abs(x - col("__m")) / col("__sd")))
+      .drop("__m", "__sd", "__n")
+  }
+
   /** MAD needs the window median materialized before the second
     * percentile pass (window functions cannot nest), so it is a
     * DataFrame transform: adds `outCol` scoring `valueCol` within each
-    * `partitionBy` group. */
+    * `partitionBy` group. Scale note: the exact-percentile semantics
+    * (pinned by the oracle) buffer each group wherever they run —
+    * window or aggregate; the sketch-based scale path for huge groups
+    * is the t-digest/uddsketch family in graft.aggregates. */
   def withAnomalyScoreMad(
       df: org.apache.spark.sql.DataFrame,
       valueCol: String,

@@ -202,12 +202,14 @@ object Multimodal {
   }
 
   /** Perceptual-hash dedup: canonical id = min media_id sharing the
-    * average-hash. One shuffle on the 64-bit hash — 100 TB-safe (the
-    * hash is the partition key; no pairwise comparison). */
-  def phashCanonical(decoded: DataFrame): DataFrame =
-    decoded.withColumn("canonical_id",
-      min(col("media_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("decoded.ahash"))))
+    * average-hash. The canonical comes from a map-side-combined
+    * groupBy(min) + AQE-splittable join back, never a hash-partitioned
+    * window — a 100M-copy duplicate group would be one window task. */
+  def phashCanonical(decoded: DataFrame): DataFrame = {
+    val canon = decoded.groupBy(col("decoded.ahash").as("__h"))
+      .agg(min(col("media_id")).as("canonical_id"))
+    decoded.join(canon, col("decoded.ahash") === col("__h")).drop("__h")
+  }
 
   // ---- real audio decode (JDK javax.sound.sampled — WAV/PCM) ----------
 

@@ -64,12 +64,18 @@ object Dedup {
     if (r >= P61) r - P61 else r
   }
 
-  /** Exact dedup: keep the smallest `idCol` per normalized-text group. */
+  /** Exact dedup: keep the smallest `idCol` per normalized-text group.
+    * Canonical ids come from a map-side-combined groupBy(min) + an
+    * AQE-splittable join back — NOT a digest-partitioned window: this
+    * operator's own target (one document copied 100M times) would put
+    * the whole duplicate group into a single window task, and
+    * row_number-without-top-k-filter gets no WindowGroupLimit prune. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(normText(col(textCol)))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("is_dup", col("__rn") > 1)
-      .drop("__rn")
+    val keyed = df.withColumn("__d", md5(normText(col(textCol))))
+    val canon = keyed.groupBy(col("__d")).agg(min(col(idCol)).as("__cid"))
+    keyed.join(canon, "__d")
+      .withColumn("is_dup", col(idCol) =!= col("__cid"))
+      .drop("__d", "__cid")
   }
 
   /** Distinct word shingles of size n, one normalize+split+slide pass

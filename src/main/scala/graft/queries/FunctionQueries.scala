@@ -133,9 +133,10 @@ object FunctionQueries {
     }),
 
     "fn_anomaly_zscore" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
-      T(s, d, "events")
-        .withColumn("score", AnomalyFunctions.anomalyScoreZscore(col("value"), w))
+      // grouped transform, not a window: event_type has a handful of
+      // values, so a window would serialize each group through one task
+      AnomalyFunctions.withAnomalyScoreZscore(
+          T(s, d, "events"), "value", Seq("event_type"), "score")
         .filter(col("score") > 2.0)
         .select(col("event_id"), round(col("score"), 4).as("score"))
         .orderBy(col("event_id"))
