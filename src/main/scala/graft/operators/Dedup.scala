@@ -497,6 +497,55 @@ object Dedup {
           .otherwise(lit(null)).as("cleaned"))
   }
 
+  /** Cross-document repeated-substring removal (the ExactSubstr pass of
+    * Lee et al. 2022, arXiv:2107.06499, at word granularity): every
+    * span of ≥ n consecutive words that appears in ≥ minDocs DISTINCT
+    * documents is removed from every document (the remove-all-copies
+    * policy, matching [[dedupLinesAcrossDocs]]). A span repeats iff
+    * every one of its n-word windows repeats, so word positions covered
+    * by any repeated window are exactly the repeated spans — no suffix
+    * array needed.
+    *
+    * Scale shape (same grammar as the boilerplate op): window HASHES
+    * shuffle — (doc, start, hash64) rows, linear in corpus words —
+    * while the text never keys a row-granular stage; document
+    * frequencies come from a map-side-combined distinct aggregate on
+    * 8-byte hashes; per-doc drop-lists are doc-keyed; the rebuild is an
+    * in-place array filter against the doc's own drop-list (kept-word
+    * order free). Hash equality stands in for string equality (2^-64),
+    * the standing adjudication. Returns (idCol, n_words, n_kept,
+    * cleaned). */
+  def dedupSubstrings(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    def wordsOf(c: Column): Column =
+      filter(split(trim(coalesce(c, lit(""))), "\\s+"), w => length(w) > 0)
+    val docs = df.select(col(idCol).as("__id"), wordsOf(col(textCol)).as("__ws"))
+    val wins = docs.filter(size(col("__ws")) >= n)
+      .select(col("__id"), col("__ws"),
+        explode(sequence(lit(0), size(col("__ws")) - n)).as("__s"))
+      .select(col("__id"), col("__s"),
+        xxhash64(concat_ws(" ",
+          slice(col("__ws"), col("__s") + 1, lit(n)))).as("__h"))
+    val repeated = wins.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__c"))
+      .filter(col("__c") >= minDocs)
+      .select(col("__h"))
+    val dropStarts = wins.join(repeated, "__h")
+      .groupBy(col("__id"))
+      .agg(collect_set(col("__s")).as("__drop"))
+    docs.join(dropStarts, Seq("__id"), "left")
+      .select(col("__id"),
+        col("__ws"),
+        filter(col("__ws"), (_, i) => coalesce(
+          !exists(col("__drop"), s => i >= s && i <= s + (n - 1)),
+          lit(true))).as("__k"))
+      .select(col("__id").as(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        size(col("__k")).cast("long").as("n_kept"),
+        when(size(col("__k")) > 0, array_join(col("__k"), " "))
+          .otherwise(lit(null)).as("cleaned"))
+  }
+
   /** Benchmark decontamination (GPT-3 Appendix C / PaLM style): flag
     * every training document sharing at least one word n-gram with the
     * probe (evaluation) set. The probe gram set is small by nature —

@@ -181,6 +181,22 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ExactSubstr repeated-substring removal (Lee et al. 2022): a
+    // 12-word phrase planted on doc_id%4==1 (~1/4 of the corpus) must
+    // vanish from every planted doc — its five 8-word windows repeat
+    // cross-doc — and any naturally repeated 8-word span goes with it.
+    "text_substring_dedup" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val phrase = " subscribe and share this curated corpus snippet with everyone you know"
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 1, concat(col("text"), lit(phrase)))
+          .otherwise(col("text")).as("text"))
+      Dedup.dedupSubstrings(planted, "text", "doc_id", n = 8)
+        .select(col("doc_id"), col("n_words"), col("n_kept"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sequence packing (GPT-2/Pile concat-and-chunk training prep):
     // per source stream in hash-rank order, each doc lands at
     // (window_id, offset) of the 2048-token context grid; n_windows
@@ -485,6 +501,42 @@ object CurationQueries {
            coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 3000 AS kept
          FROM tok ORDER BY doc_id""",
+
+    // window/coverage replay: grams grouped by STRING (hash equality
+    // stands in on the Spark side), covered = positions under any
+    // cross-doc-repeated 8-word window, rebuild = uncovered words in
+    // order
+    "text_substring_dedup" ->
+      """WITH p AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1 THEN text ||
+               ' subscribe and share this curated corpus snippet with everyone you know'
+             ELSE text END AS t
+           FROM documents),
+         w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(t), '\s+'), x -> x <> '') AS ws
+           FROM p),
+         win AS (SELECT doc_id, i, array_to_string(ws[i : i + 7], ' ') AS g
+                 FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 7)) AS i
+                       FROM w WHERE len(ws) >= 8) q),
+         rep AS (SELECT g FROM win GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT win.doc_id, win.i + o.k AS pos
+                 FROM win JOIN rep USING (g)
+                 CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) o),
+         wordpos AS (SELECT doc_id, ix, ws[ix] AS word
+                     FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS ix
+                           FROM w WHERE len(ws) > 0) q),
+         kept AS (SELECT wp.doc_id, wp.ix, wp.word
+                  FROM wordpos wp LEFT JOIN cov
+                    ON cov.doc_id = wp.doc_id AND cov.pos = wp.ix
+                  WHERE cov.pos IS NULL),
+         reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   md5(string_agg(word, ' ' ORDER BY ix)) AS cleaned_md5
+                 FROM kept GROUP BY doc_id)
+         SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+           CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+           reb.cleaned_md5
+         FROM w LEFT JOIN reb USING (doc_id) ORDER BY w.doc_id""",
 
     "pack_sequences" ->
       """WITH tok AS (SELECT doc_id, doc_id % 5 AS source,

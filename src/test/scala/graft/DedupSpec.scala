@@ -107,6 +107,29 @@ class DedupSpec extends AnyFunSuite {
     assert(intra == Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("substring dedup removes cross-doc repeated spans, keeps intra-doc repeats") {
+    // doc1/doc2 share the 6-word span "a b c d e f" inside different
+    // contexts; with n=4 its three windows repeat cross-doc, so the
+    // whole span vanishes from BOTH docs while the unique context stays
+    val docs = Seq(
+      (1L, "one two a b c d e f three four"),
+      (2L, "five a b c d e f six seven eight"),
+      (3L, "x y z w x y z w nine ten")). // intra-doc repeat only -> kept
+      toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(docs, "text", "doc_id", n = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((10L, 4L, "one two three four")))
+    assert(out(2L) == ((10L, 4L, "five six seven eight")))
+    assert(out(3L) == ((10L, 10L, "x y z w x y z w nine ten")))
+    // a doc shorter than n has no windows and keeps everything
+    val short = Dedup.dedupSubstrings(
+      Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text"),
+      "text", "doc_id", n = 4).collect()
+    assert(short.forall(r => r.getLong(2) == 3L))
+  }
+
   test("decontamination flags docs sharing an n-gram with the probe set") {
     val docs = Seq((1L, "a b c d e"), (2L, "x y b c d z"), (3L, "p q r s t"))
       .toDF("doc_id", "text")
