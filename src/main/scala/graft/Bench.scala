@@ -39,6 +39,7 @@ object Bench {
     "similarity_ivf",
     "text_stats", "text_tfidf", "cluster_kmeans",
     "dedup_boilerplate", "text_decontaminate",
+    "text_substring_dedup", "pack_sequences", "multimodal_dedup_pipeline",
     "pipeline_etl", "ingest_influx_lp", "ingest_flight")
 
   /** Queries whose round-over-round drift warranted extra passes. */

@@ -38,7 +38,8 @@ object CurationScaleProbe {
       ()
     }
     val ops = Seq("text_repetition", "text_pii_redact", "text_tfidf",
-      "cluster_kmeans", "dedup_boilerplate", "text_decontaminate")
+      "cluster_kmeans", "dedup_boilerplate", "text_decontaminate",
+      "text_substring_dedup", "pack_sequences")
     for (dir <- dirs if new java.io.File(s"$dir/documents.parquet").exists()) {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()

@@ -134,6 +134,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"shuffles=${nodeIds(plan("cluster_kmeans"), "Exchange")}")
   }
 
+  test("text_substring_dedup: hash-keyed stages only, no window, no cartesian") {
+    // window hashes shuffle; the text must never key a row-granular
+    // window (a 100M-copy repeated span is this operator's own target)
+    val p = plan("text_substring_dedup")
+    assert(nodeIds(p, "Window").isEmpty, "a text-keyed window appeared")
+    assert(nodeIds(p, "CartesianProduct").isEmpty)
+    assert(nodeIds(p, "Generate").size <= 2, "corpus exploded more than needed")
+  }
+
   test("sample_stratified: quota window prunes map-side (WindowGroupLimit)") {
     // the per-stratum top-n quota is scale-safe ONLY through Spark's
     // rank-limit pushdown: each task pre-prunes to n rows per stratum
