@@ -19,6 +19,12 @@ object CcScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_CKPT_DIR exercises the cluster-grade reliable-checkpoint
+    // path (Lineage.truncate) at probe volume instead of spec-toy size
+    sys.env.get("GRAFT_CKPT_DIR").foreach { d =>
+      spark.conf.set("graft.checkpoint.dir", d)
+      println(s"[cc-scale] reliable checkpoints -> $d")
+    }
     val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
