@@ -41,6 +41,37 @@ object FlowQueries {
         .orderBy(col("event_type"), col("window_start"))
     }),
 
+    "flow_stream_dedup" -> ((s, d) => {
+      // dedup-at-ingest through the REAL Structured Streaming engine:
+      // a parquet file stream drained under Trigger.AvailableNow, with
+      // state-store dropDuplicates emitting each key exactly once into
+      // an append sink — the streaming counterpart of the §1.1 last_row
+      // merge view. Output is the KEY SET (which row survives per key
+      // is engine-arbitrary, the key set is not), so the oracle is a
+      // plain DISTINCT. Global distinct needs unbounded state by
+      // definition; time-scoped keys at 100 TB use
+      // dropDuplicatesWithinWatermark to expire state instead.
+      val tmp = Files.createTempDirectory("graft_sdedup").toString
+      val path = s"$d/events.parquet"
+      // the file stream source requires a DIRECTORY: stream the sf dir
+      // with a glob pinning the one table (no copy)
+      val src = s.readStream.schema(s.read.parquet(path).schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val q = src.select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/sink")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     "flow_tumble_origin" -> ((s, d) => {
       // shifted grid: tumble(ts, 1h, origin 30m)
       val ev = T(s, d, "events").withColumn("t", timestamp_micros(expr("ts div 1000")))
@@ -56,6 +87,10 @@ object FlowQueries {
       """SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600000 AS window_start,
            COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "flow_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
 
     "flow_tumble_origin" ->
       """SELECT event_type,
