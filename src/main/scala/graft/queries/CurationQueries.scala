@@ -168,16 +168,16 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // token-budget mixture draw: 5 synthetic sources, 3000 tokens each
-    // (~54% of each stratum at sf0.01) — kept is a prefix of the
-    // hash-rank order whose preceding token mass is under budget.
+    // token-budget mixture draw over the REAL source column (20
+    // strata): kept is a prefix of the hash-rank order whose preceding
+    // token mass is under the 1200-token budget (~44% of each stratum
+    // at sf0.01).
     "sample_token_budget" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val withTok = docs.select(col("doc_id"),
-        (col("doc_id") % 5).as("source"),
+      val withTok = docs.select(col("doc_id"), col("source"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       Sampling.tokenBudget(withTok, col("source"), col("doc_id"),
-          col("n_tokens"), budgetPerStratum = 3000L)
+          col("n_tokens"), budgetPerStratum = 1200L)
         .orderBy(col("doc_id"))
     }),
 
@@ -198,17 +198,16 @@ object CurationQueries {
     }),
 
     // sequence packing (GPT-2/Pile concat-and-chunk training prep):
-    // per source stream in hash-rank order, each doc lands at
-    // (window_id, offset) of the 2048-token context grid; n_windows
+    // per REAL source stream in hash-rank order, each doc lands at
+    // (window_id, offset) of the 512-token context grid; n_windows
     // counts boundary crossings. Same scale-safe prefix sum as the
     // token-budget draw — no stratum-sized window stage.
     "pack_sequences" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val withTok = docs.select(col("doc_id"),
-        (col("doc_id") % 5).as("source"),
+      val withTok = docs.select(col("doc_id"), col("source"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
       Sampling.packWindows(withTok, col("source"), col("doc_id"),
-          col("n_tokens"), contextLen = 2048L)
+          col("n_tokens"), contextLen = 512L)
         .orderBy(col("doc_id"))
     }),
 
@@ -492,14 +491,14 @@ object CurationQueries {
          FROM p LEFT JOIN hits h USING (doc_id) ORDER BY p.doc_id""",
 
     "sample_token_budget" ->
-      """WITH tok AS (SELECT doc_id, doc_id % 5 AS source,
+      """WITH tok AS (SELECT doc_id, source,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS rk
            FROM documents)
          SELECT doc_id, source, n_tokens,
            coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 3000 AS kept
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 1200 AS kept
          FROM tok ORDER BY doc_id""",
 
     // window/coverage replay: grams grouped by STRING (hash equality
@@ -539,7 +538,7 @@ object CurationQueries {
          FROM w LEFT JOIN reb USING (doc_id) ORDER BY w.doc_id""",
 
     "pack_sequences" ->
-      """WITH tok AS (SELECT doc_id, doc_id % 5 AS source,
+      """WITH tok AS (SELECT doc_id, source,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS rk
@@ -549,9 +548,9 @@ object CurationQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
            FROM tok)
          SELECT doc_id, source, n_tokens,
-           bef // 2048 AS window_id,
-           bef % 2048 AS "offset",
-           (bef + greatest(n_tokens, 1) - 1) // 2048 - bef // 2048 + 1 AS n_windows
+           bef // 512 AS window_id,
+           bef % 512 AS "offset",
+           (bef + greatest(n_tokens, 1) - 1) // 512 - bef // 512 + 1 AS n_windows
          FROM c ORDER BY doc_id""",
 
     // full replay of the quantized Lloyd history: init = 10 smallest
