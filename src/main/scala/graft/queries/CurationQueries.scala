@@ -548,9 +548,9 @@ object CurationQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
            FROM tok)
          SELECT doc_id, source, n_tokens,
-           bef // 512 AS window_id,
-           bef % 512 AS "offset",
-           (bef + greatest(n_tokens, 1) - 1) // 512 - bef // 512 + 1 AS n_windows
+           CAST(bef // 512 AS BIGINT) AS window_id,
+           CAST(bef % 512 AS BIGINT) AS "offset",
+           CAST((bef + greatest(n_tokens, 1) - 1) // 512 - bef // 512 + 1 AS BIGINT) AS n_windows
          FROM c ORDER BY doc_id""",
 
     // full replay of the quantized Lloyd history: init = 10 smallest

@@ -29,6 +29,16 @@ for name, sql in sorted(oracles.items()):
     e = exp[ecols].sort_values(ecols).reset_index(drop=True)
     if len(g) != len(e):
         print(f"[ROWS] {name}: spark={len(g)} duck={len(e)}"); fail += 1; continue
+    # Driver-hash proxy: the real gate hashes RENDERED values, so an
+    # int column on one side vs float on the other (e.g. DuckDB HUGEINT
+    # -> pandas float64) fails there even when values compare equal.
+    dtyp = [c for c in gcols
+            if ('int' in str(g[c].dtype)) != ('int' in str(e[c].dtype))
+            and ('float' in str(g[c].dtype) or 'float' in str(e[c].dtype))]
+    if dtyp:
+        print(f"[DTYP] {name}: int-vs-float cols {dtyp} "
+              f"(spark={[str(g[c].dtype) for c in dtyp]} duck={[str(e[c].dtype) for c in dtyp]})")
+        fail += 1; continue
     mismatch = None
     for c in gcols:
         gv, ev = g[c].tolist(), e[c].tolist()
