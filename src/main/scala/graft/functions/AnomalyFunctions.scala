@@ -39,9 +39,16 @@ object AnomalyFunctions {
       partitionBy: Seq[String],
       outCol: String): org.apache.spark.sql.DataFrame = {
     val x = col(valueCol).cast("double")
-    val stats = df.groupBy(partitionBy.map(col): _*)
-      .agg(avg(x).as("__m"), stddev_samp(x).as("__sd"), count(x).as("__n"))
-    df.join(stats, partitionBy)
+    // Null-safe join on the group keys: the WindowSpec variant scores a
+    // null partition value as its own group, so the join-back must keep
+    // those rows too (a plain USING join would drop them).
+    val stats = partitionBy.foldLeft(
+        df.groupBy(partitionBy.map(col): _*)
+          .agg(avg(x).as("__m"), stddev_samp(x).as("__sd"), count(x).as("__n"))
+      ) { (d, c) => d.withColumnRenamed(c, s"__k_$c") }
+    val cond = partitionBy.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    df.join(stats, cond)
+      .drop(partitionBy.map(c => s"__k_$c"): _*)
       .withColumn(outCol,
         when(col("__n") < 2, lit(null).cast("double"))
           .when(col("__sd") === 0.0, when(x === col("__m"), 0.0).otherwise(Inf))

@@ -206,9 +206,17 @@ object Multimodal {
     * groupBy(min) + AQE-splittable join back, never a hash-partitioned
     * window — a 100M-copy duplicate group would be one window task. */
   def phashCanonical(decoded: DataFrame): DataFrame = {
-    val canon = decoded.groupBy(col("decoded.ahash").as("__h"))
-      .agg(min(col("media_id")).as("canonical_id"))
-    decoded.join(canon, col("decoded.ahash") === col("__h")).drop("__h")
+    // Undecodable payloads have decoded = null (so decoded.ahash is
+    // null); a plain === join would silently drop them. Left-join +
+    // coalesce keeps each such row as its own canonical (a failed
+    // decode can't be a duplicate of anything — there's no hash to
+    // collide on).
+    val canon = decoded.filter(col("decoded.ahash").isNotNull)
+      .groupBy(col("decoded.ahash").as("__h"))
+      .agg(min(col("media_id")).as("__cid"))
+    decoded.join(canon, col("decoded.ahash") === col("__h"), "left")
+      .withColumn("canonical_id", coalesce(col("__cid"), col("media_id")))
+      .drop("__h", "__cid")
   }
 
   // ---- real audio decode (JDK javax.sound.sampled — WAV/PCM) ----------

@@ -72,10 +72,15 @@ object Dedup {
     * row_number-without-top-k-filter gets no WindowGroupLimit prune. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val keyed = df.withColumn("__d", md5(normText(col(textCol))))
+    // Null-safe join: null text -> null digest, and md5(null) is null.
+    // A plain USING join would silently DROP those rows; `<=>` keeps
+    // them as one dedup group (same semantics as the old null-partition
+    // window formulation).
     val canon = keyed.groupBy(col("__d")).agg(min(col(idCol)).as("__cid"))
-    keyed.join(canon, "__d")
+      .withColumnRenamed("__d", "__dc")
+    keyed.join(canon, keyed("__d") <=> canon("__dc"))
       .withColumn("is_dup", col(idCol) =!= col("__cid"))
-      .drop("__d", "__cid")
+      .drop("__d", "__dc", "__cid")
   }
 
   /** Distinct word shingles of size n, one normalize+split+slide pass

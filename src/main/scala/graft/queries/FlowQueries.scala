@@ -17,9 +17,25 @@ import QueryDsl._
   */
 object FlowQueries {
 
+  /** Temp dir (streaming sink + state-store checkpoint) deleted at JVM
+    * exit — repeated Verify/Bench invocations otherwise accumulate
+    * parquet + state data under /tmp. */
+  private def tempDirCleanedOnExit(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   val queries: Map[String, Q] = Map(
     "flow_tumble" -> ((s, d) => {
-      val sink = Files.createTempDirectory("graft_flow").toString + "/sink"
+      val sink = tempDirCleanedOnExit("graft_flow") + "/sink"
       // events.ts is BIGINT nanoseconds (nanosAsLong)
       val ev = T(s, d, "events").withColumn("t", timestamp_micros(expr("ts div 1000")))
       // time-bucket partitioned sink: refreshes rewrite only dirty days
@@ -51,7 +67,7 @@ object FlowQueries {
       // plain DISTINCT. Global distinct needs unbounded state by
       // definition; time-scoped keys at 100 TB use
       // dropDuplicatesWithinWatermark to expire state instead.
-      val tmp = Files.createTempDirectory("graft_sdedup").toString
+      val tmp = tempDirCleanedOnExit("graft_sdedup")
       val path = s"$d/events.parquet"
       // the file stream source requires a DIRECTORY: stream the sf dir
       // with a glob pinning the one table (no copy)

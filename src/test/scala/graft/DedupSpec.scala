@@ -29,6 +29,16 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false, 5L -> true))
   }
 
+  test("exact dedup keeps null-text rows as one group (no silent drop)") {
+    val withNulls = docs.unionByName(
+      Seq((6L, null.asInstanceOf[String]), (7L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val out = Dedup.exact(withNulls, "text", "doc_id")
+      .select($"doc_id", $"is_dup").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.size == 7, "null-text rows must survive the join-back")
+    assert(out(6L) == false && out(7L) == true) // one null group, min id canonical
+  }
+
   test("minhash pairs find near + exact dups, not unrelated docs") {
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
       .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

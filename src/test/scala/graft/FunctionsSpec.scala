@@ -182,4 +182,24 @@ class FunctionsSpec extends AnyFunSuite {
     val madOut = mad.filter(col("v") === 100.0).head().getAs[Double]("m")
     assert(madOut === Double.PositiveInfinity) // MAD of constant-ish set is 0
   }
+
+  test("zscore join-back keeps null-partition rows (window parity)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0),
+      (null.asInstanceOf[String], 5.0), (null.asInstanceOf[String], 7.0)
+    ).toDF("g", "v")
+    val out = AnomalyFunctions.withAnomalyScoreZscore(df, "v", Seq("g"), "z")
+    assert(out.count() == 5, "null-group rows must survive the join-back")
+    // parity with the WindowSpec variant: nulls score as their own group
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).rowsBetween(Long.MinValue, Long.MaxValue)
+    val winScores = df.select(col("g"), col("v"),
+        AnomalyFunctions.anomalyScoreZscore(col("v"), w).as("z"))
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1)) -> r.getDouble(2)).toMap
+    out.collect().foreach { r =>
+      val k = (Option(r.getString(0)), r.getDouble(1))
+      assert(math.abs(r.getAs[Double]("z") - winScores(k)) < 1e-12, s"diverged at $k")
+    }
+  }
 }

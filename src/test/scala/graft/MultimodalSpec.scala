@@ -221,4 +221,19 @@ class MultimodalSpec extends AnyFunSuite {
     // canonical = min id of the same class (id % 8)
     for (id <- 0L until 40L) assert(out(id) == id % 8)
   }
+
+  test("phashCanonical keeps undecodable payloads as their own canonical") {
+    val events = spark.range(0, 16).select(col("id").as("event_id"))
+    val assets = Multimodal.imageAssets(spark, events)
+    val broken = Seq((999L, Array[Byte](1, 2, 3))).toDF("media_id", "content")
+      .withColumn("modality", lit("image"))
+    val all = assets.select($"media_id", $"content", $"modality")
+      .unionByName(broken)
+    val out = Multimodal.phashCanonical(Multimodal.decodeImages(all))
+      .select($"media_id", $"canonical_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 17, "decode-failed row must survive canonicalization")
+    assert(out(999L) == 999L) // no hash -> its own canonical
+    for (id <- 0L until 16L) assert(out(id) == id % 8)
+  }
 }
