@@ -54,14 +54,28 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
 
+  /** Measurement-basis epoch. Rounds before this one measured
+    * DIFFERENT work under the same query keys (r1-r5: text_stats /
+    * pipeline_etl timed a `count()`-pruned wall, ingest fixtures were
+    * 10x smaller), so their minimums are permanently-unreachable
+    * references that made the rerun guard fire on every quiet run.
+    * Bump this when a headline query's measured work changes; the
+    * value is stamped into the artifact as `"basis"` and priorBest()
+    * only trusts rounds >= it. */
+  private val measurementBasis = 6
+
   /** Cleanest prior time per headline query: the MIN across every
-    * BENCH_r*.json committed in the repo, parsed leniently from the
-    * driver's tail capture (the metric line appears JSON-escaped inside
-    * the "tail" string). Ingest rows/s values share keys with the
-    * queries object but are orders of magnitude larger — min() keeps
-    * the seconds. */
+    * BENCH_r*.json committed in the repo WITH THE CURRENT MEASUREMENT
+    * BASIS (round number >= measurementBasis, and any explicit
+    * `"basis"` stamp must match), parsed leniently from the driver's
+    * tail capture (the metric line appears JSON-escaped inside the
+    * "tail" string). Ingest rows/s values share keys with the queries
+    * object but are orders of magnitude larger — min() keeps the
+    * seconds. */
   private def priorBest(): Map[String, Double] = {
     val re = """\\?"([a-z0-9_]+)\\?":([0-9]+\.?[0-9]*)""".r
+    val roundRe = """BENCH_r(\d+)\.json""".r
+    val basisRe = """\\?"basis\\?":(\d+)""".r
     val names = headline.toSet
     val acc = scala.collection.mutable.Map.empty[String, Double]
     // cwd first (the driver runs sbt from the repo root), then the
@@ -69,7 +83,12 @@ object Bench {
     // disable the guard
     val files = Seq(".", "/root/repo").iterator
       .map(d => Option(new java.io.File(d).listFiles()).getOrElse(Array())
-        .filter(_.getName.matches("BENCH_r\\d+\\.json")))
+        .filter { f =>
+          f.getName match {
+            case roundRe(n) => n.toInt >= measurementBasis
+            case _          => false
+          }
+        })
       .find(_.nonEmpty).getOrElse(Array())
     if (files.isEmpty)
       Console.err.println("[bench-rerun] WARNING: no BENCH_r*.json found — contended-snapshot guard has no reference")
@@ -77,7 +96,11 @@ object Bench {
       val txt =
         try { val s = scala.io.Source.fromFile(f); try s.mkString finally s.close() }
         catch { case _: Throwable => "" }
-      for (m <- re.findAllMatchIn(txt); if names(m.group(1))) {
+      val sameBasis = basisRe.findFirstMatchIn(txt)
+        .forall(_.group(1).toInt == measurementBasis)
+      if (!sameBasis)
+        Console.err.println(s"[bench-rerun] skipping ${f.getName}: different measurement basis")
+      for (m <- re.findAllMatchIn(txt); if sameBasis && names(m.group(1))) {
         val v = m.group(2).toDouble
         // < 50 ms is a fast-FAIL wall (once() records elapsed time even
         // when the query threw), not a clean reference — no healthy
@@ -212,7 +235,7 @@ object Bench {
     val loads = healed.map { case (_, _, _, l) => f"$l%.1f" }.mkString(",")
     val ingest = healed.collect { case (k, v, rows, _) if ingestRows(k) && v > 0 =>
       f""""$k":${rows / v}%.0f""" }.mkString(",")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$body},"ingest_rows_per_s":{$ingest},"loads":[$loads],"reruns":$reruns,"sf":"$sfDir","loadavg":$load,"loadavg_at_gate":$loadAtGate%.1f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$body},"ingest_rows_per_s":{$ingest},"loads":[$loads],"reruns":$reruns,"basis":$measurementBasis,"sf":"$sfDir","loadavg":$load,"loadavg_at_gate":$loadAtGate%.1f}""")
     spark.stop()
   }
 }
