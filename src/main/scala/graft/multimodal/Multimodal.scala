@@ -595,4 +595,108 @@ object Multimodal {
       .select(col("media_id"), col("__k.modality").as("modality"),
         col("__k.key").as("key"))
   }
+
+  // ---- Hamming near-dup over perceptual hashes -------------------------
+
+  /** Near-dup pairs between 64-bit average-hashes with Hamming <=
+    * maxDistance — the same pigeonhole banding as the text SimHash path
+    * (Dedup.simhashPairs): four 16-bit chunks, d<=3 guarantees at least
+    * one identical chunk, and the Hamming filter sits INSIDE the join
+    * condition so hot buckets reject candidates during the probe.
+    *
+    * Feed this DISTINCT hashes (one representative per exact-key
+    * group), never raw assets: a 100M-copy meme shares all four bands,
+    * so banding raw rows would be quadratic in the duplicate count —
+    * the exact-key star stage absorbs identical content first, and
+    * this stage only relates the (bounded) distinct perceptual keys.
+    * `ham > 0` excludes the exact collisions that stage already
+    * handled. */
+  def ahashNearDupPairs(reps: DataFrame, idCol: String, hashCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    require(maxDistance <= 3, "16-bit banding guarantees recall only for d<=3")
+    val chunks = (0 until 4).map(i =>
+      struct(lit(i).as("band"),
+        shiftright(col("__hash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("h")))
+    val buckets = reps.select(col(idCol).as("__id"), col(hashCol).as("__hash"))
+      .select(col("__id"), col("__hash"),
+        explode(array(chunks: _*)).as("__b"))
+      .select(col("__id"), col("__hash"),
+        col("__b.band").as("band"), col("__b.h").as("h"))
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val ham = bit_count(col("a.__hash").bitwiseXOR(col("b.__hash")))
+    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+        col("a.__id") < col("b.__id") && ham <= maxDistance && ham > 0)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        ham.as("hamming"))
+      .distinct()
+  }
+
+  /** SplitMix64 finalizer (Steele et al., public domain) — the
+    * per-class target hash for the near-dup fixture. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** The class's splitmix word painted as an 8x8 grid of uniform 8-px
+    * black/white cells (cell i white iff bit i set), with `flips` cells
+    * inverted. Cells are uniform and extreme while the global mean sits
+    * mid-range (~32 of 64 bits set), so the decoded average-hash IS the
+    * painted word: within-class ahash distance is EXACTLY `flips`, and
+    * cross-class distance is the distance between splitmix words
+    * (pairwise >= 10 even after +/-3 flips; AhashProbe pins it). */
+  private def cellImageFor(cls: Int, flips: Int): java.awt.image.BufferedImage = {
+    val bits = splitmix64(cls + 1L)
+    val flipped = (0 until flips).map(j => (cls * 7 + j * 13) % 64).toSet
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      val on = (((bits >>> i) & 1L) == 1L) ^ flipped(i)
+      val rgb = if (on) 0xFFFFFF else 0x000000
+      val cx = (i % 8) * 8; val cy = (i / 8) * 8
+      var y = cy
+      while (y < cy + 8) {
+        var x = cx
+        while (x < cx + 8) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      i += 1
+    }
+    img
+  }
+
+  private val nearDupCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Boolean), Array[Byte]]()
+
+  /** Near-dup image payload: class pattern with `flips` inverted cells,
+    * PNG or lossy JPEG re-encode. Memoized per variant. */
+  def nearDupImageFor(cls: Int, flips: Int, jpeg: Boolean): Array[Byte] =
+    nearDupCache.computeIfAbsent((cls, flips, jpeg), { case (c, f, j) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(cellImageFor(c, f), if (j) "jpg" else "png", bos)
+      bos.toByteArray
+    })
+
+  /** Near-dup image fixture: class = id % 8; variant = id % 3 —
+    * 0: base PNG; 1: lossy JPEG re-encode of the base (the re-hosted /
+    * re-encoded asset case — container bytes differ, perceptual hash
+    * within a couple of bits); 2: PNG with 1+(id/3)%3 cells flipped
+    * (the perturbed-frame case — ahash Hamming exactly 1..3). Ground
+    * truth is pure generator arithmetic: every variant of class c
+    * belongs to c's component. */
+  def nearDupImageAssets(spark: SparkSession, eventsDf: DataFrame): DataFrame = {
+    val mk = udf((id: Long) => {
+      val cls = (id % imageClasses).toInt
+      (id % 3) match {
+        case 0 => nearDupImageFor(cls, 0, jpeg = false)
+        case 1 => nearDupImageFor(cls, 0, jpeg = true)
+        case _ => nearDupImageFor(cls, 1 + ((id / 3) % 3).toInt, jpeg = false)
+      }
+    })
+    eventsDf.select(col("event_id").as("media_id"),
+      mk(col("event_id")).as("content"))
+  }
 }

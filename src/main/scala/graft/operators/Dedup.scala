@@ -506,7 +506,11 @@ object Dedup {
     * Lee et al. 2022, arXiv:2107.06499, at word granularity): every
     * span of ≥ n consecutive words that appears in ≥ minDocs DISTINCT
     * documents is removed from every document (the remove-all-copies
-    * policy, matching [[dedupLinesAcrossDocs]]). A span repeats iff
+    * policy, matching [[dedupLinesAcrossDocs]]; see
+    * [[dedupSubstringsKeepOne]] for the keep-one-canonical policy Lee
+    * et al. actually apply — remove-all deletes the content from the
+    * corpus entirely, keep-one retains the earliest occurrence). A
+    * span repeats iff
     * every one of its n-word windows repeats, so word positions covered
     * by any repeated window are exactly the repeated spans — no suffix
     * array needed.
@@ -536,6 +540,58 @@ object Dedup {
       .filter(col("__c") >= minDocs)
       .select(col("__h"))
     val dropStarts = wins.join(repeated, "__h")
+      .groupBy(col("__id"))
+      .agg(collect_set(col("__s")).as("__drop"))
+    docs.join(dropStarts, Seq("__id"), "left")
+      .select(col("__id"),
+        col("__ws"),
+        filter(col("__ws"), (_, i) => coalesce(
+          !exists(col("__drop"), s => i >= s && i <= s + (n - 1)),
+          lit(true))).as("__k"))
+      .select(col("__id").as(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        size(col("__k")).cast("long").as("n_kept"),
+        when(size(col("__k")) > 0, array_join(col("__k"), " "))
+          .otherwise(lit(null)).as("cleaned"))
+  }
+
+  /** Keep-one-copy variant of [[dedupSubstrings]] — the policy Lee et
+    * al. 2022 (arXiv:2107.06499 §4.2) actually apply in production
+    * dedup runs: one CANONICAL occurrence of each repeated span
+    * survives so the content itself stays in the corpus, while every
+    * other occurrence is removed. ([[dedupSubstrings]] implements the
+    * remove-all-copies policy; this one contrasts it.)
+    *
+    * Canonical occurrence of a window hash = the minimum (doc, start)
+    * pair, packed into one long (`id * 2^31 + start` — exact while
+    * id < 2^32 and start < 2^31, i.e. any in-memory document), so the
+    * choice is a plain map-side-combined `min` that an external SQL
+    * oracle replicates bit-for-bit. A position is removed iff some
+    * NON-canonical repeated-window occurrence covers it — in the
+    * canonical document the span's own windows are canonical, so the
+    * earliest document keeps the span verbatim.
+    *
+    * Scale shape identical to [[dedupSubstrings]]: only (doc, start,
+    * hash64) rows shuffle; the canonical pick rides the same hash-keyed
+    * aggregate that computes document frequency. */
+  def dedupSubstringsKeepOne(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    def wordsOf(c: Column): Column =
+      filter(split(trim(coalesce(c, lit(""))), "\\s+"), w => length(w) > 0)
+    val docs = df.select(col(idCol).as("__id"), wordsOf(col(textCol)).as("__ws"))
+    val wins = docs.filter(size(col("__ws")) >= n)
+      .select(col("__id"), col("__ws"),
+        explode(sequence(lit(0), size(col("__ws")) - n)).as("__s"))
+      .select(col("__id"), col("__s"),
+        xxhash64(concat_ws(" ",
+          slice(col("__ws"), col("__s") + 1, lit(n)))).as("__h"))
+    val packed = col("__id") * lit(1L << 31) + col("__s")
+    val repeated = wins.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__c"), min(packed).as("__canon"))
+      .filter(col("__c") >= minDocs)
+      .select(col("__h"), col("__canon"))
+    val dropStarts = wins.join(repeated, "__h")
+      .filter(packed =!= col("__canon"))
       .groupBy(col("__id"))
       .agg(collect_set(col("__s")).as("__drop"))
     docs.join(dropStarts, Seq("__id"), "left")

@@ -197,6 +197,22 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // keep-one-copy ExactSubstr (Lee et al. 2022's production policy):
+    // same planted phrase, but the EARLIEST planted doc (min doc_id
+    // with doc_id%4==1) keeps it verbatim — only the other copies are
+    // removed, so the content survives in the corpus exactly once.
+    "text_substring_keep1" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val phrase = " subscribe and share this curated corpus snippet with everyone you know"
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 1, concat(col("text"), lit(phrase)))
+          .otherwise(col("text")).as("text"))
+      Dedup.dedupSubstringsKeepOne(planted, "text", "doc_id", n = 8)
+        .select(col("doc_id"), col("n_words"), col("n_kept"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sequence packing (GPT-2/Pile concat-and-chunk training prep):
     // per REAL source stream in hash-rank order, each doc lands at
     // (window_id, offset) of the 512-token context grid; n_windows
@@ -522,6 +538,43 @@ object CurationQueries {
          cov AS (SELECT DISTINCT win.doc_id, win.i + o.k AS pos
                  FROM win JOIN rep USING (g)
                  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) o),
+         wordpos AS (SELECT doc_id, ix, ws[ix] AS word
+                     FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS ix
+                           FROM w WHERE len(ws) > 0) q),
+         kept AS (SELECT wp.doc_id, wp.ix, wp.word
+                  FROM wordpos wp LEFT JOIN cov
+                    ON cov.doc_id = wp.doc_id AND cov.pos = wp.ix
+                  WHERE cov.pos IS NULL),
+         reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   md5(string_agg(word, ' ' ORDER BY ix)) AS cleaned_md5
+                 FROM kept GROUP BY doc_id)
+         SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+           CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+           reb.cleaned_md5
+         FROM w LEFT JOIN reb USING (doc_id) ORDER BY w.doc_id""",
+
+    // keep-one replay: identical coverage CTEs, except each repeated
+    // window's canonical occurrence (min doc*2^31+start — 1-based
+    // starts here vs Spark's 0-based, same ordering) never covers.
+    "text_substring_keep1" ->
+      """WITH p AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1 THEN text ||
+               ' subscribe and share this curated corpus snippet with everyone you know'
+             ELSE text END AS t
+           FROM documents),
+         w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(t), '\s+'), x -> x <> '') AS ws
+           FROM p),
+         win AS (SELECT doc_id, i, array_to_string(ws[i : i + 7], ' ') AS g
+                 FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 7)) AS i
+                       FROM w WHERE len(ws) >= 8) q),
+         rep AS (SELECT g, MIN(doc_id * 2147483648 + i) AS canon
+                 FROM win GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT win.doc_id, win.i + o.k AS pos
+                 FROM win JOIN rep USING (g)
+                 CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) o
+                 WHERE win.doc_id * 2147483648 + win.i <> rep.canon),
          wordpos AS (SELECT doc_id, ix, ws[ix] AS word
                      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS ix
                            FROM w WHERE len(ws) > 0) q),

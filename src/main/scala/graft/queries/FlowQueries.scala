@@ -88,6 +88,84 @@ object FlowQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    "flow_stream_dedup_watermark" -> ((s, d) => {
+      // STATE EXPIRY for dedup-at-ingest (the EXPIRE AFTER analog the
+      // plain flow_stream_dedup entry only promises): four micro-
+      // batches through dropDuplicatesWithinWatermark(delay=10min),
+      // watermark advancing between batches, pinning exactly which
+      // late duplicates re-emit once their key's state expires. State
+      // for a key expires when the eviction watermark passes
+      // firstArrival+delay — and eviction runs at the END of a batch,
+      // AFTER that batch's rows were matched against state (probed:
+      // a dup arriving in the same batch the watermark first exceeds
+      // its expiry is still dropped; the NEXT batch re-emits).
+      //
+      //   b0: even users @t0 (expiry 10), odd users + clock1 @t12
+      //       (expiry 22) -> watermark 2
+      //   b1: dup even @t5, dup odd @t13 -> DROPPED (state held);
+      //       clock2 @t25 -> watermark 15
+      //   b2: dup even/odd @t14 -> DROPPED (eviction is end-of-batch);
+      //       then evens' state (expiry 10 < 15) is evicted
+      //   b3: even @t17 RE-EMITS (state gone); odd @t17 dropped
+      //       (expiry 22 > 15, still held)
+      //
+      // Expected sink: even users twice (0, 17), odd once (12),
+      // clock1 (12), clock2 (25) — SQL-expressible, so unlike the
+      // unbounded entry the oracle encodes the expiry semantics, not a
+      // plain DISTINCT.
+      val tmp = tempDirCleanedOnExit("graft_sdedup_wm")
+      val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+      val epoch = 1767225600L // 2026-01-01T00:00:00Z
+      def at(m: Int): org.apache.spark.sql.Column =
+        timestamp_seconds(lit(epoch + m * 60L))
+      val users = T(s, d, "events").select(col("user_id")).distinct()
+      val evens = users.filter(col("user_id") % 2 === 0)
+      val odds = users.filter(col("user_id") % 2 === 1)
+      def clock(id: Long, m: Int) =
+        evens.limit(1).select(lit(id).as("user_id"), at(m).as("t"))
+      val batches = Seq(
+        evens.select(col("user_id"), at(0).as("t"))
+          .unionByName(odds.select(col("user_id"), at(12).as("t")))
+          .unionByName(clock(-1L, 12)),
+        evens.select(col("user_id"), at(5).as("t"))
+          .unionByName(odds.select(col("user_id"), at(13).as("t")))
+          .unionByName(clock(-2L, 25)),
+        evens.select(col("user_id"), at(14).as("t"))
+          .unionByName(odds.select(col("user_id"), at(14).as("t"))),
+        evens.select(col("user_id"), at(17).as("t"))
+          .unionByName(odds.select(col("user_id"), at(17).as("t"))))
+      // one parquet FILE per micro-batch, mtime-ordered (the file
+      // source schedules by modification time; maxFilesPerTrigger=1
+      // under AvailableNow drains them as three batches)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = s"$tmp/stage$i"
+        b.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(in, f"b$i%d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified((epoch + i * 60L) * 1000L): Unit
+      }
+      val src = s.readStream
+        .schema(s.read.parquet(in.toString).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in.toString)
+      val q = src.withWatermark("t", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id")
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/sink")
+        .select(col("user_id"),
+          ((unix_timestamp(col("t")) - epoch) / 60).cast("long").as("t_min"))
+        .orderBy(col("user_id"), col("t_min"))
+    }),
+
     "flow_tumble_origin" -> ((s, d) => {
       // shifted grid: tumble(ts, 1h, origin 30m)
       val ev = T(s, d, "events").withColumn("t", timestamp_micros(expr("ts div 1000")))
@@ -107,6 +185,21 @@ object FlowQueries {
     "flow_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+
+    // the expiry replay: even keys emit twice (first arrival @0, then
+    // the batch-AFTER-eviction re-emit @17), odd keys once (@12, state
+    // still within watermark), plus the two watermark-clock keys
+    "flow_stream_dedup_watermark" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         e AS (
+           SELECT user_id, 0 AS t_min FROM u WHERE user_id % 2 = 0
+           UNION ALL SELECT user_id, 17 FROM u WHERE user_id % 2 = 0
+           UNION ALL SELECT user_id, 12 FROM u WHERE user_id % 2 = 1
+           UNION ALL SELECT -1, 12
+           UNION ALL SELECT -2, 25)
+         SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(t_min AS BIGINT) AS t_min
+         FROM e ORDER BY user_id, t_min""",
 
     "flow_tumble_origin" ->
       """SELECT event_type,

@@ -280,6 +280,43 @@ object LlmQueries {
         .orderBy(col("media_id"))
     }),
 
+    "multimodal_neardup_pipeline" -> ((s, d) => {
+      // HAMMING near-dup composition: unlike multimodal_dedup_pipeline
+      // (exact perceptual-key equality only), the CC stage here also
+      // stitches PERTURBED and RE-ENCODED assets. Fixture: per class,
+      // base PNG / lossy JPEG re-encode (ahash collides exactly — the
+      // exact-key stage absorbs it) / 1-3-cell-flipped PNGs (ahash
+      // Hamming exactly 1..3 — the banded pair join catches them);
+      // cross-class distance >= 21 (AhashProbe), so the generator
+      // arithmetic IS the ground truth: every variant of class c lands
+      // in c's component.
+      val assets = Multimodal.nearDupImageAssets(s,
+        T(s, d, "events").filter(col("event_id") < 3000))
+      val keyed = graft.operators.Lineage.truncate(
+        Multimodal.contentKeys(assets))
+      // exact stage: star pairs off the bucket-min representative
+      // (identical content never reaches the band join — a 100M-copy
+      // meme would make banding quadratic)
+      val reps = keyed.groupBy(col("modality"), col("key"))
+        .agg(min(col("media_id")).as("rep"))
+      val starPairs = keyed.join(reps, Seq("modality", "key"))
+        .filter(col("media_id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("media_id").as("id_b"))
+      // Hamming stage relates only the DISTINCT perceptual keys
+      val hamPairs = Multimodal.ahashNearDupPairs(
+          reps.filter(col("modality") === "image"), "rep", "key",
+          maxDistance = 3)
+        .select(col("id_a"), col("id_b"))
+      val comps = Dedup.connectedComponents(
+          starPairs.unionByName(hamPairs), "id_a", "id_b")
+        .withColumnRenamed("id", "media_id")
+      keyed.join(comps, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("comp"), col("media_id")).as("canonical_id"))
+        .withColumn("keep", col("canonical_id") === col("media_id"))
+        .orderBy(col("media_id"))
+    }),
+
     "multimodal_audio_decode" -> ((s, d) => {
       // REAL WAV decode via javax.sound.sampled — rate/channels/duration
       // pinned by the synth arithmetic; rms_ok proves the PCM was read
@@ -663,6 +700,15 @@ object LlmQueries {
              AS canonical_id,
            event_id = MIN(event_id) OVER (PARTITION BY event_id % 3, event_id % 8)
              AS keep
+         FROM events WHERE event_id < 3000 ORDER BY media_id""",
+
+    // near-dup ground truth: components are exactly the 8 classes —
+    // every variant (base/JPEG/flipped) of class c = id%8 clusters to
+    // the class minimum, which is id c itself (ids are dense from 0)
+    "multimodal_neardup_pipeline" ->
+      """SELECT event_id AS media_id,
+           CAST(event_id % 8 AS BIGINT) AS canonical_id,
+           event_id < 8 AS keep
          FROM events WHERE event_id < 3000 ORDER BY media_id""",
 
     // WAV synth arithmetic: 16 kHz mono, 200+50·(id%8) ms per tone class

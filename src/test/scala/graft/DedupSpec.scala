@@ -140,6 +140,24 @@ class DedupSpec extends AnyFunSuite {
     assert(short.forall(r => r.getLong(2) == 3L))
   }
 
+  test("substring keep-one retains the span in the earliest doc only") {
+    // same fixture as remove-all: doc1 is the canonical (min doc_id)
+    // occurrence of the shared span, so IT keeps "a b c d e f" while
+    // doc2 loses it; intra-doc repeats still untouched
+    val docs = Seq(
+      (1L, "one two a b c d e f three four"),
+      (2L, "five a b c d e f six seven eight"),
+      (3L, "x y z w x y z w nine ten")).
+      toDF("doc_id", "text")
+    val out = Dedup.dedupSubstringsKeepOne(docs, "text", "doc_id", n = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((10L, 10L, "one two a b c d e f three four")))
+    assert(out(2L) == ((10L, 4L, "five six seven eight")))
+    assert(out(3L) == ((10L, 10L, "x y z w x y z w nine ten")))
+  }
+
   test("decontamination flags docs sharing an n-gram with the probe set") {
     val docs = Seq((1L, "a b c d e"), (2L, "x y b c d z"), (3L, "p q r s t"))
       .toDF("doc_id", "text")

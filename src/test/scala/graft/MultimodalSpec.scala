@@ -222,6 +222,31 @@ class MultimodalSpec extends AnyFunSuite {
     for (id <- 0L until 40L) assert(out(id) == id % 8)
   }
 
+  test("ahashNearDupPairs: banded join finds d<=3 pairs, excludes exact and far") {
+    val reps = Seq(
+      (1L, 0x0L),                 // base
+      (2L, 0x1L),                 // ham 1 from base
+      (3L, 0x7L),                 // ham 3 from base, 2 from id 2
+      (4L, 0x0L),                 // exact collision with base -> ham 0, excluded
+      (5L, 0xFFFFFFFFFFFFFFFFL)   // far from everything (ham >= 61)
+    ).toDF("rep", "key")
+    val pairs = Multimodal.ahashNearDupPairs(reps, "rep", "key")
+      .select($"id_a", $"id_b", $"hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 1, (1L, 3L) -> 3, (2L, 3L) -> 2,
+      (2L, 4L) -> 1, (3L, 4L) -> 3))
+  }
+
+  test("near-dup fixture: variants decode within 3 bits of base, classes far apart") {
+    val base0 = Multimodal.decodeImage(Multimodal.nearDupImageFor(0, 0, jpeg = false)).ahash
+    val jpeg0 = Multimodal.decodeImage(Multimodal.nearDupImageFor(0, 0, jpeg = true)).ahash
+    val f3 = Multimodal.decodeImage(Multimodal.nearDupImageFor(0, 3, jpeg = false)).ahash
+    val base1 = Multimodal.decodeImage(Multimodal.nearDupImageFor(1, 0, jpeg = false)).ahash
+    assert(java.lang.Long.bitCount(base0 ^ jpeg0) == 0) // lossy re-encode, same ahash
+    assert(java.lang.Long.bitCount(base0 ^ f3) == 3)    // flips are exact bits
+    assert(java.lang.Long.bitCount(base0 ^ base1) > 3)  // classes separable
+  }
+
   test("phashCanonical keeps undecodable payloads as their own canonical") {
     val events = spark.range(0, 16).select(col("id").as("event_id"))
     val assets = Multimodal.imageAssets(spark, events)
