@@ -22,6 +22,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream is FILE-cache backed: every
+  // decode creates a temp file under a registry lock, so 32 concurrent
+  // decode tasks serialize on /tmp (r8 job probe: 3000 decodes took
+  // 2.7 s across 32 tasks vs 1.65 s in ONE task). In-memory payloads
+  // never need the disk cache — disable it JVM-wide.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** media asset schema: id + modality + opaque payload + metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -136,11 +143,21 @@ object Multimodal {
       bos.toByteArray
     })
 
+  /** Spread the id stream across the session's shuffle parallelism
+    * BEFORE payload generation/decode: a selective filter on a scan
+    * (e.g. event_id < 3000 over a 6M-row parquet) leaves every
+    * surviving row in ONE task, serializing the per-row codec work —
+    * the r8 job probe measured the composed pipeline's decode stage at
+    * 4.1 s single-task vs ~0.3 s spread. Shuffles only ids (content is
+    * generated after), the row-count analog of [[repartitionBySize]]. */
+  private def spreadIds(eventsDf: DataFrame): DataFrame =
+    eventsDf.repartition(col("event_id"))
+
   /** Image-modality assets with REAL PNG payloads, one pattern class
     * per `media_id % imageClasses`. */
   def imageAssets(spark: SparkSession, eventsDf: DataFrame): DataFrame = {
     val mk = udf((cls: Int) => pngFor(cls))
-    eventsDf.select(
+    spreadIds(eventsDf).select(
       col("event_id").as("media_id"),
       lit("image").as("modality"),
       mk((col("event_id") % imageClasses).cast("int")).as("content"))
@@ -195,9 +212,19 @@ object Multimodal {
 
   /** Decode the binary column: adds `decoded` struct<width, height,
     * channels, ahash>. Per-row ImageIO work — pair with
-    * [[repartitionBySize]] so each task's decode budget stays bounded. */
+    * [[repartitionBySize]] so each task's decode budget stays bounded.
+    *
+    * Every decode UDF here is `asNondeterministic()` — not because the
+    * decode varies, but to stop Catalyst treating it as a free
+    * expression: a deterministic UDF's `isNotNull` filter gets pushed
+    * below a repartition Exchange (the r8 job probe caught the whole
+    * decode chain running in the single pre-shuffle task AND again
+    * after the shuffle), and CollapseProject will happily duplicate it
+    * per field extraction. Nondeterministic = evaluated exactly once,
+    * exactly where placed — the correct contract for an expensive
+    * codec. */
   def decodeImages(df: DataFrame): DataFrame = {
-    val dec = udf((b: Array[Byte]) => decodeImage(b))
+    val dec = udf((b: Array[Byte]) => decodeImage(b)).asNondeterministic()
     df.withColumn("decoded", dec(col("content")))
   }
 
@@ -283,7 +310,7 @@ object Multimodal {
     * `media_id % imageClasses`. */
   def audioAssets(spark: SparkSession, eventsDf: DataFrame): DataFrame = {
     val mk = udf((cls: Int) => wavFor(cls))
-    eventsDf.select(
+    spreadIds(eventsDf).select(
       col("event_id").as("media_id"),
       lit("audio").as("modality"),
       mk((col("event_id") % imageClasses).cast("int")).as("content"))
@@ -291,7 +318,7 @@ object Multimodal {
 
   /** Decode the audio binary column: adds `adecoded` struct. */
   def decodeAudios(df: DataFrame): DataFrame = {
-    val dec = udf((b: Array[Byte]) => decodeAudio(b))
+    val dec = udf((b: Array[Byte]) => decodeAudio(b)).asNondeterministic()
     df.withColumn("adecoded", dec(col("content")))
   }
 
@@ -462,7 +489,7 @@ object Multimodal {
     * `media_id % imageClasses`. */
   def videoAssets(spark: SparkSession, eventsDf: DataFrame): DataFrame = {
     val mk = udf((cls: Int) => aviFor(cls))
-    eventsDf.select(
+    spreadIds(eventsDf).select(
       col("event_id").as("media_id"),
       lit("video").as("modality"),
       mk((col("event_id") % imageClasses).cast("int")).as("content"))
@@ -471,13 +498,13 @@ object Multimodal {
   /** Decode the video binary column: adds `vdecoded` struct<width,
     * height, frames, duration_ms, first_ahash>. */
   def decodeVideos(df: DataFrame): DataFrame = {
-    val dec = udf((b: Array[Byte]) => decodeVideo(b))
+    val dec = udf((b: Array[Byte]) => decodeVideo(b)).asNondeterministic()
     df.withColumn("vdecoded", dec(col("content")))
   }
 
   /** Explode sampled frames: (media_id, frame_idx, frame_ts_ms, ahash). */
   def videoFrameRows(df: DataFrame, everyN: Int): DataFrame = {
-    val sample = udf((b: Array[Byte]) => sampleVideoFrames(b, everyN))
+    val sample = udf((b: Array[Byte]) => sampleVideoFrames(b, everyN)).asNondeterministic()
     df.select(col("media_id"), explode(sample(col("content"))).as("__f"))
       .select(col("media_id"), col("__f._1").as("frame_idx"),
         col("__f._2").as("frame_ts_ms"), col("__f._3").as("ahash"))
@@ -534,7 +561,7 @@ object Multimodal {
       case 1 => wavFor(cls)
       case _ => aviFor(cls)
     })
-    eventsDf.select(
+    spreadIds(eventsDf).select(
       col("event_id").as("media_id"),
       mk(col("event_id"), (col("event_id") % imageClasses).cast("int"))
         .as("content"))
@@ -543,7 +570,7 @@ object Multimodal {
   /** Decode the mixed binary column: adds `dec` struct (see
     * [[DecodedAny]]). */
   def decodeAnyCol(df: DataFrame): DataFrame = {
-    val dec = udf((b: Array[Byte]) => decodeAny(b))
+    val dec = udf((b: Array[Byte]) => decodeAny(b)).asNondeterministic()
     df.withColumn("dec", dec(col("content")))
   }
 
@@ -589,7 +616,7 @@ object Multimodal {
   /** Sniff + decode + key the mixed binary column:
     * (media_id, modality, key). Undecodable rows drop. */
   def contentKeys(df: DataFrame): DataFrame = {
-    val k = udf((b: Array[Byte]) => contentKey(b))
+    val k = udf((b: Array[Byte]) => contentKey(b)).asNondeterministic()
     df.withColumn("__k", k(col("content")))
       .filter(col("__k").isNotNull)
       .select(col("media_id"), col("__k.modality").as("modality"),
@@ -696,7 +723,7 @@ object Multimodal {
         case _ => nearDupImageFor(cls, 1 + ((id / 3) % 3).toInt, jpeg = false)
       }
     })
-    eventsDf.select(col("event_id").as("media_id"),
+    spreadIds(eventsDf).select(col("event_id").as("media_id"),
       mk(col("event_id")).as("content"))
   }
 }

@@ -664,6 +664,47 @@ object Dedup {
     * comp is constant on each component; comp(v) is always an id inside
     * v's component and ≤ v (monotone min of ids), so the constant is
     * the component minimum. */
+  /** Components of a pair list that is expected to be a DISJOINT STAR
+    * FOREST — the shape every bucket-min canonicalization emits
+    * (id_a = the bucket minimum, id_b = each other member, buckets
+    * disjoint). Such a label forest is already depth 1, so the generic
+    * hook-and-compress loop's edge persist + init + 2 hook passes + a
+    * jump check (~5 materializations) collapse to: the pair list IS
+    * the label table.
+    *
+    * The shape is VERIFIED, not trusted — two linear passes over the
+    * (persisted) pair list: (1) every id_b occurs exactly once and
+    * every pair has id_a < id_b; (2) no id appears on both sides (a
+    * bridge would stitch two stars into one component the fast path
+    * can't see). Any violation falls back to [[connectedComponents]],
+    * so callers may use this whenever pairs are PROBABLY star-shaped;
+    * the checks cost two label-sized jobs vs the loop's five-plus.
+    * Output contract matches [[connectedComponents]] exactly:
+    * (id, comp) for every id in `pairs`, comp = component minimum. */
+  def starComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val p = pairs.select(col(aCol).as("__a"), col(bCol).as("__b")).persist()
+    try {
+      val dupOrUnordered = !p.groupBy(col("__b"))
+        .agg(count(lit(1)).as("__n"),
+          max(when(col("__a") >= col("__b"), 1).otherwise(0)).as("__ge"))
+        .filter(col("__n") > 1 || col("__ge") === 1)
+        .isEmpty
+      lazy val bridged = !p.select(col("__b"))
+        .join(p.select(col("__a").as("__b")), Seq("__b"), "leftsemi")
+        .isEmpty
+      if (dupOrUnordered || bridged) {
+        connectedComponents(pairs, aCol, bCol)
+      } else {
+        // depth-1 forest: leaves point at their center, centers at
+        // themselves; truncate so the result outlives the unpersist
+        Lineage.truncate(
+          p.select(col("__b").as("id"), col("__a").as("comp"))
+            .unionByName(
+              p.select(col("__a").as("id"), col("__a").as("comp")).distinct()))
+      }
+    } finally { p.unpersist(); () }
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("__s"), col(bCol).as("__t"))

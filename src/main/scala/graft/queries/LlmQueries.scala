@@ -271,7 +271,13 @@ object LlmQueries {
       val pairs = keyed.join(canon, Seq("modality", "key"))
         .filter(col("media_id") =!= col("__c"))
         .select(col("__c").as("id_a"), col("media_id").as("id_b"))
-      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      // single-key buckets are disjoint, so the pair list is a star
+      // forest: starComponents VERIFIES that shape (two label-sized
+      // passes) and skips the generic loop's five materializations —
+      // falling back to hook-and-compress if a future fixture breaks
+      // the shape (the multi-key contract in the near-dup entry keeps
+      // the generic path)
+      val comps = Dedup.starComponents(pairs, "id_a", "id_b")
         .withColumnRenamed("id", "media_id")
       keyed.join(comps, Seq("media_id"), "left")
         .select(col("media_id"), col("modality"),

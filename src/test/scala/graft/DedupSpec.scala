@@ -169,6 +169,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, false)))
   }
 
+  test("starComponents: fast path on a star forest, fallback elsewhere") {
+    // disjoint stars -> fast path, same contract as the generic loop
+    val stars = Seq((1L, 2L), (1L, 3L), (1L, 7L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.starComponents(stars, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.connectedComponents(stars, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 5L -> 5L, 6L -> 5L))
+    // every violation class must fall back and still be CORRECT:
+    for (pairs <- Seq(
+        Seq((1L, 2L), (2L, 3L)),  // bridge: 2 on both sides (a chain)
+        Seq((1L, 3L), (2L, 3L)),  // duplicate id_b: two centers share a leaf
+        Seq((3L, 1L), (3L, 4L)))) // unordered: center not the minimum
+    {
+      val df = pairs.toDF("id_a", "id_b")
+      val a = Dedup.starComponents(df, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Dedup.connectedComponents(df, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"diverged on $pairs")
+    }
+  }
+
   test("connected components: chains propagate the min label, components stay disjoint") {
     // 1-2-3-4 is a diameter-3 chain (needs several propagation passes);
     // (10,11) is a separate pair; 99 appears in no pair -> absent
