@@ -39,7 +39,8 @@ object Bench {
     "similarity_ivf",
     "text_stats", "text_tfidf", "cluster_kmeans",
     "dedup_boilerplate", "text_decontaminate",
-    "text_substring_dedup", "pack_sequences", "multimodal_dedup_pipeline",
+    "text_substring_dedup", "text_substring_keep1", "pack_sequences",
+    "multimodal_dedup_pipeline", "multimodal_neardup_pipeline",
     "pipeline_etl", "ingest_influx_lp", "ingest_flight")
 
   /** Queries whose round-over-round drift warranted extra passes. */

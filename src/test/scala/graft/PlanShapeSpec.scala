@@ -143,6 +143,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodeIds(p, "Generate").size <= 2, "corpus exploded more than needed")
   }
 
+  test("multimodal pipeline: decode UDF stays above the spread exchange") {
+    // the r8 fix class: a deterministic decode UDF's isNotNull filter
+    // was pushed BELOW the repartition Exchange, running the full
+    // codec chain in the single pre-shuffle task and again after.
+    // Nondeterministic decode UDFs keep every UDF out of anything
+    // upstream of the first Exchange.
+    for (name <- Seq("multimodal_dedup_pipeline", "multimodal_neardup_pipeline")) {
+      val p = plan(name)
+      val exch = "\\((\\d+)\\) Exchange".r.findAllMatchIn(p).map(_.group(1).toInt)
+      assert(exch.nonEmpty, s"$name: expected a spread exchange")
+      // formatted plans number nodes leaf-up per subtree: the scan-side
+      // Filter nodes carrying a UDF would sit at ids BELOW the first
+      // Exchange of the decode subtree. Assert no Filter detail block
+      // mentions a UDF at all — the only filters allowed to see UDF
+      // output are post-decode null drops, which Spark renders on the
+      // already-projected __k column, not as UDF(...) calls.
+      val badFilter = "\\(\\d+\\) Filter\\n(?:\\[codegen[^\\n]*\\n)?Input[^\\n]*\\nCondition : ([^\\n]*)".r
+        .findAllMatchIn(p).map(_.group(1)).exists(_.contains("UDF("))
+      assert(!badFilter, s"$name: a Filter re-evaluates a decode UDF")
+    }
+  }
+
   test("sample_stratified: quota window prunes map-side (WindowGroupLimit)") {
     // the per-stratum top-n quota is scale-safe ONLY through Spark's
     // rank-limit pushdown: each task pre-prunes to n rows per stratum
