@@ -525,35 +525,8 @@ object Dedup {
     * the standing adjudication. Returns (idCol, n_words, n_kept,
     * cleaned). */
   def dedupSubstrings(df: DataFrame, textCol: String, idCol: String,
-      n: Int, minDocs: Int = 2): DataFrame = {
-    def wordsOf(c: Column): Column =
-      filter(split(trim(coalesce(c, lit(""))), "\\s+"), w => length(w) > 0)
-    val docs = df.select(col(idCol).as("__id"), wordsOf(col(textCol)).as("__ws"))
-    val wins = docs.filter(size(col("__ws")) >= n)
-      .select(col("__id"), col("__ws"),
-        explode(sequence(lit(0), size(col("__ws")) - n)).as("__s"))
-      .select(col("__id"), col("__s"),
-        xxhash64(concat_ws(" ",
-          slice(col("__ws"), col("__s") + 1, lit(n)))).as("__h"))
-    val repeated = wins.groupBy(col("__h"))
-      .agg(countDistinct(col("__id")).as("__c"))
-      .filter(col("__c") >= minDocs)
-      .select(col("__h"))
-    val dropStarts = wins.join(repeated, "__h")
-      .groupBy(col("__id"))
-      .agg(collect_set(col("__s")).as("__drop"))
-    docs.join(dropStarts, Seq("__id"), "left")
-      .select(col("__id"),
-        col("__ws"),
-        filter(col("__ws"), (_, i) => coalesce(
-          !exists(col("__drop"), s => i >= s && i <= s + (n - 1)),
-          lit(true))).as("__k"))
-      .select(col("__id").as(idCol),
-        size(col("__ws")).cast("long").as("n_words"),
-        size(col("__k")).cast("long").as("n_kept"),
-        when(size(col("__k")) > 0, array_join(col("__k"), " "))
-          .otherwise(lit(null)).as("cleaned"))
-  }
+      n: Int, minDocs: Int = 2): DataFrame =
+    dedupSubstringsImpl(df, textCol, idCol, n, minDocs, keepOne = false)
 
   /** Keep-one-copy variant of [[dedupSubstrings]] — the policy Lee et
     * al. 2022 (arXiv:2107.06499 §4.2) actually apply in production
@@ -575,7 +548,15 @@ object Dedup {
     * hash64) rows shuffle; the canonical pick rides the same hash-keyed
     * aggregate that computes document frequency. */
   def dedupSubstringsKeepOne(df: DataFrame, textCol: String, idCol: String,
-      n: Int, minDocs: Int = 2): DataFrame = {
+      n: Int, minDocs: Int = 2): DataFrame =
+    dedupSubstringsImpl(df, textCol, idCol, n, minDocs, keepOne = true)
+
+  /** Shared core of the two ExactSubstr policies — identical window
+    * hashing, frequency aggregate and rebuild; they differ only in
+    * whether each repeated window's canonical occurrence (min packed
+    * (doc, start)) is exempt from coverage. */
+  private def dedupSubstringsImpl(df: DataFrame, textCol: String,
+      idCol: String, n: Int, minDocs: Int, keepOne: Boolean): DataFrame = {
     def wordsOf(c: Column): Column =
       filter(split(trim(coalesce(c, lit(""))), "\\s+"), w => length(w) > 0)
     val docs = df.select(col(idCol).as("__id"), wordsOf(col(textCol)).as("__ws"))
@@ -587,13 +568,16 @@ object Dedup {
           slice(col("__ws"), col("__s") + 1, lit(n)))).as("__h"))
     val packed = col("__id") * lit(1L << 31) + col("__s")
     val repeated = wins.groupBy(col("__h"))
-      .agg(countDistinct(col("__id")).as("__c"), min(packed).as("__canon"))
+      .agg(countDistinct(col("__id")).as("__c"),
+        (if (keepOne) min(packed) else lit(null)).as("__canon"))
       .filter(col("__c") >= minDocs)
       .select(col("__h"), col("__canon"))
-    val dropStarts = wins.join(repeated, "__h")
-      .filter(packed =!= col("__canon"))
-      .groupBy(col("__id"))
-      .agg(collect_set(col("__s")).as("__drop"))
+    val occurrences = wins.join(repeated, "__h")
+    val dropStarts =
+      (if (keepOne) occurrences.filter(packed =!= col("__canon"))
+       else occurrences)
+        .groupBy(col("__id"))
+        .agg(collect_set(col("__s")).as("__drop"))
     docs.join(dropStarts, Seq("__id"), "left")
       .select(col("__id"),
         col("__ws"),

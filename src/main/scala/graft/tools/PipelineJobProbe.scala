@@ -3,8 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler._
 
-/** Per-job wall breakdown of multimodal_dedup_pipeline at sf0.1 —
-  * where does the composed pipeline's fixed overhead live? */
+/** Per-job wall breakdown of a named entry at sf0.1 (default
+  * multimodal_dedup_pipeline) — where does a composed pipeline's wall
+  * actually live? (This probe is what disproved the r7 "job-count
+  * overhead" attribution.) */
 object PipelineJobProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -28,7 +30,8 @@ object PipelineJobProbe {
       }
     })
 
-    val q = graft.SparkEntry.queries("multimodal_dedup_pipeline")
+    val name = if (args.nonEmpty) args(0) else "multimodal_dedup_pipeline"
+    val q = graft.SparkEntry.queries(name)
     // warm pass (JIT/codegen), then the measured pass
     q(spark, "/root/testdata/sf0.1").write.mode("overwrite")
       .parquet("/tmp/pjp_warm")
