@@ -17,6 +17,29 @@ import QueryDsl._
   */
 object FlowQueries {
 
+  /** Fixture epoch for the streaming watermark entries:
+    * 2026-01-01T00:00:00Z. */
+  private val wmEpoch = 1767225600L
+
+  /** Stage each DataFrame as ONE parquet file in `tmp/in`, mtime-
+    * ordered — the file stream source schedules by modification time,
+    * so maxFilesPerTrigger=1 under Trigger.AvailableNow drains them as
+    * that many micro-batches in sequence. Returns the input dir. */
+  private def stageBatches(tmp: String,
+      batches: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = s"$tmp/stage$i"
+      b.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, f"b$i%d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified((wmEpoch + i * 60L) * 1000L): Unit
+    }
+    in.toString
+  }
+
   /** Temp dir (streaming sink + state-store checkpoint) deleted at JVM
     * exit — repeated Verify/Bench invocations otherwise accumulate
     * parquet + state data under /tmp. */
@@ -114,16 +137,14 @@ object FlowQueries {
       // unbounded entry the oracle encodes the expiry semantics, not a
       // plain DISTINCT.
       val tmp = tempDirCleanedOnExit("graft_sdedup_wm")
-      val in = new java.io.File(s"$tmp/in"); in.mkdirs()
-      val epoch = 1767225600L // 2026-01-01T00:00:00Z
       def at(m: Int): org.apache.spark.sql.Column =
-        timestamp_seconds(lit(epoch + m * 60L))
+        timestamp_seconds(lit(wmEpoch + m * 60L))
       val users = T(s, d, "events").select(col("user_id")).distinct()
       val evens = users.filter(col("user_id") % 2 === 0)
       val odds = users.filter(col("user_id") % 2 === 1)
       def clock(id: Long, m: Int) =
         evens.limit(1).select(lit(id).as("user_id"), at(m).as("t"))
-      val batches = Seq(
+      val in = stageBatches(tmp, Seq(
         evens.select(col("user_id"), at(0).as("t"))
           .unionByName(odds.select(col("user_id"), at(12).as("t")))
           .unionByName(clock(-1L, 12)),
@@ -133,23 +154,11 @@ object FlowQueries {
         evens.select(col("user_id"), at(14).as("t"))
           .unionByName(odds.select(col("user_id"), at(14).as("t"))),
         evens.select(col("user_id"), at(17).as("t"))
-          .unionByName(odds.select(col("user_id"), at(17).as("t"))))
-      // one parquet FILE per micro-batch, mtime-ordered (the file
-      // source schedules by modification time; maxFilesPerTrigger=1
-      // under AvailableNow drains them as three batches)
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val stage = s"$tmp/stage$i"
-        b.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(in, f"b$i%d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified((epoch + i * 60L) * 1000L): Unit
-      }
+          .unionByName(odds.select(col("user_id"), at(17).as("t")))))
       val src = s.readStream
-        .schema(s.read.parquet(in.toString).schema)
+        .schema(s.read.parquet(in).schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(in.toString)
+        .parquet(in)
       val q = src.withWatermark("t", "10 minutes")
         .dropDuplicatesWithinWatermark("user_id")
         .writeStream
@@ -162,8 +171,81 @@ object FlowQueries {
       q.awaitTermination()
       s.read.parquet(s"$tmp/sink")
         .select(col("user_id"),
-          ((unix_timestamp(col("t")) - epoch) / 60).cast("long").as("t_min"))
+          ((unix_timestamp(col("t")) - wmEpoch) / 60).cast("long").as("t_min"))
         .orderBy(col("user_id"), col("t_min"))
+    }),
+
+    "flow_stream_tumble_watermark" -> ((s, d) => {
+      // APPEND-MODE WINDOWED AGGREGATION through the real streaming
+      // engine: five micro-batches, 10-minute tumbling count with a
+      // 10-minute watermark, pinning Spark's TWO-LAGGED watermark
+      // design (probed in tools/WmAggProbe): during batch N the
+      // EVICTION watermark is computed from data through batch N-1
+      // (a window emits in the first batch whose eviction watermark
+      // reaches its end), while the LATE-EVENT filter uses the
+      // eviction watermark of batch N-1 — one batch older. So:
+      //
+      // The late filter is WINDOW-END based, not row-time based (this
+      // entry caught it: a @13 row arriving under late wm 15 still
+      // counts because its window ends at 20 > 15):
+      //
+      //   b0: users@2 (W0=[0,10)), users@12 (W1=[10,20)), clock1@12
+      //       -> evict wm 2
+      //   b1: users@3 -> in time for W0; clock2@25 -> evict wm 15
+      //   b2: users@5 -> STILL counted into W0 (late wm = b1's
+      //       eviction value 2; W0 end 10 > 2); users@17 -> W1;
+      //       clock3@40; W0 EMITS this batch (end 10 <= evict wm 15)
+      //       with count 3U
+      //   b3: users@13 -> COUNTED into W1 (late wm 15 < W1 end 20 —
+      //       the window-end rule); users@5 -> DROPPED (W0 end 10 <=
+      //       late wm 15; a buggy re-open would emit a SECOND W0 row
+      //       at flush); W1 emits this batch (end 20 <= evict wm 30)
+      //       with count 3U+1; clock4@70
+      //   b4: clock5@71 -> evict wm 60 flushes W2/W3; the clocks' own
+      //       [70,80) window never emits (wm stops at 61)
+      //
+      // Expected sink: (0, 3U), (10, 3U+1), (20, 1), (40, 1) — one
+      // row per window (the oracle's fixed four rows also pin the
+      // no-reopen rule).
+      val tmp = tempDirCleanedOnExit("graft_stumble_wm")
+      def at(m: Int): org.apache.spark.sql.Column =
+        timestamp_seconds(lit(wmEpoch + m * 60L))
+      val users = T(s, d, "events").select(col("user_id")).distinct()
+      def clock(id: Long, m: Int) =
+        users.limit(1).select(lit(id).as("user_id"), at(m).as("t"))
+      val in = stageBatches(tmp, Seq(
+        users.select(col("user_id"), at(2).as("t"))
+          .unionByName(users.select(col("user_id"), at(12).as("t")))
+          .unionByName(clock(-1L, 12)),
+        users.select(col("user_id"), at(3).as("t"))
+          .unionByName(clock(-2L, 25)),
+        users.select(col("user_id"), at(5).as("t"))
+          .unionByName(users.select(col("user_id"), at(17).as("t")))
+          .unionByName(clock(-3L, 40)),
+        users.select(col("user_id"), at(13).as("t"))
+          .unionByName(users.select(col("user_id"), at(5).as("t")))
+          .unionByName(clock(-4L, 70)),
+        clock(-5L, 71)))
+      val src = s.readStream
+        .schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      val q = src.withWatermark("t", "10 minutes")
+        .groupBy(window(col("t"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("n"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/sink")
+        .select(((unix_timestamp(col("ws")) - wmEpoch) / 60).cast("long")
+          .as("w_min"), col("n"))
+        .orderBy(col("w_min"))
     }),
 
     "flow_tumble_origin" -> ((s, d) => {
@@ -200,6 +282,23 @@ object FlowQueries {
          SELECT CAST(user_id AS BIGINT) AS user_id,
            CAST(t_min AS BIGINT) AS t_min
          FROM e ORDER BY user_id, t_min""",
+
+    // windowed-agg expiry replay: W0 = three user-waves (@2,@3,@5 — the
+    // @5 wave is late but its window had not closed), W1 = three waves
+    // + clock1 (@13 counts under the window-end late rule), W2/W3 = one
+    // clock row each; exactly FOUR rows total — the b3 @5 wave must NOT
+    // re-open the already-emitted W0, and the [70,80) clock window
+    // never flushes
+    "flow_stream_tumble_watermark" ->
+      """WITH u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS c
+                    FROM events)
+         SELECT CAST(w_min AS BIGINT) AS w_min, CAST(n AS BIGINT) AS n
+         FROM (
+           SELECT 0 AS w_min, 3 * c AS n FROM u
+           UNION ALL SELECT 10, 3 * c + 1 FROM u
+           UNION ALL SELECT 20, 1
+           UNION ALL SELECT 40, 1)
+         ORDER BY w_min""",
 
     "flow_tumble_origin" ->
       """SELECT event_type,
