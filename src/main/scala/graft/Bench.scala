@@ -48,12 +48,15 @@ object Bench {
     * headline): without a reference the contended-snapshot guard is
     * blind to them — an r8 dev run caught multimodal_neardup_pipeline
     * at 6.4 s (3.3x its quiet 1.93 s) purely from a mid-run load
-    * bounce, and nothing re-ran it. Values are measured quiet walls
-    * from BENCH_NOTES; committed artifacts take precedence once they
-    * exist (min wins). */
-  private val seedRefs: Map[String, Double] = Map(
-    "text_substring_keep1" -> 1.49,
-    "multimodal_neardup_pipeline" -> 1.93)
+    * bounce, and nothing re-ran it. Each seed is (wall, basis): a seed
+    * applies ONLY while no committed same-basis artifact carries the
+    * key (a committed round then fully replaces it — the seed never
+    * participates in the min again) and is dropped outright by a
+    * measurementBasis bump (ADVICE r9: the old unconditional min meant
+    * a permanently-low seed outlived every committed artifact). */
+  private val seedRefs: Map[String, (Double, Int)] = Map(
+    "text_substring_keep1" -> ((1.49, 6)),
+    "multimodal_neardup_pipeline" -> ((1.93, 6)))
 
   /** Queries whose round-over-round drift warranted extra passes. */
   private val minOfFive = Set("promql_sum_rate")
@@ -122,9 +125,9 @@ object Bench {
       }
     }
     // seed references only where no committed artifact speaks yet;
-    // once a round lands in git, its (same-basis) min takes over
-    seedRefs.foreach { case (k, v) =>
-      acc(k) = math.min(acc.getOrElse(k, v), v)
+    // once a round lands in git, its (same-basis) min REPLACES the seed
+    seedRefs.foreach { case (k, (v, basis)) =>
+      if (basis == measurementBasis && !acc.contains(k)) acc(k) = v
     }
     acc.toMap
   }
@@ -215,15 +218,45 @@ object Bench {
       (n, best._1, rows, best._3)
     }
 
-    // contended-snapshot guard: a best pass still >2x the cleanest
-    // committed round means load arrived mid-run (r6's failure mode —
-    // the start gate can't see it) — wait for quiet once, then re-run
+    // contended-snapshot guard: re-MEASURE (never adopt a reference)
+    // any query whose main-loop best looks load-shaped. Two triggers
+    // (r8's official artifact showed the old 2x-only threshold passes a
+    // 1.3-1.7x contamination band through on ~10 queries):
+    //   wall: best > 1.4x the cleanest same-basis committed round —
+    //     catches UNIFORM background load, which inflates every wall
+    //     but leaves per-query load stamps near the run median;
+    //   load: the winning pass started under > 2x the run's median
+    //     load (and the wall is at least 1.15x ref, else there is
+    //     nothing to heal) — catches a MID-RUN load bounce that hits a
+    //     few queries hard but may stay under 1.4x on the fast ones.
+    // Quiet-run false-positive audit: the bench's own load settles ~3
+    // mid-run, so median ~3 and the load trigger needs a 6+ stamp; the
+    // wall trigger needs a 1.4x step vs the min of every committed
+    // same-basis round — r8's quiet-vs-quiet per-query deltas were
+    // <=1.25x. A false trigger costs two extra passes, never a wrong
+    // number (min of all passes wins).
     val refs = priorBest()
+    val medianLoad = {
+      val ls = timed.map(_._4).filter(_ >= 0).sorted
+      if (ls.isEmpty) -1.0 else ls(ls.length / 2)
+    }
+    def contaminated(n: String, t: Double, lmin: Double): Option[String] = {
+      val hotLoad = medianLoad > 0 && lmin > 2 * medianLoad
+      refs.get(n) match {
+        case Some(r) if t > 1.4 * r =>
+          Some(f"wall $t%.3f > 1.4x ref $r%.3f")
+        case Some(r) if hotLoad && t > 1.15 * r =>
+          Some(f"winning-pass load $lmin%.1f > 2x median $medianLoad%.1f, wall $t%.3f vs ref $r%.3f")
+        case None if hotLoad =>
+          Some(f"winning-pass load $lmin%.1f > 2x median $medianLoad%.1f (no committed ref)")
+        case _ => None
+      }
+    }
     var reruns = 0
     var rerunWaited = 0 // one GLOBAL budget: 31 tripped queries must not stall 31x
     val healed = timed.map { case rec @ (n, t, rows, lmin) =>
-      refs.get(n) match {
-        case Some(r) if t > 2 * r =>
+      contaminated(n, t, lmin) match {
+        case Some(why) =>
           while (!skipGate && loadavg >= 1.5 && rerunWaited < 300) {
             Console.err.println(f"[bench-rerun-gate] loadavg=$loadavg%.1f, waiting (${rerunWaited}s/300s)")
             Thread.sleep(10000)
@@ -234,9 +267,9 @@ object Bench {
           val best = ((t, rows, lmin) +: extra).minBy(_._1)
           reruns += 1
           passLog(n, "bench-rerun", best._1, extra)
-          Console.err.println(f"[bench-rerun] $n: main-loop best $t%.3f vs prior-round best $r%.3f -> ${best._1}%.3f")
+          Console.err.println(f"[bench-rerun] $n ($why) -> ${best._1}%.3f")
           (n, best._1, rows, best._3)
-        case _ => rec
+        case None => rec
       }
     }
 

@@ -35,7 +35,13 @@ object FlowQueries {
         .find(_.getName.endsWith(".parquet")).get
       val dst = new java.io.File(in, f"b$i%d.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified((wmEpoch + i * 60L) * 1000L): Unit
+      // the watermark oracles assume mtime-ordered micro-batches: a
+      // silently failed mtime set (some filesystems) would fall back to
+      // write-time mtimes that can collide within a millisecond and
+      // nondeterministically merge batches — fail loudly instead
+      require(dst.setLastModified((wmEpoch + i * 60L) * 1000L),
+        s"stageBatches: setLastModified failed for $dst — " +
+          "micro-batch ordering would be nondeterministic")
     }
     in.toString
   }

@@ -23,7 +23,7 @@ object ExplainProbe {
     println("PROBE rows=" + keyed.count())
     println(f"PROBE keyed count wall ${(System.nanoTime()-t0)/1e9}%.3f s")
     t0 = System.nanoTime()
-    println("PROBE gen-only rows=" + assets.select(length(col("content"))).agg(sum("len(content)")).head())
+    println("PROBE gen-only rows=" + assets.select(length(col("content")).as("len")).agg(sum("len")).head())
     println(f"PROBE gen-only wall ${(System.nanoTime()-t0)/1e9}%.3f s")
     spark.stop()
   }

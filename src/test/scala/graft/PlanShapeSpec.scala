@@ -159,10 +159,31 @@ class PlanShapeSpec extends AnyFunSuite {
       // mentions a UDF at all — the only filters allowed to see UDF
       // output are post-decode null drops, which Spark renders on the
       // already-projected __k column, not as UDF(...) calls.
-      val badFilter = "\\(\\d+\\) Filter\\n(?:\\[codegen[^\\n]*\\n)?Input[^\\n]*\\nCondition : ([^\\n]*)".r
-        .findAllMatchIn(p).map(_.group(1)).exists(_.contains("UDF("))
-      assert(!badFilter, s"$name: a Filter re-evaluates a decode UDF")
+      assert(!filterConditions(p).exists(_.contains("UDF(")),
+        s"$name: a Filter re-evaluates a decode UDF")
     }
+  }
+
+  /** Every Filter node's Condition line from a formatted plan. The
+    * codegen annotation sits ON the operator line — "(3) Filter
+    * [codegen id : 1]" — not below it (ADVICE r9: the old
+    * line-after-Filter pattern never matched codegen'd Filters, so the
+    * UDF-pushdown guard could pass vacuously). */
+  private def filterConditions(p: String): Seq[String] =
+    "\\(\\d+\\) Filter[^\\n]*\\nInput[^\\n]*\\nCondition : ([^\\n]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+
+  test("filterConditions sees codegen-annotated UDF filters (negative control)") {
+    // proves the matcher would catch the r8 bug class: a DETERMINISTIC
+    // UDF filter inside WholeStageCodegen must surface in its Condition
+    val f = org.apache.spark.sql.functions.udf((s: Long) => s % 2 == 0)
+    val df = spark.range(100).filter(f(org.apache.spark.sql.functions.col("id")))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val conds = filterConditions(p)
+    assert(conds.nonEmpty, s"matcher found no Filter at all:\n$p")
+    assert(conds.exists(_.contains("UDF(")),
+      s"matcher missed the UDF condition: $conds\n$p")
   }
 
   test("sample_stratified: quota window prunes map-side (WindowGroupLimit)") {
