@@ -171,6 +171,20 @@ object Dedup {
     * the scale path onto the small fixtures. */
   private[graft] var VerifyBroadcastMinDocs = 100000L
 
+  /** (__id, band, h) LSH band buckets of a (__id, __mh) signature
+    * frame. Band key = the raw r-slot slice (not a hash of it): exact
+    * array equality is what the SQL oracle joins on too. Shared by the
+    * full-corpus pair build and the incremental index path — both sides
+    * of an index probe MUST band identically. */
+  private def bandBuckets(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), slice(col("__mh"), b * r + 1, r).as("h"))
+    }
+    sig.select(col("__id"), explode(array(bandCols: _*)).as("__b"))
+      .select(col("__id"), col("__b.band"), col("__b.h"))
+  }
+
   /** Candidate near-dup pairs via LSH banding + minhash-estimated
     * Jaccard ≥ threshold. Returns (id_a, id_b, est_jaccard), id_a < id_b. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
@@ -181,13 +195,7 @@ object Dedup {
     val sig = minhashSignatures(df, textCol, idCol, k, shingleSize).cache()
     // materializes the cache; its count picks the verify strategy
     val nDocs = sig.count()
-    // band key = the raw r-slot slice (not a hash of it): exact array
-    // equality is what the SQL oracle joins on too
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"), slice(col("__mh"), b * r + 1, r).as("h"))
-    }
-    val buckets = sig.select(col("__id"), explode(array(bandCols: _*)).as("__b"))
-      .select(col("__id"), col("__b.band"), col("__b.h"))
+    val buckets = bandBuckets(sig, k, bands)
     val a = buckets.as("a")
     val b = buckets.as("b")
     val cand = a.join(b,
@@ -214,10 +222,7 @@ object Dedup {
           .join(sb.join(broadcast(candP), Seq("id_b")), Seq("id_a", "id_b"))
       else candP.join(sa, "id_a").join(sb, "id_b")
     val out = joined
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("__sa"), col("__sb"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .withColumn("est_jaccard", estJaccard(col("__sa"), col("__sb"), k))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
       // eager materialization so the sig cache releases now (the same
@@ -236,6 +241,118 @@ object Dedup {
       .select(col("id_b").as(idCol)).distinct()
     df.join(dups.withColumn("is_dup", lit(true)), Seq(idCol), "left")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+  }
+
+  /** Slot-agreement estimate shared by the full-corpus and incremental
+    * verify stages: fraction of the k minhash slots on which two
+    * signatures agree. */
+  private def estJaccard(sa: Column, sb: Column, k: Int): Column =
+    aggregate(zip_with(sa, sb, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+
+  // ── Incremental dedup against a persisted signature index ──────────
+  //
+  // A 100 TB corpus is not deduped in one shot: it grows by shards
+  // (crawl snapshots, ingest days), and re-running the full-corpus
+  // MinHash pipeline per arrival makes ingest cost scale with the
+  // CORPUS. The production shape is an IVF-style build/serve split
+  // (compare Similarity.ivfIndex/ivfSearchIndexed): persist the
+  // signature table once, then dedup each arriving shard against the
+  // index + itself, and append the shard's signatures.
+  //
+  // The index retains the signature of EVERY ingested doc, dups
+  // included — near-duplicate similarity is not transitive, so indexing
+  // only survivors would silently change the result (a new doc matching
+  // a dropped dup but not its canonical would slip through), and
+  // retention is exactly what makes the incremental path equal to a
+  // full-corpus recompute (the oracle pins that equivalence). Signature
+  // rows are 8·k+8 bytes/doc (~520 B at k=64): ~0.5 TB per 1e9 docs —
+  // ~0.5% of the corpus it indexes.
+  //
+  // Serve-path scale shape: the shard's band table broadcasts into a
+  // columnar SCAN of the index — the index is never shuffled and never
+  // re-hashed; per-arrival CPU (shingle + k permutations) is paid on
+  // the SHARD only. Candidate signatures come back via a second
+  // broadcast semi-join on the same persisted table, so total arrival
+  // cost = shard-sized compute + two scan-only passes over the index
+  // (IncrementalDedupProbe measures the decade growth).
+
+  /** Build (or rebuild) the persisted MinHash signature index for an
+    * accepted corpus: one parquet table (id, mh array<long>[k]). Band
+    * buckets are derived at read time (a column slice over the scan) so
+    * the index stays one narrow table. */
+  def minhashIndexWrite(df: DataFrame, textCol: String, idCol: String,
+      path: String, k: Int = 64, shingleSize: Int = 3): Unit =
+    minhashSignatures(df, textCol, idCol, k, shingleSize)
+      .select(col("__id").as("id"), col("__mh").as("mh"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append one ingested shard's signatures to the index (ALL of them,
+    * dups included — see the retention note above). Run AFTER
+    * [[minhashDedupIncremental]] flagged the shard. */
+  def minhashIndexAppend(df: DataFrame, textCol: String, idCol: String,
+      path: String, k: Int = 64, shingleSize: Int = 3): Unit =
+    minhashSignatures(df, textCol, idCol, k, shingleSize)
+      .select(col("__id").as("id"), col("__mh").as("mh"))
+      .write.mode("append").parquet(path)
+
+  /** Dedup an ARRIVING shard against the persisted index + itself: a
+    * shard doc is a dup iff it minhash-matches (est Jaccard ≥
+    * threshold) ANY indexed doc, or a smaller-id doc within the shard.
+    * When shard ids follow arrival order (every indexed id < every
+    * shard id), the flags are bit-identical to what a full-corpus
+    * [[minhashDedup]] over index∪shard would assign the shard — the
+    * `dedup_incremental` oracle replays exactly that equivalence.
+    * Returns the shard with `is_dup`. */
+  def minhashDedupIncremental(shard: DataFrame, textCol: String,
+      idCol: String, indexPath: String, threshold: Double = 0.7,
+      k: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+    val spark = shard.sparkSession
+    val sig = minhashSignatures(shard, textCol, idCol, k, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    val shardBands = bandBuckets(sig, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shardBands.count()
+    val r = k / bands
+    val idxSig = spark.read.parquet(indexPath)
+      .select(col("id").as("__id"), col("mh").as("__mh"))
+    // shard-vs-index candidates in ONE scan-only index pass: the shard
+    // bands BROADCAST into the index scan (the index side never
+    // shuffles — its band explode is a per-row column op riding the
+    // scan), and the index signature RIDES the join output so the
+    // verify stage needs no second index pass (measured 23 → 14 s at a
+    // 495k-doc index). Carried arrays are candidate-bounded.
+    val idxBandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), slice(col("__mh"), b * r + 1, r).as("h"))
+    }
+    val idxBands = idxSig
+      .select(col("__id"), col("__mh"), explode(array(idxBandCols: _*)).as("__b"))
+      .select(col("__id"), col("__mh"), col("__b.band"), col("__b.h"))
+    val candIdx = idxBands.as("a")
+      .join(broadcast(shardBands).as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h"))
+      .select(col("a.__id").as("id_a"), col("a.__mh").as("__sa"),
+        col("b.__id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // shard-vs-shard candidates (the shard is the small side by
+    // definition — the un-hinted join is fine at shard scale)
+    val candShard = shardBands.as("a").join(shardBands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val saShard = sig.select(col("__id").as("id_a"), col("__mh").as("__sa"))
+    val sb = sig.select(col("__id").as("id_b"), col("__mh").as("__sb"))
+    val cand = candIdx.unionByName(candShard.join(saShard, "id_a"))
+    val dups = cand.join(sb, "id_b")
+      .filter(estJaccard(col("__sa"), col("__sb"), k) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    val out = Lineage.truncate(
+      shard.join(dups.withColumn("is_dup", lit(true)), Seq(idCol), "left")
+        .withColumn("is_dup", coalesce(col("is_dup"), lit(false))))
+    sig.unpersist(); shardBands.unpersist()
+    out
   }
 
   /** SimHash bit width: 60 (the md5-prefix hash supplies 60 bits). */

@@ -174,6 +174,32 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cos_sim"), col("__rn").as("rank"))
   }
 
+  /** Semantic DECONTAMINATION serve path over a built IVF index: flag
+    * every corpus row whose cosine similarity to ANY eval probe is ≥
+    * threshold — the contamination n-gram overlap checks miss
+    * (paraphrases land nowhere near the surface-form grams but right
+    * next to the original in embedding space). Threshold-join shape,
+    * not top-k: the probe (query, cell) fan-out BROADCASTS into the
+    * cell-assigned corpus, so the corpus never shuffles and only
+    * ~nprobe/ncentroids of it is compared per probe. A corpus row
+    * lives in exactly one cell, so it meets each probe at most once —
+    * n_hits is exactly the number of ≥-threshold probes among those
+    * whose probed cells cover the row. Returns (idCol, n_hits) for
+    * flagged rows only; left-join back for the full verdict column. */
+  def ivfContaminated(cells: DataFrame, cents: Array[Array[Float]],
+      vecCol: String, idCol: String,
+      probes: DataFrame, probeVecCol: String, probeIdCol: String,
+      threshold: Double, nprobe: Int): DataFrame = {
+    val probeN = nearestCentroids(cents, nprobe)
+    val qCells = probes.withColumn("__cell",
+      explode(probeN(col(probeVecCol))))
+    cells.join(broadcast(qCells), "__cell")
+      .withColumn("cos_sim", lit(1.0) - vecCosDistance(col(vecCol), col(probeVecCol)))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   def ivfTopK(corpus: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, queryVecCol: String, queryIdCol: String,
       k: Int, ncentroids: Int = 16, nprobe: Int = 4): DataFrame = {

@@ -12,7 +12,71 @@ import QueryDsl._
   */
 object LlmQueries {
 
+  /** Unique temp dir (signature-index fixtures) deleted at JVM exit —
+    * unique per call so repeated Bench passes never collide. */
+  private def tempDirCleanedOnExit(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   val queries: Map[String, Q] = Map(
+    // INCREMENTAL dedup against a persisted signature index — how
+    // MinHash dedup actually runs at 100 TB (the corpus grows by
+    // shards; re-running the full pipeline per arrival scales with the
+    // CORPUS). Protocol under test: build the index from the accepted
+    // corpus (doc_id <= 2/3 of max — ids follow arrival order), dedup
+    // the ARRIVING shard against index + itself, append the shard's
+    // signatures. The oracle is the FULL-CORPUS minhash replay's
+    // per-doc verdict, so the entry pins the equivalence claim:
+    // incremental == one-shot recompute, bit for bit.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 2 / 3
+      val accepted = docs.filter(col("doc_id") <= cut)
+      val shard = docs.filter(col("doc_id") > cut)
+      val idx = tempDirCleanedOnExit("graft_mhidx") + "/index"
+      Dedup.minhashIndexWrite(accepted, "text", "doc_id", idx)
+      val b1 = Dedup.minhashDedup(accepted, "text", "doc_id", threshold = 0.5)
+      val b2 = Dedup.minhashDedupIncremental(shard, "text", "doc_id", idx,
+        threshold = 0.5)
+      Dedup.minhashIndexAppend(shard, "text", "doc_id", idx)
+      b1.select(col("doc_id"), col("is_dup"))
+        .unionByName(b2.select(col("doc_id"), col("is_dup")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SEMANTIC decontamination: eval-set probes as EMBEDDINGS through
+    // the IVF serve path — the contamination n-gram checks miss
+    // (paraphrases). Probes are float32 perturbations (cos ~0.9999) of
+    // the vec_id%17==3 corpus vectors, the same fixture contract as
+    // similarity_ivf: the synthetic corpus has no natural >=0.99
+    // structure, so the perturbed originals are the complete flag set
+    // and the oracle computes it by exact brute-force distance join —
+    // IVF at nprobe=4 must recover every one of them.
+    "decontaminate_semantic" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") % 17 === 3)
+        .select((col("vec_id") + 200000L).as("q_id"),
+          transform(col("embedding"), (x, j) =>
+            x * (lit(1.0f) + ((j % 5) - 2).cast("float") * lit(0.008f))).as("q_vec"))
+      val (cells, cents) = Similarity.ivfIndex(emb, "embedding", "vec_id",
+        ncentroids = 16)
+      val hits = Similarity.ivfContaminated(cells, cents, "embedding", "vec_id",
+        probes, "q_vec", "q_id", threshold = 0.99, nprobe = 4)
+      emb.select(col("vec_id")).join(hits, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("contaminated", col("n_hits") > 0)
+        .orderBy(col("vec_id"))
+    }),
+
     "dedup_exact" -> ((s, d) => {
       Dedup.exact(T(s, d, "documents"), "text", "doc_id")
         .groupBy(col("is_dup")).agg(count(lit(1)).as("n"))
@@ -364,13 +428,13 @@ object LlmQueries {
     (0 until 64).map(i => s"(${i},${as(i)}::HUGEINT,${bs(i)}::HUGEINT)").mkString(",")
   }
 
-  val oracles: Map[String, String] = Map(
-    // full cross-engine replication of the MinHash+LSH pipeline: same
-    // 60-bit md5-prefix shingle hash, same (a*h+b) mod 2^61-1
-    // permutations (constants above), same 16x4 banding and >=32/64
-    // agreement threshold
-    "dedup_minhash" ->
-      s"""WITH p(i, a, b) AS (VALUES $minhashPermRows),
+  /** Full cross-engine MinHash+LSH replay over the `documents` table
+    * (same 60-bit md5-prefix shingle hash, same (a*h+b) mod 2^61-1
+    * permutations, same 16x4 banding), ending at `est` (id_a, id_b, m
+    * agreeing slots). Shared by the pair-list oracle (dedup_minhash)
+    * and the incremental-equivalence oracle (dedup_incremental). */
+  private lazy val minhashReplayCte: String =
+    s"""WITH p(i, a, b) AS (VALUES $minhashPermRows),
          d AS (SELECT doc_id AS id,
                  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                              x -> x <> '') AS w
@@ -393,9 +457,46 @@ object LlmQueries {
                  FROM cand c
                  JOIN sig sa ON sa.id = c.id_a
                  JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
-                 GROUP BY c.id_a, c.id_b)
+                 GROUP BY c.id_a, c.id_b)"""
+
+  val oracles: Map[String, String] = Map(
+    // full cross-engine replication of the MinHash+LSH pipeline: same
+    // 60-bit md5-prefix shingle hash, same (a*h+b) mod 2^61-1
+    // permutations (constants above), same 16x4 banding and >=32/64
+    // agreement threshold
+    "dedup_minhash" -> (minhashReplayCte + """
          SELECT id_a, id_b, m AS match_slots FROM est
-         WHERE m >= 32 ORDER BY id_a, id_b""",
+         WHERE m >= 32 ORDER BY id_a, id_b"""),
+
+    // the equivalence claim IS the oracle: the incremental path
+    // (persisted index + shard) must reproduce the one-shot full-corpus
+    // recompute's per-doc verdict — dup iff the doc pairs (>=32/64
+    // slots) with ANY smaller id, shard boundary invisible
+    "dedup_incremental" -> (minhashReplayCte + """,
+         dup AS (SELECT DISTINCT id_b AS id FROM est WHERE m >= 32)
+         SELECT doc.doc_id, dup.id IS NOT NULL AS is_dup
+         FROM documents doc LEFT JOIN dup ON dup.id = doc.doc_id
+         ORDER BY doc.doc_id"""),
+
+    // exact brute-force distance join: every corpus vector within 0.99
+    // of any perturbed probe (the replayed float32 perturbation) — the
+    // IVF serve path must recover the complete set
+    "decontaminate_semantic" ->
+      """WITH q AS (
+           SELECT vec_id AS q_id,
+             list_transform(embedding, (x, i) ->
+               CAST(x * (CAST(1.0 AS FLOAT) +
+                 CAST((i - 1) % 5 - 2 AS FLOAT) * CAST(0.008 AS FLOAT)) AS FLOAT)) AS q_vec
+           FROM embeddings WHERE vec_id % 17 = 3),
+         h AS (SELECT e.vec_id, COUNT(*) AS n
+               FROM embeddings e JOIN q
+                 ON list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.q_vec AS DOUBLE[])) >= 0.99
+               GROUP BY 1)
+         SELECT e.vec_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n, 0) > 0 AS contaminated
+         FROM embeddings e LEFT JOIN h USING (vec_id)
+         ORDER BY e.vec_id""",
 
     // full cross-engine replication of 60-bit SimHash: same token hash,
     // same sign-of-bit-histogram signature, 4x15-bit banding, Hamming<=3

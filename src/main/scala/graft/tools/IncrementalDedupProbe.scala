@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import graft.operators.Dedup
+
+/** Scale evidence for the incremental-dedup claim (VERDICT r9 #1):
+  * shard-ARRIVAL cost must scale with the shard, not the corpus.
+  *
+  * For each input documents dir (pass ScaleCheck-fanned dirs for the
+  * decades): split off a FIXED-size shard (the highest ids), build the
+  * signature index from the rest, then measure
+  *   (a) arrival     — minhashDedupIncremental(shard, index), and
+  *   (b) recompute   — full-corpus minhashDedup(index ∪ shard),
+  * with wall + total shuffle-write bytes. Expected shape: (a)'s shuffle
+  * stays shard-sized at every corpus size (the index is scan-only —
+  * shard bands broadcast into it) and its wall grows only by the
+  * columnar index scan, while (b) re-pays shingle+permutation CPU and
+  * candidate shuffle for the WHOLE corpus every arrival. */
+object IncrementalDedupProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/graft_scale")
+    val shardRows = 5000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+    })
+    def timed[A](f: => A): (A, Double, Double) = {
+      shuffleBytes.set(0L)
+      val t0 = System.nanoTime()
+      val r = f
+      ((r, (System.nanoTime() - t0) / 1e9, shuffleBytes.get / 1e6))
+    }
+    for (dir <- dirs if new java.io.File(s"$dir/documents.parquet").exists()) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max("doc_id")).head.getLong(0)
+      // ids are dense in both the base and ScaleCheck-fanned tables:
+      // the top `shardRows` ids are a fixed-size arriving shard
+      val cut = maxId - shardRows
+      val accepted = docs.filter(col("doc_id") <= cut)
+      val shard = docs.filter(col("doc_id") > cut)
+      val (nIdx, nShard) = (accepted.count(), shard.count())
+      val idxPath = java.nio.file.Files.createTempDirectory("graft_incprobe")
+        .toString + "/index"
+      val (_, buildWall, buildMb) =
+        timed(Dedup.minhashIndexWrite(accepted, "text", "doc_id", idxPath))
+      val ((arrDups, arrWall, arrMb)) = timed {
+        Dedup.minhashDedupIncremental(shard, "text", "doc_id", idxPath,
+          threshold = 0.5).filter(col("is_dup")).count()
+      }
+      val ((fullDups, fullWall, fullMb)) = timed {
+        Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.5)
+          .filter(col("is_dup") && col("doc_id") > cut).count()
+      }
+      require(arrDups == fullDups,
+        s"equivalence broke: incremental=$arrDups full=$fullDups")
+      println(f"[inc-dedup] dir=$dir%-24s index=$nIdx%-8d shard=$nShard%-6d " +
+        f"build=$buildWall%7.2f s/${buildMb}%8.1f MB  " +
+        f"arrival=$arrWall%7.2f s/${arrMb}%8.1f MB  " +
+        f"recompute=$fullWall%7.2f s/${fullMb}%8.1f MB  dups=$arrDups")
+    }
+    spark.stop()
+  }
+}

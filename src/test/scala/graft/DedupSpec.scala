@@ -57,6 +57,41 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == false)
   }
 
+  test("incremental minhash: index retains dup signatures, shard flags equal full recompute") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_mhidx_spec")
+      .toString + "/index"
+    // batch 1 = docs 1-5 (2 and 5 are dups of 1); arriving shard = two
+    // docs above the batch-1 id range, one matching doc 1's content
+    val shard = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "unrelated shard document discussing columnar storage formats and parquet footers")
+    ).toDF("doc_id", "text")
+    Dedup.minhashIndexWrite(docs, "text", "doc_id", idx)
+    // retention contract: EVERY batch-1 doc's signature is in the index,
+    // dups included (near-dup similarity is not transitive — survivor-only
+    // indexing would change results)
+    val idxIds = spark.read.parquet(idx).select($"id")
+      .collect().map(_.getLong(0)).toSet
+    assert(idxIds == Set(1L, 2L, 3L, 4L, 5L))
+    val inc = Dedup.minhashDedupIncremental(shard, "text", "doc_id", idx,
+        threshold = 0.5)
+      .select($"doc_id", $"is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(inc == Map(10L -> true, 11L -> false))
+    // equivalence: the one-shot full-corpus recompute assigns the shard
+    // the same flags
+    val full = Dedup.minhashDedup(docs.unionByName(shard), "text", "doc_id",
+        threshold = 0.5)
+      .filter($"doc_id" >= 10L)
+      .select($"doc_id", $"is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(full == inc)
+    // arrival protocol: appending the shard leaves the index covering
+    // every ingested doc
+    Dedup.minhashIndexAppend(shard, "text", "doc_id", idx)
+    assert(spark.read.parquet(idx).count() == 7L)
+  }
+
   test("simhash: identical texts have distance 0, near-dups small") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
