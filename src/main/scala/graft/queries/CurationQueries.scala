@@ -227,6 +227,31 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TWO-LEVEL dedup (the RefinedWeb/Dolma production recipe): exact
+    // PARAGRAPH dedup across documents first, THEN MinHash near-dup
+    // over the paragraph-cleaned documents — composed as ONE entry
+    // because the interaction is the point: paragraph removal changes
+    // document signatures, so stage-2 pairs computed on raw text would
+    // be wrong. Paragraphs = 15-word relined groups; a constant
+    // promotional paragraph planted on doc_id%4==2 must vanish in
+    // stage one (along with any naturally repeated relined paragraph),
+    // and stage two's 16x4-band minhash verdict runs on the rebuilt
+    // text — the oracle replays both stages end to end.
+    "dedup_two_level" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val planted = concat(TextRepetition.relinear(15)(col("text")),
+        when(col("doc_id") % 4 === 2,
+          lit("\nplease subscribe to this exclusive newsletter paragraph repeated verbatim across the crawl"))
+          .otherwise(lit("")))
+      val cleaned = Dedup.dedupLinesAcrossDocs(
+        docs.select(col("doc_id"), planted.as("text")),
+        "text", "doc_id", minRepeats = 2)
+      Dedup.minhashDedup(cleaned, "cleaned", "doc_id", threshold = 0.5)
+        .select(col("doc_id"), col("n_lines").as("n_paras"), col("n_kept"),
+          col("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup: same k-means run (identical params → the oracle reuses
     // the Lloyd replay), then exact cosine pairs only WITHIN clusters.
     // At sf0.01 this finds 5 of the 14 corpus-wide >=0.45 pairs — the
@@ -605,6 +630,64 @@ object CurationQueries {
            CAST(bef % 512 AS BIGINT) AS "offset",
            CAST((bef + greatest(n_tokens, 1) - 1) // 512 - bef // 512 + 1 AS BIGINT) AS n_windows
          FROM c ORDER BY doc_id""",
+
+    // both stages replayed end to end: paragraph rebuild (15-word
+    // relined groups + the %4==2 plant, cross-doc-repeated lines
+    // dropped), then the full minhash pipeline — same 60-bit md5-prefix
+    // gram hash, same (a*h+b) mod 2^61-1 permutation constants, same
+    // 16x4 banding and >=32/64 verdict — over the REBUILT text
+    "dedup_two_level" ->
+      (s"""WITH p(i, a, b) AS (VALUES ${LlmQueries.minhashPermRows}),""" + """
+         w0 AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+           FROM documents),
+         ln0 AS (SELECT doc_id, i AS pos, array_to_string(ws[15*i-14 : 15*i], ' ') AS line
+                 FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, CAST(ceil(len(ws) / 15.0) AS BIGINT))) AS i
+                       FROM w0 WHERE len(ws) > 0) q),
+         pl AS (SELECT doc_id, pos, line FROM ln0
+                UNION ALL
+                SELECT doc_id, 1000000000 AS pos,
+                  'please subscribe to this exclusive newsletter paragraph repeated verbatim across the crawl' AS line
+                FROM documents WHERE doc_id % 4 = 2),
+         freq AS (SELECT line, COUNT(DISTINCT doc_id) AS c FROM pl GROUP BY line),
+         kept AS (SELECT pl.doc_id, pl.pos, pl.line
+                  FROM pl JOIN freq USING (line) WHERE freq.c < 2),
+         tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM pl GROUP BY doc_id),
+         reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(line, ' ' ORDER BY pos) AS t
+                 FROM kept GROUP BY doc_id),
+         d AS (SELECT doc_id AS id,
+                 list_filter(regexp_split_to_array(trim(lower(t)), '\s+'), x -> x <> '') AS w
+               FROM reb),
+         g AS (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i
+               FROM d WHERE len(w) >= 3),
+         gr AS (SELECT id,
+                  ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT AS h
+                FROM g),
+         sig AS (SELECT gr.id, p.i,
+                   CAST(min((p.a * gr.h + p.b) % 2305843009213693951) AS BIGINT) AS v
+                 FROM gr CROSS JOIN p GROUP BY gr.id, p.i),
+         bands AS (SELECT id, i // 4 AS band, list(v ORDER BY i) AS key
+                   FROM sig GROUP BY id, i // 4),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         est AS (SELECT c.id_a, c.id_b,
+                   CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS BIGINT) AS m
+                 FROM cand c
+                 JOIN sig sa ON sa.id = c.id_a
+                 JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+                 GROUP BY 1, 2),
+         dup AS (SELECT DISTINCT id_b AS id FROM est WHERE m >= 32)
+         SELECT doc.doc_id, CAST(coalesce(tot.n_paras, 0) AS BIGINT) AS n_paras,
+           CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+           dup.id IS NOT NULL AS is_dup
+         FROM documents doc
+         LEFT JOIN tot ON tot.doc_id = doc.doc_id
+         LEFT JOIN reb ON reb.doc_id = doc.doc_id
+         LEFT JOIN dup ON dup.id = doc.doc_id
+         ORDER BY doc.doc_id"""),
 
     // full replay of the quantized Lloyd history: init = 10 smallest
     // md5-rank ids, three assignment passes (a0/a1/a2) with two

@@ -422,8 +422,9 @@ object LlmQueries {
   )
 
   /** The minhash permutation constants, embedded verbatim into the
-    * DuckDB oracle so both engines run the identical integer pipeline. */
-  private val minhashPermRows: String = {
+    * DuckDB oracle so both engines run the identical integer pipeline
+    * (shared with CurationQueries' two-level dedup replay). */
+  private[queries] val minhashPermRows: String = {
     val (as, bs) = Dedup.minhashPerms(64)
     (0 until 64).map(i => s"(${i},${as(i)}::HUGEINT,${bs(i)}::HUGEINT)").mkString(",")
   }
