@@ -93,6 +93,32 @@ object RelationalExtra {
         .orderBy(col("l_returnflag"))
     }),
 
+    // UInt64 fidelity, pinned as behavior (SURVEY §7.3(e); the engine's
+    // decision is Decimal(20,0) — GraftDdl.scala maps UINT64 there):
+    // values straddling the 2^63 boundary roundtrip, ORDER unsigned
+    // (a signed-long misreading would invert min/max across the
+    // boundary), and SUM exactly with no wrap, matching DuckDB's
+    // native HUGEINT arithmetic digit for digit. u64-typed outputs are
+    // emitted as decimal-digit strings so the cross-engine compare is
+    // representation-free.
+    "agg_uint64_boundary" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      // u = 2^63 - 500 + (event_id % 1000): half the values below the
+      // signed-long boundary, half above it
+      val u = (lit(new java.math.BigDecimal("9223372036854775308"))
+        .cast(DecimalType(20, 0)) +
+        (col("event_id") % 1000).cast(DecimalType(20, 0)))
+        .cast(DecimalType(20, 0))
+      T(s, d, "events")
+        .select((col("event_id") % 4).as("grp"), u.as("u"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          min(col("u")).cast("string").as("min_u64"),
+          max(col("u")).cast("string").as("max_u64"),
+          sum(col("u")).cast(DecimalType(38, 0)).cast("string").as("sum_u64"))
+        .orderBy(col("grp"))
+    }),
+
     "agg_bool_bit" -> ((s, d) => {
       T(s, d, "orders")
         .groupBy(col("o_orderpriority"))
@@ -240,6 +266,18 @@ object RelationalExtra {
            round(covar_samp(l_quantity, l_discount), 6) AS covs_qd,
            round(covar_pop(l_quantity, l_discount), 6) AS covp_qd
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // DuckDB computes the same u64 values in native HUGEINT — exact
+    // unsigned ordering + sums; both engines emit decimal-digit strings
+    "agg_uint64_boundary" ->
+      """WITH v AS (SELECT event_id % 4 AS grp,
+             9223372036854775308::HUGEINT + (event_id % 1000) AS u
+           FROM events)
+         SELECT grp, COUNT(*) AS n,
+           CAST(MIN(u) AS VARCHAR) AS min_u64,
+           CAST(MAX(u) AS VARCHAR) AS max_u64,
+           CAST(SUM(u) AS VARCHAR) AS sum_u64
+         FROM v GROUP BY grp ORDER BY grp""",
 
     "agg_bool_bit" ->
       """SELECT o_orderpriority,
