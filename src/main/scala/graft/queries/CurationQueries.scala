@@ -363,83 +363,14 @@ object CurationQueries {
     // every rule replicated generally (no corpus-constant shortcuts):
     // lines from '\n' (trim, drop empties), grams over lowercased
     // whitespace words, char mass over space-joined words
-    "text_gopher_quality" ->
-      """WITH d AS (SELECT doc_id,
-             CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END
-               || CASE WHEN doc_id % 3 = 0 THEN ' of the and'
-                       WHEN doc_id % 3 = 1 THEN ' to' ELSE '' END AS t
-           FROM documents),
-         w AS (SELECT doc_id, t,
-             list_filter(regexp_split_to_array(trim(lower(t)), '\s+'), x -> x <> '') AS ws
-           FROM d),
-         base AS (SELECT doc_id, t, ws, len(ws) AS nw,
-             CASE WHEN len(ws) = 0 THEN 0
-                  ELSE length(array_to_string(ws, ' ')) END AS nc
-           FROM w),
-         ln AS (SELECT doc_id, trim(l) AS line
-                FROM (SELECT doc_id, unnest(str_split(t, chr(10))) AS l FROM d) q
-                WHERE trim(l) <> ''),
-         lc AS (SELECT doc_id, line, COUNT(*) AS c FROM ln GROUP BY 1, 2),
-         lstat AS (SELECT doc_id,
-             (SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE) AS dlf,
-             CASE WHEN SUM(c * length(line)) = 0 THEN 0.0
-                  ELSE SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)
-                       / CAST(SUM(c * length(line)) AS DOUBLE) END AS dlcf,
-             SUM(CASE WHEN regexp_matches(line, '^[•\-\*]') THEN c ELSE 0 END)
-               / CAST(SUM(c) AS DOUBLE) AS bullet_frac,
-             SUM(CASE WHEN regexp_matches(line, '(\.\.\.|…)$') THEN c ELSE 0 END)
-               / CAST(SUM(c) AS DOUBLE) AS ell_frac
-           FROM lc GROUP BY doc_id),
-         gr AS (SELECT doc_id, nc, n, array_to_string(ws[i : i+n-1], ' ') AS gram
-                FROM (SELECT doc_id, ws, nc, ns.n,
-                        unnest(generate_series(1, nw - ns.n + 1)) AS i
-                      FROM base CROSS JOIN (SELECT unnest([2,3,4,5]) AS n) ns
-                      WHERE nw >= ns.n) t),
-         gc AS (SELECT doc_id, nc, n, gram, COUNT(*) AS c
-                FROM gr GROUP BY 1, 2, 3, 4),
-         top AS (SELECT doc_id, n, c * length(gram) / CAST(nc AS DOUBLE) AS frac
-                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
-                         ORDER BY c DESC, gram) AS rn FROM gc) t
-                 WHERE rn = 1),
-         dup5 AS (SELECT doc_id,
-                    SUM(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END)
-                      / CAST(any_value(nc) AS DOUBLE) AS frac
-                  FROM gc WHERE n = 5 GROUP BY doc_id),
-         m AS (SELECT base.doc_id, nw,
-             CASE WHEN nw = 0 THEN 0.0
-                  ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / nw END AS mean_wl,
-             len(list_intersect(list_distinct(ws),
-                 ['the','be','to','of','and','that','have','with'])) AS stop_hits,
-             CASE WHEN nw = 0 THEN 0.0
-                  ELSE len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
-                       / CAST(nw AS DOUBLE) END AS alpha_frac,
-             CASE WHEN nw = 0 THEN 0.0
-                  ELSE (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.'))
-                        + len(regexp_extract_all(t, '…'))) / CAST(nw AS DOUBLE) END AS symbol_ratio
-           FROM base),
-         r AS (SELECT m.doc_id, m.nw, m.mean_wl, m.stop_hits,
-             (m.nw >= 50 AND m.nw <= 100000) AS pass_words,
-             (m.mean_wl >= 3.0 AND m.mean_wl <= 10.0) AS pass_mean_wl,
-             (m.symbol_ratio <= 0.1) AS pass_symbols,
-             (coalesce(l.bullet_frac, 0.0) <= 0.9 AND coalesce(l.ell_frac, 0.0) <= 0.3) AS pass_lines,
-             (m.alpha_frac >= 0.8) AS pass_alpha,
-             (m.stop_hits >= 2) AS pass_stops,
-             (coalesce(l.dlf, 0.0) <= 0.30 AND coalesce(l.dlcf, 0.0) <= 0.20
-              AND coalesce(t2.frac, 0.0) <= 0.20 AND coalesce(t3.frac, 0.0) <= 0.18
-              AND coalesce(t4.frac, 0.0) <= 0.16 AND coalesce(d5.frac, 0.0) <= 0.15) AS pass_repetition
-           FROM m
-           LEFT JOIN lstat l USING (doc_id)
-           LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 2) t2 USING (doc_id)
-           LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 3) t3 USING (doc_id)
-           LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 4) t4 USING (doc_id)
-           LEFT JOIN dup5 d5 USING (doc_id))
+    "text_gopher_quality" -> (gopherCte + """
          SELECT doc_id, CAST(nw AS BIGINT) AS n_words, round(mean_wl, 6) AS mean_wl,
            CAST(stop_hits AS BIGINT) AS stop_hits,
            pass_words, pass_mean_wl, pass_symbols, pass_lines, pass_alpha,
            pass_stops, pass_repetition,
            (pass_words AND pass_mean_wl AND pass_symbols AND pass_lines
             AND pass_alpha AND pass_stops AND pass_repetition) AS keep
-         FROM r ORDER BY doc_id""",
+         FROM r ORDER BY doc_id"""),
 
     // the oracle rebuilds the planted document (10-word lines, '.'
     // plant, markers), then applies the same line/page rules over list
@@ -712,6 +643,82 @@ object CurationQueries {
                                       CAST(b.embedding AS DOUBLE[])) >= 0.40
          ORDER BY id_a, id_b""")
   )
+
+  /** Gopher Table A1 replay shared by the `text_gopher_quality` oracle
+    * and the streaming-curation oracle: planted schedule (doc_id%7
+    * self-concat + %3 stop plant), every rule replicated generally,
+    * ending at `r` (doc_id, nw, mean_wl, stop_hits, pass_* flags); the
+    * planted text itself stays addressable as d.t. */
+  private[queries] lazy val gopherCte: String =
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END
+               || CASE WHEN doc_id % 3 = 0 THEN ' of the and'
+                       WHEN doc_id % 3 = 1 THEN ' to' ELSE '' END AS t
+           FROM documents),
+         w AS (SELECT doc_id, t,
+             list_filter(regexp_split_to_array(trim(lower(t)), '\s+'), x -> x <> '') AS ws
+           FROM d),
+         base AS (SELECT doc_id, t, ws, len(ws) AS nw,
+             CASE WHEN len(ws) = 0 THEN 0
+                  ELSE length(array_to_string(ws, ' ')) END AS nc
+           FROM w),
+         ln AS (SELECT doc_id, trim(l) AS line
+                FROM (SELECT doc_id, unnest(str_split(t, chr(10))) AS l FROM d) q
+                WHERE trim(l) <> ''),
+         lc AS (SELECT doc_id, line, COUNT(*) AS c FROM ln GROUP BY 1, 2),
+         lstat AS (SELECT doc_id,
+             (SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE) AS dlf,
+             CASE WHEN SUM(c * length(line)) = 0 THEN 0.0
+                  ELSE SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)
+                       / CAST(SUM(c * length(line)) AS DOUBLE) END AS dlcf,
+             SUM(CASE WHEN regexp_matches(line, '^[•\-\*]') THEN c ELSE 0 END)
+               / CAST(SUM(c) AS DOUBLE) AS bullet_frac,
+             SUM(CASE WHEN regexp_matches(line, '(\.\.\.|…)$') THEN c ELSE 0 END)
+               / CAST(SUM(c) AS DOUBLE) AS ell_frac
+           FROM lc GROUP BY doc_id),
+         gr AS (SELECT doc_id, nc, n, array_to_string(ws[i : i+n-1], ' ') AS gram
+                FROM (SELECT doc_id, ws, nc, ns.n,
+                        unnest(generate_series(1, nw - ns.n + 1)) AS i
+                      FROM base CROSS JOIN (SELECT unnest([2,3,4,5]) AS n) ns
+                      WHERE nw >= ns.n) t),
+         gc AS (SELECT doc_id, nc, n, gram, COUNT(*) AS c
+                FROM gr GROUP BY 1, 2, 3, 4),
+         top AS (SELECT doc_id, n, c * length(gram) / CAST(nc AS DOUBLE) AS frac
+                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                         ORDER BY c DESC, gram) AS rn FROM gc) t
+                 WHERE rn = 1),
+         dup5 AS (SELECT doc_id,
+                    SUM(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END)
+                      / CAST(any_value(nc) AS DOUBLE) AS frac
+                  FROM gc WHERE n = 5 GROUP BY doc_id),
+         m AS (SELECT base.doc_id, nw,
+             CASE WHEN nw = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / nw END AS mean_wl,
+             len(list_intersect(list_distinct(ws),
+                 ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+             CASE WHEN nw = 0 THEN 0.0
+                  ELSE len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                       / CAST(nw AS DOUBLE) END AS alpha_frac,
+             CASE WHEN nw = 0 THEN 0.0
+                  ELSE (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.'))
+                        + len(regexp_extract_all(t, '…'))) / CAST(nw AS DOUBLE) END AS symbol_ratio
+           FROM base),
+         r AS (SELECT m.doc_id, m.nw, m.mean_wl, m.stop_hits,
+             (m.nw >= 50 AND m.nw <= 100000) AS pass_words,
+             (m.mean_wl >= 3.0 AND m.mean_wl <= 10.0) AS pass_mean_wl,
+             (m.symbol_ratio <= 0.1) AS pass_symbols,
+             (coalesce(l.bullet_frac, 0.0) <= 0.9 AND coalesce(l.ell_frac, 0.0) <= 0.3) AS pass_lines,
+             (m.alpha_frac >= 0.8) AS pass_alpha,
+             (m.stop_hits >= 2) AS pass_stops,
+             (coalesce(l.dlf, 0.0) <= 0.30 AND coalesce(l.dlcf, 0.0) <= 0.20
+              AND coalesce(t2.frac, 0.0) <= 0.20 AND coalesce(t3.frac, 0.0) <= 0.18
+              AND coalesce(t4.frac, 0.0) <= 0.16 AND coalesce(d5.frac, 0.0) <= 0.15) AS pass_repetition
+           FROM m
+           LEFT JOIN lstat l USING (doc_id)
+           LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 2) t2 USING (doc_id)
+           LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 3) t3 USING (doc_id)
+           LEFT JOIN (SELECT doc_id, frac FROM top WHERE n = 4) t4 USING (doc_id)
+           LEFT JOIN dup5 d5 USING (doc_id))"""
 
   /** Quantized Lloyd replay shared by the `cluster_kmeans` and
     * `dedup_semantic` oracles: init = k smallest md5-rank ids, three

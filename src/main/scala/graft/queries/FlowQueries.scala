@@ -21,6 +21,19 @@ object FlowQueries {
     * 2026-01-01T00:00:00Z. */
   private val wmEpoch = 1767225600L
 
+  /** Watermark-clock document for the streaming-curation entry: a row
+    * that must PASS the Gopher filter (a filtered row never reaches the
+    * EventTimeWatermark collector — CurationStreamProbe) — 54 varied
+    * words, 6 distinct required stop words, no repeated grams, all
+    * alphabetic. The oracle embeds the same literal and derives its
+    * token count by the same split, so nothing is hand-counted. */
+  private val CurationClockText: String =
+    "the river keeps moving past old stone bridges and quiet farms while " +
+    "travelers walk along its bank to watch herons lift from shallow water " +
+    "each morning brings new light over distant hills and every evening " +
+    "small boats return with nets full of silver fish that local markets " +
+    "sell before night settles across the valley"
+
   /** Stage each DataFrame as ONE parquet file in `tmp/in`, mtime-
     * ordered — the file stream source schedules by modification time,
     * so maxFilesPerTrigger=1 under Trigger.AvailableNow drains them as
@@ -254,6 +267,84 @@ object FlowQueries {
         .orderBy(col("w_min"))
     }),
 
+    "flow_stream_curation" -> ((s, d) => {
+      // The COMPOSED streaming curation pipeline a 100 TB ingest
+      // actually deploys, through the REAL engine in one query:
+      // watermark → Gopher quality filter → keyed dedup with state
+      // expiry → windowed per-source stats, append sink. Two stateful
+      // operators chained; semantics pinned by CurationStreamProbe:
+      //  - a row the quality filter drops does NOT advance the
+      //    watermark (Catalyst pushes the filter below the
+      //    EventTimeWatermark node) — so the watermark clocks are
+      //    GOOD probe docs, not junk;
+      //  - the window emits in the first batch whose eviction
+      //    watermark (data through the previous batch) reaches its
+      //    end — the same two-lagged rule as the single-operator
+      //    entries;
+      //  - a deduped key contributes its FIRST arrival's event time;
+      //  - a key re-arriving after state expiry re-emits and counts
+      //    into the window of the re-arrival.
+      //
+      // Fixture (delay 10 min, 10-min windows; wave = the full
+      // documents table with text_gopher_quality's planted schedule, so
+      // which docs survive the filter is the Gopher oracle's keep set):
+      //   b0: wave@2 (W0) + good clock c1@12        -> evict wm 2
+      //   b1: dup wave@5 (dedup-dropped) + c2@25    -> evict wm 15
+      //   b2: dup wave@17 (state held end-of-batch; DROPPED), then
+      //       wave state (expiry 12 < 15) evicts; W0 emits; c3@40
+      //   b3: wave@29 RE-EMITS into W2 (state gone); a FRESH late doc
+      //       @7 is quality-good and dedup-new but its window closed
+      //       (W0 end 10 <= late wm 15) -> dropped
+      //   b4: c4@55 (flush W2)
+      // Expected sink: W0 + W2 = per-source keep counts/token sums,
+      // W1 = c1, W2 also c2; c3/c4's own windows never flush.
+      val tmp = tempDirCleanedOnExit("graft_scur")
+      def at(m: Int): org.apache.spark.sql.Column =
+        timestamp_seconds(lit(wmEpoch + m * 60L))
+      val docs = T(s, d, "documents")
+      val plantedText = concat(
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" "), col("text"))).otherwise(col("text")),
+        when(col("doc_id") % 3 === 0, lit(" of the and"))
+          .when(col("doc_id") % 3 === 1, lit(" to")).otherwise(lit("")))
+      val base = docs.select(col("doc_id"), col("source"), plantedText.as("text"))
+      def wave(m: Int) = base.select(col("doc_id"), col("source"),
+        col("text"), at(m).as("t"))
+      def probeDoc(id: Long, m: Int) = base.limit(1).select(lit(id).as("doc_id"),
+        lit("probe").as("source"), lit(CurationClockText).as("text"), at(m).as("t"))
+      val in = stageBatches(tmp, Seq(
+        wave(2).unionByName(probeDoc(-1L, 12)),
+        wave(5).unionByName(probeDoc(-2L, 25)),
+        wave(17).unionByName(probeDoc(-3L, 40)),
+        wave(29).unionByName(probeDoc(-100L, 7)),
+        probeDoc(-4L, 55)))
+      val src = s.readStream
+        .schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      val q = src.withWatermark("t", "10 minutes")
+        .filter(graft.functions.GopherQuality.flags(col("text")).getField("keep"))
+        .dropDuplicatesWithinWatermark("doc_id")
+        .groupBy(window(col("t"), "10 minutes").as("w"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextAnalysis.tokenCount(col("text")))
+            .cast("long").as("sum_tokens"))
+        .select(col("w.start").as("ws"), col("source"), col("n_docs"),
+          col("sum_tokens"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/sink")
+        .select(((unix_timestamp(col("ws")) - wmEpoch) / 60).cast("long")
+          .as("w_min"), col("source"), col("n_docs"), col("sum_tokens"))
+        .orderBy(col("w_min"), col("source"))
+    }),
+
     "flow_tumble_origin" -> ((s, d) => {
       // shifted grid: tumble(ts, 1h, origin 30m)
       val ev = T(s, d, "events").withColumn("t", timestamp_micros(expr("ts div 1000")))
@@ -305,6 +396,39 @@ object FlowQueries {
            UNION ALL SELECT 20, 1
            UNION ALL SELECT 40, 1)
          ORDER BY w_min""",
+
+    // composed-pipeline replay: the Gopher CTE decides which wave docs
+    // survive the filter (per-source counts + token sums over the
+    // planted text), and the probed streaming semantics fix which
+    // windows flush — W0 and W2 carry the full keep set (W2 is the
+    // post-expiry re-emit), W1/W2 carry one probe doc each, the late @7
+    // doc and the @5/@17 dup waves contribute nothing, and the @40/@55
+    // probe windows never flush. The probe doc's token count is derived
+    // by splitting the same literal — nothing hand-counted.
+    "flow_stream_curation" -> (CurationQueries.gopherCte + s""",
+         gk AS (SELECT doc_id FROM r
+                WHERE pass_words AND pass_mean_wl AND pass_symbols
+                  AND pass_lines AND pass_alpha AND pass_stops
+                  AND pass_repetition),
+         k AS (SELECT gk.doc_id, d0.source,
+                 CAST(CASE WHEN length(trim(d.t)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(d.t), '\\s+')) END
+                   AS BIGINT) AS tok
+               FROM gk JOIN d USING (doc_id) JOIN documents d0 USING (doc_id)),
+         ps AS (SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(tok) AS BIGINT) AS sum_tokens
+                FROM k GROUP BY source),
+         ck AS (SELECT CAST(len(regexp_split_to_array('$CurationClockText',
+                  '\\s+')) AS BIGINT) AS tok)
+         SELECT CAST(w_min AS BIGINT) AS w_min, source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(sum_tokens AS BIGINT) AS sum_tokens
+         FROM (
+           SELECT 0 AS w_min, source, n_docs, sum_tokens FROM ps
+           UNION ALL SELECT 20, source, n_docs, sum_tokens FROM ps
+           UNION ALL SELECT 10, 'probe', 1, tok FROM ck
+           UNION ALL SELECT 20, 'probe', 1, tok FROM ck)
+         ORDER BY w_min, source"""),
 
     "flow_tumble_origin" ->
       """SELECT event_type,
