@@ -35,7 +35,8 @@ object Bench {
     "scan_filter_project", "agg_groupby", "agg_cube", "join_multiway",
     "join_inequality", "window_rank", "range_tumbling", "range_sliding",
     "range_fill_linear", "range_percentile", "promql_sum_rate", "promql_topk",
-    "dedup_minhash", "dedup_ngram_jaccard", "similarity_topk",
+    "dedup_minhash", "dedup_ngram_jaccard", "dedup_incremental",
+    "dedup_two_level", "similarity_topk",
     "similarity_ivf",
     "text_stats", "text_tfidf", "cluster_kmeans",
     "dedup_boilerplate", "text_decontaminate",

@@ -359,31 +359,10 @@ object LlmQueries {
       // Hamming exactly 1..3 — the banded pair join catches them);
       // cross-class distance >= 21 (AhashProbe), so the generator
       // arithmetic IS the ground truth: every variant of class c lands
-      // in c's component.
-      val assets = Multimodal.nearDupImageAssets(s,
-        T(s, d, "events").filter(col("event_id") < 3000))
-      val keyed = graft.operators.Lineage.truncate(
-        Multimodal.contentKeys(assets))
-      // exact stage: star pairs off the bucket-min representative
-      // (identical content never reaches the band join — a 100M-copy
-      // meme would make banding quadratic)
-      val reps = keyed.groupBy(col("modality"), col("key"))
-        .agg(min(col("media_id")).as("rep"))
-      val starPairs = keyed.join(reps, Seq("modality", "key"))
-        .filter(col("media_id") =!= col("rep"))
-        .select(col("rep").as("id_a"), col("media_id").as("id_b"))
-      // Hamming stage relates only the DISTINCT perceptual keys
-      val hamPairs = Multimodal.ahashNearDupPairs(
-          reps.filter(col("modality") === "image"), "rep", "key",
-          maxDistance = 3)
-        .select(col("id_a"), col("id_b"))
-      val comps = Dedup.connectedComponents(
-          starPairs.unionByName(hamPairs), "id_a", "id_b")
-        .withColumnRenamed("id", "media_id")
-      keyed.join(comps, Seq("media_id"), "left")
-        .select(col("media_id"),
-          coalesce(col("comp"), col("media_id")).as("canonical_id"))
-        .withColumn("keep", col("canonical_id") === col("media_id"))
+      // in c's component. Body shared with NearDupScaleProbe (the
+      // decade growth audit).
+      nearDupPipeline(Multimodal.nearDupImageAssets(s,
+        T(s, d, "events").filter(col("event_id") < 3000)))
         .orderBy(col("media_id"))
     }),
 
@@ -420,6 +399,37 @@ object LlmQueries {
       quota.join(frac, Seq("event_type")).orderBy(col("event_type"))
     })
   )
+
+  /** The composed Hamming near-dup pipeline over a binary asset column
+    * — exact-key star stage absorbs identical content (a 100M-copy meme
+    * never reaches banding), the banded ahash Hamming join relates only
+    * DISTINCT perceptual keys, generic CC stitches (star + Hamming
+    * pairs aren't a star forest). Shared by the
+    * `multimodal_neardup_pipeline` entry and NearDupScaleProbe. */
+  def nearDupPipeline(assets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val keyed = graft.operators.Lineage.truncate(
+      Multimodal.contentKeys(assets))
+    // exact stage: star pairs off the bucket-min representative
+    // (identical content never reaches the band join — a 100M-copy
+    // meme would make banding quadratic)
+    val reps = keyed.groupBy(col("modality"), col("key"))
+      .agg(min(col("media_id")).as("rep"))
+    val starPairs = keyed.join(reps, Seq("modality", "key"))
+      .filter(col("media_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("media_id").as("id_b"))
+    // Hamming stage relates only the DISTINCT perceptual keys
+    val hamPairs = Multimodal.ahashNearDupPairs(
+        reps.filter(col("modality") === "image"), "rep", "key",
+        maxDistance = 3)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(
+        starPairs.unionByName(hamPairs), "id_a", "id_b")
+      .withColumnRenamed("id", "media_id")
+    keyed.join(comps, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("comp"), col("media_id")).as("canonical_id"))
+      .withColumn("keep", col("canonical_id") === col("media_id"))
+  }
 
   /** The minhash permutation constants, embedded verbatim into the
     * DuckDB oracle so both engines run the identical integer pipeline

@@ -37,9 +37,13 @@ object CurationScaleProbe {
       df.select(bit_xor(xxhash64(df.columns.map(col): _*))).collect()
       ()
     }
+    // GRAFT_CUR_OPS=a,b filters (re-auditing one new op must not re-run
+    // the whole historical matrix)
+    val opFilter = sys.env.get("GRAFT_CUR_OPS").map(_.split(",").toSet)
     val ops = Seq("text_repetition", "text_pii_redact", "text_tfidf",
       "cluster_kmeans", "dedup_boilerplate", "text_decontaminate",
-      "text_substring_dedup", "pack_sequences")
+      "text_substring_dedup", "text_substring_keep1", "pack_sequences",
+      "dedup_two_level").filter(o => opFilter.forall(_.contains(o)))
     for (dir <- dirs if new java.io.File(s"$dir/documents.parquet").exists()) {
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()

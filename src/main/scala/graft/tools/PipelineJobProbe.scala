@@ -31,13 +31,14 @@ object PipelineJobProbe {
     })
 
     val name = if (args.nonEmpty) args(0) else "multimodal_dedup_pipeline"
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val q = graft.SparkEntry.queries(name)
     // warm pass (JIT/codegen), then the measured pass
-    q(spark, "/root/testdata/sf0.1").write.mode("overwrite")
+    q(spark, dir).write.mode("overwrite")
       .parquet("/tmp/pjp_warm")
     done.clear()
     val t0 = System.nanoTime()
-    q(spark, "/root/testdata/sf0.1").write.mode("overwrite")
+    q(spark, dir).write.mode("overwrite")
       .parquet("/tmp/pjp_out")
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"PROBE total wall ${wall}%.3f s, jobs=${done.size}")
