@@ -57,7 +57,9 @@ object Bench {
     * a permanently-low seed outlived every committed artifact). */
   private val seedRefs: Map[String, (Double, Int)] = Map(
     "text_substring_keep1" -> ((1.49, 6)),
-    "multimodal_neardup_pipeline" -> ((1.93, 6)))
+    "multimodal_neardup_pipeline" -> ((1.93, 6)),
+    "dedup_incremental" -> ((3.76, 6)),
+    "dedup_two_level" -> ((1.81, 6)))
 
   /** Queries whose round-over-round drift warranted extra passes. */
   private val minOfFive = Set("promql_sum_rate")
