@@ -296,6 +296,48 @@ object Dedup {
       .select(col("__id").as("id"), col("__mh").as("mh"))
       .write.mode("append").parquet(path)
 
+  /** Exact-digest twin of [[minhashIndexWrite]]: persist (digest =
+    * md5 of normalized text, id) for every ingested doc — the second
+    * table of the production index pair (exact first, near-dup second).
+    * mode "overwrite" builds, "append" adds a flagged shard. */
+  def exactIndexWrite(df: DataFrame, textCol: String, idCol: String,
+      path: String, mode: String = "overwrite"): Unit =
+    df.select(md5(normText(col(textCol))).as("digest"), col(idCol).as("id"))
+      .write.mode(mode).parquet(path)
+
+  /** Exact dedup of an ARRIVING shard against the persisted digest
+    * index + itself: a shard doc is a dup iff its normalized-text
+    * digest is already indexed, or belongs to a smaller-id shard doc.
+    * Same scale shape as the minhash serve path — the shard's digest
+    * set BROADCASTS into one scan of the index (the index never
+    * shuffles), and the shard-internal stage is [[exact]]'s
+    * map-combined groupBy(min) + join-back. With arrival-ordered ids
+    * the flags equal a full-corpus [[exact]] run restricted to the
+    * shard (null text forms one digest group, `<=>` join semantics
+    * as in [[exact]]). */
+  def exactDedupIncremental(shard: DataFrame, textCol: String,
+      idCol: String, indexPath: String): DataFrame = {
+    val spark = shard.sparkSession
+    val keyed = shard.withColumn("__d", md5(normText(col(textCol))))
+    val shardDigests = keyed.select(col("__d")).distinct()
+    // index-side scan: keep only digests the shard carries (broadcast
+    // semi-join), one flag row per digest
+    val hit = spark.read.parquet(indexPath)
+      .select(col("digest"))
+      .join(broadcast(shardDigests), col("digest") <=> col("__d"), "leftsemi")
+      .select(col("digest").as("__hd"))
+      .distinct()
+      .withColumn("__indexed", lit(true))
+    val canon = keyed.groupBy(col("__d")).agg(min(col(idCol)).as("__cid"))
+      .withColumnRenamed("__d", "__dc")
+    keyed
+      .join(canon, keyed("__d") <=> canon("__dc"))
+      .join(hit, keyed("__d") <=> col("__hd"), "left")
+      .withColumn("is_dup",
+        coalesce(col("__indexed"), lit(false)) || col(idCol) =!= col("__cid"))
+      .drop("__d", "__dc", "__cid", "__hd", "__indexed")
+  }
+
   /** Dedup an ARRIVING shard against the persisted index + itself: a
     * shard doc is a dup iff it minhash-matches (est Jaccard ≥
     * threshold) ANY indexed doc, or a smaller-id doc within the shard.

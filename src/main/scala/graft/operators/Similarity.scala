@@ -109,7 +109,14 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid ids for a vector, closest first. */
+  /** Nearest-centroid ids for a vector, closest first.
+    *
+    * Deterministic in fact, but marked nondeterministic so Catalyst
+    * neither duplicates it through constraint propagation (the inner
+    * cell join generates `isnotnull(element_at(UDF(v),1))`, which
+    * CollapseProject re-inlines — the assignment ran TWICE per corpus
+    * row, k·dim flops each) nor pushes it below exchanges — the same
+    * fix class as the r8 multimodal decode UDFs. */
   private def nearestCentroids(cents: Array[Array[Float]], n: Int): Column => Column = {
     val f = udf { (vec: Seq[Float]) =>
       val dim = cents.head.length
@@ -120,7 +127,7 @@ object Similarity {
         while (i < lim) { val d = vec(i) - w(i); s += d * d; i += 1 }
         (s, c)
       }.sorted.take(n).map(_._2).toArray
-    }
+    }.asNondeterministic()
     v => f(v)
   }
 

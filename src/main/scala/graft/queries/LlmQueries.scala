@@ -53,6 +53,24 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // exact-digest twin of dedup_incremental — the production index is
+    // a PAIR (exact digests checked first, near-dup signatures second);
+    // same arrival split, oracle = the full-corpus exact-dedup verdict
+    "dedup_incremental_exact" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 2 / 3
+      val accepted = docs.filter(col("doc_id") <= cut)
+      val shard = docs.filter(col("doc_id") > cut)
+      val idx = tempDirCleanedOnExit("graft_exidx") + "/index"
+      Dedup.exactIndexWrite(accepted, "text", "doc_id", idx)
+      val b1 = Dedup.exact(accepted, "text", "doc_id")
+      val b2 = Dedup.exactDedupIncremental(shard, "text", "doc_id", idx)
+      Dedup.exactIndexWrite(shard, "text", "doc_id", idx, mode = "append")
+      b1.select(col("doc_id"), col("is_dup"))
+        .unionByName(b2.select(col("doc_id"), col("is_dup")))
+        .orderBy(col("doc_id"))
+    }),
+
     // SEMANTIC decontamination: eval-set probes as EMBEDDINGS through
     // the IVF serve path — the contamination n-gram checks miss
     // (paraphrases). Probes are float32 perturbations (cos ~0.9999) of
@@ -71,7 +89,9 @@ object LlmQueries {
         ncentroids = 16)
       val hits = Similarity.ivfContaminated(cells, cents, "embedding", "vec_id",
         probes, "q_vec", "q_id", threshold = 0.99, nprobe = 4)
-      emb.select(col("vec_id")).join(hits, Seq("vec_id"), "left")
+      // the flag set is contamination-sized by nature — broadcast the
+      // verdict join so the corpus id list never sort-merges
+      emb.select(col("vec_id")).join(broadcast(hits), Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .withColumn("contaminated", col("n_hits") > 0)
         .orderBy(col("vec_id"))
@@ -488,6 +508,15 @@ object LlmQueries {
          SELECT doc.doc_id, dup.id IS NOT NULL AS is_dup
          FROM documents doc LEFT JOIN dup ON dup.id = doc.doc_id
          ORDER BY doc.doc_id"""),
+
+    // per-doc verdict of the one-shot full-corpus exact dedup — the
+    // incremental digest-index path must reproduce it bit for bit
+    "dedup_incremental_exact" ->
+      """WITH r AS (SELECT doc_id, row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, rn > 1 AS is_dup FROM r ORDER BY doc_id""",
 
     // exact brute-force distance join: every corpus vector within 0.99
     // of any perturbed probe (the replayed float32 perturbation) — the

@@ -92,6 +92,35 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == 7L)
   }
 
+  test("incremental exact: digest-index flags equal full recompute, nulls included") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_exidx_spec")
+      .toString + "/index"
+    // batch 1 includes a null-text doc; shard carries an exact dup of
+    // doc 1 (via case/space normalization), a fresh doc, a second
+    // null-text doc (must hit batch 1's null-digest group via <=>),
+    // and an intra-shard dup pair
+    val b1 = docs.unionByName(
+      Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val shard = Seq(
+      (10L, "THE QUICK BROWN fox jumps over the lazy dog near the river bank today"),
+      (11L, "a genuinely fresh shard document"),
+      (12L, null.asInstanceOf[String]),
+      (13L, "another fresh one"),
+      (14L, "another  FRESH one")
+    ).toDF("doc_id", "text")
+    Dedup.exactIndexWrite(b1, "text", "doc_id", idx)
+    val inc = Dedup.exactDedupIncremental(shard, "text", "doc_id", idx)
+      .select($"doc_id", $"is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(inc == Map(10L -> true, 11L -> false, 12L -> true,
+      13L -> false, 14L -> true))
+    val full = Dedup.exact(b1.unionByName(shard), "text", "doc_id")
+      .filter($"doc_id" >= 10L)
+      .select($"doc_id", $"is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(full == inc)
+  }
+
   test("simhash: identical texts have distance 0, near-dups small") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap

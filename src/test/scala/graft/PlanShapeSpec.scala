@@ -71,6 +71,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nodeIds(plan("similarity_ivf"), "SortMergeJoin").isEmpty)
   }
 
+  test("decontaminate_semantic: probe cells broadcast, corpus never sort-merges") {
+    // the IVF decontamination serve path's scale property: the (probe,
+    // cell) fan-out broadcasts into the cell-assigned corpus — a
+    // SortMergeJoin here would shuffle the whole corpus per eval set
+    val p = plan("decontaminate_semantic")
+    assert(nodeIds(p, "BroadcastHashJoin").nonEmpty, "probe-side broadcast lost")
+    assert(nodeIds(p, "SortMergeJoin").isEmpty, "corpus is being shuffled")
+  }
+
   test("promql_sum_rate: one fold repartition + bounded agg shuffles") {
     // (series, chunk) repartition, aggregate exchange, output sort —
     // anything beyond that means the fold path regressed to a fan-out
