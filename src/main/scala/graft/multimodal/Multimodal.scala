@@ -39,8 +39,13 @@ object Multimodal {
       format: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    javax.imageio.ImageIO.write(img, format, ios)
-    ios.flush()
+    // close (not just flush) in finally — close completes the cache
+    // flush even after a backward-seeking writer, like the OutputStream
+    // overload's internal finally did; and a missing writer must be an
+    // error, not a silently empty payload
+    try require(javax.imageio.ImageIO.write(img, format, ios),
+      s"no ImageIO writer for format '$format'")
+    finally ios.close()
     bos.toByteArray
   }
 

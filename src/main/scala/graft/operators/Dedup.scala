@@ -171,18 +171,23 @@ object Dedup {
     * the scale path onto the small fixtures. */
   private[graft] var VerifyBroadcastMinDocs = 100000L
 
-  /** (__id, band, h) LSH band buckets of a (__id, __mh) signature
-    * frame. Band key = the raw r-slot slice (not a hash of it): exact
-    * array equality is what the SQL oracle joins on too. Shared by the
-    * full-corpus pair build and the incremental index path — both sides
-    * of an index probe MUST band identically. */
-  private def bandBuckets(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** (__id [, carry...], band, h) LSH band buckets of a (__id, __mh)
+    * signature frame. Band key = the raw r-slot slice (not a hash of
+    * it): exact array equality is what the SQL oracle joins on too.
+    * Shared by the full-corpus pair build and BOTH sides of the
+    * incremental index probe — the sides MUST band identically, so
+    * this is the only place the banding is defined; `carry` lets the
+    * index side keep its signature column riding along. */
+  private def bandBuckets(sig: DataFrame, k: Int, bands: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), slice(col("__mh"), b * r + 1, r).as("h"))
     }
-    sig.select(col("__id"), explode(array(bandCols: _*)).as("__b"))
-      .select(col("__id"), col("__b.band"), col("__b.h"))
+    val keep = ("__id" +: carry).map(col)
+    sig.select(keep :+ explode(array(bandCols: _*)).as("__b"): _*)
+      .select(keep ++ Seq(col("__b.band"), col("__b.h")): _*)
   }
 
   /** Candidate near-dup pairs via LSH banding + minhash-estimated
@@ -191,7 +196,6 @@ object Dedup {
       threshold: Double = 0.7, k: Int = 64, bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
     require(k % bands == 0)
-    val r = k / bands
     val sig = minhashSignatures(df, textCol, idCol, k, shingleSize).cache()
     // materializes the cache; its count picks the verify strategy
     val nDocs = sig.count()
@@ -349,6 +353,9 @@ object Dedup {
   def minhashDedupIncremental(shard: DataFrame, textCol: String,
       idCol: String, indexPath: String, threshold: Double = 0.7,
       k: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+    // fail fast — bandBuckets would also catch it, but only after the
+    // shard signature computation already ran
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val spark = shard.sparkSession
     val sig = minhashSignatures(shard, textCol, idCol, k, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -356,7 +363,6 @@ object Dedup {
     val shardBands = bandBuckets(sig, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     shardBands.count()
-    val r = k / bands
     val idxSig = spark.read.parquet(indexPath)
       .select(col("id").as("__id"), col("mh").as("__mh"))
     // shard-vs-index candidates in ONE scan-only index pass: the shard
@@ -365,12 +371,7 @@ object Dedup {
     // scan), and the index signature RIDES the join output so the
     // verify stage needs no second index pass (measured 23 → 14 s at a
     // 495k-doc index). Carried arrays are candidate-bounded.
-    val idxBandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"), slice(col("__mh"), b * r + 1, r).as("h"))
-    }
-    val idxBands = idxSig
-      .select(col("__id"), col("__mh"), explode(array(idxBandCols: _*)).as("__b"))
-      .select(col("__id"), col("__mh"), col("__b.band"), col("__b.h"))
+    val idxBands = bandBuckets(idxSig, k, bands, carry = Seq("__mh"))
     val candIdx = idxBands.as("a")
       .join(broadcast(shardBands).as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h"))

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 import graft.streaming.Flow
 import graft.streaming.Flow.FlowDef
@@ -57,22 +55,6 @@ object FlowQueries {
           "micro-batch ordering would be nondeterministic")
     }
     in.toString
-  }
-
-  /** Temp dir (streaming sink + state-store checkpoint) deleted at JVM
-    * exit — repeated Verify/Bench invocations otherwise accumulate
-    * parquet + state data under /tmp. */
-  private def tempDirCleanedOnExit(prefix: String): String = {
-    val dir = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }))
-    dir.toString
   }
 
   val queries: Map[String, Q] = Map(

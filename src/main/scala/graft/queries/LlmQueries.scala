@@ -12,21 +12,6 @@ import QueryDsl._
   */
 object LlmQueries {
 
-  /** Unique temp dir (signature-index fixtures) deleted at JVM exit —
-    * unique per call so repeated Bench passes never collide. */
-  private def tempDirCleanedOnExit(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }))
-    dir.toString
-  }
-
   val queries: Map[String, Q] = Map(
     // INCREMENTAL dedup against a persisted signature index — how
     // MinHash dedup actually runs at 100 TB (the corpus grows by
@@ -64,7 +49,11 @@ object LlmQueries {
       val idx = tempDirCleanedOnExit("graft_exidx") + "/index"
       Dedup.exactIndexWrite(accepted, "text", "doc_id", idx)
       val b1 = Dedup.exact(accepted, "text", "doc_id")
-      val b2 = Dedup.exactDedupIncremental(shard, "text", "doc_id", idx)
+      // materialize BEFORE the append: b2 must not re-list the index
+      // path after the shard's own digests land in it (the minhash twin
+      // is checkpointed inside minhashDedupIncremental; this one isn't)
+      val b2 = graft.operators.Lineage.truncate(
+        Dedup.exactDedupIncremental(shard, "text", "doc_id", idx))
       Dedup.exactIndexWrite(shard, "text", "doc_id", idx, mode = "append")
       b1.select(col("doc_id"), col("is_dup"))
         .unionByName(b2.select(col("doc_id"), col("is_dup")))

@@ -52,4 +52,22 @@ object QueryDsl {
     * Parquet naive timestamps arrive as TIMESTAMP_NTZ; session TZ is
     * pinned to UTC so the cast is instant-preserving. */
   def ms(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Unique temp dir (streaming sinks/checkpoints, index fixtures)
+    * deleted at JVM exit — unique per call so repeated Verify/Bench
+    * passes never collide, and cleaned so they don't accumulate under
+    * /tmp. Shared by FlowQueries and LlmQueries (one copy; a fix here
+    * reaches every fixture). */
+  private[queries] def tempDirCleanedOnExit(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
 }

@@ -39,7 +39,8 @@ object CurationScaleProbe {
     }
     // GRAFT_CUR_OPS=a,b filters (re-auditing one new op must not re-run
     // the whole historical matrix)
-    val opFilter = sys.env.get("GRAFT_CUR_OPS").map(_.split(",").toSet)
+    val opFilter = sys.env.get("GRAFT_CUR_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ops = Seq("text_repetition", "text_pii_redact", "text_tfidf",
       "cluster_kmeans", "dedup_boilerplate", "text_decontaminate",
       "text_substring_dedup", "text_substring_keep1", "pack_sequences",

@@ -37,10 +37,15 @@ object IncrementalDedupProbe {
           sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
     })
     def timed[A](f: => A): (A, Double, Double) = {
+      // drain the async listener bus before reset AND before read, so
+      // one phase's stage metrics never leak into the next
+      Thread.sleep(700) // listener bus is async and private[spark]: settle it
       shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       val r = f
-      ((r, (System.nanoTime() - t0) / 1e9, shuffleBytes.get / 1e6))
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(700) // listener bus is async and private[spark]: settle it
+      ((r, wall, shuffleBytes.get / 1e6))
     }
     for (dir <- dirs if new java.io.File(s"$dir/documents.parquet").exists()) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -39,12 +39,16 @@ object NearDupScaleProbe {
       val assets = Multimodal.nearDupImageAssets(spark,
         ev.filter(col("event_id") < cap))
       val n = assets.count()
+      // drain the async listener bus around the measurement so stage
+      // metrics from the count above (or the previous cap) don't leak
+      Thread.sleep(700) // listener bus is async and private[spark]: settle it
       shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       val out = graft.queries.LlmQueries.nearDupPipeline(assets)
       val comps = out.select(col("canonical_id")).distinct().count()
       val rows = out.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(700) // listener bus is async and private[spark]: settle it
       println(f"[neardup-scale] cap=$cap%-8d assets=$n%-8d rows=$rows%-8d " +
         f"components=$comps%-6d wall=$wall%7.2f s shuffleMB=${shuffleBytes.get / 1e6}%9.1f")
     }
