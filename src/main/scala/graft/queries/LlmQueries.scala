@@ -60,6 +60,62 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the COMPLETE production arrival protocol, composed: exact-digest
+    // filter first (cheap, absorbs identical re-crawls), MinHash only
+    // over the exact-SURVIVORS, both indexes persisted and appended.
+    // Composition seams this pins beyond the two single-index entries:
+    // the minhash index holds only exact-survivors (so a shard doc
+    // that is an exact dup never reaches the band join), survivor
+    // selection must agree across engines (min-id per digest group,
+    // shard boundary invisible), and the near verdict considers
+    // survivor-vs-survivor pairs only. Oracle = full-corpus replay:
+    // exact rank per digest group, then the minhash pipeline over
+    // rn=1 docs.
+    "dedup_incremental_pipeline" -> ((s, d) => {
+      // the corpus has no natural exact duplicates, so a re-crawl group
+      // is PLANTED (doc_id%97==3 share one constant text): its members
+      // sit on BOTH sides of the arrival cut, so the digest stage is
+      // exercised shard-vs-index and shard-internal, and the group's
+      // non-minimum members must vanish before the band join
+      val docs0 = T(s, d, "documents")
+      val docs = docs0.select(col("doc_id"),
+        when(col("doc_id") % 97 === 3,
+          lit("this exact recrawl snapshot repeats verbatim across the corpus and must be absorbed by the digest stage"))
+          .otherwise(col("text")).as("text"))
+      val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 2 / 3
+      val accepted = docs.filter(col("doc_id") <= cut)
+      val shard = docs.filter(col("doc_id") > cut)
+      val tmp = tempDirCleanedOnExit("graft_pipidx")
+      val dIdx = s"$tmp/digests"; val mIdx = s"$tmp/sigs"
+      def verdict(exactDf: org.apache.spark.sql.DataFrame,
+          nearDf: org.apache.spark.sql.DataFrame) =
+        exactDf.select(col("doc_id"), col("is_dup").as("is_exact_dup"))
+          .join(nearDf.select(col("doc_id"), col("is_dup").as("is_near_dup")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("is_exact_dup"),
+            coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
+          .withColumn("is_dup", col("is_exact_dup") || col("is_near_dup"))
+      // bootstrap: the accepted corpus processed one-shot, both
+      // indexes built (digests = every doc; signatures = survivors)
+      val b1e = Dedup.exact(accepted, "text", "doc_id")
+      val b1Surv = b1e.filter(!col("is_dup")).drop("is_dup")
+      val b1n = Dedup.minhashDedup(b1Surv, "text", "doc_id", threshold = 0.5)
+      Dedup.exactIndexWrite(accepted, "text", "doc_id", dIdx)
+      Dedup.minhashIndexWrite(b1Surv, "text", "doc_id", mIdx)
+      // arrival: exact vs digest index, minhash (survivors only) vs
+      // signature index, then append both (materialized first — the
+      // lazy frames must not re-list the index paths post-append)
+      val s1 = graft.operators.Lineage.truncate(
+        Dedup.exactDedupIncremental(shard, "text", "doc_id", dIdx))
+      val sSurv = s1.filter(!col("is_dup")).drop("is_dup")
+      val s2 = Dedup.minhashDedupIncremental(sSurv, "text", "doc_id", mIdx,
+        threshold = 0.5)
+      Dedup.exactIndexWrite(shard, "text", "doc_id", dIdx, mode = "append")
+      Dedup.minhashIndexAppend(sSurv, "text", "doc_id", mIdx)
+      verdict(b1e, b1n).unionByName(verdict(s1, s2))
+        .orderBy(col("doc_id"))
+    }),
+
     // SEMANTIC decontamination: eval-set probes as EMBEDDINGS through
     // the IVF serve path — the contamination n-gram checks miss
     // (paraphrases). Probes are float32 perturbations (cos ~0.9999) of
@@ -448,17 +504,22 @@ object LlmQueries {
     (0 until 64).map(i => s"(${i},${as(i)}::HUGEINT,${bs(i)}::HUGEINT)").mkString(",")
   }
 
-  /** Full cross-engine MinHash+LSH replay over the `documents` table
-    * (same 60-bit md5-prefix shingle hash, same (a*h+b) mod 2^61-1
-    * permutations, same 16x4 banding), ending at `est` (id_a, id_b, m
-    * agreeing slots). Shared by the pair-list oracle (dedup_minhash)
-    * and the incremental-equivalence oracle (dedup_incremental). */
-  private lazy val minhashReplayCte: String =
-    s"""WITH p(i, a, b) AS (VALUES $minhashPermRows),
+  /** Full cross-engine MinHash+LSH replay (same 60-bit md5-prefix
+    * shingle hash, same (a*h+b) mod 2^61-1 permutations, same 16x4
+    * banding) over `docSource` — a table name or parenthesized
+    * sub-select with (doc_id, text) — ending at `est` (id_a, id_b, m
+    * agreeing slots). Callers prepend `WITH p(i, a, b) AS (VALUES
+    * minhashPermRows)` and any of their own CTEs. Shared by the
+    * pair-list oracle (dedup_minhash), the incremental-equivalence
+    * oracle (dedup_incremental), and the composed-protocol oracle
+    * (dedup_incremental_pipeline, where docSource is the
+    * exact-survivor set). */
+  private def minhashReplayCore(docSource: String): String =
+    s"""
          d AS (SELECT doc_id AS id,
                  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                              x -> x <> '') AS w
-               FROM documents),
+               FROM $docSource),
          g AS (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i
                FROM d WHERE len(w) >= 3),
          gr AS (SELECT id,
@@ -484,7 +545,7 @@ object LlmQueries {
     // 60-bit md5-prefix shingle hash, same (a*h+b) mod 2^61-1
     // permutations (constants above), same 16x4 banding and >=32/64
     // agreement threshold
-    "dedup_minhash" -> (minhashReplayCte + """
+    "dedup_minhash" -> (s"WITH p(i, a, b) AS (VALUES $minhashPermRows)," + minhashReplayCore("documents") + """
          SELECT id_a, id_b, m AS match_slots FROM est
          WHERE m >= 32 ORDER BY id_a, id_b"""),
 
@@ -492,10 +553,36 @@ object LlmQueries {
     // (persisted index + shard) must reproduce the one-shot full-corpus
     // recompute's per-doc verdict — dup iff the doc pairs (>=32/64
     // slots) with ANY smaller id, shard boundary invisible
-    "dedup_incremental" -> (minhashReplayCte + """,
+    "dedup_incremental" -> (s"WITH p(i, a, b) AS (VALUES $minhashPermRows)," + minhashReplayCore("documents") + """,
          dup AS (SELECT DISTINCT id_b AS id FROM est WHERE m >= 32)
          SELECT doc.doc_id, dup.id IS NOT NULL AS is_dup
          FROM documents doc LEFT JOIN dup ON dup.id = doc.doc_id
+         ORDER BY doc.doc_id"""),
+
+    // composed-protocol replay: exact rank per normalized-digest group
+    // first, then the full minhash pipeline over the rn=1 SURVIVORS
+    // only — the incremental two-index path must reproduce all three
+    // verdict columns bit for bit
+    "dedup_incremental_pipeline" ->
+      (s"WITH p(i, a, b) AS (VALUES $minhashPermRows)," + """
+         pl AS (SELECT doc_id,
+             CASE WHEN doc_id % 97 = 3
+               THEN 'this exact recrawl snapshot repeats verbatim across the corpus and must be absorbed by the digest stage'
+               ELSE text END AS text
+           FROM documents),
+         ex AS (SELECT doc_id, text, row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+           FROM pl),""" +
+        minhashReplayCore("(SELECT doc_id, text FROM ex WHERE rn = 1)") + """,
+         ndup AS (SELECT DISTINCT id_b AS id FROM est WHERE m >= 32)
+         SELECT doc.doc_id,
+           ex.rn > 1 AS is_exact_dup,
+           ndup.id IS NOT NULL AS is_near_dup,
+           (ex.rn > 1 OR ndup.id IS NOT NULL) AS is_dup
+         FROM documents doc
+         JOIN ex ON ex.doc_id = doc.doc_id
+         LEFT JOIN ndup ON ndup.id = doc.doc_id
          ORDER BY doc.doc_id"""),
 
     // per-doc verdict of the one-shot full-corpus exact dedup — the
