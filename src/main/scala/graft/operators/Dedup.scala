@@ -300,6 +300,36 @@ object Dedup {
       .select(col("__id").as("id"), col("__mh").as("mh"))
       .write.mode("append").parquet(path)
 
+  /** Dedup a corpus whose signatures are ALREADY PERSISTED — the
+    * bootstrap pass of the incremental protocol, where
+    * [[minhashIndexWrite]] just ran: verdicts identical to
+    * [[minhashDedup]] (banding, estimate, threshold, smaller-id
+    * precedence all shared machinery), but bands and verify both READ
+    * the index, so the corpus is never re-shingled — each document's
+    * signature is computed exactly once in its lifetime. Contract: the
+    * index at `indexPath` holds exactly `df`'s documents (call BEFORE
+    * any shard appends). */
+  def minhashDedupFromIndex(df: DataFrame, idCol: String, indexPath: String,
+      threshold: Double = 0.7, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val spark = df.sparkSession
+    val sig = spark.read.parquet(indexPath)
+      .select(col("id").as("__id"), col("mh").as("__mh"))
+    val buckets = bandBuckets(sig, k, bands)
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val sa = sig.select(col("__id").as("id_a"), col("__mh").as("__sa"))
+    val sb = sig.select(col("__id").as("id_b"), col("__mh").as("__sb"))
+    val dups = cand.join(sa, "id_a").join(sb, "id_b")
+      .filter(estJaccard(col("__sa"), col("__sb"), k) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dups.withColumn("is_dup", lit(true)), Seq(idCol), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+  }
+
   /** Exact-digest twin of [[minhashIndexWrite]]: persist (digest =
     * md5 of normalized text, id) for every ingested doc — the second
     * table of the production index pair (exact first, near-dup second).

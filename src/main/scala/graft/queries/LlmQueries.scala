@@ -29,7 +29,13 @@ object LlmQueries {
       val shard = docs.filter(col("doc_id") > cut)
       val idx = tempDirCleanedOnExit("graft_mhidx") + "/index"
       Dedup.minhashIndexWrite(accepted, "text", "doc_id", idx)
-      val b1 = Dedup.minhashDedup(accepted, "text", "doc_id", threshold = 0.5)
+      // bootstrap dedup READS the just-written index — the accepted
+      // corpus is shingled exactly once (index write), never again.
+      // Materialized BEFORE the shard append below: the lazy frame must
+      // not re-list the index path once shard signatures land in it
+      val b1 = graft.operators.Lineage.truncate(
+        Dedup.minhashDedupFromIndex(accepted, "doc_id", idx,
+          threshold = 0.5))
       val b2 = Dedup.minhashDedupIncremental(shard, "text", "doc_id", idx,
         threshold = 0.5)
       Dedup.minhashIndexAppend(shard, "text", "doc_id", idx)
@@ -99,9 +105,14 @@ object LlmQueries {
       // indexes built (digests = every doc; signatures = survivors)
       val b1e = Dedup.exact(accepted, "text", "doc_id")
       val b1Surv = b1e.filter(!col("is_dup")).drop("is_dup")
-      val b1n = Dedup.minhashDedup(b1Surv, "text", "doc_id", threshold = 0.5)
       Dedup.exactIndexWrite(accepted, "text", "doc_id", dIdx)
       Dedup.minhashIndexWrite(b1Surv, "text", "doc_id", mIdx)
+      // bootstrap near-dedup reads the just-written signature index —
+      // survivors shingled once (the write), never again; materialized
+      // BEFORE the arrival appends touch the same path
+      val b1n = graft.operators.Lineage.truncate(
+        Dedup.minhashDedupFromIndex(b1Surv, "doc_id", mIdx,
+          threshold = 0.5))
       // arrival: exact vs digest index, minhash (survivors only) vs
       // signature index, then append both (materialized first — the
       // lazy frames must not re-list the index paths post-append)
