@@ -92,6 +92,21 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == 7L)
   }
 
+  test("minhashDedupFromIndex: index-backed bootstrap equals the recomputing path") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_mhidx_boot")
+      .toString + "/index"
+    Dedup.minhashIndexWrite(docs, "text", "doc_id", idx)
+    val fromIdx = Dedup.minhashDedupFromIndex(docs, "doc_id", idx,
+        threshold = 0.5)
+      .select($"doc_id", $"is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val recomputed = Dedup.minhashDedup(docs, "text", "doc_id", threshold = 0.5)
+      .select($"doc_id", $"is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(fromIdx == recomputed)
+    assert(fromIdx(2L) && fromIdx(5L) && !fromIdx(1L) && !fromIdx(4L))
+  }
+
   test("incremental exact: digest-index flags equal full recompute, nulls included") {
     val idx = java.nio.file.Files.createTempDirectory("graft_exidx_spec")
       .toString + "/index"
