@@ -199,6 +199,29 @@ object Dedup {
     val sig = minhashSignatures(df, textCol, idCol, k, shingleSize).cache()
     // materializes the cache; its count picks the verify strategy
     val nDocs = sig.count()
+    val out = minhashPairsFromSig(sig, nDocs, threshold, k, bands)
+    sig.unpersist()
+    out
+  }
+
+  /** Candidate + verify pipeline over a prepared (__id, __mh)
+    * signature frame — the ONE implementation of the banding/estimate/
+    * threshold machinery, shared by the recomputing path
+    * ([[minhashPairs]]) and the index-backed bootstrap path
+    * ([[minhashDedupFromIndex]]) so the output-bounded verify strategy
+    * can't drift between them. Returns the materialized (id_a, id_b,
+    * est_jaccard) pair list.
+    *
+    * Output-bounded verify at scale: persist candidates once (else the
+    * band pipeline executes once per broadcast — measured 2× shuffle
+    * rows) and broadcast the PAIRS into each signature stream (|cand| ∝
+    * near-dup pairs, not the corpus), then join the slimmed streams on
+    * the pair key — the corpus-side signature table never shuffles
+    * (measured 53× shuffle growth at 500k docs without it). Below the
+    * boundary, the un-hinted single-reference chain is both correct
+    * (Catalyst broadcasts cand on its own) and faster. */
+  private def minhashPairsFromSig(sig: DataFrame, nDocs: Long,
+      threshold: Double, k: Int, bands: Int): DataFrame = {
     val buckets = bandBuckets(sig, k, bands)
     val a = buckets.as("a")
     val b = buckets.as("b")
@@ -210,13 +233,6 @@ object Dedup {
     val scalePath = nDocs > VerifyBroadcastMinDocs
     val sa = sig.select(col("__id").as("id_a"), col("__mh").as("__sa"))
     val sb = sig.select(col("__id").as("id_b"), col("__mh").as("__sb"))
-    // Output-bounded verify at scale: persist candidates once (else the
-    // band pipeline executes once per broadcast — measured 2× shuffle
-    // rows) and broadcast the PAIRS into each signature stream (|cand| ∝
-    // near-dup pairs, not the corpus), then join the slimmed streams on
-    // the pair key — the corpus-side signature table never shuffles.
-    // Below the boundary, the un-hinted single-reference chain is both
-    // correct (Catalyst broadcasts cand on its own) and faster.
     val candP =
       if (scalePath) cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else cand
@@ -229,11 +245,10 @@ object Dedup {
       .withColumn("est_jaccard", estJaccard(col("__sa"), col("__sb"), k))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
-      // eager materialization so the sig cache releases now (the same
-      // leak-by-laziness the ngram path fixed in round 4); reliable
-      // checkpoint when graft.checkpoint.dir is set
+      // eager materialization so any caller-side cache releases now
+      // (the same leak-by-laziness the ngram path fixed in round 4);
+      // reliable checkpoint when graft.checkpoint.dir is set
       .transform(Lineage.truncate)
-    sig.unpersist()
     if (scalePath) candP.unpersist()
     out
   }
@@ -313,18 +328,15 @@ object Dedup {
       threshold: Double = 0.7, k: Int = 64, bands: Int = 16): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val spark = df.sparkSession
+    // no cache: the signatures are a cheap columnar re-scan here, and
+    // the shared verify core already bounds what shuffles; the count
+    // picks the same broadcast-verify strategy as the recomputing path
+    // (the bootstrap corpus is the LARGEST input in the protocol —
+    // exactly where the output-bounded path matters)
     val sig = spark.read.parquet(indexPath)
       .select(col("id").as("__id"), col("mh").as("__mh"))
-    val buckets = bandBuckets(sig, k, bands)
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
-    val sa = sig.select(col("__id").as("id_a"), col("__mh").as("__sa"))
-    val sb = sig.select(col("__id").as("id_b"), col("__mh").as("__sb"))
-    val dups = cand.join(sa, "id_a").join(sb, "id_b")
-      .filter(estJaccard(col("__sa"), col("__sb"), k) >= threshold)
+    val nDocs = sig.count()
+    val dups = minhashPairsFromSig(sig, nDocs, threshold, k, bands)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dups.withColumn("is_dup", lit(true)), Seq(idCol), "left")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))

@@ -102,8 +102,12 @@ object LlmQueries {
             coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
           .withColumn("is_dup", col("is_exact_dup") || col("is_near_dup"))
       // bootstrap: the accepted corpus processed one-shot, both
-      // indexes built (digests = every doc; signatures = survivors)
-      val b1e = Dedup.exact(accepted, "text", "doc_id")
+      // indexes built (digests = every doc; signatures = survivors).
+      // b1e is materialized: it feeds THREE consumers (the signature
+      // index write, b1n's join-back side, the final verdict) — lazy,
+      // the exact-dedup plan would re-execute for each
+      val b1e = graft.operators.Lineage.truncate(
+        Dedup.exact(accepted, "text", "doc_id"))
       val b1Surv = b1e.filter(!col("is_dup")).drop("is_dup")
       Dedup.exactIndexWrite(accepted, "text", "doc_id", dIdx)
       Dedup.minhashIndexWrite(b1Surv, "text", "doc_id", mIdx)
