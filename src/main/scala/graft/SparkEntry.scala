@@ -7,9 +7,11 @@ import graft.queries._
   *
   * `queries` aggregates every operator registry; each key is one line of
   * the SURVEY §2 inventory. `oracleSql` carries the DuckDB-equivalent
-  * SQL for the hash-compare correctness gate; non-SQL-expressible
-  * operators (sketches, MinHash, PromQL) intentionally have no oracle
-  * and get the weaker rows-only check.
+  * SQL for the hash-compare correctness gate. The key sets are
+  * SYMMETRIC: every entry — including the sketch / MinHash / PromQL
+  * ones — has a full DuckDB oracle (deterministic replays of the
+  * algorithm in SQL where no direct equivalent exists); none fall back
+  * to the weaker rows-only check. EntryCoverageSpec pins the symmetry.
   */
 object SparkEntry {
 

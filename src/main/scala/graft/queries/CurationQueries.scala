@@ -239,7 +239,11 @@ object CurationQueries {
     // text — the oracle replays both stages end to end.
     "dedup_two_level" -> ((s, d) => {
       val docs = T(s, d, "documents")
-      val planted = concat(TextRepetition.relinear(15)(col("text")),
+      // coalesce: the oracle plants unconditionally (FROM documents
+      // WHERE doc_id % 4 = 2), but Spark concat propagates null — a
+      // null-text doc would lose its plant AND its n_paras here
+      val planted = concat(
+        coalesce(TextRepetition.relinear(15)(col("text")), lit("")),
         when(col("doc_id") % 4 === 2,
           lit("\nplease subscribe to this exclusive newsletter paragraph repeated verbatim across the crawl"))
           .otherwise(lit("")))

@@ -138,7 +138,11 @@ object LlmQueries {
     // similarity_ivf: the synthetic corpus has no natural >=0.99
     // structure, so the perturbed originals are the complete flag set
     // and the oracle computes it by exact brute-force distance join —
-    // IVF at nprobe=4 must recover every one of them.
+    // IVF at nprobe=4 must recover every one of them. NOTE: that
+    // exactness is a FIXTURE property (every >=threshold pair's corpus
+    // cell is among the probe's nprobe cells), not an operator
+    // guarantee — ivfContaminated is approximate in general; fixture
+    // edits must re-validate the cell-coverage contract.
     "decontaminate_semantic" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       val probes = emb.filter(col("vec_id") % 17 === 3)

@@ -58,7 +58,7 @@ object QueryDsl {
     * passes never collide, and cleaned so they don't accumulate under
     * /tmp. Shared by FlowQueries and LlmQueries (one copy; a fix here
     * reaches every fixture). */
-  private[queries] def tempDirCleanedOnExit(prefix: String): String = {
+  private[graft] def tempDirCleanedOnExit(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {

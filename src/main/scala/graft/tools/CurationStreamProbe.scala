@@ -41,7 +41,7 @@ object CurationStreamProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tmp = java.nio.file.Files.createTempDirectory("curprobe").toString
+    val tmp = graft.queries.QueryDsl.tempDirCleanedOnExit("curprobe")
     val in = new java.io.File(s"$tmp/in"); in.mkdirs()
     val epoch = 1767225600L
     def at(m: Int) = timestamp_seconds(lit(epoch + m * 60L))

@@ -32,7 +32,7 @@ object FlowCurationScaleProbe {
       // streaming query starts — measure the same write shape so the
       // growth claim attributes engine cost and fixture cost honestly
       val st0 = System.nanoTime()
-      val scratch = java.nio.file.Files.createTempDirectory("fcs_stage").toString
+      val scratch = graft.queries.QueryDsl.tempDirCleanedOnExit("fcs_stage")
       for (i <- 0 until 4)
         docs.select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("source"),

@@ -57,8 +57,8 @@ object IncrementalDedupProbe {
       val accepted = docs.filter(col("doc_id") <= cut)
       val shard = docs.filter(col("doc_id") > cut)
       val (nIdx, nShard) = (accepted.count(), shard.count())
-      val idxPath = java.nio.file.Files.createTempDirectory("graft_incprobe")
-        .toString + "/index"
+      val idxPath =
+        graft.queries.QueryDsl.tempDirCleanedOnExit("graft_incprobe") + "/index"
       val (_, buildWall, buildMb) =
         timed(Dedup.minhashIndexWrite(accepted, "text", "doc_id", idxPath))
       val ((arrDups, arrWall, arrMb)) = timed {

@@ -27,8 +27,7 @@ object NgramStageProbe {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     docs.count()
     def run(label: String, boundary: Long): Unit = {
-      val saved = Dedup.VerifyBroadcastMinDocs
-      Dedup.VerifyBroadcastMinDocs = boundary
+      spark.conf.set(Dedup.VerifyBroadcastMinDocsKey, boundary.toString)
       try {
         Dedup.ngramJaccardPairs(docs, "text", "doc_id").count() // warm
         Thread.sleep(500)
@@ -42,7 +41,7 @@ object NgramStageProbe {
         println(f"[ngram-stage] $label%-12s wall_min=${walls.min}%5.2f s " +
           f"stages/run=${stages.get / 3} shuffleMB/run=${shuffle.get / 3e6}%7.1f " +
           f"passes=${walls.map(w => f"$w%.2f").mkString(",")}")
-      } finally Dedup.VerifyBroadcastMinDocs = saved
+      } finally spark.conf.unset(Dedup.VerifyBroadcastMinDocsKey)
     }
     run("small-path", Long.MaxValue)
     run("scale-path", 0L)

@@ -136,6 +136,65 @@ class DedupSpec extends AnyFunSuite {
     assert(full == inc)
   }
 
+  test("incremental large-shard path (forced partitioned join) matches the broadcast path") {
+    // incrementalBroadcastMaxDocs=0 forces the shuffle-join plan that a
+    // shard above the broadcast boundary gets; verdicts must be
+    // identical to the default broadcast serve path on both the
+    // minhash and the exact index.
+    val mhIdx = java.nio.file.Files.createTempDirectory("graft_mhidx_large")
+      .toString + "/index"
+    val exIdx = java.nio.file.Files.createTempDirectory("graft_exidx_large")
+      .toString + "/index"
+    val shard = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "unrelated shard document discussing columnar storage formats and parquet footers"),
+      (12L, "THE QUICK brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    Dedup.minhashIndexWrite(docs, "text", "doc_id", mhIdx)
+    Dedup.exactIndexWrite(docs, "text", "doc_id", exIdx)
+    def flags(mh: Boolean): Map[Long, Boolean] =
+      (if (mh) Dedup.minhashDedupIncremental(shard, "text", "doc_id", mhIdx,
+        threshold = 0.5)
+      else Dedup.exactDedupIncremental(shard, "text", "doc_id", exIdx))
+        .select($"doc_id", $"is_dup").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val (mhSmall, exSmall) = (flags(true), flags(false))
+    spark.conf.set(Dedup.IncrementalBroadcastMaxDocsKey, "0")
+    try {
+      assert(flags(true) == mhSmall)
+      assert(flags(false) == exSmall)
+    } finally spark.conf.unset(Dedup.IncrementalBroadcastMaxDocsKey)
+    assert(mhSmall == Map(10L -> true, 11L -> false, 12L -> true))
+    assert(exSmall == Map(10L -> true, 11L -> false, 12L -> true))
+  }
+
+  test("arrival-order debug guard fires on out-of-order shard ids, passes in order") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ordidx")
+      .toString + "/index"
+    Dedup.exactIndexWrite(docs, "text", "doc_id", idx) // ids 1-5 indexed
+    Dedup.minhashIndexWrite(docs, "text", "doc_id", idx + "_mh")
+    val okShard = Seq((10L, "fresh doc"), (11L, "other fresh doc"))
+      .toDF("doc_id", "text")
+    val badShard = Seq((3L, "fresh doc"), (10L, "other fresh doc"))
+      .toDF("doc_id", "text")
+    spark.conf.set(Dedup.CheckArrivalOrderKey, "true")
+    try {
+      // in-order shards pass under the guard on both serve paths
+      Dedup.exactDedupIncremental(okShard, "text", "doc_id", idx).collect()
+      Dedup.minhashDedupIncremental(okShard, "text", "doc_id", idx + "_mh")
+        .collect()
+      val e1 = intercept[IllegalArgumentException](
+        Dedup.exactDedupIncremental(badShard, "text", "doc_id", idx).collect())
+      assert(e1.getMessage.contains("arrival-order contract"))
+      val e2 = intercept[IllegalArgumentException](
+        Dedup.minhashDedupIncremental(badShard, "text", "doc_id", idx + "_mh")
+          .collect())
+      assert(e2.getMessage.contains("arrival-order contract"))
+    } finally spark.conf.unset(Dedup.CheckArrivalOrderKey)
+    // guard off (default): the same out-of-order shard runs unchecked
+    Dedup.exactDedupIncremental(badShard, "text", "doc_id", idx).collect()
+  }
+
   test("simhash: identical texts have distance 0, near-dups small") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
@@ -154,13 +213,14 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("scale-path verify (forced broadcast pair-key join) matches the small-path") {
-    // VerifyBroadcastMinDocs=0 forces the 100k+ docs verify strategy
+    // verifyBroadcastMinDocs=0 forces the 100k+ docs verify strategy
     // (persisted candidates broadcast into both corpus streams) onto the
     // small fixture; results must be identical to the default chain.
     def both[A](f: => A): (A, A) = {
       val small = f
-      Dedup.VerifyBroadcastMinDocs = 0L
-      try (small, f) finally Dedup.VerifyBroadcastMinDocs = 100000L
+      spark.conf.set(Dedup.VerifyBroadcastMinDocsKey, "0")
+      try (small, f)
+      finally spark.conf.unset(Dedup.VerifyBroadcastMinDocsKey)
     }
     val (m1, m2) = both(Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
