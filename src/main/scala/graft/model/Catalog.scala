@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *  - ttl:           `time_index >= now() - ttl` filter injected at scan
   *
   * At 100 TB the dedup window shuffles on (tags, ts) once; downstream
-  * per-series operators (RANGE, PromQL) reuse that clustering. A
-  * compaction job can materialize the deduped snapshot so steady-state
-  * reads skip the window entirely (SURVEY §7.3(c)).
+  * per-series operators (RANGE, PromQL) reuse that clustering.
+  * Compaction ([[Catalog.compactSnapshot]] + the on-disk manifest)
+  * materializes the deduped snapshot so steady-state reads skip the
+  * window entirely, and post-compaction appends pay it only on the
+  * keys they touch (SURVEY §7.3(c)).
   */
 final class Catalog(spark: SparkSession) {
   private val specs = scala.collection.concurrent.TrieMap.empty[String, TableSpec]
@@ -33,8 +35,14 @@ final class Catalog(spark: SparkSession) {
   def raw(name: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(spec(name).path)
 
-  /** The merged read view: what SQL queries against this table see. */
-  def read(name: String): DataFrame = Catalog.readView(raw(name), spec(name))
+  /** The merged read view: what SQL queries against this table see.
+    * Compaction-aware for merge-mode tables (SURVEY §7.3(c)): when the
+    * on-disk manifest says the files are exactly the compacted
+    * snapshot, the scan is window-free (steady state at 100 TB); when a
+    * delta was appended since, only keys the delta touches pay the
+    * merge window — cost ∝ delta, not corpus. */
+  def read(name: String): DataFrame =
+    Catalog.compactionAwareRead(spark, raw(name), spec(name))
 
   /** Register the read view as a temp view so spark.sql can use it. */
   def createView(name: String): Unit = read(name).createOrReplaceTempView(name)
@@ -72,10 +80,137 @@ object Catalog {
       case _ => df
     }
     spec.mergeMode match {
-      case MergeMode.Append      => ttlFiltered
-      case MergeMode.LastRow     => dedupLastRow(ttlFiltered, spec)
-      case MergeMode.LastNonNull => dedupLastNonNull(ttlFiltered, spec)
+      case MergeMode.Append => ttlFiltered
+      case _ => spec.compactedSeq
+          // the delta split orders against REAL persisted seqs; without
+          // a physical seq column fall back to the full merge window
+          .filter(_ => spec.seqColumn.exists(df.columns.contains)) match {
+        case Some(s) => mergeDelta(ttlFiltered, spec, s)
+        case None if spec.mergeMode == MergeMode.LastRow =>
+          dedupLastRow(ttlFiltered, spec)
+        case None => dedupLastNonNull(ttlFiltered, spec)
+      }
     }
+  }
+
+  // ── Compaction (SURVEY §7.3(c)) ─────────────────────────────────────
+  //
+  // ADMIN compact_table on a merge-mode table rewrites the Parquet to
+  // the merged snapshot (reference: mito compaction merging SSTs with
+  // the same dedup semantics the read path applies,
+  // mito2/src/read/dedup.rs:301-425) and records a manifest beside the
+  // data: the compacted seq bound + the exact file listing it produced.
+  // The read path then picks one of three plans:
+  //   listing == manifest  → CLEAN: scan only, NO window (steady state)
+  //   listing ⊃ manifest   → DELTA: window only keys the delta touches
+  //   no manifest          → full merge window (today's behavior)
+  // The manifest is on-disk state — it survives restarts, exactly like
+  // the minhash/digest dedup indexes.
+
+  /** Manifest file name; the leading underscore keeps Spark's Parquet
+    * reader from treating it as data. */
+  private val ManifestFile = "_graft_compaction"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Data-file names under a table dir (underscore/dot files excluded —
+    * the same set Spark's scan sees). Driver-side metadata listing, one
+    * FS call — the same cost class as a lakehouse snapshot check. */
+  private def dataFiles(spark: SparkSession, path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = fsOf(spark, path)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+  }
+
+  /** Record a just-finished compaction: seq bound + file listing. */
+  def writeCompactionManifest(spark: SparkSession, path: String,
+      seq: Long): Unit = {
+    val fs = fsOf(spark, path)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, ManifestFile), true)
+    try out.write((seq.toString +: dataFiles(spark, path).toSeq.sorted)
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (compacted seq bound, file listing at compaction time), if a
+    * compaction ever ran on this dir. */
+  def readCompactionManifest(spark: SparkSession,
+      path: String): Option[(Long, Set[String])] = {
+    val p = new org.apache.hadoop.fs.Path(path, ManifestFile)
+    val fs = fsOf(spark, path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n").toSeq
+      lines.headOption.flatMap(h => scala.util.Try(h.trim.toLong).toOption)
+        .map(seq => (seq, lines.drop(1).map(_.trim).filter(_.nonEmpty).toSet))
+    }
+  }
+
+  /** Merge view that consults the compaction manifest (see the plan
+    * table above). Falls through to [[readView]] untouched for append
+    * tables and never-compacted dirs. */
+  def compactionAwareRead(spark: SparkSession, df: DataFrame,
+      spec: TableSpec): DataFrame =
+    if (spec.mergeMode == MergeMode.Append) readView(df, spec)
+    else readCompactionManifest(spark, spec.path) match {
+      case Some((seq, files)) if dataFiles(spark, spec.path) == files =>
+        // fully compacted, nothing arrived since: the files ARE the
+        // merged view — scan-only read, column set identical to the
+        // windowed view's (engine seq column hidden)
+        readView(df, spec.copy(mergeMode = MergeMode.Append)).drop(SeqCol)
+      case Some((seq, _)) =>
+        readView(df, spec.copy(compactedSeq = Some(seq)))
+      case None => readView(df, spec)
+    }
+
+  /** Physical snapshot a compaction writes: the merge view's rows WITH
+    * the seq column kept (stamped with the winning row's seq), so rows
+    * appended after the compaction — strictly larger statement seqs —
+    * still order correctly against the snapshot at read time. */
+  def compactSnapshot(df: DataFrame, spec: TableSpec): DataFrame = {
+    val hadSeq = df.columns.contains(SeqCol)
+    val seqd = withSeq(df, spec)
+    val merged = spec.mergeMode match {
+      case MergeMode.Append      => seqd
+      case MergeMode.LastRow     => keepNewest(seqd, spec)
+      case MergeMode.LastNonNull => mergeNonNullSeqd(seqd, spec)
+    }
+    if (hadSeq) merged else dropSeq(merged)
+  }
+
+  /** Delta+snapshot merge read for a compacted table that has seen
+    * later appends: rows with seq <= `bound` are already merged (one
+    * row per key); only keys the delta touches re-enter the merge
+    * window. Un-hinted joins on the delta key set — AQE converts them
+    * to broadcast when the delta is small (the steady-state case). All
+    * key joins are null-safe (null tags are valid key values). */
+  private def mergeDelta(df: DataFrame, spec: TableSpec,
+      bound: Long): DataFrame = {
+    val seqd = withSeq(df, spec)
+    val keys = mergeKey(seqd, spec)
+    // a null/unknown seq can't prove membership in the compacted
+    // snapshot — treat it as delta, never silently drop the row
+    val isDelta = col(SeqCol).isNull || col(SeqCol) > bound
+    val dk = seqd.filter(isDelta)
+      .select(keys.map(c => col(s"`$c`").as(s"__dk_$c")): _*).distinct()
+    val cond = keys.map(c => col(s"`$c`") <=> col(s"`__dk_$c`"))
+      .reduce(_ && _)
+    val touched = seqd.join(dk, cond, "leftsemi")
+    val untouched = seqd.filter(!isDelta).join(dk, cond, "left_anti")
+    val merged = spec.mergeMode match {
+      case MergeMode.Append      => touched
+      case MergeMode.LastRow     => keepNewest(touched, spec)
+      case MergeMode.LastNonNull => mergeNonNullSeqd(touched, spec)
+    }
+    dropSeq(merged.unionByName(untouched))
   }
 
   /** Materialize the write-order column ONCE so every window in the
@@ -95,8 +230,12 @@ object Catalog {
 
   /** merge_mode=last_non_null: for each field independently, the last
     * non-null write wins (mito2/src/read/dedup.rs:301-425). */
-  def dedupLastNonNull(df: DataFrame, spec: TableSpec): DataFrame = {
-    val seqd = withSeq(df, spec)
+  def dedupLastNonNull(df: DataFrame, spec: TableSpec): DataFrame =
+    dropSeq(mergeNonNullSeqd(withSeq(df, spec), spec))
+
+  /** last_non_null merge over an already-seq'd frame, seq kept on the
+    * surviving row — shared by the read view and [[compactSnapshot]]. */
+  private def mergeNonNullSeqd(seqd: DataFrame, spec: TableSpec): DataFrame = {
     val pk = mergeKey(seqd, spec).toSet
     val fields = seqd.columns
       .filterNot(c => pk.contains(c) || c == SeqCol || spec.seqColumn.contains(c))
@@ -108,7 +247,7 @@ object Catalog {
     val merged = fields.foldLeft(seqd) { (d, f) =>
       d.withColumn(f, first(col(s"`$f`"), ignoreNulls = true).over(w))
     }
-    dropSeq(keepNewest(merged, spec))
+    keepNewest(merged, spec)
   }
 
   /** Merge key: the primary key plus, when the table stores one, the

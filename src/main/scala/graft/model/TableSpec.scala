@@ -55,6 +55,14 @@ object MergeMode {
   *                  duplicate keys; when absent, dedup falls back to a
   *                  deterministic-but-arbitrary "any row wins" choice,
   *                  which is what a single Parquet snapshot gives us.
+  * @param compactedSeq when set, rows with seq <= this bound are already
+  *                  merge-MATERIALIZED on disk (at most one row per
+  *                  merge key — a compaction rewrote them), so the read
+  *                  view only needs to merge keys the post-compaction
+  *                  delta touches. Resolved from the on-disk compaction
+  *                  manifest by [[graft.model.Catalog.read]], not set by
+  *                  hand (mito compaction analog: merged SST output,
+  *                  mito2/src/compaction.rs).
   */
 final case class TableSpec(
     name: String,
@@ -63,7 +71,8 @@ final case class TableSpec(
     tags: Seq[String] = Nil,
     mergeMode: MergeMode = MergeMode.Append,
     ttlMillis: Option[Long] = None,
-    seqColumn: Option[String] = None) {
+    seqColumn: Option[String] = None,
+    compactedSeq: Option[Long] = None) {
 
   def primaryKey: Seq[String] = tags :+ timeIndex
 

@@ -2292,6 +2292,20 @@ final class GraftSession(spark0: SparkSession,
                   (current_timestamp() - expr(s"INTERVAL $ttl MILLISECOND"))))
               refreshView(t)
             }
+            // compaction materializes the merge view (SURVEY §7.3(c)):
+            // the Parquet is rewritten to the deduped snapshot + a
+            // manifest (seq bound, file listing), after which a clean
+            // steady-state scan is window-free and later appends merge
+            // as delta-vs-snapshot (Catalog.compactionAwareRead).
+            // flush_table does NOT merge — the reference only dedups
+            // across SSTs at compaction.
+            if (fnl.startsWith("compact_table") &&
+                spec.mergeMode != MergeMode.Append) {
+              val upTo = seqCounter.get()
+              migrateParquet(spec)(df => Catalog.compactSnapshot(df, spec))
+              Catalog.writeCompactionManifest(spark, spec.path, upTo)
+              refreshView(t)
+            }
             if (fnl.startsWith("flush_table")) {
               recordSstFlush(t)
               durableSeq.put(t, seqCounter.get()) // flushed = restart-durable

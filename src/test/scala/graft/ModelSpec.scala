@@ -81,4 +81,48 @@ class ModelSpec extends AnyFunSuite {
     // instant ttl: rows never reach scans (ttl/ttl_instant.result)
     assert(Catalog.readView(df, spec(MergeMode.Append, ttl = Some(0L))).count() == 0)
   }
+
+  test("compaction: snapshot+manifest read equals the full merge view, clean scan is window-free") {
+    for (mode <- Seq(MergeMode.LastRow, MergeMode.LastNonNull)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_cmp_$mode")
+        .toString + "/t"
+      val cat = new Catalog(spark)
+      val sp = spec(mode).copy(name = s"cmp_$mode", path = dir)
+      cat.register(sp)
+      raw.write.mode("overwrite").parquet(dir) // batch 1+2 (seq 0/1)
+      // compact: rewrite to the merged snapshot (seq kept), stamp manifest
+      val snap = Catalog.compactSnapshot(
+        spark.read.parquet(dir), sp).collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(snap.toIndexedSeq),
+        spark.read.parquet(dir).schema)
+        .write.mode("overwrite").parquet(dir)
+      Catalog.writeCompactionManifest(spark, dir, 1L)
+      // clean steady state: values = merge view, plan has no window
+      val clean = cat.read(sp.name)
+      assert(!clean.queryExecution.executedPlan.toString.contains("Window"))
+      val cleanRows = clean.orderBy($"host", $"ts").collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+      val full = Catalog.readView(raw, sp)
+        .orderBy($"host", $"ts").collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+      assert(cleanRows.toSeq == full.toSeq, s"$mode clean")
+      // post-compaction append: delta rows must merge against the
+      // snapshot; untouched keys pass through un-windowed
+      val delta = Seq(("a", 100L, Some(9.0), None.asInstanceOf[Option[String]], 2L))
+        .toDF("host", "ts", "f1", "f2", "seq")
+      delta.write.mode("append").parquet(dir)
+      val merged = cat.read(sp.name).orderBy($"host", $"ts").collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+      val fullAfter = Catalog.readView(raw.unionByName(delta), sp)
+        .orderBy($"host", $"ts").collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+      assert(merged.toSeq == fullAfter.toSeq, s"$mode delta")
+      // the semantics the equality proves: last_row loses f2 at the
+      // re-written key, last_non_null keeps the older non-null
+      val aRow = merged.toSeq.find(r => r._1 == "a" && r._2 == 100L).get
+      if (mode == MergeMode.LastRow) assert(aRow == ("a", 100L, Some(9.0), None))
+      else assert(aRow == ("a", 100L, Some(9.0), Some("x")))
+    }
+  }
 }

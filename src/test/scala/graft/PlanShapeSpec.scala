@@ -315,4 +315,36 @@ class PlanShapeSpec extends AnyFunSuite {
         s"shuffleMB=${shuffle.get / 1e6} (baseline ~15)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("compacted merge table: steady-state scan is window-free, appends re-enter the delta merge") {
+    // SURVEY §7.3(c): ADMIN compact_table materializes the merge view;
+    // the structural claim is that a fully-compacted table's scan pays
+    // NO window (the 100 TB steady state), and only a post-compaction
+    // append brings the (delta-bounded) merge back.
+    val g = new graft.sql.GraftSession(spark)
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    g.sql("""CREATE TABLE cmp_ps (ts TIMESTAMP TIME INDEX,
+        h STRING PRIMARY KEY, v DOUBLE) WITH ('merge_mode'='last_row')""")
+    g.sql("INSERT INTO cmp_ps VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    g.sql("INSERT INTO cmp_ps VALUES (1, 'a', 10.0)") // rewrite of key a
+    def vals() = g.sql("SELECT h, v FROM cmp_ps ORDER BY h").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(fmt(g.sql("SELECT ts, h, v FROM cmp_ps")).contains("Window"))
+    assert(vals() == Seq(("a", 10.0), ("b", 2.0)))
+    g.sql("ADMIN compact_table('cmp_ps')")
+    val clean = fmt(g.sql("SELECT ts, h, v FROM cmp_ps"))
+    assert(!clean.contains("Window"), clean.take(1200))
+    assert(vals() == Seq(("a", 10.0), ("b", 2.0)))
+    // append after compaction: merged read returns (windowed over the
+    // delta keys), values correct
+    g.sql("INSERT INTO cmp_ps VALUES (2, 'b', 20.0)")
+    assert(fmt(g.sql("SELECT ts, h, v FROM cmp_ps")).contains("Window"))
+    assert(vals() == Seq(("a", 10.0), ("b", 20.0)))
+    // a second compaction restores the window-free steady state
+    g.sql("ADMIN compact_table('cmp_ps')")
+    assert(!fmt(g.sql("SELECT ts, h, v FROM cmp_ps")).contains("Window"))
+    assert(vals() == Seq(("a", 10.0), ("b", 20.0)))
+  }
 }
