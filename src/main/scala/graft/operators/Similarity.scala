@@ -215,6 +215,46 @@ object Similarity {
       queries, queryVecCol, queryIdCol, k, nprobe)
   }
 
+  /** Persist a built IVF index the way the minhash/digest dedup pair
+    * is persisted (build/serve split with state on DISK, not in the
+    * JVM): the cell-assigned corpus as Parquet partitioned BY CELL —
+    * so a serve-time probe of nprobe cells is partition PRUNING, not
+    * even a filter — plus the trained centroids as a tiny sidecar
+    * table. A fresh session reloads with [[ivfIndexRead]] and serves
+    * without re-training, re-assigning, or shuffling the corpus. */
+  def ivfIndexWrite(corpus: DataFrame, vecCol: String, idCol: String,
+      ncentroids: Int, path: String): Unit = {
+    val (cells, cents) = ivfIndex(corpus, vecCol, idCol, ncentroids)
+    cells.write.mode("overwrite").partitionBy("__cell")
+      .parquet(path + "/cells")
+    val spark = corpus.sparkSession
+    val centRows = cents.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(i, v.toSeq)
+    }
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cent_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = false)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(centRows, 1), centSchema)
+      .write.mode("overwrite").parquet(path + "/centroids")
+  }
+
+  /** Reload a persisted IVF index: (cells frame, centroid array) in
+    * the shape [[ivfSearchIndexed]] / [[ivfContaminated]] consume. The
+    * centroid sidecar is ncentroids·dim floats — a driver-side read of
+    * the same cost class as the k-means training sample. */
+  def ivfIndexRead(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Array[Array[Float]]) = {
+    val cells = spark.read.parquet(path + "/cells")
+    val cents = spark.read.parquet(path + "/centroids")
+      .orderBy(col("cent_id")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    (cells, cents)
+  }
+
   /** LSH-pruned approximate top-k: only corpus rows whose hyperplane
     * signature matches the query's in >= (planes - maxFlips) bits are
     * re-ranked exactly. */

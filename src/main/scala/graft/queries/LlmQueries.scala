@@ -149,8 +149,13 @@ object LlmQueries {
         .select((col("vec_id") + 200000L).as("q_id"),
           transform(col("embedding"), (x, j) =>
             x * (lit(1.0f) + ((j % 5) - 2).cast("float") * lit(0.008f))).as("q_vec"))
-      val (cells, cents) = Similarity.ivfIndex(emb, "embedding", "vec_id",
-        ncentroids = 16)
+      // round 10: the serve runs off the PERSISTED index (built, written
+      // cell-partitioned, reloaded) — proving the production
+      // build/serve split holds state on disk, same oracle as before
+      val idxPath = tempDirCleanedOnExit("graft_ivfidx") + "/ivf"
+      Similarity.ivfIndexWrite(emb, "embedding", "vec_id",
+        ncentroids = 16, path = idxPath)
+      val (cells, cents) = Similarity.ivfIndexRead(s, idxPath)
       val hits = Similarity.ivfContaminated(cells, cents, "embedding", "vec_id",
         probes, "q_vec", "q_id", threshold = 0.99, nprobe = 4)
       // the flag set is contamination-sized by nature — broadcast the
@@ -284,6 +289,30 @@ object LlmQueries {
             x * (lit(1.0f) + ((j % 5) - 2).cast("float") * lit(0.008f))).as("q_vec"))
       Similarity.ivfTopK(emb, "embedding", "vec_id",
         probes, "q_vec", "q_id", k = 1, ncentroids = 16, nprobe = 2)
+        .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("q_id"))
+    }),
+
+    // The same IVF serve, but across the PRODUCTION restart boundary:
+    // the index is written to disk (cells Parquet partitioned by cell
+    // id + centroid sidecar) and reloaded in a FRESH SparkSession that
+    // shares nothing in-memory with the builder — probes, corpus
+    // frames, and the serve plan are all rebuilt from storage. Same
+    // fixture and expected pairs as similarity_ivf, so a match proves
+    // the persisted index serves identically to the just-built one.
+    "similarity_ivf_persisted" -> ((s, d) => {
+      val idxPath = tempDirCleanedOnExit("graft_ivftopk") + "/ivf"
+      Similarity.ivfIndexWrite(T(s, d, "embeddings"), "embedding", "vec_id",
+        ncentroids = 16, path = idxPath)
+      val s2 = s.newSession()
+      val (cells, cents) = Similarity.ivfIndexRead(s2, idxPath)
+      val probes = T(s2, d, "embeddings")
+        .filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          transform(col("embedding"), (x, j) =>
+            x * (lit(1.0f) + ((j % 5) - 2).cast("float") * lit(0.008f))).as("q_vec"))
+      Similarity.ivfSearchIndexed(cells, cents, "embedding", "vec_id",
+        probes, "q_vec", "q_id", k = 1, nprobe = 2)
         .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy(col("q_id"))
     }),
@@ -678,6 +707,21 @@ object LlmQueries {
     // vector; IVF nprobe=2 must recover it as exact top-1 — the oracle
     // replays the float32 perturbation and joins probe to original
     "similarity_ivf" ->
+      """WITH q AS (
+           SELECT vec_id AS q_id,
+             list_transform(embedding, (x, i) ->
+               CAST(x * (CAST(1.0 AS FLOAT) +
+                 CAST((i - 1) % 5 - 2 AS FLOAT) * CAST(0.008 AS FLOAT)) AS FLOAT)) AS q_vec
+           FROM embeddings WHERE vec_id >= 5 AND vec_id < 10)
+         SELECT q.q_id, e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.q_vec AS DOUBLE[])), 6) AS cos_sim
+         FROM q JOIN embeddings e ON e.vec_id = q.q_id
+         ORDER BY q.q_id""",
+
+    // identical replay to similarity_ivf: the persisted+reloaded index
+    // must serve exactly what the just-built one does
+    "similarity_ivf_persisted" ->
       """WITH q AS (
            SELECT vec_id AS q_id,
              list_transform(embedding, (x, i) ->
