@@ -12,6 +12,24 @@ import QueryDsl._
   */
 object LlmQueries {
 
+  /** Two-stage verdict join of the composed dedup protocol (exact
+    * stage's flags + near-dup flags over exact-survivors) — shared by
+    * the single-arrival pipeline entry and the multi-arrival one so the
+    * column semantics can't drift between them. */
+  private def dupVerdict(exactDf: org.apache.spark.sql.DataFrame,
+      nearDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    exactDf.select(col("doc_id"), col("is_dup").as("is_exact_dup"))
+      .join(nearDf.select(col("doc_id"), col("is_dup").as("is_near_dup")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
+      .withColumn("is_dup", col("is_exact_dup") || col("is_near_dup"))
+
+  /** The constant re-crawl text planted on doc_id%97==3 by the composed
+    * dedup entries (the synthetic corpus has no natural exact dups). */
+  private val RecrawlText =
+    "this exact recrawl snapshot repeats verbatim across the corpus and must be absorbed by the digest stage"
+
   val queries: Map[String, Q] = Map(
     // INCREMENTAL dedup against a persisted signature index — how
     // MinHash dedup actually runs at 100 TB (the corpus grows by
@@ -85,22 +103,14 @@ object LlmQueries {
       // non-minimum members must vanish before the band join
       val docs0 = T(s, d, "documents")
       val docs = docs0.select(col("doc_id"),
-        when(col("doc_id") % 97 === 3,
-          lit("this exact recrawl snapshot repeats verbatim across the corpus and must be absorbed by the digest stage"))
+        when(col("doc_id") % 97 === 3, lit(RecrawlText))
           .otherwise(col("text")).as("text"))
       val cut = docs.agg(max(col("doc_id"))).head.getLong(0) * 2 / 3
       val accepted = docs.filter(col("doc_id") <= cut)
       val shard = docs.filter(col("doc_id") > cut)
       val tmp = tempDirCleanedOnExit("graft_pipidx")
       val dIdx = s"$tmp/digests"; val mIdx = s"$tmp/sigs"
-      def verdict(exactDf: org.apache.spark.sql.DataFrame,
-          nearDf: org.apache.spark.sql.DataFrame) =
-        exactDf.select(col("doc_id"), col("is_dup").as("is_exact_dup"))
-          .join(nearDf.select(col("doc_id"), col("is_dup").as("is_near_dup")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"), col("is_exact_dup"),
-            coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
-          .withColumn("is_dup", col("is_exact_dup") || col("is_near_dup"))
+      val verdict = dupVerdict _
       // bootstrap: the accepted corpus processed one-shot, both
       // indexes built (digests = every doc; signatures = survivors).
       // b1e is materialized: it feeds THREE consumers (the signature
@@ -129,6 +139,49 @@ object LlmQueries {
       Dedup.minhashIndexAppend(sSurv, "text", "doc_id", mIdx)
       verdict(b1e, b1n).unionByName(verdict(s1, s2))
         .orderBy(col("doc_id"))
+    }),
+
+    // MULTI-arrival protocol: a real corpus takes MANY shards, not one.
+    // Bootstrap on the first 40% of ids, then THREE sequential arrivals
+    // of ~20% each — each shard deduped (exact stage, then minhash over
+    // exact-survivors) against EVERYTHING that arrived before it, both
+    // indexes appended after each arrival. The oracle is the same
+    // full-corpus one-shot replay as dedup_incremental_pipeline: the
+    // protocol's claim is that the number of arrival cuts is invisible
+    // in the verdicts, and since every doc belongs to exactly one
+    // arrival, the single match also pins per-arrival equivalence.
+    "dedup_incremental_multishard" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 97 === 3, lit(RecrawlText))
+          .otherwise(col("text")).as("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val edges = Seq(maxId * 2 / 5, maxId * 3 / 5, maxId * 4 / 5, maxId)
+      val tmp = tempDirCleanedOnExit("graft_multidx")
+      val dIdx = s"$tmp/digests"; val mIdx = s"$tmp/sigs"
+      val boot = docs.filter(col("doc_id") <= edges.head)
+      val b1e = graft.operators.Lineage.truncate(
+        Dedup.exact(boot, "text", "doc_id"))
+      val b1Surv = b1e.filter(!col("is_dup")).drop("is_dup")
+      Dedup.exactIndexWrite(boot, "text", "doc_id", dIdx)
+      Dedup.minhashIndexWrite(b1Surv, "text", "doc_id", mIdx)
+      val b1n = graft.operators.Lineage.truncate(
+        Dedup.minhashDedupFromIndex(b1Surv, "doc_id", mIdx, threshold = 0.5))
+      var out = dupVerdict(b1e, b1n)
+      for (i <- 1 to 3) {
+        val shard = docs.filter(
+          col("doc_id") > edges(i - 1) && col("doc_id") <= edges(i))
+        // exact flags materialize BEFORE the digest append re-lists the
+        // path; the minhash serve checkpoints internally
+        val s1 = graft.operators.Lineage.truncate(
+          Dedup.exactDedupIncremental(shard, "text", "doc_id", dIdx))
+        val sSurv = s1.filter(!col("is_dup")).drop("is_dup")
+        val s2 = Dedup.minhashDedupIncremental(sSurv, "text", "doc_id", mIdx,
+          threshold = 0.5)
+        Dedup.exactIndexWrite(shard, "text", "doc_id", dIdx, mode = "append")
+        Dedup.minhashIndexAppend(sSurv, "text", "doc_id", mIdx)
+        out = out.unionByName(dupVerdict(s1, s2))
+      }
+      out.orderBy(col("doc_id"))
     }),
 
     // SEMANTIC decontamination: eval-set probes as EMBEDDINGS through
@@ -588,6 +641,33 @@ object LlmQueries {
                  JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
                  GROUP BY c.id_a, c.id_b)"""
 
+  /** One-shot full-corpus replay of the composed exact→minhash
+    * protocol (planted re-crawl group, exact rank per digest group,
+    * minhash over rn=1 survivors). Both the single-arrival and the
+    * multi-arrival entries pin against this SAME SQL — equality is the
+    * protocol's equivalence claim. */
+  private val composedPipelineOracle: String =
+    s"WITH p(i, a, b) AS (VALUES $minhashPermRows)," + s"""
+         pl AS (SELECT doc_id,
+             CASE WHEN doc_id % 97 = 3
+               THEN '$RecrawlText'
+               ELSE text END AS text
+           FROM documents),
+         ex AS (SELECT doc_id, text, row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+           FROM pl),""" +
+      minhashReplayCore("(SELECT doc_id, text FROM ex WHERE rn = 1)") + """,
+         ndup AS (SELECT DISTINCT id_b AS id FROM est WHERE m >= 32)
+         SELECT doc.doc_id,
+           ex.rn > 1 AS is_exact_dup,
+           ndup.id IS NOT NULL AS is_near_dup,
+           (ex.rn > 1 OR ndup.id IS NOT NULL) AS is_dup
+         FROM documents doc
+         JOIN ex ON ex.doc_id = doc.doc_id
+         LEFT JOIN ndup ON ndup.id = doc.doc_id
+         ORDER BY doc.doc_id"""
+
   val oracles: Map[String, String] = Map(
     // full cross-engine replication of the MinHash+LSH pipeline: same
     // 60-bit md5-prefix shingle hash, same (a*h+b) mod 2^61-1
@@ -611,27 +691,11 @@ object LlmQueries {
     // first, then the full minhash pipeline over the rn=1 SURVIVORS
     // only — the incremental two-index path must reproduce all three
     // verdict columns bit for bit
-    "dedup_incremental_pipeline" ->
-      (s"WITH p(i, a, b) AS (VALUES $minhashPermRows)," + """
-         pl AS (SELECT doc_id,
-             CASE WHEN doc_id % 97 = 3
-               THEN 'this exact recrawl snapshot repeats verbatim across the corpus and must be absorbed by the digest stage'
-               ELSE text END AS text
-           FROM documents),
-         ex AS (SELECT doc_id, text, row_number() OVER (
-             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-             ORDER BY doc_id) AS rn
-           FROM pl),""" +
-        minhashReplayCore("(SELECT doc_id, text FROM ex WHERE rn = 1)") + """,
-         ndup AS (SELECT DISTINCT id_b AS id FROM est WHERE m >= 32)
-         SELECT doc.doc_id,
-           ex.rn > 1 AS is_exact_dup,
-           ndup.id IS NOT NULL AS is_near_dup,
-           (ex.rn > 1 OR ndup.id IS NOT NULL) AS is_dup
-         FROM documents doc
-         JOIN ex ON ex.doc_id = doc.doc_id
-         LEFT JOIN ndup ON ndup.id = doc.doc_id
-         ORDER BY doc.doc_id"""),
+    "dedup_incremental_pipeline" -> composedPipelineOracle,
+
+    // the multi-arrival protocol's claim is precisely that arrival
+    // cuts are invisible: THE SAME one-shot replay must match
+    "dedup_incremental_multishard" -> composedPipelineOracle,
 
     // per-doc verdict of the one-shot full-corpus exact dedup — the
     // incremental digest-index path must reproduce it bit for bit

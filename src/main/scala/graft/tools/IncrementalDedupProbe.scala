@@ -75,6 +75,33 @@ object IncrementalDedupProbe {
         f"build=$buildWall%7.2f s/${buildMb}%8.1f MB  " +
         f"arrival=$arrWall%7.2f s/${arrMb}%8.1f MB  " +
         f"recompute=$fullWall%7.2f s/${fullMb}%8.1f MB  dups=$arrDups")
+
+      // multi-arrival flatness (r10 task #4): three SEQUENTIAL
+      // fixed-size shards into a growing index — per-arrival wall and
+      // shuffle must stay flat (the index is scan-only on every
+      // arrival; only the appended signature mass grows). Needs a
+      // corpus several shards deep — run on ScaleCheck-fanned dirs.
+      val cut3 = maxId - 3 * shardRows
+      if (cut3 <= 0) {
+        println(s"[inc-multi] dir=$dir skipped: corpus smaller than 3 shards")
+      } else {
+      val base3 = docs.filter(col("doc_id") <= cut3)
+      val idx3 =
+        graft.queries.QueryDsl.tempDirCleanedOnExit("graft_incprobe3") + "/index"
+      Dedup.minhashIndexWrite(base3, "text", "doc_id", idx3)
+      for (a <- 1 to 3) {
+        val lo = cut3 + (a - 1) * shardRows
+        val hi = cut3 + a * shardRows
+        val sh = docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        val ((dups, w, mb)) = timed {
+          val v = Dedup.minhashDedupIncremental(sh, "text", "doc_id", idx3,
+            threshold = 0.5).filter(col("is_dup")).count()
+          Dedup.minhashIndexAppend(sh, "text", "doc_id", idx3)
+          v
+        }
+        println(f"[inc-multi] dir=$dir%-24s arrival=$a wall=$w%6.2f s " +
+          f"shuffle=$mb%7.1f MB dups=$dups")
+      } }
     }
     spark.stop()
   }
