@@ -327,6 +327,84 @@ object FlowQueries {
         .orderBy(col("w_min"), col("source"))
     }),
 
+    "flow_stream_index_dedup" -> ((s, d) => {
+      // Dedup-at-INGEST with state in PARQUET instead of stream state:
+      // a file stream drained as three micro-batches, each batch run
+      // through the persisted two-index arrival protocol inside
+      // foreachBatch (exact digests first, minhash over the exact
+      // survivors, both indexes appended, accepted docs appended to the
+      // sink) — the shape that survives a restart, because every piece
+      // of dedup state is on disk, not in the state store (reference
+      // analog: batching-mode flows writing to sink tables,
+      // flow/src/batching_mode/task.rs). Batches are id-ranged so ids
+      // follow arrival order:
+      //   b0: natural docs (c1, c2]
+      //   b1: natural docs (c2, max]
+      //   b2: exact RE-CRAWLS (same text, new high ids) of bootstrap
+      //       docs and of b0 docs — cross-batch duplicates that only
+      //       the PERSISTED indexes can catch
+      // The bootstrap corpus (ids <= c1) is indexed before the stream
+      // starts and is not part of the streamed output. The oracle
+      // replays the composed protocol over the full constructed corpus
+      // and derives each doc's batch from its id range — with
+      // arrival-ordered ids the one-shot replay IS the per-batch
+      // protocol (the same equivalence the multishard entry pins).
+      val tmp = tempDirCleanedOnExit("graft_sidx")
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val c1 = maxId / 2; val c2 = maxId * 3 / 4
+      val off1 = (maxId + 1) * 10; val off2 = (maxId + 1) * 11
+      val dIdx = s"$tmp/digests"; val mIdx = s"$tmp/sigs"
+      val boot = docs.filter(col("doc_id") <= c1)
+      val be = graft.operators.Lineage.truncate(
+        graft.operators.Dedup.exact(boot, "text", "doc_id"))
+      graft.operators.Dedup.exactIndexWrite(boot, "text", "doc_id", dIdx)
+      val beSurv = be.filter(!col("is_dup")).drop("is_dup")
+      graft.operators.Dedup.minhashIndexWrite(beSurv, "text", "doc_id", mIdx)
+      val in = stageBatches(tmp, Seq(
+        docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        docs.filter(col("doc_id") > c2),
+        docs.filter(col("doc_id") <= c1)
+          .select((col("doc_id") + off1).as("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") > c1 && col("doc_id") <= c2)
+            .select((col("doc_id") + off2).as("doc_id"), col("text")))))
+      val src = s.readStream.schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      val q = src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val e = graft.operators.Lineage.truncate(
+            graft.operators.Dedup.exactDedupIncremental(
+              batch, "text", "doc_id", dIdx))
+          val surv = e.filter(!col("is_dup")).drop("is_dup")
+          val n = graft.operators.Dedup.minhashDedupIncremental(
+            surv, "text", "doc_id", mIdx, threshold = 0.5)
+          graft.operators.Dedup.exactIndexWrite(
+            batch, "text", "doc_id", dIdx, mode = "append")
+          graft.operators.Dedup.minhashIndexAppend(
+            surv, "text", "doc_id", mIdx)
+          val v = LlmQueries.dupVerdict(e, n).withColumn("batch_id", lit(id))
+          v.write.mode("append").parquet(s"$tmp/verdicts")
+          v.filter(!col("is_dup")).select(col("doc_id"))
+            .write.mode("append").parquet(s"$tmp/accepted")
+          (): Unit
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the accepted sink must be exactly the non-dup verdict set —
+      // joined back so the oracle pins the sink append too
+      val acc = s.read.parquet(s"$tmp/accepted")
+        .select(col("doc_id"), lit(true).as("accepted"))
+      s.read.parquet(s"$tmp/verdicts")
+        .join(acc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("batch_id"), col("is_exact_dup"),
+          col("is_near_dup"), col("is_dup"),
+          coalesce(col("accepted"), lit(false)).as("accepted"))
+        .orderBy(col("doc_id"))
+    }),
+
     "flow_tumble_origin" -> ((s, d) => {
       // shifted grid: tumble(ts, 1h, origin 30m)
       val ev = T(s, d, "events").withColumn("t", timestamp_micros(expr("ts div 1000")))
@@ -416,6 +494,43 @@ object FlowQueries {
       """SELECT event_type,
            ((epoch_ns(ts) - 1800000000000) // 3600000000000) * 3600000 + 1800000 AS window_start,
            COUNT(*) AS n
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // composed exact→minhash replay over the constructed corpus
+    // (bootstrap + three streamed batches, re-crawls as offset ids);
+    // each doc's batch derived from its id range — with arrival-ordered
+    // ids the one-shot replay equals the per-batch protocol
+    "flow_stream_index_dedup" ->
+      (s"WITH p(i, a, b) AS (VALUES ${LlmQueries.minhashPermRows})," + """
+         mx AS (SELECT max(doc_id) AS mv FROM documents),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + ((SELECT mv FROM mx) + 1) * 10, text
+           FROM documents WHERE doc_id <= (SELECT mv FROM mx) // 2
+           UNION ALL
+           SELECT doc_id + ((SELECT mv FROM mx) + 1) * 11, text
+           FROM documents
+           WHERE doc_id > (SELECT mv FROM mx) // 2
+             AND doc_id <= (SELECT mv FROM mx) * 3 // 4),
+         ex AS (SELECT doc_id, text, row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+           FROM corpus),""" +
+        LlmQueries.minhashReplayCore("(SELECT doc_id, text FROM ex WHERE rn = 1)") + """,
+         ndup AS (SELECT DISTINCT id_b AS id FROM est WHERE m >= 32)
+         SELECT c.doc_id,
+           CAST(CASE WHEN c.doc_id > (SELECT mv FROM mx) * 10 THEN 2
+                     WHEN c.doc_id > (SELECT mv FROM mx) * 3 // 4 THEN 1
+                     ELSE 0 END AS BIGINT) AS batch_id,
+           ex.rn > 1 AS is_exact_dup,
+           ndup.id IS NOT NULL AS is_near_dup,
+           (ex.rn > 1 OR ndup.id IS NOT NULL) AS is_dup,
+           NOT (ex.rn > 1 OR ndup.id IS NOT NULL) AS accepted
+         FROM corpus c
+         JOIN ex ON ex.doc_id = c.doc_id
+         LEFT JOIN ndup ON ndup.id = c.doc_id
+         WHERE c.doc_id > (SELECT mv FROM mx) // 2
+         ORDER BY c.doc_id""")
   )
 }

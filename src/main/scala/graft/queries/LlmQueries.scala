@@ -16,7 +16,7 @@ object LlmQueries {
     * stage's flags + near-dup flags over exact-survivors) — shared by
     * the single-arrival pipeline entry and the multi-arrival one so the
     * column semantics can't drift between them. */
-  private def dupVerdict(exactDf: org.apache.spark.sql.DataFrame,
+  private[queries] def dupVerdict(exactDf: org.apache.spark.sql.DataFrame,
       nearDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     exactDf.select(col("doc_id"), col("is_dup").as("is_exact_dup"))
       .join(nearDf.select(col("doc_id"), col("is_dup").as("is_near_dup")),
@@ -615,7 +615,7 @@ object LlmQueries {
     * oracle (dedup_incremental), and the composed-protocol oracle
     * (dedup_incremental_pipeline, where docSource is the
     * exact-survivor set). */
-  private def minhashReplayCore(docSource: String): String =
+  private[queries] def minhashReplayCore(docSource: String): String =
     s"""
          d AS (SELECT doc_id AS id,
                  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
