@@ -346,6 +346,48 @@ object LlmQueries {
         .orderBy(col("q_id"))
     }),
 
+    // RECALL gate on NON-planted structure (r10 task #6): the planted
+    // perturbation entries (similarity_ivf, decontaminate_semantic)
+    // have complete exact oracles but test a trivial-recall regime; a
+    // real corpus has CLUSTERED structure where IVF recall < 1. This
+    // fixture mixes each embedding 40/60 with one of 24 deterministic
+    // seed vectors (24 natural clusters vs 16 IVF cells forces merged
+    // and split cells — true neighbors cross cell boundaries), holds
+    // out vec_id%50==7 as queries, and measures recall@10 of the IVF
+    // serve against the engine's own exact brute-force top-10 (that
+    // operator's exactness is itself oracle-gated by similarity_topk).
+    // Measured: avg 0.88/0.93, min 0.40/0.50 at sf0.01/sf0.1. The
+    // bounds live in the ORACLE row (avg >= 0.80, min >= 0.30 at
+    // nprobe=4); the entry emits its summary row ONLY when it meets
+    // them, so a recall regression is a rows mismatch, not prose.
+    "similarity_ivf_recall" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 24)
+        .select(col("vec_id").as("sid"), col("embedding").as("seed"))
+      val mixed = emb.join(broadcast(seeds),
+          pmod(col("vec_id"), lit(24)) === col("sid"))
+        .select(col("vec_id"), zip_with(col("seed"), col("embedding"),
+          (a, b) => a * lit(0.4f) + b * lit(0.6f)).as("vec"))
+      val corpus = mixed.filter(col("vec_id") % 50 =!= 7)
+      val queries = mixed.filter(col("vec_id") % 50 === 7)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      val brute = Similarity.bruteForceTopKBatch(corpus, "vec", "vec_id",
+        queries, "q_vec", "q_id", k = 10).select(col("q_id"), col("vec_id"))
+      val ivf = Similarity.ivfTopK(corpus, "vec", "vec_id",
+        queries, "q_vec", "q_id", k = 10, ncentroids = 16, nprobe = 4)
+        .select(col("q_id"), col("vec_id"))
+      val rec = brute.join(ivf, Seq("q_id", "vec_id"), "leftsemi")
+        .groupBy(col("q_id")).agg((count(lit(1)) / 10.0).as("recall"))
+      queries.select(col("q_id")).join(rec, Seq("q_id"), "left")
+        .withColumn("recall", coalesce(col("recall"), lit(0.0)))
+        .agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("__ar"),
+          min(col("recall")).as("__mr"))
+        .select(col("n_queries"), lit(4).as("nprobe"),
+          lit(0.80).as("avg_bound"), lit(0.30).as("min_bound"),
+          (col("__ar") >= 0.80 && col("__mr") >= 0.30).as("meets_bound"))
+        .filter(col("meets_bound"))
+    }),
+
     // The same IVF serve, but across the PRODUCTION restart boundary:
     // the index is written to disk (cells Parquet partitioned by cell
     // id + centroid sidecar) and reloaded in a FRESH SparkSession that
@@ -782,6 +824,15 @@ object LlmQueries {
                                         CAST(q.q_vec AS DOUBLE[])), 6) AS cos_sim
          FROM q JOIN embeddings e ON e.vec_id = q.q_id
          ORDER BY q.q_id""",
+
+    // the recall BOUNDS are stated here (0.80 avg / 0.30 min at
+    // nprobe=4): the entry emits its one summary row only when its
+    // measured recall meets them, so this row's presence IS the gate
+    "similarity_ivf_recall" ->
+      """SELECT count(*) AS n_queries, CAST(4 AS INT) AS nprobe,
+           CAST(0.80 AS DOUBLE) AS avg_bound, CAST(0.30 AS DOUBLE) AS min_bound,
+           true AS meets_bound
+         FROM embeddings WHERE vec_id % 50 = 7""",
 
     // identical replay to similarity_ivf: the persisted+reloaded index
     // must serve exactly what the just-built one does
