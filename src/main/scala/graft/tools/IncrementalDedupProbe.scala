@@ -102,6 +102,28 @@ object IncrementalDedupProbe {
         println(f"[inc-multi] dir=$dir%-24s arrival=$a wall=$w%6.2f s " +
           f"shuffle=$mb%7.1f MB dups=$dups")
       } }
+
+      // large-shard guard (r10 task #2): force the boundary to 1/10 of
+      // the shard — the serve must switch to CHUNKED passes (ten
+      // bounded broadcasts, each a scan-only index pass) with verdicts
+      // unchanged, per-pass broadcast ≤ boundary docs, and total
+      // shuffle still SHARD-sized (the rejected alternative — a
+      // partitioned band join — measured 3.5 GB of index shuffle at
+      // the 495k decade; the chunked path must stay orders below that).
+      spark.conf.set(Dedup.IncrementalBroadcastMaxDocsKey,
+        (shardRows / 10).toString)
+      try {
+        val ((dupsL, wL, mbL)) = timed {
+          Dedup.minhashDedupIncremental(shard, "text", "doc_id", idxPath,
+            threshold = 0.5).filter(col("is_dup")).count()
+        }
+        require(dupsL == arrDups,
+          s"large-shard path diverged: $dupsL vs single-pass $arrDups")
+        require(mbL < 200.0,
+          f"chunked path shuffled $mbL%.0f MB — index-sized, not shard-sized")
+        println(f"[inc-large] dir=$dir%-24s shard=${shardRows}@10x-boundary " +
+          f"(10 chunks) wall=$wL%6.2f s shuffle=$mbL%7.1f MB dups=$dupsL")
+      } finally spark.conf.unset(Dedup.IncrementalBroadcastMaxDocsKey)
     }
     spark.stop()
   }

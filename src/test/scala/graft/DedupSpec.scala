@@ -136,10 +136,12 @@ class DedupSpec extends AnyFunSuite {
     assert(full == inc)
   }
 
-  test("incremental large-shard path (forced partitioned join) matches the broadcast path") {
-    // incrementalBroadcastMaxDocs=0 forces the shuffle-join plan that a
-    // shard above the broadcast boundary gets; verdicts must be
-    // identical to the default broadcast serve path on both the
+  test("incremental large-shard path (forced chunked serve) matches the single-pass path") {
+    // incrementalBroadcastMaxDocs=0 (clamped to 1) forces the chunked
+    // serve a shard above the broadcast boundary gets — one id-ordered
+    // sub-batch PER DOC here, with the minhash path spilling served
+    // chunks so later ones see them as indexed; verdicts must be
+    // identical to the default single-broadcast serve on both the
     // minhash and the exact index.
     val mhIdx = java.nio.file.Files.createTempDirectory("graft_mhidx_large")
       .toString + "/index"
