@@ -36,8 +36,8 @@ object Bench {
     "join_inequality", "window_rank", "range_tumbling", "range_sliding",
     "range_fill_linear", "range_percentile", "promql_sum_rate", "promql_topk",
     "dedup_minhash", "dedup_ngram_jaccard", "dedup_incremental",
-    "dedup_two_level", "similarity_topk",
-    "similarity_ivf",
+    "dedup_two_level", "merge_compacted_read", "similarity_topk",
+    "similarity_ivf", "similarity_ivf_persisted",
     "text_stats", "text_tfidf", "cluster_kmeans",
     "dedup_boilerplate", "text_decontaminate",
     "text_substring_dedup", "text_substring_keep1", "pack_sequences",

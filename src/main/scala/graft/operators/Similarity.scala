@@ -242,6 +242,24 @@ object Similarity {
       .write.mode("overwrite").parquet(path + "/centroids")
   }
 
+  /** Append an ARRIVING batch to a persisted IVF index: assign each
+    * new vector to its nearest EXISTING centroid — no retrain; the
+    * coarse quantizer of a growing corpus is trained once and reused
+    * across arrivals (the standard IVF add-vs-train split) — and
+    * append the rows to the cell-partitioned table. Serve paths pick
+    * the new rows up on their next scan; per-arrival cost is one
+    * batch-sized assignment pass, the existing cells are untouched. */
+  def ivfIndexAppend(batch: DataFrame, vecCol: String, idCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(path + "/centroids")
+      .orderBy(col("cent_id")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val assign1 = nearestCentroids(cents, 1)
+    batch.withColumn("__cell", element_at(assign1(col(vecCol)), 1))
+      .write.mode("append").partitionBy("__cell").parquet(path + "/cells")
+  }
+
   /** Reload a persisted IVF index: (cells frame, centroid array) in
     * the shape [[ivfSearchIndexed]] / [[ivfContaminated]] consume. The
     * centroid sidecar is ncentroids·dim floats — a driver-side read of

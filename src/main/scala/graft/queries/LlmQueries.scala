@@ -388,6 +388,36 @@ object LlmQueries {
         .filter(col("meets_bound"))
     }),
 
+    // The IVF ARRIVAL path (the add-vs-train split every growing ANN
+    // deployment uses): train + build on two thirds of the corpus,
+    // append the remaining third with NO retrain — each appended
+    // vector is assigned to its nearest EXISTING centroid and lands in
+    // the cell-partitioned table — then serve from a fresh session.
+    // vec_id 7 of the five probed originals arrives via the APPEND
+    // (7%3==1), so exact top-1 recovery of all five proves appended
+    // rows are genuinely served, not just stored. Same brute-force
+    // oracle as similarity_ivf; the perturbed-probe cell-coverage
+    // contract is re-validated by this entry's own gate at both SFs.
+    "similarity_ivf_append" -> ((s, d) => {
+      val idxPath = tempDirCleanedOnExit("graft_ivfapp") + "/ivf"
+      val emb = T(s, d, "embeddings")
+      Similarity.ivfIndexWrite(emb.filter(col("vec_id") % 3 =!= 1),
+        "embedding", "vec_id", ncentroids = 16, path = idxPath)
+      Similarity.ivfIndexAppend(emb.filter(col("vec_id") % 3 === 1),
+        "embedding", "vec_id", idxPath)
+      val s2 = s.newSession()
+      val (cells, cents) = Similarity.ivfIndexRead(s2, idxPath)
+      val probes = T(s2, d, "embeddings")
+        .filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          transform(col("embedding"), (x, j) =>
+            x * (lit(1.0f) + ((j % 5) - 2).cast("float") * lit(0.008f))).as("q_vec"))
+      Similarity.ivfSearchIndexed(cells, cents, "embedding", "vec_id",
+        probes, "q_vec", "q_id", k = 1, nprobe = 2)
+        .select(col("q_id"), col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("q_id"))
+    }),
+
     // The same IVF serve, but across the PRODUCTION restart boundary:
     // the index is written to disk (cells Parquet partitioned by cell
     // id + centroid sidecar) and reloaded in a FRESH SparkSession that
@@ -833,6 +863,22 @@ object LlmQueries {
            CAST(0.80 AS DOUBLE) AS avg_bound, CAST(0.30 AS DOUBLE) AS min_bound,
            true AS meets_bound
          FROM embeddings WHERE vec_id % 50 = 7""",
+
+    // identical replay to similarity_ivf: the append path (build on
+    // two thirds, assign-only append of the rest) must serve the same
+    // exact top-1 pairs as a full build
+    "similarity_ivf_append" ->
+      """WITH q AS (
+           SELECT vec_id AS q_id,
+             list_transform(embedding, (x, i) ->
+               CAST(x * (CAST(1.0 AS FLOAT) +
+                 CAST((i - 1) % 5 - 2 AS FLOAT) * CAST(0.008 AS FLOAT)) AS FLOAT)) AS q_vec
+           FROM embeddings WHERE vec_id >= 5 AND vec_id < 10)
+         SELECT q.q_id, e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.q_vec AS DOUBLE[])), 6) AS cos_sim
+         FROM q JOIN embeddings e ON e.vec_id = q.q_id
+         ORDER BY q.q_id""",
 
     // identical replay to similarity_ivf: the persisted+reloaded index
     // must serve exactly what the just-built one does

@@ -109,6 +109,62 @@ class FlowSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("partitionBy"))
   }
 
+  test("index-backed streaming dedup survives a RESTART: same checkpoint, state in parquet") {
+    // the flow_stream_index_dedup entry claims restart survival because
+    // its dedup state is the persisted index pair, not the state store
+    // — this test actually restarts: query 1 drains batch 0 and stops,
+    // batch 1 (with a cross-restart duplicate of a batch-0 doc) lands
+    // AFTER the stop, query 2 starts from the SAME checkpoint and must
+    // resume the file-source position AND flag the duplicate via the
+    // digest index the pre-restart batch appended.
+    import graft.operators.Dedup
+    val tmp = tmpDir("flow_restart")
+    val dIdx = s"$tmp/digests"
+    val in = new java.io.File(s"$tmp/in"); in.mkdirs()
+    val boot = Seq((1L, "seed document one"), (2L, "seed document two"))
+      .toDF("doc_id", "text")
+    Dedup.exactIndexWrite(boot, "text", "doc_id", dIdx)
+    def stage(name: String, df: DataFrame): Unit = {
+      val st = s"$tmp/stage_$name"
+      df.coalesce(1).write.parquet(st)
+      val part = new java.io.File(st).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(in, s"$name.parquet").toPath): Unit
+    }
+    val schema = boot.schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val e = graft.operators.Lineage.truncate(
+            Dedup.exactDedupIncremental(batch, "text", "doc_id", dIdx))
+          Dedup.exactIndexWrite(batch, "text", "doc_id", dIdx, mode = "append")
+          e.select(col("doc_id"), col("is_dup"))
+            .write.mode("append").parquet(s"$tmp/verdicts")
+          (): Unit
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stage("b0", Seq((10L, "fresh doc alpha"), (11L, "seed document one"))
+      .toDF("doc_id", "text"))
+    runOnce() // query 1: drains b0, appends its digests, STOPS
+    stage("b1", Seq((20L, "fresh doc alpha"), (21L, "brand new gamma"))
+      .toDF("doc_id", "text"))
+    runOnce() // query 2 = the restart, same checkpoint
+    val out = spark.read.parquet(s"$tmp/verdicts")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // b0: 10 fresh; 11 dup of indexed seed. b1 (post-restart): 20 dup
+    // of b0's doc 10 — visible ONLY through the index appended before
+    // the restart; 21 fresh. No b0 doc re-processed (4 verdicts total).
+    assert(out == Map(10L -> false, 11L -> true, 20L -> true, 21L -> false))
+    assert(spark.read.parquet(s"$tmp/verdicts").count() == 4,
+      "restart re-processed an already-drained batch")
+  }
+
   test("tumble with origin shifts the grid") {
     val df = Seq((7000L, 1.0)).toDF("ts_ms", "v")
       .withColumn("t", timestamp_millis(col("ts_ms")))
