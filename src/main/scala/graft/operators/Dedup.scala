@@ -398,6 +398,28 @@ object Dedup {
     df.select(md5(normText(col(textCol))).as("digest"), col(idCol).as("id"))
       .write.mode(mode).parquet(path)
 
+  /** Serve + append fused (optimization round 10): flag the shard
+    * against the digest index exactly like [[exactDedupIncremental]],
+    * then append its digests — but the shard's normalize+md5 pipeline
+    * runs ONCE for both (the split API pays it twice: once to flag,
+    * once inside the caller's follow-up [[exactIndexWrite]] append),
+    * and the returned frame is already materialized (callers drop
+    * their own Lineage.truncate). One full regex-normalization pass
+    * over the shard saved per arrival — at 100 TB that is a second
+    * scan of the arriving text. Flags are bit-identical to
+    * serve-then-append (DedupSpec pins it). */
+  def exactServeAppend(shard: DataFrame, textCol: String, idCol: String,
+      indexPath: String): DataFrame = {
+    val flaggedD = exactDedupIncrementalKeyed(shard, textCol, idCol, indexPath)
+    // materialize BEFORE the append: every index-reading node must be
+    // executed before new digests land in the same path — and the
+    // checkpoint also makes the digest projection below recompute-free
+    val out = Lineage.truncate(flaggedD)
+    out.select(col("__d").as("digest"), col(idCol).as("id"))
+      .write.mode("append").parquet(indexPath)
+    out.drop("__d")
+  }
+
   /** Exact dedup of an ARRIVING shard against the persisted digest
     * index + itself: a shard doc is a dup iff its normalized-text
     * digest is already indexed, or belongs to a smaller-id shard doc.
@@ -409,6 +431,13 @@ object Dedup {
     * shard (null text forms one digest group, `<=>` join semantics
     * as in [[exact]]). */
   def exactDedupIncremental(shard: DataFrame, textCol: String,
+      idCol: String, indexPath: String): DataFrame =
+    exactDedupIncrementalKeyed(shard, textCol, idCol, indexPath).drop("__d")
+
+  /** [[exactDedupIncremental]] with the digest column (`__d`) kept on
+    * the output so [[exactServeAppend]] can write the index append
+    * without a second md5 pass. */
+  private def exactDedupIncrementalKeyed(shard: DataFrame, textCol: String,
       idCol: String, indexPath: String): DataFrame = {
     val spark = shard.sparkSession
     val keyed = shard.withColumn("__d", md5(normText(col(textCol))))
@@ -456,7 +485,7 @@ object Dedup {
       .join(hit, keyed("__d") <=> col("__hd"), "left")
       .withColumn("is_dup",
         coalesce(col("__indexed"), lit(false)) || col(idCol) =!= col("__cid"))
-      .drop("__d", "__dc", "__cid", "__hd", "__indexed")
+      .drop("__dc", "__cid", "__hd", "__indexed")
   }
 
   /** Dedup an ARRIVING shard against the persisted index + itself: a
@@ -469,7 +498,29 @@ object Dedup {
     * Returns the shard with `is_dup`. */
   def minhashDedupIncremental(shard: DataFrame, textCol: String,
       idCol: String, indexPath: String, threshold: Double = 0.7,
-      k: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+      k: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame =
+    minhashServeImpl(shard, textCol, idCol, indexPath, threshold, k,
+      bands, shingleSize, appendAfterServe = false)
+
+  /** Serve + append fused (optimization round 10): flag the shard like
+    * [[minhashDedupIncremental]], then append its signatures to the
+    * index — from the SAME persisted signature frame, so the shard is
+    * shingled + permuted once per arrival instead of twice (the split
+    * serve-then-[[minhashIndexAppend]] sequence re-ran the whole
+    * signature pipeline — shingle UDF, k·shingles mulmods, and the
+    * repartition shuffle — just to write rows the serve already
+    * computed). Flags and appended bytes are bit-identical to the
+    * split sequence (DedupSpec pins it). */
+  def minhashServeAppend(shard: DataFrame, textCol: String,
+      idCol: String, indexPath: String, threshold: Double = 0.7,
+      k: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame =
+    minhashServeImpl(shard, textCol, idCol, indexPath, threshold, k,
+      bands, shingleSize, appendAfterServe = true)
+
+  private def minhashServeImpl(shard: DataFrame, textCol: String,
+      idCol: String, indexPath: String, threshold: Double,
+      k: Int, bands: Int, shingleSize: Int,
+      appendAfterServe: Boolean): DataFrame = {
     // fail fast — bandBuckets would also catch it, but only after the
     // shard signature computation already ran
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
@@ -477,9 +528,6 @@ object Dedup {
     val sig = minhashSignatures(shard, textCol, idCol, k, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nShard = sig.count()
-    val shardBands = bandBuckets(sig, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    shardBands.count()
     val idxSig = spark.read.parquet(indexPath)
       .select(col("id").as("__id"), col("mh").as("__mh"))
     // raw shard ids, not sig ids: a too-short doc (fewer tokens than
@@ -505,17 +553,29 @@ object Dedup {
     // ∝ corpus per arrival, measured 3.5 GB at a 495k index vs the
     // chunked path's shard-sized tens of MB.)
     val boundary = math.max(1L, incrementalBroadcastMaxDocs(spark))
-    val dups =
+    // the dup id SET is what must materialize before any index append —
+    // it is the only index-reading subtree, and it is near-dup-sized
+    // (truncating the whole flagged shard instead, as earlier rounds
+    // did, checkpointed a shard-sized frame for no extra safety). The
+    // band table is recomputed from the persisted signatures where
+    // needed — a column slice over cached rows, cheaper than a second
+    // persist + materializing count.
+    val dups = Lineage.truncate(
       if (nShard <= boundary)
-        minhashServePassDups(idxSig, sig, shardBands, threshold, k, bands,
-          idCol)
+        minhashServePassDups(idxSig, sig, bandBuckets(sig, k, bands),
+          threshold, k, bands, idCol)
       else
         minhashChunkedDups(spark, idxSig, sig, nShard, boundary, threshold,
-          k, bands, idCol)
-    val out = Lineage.truncate(
-      shard.join(dups.withColumn("is_dup", lit(true)), Seq(idCol), "left")
-        .withColumn("is_dup", coalesce(col("is_dup"), lit(false))))
-    sig.unpersist(); shardBands.unpersist()
+          k, bands, idCol))
+    // fused append: the serve's persisted signatures ARE the rows the
+    // index append needs — write them now (post-materialization, so
+    // the serve never sees its own shard as "indexed")
+    if (appendAfterServe)
+      sig.select(col("__id").as("id"), col("__mh").as("mh"))
+        .write.mode("append").parquet(indexPath)
+    val out = shard.join(dups.withColumn("is_dup", lit(true)), Seq(idCol), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+    sig.unpersist()
     out
   }
 

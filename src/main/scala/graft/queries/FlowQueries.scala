@@ -373,16 +373,13 @@ object FlowQueries {
         .parquet(in)
       val q = src.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-          val e = graft.operators.Lineage.truncate(
-            graft.operators.Dedup.exactDedupIncremental(
-              batch, "text", "doc_id", dIdx))
+          // serve + append fused (r10 optimization): one md5 pass and
+          // one signature pipeline per micro-batch, same protocol
+          val e = graft.operators.Dedup.exactServeAppend(
+            batch, "text", "doc_id", dIdx)
           val surv = e.filter(!col("is_dup")).drop("is_dup")
-          val n = graft.operators.Dedup.minhashDedupIncremental(
+          val n = graft.operators.Dedup.minhashServeAppend(
             surv, "text", "doc_id", mIdx, threshold = 0.5)
-          graft.operators.Dedup.exactIndexWrite(
-            batch, "text", "doc_id", dIdx, mode = "append")
-          graft.operators.Dedup.minhashIndexAppend(
-            surv, "text", "doc_id", mIdx)
           val v = LlmQueries.dupVerdict(e, n).withColumn("batch_id", lit(id))
           v.write.mode("append").parquet(s"$tmp/verdicts")
           v.filter(!col("is_dup")).select(col("doc_id"))

@@ -49,14 +49,14 @@ object LlmQueries {
       Dedup.minhashIndexWrite(accepted, "text", "doc_id", idx)
       // bootstrap dedup READS the just-written index — the accepted
       // corpus is shingled exactly once (index write), never again.
-      // Materialized BEFORE the shard append below: the lazy frame must
-      // not re-list the index path once shard signatures land in it
-      val b1 = graft.operators.Lineage.truncate(
-        Dedup.minhashDedupFromIndex(accepted, "doc_id", idx,
-          threshold = 0.5))
-      val b2 = Dedup.minhashDedupIncremental(shard, "text", "doc_id", idx,
+      // Every index-reading node inside it (the pair build) is
+      // checkpointed at call time, so the frame is safe against the
+      // shard append below without a second shard-sized checkpoint
+      val b1 = Dedup.minhashDedupFromIndex(accepted, "doc_id", idx,
         threshold = 0.5)
-      Dedup.minhashIndexAppend(shard, "text", "doc_id", idx)
+      // serve + append fused: the shard is shingled once for both
+      val b2 = Dedup.minhashServeAppend(shard, "text", "doc_id", idx,
+        threshold = 0.5)
       b1.select(col("doc_id"), col("is_dup"))
         .unionByName(b2.select(col("doc_id"), col("is_dup")))
         .orderBy(col("doc_id"))
@@ -73,12 +73,9 @@ object LlmQueries {
       val idx = tempDirCleanedOnExit("graft_exidx") + "/index"
       Dedup.exactIndexWrite(accepted, "text", "doc_id", idx)
       val b1 = Dedup.exact(accepted, "text", "doc_id")
-      // materialize BEFORE the append: b2 must not re-list the index
-      // path after the shard's own digests land in it (the minhash twin
-      // is checkpointed inside minhashDedupIncremental; this one isn't)
-      val b2 = graft.operators.Lineage.truncate(
-        Dedup.exactDedupIncremental(shard, "text", "doc_id", idx))
-      Dedup.exactIndexWrite(shard, "text", "doc_id", idx, mode = "append")
+      // serve + append fused: the shard's normalize+md5 runs once, the
+      // flags materialize before the digests land in the index
+      val b2 = Dedup.exactServeAppend(shard, "text", "doc_id", idx)
       b1.select(col("doc_id"), col("is_dup"))
         .unionByName(b2.select(col("doc_id"), col("is_dup")))
         .orderBy(col("doc_id"))
@@ -122,21 +119,20 @@ object LlmQueries {
       Dedup.exactIndexWrite(accepted, "text", "doc_id", dIdx)
       Dedup.minhashIndexWrite(b1Surv, "text", "doc_id", mIdx)
       // bootstrap near-dedup reads the just-written signature index —
-      // survivors shingled once (the write), never again; materialized
-      // BEFORE the arrival appends touch the same path
-      val b1n = graft.operators.Lineage.truncate(
-        Dedup.minhashDedupFromIndex(b1Surv, "doc_id", mIdx,
-          threshold = 0.5))
-      // arrival: exact vs digest index, minhash (survivors only) vs
-      // signature index, then append both (materialized first — the
-      // lazy frames must not re-list the index paths post-append)
-      val s1 = graft.operators.Lineage.truncate(
-        Dedup.exactDedupIncremental(shard, "text", "doc_id", dIdx))
-      val sSurv = s1.filter(!col("is_dup")).drop("is_dup")
-      val s2 = Dedup.minhashDedupIncremental(sSurv, "text", "doc_id", mIdx,
+      // survivors shingled once (the write), never again; its
+      // index-reading pair build checkpoints at call time, before the
+      // arrival appends touch the same path
+      val b1n = Dedup.minhashDedupFromIndex(b1Surv, "doc_id", mIdx,
         threshold = 0.5)
-      Dedup.exactIndexWrite(shard, "text", "doc_id", dIdx, mode = "append")
-      Dedup.minhashIndexAppend(sSurv, "text", "doc_id", mIdx)
+      // arrival, both stages serve+append FUSED (r10 optimization): the
+      // exact stage's one md5 pass flags the shard AND writes its
+      // digests; the minhash stage's one signature pipeline serves AND
+      // appends. Each append runs after its own serve materializes;
+      // the two indexes are independent
+      val s1 = Dedup.exactServeAppend(shard, "text", "doc_id", dIdx)
+      val sSurv = s1.filter(!col("is_dup")).drop("is_dup")
+      val s2 = Dedup.minhashServeAppend(sSurv, "text", "doc_id", mIdx,
+        threshold = 0.5)
       verdict(b1e, b1n).unionByName(verdict(s1, s2))
         .orderBy(col("doc_id"))
     }),
@@ -164,21 +160,19 @@ object LlmQueries {
       val b1Surv = b1e.filter(!col("is_dup")).drop("is_dup")
       Dedup.exactIndexWrite(boot, "text", "doc_id", dIdx)
       Dedup.minhashIndexWrite(b1Surv, "text", "doc_id", mIdx)
-      val b1n = graft.operators.Lineage.truncate(
-        Dedup.minhashDedupFromIndex(b1Surv, "doc_id", mIdx, threshold = 0.5))
+      val b1n = Dedup.minhashDedupFromIndex(b1Surv, "doc_id", mIdx,
+        threshold = 0.5)
       var out = dupVerdict(b1e, b1n)
       for (i <- 1 to 3) {
         val shard = docs.filter(
           col("doc_id") > edges(i - 1) && col("doc_id") <= edges(i))
-        // exact flags materialize BEFORE the digest append re-lists the
-        // path; the minhash serve checkpoints internally
-        val s1 = graft.operators.Lineage.truncate(
-          Dedup.exactDedupIncremental(shard, "text", "doc_id", dIdx))
+        // serve + append fused per arrival (r10 optimization): one md5
+        // pass and one signature pipeline per shard; each append lands
+        // after its own serve materializes, before the next arrival
+        val s1 = Dedup.exactServeAppend(shard, "text", "doc_id", dIdx)
         val sSurv = s1.filter(!col("is_dup")).drop("is_dup")
-        val s2 = Dedup.minhashDedupIncremental(sSurv, "text", "doc_id", mIdx,
+        val s2 = Dedup.minhashServeAppend(sSurv, "text", "doc_id", mIdx,
           threshold = 0.5)
-        Dedup.exactIndexWrite(shard, "text", "doc_id", dIdx, mode = "append")
-        Dedup.minhashIndexAppend(sSurv, "text", "doc_id", mIdx)
         out = out.unionByName(dupVerdict(s1, s2))
       }
       out.orderBy(col("doc_id"))

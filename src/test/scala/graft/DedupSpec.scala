@@ -170,6 +170,58 @@ class DedupSpec extends AnyFunSuite {
     assert(exSmall == Map(10L -> true, 11L -> false, 12L -> true))
   }
 
+  test("fused serve+append equals split serve-then-append (flags AND index bytes)") {
+    // r10 optimization: exactServeAppend / minhashServeAppend run the
+    // shard's md5 / signature pipeline once for both the serve and the
+    // index append. This pins bit-equality with the split sequence on
+    // flags, index row sets, and signature values.
+    val base = java.nio.file.Files.createTempDirectory("graft_fused").toString
+    val shard = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "unrelated shard document discussing columnar storage formats and parquet footers"),
+      (12L, null.asInstanceOf[String]),
+      (13L, "unrelated  SHARD document discussing columnar storage formats and parquet footers")
+    ).toDF("doc_id", "text")
+    val b1 = docs.unionByName(
+      Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    // exact: split
+    Dedup.exactIndexWrite(b1, "text", "doc_id", s"$base/exS")
+    val exSplit = Dedup.exactDedupIncremental(shard, "text", "doc_id", s"$base/exS")
+      .select($"doc_id", $"is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    Dedup.exactIndexWrite(shard, "text", "doc_id", s"$base/exS", mode = "append")
+    // exact: fused
+    Dedup.exactIndexWrite(b1, "text", "doc_id", s"$base/exF")
+    val exFused = Dedup.exactServeAppend(shard, "text", "doc_id", s"$base/exF")
+      .select($"doc_id", $"is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(exFused == exSplit)
+    def exRows(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(exRows(s"$base/exF") == exRows(s"$base/exS"))
+    // minhash: split
+    Dedup.minhashIndexWrite(docs, "text", "doc_id", s"$base/mhS")
+    val mhSplit = Dedup.minhashDedupIncremental(shard, "text", "doc_id",
+        s"$base/mhS", threshold = 0.5)
+      .select($"doc_id", $"is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    Dedup.minhashIndexAppend(shard, "text", "doc_id", s"$base/mhS")
+    // minhash: fused
+    Dedup.minhashIndexWrite(docs, "text", "doc_id", s"$base/mhF")
+    val mhFused = Dedup.minhashServeAppend(shard, "text", "doc_id",
+        s"$base/mhF", threshold = 0.5)
+      .select($"doc_id", $"is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(mhFused == mhSplit)
+    def mhRows(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(mhRows(s"$base/mhF") == mhRows(s"$base/mhS"))
+    // the fused exact frame is pre-materialized and survives the append
+    // (its own flags were computed against the PRE-append index);
+    // 13 normalizes to 11's text, so it is an intra-shard dup
+    assert(exFused == Map(10L -> true, 11L -> false, 12L -> true, 13L -> true))
+  }
+
   test("arrival-order debug guard fires on out-of-order shard ids, passes in order") {
     val idx = java.nio.file.Files.createTempDirectory("graft_ordidx")
       .toString + "/index"
