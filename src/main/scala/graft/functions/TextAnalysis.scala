@@ -1,5 +1,7 @@
 package graft.functions
 
+import java.util.regex.Pattern
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -45,6 +47,89 @@ object TextAnalysis {
     val toks = split(trim(c), "\\s+")
     when(size(toks) === 0, 0.0).otherwise(
       aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(toks))
+  }
+
+  /** All five per-document stats in ONE string pass (optimization
+    * round 10): the five Column formulations above evaluate ~6
+    * `split(trim(text))` and 3 `regexp_replace` regex passes per row —
+    * the HOF lambdas (transform/aggregate/filter) are
+    * CodegenFallback, so Catalyst's subexpression elimination cannot
+    * share the splits across the output columns. This UDF replicates
+    * each formulation bit for bit (TextAnalysisSpec pins equality,
+    * the text_stats oracle re-pins it cross-engine):
+    *  - the token array is `Pattern("\s+").split(trimmed, -1)` — the
+    *    exact engine+limit Spark's `split` uses, so leading/trailing
+    *    `\t` empties survive identically;
+    *  - `trim` removes ASCII space only (Spark trim semantics, NOT
+    *    Java's String#trim which eats all <= 0x20);
+    *  - lengths count CODE POINTS (Spark `length` = numChars);
+    *  - the stopword pass lowercases through UTF8String.toLowerCase —
+    *    Spark's own `lower` implementation;
+    *  - punct ratio counts `\s`-class and `Punct`-class code points in
+    *    one scan (both classes are BMP-ASCII, so the scan equals the
+    *    two regexp_replace+length pipelines).
+    * Returns null (all fields null) for null input, like the Column
+    * forms. Fields: n_tokens, n_subwords, punct_ratio, stopword_ratio,
+    * mean_word_len (pre-round — callers apply the same `round`). */
+  val textStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val ws = Pattern.compile("\\s+")
+    val stop = Stopwords.toSet
+    udf { (text: String) =>
+      if (text == null) null
+      else {
+        // Spark trim: strip ASCII spaces only
+        var a = 0; var b = text.length
+        while (a < b && text.charAt(a) == ' ') a += 1
+        while (b > a && text.charAt(b - 1) == ' ') b -= 1
+        val trimmed = text.substring(a, b)
+        val toks = ws.split(trimmed, -1)
+        def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+        val nToks = toks.length.toLong
+        val nTokens = if (trimmed.isEmpty) 0L else nToks
+        var nSub = 0L; var lenSum = 0L; var nStop = 0L
+        var ti = 0
+        while (ti < toks.length) {
+          val t = toks(ti)
+          val n = cp(t)
+          nSub += math.ceil(n / 4.0).toLong
+          lenSum += n
+          val lt = org.apache.spark.unsafe.types.UTF8String
+            .fromString(t).toLowerCase.toString
+          if (stop.contains(lt)) nStop += 1
+          ti += 1
+        }
+        // one scan over code points: total non-\s chars + punct chars
+        var total = 0L; var punct = 0L
+        var i = 0
+        while (i < text.length) {
+          val c = text.codePointAt(i)
+          val isWs = c == ' ' || c == '\t' || c == '\n' || c == 0x0B ||
+            c == '\f' || c == '\r'
+          if (!isWs) {
+            total += 1
+            if (c >= '!' && c <= '~' &&
+              !(c >= '0' && c <= '9') && !(c >= 'A' && c <= 'Z') &&
+              !(c >= 'a' && c <= 'z')) punct += 1
+          }
+          i += Character.charCount(c)
+        }
+        val punctRatio = if (total == 0L) 0.0 else punct.toDouble / total
+        val stopRatio = if (nToks == 0L) 0.0 else nStop.toDouble / nToks
+        val meanLen = if (nToks == 0L) 0.0 else lenSum.toDouble / nToks
+        (nTokens, nSub, punctRatio, stopRatio, meanLen)
+      }
+    }.asNondeterministic()
+  }
+
+  /** Struct column of [[textStatsUdf]] with the canonical field names. */
+  def textStats(c: Column): Column = {
+    val s = textStatsUdf(c)
+    struct(
+      s.getField("_1").as("n_tokens"),
+      s.getField("_2").as("n_subwords"),
+      s.getField("_3").as("punct_ratio"),
+      s.getField("_4").as("stopword_ratio"),
+      s.getField("_5").as("mean_word_len"))
   }
 
   /** Composite quality score in [0,1]: length sweet spot, low

@@ -225,7 +225,13 @@ object Similarity {
   def ivfIndexWrite(corpus: DataFrame, vecCol: String, idCol: String,
       ncentroids: Int, path: String): Unit = {
     val (cells, cents) = ivfIndex(corpus, vecCol, idCol, ncentroids)
-    cells.write.mode("overwrite").partitionBy("__cell")
+    // cluster by cell before the partitioned write (guide §6 file
+    // sizing): without it every input partition writes a file into
+    // every cell dir — tasks × ncentroids small files; with it each
+    // cell is one task's contiguous output, so the serve-time probe
+    // of nprobe cells opens nprobe files, not nprobe × tasks
+    cells.repartition(col("__cell"))
+      .write.mode("overwrite").partitionBy("__cell")
       .parquet(path + "/cells")
     val spark = corpus.sparkSession
     val centRows = cents.toIndexedSeq.zipWithIndex.map { case (v, i) =>
@@ -257,6 +263,7 @@ object Similarity {
       .map(_.getSeq[Float](1).toArray)
     val assign1 = nearestCentroids(cents, 1)
     batch.withColumn("__cell", element_at(assign1(col(vecCol)), 1))
+      .repartition(col("__cell")) // one file per touched cell, see ivfIndexWrite
       .write.mode("append").partitionBy("__cell").parquet(path + "/cells")
   }
 

@@ -247,9 +247,16 @@ object CurationQueries {
         when(col("doc_id") % 4 === 2,
           lit("\nplease subscribe to this exclusive newsletter paragraph repeated verbatim across the crawl"))
           .otherwise(lit("")))
-      val cleaned = Dedup.dedupLinesAcrossDocs(
-        docs.select(col("doc_id"), planted.as("text")),
-        "text", "doc_id", minRepeats = 2)
+      // materialized once (r10 optimization): minhashDedup references
+      // its input TWICE (signature build + verdict join-back) — lazy,
+      // the whole boilerplate-removal pipeline (two corpus explodes,
+      // the frequency aggregate, the drop-set join) re-executed for
+      // the second reference; the before-plan showed 16 exchanges,
+      // the checkpointed one half that
+      val cleaned = graft.operators.Lineage.truncate(
+        Dedup.dedupLinesAcrossDocs(
+          docs.select(col("doc_id"), planted.as("text")),
+          "text", "doc_id", minRepeats = 2))
       Dedup.minhashDedup(cleaned, "cleaned", "doc_id", threshold = 0.5)
         .select(col("doc_id"), col("n_lines").as("n_paras"), col("n_kept"),
           col("is_dup"))

@@ -437,12 +437,17 @@ object LlmQueries {
     }),
 
     "text_stats" -> ((s, d) => {
-      T(s, d, "documents").select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.subwordCount(col("text")).as("n_subwords"),
-        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-        round(TextAnalysis.meanWordLength(col("text")), 6).as("mean_word_len"))
+      // one string pass for all five stats (r10 optimization) — the
+      // per-stat Column forms ran ~6 interpreted regex splits per row;
+      // TextAnalysisSpec pins field-for-field equality with them
+      val st = TextAnalysis.textStats(col("text"))
+      T(s, d, "documents").select(col("doc_id"), st.as("__st"))
+        .select(col("doc_id"),
+          col("__st.n_tokens").as("n_tokens"),
+          col("__st.n_subwords").as("n_subwords"),
+          round(col("__st.punct_ratio"), 6).as("punct_ratio"),
+          round(col("__st.stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("__st.mean_word_len"), 6).as("mean_word_len"))
         .orderBy(col("doc_id"))
     }),
 

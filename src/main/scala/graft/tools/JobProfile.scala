@@ -22,9 +22,12 @@ object JobProfile {
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val desc = Option(js.properties)
-          .map(_.getProperty("spark.job.description", "")).getOrElse("")
-        starts.put(js.jobId, (System.nanoTime(), desc))
+        val site = js.stageInfos.lastOption.map(_.details.linesIterator
+          .find(l => l.contains("graft") && !l.contains("JobProfile"))
+          .getOrElse(js.stageInfos.last.name)).getOrElse("")
+        val nTasks = js.stageInfos.map(_.numTasks).sum
+        starts.put(js.jobId, (System.nanoTime(),
+          s"stages=${js.stageInfos.size} tasks=$nTasks  ${site.trim.take(100)}"))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.remove(je.jobId)).foreach { case (t0, desc) =>
