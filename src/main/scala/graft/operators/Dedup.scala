@@ -735,9 +735,7 @@ object Dedup {
     // string-set intersection, and the shuffles carry 8-byte keys.
     val docs = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
       .repartition(col("__id"))
-      .select(col("__id"),
-        array_sort(array_distinct(
-          transform(shingles(col("__text"), n), g => xxhash64(g)))).as("__g"))
+      .select(col("__id"), ngramHashes(col("__text"), n).as("__g"))
       .filter(size(col("__g")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.count() // materializes the cache; picks verify path
@@ -965,6 +963,101 @@ object Dedup {
       n: Int, minDocs: Int = 2): DataFrame =
     dedupSubstringsImpl(df, textCol, idCol, n, minDocs, keepOne = true)
 
+  /** 64-bit word hash for the ExactSubstr window keys: FNV-1a over the
+    * UTF-16 chars + a murmur3 fmix64 avalanche. Hash equality stands in
+    * for string equality (the standing 2^-64 adjudication — the oracle
+    * groups windows by STRING, so the hash function is engine-internal
+    * and only its collision-freedom matters). */
+  private def substrWordHash(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001B3L; i += 1 }
+    // fmix64
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+    h ^= h >>> 33; h
+  }
+
+  /** (start, windowHash) pairs of every n-word window, one linear pass
+    * (optimization round 10): hash each word once, then roll a degree-
+    * (n-1) polynomial in the 2^64 ring across the window — O(words)
+    * multiply-adds, where the previous Column formulation built and
+    * xxhashed an n-word STRING per window (O(words · n · wordlen) —
+    * the dominant CPU of both ExactSubstr passes, paid twice since the
+    * window table is deliberately recomputed rather than persisted). */
+  private def substrWindows(n: Int): Column => Column = {
+    val f = udf { (ws: Seq[String]) =>
+      val len = ws.length
+      val m = len - n + 1
+      if (m <= 0) Array.empty[(Int, Long)]
+      else {
+        val C = 0x9E3779B97F4A7C15L // odd -> multiplication invertible mod 2^64
+        val wh = new Array[Long](len)
+        var i = 0
+        while (i < len) { wh(i) = substrWordHash(ws(i)); i += 1 }
+        var pow = 1L // C^(n-1)
+        var k = 1
+        while (k < n) { pow *= C; k += 1 }
+        val out = new Array[(Int, Long)](m)
+        var h = 0L
+        k = 0
+        while (k < n) { h = h * C + wh(k); k += 1 }
+        out(0) = (0, h)
+        var s = 1
+        while (s < m) {
+          h = (h - wh(s - 1) * pow) * C + wh(s + n - 1)
+          out(s) = (s, h)
+          s += 1
+        }
+        out
+      }
+    }.asNondeterministic() // deterministic in fact; blocks re-inlining
+    c => f(c)
+  }
+
+  /** Distinct, ascending 64-bit hashes of a text's n-word shingles in
+    * ONE pass (optimization round 10): per-word FNV+fmix hashes rolled
+    * into a degree-(n-1) polynomial per window — replacing the
+    * shingle-STRING construction + per-gram xxhash64 (O(words·n·len)
+    * string building per doc; this is O(words) after word hashing).
+    * Tokenization is [[shingles]]'s exactly (trim.toLowerCase.split).
+    * Used by the n-gram Jaccard and decontamination ops, whose oracles
+    * group grams by STRING — the hash is engine-internal, same 2^-64
+    * collision adjudication as before (words carry no whitespace, so
+    * word-wise equality == joined-string equality). */
+  def ngramHashes(c: Column, n: Int): Column = {
+    val f = udf { (text: String) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val words = text.trim.toLowerCase.split("\\s+")
+        val m = words.length - n + 1
+        if (m <= 0) Array.empty[Long]
+        else {
+          val C = 0x9E3779B97F4A7C15L
+          val wh = new Array[Long](words.length)
+          var i = 0
+          while (i < words.length) { wh(i) = substrWordHash(words(i)); i += 1 }
+          var pow = 1L
+          var k = 1
+          while (k < n) { pow *= C; k += 1 }
+          val out = new scala.collection.mutable.TreeSet[Long]()
+          var h = 0L
+          k = 0
+          while (k < n) { h = h * C + wh(k); k += 1 }
+          out += h
+          var s = 1
+          while (s < m) {
+            h = (h - wh(s - 1) * pow) * C + wh(s + n - 1)
+            out += h
+            s += 1
+          }
+          out.toArray
+        }
+      }
+    }.asNondeterministic() // deterministic in fact; blocks re-inlining
+    f(c)
+  }
+
   /** Shared core of the two ExactSubstr policies — identical window
     * hashing, frequency aggregate and rebuild; they differ only in
     * whether each repeated window's canonical occurrence (min packed
@@ -974,12 +1067,10 @@ object Dedup {
     def wordsOf(c: Column): Column =
       filter(split(trim(coalesce(c, lit(""))), "\\s+"), w => length(w) > 0)
     val docs = df.select(col(idCol).as("__id"), wordsOf(col(textCol)).as("__ws"))
+    val winsOf = substrWindows(n)
     val wins = docs.filter(size(col("__ws")) >= n)
-      .select(col("__id"), col("__ws"),
-        explode(sequence(lit(0), size(col("__ws")) - n)).as("__s"))
-      .select(col("__id"), col("__s"),
-        xxhash64(concat_ws(" ",
-          slice(col("__ws"), col("__s") + 1, lit(n)))).as("__h"))
+      .select(col("__id"), explode(winsOf(col("__ws"))).as("__w"))
+      .select(col("__id"), col("__w._1").as("__s"), col("__w._2").as("__h"))
     val packed = col("__id") * lit(1L << 31) + col("__s")
     val repeated = wins.groupBy(col("__h"))
       .agg(countDistinct(col("__id")).as("__c"),
@@ -1013,13 +1104,11 @@ object Dedup {
   def contaminatedDocs(df: DataFrame, textCol: String, idCol: String,
       probes: DataFrame, probeTextCol: String, n: Int): DataFrame = {
     val probeGrams = probes
-      .select(explode(shingles(col(probeTextCol), n)).as("__g"))
-      .select(xxhash64(col("__g")).as("__h"))
+      .select(explode(ngramHashes(col(probeTextCol), n)).as("__h"))
       .distinct()
-    // shingles() already dedups (LinkedHashSet) — no array_distinct
+    // ngramHashes() already dedups per doc — no array_distinct
     val docGrams = df.select(col(idCol).as("__id"),
-        explode_outer(
-          transform(shingles(col(textCol), n), g => xxhash64(g))).as("__h"))
+        explode_outer(ngramHashes(col(textCol), n)).as("__h"))
     docGrams
       .join(broadcast(probeGrams).withColumn("__hit", lit(1)), Seq("__h"), "left")
       .groupBy(col("__id").as(idCol))
