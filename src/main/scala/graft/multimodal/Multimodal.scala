@@ -169,7 +169,7 @@ object Multimodal {
     * 4.1 s single-task vs ~0.3 s spread. Shuffles only ids (content is
     * generated after), the row-count analog of [[repartitionBySize]]. */
   private def spreadIds(eventsDf: DataFrame): DataFrame =
-    eventsDf.repartition(col("event_id"))
+    graft.operators.Partitioning.spread(eventsDf, col("event_id"))
 
   /** Image-modality assets with REAL PNG payloads, one pattern class
     * per `media_id % imageClasses`. */

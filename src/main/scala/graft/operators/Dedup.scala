@@ -153,8 +153,8 @@ object Dedup {
     val (as, bs) = minhashPerms(k)
     val mh = udaf(new MinHashAgg(as, bs),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
-    val ex = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .repartition(col("__id"))
+    val ex = Partitioning.spread(
+        df.select(col(idCol).as("__id"), col(textCol).as("__text")), col("__id"))
       .select(col("__id"), explode(shingles(col("__text"), shingleSize)).as("__sh"))
       .withColumn("__h", hash60(col("__sh")))
     ex.groupBy(col("__id")).agg(mh(col("__h")).as("__mh"))
@@ -686,8 +686,8 @@ object Dedup {
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val sh = udaf(new SimHashAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
-    df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .repartition(col("__id"))
+    Partitioning.spread(
+        df.select(col(idCol).as("__id"), col(textCol).as("__text")), col("__id"))
       .select(col("__id"), explode(split(normText(col("__text")), " ")).as("__tok"))
       .withColumn("__h", hash60(col("__tok")))
       .groupBy(col("__id")).agg(sh(col("__h")).as("simhash"))
@@ -733,8 +733,8 @@ object Dedup {
     // Grams are 64-bit hashes, not strings: the verify-stage
     // array_intersect over longs runs an order of magnitude faster than
     // string-set intersection, and the shuffles carry 8-byte keys.
-    val docs = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .repartition(col("__id"))
+    val docs = Partitioning.spread(
+        df.select(col(idCol).as("__id"), col(textCol).as("__text")), col("__id"))
       .select(col("__id"), ngramHashes(col("__text"), n).as("__g"))
       .filter(size(col("__g")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
