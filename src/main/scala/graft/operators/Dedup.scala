@@ -1159,27 +1159,39 @@ object Dedup {
     * jump check (~5 materializations) collapse to: the pair list IS
     * the label table.
     *
-    * The shape is VERIFIED, not trusted — two linear passes over the
-    * (persisted) pair list: (1) every id_b occurs exactly once and
-    * every pair has id_a < id_b; (2) no id appears on both sides (a
-    * bridge would stitch two stars into one component the fast path
-    * can't see). Any violation falls back to [[connectedComponents]],
-    * so callers may use this whenever pairs are PROBABLY star-shaped;
-    * the checks cost two label-sized jobs vs the loop's five-plus.
+    * The shape is VERIFIED, not trusted — one linear pass over the
+    * (persisted) pair list checks all three properties at once:
+    * (1) every id_b occurs exactly once, (2) every pair has
+    * id_a < id_b, (3) no id appears on both sides (a bridge would
+    * stitch two stars into one component the fast path can't see).
+    * Any violation falls back to [[connectedComponents]], so callers
+    * may use this whenever pairs are PROBABLY star-shaped; the check
+    * costs one label-sized job vs the loop's several.
     * Output contract matches [[connectedComponents]] exactly:
     * (id, comp) for every id in `pairs`, comp = component minimum. */
   def starComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val p = pairs.select(col(aCol).as("__a"), col(bCol).as("__b")).persist()
     try {
-      val dupOrUnordered = !p.groupBy(col("__b"))
-        .agg(count(lit(1)).as("__n"),
-          max(when(col("__a") >= col("__b"), 1).otherwise(0)).as("__ge"))
-        .filter(col("__n") > 1 || col("__ge") === 1)
+      // ONE aggregation job verifies all three star-forest properties
+      // (r10 optimization — previously a groupBy job plus a semi-join
+      // job): explode each pair into (id, side) occurrences and check
+      // per id that it is never a duplicated/unordered leaf and never
+      // on both sides (a bridge).
+      val occ = p.select(explode(array(
+          struct(col("__a").as("__id"), lit(0).as("__leaf"),
+            lit(0).as("__ge")),
+          struct(col("__b").as("__id"), lit(1).as("__leaf"),
+            when(col("__a") >= col("__b"), 1).otherwise(0).as("__ge"))))
+          .as("__o"))
+        .select(col("__o.__id"), col("__o.__leaf"), col("__o.__ge"))
+      val notStar = !occ.groupBy(col("__id"))
+        .agg(sum(col("__leaf")).as("__nb"),
+          max(col("__leaf")).as("__anyB"), min(col("__leaf")).as("__allB"),
+          max(col("__ge")).as("__geMax"))
+        .filter(col("__nb") > 1 || col("__geMax") === 1 ||
+          (col("__anyB") === 1 && col("__allB") === 0))
         .isEmpty
-      lazy val bridged = !p.select(col("__b"))
-        .join(p.select(col("__a").as("__b")), Seq("__b"), "leftsemi")
-        .isEmpty
-      if (dupOrUnordered || bridged) {
+      if (notStar) {
         connectedComponents(pairs, aCol, bCol)
       } else {
         // depth-1 forest: leaves point at their center, centers at
@@ -1200,55 +1212,81 @@ object Dedup {
       .repartition(col("__t")) // hook joins reuse this partitioning
       .persist()
     try {
-    // materialize one pass and read its changed-count from the SAME job
-    // via observe() — a separate count() job per pass doubled the job
-    // count and dominated the probe's wall at 10M edges
-    def advance(next: DataFrame): (DataFrame, Long) = {
-      val obs = org.apache.spark.sql.Observation()
-      // project __old away BEFORE materializing (CollectMetrics computes
-      // on its input, so the metric survives the project): at the
-      // 100M-edge probe each pass checkpoints ~107M label rows — a
-      // third more bytes if the transient comparison column rides along
-      val t = Lineage.truncate(next.observe(obs,
+    // Round structure (r10 optimization — the label table is small, so
+    // each MATERIALIZATION costs a whole Spark job; the round fusions
+    // below halve the job count of the realistic diameter-1..3 graphs
+    // with verdicts unchanged, CcSpec/probes pinned):
+    //  - init+hook fused: identity labels make the first hook's
+    //    neighbor labels just the neighbor IDS, so round 1 is one
+    //    aggregation over the edge list — no separate identity-label
+    //    materialization, no join;
+    //  - hook+jump fused: each round materializes hook + ONE
+    //    pointer-doubling jump in a single job (two observe() metrics
+    //    on one plan; the label-sized hook subtree evaluates twice
+    //    inside the job — cheaper than a second job). Deeper forests
+    //    keep jumping in plain follow-up passes, so the O(log d)
+    //    convergence bound is unchanged.
+    // Changed-counts ride the SAME job via observe() — a separate
+    // count() per pass doubled the job count at the 10M-edge probe.
+    def jumpOf(hooked: DataFrame, obs: org.apache.spark.sql.Observation)
+        : DataFrame =
+      // compress: pointer-double — every comp value is itself a
+      // labeled id (labels start as ids and evolve by min over label
+      // values), so the self-join is total; a depth-1 forest converges
+      // with one no-change jump
+      hooked.as("l")
+        .join(hooked.select(col("id").as("__jid"), col("comp").as("__jc")),
+          col("comp") === col("__jid"))
+        .select(col("id"), col("comp").as("__old"), col("__jc").as("comp"))
+        .observe(obs,
+          coalesce(sum(when(col("comp") < col("__old"), 1L).otherwise(0L)),
+            lit(0L)).as("changed"))
+        .select(col("id"), col("comp"))
+    def changedMetric(obs: org.apache.spark.sql.Observation): Long =
+      obs.get("changed").asInstanceOf[Long]
+    var labels: DataFrame = null
+    var hookChanged = 1L
+    var it = 0
+    while (hookChanged > 0 && it <= maxIters) {
+      val hookObs = org.apache.spark.sql.Observation()
+      val jumpObs = org.apache.spark.sql.Observation()
+      // hook: min label over the closed neighborhood. __old is
+      // projected away before the jump so the transient comparison
+      // column never rides into the checkpoint (a third more bytes at
+      // the 100M-edge probe otherwise).
+      val hooked0 =
+        if (labels == null)
+          // round 1 on identity labels: neighbor label == neighbor id
+          edges.groupBy(col("__s").as("id")).agg(min(col("__t")).as("__nc"))
+            .select(col("id"), col("id").as("__old"),
+              least(col("id"), col("__nc")).as("comp"))
+        else {
+          val nbrMin = edges
+            .join(labels.select(col("id").as("__t"), col("comp").as("__tc")),
+              "__t")
+            .groupBy(col("__s").as("id"))
+            .agg(min(col("__tc")).as("__nc"))
+          labels.join(nbrMin, Seq("id"), "left")
+            .select(col("id"), col("comp").as("__old"),
+              least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
+        }
+      // observe on ONE branch only — the same CollectMetrics node on
+      // both sides of the self-join would be a duplicate-metric error
+      val hooked = hooked0.observe(hookObs,
         coalesce(sum(when(col("comp") < col("__old"), 1L).otherwise(0L)),
           lit(0L)).as("changed"))
-        .select(col("id"), col("comp")))
-      val changed = obs.get("changed").asInstanceOf[Long]
-      (t, changed)
-    }
-    var labels = Lineage.truncate(
-      edges.select(col("__s").as("id")).distinct()
-        .select(col("id"), col("id").as("comp")))
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it <= maxIters) {
-      // hook: min label over the closed neighborhood
-      val nbrMin = edges
-        .join(labels.select(col("id").as("__t"), col("comp").as("__tc")), "__t")
-        .groupBy(col("__s").as("id"))
-        .agg(min(col("__tc")).as("__nc"))
-      val hooked = advance(labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("__old"),
-          least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp")))
-      changed = hooked._2
-      labels = hooked._1
-      // compress: pointer-double until the label forest is depth ≤ 1.
-      // Every comp value is itself a labeled id (labels start as ids
-      // and evolve by min over label values), so the self-join is
-      // total; a depth-1 forest converges with one no-change jump.
-      var jumping = changed > 0
+        .select(col("id"), col("comp"))
+      labels = Lineage.truncate(jumpOf(hooked, jumpObs))
+      hookChanged = changedMetric(hookObs)
+      var jumping = changedMetric(jumpObs) > 0
       while (jumping) {
-        val jumped = advance(labels.as("l")
-          .join(labels.select(col("id").as("__jid"), col("comp").as("__jc")),
-            col("comp") === col("__jid"))
-          .select(col("id"), col("comp").as("__old"), col("__jc").as("comp")))
-        jumping = jumped._2 > 0
-        labels = jumped._1
+        val obs = org.apache.spark.sql.Observation()
+        labels = Lineage.truncate(jumpOf(labels, obs))
+        jumping = changedMetric(obs) > 0
       }
       it += 1
     }
-    require(changed == 0L,
+    require(hookChanged == 0L,
       s"connectedComponents: no convergence after $maxIters passes")
     labels
     } finally edges.unpersist()

@@ -49,13 +49,19 @@ object JobProfile {
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        { jobCount.incrementAndGet(); () }
+    })
     for (r <- 1 to reps) {
-      val c0 = cpuSec; val g0 = gcMs
+      val c0 = cpuSec; val g0 = gcMs; val j0 = jobCount.get()
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, dir)
       df.select(bit_xor(xxhash64(df.columns.map(col): _*))).head
       println(f"[run $r] $name ${(System.nanoTime() - t0) / 1e9}%.2f s wall, " +
-        f"${cpuSec - c0}%.1f cpu-s, gc ${(gcMs - g0) / 1000.0}%.1f s")
+        f"${cpuSec - c0}%.1f cpu-s, gc ${(gcMs - g0) / 1000.0}%.1f s, " +
+        f"jobs ${jobCount.get() - j0}")
       spark.catalog.clearCache()
     }
     spark.stop()
