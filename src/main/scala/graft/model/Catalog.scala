@@ -32,8 +32,7 @@ final class Catalog(spark: SparkSession) {
   /** Raw append-stream read (no merge semantics). mergeSchema unions
     * file footers so ALTER TABLE ADD COLUMN is a metadata-only change
     * (older files surface the new column as null). */
-  def raw(name: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(spec(name).path)
+  def raw(name: String): DataFrame = Catalog.rawRead(spark, spec(name).path)
 
   /** The merged read view: what SQL queries against this table see.
     * Compaction-aware for merge-mode tables (SURVEY §7.3(c)): when the
@@ -59,6 +58,44 @@ final class Catalog(spark: SparkSession) {
 
 object Catalog {
   private val SeqCol = "__graft_seq"
+
+  /** Merged-schema cache for [[rawRead]]: (path, file-listing
+    * signature) → merged schema. Bounded: cleared wholesale past 4096
+    * entries (schemas are tiny; the bound only guards very long golden
+    * runs that rewrite tables thousands of times). */
+  private val mergedSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
+  /** mergeSchema-equivalent parquet read with the merged schema CACHED
+    * per (path, exact file listing) — optimization round 10. Spark's
+    * `mergeSchema=true` runs a footer-union JOB on every read, and the
+    * SQL frontend reads a table several times per statement (target
+    * schema, read view refresh, flow sources): merge_compacted_read
+    * profiled 6+ such jobs per run. The cache key carries every data
+    * file's (name, length, mtime), so any append/rewrite/compaction
+    * invalidates it; reading with the cached merged schema is
+    * semantically identical to mergeSchema (per-file projection with
+    * null fill), minus the per-read footer job. */
+  def rawRead(spark: SparkSession, path: String): DataFrame = {
+    val sig =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).iterator
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .toSeq.sorted.mkString("|")
+      } catch { case _: Throwable => "" }
+    if (sig.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(path)
+    else {
+      if (mergedSchemaCache.size > 4096) mergedSchemaCache.clear()
+      val schema = mergedSchemaCache.computeIfAbsent((path, sig), _ =>
+        spark.read.option("mergeSchema", "true").parquet(path).schema)
+      spark.read.schema(schema).parquet(path)
+    }
+  }
 
   /** PartSortExec equivalent (reference query/src/part_sort.rs): sort
     * inside existing partitions without a global shuffle-sort. With

@@ -353,6 +353,52 @@ object Dedup {
       .select(col("__id").as("id"), col("__mh").as("mh"))
       .write.mode("overwrite").parquet(path)
 
+  /** Index build + bootstrap dedup fused (optimization round 10): the
+    * one signature pipeline both writes the index AND feeds the pair
+    * build, where the split [[minhashIndexWrite]]-then-
+    * [[minhashDedupFromIndex]] sequence re-read the just-written
+    * parquet three times (strategy count + both verify streams).
+    * Verdicts and index bytes are bit-identical to the split sequence
+    * (same signatures, same shared pair machinery; DedupSpec pins it). */
+  def minhashIndexWriteAndDedup(df: DataFrame, textCol: String,
+      idCol: String, path: String, threshold: Double = 0.7,
+      k: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val sig = minhashSignatures(df, textCol, idCol, k, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = sig.count()
+    sig.select(col("__id").as("id"), col("__mh").as("mh"))
+      .write.mode("overwrite").parquet(path)
+    // minhashPairsFromSig checkpoints its pair output, so `dups` (and
+    // the returned join) is independent of the cached sig frame
+    val dups = minhashPairsFromSig(sig, nDocs, threshold, k, bands)
+      .select(col("id_b").as(idCol)).distinct()
+    val out = df.join(dups.withColumn("is_dup", lit(true)), Seq(idCol), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+    sig.unpersist()
+    out
+  }
+
+  /** Exact twin of [[minhashIndexWriteAndDedup]]: one normalize+md5
+    * pass both writes the digest index (mode overwrite) and flags the
+    * corpus — the split [[Dedup.exact]] + [[exactIndexWrite]] sequence
+    * ran the regex-normalization and md5 twice over the corpus. The
+    * returned frame is already materialized (it is the checkpoint the
+    * digest write reads). */
+  def exactIndexWriteAndDedup(df: DataFrame, textCol: String,
+      idCol: String, path: String): DataFrame = {
+    val keyed = df.withColumn("__d", md5(normText(col(textCol))))
+    val canon = keyed.groupBy(col("__d")).agg(min(col(idCol)).as("__cid"))
+      .withColumnRenamed("__d", "__dc")
+    val out = Lineage.truncate(
+      keyed.join(canon, keyed("__d") <=> canon("__dc"))
+        .withColumn("is_dup", col(idCol) =!= col("__cid"))
+        .drop("__dc", "__cid"))
+    out.select(col("__d").as("digest"), col(idCol).as("id"))
+      .write.mode("overwrite").parquet(path)
+    out.drop("__d")
+  }
+
   /** Append one ingested shard's signatures to the index (ALL of them,
     * dups included — see the retention note above). Run AFTER
     * [[minhashDedupIncremental]] flagged the shard. */

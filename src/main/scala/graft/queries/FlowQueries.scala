@@ -356,9 +356,9 @@ object FlowQueries {
       val off1 = (maxId + 1) * 10; val off2 = (maxId + 1) * 11
       val dIdx = s"$tmp/digests"; val mIdx = s"$tmp/sigs"
       val boot = docs.filter(col("doc_id") <= c1)
-      val be = graft.operators.Lineage.truncate(
-        graft.operators.Dedup.exact(boot, "text", "doc_id"))
-      graft.operators.Dedup.exactIndexWrite(boot, "text", "doc_id", dIdx)
+      // build + bootstrap-flags fused: one md5 pass (r10 optimization)
+      val be = graft.operators.Dedup.exactIndexWriteAndDedup(
+        boot, "text", "doc_id", dIdx)
       val beSurv = be.filter(!col("is_dup")).drop("is_dup")
       graft.operators.Dedup.minhashIndexWrite(beSurv, "text", "doc_id", mIdx)
       val in = stageBatches(tmp, Seq(

@@ -46,14 +46,14 @@ object LlmQueries {
       val accepted = docs.filter(col("doc_id") <= cut)
       val shard = docs.filter(col("doc_id") > cut)
       val idx = tempDirCleanedOnExit("graft_mhidx") + "/index"
-      Dedup.minhashIndexWrite(accepted, "text", "doc_id", idx)
-      // bootstrap dedup READS the just-written index — the accepted
-      // corpus is shingled exactly once (index write), never again.
-      // Every index-reading node inside it (the pair build) is
-      // checkpointed at call time, so the frame is safe against the
-      // shard append below without a second shard-sized checkpoint
-      val b1 = Dedup.minhashDedupFromIndex(accepted, "doc_id", idx,
-        threshold = 0.5)
+      // index build + bootstrap dedup FUSED (r10 optimization): one
+      // signature pipeline writes the index and feeds the pair build —
+      // the accepted corpus is still shingled exactly once, and the
+      // just-written parquet is no longer re-read three times. The
+      // pair build checkpoints at call time, so the frame is safe
+      // against the shard append below
+      val b1 = Dedup.minhashIndexWriteAndDedup(accepted, "text", "doc_id",
+        idx, threshold = 0.5)
       // serve + append fused: the shard is shingled once for both
       val b2 = Dedup.minhashServeAppend(shard, "text", "doc_id", idx,
         threshold = 0.5)
@@ -71,8 +71,8 @@ object LlmQueries {
       val accepted = docs.filter(col("doc_id") <= cut)
       val shard = docs.filter(col("doc_id") > cut)
       val idx = tempDirCleanedOnExit("graft_exidx") + "/index"
-      Dedup.exactIndexWrite(accepted, "text", "doc_id", idx)
-      val b1 = Dedup.exact(accepted, "text", "doc_id")
+      // build + bootstrap fused: one normalize+md5 pass over accepted
+      val b1 = Dedup.exactIndexWriteAndDedup(accepted, "text", "doc_id", idx)
       // serve + append fused: the shard's normalize+md5 runs once, the
       // flags materialize before the digests land in the index
       val b2 = Dedup.exactServeAppend(shard, "text", "doc_id", idx)
@@ -113,17 +113,16 @@ object LlmQueries {
       // b1e is materialized: it feeds THREE consumers (the signature
       // index write, b1n's join-back side, the final verdict) — lazy,
       // the exact-dedup plan would re-execute for each
-      val b1e = graft.operators.Lineage.truncate(
-        Dedup.exact(accepted, "text", "doc_id"))
+      // both bootstrap stages build+dedup FUSED (r10 optimization):
+      // one md5 pass writes the digest index AND flags the corpus (the
+      // returned frame is materialized — it still feeds three
+      // consumers); one signature pipeline writes the survivor index
+      // AND feeds the pair build, checkpointed at call time, before
+      // the arrival appends touch the same path
+      val b1e = Dedup.exactIndexWriteAndDedup(accepted, "text", "doc_id", dIdx)
       val b1Surv = b1e.filter(!col("is_dup")).drop("is_dup")
-      Dedup.exactIndexWrite(accepted, "text", "doc_id", dIdx)
-      Dedup.minhashIndexWrite(b1Surv, "text", "doc_id", mIdx)
-      // bootstrap near-dedup reads the just-written signature index —
-      // survivors shingled once (the write), never again; its
-      // index-reading pair build checkpoints at call time, before the
-      // arrival appends touch the same path
-      val b1n = Dedup.minhashDedupFromIndex(b1Surv, "doc_id", mIdx,
-        threshold = 0.5)
+      val b1n = Dedup.minhashIndexWriteAndDedup(b1Surv, "text", "doc_id",
+        mIdx, threshold = 0.5)
       // arrival, both stages serve+append FUSED (r10 optimization): the
       // exact stage's one md5 pass flags the shard AND writes its
       // digests; the minhash stage's one signature pipeline serves AND
@@ -155,13 +154,11 @@ object LlmQueries {
       val tmp = tempDirCleanedOnExit("graft_multidx")
       val dIdx = s"$tmp/digests"; val mIdx = s"$tmp/sigs"
       val boot = docs.filter(col("doc_id") <= edges.head)
-      val b1e = graft.operators.Lineage.truncate(
-        Dedup.exact(boot, "text", "doc_id"))
+      // fused bootstrap, same as dedup_incremental_pipeline
+      val b1e = Dedup.exactIndexWriteAndDedup(boot, "text", "doc_id", dIdx)
       val b1Surv = b1e.filter(!col("is_dup")).drop("is_dup")
-      Dedup.exactIndexWrite(boot, "text", "doc_id", dIdx)
-      Dedup.minhashIndexWrite(b1Surv, "text", "doc_id", mIdx)
-      val b1n = Dedup.minhashDedupFromIndex(b1Surv, "doc_id", mIdx,
-        threshold = 0.5)
+      val b1n = Dedup.minhashIndexWriteAndDedup(b1Surv, "text", "doc_id",
+        mIdx, threshold = 0.5)
       var out = dupVerdict(b1e, b1n)
       for (i <- 1 to 3) {
         val shard = docs.filter(

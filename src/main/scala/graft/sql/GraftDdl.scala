@@ -721,7 +721,7 @@ private[sql] trait GraftDdl { self: GraftSession =>
       val p = new org.apache.hadoop.fs.Path(spec.path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-        Some(spark.read.option("mergeSchema", "true").parquet(spec.path))
+        Some(graft.model.Catalog.rawRead(spark, spec.path))
       else None
     }
     (parts ++ ownRows)
@@ -1319,7 +1319,7 @@ private[sql] trait GraftDdl { self: GraftSession =>
     * reference migrates lazily per-file, which Parquet mergeSchema
     * cannot express for type changes. */
   private[sql] def migrateParquet(spec: TableSpec)(f: DataFrame => DataFrame): Unit = {
-    val out = f(spark.read.option("mergeSchema", "true").parquet(spec.path))
+    val out = f(graft.model.Catalog.rawRead(spark, spec.path))
     val tmp = spec.path + "__mig_tmp"
     out.write.mode("overwrite").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(spec.path)
@@ -1382,7 +1382,7 @@ private[sql] trait GraftDdl { self: GraftSession =>
       refreshView(name)
       return
     }
-    val existing = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+    val existing = graft.model.Catalog.rawRead(spark, spec.path).schema
     if (!existing.fieldNames.contains(cd.name)) {
       val widened = StructType(existing :+ StructField(cd.name, t, cd.nullable))
       spark.createDataFrame(

@@ -849,7 +849,7 @@ final class GraftSession(spark0: SparkSession,
           val declared = colMeta.getOrElse(meta.sinkTable, Vector.empty)
           if (sinkFs.exists(sinkP) && sinkFs.listStatus(sinkP).nonEmpty) {
             val phys =
-              spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+              graft.model.Catalog.rawRead(spark, spec.path).schema
             // ALTER ADD COLUMN on the sink may exist only as declared
             // metadata (an empty-table ALTER writes no part file) — the
             // flow must still produce it (flow_aft_alter's sample_cnt)
@@ -1467,7 +1467,7 @@ final class GraftSession(spark0: SparkSession,
         val spec = catalog.spec(name)
         val dropped = droppedCols.getOrElse(name, Set.empty)
         val metas = colMeta.getOrElse(name,
-          spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+          graft.model.Catalog.rawRead(spark, spec.path).schema
             .filterNot(f => f.name == SeqCol)
             .map(f => ColMeta(f.name, greptimeNameOf(f.dataType), f.nullable, None, None))
             .toVector)
@@ -1519,7 +1519,7 @@ final class GraftSession(spark0: SparkSession,
           .map(m => (m.name, m.gtype,
             m.nullable && m.name != spec.timeIndex))
       case None =>
-        spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+        graft.model.Catalog.rawRead(spark, spec.path).schema
           .filterNot(f => dropped.contains(f.name) || f.name == SeqCol)
           .map(f => (f.name, greptimeNameOf(f.dataType),
             f.nullable && f.name != spec.timeIndex))
@@ -1621,7 +1621,7 @@ final class GraftSession(spark0: SparkSession,
       // (Catalog.readView filters them) but STILL persist so attached
       // flows can process them (flow/flow_advance_ttl streaming mode)
       val instant = spec.ttlMillis.contains(0L)
-      val target = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+      val target = graft.model.Catalog.rawRead(spark, spec.path).schema
       val cols = Option(colsOpt)
         .map(_.stripPrefix("(").stripSuffix(")").split(",").map(c => unquote(c)).toSeq)
         .getOrElse {
@@ -1911,7 +1911,7 @@ final class GraftSession(spark0: SparkSession,
       // (delete.result's `DELETE FROM MoNiToR` hits table `monitor`)
       val name = normTable(rawName)
       val spec = catalog.spec(name)
-      val raw = spark.read.option("mergeSchema", "true").parquet(spec.path)
+      val raw = graft.model.Catalog.rawRead(spark, spec.path)
       // integer literals compared against the time index are epoch
       // units of the column's precision (TypeConversionRule)
       val condSql = Option(condOpt).map { c0 =>
@@ -2049,7 +2049,7 @@ final class GraftSession(spark0: SparkSession,
     val files = graft.sources.Copy.listSourceFiles(spark, path, opts.get("pattern"))
     val src0 = graft.sources.Copy.importFiles(spark, files, copyWriteOpts(opts))
     val srcCols = src0.schema.fields.map(f => f.name.toLowerCase(Locale.ROOT) -> f.name).toMap
-    val target = spark.read.option("mergeSchema", "true").parquet(spec.path).schema
+    val target = graft.model.Catalog.rawRead(spark, spec.path).schema
     val metas = colMeta.getOrElse(name, Vector.empty)
     val seq = seqCounter.incrementAndGet()
     val aligned = target.map { f =>

@@ -222,6 +222,33 @@ class DedupSpec extends AnyFunSuite {
     assert(exFused == Map(10L -> true, 11L -> false, 12L -> true, 13L -> true))
   }
 
+  test("fused build+bootstrap equals split write-then-dedup (flags AND index bytes)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fusedb").toString
+    val b1 = docs.unionByName(
+      Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    def flags(df: DataFrame): Map[Long, Boolean] = df
+      .select($"doc_id", $"is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // exact: split vs fused
+    Dedup.exactIndexWrite(b1, "text", "doc_id", s"$base/exS")
+    val exSplit = flags(Dedup.exact(b1, "text", "doc_id"))
+    val exFused = flags(Dedup.exactIndexWriteAndDedup(b1, "text", "doc_id", s"$base/exF"))
+    assert(exFused == exSplit)
+    def exRows(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(exRows(s"$base/exF") == exRows(s"$base/exS"))
+    // minhash: split vs fused
+    Dedup.minhashIndexWrite(docs, "text", "doc_id", s"$base/mhS")
+    val mhSplit = flags(Dedup.minhashDedupFromIndex(docs, "doc_id", s"$base/mhS",
+      threshold = 0.5))
+    val mhFused = flags(Dedup.minhashIndexWriteAndDedup(docs, "text", "doc_id",
+      s"$base/mhF", threshold = 0.5))
+    assert(mhFused == mhSplit)
+    def mhRows(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(mhRows(s"$base/mhF") == mhRows(s"$base/mhS"))
+  }
+
   test("arrival-order debug guard fires on out-of-order shard ids, passes in order") {
     val idx = java.nio.file.Files.createTempDirectory("graft_ordidx")
       .toString + "/index"
