@@ -229,8 +229,11 @@ object Similarity {
     // sizing): without it every input partition writes a file into
     // every cell dir — tasks × ncentroids small files; with it each
     // cell is one task's contiguous output, so the serve-time probe
-    // of nprobe cells opens nprobe files, not nprobe × tasks
-    cells.repartition(col("__cell"))
+    // of nprobe cells opens nprobe files, not nprobe × tasks. The
+    // count is EXPLICIT (ncentroids): a bare repartition(col) is
+    // AQE-coalescible down to one serialized write task (the same
+    // footgun Partitioning.spread exists for)
+    cells.repartition(math.max(1, ncentroids), col("__cell"))
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(path + "/cells")
     val spark = corpus.sparkSession
@@ -263,7 +266,8 @@ object Similarity {
       .map(_.getSeq[Float](1).toArray)
     val assign1 = nearestCentroids(cents, 1)
     batch.withColumn("__cell", element_at(assign1(col(vecCol)), 1))
-      .repartition(col("__cell")) // one file per touched cell, see ivfIndexWrite
+      // one file per touched cell; explicit count, see ivfIndexWrite
+      .repartition(math.max(1, cents.length), col("__cell"))
       .write.mode("append").partitionBy("__cell").parquet(path + "/cells")
   }
 
