@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through UNTAGGED: sbt's default
+// LoggedOutput prefixes every stdout line with "[info] ", which broke
+// the round driver's parse of Bench's one-line JSON (BENCH_r9/r10 both
+// carried "parsed": null). StdoutOutput inherits the parent streams, so
+// the JSON line reaches the driver bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

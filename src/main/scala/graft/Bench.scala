@@ -295,7 +295,18 @@ object Bench {
     val loads = healed.map { case (_, _, _, l) => f"$l%.1f" }.mkString(",")
     val ingest = healed.collect { case (k, v, rows, _) if ingestRows(k) && v > 0 =>
       f""""$k":${rows / v}%.0f""" }.mkString(",")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$body},"ingest_rows_per_s":{$ingest},"loads":[$loads],"reruns":$reruns,"basis":$measurementBasis,"sf":"$sfDir","loadavg":$load,"loadavg_at_gate":$loadAtGate%.1f}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{$body},"ingest_rows_per_s":{$ingest},"loads":[$loads],"reruns":$reruns,"basis":$measurementBasis,"sf":"$sfDir","loadavg":$load,"loadavg_at_gate":$loadAtGate%.1f}"""
+    println(json)
+    // belt-and-braces for the driver contract (r10 verdict: the JSON
+    // line reached the driver only as an sbt "[info]"-prefixed line and
+    // could not be parsed, two rounds running): also persist the line
+    // to bench.json in the launch directory
+    try {
+      val w = new java.io.PrintWriter("bench.json")
+      try w.println(json) finally w.close()
+    } catch { case e: Throwable =>
+      Console.err.println(s"[bench] bench.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

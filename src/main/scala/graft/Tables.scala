@@ -13,8 +13,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Schema per (dir, table) — the testdata star schema is immutable
+    * for the life of a JVM, but `spark.read.parquet(path)` re-infers
+    * the schema from file footers on EVERY call; Verify loads each
+    * table a few hundred times across its 178 entries and Bench's
+    * passes re-load per pass. Metadata-only (the same class as
+    * Catalog.rawRead's merged-schema cache): every row still computes
+    * from the parquet inputs on every action. */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.types.StructType]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate((dir, name),
+      spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     // events.ts contract is epoch NANOSECONDS as BIGINT (every query and
     // bench does integer bucket arithmetic on it). Generator versions
     // vary between int64-ns (read raw via nanosAsLong) and timestamp[us]

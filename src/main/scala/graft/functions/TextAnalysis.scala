@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Return row of [[textStatsUdf]] — a NAMED case class so Spark
+    * derives the struct (with these exact field names) from ONE UDF
+    * invocation. r10 built the struct from five `getField` copies of
+    * the nondeterministic UDF, and nondeterminism disables
+    * subexpression elimination, so the "one string pass" executed 5×
+    * per row (r10 advice; plans/r10/text_stats_after.txt shows
+    * UDF(text) five times in one Project). */
+  final case class TextStatsRow(n_tokens: Long, n_subwords: Long,
+      punct_ratio: Double, stopword_ratio: Double, mean_word_len: Double)
+
   /** Whitespace token count. */
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, 0)
@@ -116,21 +126,16 @@ object TextAnalysis {
         val punctRatio = if (total == 0L) 0.0 else punct.toDouble / total
         val stopRatio = if (nToks == 0L) 0.0 else nStop.toDouble / nToks
         val meanLen = if (nToks == 0L) 0.0 else lenSum.toDouble / nToks
-        (nTokens, nSub, punctRatio, stopRatio, meanLen)
+        TextStatsRow(nTokens, nSub, punctRatio, stopRatio, meanLen)
       }
     }.asNondeterministic()
   }
 
-  /** Struct column of [[textStatsUdf]] with the canonical field names. */
-  def textStats(c: Column): Column = {
-    val s = textStatsUdf(c)
-    struct(
-      s.getField("_1").as("n_tokens"),
-      s.getField("_2").as("n_subwords"),
-      s.getField("_3").as("punct_ratio"),
-      s.getField("_4").as("stopword_ratio"),
-      s.getField("_5").as("mean_word_len"))
-  }
+  /** Struct column of [[textStatsUdf]] with the canonical field names —
+    * exactly ONE UDF invocation per row (the case-class return type
+    * carries the names; consumers `getField` out of a null struct and
+    * see the same nulls the per-field Column forms produced). */
+  def textStats(c: Column): Column = textStatsUdf(c)
 
   /** Composite quality score in [0,1]: length sweet spot, low
     * punctuation noise, natural stopword density. */

@@ -76,17 +76,42 @@ object Catalog {
     * invalidates it; reading with the cached merged schema is
     * semantically identical to mergeSchema (per-file projection with
     * null fill), minus the per-read footer job. */
+  // Cache assumptions (documented per r10 advice): graft tables are
+  // FLAT directories (the non-recursive listing below would miss
+  // partitioned layouts) and every writer emits fresh part-file names
+  // (an in-place same-name/same-length rewrite inside mtime granularity
+  // would serve a stale schema — no graft writer does that).
+  private def listingSig(spark: SparkSession, path: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).iterator
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .toSeq.sorted.mkString("|")
+    } catch { case e: java.io.IOException =>
+      Console.err.println(
+        s"[catalog] schema-cache listing failed for $path, falling back to mergeSchema: ${e.getMessage}")
+      ""
+    }
+
+  /** Pre-seed the schema cache after an append that PROVABLY kept the
+    * schema (INSERT writes columns aligned to the full target schema,
+    * so the merged schema of the new listing equals the merged schema
+    * read before the write) — optimization round 11. Without this,
+    * every INSERT invalidates the cache by design and the next
+    * statement pays a fresh footer-union job; at 100 TB that job scans
+    * every file footer in the table to rediscover a schema the writer
+    * already knew. */
+  def primeSchemaCacheAfterAppend(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val sig = listingSig(spark, path)
+    if (sig.nonEmpty) mergedSchemaCache.put((path, sig), schema): Unit
+  }
+
   def rawRead(spark: SparkSession, path: String): DataFrame = {
-    val sig =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.listStatus(p).iterator
-          .filterNot(s => s.getPath.getName.startsWith("_") ||
-            s.getPath.getName.startsWith("."))
-          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-          .toSeq.sorted.mkString("|")
-      } catch { case _: Throwable => "" }
+    val sig = listingSig(spark, path)
     if (sig.isEmpty)
       spark.read.option("mergeSchema", "true").parquet(path)
     else {

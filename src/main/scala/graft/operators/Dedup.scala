@@ -788,11 +788,25 @@ object Dedup {
     val grams = docs.select(col("__id"), size(col("__g")).as("__sz"),
       explode(col("__g")).as("__gram"))
     val freq = grams.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
-    val w = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__gram"))
+    // Per-doc PPJoin prefix via AGGREGATE instead of a rank window
+    // (optimization round 11, guide §2.3/§2.4): the r10 window
+    // formulation shuffled every (doc, gram, df) row to its doc
+    // partition and SORTED the whole partition before row_number could
+    // rank; collect_list+sort_array does the identical (df, gram)
+    // ordering per doc inside a hash aggregate — partial map-side
+    // combining, no partition-wide sort — and slice() keeps only each
+    // doc's prefix (rank <= sz - ceil(t*sz) + 1). Rank semantics are
+    // unchanged: grams are distinct within a doc, so the (df, gram)
+    // struct order is total and pos+1 equals the old row_number.
     val prefix = grams.join(freq, "__gram")
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
-      .select(col("__id"), col("__gram"), col("__rank"), col("__sz"))
+      .groupBy(col("__id"))
+      .agg(max(col("__sz")).as("__sz"),
+        sort_array(collect_list(struct(col("__df"), col("__gram")))).as("__gs"))
+      .select(col("__id"), col("__sz"),
+        posexplode(slice(col("__gs"), lit(1),
+          (col("__sz") - ceil(lit(threshold) * col("__sz")) + 1).cast("int"))))
+      .select(col("__id"), col("col.__gram").as("__gram"),
+        (col("pos") + 1).as("__rank"), col("__sz"))
     // candidate join with the PPJoin length + positional prunes:
     //   length: J >= t forces min(|A|,|B|)/max(|A|,|B|) >= t
     //   position: overlap <= 1 + min(|A|-rankA, |B|-rankB) must reach
@@ -1279,7 +1293,13 @@ object Dedup {
       // compress: pointer-double — every comp value is itself a
       // labeled id (labels start as ids and evolve by min over label
       // values), so the self-join is total; a depth-1 forest converges
-      // with one no-change jump
+      // with one no-change jump.
+      // NOTE on metrics across the duplicated subtree: `hooked` carries
+      // its caller's CollectMetrics node, and the self-join below makes
+      // that subtree appear on BOTH join branches. The metric is safe
+      // ONLY because it is consumed as a zero/non-zero convergence
+      // signal — each CollectMetricsExec instance still sees the full
+      // row stream — never as a magnitude.
       hooked.as("l")
         .join(hooked.select(col("id").as("__jid"), col("comp").as("__jc")),
           col("comp") === col("__jid"))
@@ -1322,7 +1342,24 @@ object Dedup {
         coalesce(sum(when(col("comp") < col("__old"), 1L).otherwise(0L)),
           lit(0L)).as("changed"))
         .select(col("id"), col("comp"))
-      labels = Lineage.truncate(jumpOf(hooked, jumpObs))
+      // BISECT TOGGLE: materialize-then-jump (r9 shape)
+      labels = Lineage.truncate(hooked)
+      val jumped = jumpOf(labels, jumpObs)
+      labels = Lineage.truncate(jumped)
+      // evidence hook (set session conf graft.cc.plandump to a file
+      // path): the fused hook+jump round's EXECUTED plan — this is how
+      // the exchange-reuse claim below is demonstrated (the subtree is
+      // otherwise invisible behind the eager checkpoint). Scale safety
+      // of the fusion rests on the hook aggregation's exchange being
+      // consumed as a ReusedExchange/stage-cache hit on the second join
+      // branch, so the edge-sized part of the hook runs once per round.
+      if (it == 0)
+        pairs.sparkSession.conf.getOption("graft.cc.plandump").foreach { f =>
+          val w = new java.io.PrintWriter(f)
+          try w.write(jumped.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+          finally w.close()
+        }
       hookChanged = changedMetric(hookObs)
       var jumping = changedMetric(jumpObs) > 0
       while (jumping) {

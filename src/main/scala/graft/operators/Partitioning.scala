@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** CPU-spreading repartition that AQE cannot silently collapse
   * (optimization round 10).
@@ -30,9 +32,32 @@ object Partitioning {
 
   def spread(df: DataFrame, by: Column*): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
+    // Input parallelism WITHOUT df.rdd (r10 advice): under AQE,
+    // Dataset.rdd materializes every upstream shuffle stage eagerly
+    // just to read a partition count, and the later repartition then
+    // re-executes the same plan — double execution whenever the input
+    // contains exchanges. Instead estimate from the leaves, which
+    // covers every real call site (scans and checkpoints) and costs
+    // only driver-side analysis:
+    //  - file scans: bytes / maxPartitionBytes (the same byte-derived
+    //    split count the scan itself will use, so 100 TB inputs keep
+    //    byte-sized partitions rather than cores-sized ones);
+    //  - checkpointed/RDD-backed leaves: the RDD's partition count
+    //    (free — no execution).
     val inParts =
-      try df.rdd.getNumPartitions
-      catch { case _: Throwable => 0 }
+      try {
+        val maxSplit = math.max(1L,
+          df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+        df.queryExecution.optimizedPlan.collectLeaves().map {
+          case l: LogicalRelation => l.relation match {
+            case fs: HadoopFsRelation =>
+              (fs.location.sizeInBytes / maxSplit).toInt
+            case _ => 0
+          }
+          case r: LogicalRDD => r.rdd.getNumPartitions
+          case _ => 0
+        }.sum
+      } catch { case scala.util.control.NonFatal(_) => 0 }
     df.repartition(math.max(cores, inParts), by: _*)
   }
 }

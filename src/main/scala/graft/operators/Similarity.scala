@@ -236,19 +236,39 @@ object Similarity {
     cells.repartition(math.max(1, ncentroids), col("__cell"))
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(path + "/cells")
-    val spark = corpus.sparkSession
-    val centRows = cents.toIndexedSeq.zipWithIndex.map { case (v, i) =>
-      org.apache.spark.sql.Row(i, v.toSeq)
-    }
-    val centSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cent_id",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("centroid",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType), nullable = false)))
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(centRows, 1), centSchema)
-      .write.mode("overwrite").parquet(path + "/centroids")
+    writeCentroids(corpus.sparkSession, path, cents)
+  }
+
+  /** Centroid sidecar IO (optimization round 11): the sidecar is
+    * ncentroids·dim floats — driver-sized metadata, the same class as
+    * the compaction manifest. r10 wrote/read it as a 1-partition
+    * parquet table, paying a full Spark JOB on each side (two ~0.15 s
+    * scheduler floors per build/reload at any scale); a driver-side
+    * file write/read does the identical data movement with zero jobs.
+    * Line i is centroid i (cent_id order), comma-separated floats;
+    * Float.toString/parseFloat round-trips every value exactly. */
+  private def centroidsPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "/centroids")
+
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String, cents: Array[Array[Float]]): Unit = {
+    val p = centroidsPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(cents.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Float]] = {
+    val p = centroidsPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split("\n").filter(_.nonEmpty)
+      .map(_.split(",").map(java.lang.Float.parseFloat))
   }
 
   /** Append an ARRIVING batch to a persisted IVF index: assign each
@@ -261,9 +281,7 @@ object Similarity {
   def ivfIndexAppend(batch: DataFrame, vecCol: String, idCol: String,
       path: String): Unit = {
     val spark = batch.sparkSession
-    val cents = spark.read.parquet(path + "/centroids")
-      .orderBy(col("cent_id")).collect()
-      .map(_.getSeq[Float](1).toArray)
+    val cents = readCentroids(spark, path)
     val assign1 = nearestCentroids(cents, 1)
     batch.withColumn("__cell", element_at(assign1(col(vecCol)), 1))
       // one file per touched cell; explicit count, see ivfIndexWrite
@@ -278,10 +296,7 @@ object Similarity {
   def ivfIndexRead(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, Array[Array[Float]]) = {
     val cells = spark.read.parquet(path + "/cells")
-    val cents = spark.read.parquet(path + "/centroids")
-      .orderBy(col("cent_id")).collect()
-      .map(_.getSeq[Float](1).toArray)
-    (cells, cents)
+    (cells, readCentroids(spark, path))
   }
 
   /** LSH-pruned approximate top-k: only corpus rows whose hyperplane

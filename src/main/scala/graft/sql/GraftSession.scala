@@ -1719,16 +1719,29 @@ final class GraftSession(spark0: SparkSession,
       // last_row / last_non_null merge views)
       // duplicate keys WITHIN one statement: the later row wins (write
       // order), mirroring the reference's ingest; dedup here because the
-      // statement-level seq can't order rows inside the statement
+      // statement-level seq can't order rows inside the statement.
+      // max_by(struct(non-key cols), write-order id) replaces the r10
+      // row_number window (optimization round 11, guide §2.3): the
+      // aggregate does partial map-side combining and needs no
+      // partition sort, where the window sorted every batch row after
+      // the shuffle; semantics are identical because the order id is
+      // unique (no ties) and max_by keeps exactly the newest row's
+      // full column struct per key.
       var dedupApplied = false
       if (spec.mergeMode == MergeMode.LastRow) {
         val pkCols = spec.primaryKey.filter(cols.contains)
         if (pkCols.nonEmpty) {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(pkCols.map(k => col(s"`$k`")): _*).orderBy(col("__ord").desc)
-          df = df.withColumn("__ord", monotonically_increasing_id())
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__ord", "__rn")
+          val origCols = df.columns.toSeq
+          val rest = origCols.filterNot(pkCols.contains)
+          df =
+            if (rest.isEmpty) df.dropDuplicates(pkCols) // keys only: rows identical per key
+            else df.withColumn("__ord", monotonically_increasing_id())
+              .groupBy(pkCols.map(k => col(s"`$k`")): _*)
+              .agg(max_by(struct(rest.map(c => col(s"`$c`")): _*),
+                col("__ord")).as("__r"))
+              .select(origCols.map(c =>
+                if (pkCols.contains(c)) col(s"`$c`")
+                else col("__r").getField(c).as(c)): _*)
           dedupApplied = true
         }
       }
@@ -1855,13 +1868,13 @@ final class GraftSession(spark0: SparkSession,
       // a literal VALUES insert with no dedup/cast-drop has a known row
       // count — skip the extra count() job (halves insert latency; the
       // 1-second database-ttl test is wall-clock sensitive)
-      val n =
+      val literalN: Option[Long] =
         if (cleanBody.toUpperCase(Locale.ROOT).startsWith("VALUES") &&
             badCast.isEmpty && !dedupApplied)
-          splitTop(cleanBody.substring("VALUES".length))
+          Some(splitTop(cleanBody.substring("VALUES".length))
             .count(_.trim.startsWith("("))
-            .toLong
-        else df.count()
+            .toLong)
+        else None
       // values truncate to the column's declared precision on write
       // (timestamp_precision_display.result: a TIMESTAMP(0) column
       // drops sub-second input; (3) drops sub-millisecond)
@@ -1878,7 +1891,24 @@ final class GraftSession(spark0: SparkSession,
           }
         else c
       }
-      df.select(alignedP: _*).write.mode("append").parquet(spec.path)
+      // the affected-row count rides the WRITE job via observe()
+      // (optimization round 11, guide §1.2): the r10 path ran
+      // df.count() and THEN the write — two full executions of the
+      // batch pipeline (source scan + dedup shuffle each) per INSERT
+      val out = df.select(alignedP: _*)
+      val obs = literalN match {
+        case Some(_) => None
+        case None => Some(org.apache.spark.sql.Observation())
+      }
+      val outObs = obs.map(o =>
+        out.observe(o, count(lit(1)).as("__n"))).getOrElse(out)
+      outObs.write.mode("append").parquet(spec.path)
+      val n = literalN.getOrElse(
+        obs.get.get("__n").asInstanceOf[Long])
+      // the append wrote columns aligned to `target`, so the merged
+      // schema of the grown listing is unchanged — skip the next
+      // statement's footer-union job
+      graft.model.Catalog.primeSchemaCacheAfterAppend(spark, spec.path, target)
       refreshPath(spec.path)
       refreshView(name)
       logicalParent.get(name).foreach(refreshMetricPhyView)
